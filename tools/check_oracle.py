@@ -1,0 +1,137 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs each `queries()[name]` on Spark and `oracle_sql()[name]` on DuckDB
+against the same sf dir, then compares row count, column-name schema, and
+an order-insensitive canonical value dump. Exact match required; on
+mismatch prints the first differing canonical rows plus a float near-miss
+diagnosis (so half-even-vs-half-up / ulp issues are visible immediately).
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon_value(v):
+    if v is None:
+        return "\x00null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
+    return sorted(cols), out
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare(name, sdf, sql, con):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount mismatch: spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        _, cs = canon_rows(scols, srows)
+        _, co = canon_rows(ocols, orows)
+        if cs != co:
+            ndiff = sum(1 for a, b in zip(cs, co) if a != b)
+            problems.append(f"value mismatch in {ndiff}/{len(cs)} canonical rows")
+            shown = 0
+            for a, b in zip(cs, co):
+                if a != b and shown < 3:
+                    problems.append(f"  spark : {a}")
+                    problems.append(f"  oracle: {b}")
+                    shown += 1
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from weather_bigdata_project_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cpus=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    con = duck_connect(args.sf)
+
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            if name not in oracles:
+                cnt = sdf.count()
+                print(f"WEAK  {name}: no oracle, rows={cnt} ({time.time()-t0:.1f}s)")
+                n_weak += 1
+                continue
+            problems = compare(name, sdf, oracles[name], con)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"OK    {name} ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_weak} weak (no oracle)")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

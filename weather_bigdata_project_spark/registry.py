@@ -1,0 +1,43 @@
+"""Query registry: every operator from SURVEY.md §2 (+ extensions) as a
+(name -> Spark callable, name -> DuckDB oracle SQL) pair.
+
+Conventions (driver contract, __spark_entry__.py):
+- each callable: (spark, sf_dir) -> DataFrame;
+- every computed column aliased identically in Spark and oracle SQL;
+- ordering never matters (driver hash is order-insensitive) but LIMIT
+  queries use a total order (unique tie-break key) so both engines pick
+  the same rows;
+- doubles that aggregate across rows are rounded at the output edge in
+  BOTH engines so partition-order float noise cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; `oracle=None` => driver does rows-only check."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# import for registration side effects (order = SURVEY §2 order)
+from .queries import weather  # noqa: E402,F401
+from .queries import analytics  # noqa: E402,F401
+from .queries import relational  # noqa: E402,F401
+from .queries import dedup  # noqa: E402,F401
+from .queries import similarity  # noqa: E402,F401
+from .queries import text  # noqa: E402,F401
+from .queries import jsonops  # noqa: E402,F401

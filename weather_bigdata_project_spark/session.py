@@ -1,0 +1,64 @@
+"""SparkSession construction and per-session tuning.
+
+Two layers:
+
+- :func:`get_spark` builds a tuned local session (tests / bench). The knobs
+  mirror what we would set cluster-side at 100 TB: AQE on (runtime
+  coalesce + skew-join), shuffle partitions sized to cores (not the 200
+  default the reference left in place — see
+  ref:spark-output/checkpoint_enriched/offsets/1), Arrow for any
+  Python-boundary transfer.
+- :func:`tune` applies the *runtime-settable* confs every query needs even
+  when somebody else built the session (the correctness driver passes its
+  own SparkSession). Queries must not depend on session-construction-time
+  settings, so anything correctness-critical lives here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs required for deterministic, oracle-parity plans.
+
+    - UTC session timezone: all epoch<->string functions (from_unixtime,
+      to_timestamp) must agree with the DuckDB oracle, which is tz-naive.
+    - nanosAsLong: the driver's events.parquet carries TIMESTAMP(NANOS)
+      which Spark's parquet reader rejects; reading nanos as long and
+      converting explicitly (tables.load_events) keeps the scan vectorized.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def get_spark(app_name: str = "weather_bigdata_project_spark", cpus: int | str | None = None) -> SparkSession:
+    """Tuned local session. `cpus` defaults to $SPARK_GRAFT_CPUS or 32.
+
+    Scale notes (these map 1:1 onto cluster settings at 100 TB):
+    - AQE handles runtime partition coalescing and skew-join splitting, so
+      static shuffle.partitions only needs to be "enough parallelism"
+      (2x cores locally; executors*cores*2-3 on a cluster).
+    - autoBroadcastJoinThreshold stays default (10 MB); dimension tables
+      (region/nation/supplier) broadcast automatically, and we add explicit
+      broadcast() hints on the build side of star joins.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
