@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import weather_domain as wd
+from ..functions.exprs import rnd
 from ..registry import query
 
 
@@ -33,13 +34,14 @@ def _oracle(select: str) -> str:
 # --- A1: per-city multi-agg (ref:streamlit/app.py:333-338) ----------------
 # pandas used .agg(['mean','min','max','std']).round(2); std is ddof=1.
 _CITY_STATS_EXPRS = {
-    "avg_temp": "ROUND(CAST(SUM(temperature) AS DOUBLE) / COUNT(temperature), 2)",
+    "avg_temp": rnd("CAST(SUM(temperature) AS DOUBLE) / COUNT(temperature)", 2),
     "min_temp": "MIN(temperature)",
     "max_temp": "MAX(temperature)",
-    "std_temp": (
-        "ROUND(SQRT((CAST(SUM(CAST(temperature AS BIGINT) * temperature) AS DOUBLE)"
+    "std_temp": rnd(
+        "SQRT((CAST(SUM(CAST(temperature AS BIGINT) * temperature) AS DOUBLE)"
         " - CAST(SUM(temperature) AS DOUBLE) * SUM(temperature) / COUNT(temperature))"
-        " / (COUNT(temperature) - 1)), 2)"
+        " / (COUNT(temperature) - 1))",
+        2,
     ),
 }
 

@@ -1,1 +1,461 @@
-"""Placeholder — populated in later milestones."""
+"""Relational completeness on the star schema (M2 of SURVEY.md §7).
+
+The reference has no joins/set-ops/windows (SURVEY §2.6) — these are the
+engine's extension surface, built for the 100 TB case:
+
+- dimension joins carry explicit `broadcast()` hints (region/nation/
+  supplier are tiny at every scale factor — TPC-H dims grow slowly);
+- fact-fact joins (orders⋈lineitem) are shuffle hash/sort-merge on the
+  join key; AQE (enabled in session) coalesces and splits skew at runtime;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- windows partition by high-cardinality keys (user_id) so state stays
+  bounded per partition.
+
+Float determinism: money columns are exactly-2-decimal doubles; every
+cross-row SUM goes through `CAST(ROUND(x * 100e0) AS BIGINT)` ("cents
+trick") so partial-aggregation order cannot perturb the result — exact
+under any partitioning, and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import cents, money, rnd
+from ..registry import query
+
+
+_SUM_ACCTBAL = money(f"SUM({cents('c_acctbal')})")
+_SUM_TOTALPRICE = money(f"SUM({cents('o_totalprice')})")
+_SUM_RETAILPRICE = money(f"SUM({cents('p_retailprice')})")
+
+
+# --- TPC-H Q1: pricing summary ------------------------------------------
+_Q1_AGGS = {
+    "sum_qty": "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)",
+    "sum_base_price": money(f"SUM({cents('l_extendedprice')})"),
+    "sum_disc_price": rnd(
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) "
+        "* 10000.0e0) AS BIGINT)) AS DOUBLE) / 10000.0e0",
+        2,
+    ),
+    "sum_charge": rnd(
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) "
+        "* (1.0e0 + l_tax) * 1000000.0e0) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0e0",
+        2,
+    ),
+    "avg_qty": rnd(
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)", 2
+    ),
+    "avg_price": rnd(
+        f"CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) "
+        "/ (100.0e0 * COUNT(*))",
+        2,
+    ),
+    "avg_disc": rnd(
+        "CAST(SUM(CAST(ROUND(l_discount * 100.0e0) AS BIGINT)) "
+        "AS DOUBLE) / (100.0e0 * COUNT(*))",
+        4,
+    ),
+    "count_order": "COUNT(*)",
+}
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        + ", ".join(f"{e} AS {k}" for k, e in _Q1_AGGS.items())
+        + " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy grouped aggregation, 6 groups.
+    Map-side partial agg reduces the shuffle to (partitions x 6) rows;
+    the date filter pushes down to the parquet scan."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("to_timestamp_ntz('2001-09-02 00:00:00')"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*[F.expr(e).alias(k) for k, e in _Q1_AGGS.items()])
+    )
+
+
+# --- TPC-H Q3 shape: shipping-priority top-k ----------------------------
+_Q3_REV = (
+    "SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0) "
+    "AS BIGINT))"
+)
+
+
+@query(
+    "tpch_q3_order_revenue",
+    oracle=(
+        "SELECT o_orderkey, o_orderdate, "
+        f"{money(f'({_Q3_REV}) // 100')} AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+)
+def tpch_q3_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact join -> grouped
+    revenue -> top-10. customer(filtered) broadcasts; orders⋈lineitem is
+    the only shuffle. Tie-break on o_orderkey => total order."""
+    c = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("to_timestamp_ntz('1998-01-01 00:00:00')")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("to_timestamp_ntz('1998-01-01 00:00:00')")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.expr(f"{money(f'({_Q3_REV}) div 100')}").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: regional revenue through a 6-way star join ----------
+@query(
+    "tpch_q5_regional_revenue",
+    oracle=(
+        "SELECT n_name, "
+        f"{money(f'({_Q3_REV}) // 100')} AS revenue "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name IN ('ASIA', 'EUROPE') "
+        "GROUP BY n_name"
+    ),
+)
+def tpch_q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: all three dimension hops broadcast (supplier,
+    nation, region are tiny); only orders⋈lineitem shuffles. The
+    c_nationkey = s_nationkey local-supplier predicate rides on the
+    supplier broadcast join."""
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(F.expr(f"{money(f'({_Q3_REV}) div 100')}").alias("revenue"))
+    )
+
+
+# --- broadcast dim join: customers per region ---------------------------
+@query(
+    "join_broadcast_region_customers",
+    oracle=(
+        "SELECT r_name, COUNT(*) AS n_customers, "
+        + _SUM_ACCTBAL
+        + " AS total_acctbal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+)
+def join_broadcast_region_customers(spark, sf_dir):
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(_SUM_ACCTBAL).alias("total_acctbal"),
+        )
+    )
+
+
+# --- semi / anti joins ---------------------------------------------------
+@query(
+    "join_semi_customers_with_orders",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY c_mktsegment"
+    ),
+)
+def join_semi_customers_with_orders(spark, sf_dir):
+    """LEFT SEMI: existence check without row multiplication — at scale
+    this avoids the join-then-distinct blowup entirely."""
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- set operations ------------------------------------------------------
+@query(
+    "set_union_nations",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "UNION SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_union_nations(spark, sf_dir):
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect_nations",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_intersect_nations(spark, sf_dir):
+    t = tables.load_all(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except_nations",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "EXCEPT SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_except_nations(spark, sf_dir):
+    t = tables.load_all(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# --- window functions ----------------------------------------------------
+@query(
+    "window_rank_customers",
+    oracle=(
+        "SELECT c_nationkey, c_custkey, c_acctbal, "
+        "RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk, "
+        "DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer QUALIFY rnk <= 3"
+    ),
+)
+def window_rank_customers(spark, sf_dir):
+    """Ranking window: top-3 customers by balance per nation. One shuffle
+    on the partition key; rank/dense_rank share the sort."""
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wt = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(wt).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_moving_avg_events",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT event_id, user_id, "
+        + rnd(
+            "CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) OVER w "
+            "AS DOUBLE) / (100.0e0 * COUNT(*) OVER w)",
+            2,
+        )
+        + " AS mov_avg "
+        "FROM events_t "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    ),
+)
+def window_moving_avg_events(spark, sf_dir):
+    """Sliding 3-row moving average per user — the idiomatic replacement
+    for the dashboard's full-rescan time series (SURVEY §2.7 T5). Exact
+    integer-cents sum => deterministic under Spark's incremental frame
+    evaluation AND DuckDB's."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    c = F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(c).over(w).alias("s_cents"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                rnd("CAST(s_cents AS DOUBLE) / (100.0e0 * n_win)", 2)
+            ).alias("mov_avg"),
+        )
+    )
+
+
+@query(
+    "window_lag_delta_events",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT event_id, user_id, "
+        "ROUND(value - LAG(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id), 2) AS delta "
+        "FROM events_t"
+    ),
+)
+def window_lag_delta_events(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+# --- rollup / cube / grouping sets ---------------------------------------
+@query(
+    "rollup_orders",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        + _SUM_TOTALPRICE
+        + " AS total, "
+        "GROUPING(o_orderstatus) AS g_status, "
+        "GROUPING(o_orderpriority) AS g_priority "
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+    ),
+)
+def rollup_orders(spark, sf_dir):
+    """Hierarchical totals in one pass (status -> status+priority ->
+    grand total). Spark expands grouping sets before the hash agg —
+    still a single shuffle."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_SUM_TOTALPRICE).alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@query(
+    "cube_part_brand_size",
+    oracle=(
+        "SELECT p_brand, p_size % 10 AS size_mod, COUNT(*) AS n, "
+        + _SUM_RETAILPRICE
+        + " AS total_price "
+        "FROM part GROUP BY CUBE(p_brand, p_size % 10)"
+    ),
+)
+def cube_part_brand_size(spark, sf_dir):
+    p = tables.load(spark, sf_dir, "part")
+    return p.cube(F.col("p_brand"), (F.col("p_size") % 10).alias("size_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_SUM_RETAILPRICE).alias("total_price"),
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty "
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), "
+        "(l_linestatus), (l_returnflag, l_linestatus))"
+    ),
+)
+def grouping_sets_lineitem(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty "
+        "FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), "
+        "(l_linestatus), (l_returnflag, l_linestatus))"
+    )
+
+
+# --- events hourly tumbling window (batch twin of streaming T5) ----------
+@query(
+    "events_hourly_window",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+        "(CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS DOUBLE) "
+        "/ 100.0e0) AS total_value "
+        "FROM events_t GROUP BY hour, event_type"
+    ),
+)
+def events_hourly_window(spark, sf_dir):
+    """Tumbling 1h aggregation — same transformation the streaming job
+    runs with a watermark (streaming/jobs.py); here as its batch twin."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "(CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) "
+                "AS DOUBLE) / 100.0e0)"
+            ).alias("total_value"),
+        )
+    )
