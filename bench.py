@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the `noop` sink (whole plan
+executes, no driver-side collect/serialization cost polluting the
+measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "weather_enrich",
+    "weather_city_stats",
+    "weather_temp_histogram",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_order_revenue",
+    "tpch_q5_regional_revenue",
+    "window_moving_avg_events",
+    "events_hourly_window",
+    "events_json_extract",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_knn_bruteforce",
+    "embed_ivf_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from weather_bigdata_project_spark.session import get_spark
+    from weather_bigdata_project_spark import registry
+
+    spark = get_spark("bench")
+    # JVM/codegen warm-up on a trivial action so query 1 isn't charged
+    # session startup
+    spark.range(1000).count()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Unit tests for the enrichment formulas (SURVEY §5 item 3): golden row
+verified against the reference's real lake output
+(ref:spark-output/weather_enriched/part-00000-45813c51-*.json:1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from weather_bigdata_project_spark import weather_domain as wd
+
+
+def _wire_row(**over):
+    base = {
+        "date": "2025-10-28 14:31:46",
+        "weather_description": "overcast clouds",
+        "latitude": "33.5928",
+        "pression": "1014",
+        "humidité": "69",
+        "feels_like": "22.74",
+        "city_name": "Casablanca",
+        "local_time": "2025-10-28 15:31:46",
+        "min_temp": "23.1",
+        "wind_speed": "5.14",
+        "température": "22.96",
+        "max_temp": "23.5",
+        "timestamp": "1761661906",
+        "longitude": "-7.6192",
+    }
+    base.update(over)
+    return Row(**base)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows)
+    return wd.enrich(wd.cast_wire(df)).collect()
+
+
+def test_golden_lake_row(spark):
+    """Input (t=23, h=69, w=5.14, p=1014, 'overcast clouds') must
+    reproduce the reference's observed output record exactly
+    (FIXTURES.md §A2 golden row)."""
+    [r] = _run(spark, [_wire_row()])
+    assert r.temperature == 23
+    assert r.humidity == 69
+    assert r.pressure == 1014
+    assert r.dew_point == 17
+    assert r.heat_index == 23  # t<27 => passthrough
+    assert r.wind_chill == 23  # t>10 => passthrough
+    assert r.weather_category == "Cloudy"
+    assert r.comfort_level == "Moderate"
+    assert r.alert_type == "NORMAL"
+    assert r.event_time == "2025-10-28 14:31:46"
+
+
+def test_hot_humid_heat_index(spark):
+    [r] = _run(spark, [_wire_row(température="35.0", humidité="85", wind_speed="2.0")])
+    # 35 + 0.33*85 - 0.70*2 - 4 = 57.65 -> 58
+    assert r.heat_index == 58
+    assert r.comfort_level == "Very Hot"
+    assert r.weather_category == "Cloudy"
+
+
+def test_wind_chill_formula(spark):
+    [r] = _run(spark, [_wire_row(température="0.0", wind_speed="20.0")])
+    # 13.12 + 0 - 11.37*20^0.16 + 0 = -5.22... -> -5
+    assert r.wind_chill == -5
+    assert r.comfort_level == "Cold"
+
+
+def test_alert_priority_order(spark):
+    """EXTREME_TEMPERATURE outranks HIGH_WIND outranks PRESSURE_ANOMALY
+    (when-chain order, ref:spark-apps/weather_streaming.py:137-142)."""
+    [r] = _run(
+        spark,
+        [_wire_row(température="45.0", wind_speed="60.0", pression="950")],
+    )
+    assert (r.is_extreme_temp, r.is_high_wind, r.is_pressure_anomaly) == (
+        True, True, True,
+    )
+    assert r.alert_type == "EXTREME_TEMPERATURE"
+
+
+def test_like_chain_order(spark):
+    """'clear' wins before 'cloud'; 'mist' falls through to Other."""
+    rows = [
+        _wire_row(weather_description="clear sky"),
+        _wire_row(weather_description="thunderstorm"),
+        _wire_row(weather_description="mist"),
+    ]
+    cats = {r.weather_description: r.weather_category for r in _run(spark, rows)}
+    assert cats == {
+        "clear sky": "Clear",
+        "thunderstorm": "Stormy",
+        "mist": "Other",
+    }
+
+
+def test_dirty_cast_null_semantics(spark):
+    """Non-numeric wire values cast to null, never error (the reference's
+    non-ANSI cast; we use try_cast so ANSI sessions behave the same)."""
+    [r] = _run(spark, [_wire_row(température="N/A", pression="")])
+    assert r.temperature is None
+    assert r.pressure is None
+    assert r.dew_point is None
+    assert r.heat_index is None
+    assert r.alert_type == "NORMAL"  # null flags -> False -> NORMAL

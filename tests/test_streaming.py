@@ -1,0 +1,107 @@
+"""Stream/batch equivalence (SURVEY §5 item 4): the SAME enrichment
+functions run under Structured Streaming over a deterministic file
+source must produce exactly the batch result."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from weather_bigdata_project_spark import weather_domain as wd
+from weather_bigdata_project_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def wire_dir(spark):
+    """Materialize the sf0.001 wire frame as JSON-lines micro-files (the
+    lake the file-stream replays)."""
+    d = tempfile.mkdtemp(prefix="wirelake_")
+    wd.wire_frame(spark, SF_SMOKE).repartition(8).write.mode("overwrite").json(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_equals_batch(spark, wire_dir):
+    out = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        stream = jobs.wire_file_stream(spark, wire_dir)
+        enriched = jobs.enriched_stream(stream).select(*wd.ENRICHED_COLUMNS)
+        q = jobs.start_lake_sink(enriched, out, ckpt, fmt="parquet")
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        want = wd.enriched_frame(spark, SF_SMOKE)
+        assert got.count() == want.count() == 1000
+        # full-row equivalence, order-insensitive
+        assert got.select(*wd.ENRICHED_COLUMNS).subtract(want).count() == 0
+        assert want.subtract(got.select(*wd.ENRICHED_COLUMNS)).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_windowed_stats(spark, wire_dir):
+    """Watermarked tumbling-window agg drains under availableNow and
+    matches the batch groupBy(date_trunc) twin."""
+    out = tempfile.mkdtemp(prefix="stream_win_")
+    ckpt = tempfile.mkdtemp(prefix="stream_win_ckpt_")
+    try:
+        stream = jobs.wire_file_stream(spark, wire_dir)
+        win = jobs.windowed_city_stats_stream(jobs.enriched_stream(stream))
+        q = (
+            win.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        batch = (
+            wd.enriched_frame(spark, SF_SMOKE)
+            .groupBy(
+                F.date_trunc("hour", F.col("timestamp_dt")).alias("window_start"),
+                "city_name",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("temperature").alias("sum_temp"),
+                F.max("wind_speed_num").alias("max_wind"),
+            )
+        )
+        # availableNow + watermark: the final (max event-time) windows may
+        # be withheld as "not yet closed"; every emitted row must match
+        # the batch twin and cover all but the watermark tail.
+        missing = got.subtract(batch).count()
+        assert missing == 0
+        # append mode withholds windows not yet past the 2h watermark:
+        # at most (watermark/window + 1) window-starts x 8 cities
+        assert got.count() >= batch.count() - 3 * 8 - 8
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_alerts_stream_filter(spark, wire_dir):
+    stream = jobs.wire_file_stream(spark, wire_dir)
+    alerts = jobs.alerts_stream(jobs.enriched_stream(stream))
+    assert alerts.isStreaming
+    out = tempfile.mkdtemp(prefix="stream_alerts_")
+    ckpt = tempfile.mkdtemp(prefix="stream_alerts_ckpt_")
+    try:
+        q = jobs.start_lake_sink(alerts, out, ckpt, fmt="json")
+        q.awaitTermination(120)
+        got = spark.read.json(out)
+        want = wd.alerts_frame(spark, SF_SMOKE).count()
+        assert got.count() == want
+        assert got.filter(F.col("alert_type") == "NORMAL").count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed by Arrow-batched Pandas functions
+(`mapInPandas`) — the only operator family where Python executes at
+runtime, and it does so vectorized per Arrow batch, never per row.
+
+The container has no image/audio libraries, so the *decode* kernel is a
+deterministic stub (clearly marked below); everything around it — schema,
+binary synthesis, batch iteration, partition behavior, output typing —
+is the real Spark plumbing a production decode would use (swap
+`_decode_stub` for a PIL/ffmpeg call behind the same signature).
+
+At 100 TB: binary payloads dominate I/O, so (a) metadata-only queries
+must prune the binary column at the parquet scan (columnar => free),
+(b) decode runs `mapInPandas` with `spark.sql.execution.arrow
+.maxRecordsPerBatch` sized so a batch of decoded frames fits executor
+memory, (c) repartition by content-size bands before decode to avoid
+stragglers on mixed payload sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+DECODED_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("byte_len", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("n_frames", Ty.IntegerType()),
+        Ty.StructField("feature", Ty.ArrayType(Ty.DoubleType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary column (utf-8 payload bytes) + typed
+    metadata — the shape a real image/audio table has: (id, content:
+    binary, media_type, byte_len, sha)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("byte_len"),
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("sha256_hex"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB — stands in for the real decoder (PIL.Image.open /
+    torchaudio.load / pyav frame sampling), which is not installable in
+    this container. Deterministic fake derived from payload bytes so
+    tests are stable. A real deployment replaces ONLY this function."""
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    width = 16 + checksum % 64
+    height = 16 + (checksum // 64) % 64
+    n_frames = 1 + n % 8
+    feature = [float((checksum + i * 31) % 97) / 97.0 for i in range(8)]
+    return width, height, n_frames, feature
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one decoded batch out.
+    Vectorized transfer; per-batch Python cost amortized."""
+    for pdf in it:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            payload = bytes(content) if content is not None else b""
+            width, height, n_frames, feature = _decode_stub(payload)
+            rows.append(
+                (int(doc_id), len(payload), width, height, n_frames, feature)
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+        )
+
+
+def decode_media(binary_df: DataFrame) -> DataFrame:
+    """Distributed decode/feature-extract over the binary column."""
+    return binary_df.select("doc_id", "content").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis building blocks over the `documents` table: tokenization,
+token dictionary, 3-gram shingles — shared by the text-quality and
+dedup operator families.
+
+Spark side is DataFrame API (split/posexplode/broadcast-join); each
+builder has a DuckDB CTE twin so every downstream operator keeps an exact
+oracle. 100 TB notes:
+
+- tokenization/shingling are narrow (no shuffle);
+- the token dictionary here uses a global ROW_NUMBER for *oracle-stable*
+  ids; at real scale you swap `dict_ids` for `xxhash64(tok)` (no global
+  sort, no dictionary join) — every downstream operator only needs ids to
+  be deterministic, not dense;
+- dictionary joins are broadcast (vocabulary << corpus, Zipf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# --- Spark builders -------------------------------------------------------
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok) — 0-based positions, whitespace tokenization."""
+    return docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+
+
+def token_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, tok_id) — dense ids, deterministic (alphabetical row_number).
+
+    Global-sort window is fine for a vocabulary (small by Zipf's law); the
+    scale path is hash ids — see module docstring."""
+    from pyspark.sql import Window
+
+    return (
+        tokens(spark, sf_dir)
+        .select("tok")
+        .distinct()
+        .withColumn(
+            "tok_id", F.row_number().over(Window.orderBy("tok")).cast("bigint")
+        )
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): DISTINCT 3-gram word shingles per document."""
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 3 THEN array() "
+                    "ELSE transform(sequence(1, size(toks) - 2), "
+                    "i -> concat_ws(' ', slice(toks, i, 3))) END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    return (
+        doc_shingles(spark, sf_dir)
+        .select("shingle")
+        .distinct()
+        .withColumn(
+            "sh_id", F.row_number().over(Window.orderBy("shingle")).cast("bigint")
+        )
+    )
+
+
+# --- DuckDB oracle CTE twins ---------------------------------------------
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok, "
+    "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
+    "FROM documents)"
+)
+
+DICT_CTE = (
+    "dict AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) "
+    "AS tok_id FROM (SELECT DISTINCT tok FROM toks))"
+)
+
+SHINGLES_CTE = (
+    "shingles AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) < 3 "
+    "THEN [] "
+    "ELSE list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) END) "
+    "AS shingle FROM documents))"
+)
+
+SHINGLE_DICT_CTE = (
+    "sh_dict AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) "
+    "AS BIGINT) AS sh_id FROM (SELECT DISTINCT shingle FROM shingles))"
+)
+
+STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

@@ -1,1 +1,301 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators over `documents` (north-star extension
+surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup: hash-aggregate on the full text (at scale: on
+  xxhash64(text) first, verify collisions) — one shuffle;
+- Jaccard pairs: the candidate join is an EQUI-join on shingle (never an
+  all-pairs product); hot shingles are dropped by a document-frequency cap
+  (stopword-shingles generate quadratic candidates — the classic skew
+  guard, same role as salting);
+- MinHash+LSH: 16 permutation hashes -> 4 bands of 4; candidate pairs
+  must share a full band signature, cutting candidates from O(n^2) to
+  near-linear in dup density. Signatures are exact integer arithmetic
+  ((a*x+b) mod p over dictionary shingle ids), portable to the oracle;
+- SimHash: 16-bit position-weighted signature; pairs within Hamming
+  distance <= 3. The pair join here is brute (tiny corpus); the scale
+  path is 4-block banding (any pair at distance <=3 shares one of 4
+  4-bit blocks) — same equi-join trick as LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import rnd
+from ..operators import textops as T
+from ..registry import query
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT text, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text HAVING COUNT(*) > 1"
+    ),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact duplicate groups: hash-agg on text, keep the min doc_id as
+    canonical. At 100 TB: pre-hash to a 64-bit key so the shuffle moves
+    8-byte keys, not documents."""
+    return (
+        T.docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle=(
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    ),
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """The dropDuplicates view: one surviving doc_id per distinct text
+    (deterministic survivor = min id, unlike dropDuplicates' arbitrary
+    first-seen row)."""
+    return (
+        T.docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# --- n-gram Jaccard near-dup ---------------------------------------------
+
+_JACCARD_PAIRS_SQL = (
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
+    "df AS (SELECT shingle, COUNT(*) AS doc_freq FROM shingles GROUP BY shingle), "
+    "kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle) "
+    "WHERE df.doc_freq <= 100), "
+    "common AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c "
+    "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "scored AS (SELECT doc1, doc2, "
+    + rnd(
+        "CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)",
+        4,
+    )
+    + " AS jaccard FROM common "
+    "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2)"
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH " + T.SHINGLES_CTE + ", " + _JACCARD_PAIRS_SQL + " "
+        "SELECT doc1, doc2, jaccard FROM scored "
+        "ORDER BY jaccard DESC, doc1, doc2 LIMIT 50"
+    ),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Top-50 most-similar document pairs by 3-gram Jaccard. Candidate
+    generation is the shingle equi-join (never n^2); doc-frequency cap
+    drops hot shingles before the join."""
+    sh = T.doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    kept = sh.join(df_cap.filter(F.col("doc_freq") <= 100), "shingle").select(
+        "doc_id", "shingle"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        common.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.expr(
+                rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc1", "doc2")
+        .limit(50)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+_K = 16  # hash functions
+_BANDS = 4  # bands of 4 rows
+_P = 1_000_003
+
+# (a_j, b_j) fixed affine permutation params, j = 1..16
+_HASH_PARAMS = [(2 * j + 1, j * j + 7) for j in range(1, _K + 1)]
+_HASH_VALUES_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_HASH_PARAMS, 1))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=(
+        "WITH " + T.SHINGLES_CTE + ", " + T.SHINGLE_DICT_CTE + ", "
+        f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
+        "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
+        "FROM shingles JOIN sh_dict USING (shingle) CROSS JOIN params "
+        "GROUP BY doc_id, j), "
+        f"bands AS (SELECT doc_id, (j - 1) // {_K // _BANDS} AS band, "
+        "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig "
+        "FROM sig GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
+        "common AS (SELECT doc1, doc2, COUNT(*) AS c FROM cand "
+        "JOIN shingles x ON x.doc_id = doc1 "
+        "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
+        "GROUP BY doc1, doc2) "
+        "SELECT doc1, doc2, "
+        + rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
+        + " AS jaccard FROM common "
+        "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2 "
+        "WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5e0"
+    ),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) -> LSH(4 bands x 4): near-dup pairs with verified
+    Jaccard >= 0.5. Candidates come from the band-signature equi-join —
+    the O(n^2) pair space is never materialized. Affine hashes over
+    dictionary shingle ids are exact integers => oracle-portable."""
+    sh = T.doc_shingles(spark, sf_dir)
+    sd = T.shingle_dict(spark, sf_dir)
+    ids = sh.join(F.broadcast(sd), "shingle").select("doc_id", "sh_id")
+
+    params = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(_HASH_PARAMS, 1)], "j INT, a INT, b INT"
+    )
+    sig = (
+        ids.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("sh_id") + F.col("b")) % _P).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.expr(f"(j - 1) div {_K // _BANDS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, mh))), "
+                    "s -> CAST(s.mh AS STRING))"
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc1"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc2"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = "CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)"
+    return (
+        common.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .filter(F.expr(f"{jac} >= 0.5e0"))
+        .select("doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard"))
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", " + T.DICT_CTE + ", "
+        f"bits(bit) AS (SELECT unnest(range(0, {_SIMHASH_BITS}))), "
+        "tokhash AS (SELECT doc_id, (tok_id * 2654435761) % 1048573 AS h "
+        "FROM toks JOIN dict USING (tok)), "
+        "bitsum AS (SELECT doc_id, bit, "
+        "SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM tokhash CROSS JOIN bits GROUP BY doc_id, bit), "
+        "sim AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1 << bit) "
+        "ELSE 0 END) AS simhash FROM bitsum GROUP BY doc_id) "
+        "SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+        "bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3"
+    ),
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash near-dup pairs (Hamming <= 3). Signature build is
+    two hash-aggs; the brute pair join is corpus-sized here — the 100 TB
+    path blocks on 4-bit signature chunks (pigeonhole: distance<=3 pairs
+    share a chunk) turning it into an equi-join, like the LSH operator."""
+    toks = T.tokens(spark, sf_dir)
+    d = T.token_dict(spark, sf_dir)
+    tokhash = toks.join(F.broadcast(d), "tok").select(
+        "doc_id", ((F.col("tok_id") * 2654435761) % 1048573).alias("h")
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    bitsum = (
+        tokhash.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1 = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sim = bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,58 @@
+"""Multimodal column queries (binary payload plumbing, SURVEY north-star
+extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..operators import textops as T
+from ..registry import query
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+        "sha256(text) AS sha256_hex FROM documents"
+    ),
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Typed metadata over an opaque binary column: byte length + content
+    hash. The parquet scan prunes the binary column when only metadata is
+    selected — at 100 TB this is the difference between a metadata query
+    reading gigabytes or petabytes."""
+    return M.with_binary_payload(T.docs(spark, sf_dir)).select(
+        "doc_id", "byte_len", "sha256_hex"
+    )
+
+
+@query("multimodal_decode_features")  # no SQL oracle: Pandas-UDF pipeline
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched decode/feature-extract via mapInPandas (decode kernel
+    stubbed — see operators/multimodal.py). Driver records rows-only; unit
+    tests assert the deterministic fake output shape and values."""
+    return M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+
+
+@query(
+    "multimodal_feature_agg",
+    oracle=None,  # depends on the stubbed decode; checked by unit tests
+)
+def multimodal_feature_agg(spark, sf_dir):
+    """Post-decode analytics: average first-feature per frame-count band —
+    the downstream consumer shape (features -> grouped stats)."""
+    dec = M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+    return (
+        dec.select(
+            "n_frames", F.element_at(F.col("feature"), 1).alias("f0")
+        )
+        .groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "(CAST(SUM(CAST(ROUND(f0 * 1000000.0e0) AS BIGINT)) AS DOUBLE)"
+                " / (1000000.0e0 * COUNT(*)))"
+            ).alias("avg_f0"),
+        )
+    )

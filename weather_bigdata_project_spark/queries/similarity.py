@@ -1,1 +1,191 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity search over the `embeddings` table (array<float>, 64-dim):
+brute-force cosine top-k, random-hyperplane LSH bucketing, and an
+IVF-style coarse-quantizer search.
+
+Scale design:
+- brute force is the correctness baseline: one broadcast of the query
+  vector, one narrow pass, TakeOrderedAndProject top-k. Linear scan —
+  fine for one query, wrong for many; that's what the LSH/IVF variants
+  exist for;
+- LSH: 8 signed random hyperplanes -> 8-bit bucket; at scale candidate
+  retrieval becomes an equi-join on bucket (multi-probe for recall);
+- IVF: partition the corpus by coarse centroid (here: learned from the
+  `label` column as the cluster assignment), route the query to its
+  nearest centroid, scan only that inverted list (~1/k of the corpus).
+
+All dot products stay JVM-side (higher-order array functions compiled by
+Catalyst — zip_with + aggregate), no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..registry import query
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0.0e0, (acc, v) -> acc + v)"
+)
+
+
+def _emb(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+@query(
+    "embed_knn_bruteforce",
+    oracle=(
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), "
+        "d AS (SELECT vec_id, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+        "SUM(y * y) AS q2 FROM z GROUP BY vec_id) "
+        "SELECT vec_id, "
+        + rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+        + " AS cosine FROM d ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+)
+def embed_knn_bruteforce(spark, sf_dir):
+    """Cosine top-10 neighbors of vec_id 0. Query vector broadcast; the
+    scan is one narrow stage; top-k is a per-partition heap."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="qe")).alias("dot"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+            F.expr(_DOT.format(a="qe", b="qe")).alias("q2"),
+        )
+        .select(
+            "vec_id",
+            F.expr(rnd("dot / (SQRT(n2) * SQRT(q2))", 6)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# --- LSH bucketing --------------------------------------------------------
+
+_NPLANES = 8
+# deterministic pseudo-random hyperplane component, exact rational:
+# w(j, d) = ((j*73 + d*37) * 2654435761 mod 1000003) / 1000003 - 0.5
+_W_SQL = (
+    "(CAST(((j * 73 + d * 37) * 2654435761) % 1000003 AS DOUBLE) "
+    "/ 1000003.0e0 - 0.5e0)"
+)
+
+
+@query(
+    "embed_lsh_buckets",
+    oracle=(
+        "WITH z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        f"proj AS (SELECT vec_id, j, SUM(x * {_W_SQL}) AS dot "
+        f"FROM z CROSS JOIN (SELECT unnest(range(0, {_NPLANES})) AS j) "
+        "GROUP BY vec_id, j), "
+        "b AS (SELECT vec_id, SUM(CASE WHEN dot > 0.0e0 THEN (1 << j) "
+        "ELSE 0 END) AS bucket FROM proj GROUP BY vec_id) "
+        "SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec "
+        "FROM b GROUP BY bucket"
+    ),
+)
+def embed_lsh_buckets(spark, sf_dir):
+    """Sign-random-projection LSH: 8 hyperplanes -> 8-bit bucket per
+    vector. Bucket histogram returned; candidate retrieval at scale is an
+    equi-join on bucket. Hyperplanes are exact-rational arithmetic (no RNG
+    at runtime, reproducible across engines and runs)."""
+    emb = _emb(spark, sf_dir)
+    z = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "xf")
+    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("j"))
+    proj = (
+        z.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.expr(_W_SQL)).alias("dot"))
+    )
+    b = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0.0, F.expr("shiftleft(1, j)")).otherwise(0)
+        ).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec")
+    )
+
+
+# --- IVF coarse-quantizer search -----------------------------------------
+
+
+@query(
+    "embed_ivf_search",
+    oracle=(
+        "WITH z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        "cent AS (SELECT label, d, AVG(x) AS c FROM z GROUP BY label, d), "
+        "qv AS (SELECT d, x AS qx FROM z WHERE vec_id = 0), "
+        "score AS (SELECT label, SUM(qx * c) / (SQRT(SUM(c * c)) "
+        "* SQRT(SUM(qx * qx))) AS cos FROM cent JOIN qv USING (d) GROUP BY label), "
+        "best AS (SELECT label FROM score ORDER BY cos DESC, label LIMIT 1), "
+        "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e, best "
+        "WHERE e.label = best.label AND e.vec_id <> 0), "
+        "zz AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM cand), "
+        "dd AS (SELECT vec_id, SUM(x * qx) AS dot, SUM(x * x) AS n2 "
+        "FROM zz JOIN qv USING (d) GROUP BY vec_id), "
+        "qn AS (SELECT SUM(qx * qx) AS q2 FROM qv) "
+        "SELECT vec_id, "
+        + rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+        + " AS cosine FROM dd, qn ORDER BY cosine DESC, vec_id LIMIT 5"
+    ),
+)
+def embed_ivf_search(spark, sf_dir):
+    """IVF-style ANN: centroids per `label` partition (the coarse
+    quantizer), query routed to its nearest centroid, exhaustive search
+    only inside that inverted list. The centroid table is tiny ->
+    broadcast; the probed list is ~1/k of the corpus."""
+    emb = _emb(spark, sf_dir)
+    z = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("d", "xf")
+    ).select("vec_id", "label", "d", F.col("xf").cast("double").alias("x"))
+    cent = z.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    qv = z.filter(F.col("vec_id") == 0).select("d", F.col("x").alias("qx"))
+    score = (
+        cent.join(F.broadcast(qv), "d")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("qx") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("cos")
+        )
+    )
+    best = score.orderBy(F.desc("cos"), "label").limit(1).select("label")
+    cand = emb.join(F.broadcast(best), "label").filter(F.col("vec_id") != 0)
+    qe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        cand.crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="qe")).alias("dot"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+            F.expr(_DOT.format(a="qe", b="qe")).alias("q2"),
+        )
+        .select(
+            "vec_id",
+            F.expr(rnd("dot / (SQRT(n2) * SQRT(q2))", 6)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )

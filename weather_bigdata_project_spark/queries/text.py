@@ -1,1 +1,168 @@
-"""Placeholder — populated in later milestones."""
+"""Text analysis over `documents` (north-star extension surface):
+token stats, language-ID heuristic, quality scoring, fingerprinting.
+
+All four are single-pass grouped aggregations over the tokenized corpus —
+narrow tokenize, one shuffle on doc_id (or none when expressed as
+higher-order array functions). No Python at runtime: everything is
+Catalyst built-ins / codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import rnd
+from ..operators import textops as T
+from ..registry import query
+
+# --- token counting (whitespace + regex "BPE-ish") ------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=(
+        "SELECT doc_id, n_chars, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS n_regex_tokens, "
+        "len(list_filter(string_split(text, ' '), "
+        "t -> regexp_matches(t, '^[a-z]+$'))) AS n_alpha_tokens "
+        "FROM documents"
+    ),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    segmentation ([a-zA-Z]+|[0-9]+) — all higher-order array functions,
+    zero shuffles."""
+    return T.docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr("regexp_count(text, '[a-zA-Z]+|[0-9]+')").alias("n_regex_tokens"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> t rlike '^[a-z]+$'))"
+        ).alias("n_alpha_tokens"),
+    )
+
+
+# --- language-ID heuristic ------------------------------------------------
+
+
+@query(
+    "text_language_id",
+    oracle=(
+        "WITH " + T.TOKS_CTE + " "
+        "SELECT doc_id, "
+        f"CASE WHEN CAST(SUM(CASE WHEN tok IN {T.STOPWORDS_SQL} THEN 1 "
+        "ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.05e0 THEN 'en' "
+        "ELSE 'unknown' END AS lang_pred, "
+        + rnd(
+            f"CAST(SUM(CASE WHEN tok IN {T.STOPWORDS_SQL} THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / COUNT(*)",
+            4,
+        )
+        + " AS stop_ratio FROM toks GROUP BY doc_id"
+    ),
+)
+def text_language_id(spark, sf_dir):
+    """n-gram/stopword language heuristic: English stopword density over
+    whitespace tokens. One hash-agg on doc_id."""
+    toks = T.tokens(spark, sf_dir)
+    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(stop).cast("double").alias("_nstop"),
+            F.count(F.lit(1)).alias("_ntok"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_nstop") / F.col("_ntok") >= 0.05, "en")
+            .otherwise("unknown")
+            .alias("lang_pred"),
+            F.expr(rnd("_nstop / _ntok", 4)).alias("stop_ratio"),
+        )
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+
+_QUALITY_SQL = rnd(
+    "0.4e0 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0e0, 1.0e0) "
+    "+ 0.3e0 * distinct_ratio "
+    "+ 0.3e0 * LEAST(avg_tok_len / 6.0e0, 1.0e0)",
+    4,
+)
+
+
+@query(
+    "text_quality_score",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+        + rnd("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)", 4)
+        + " AS distinct_ratio, "
+        + rnd("CAST(SUM(len(tok)) AS DOUBLE) / COUNT(*)", 4)
+        + " AS avg_tok_len FROM toks GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, distinct_ratio, avg_tok_len, "
+        + _QUALITY_SQL
+        + " AS quality FROM agg"
+    ),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length, lexical diversity, avg token length folded
+    into one bounded score (the usual pretraining-filter shape)."""
+    toks = T.tokens(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            rnd("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)", 4)
+        ).alias("distinct_ratio"),
+        F.expr(rnd("CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*)", 4)).alias(
+            "avg_tok_len"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "avg_tok_len",
+        F.expr(_QUALITY_SQL).alias("quality"),
+    )
+
+
+# --- document fingerprinting ----------------------------------------------
+
+# 31^k mod 2^31-1 position weights (period 8) — exact bigint arithmetic.
+_POW31 = [31**k % 2147483647 for k in range(8)]
+_W_SQL = (
+    "CASE pos % 8 "
+    + " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(_POW31))
+    + " END"
+)
+
+
+@query(
+    "text_fingerprint",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", " + T.DICT_CTE + " "
+        "SELECT doc_id, "
+        f"SUM(tok_id * ({_W_SQL})) % 2147483647 AS fingerprint "
+        "FROM toks JOIN dict USING (tok) GROUP BY doc_id"
+    ),
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint: position-weighted polynomial over
+    dictionary token ids, mod 2^31-1. Dictionary join is broadcast
+    (vocabulary is tiny vs corpus); exact integer arithmetic keeps it
+    deterministic under any partitioning."""
+    toks = T.tokens(spark, sf_dir)
+    d = T.token_dict(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(d), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("tok_id") * F.expr(_W_SQL)) % 2147483647).alias(
+                "fingerprint"
+            )
+        )
+    )

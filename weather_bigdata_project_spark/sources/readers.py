@@ -1,0 +1,95 @@
+"""Sources & sinks (SURVEY §2.1): lake readers, export writers, and
+Kafka stream endpoints.
+
+The reference's lake was JSON-lines on MinIO read with a hand-rolled
+s3fs listing + per-line json.loads loop (ref:streamlit/app.py:53-99,
+47 lines, single thread). Here the same logical scan is one declarative
+`spark.read.schema(...).json(...)` — distributed, schema-checked, with
+`_spark_metadata`/empty-part handling built in. The upgrade path the
+engine actually uses everywhere is parquet (columnar, predicate pushdown,
+column pruning — SURVEY §4 calls this out as the single biggest planned
+win over the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as Ty
+
+from ..session import tune
+
+
+def read_json_lake(
+    spark: SparkSession, path: str, schema: Ty.StructType
+) -> DataFrame:
+    """S11: JSON-lines lake scan. Declared schema (no inference pass —
+    inference would double the I/O); Spark skips `_spark_metadata` and
+    zero-byte parts natively."""
+    tune(spark)
+    return (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .option("recursiveFileLookup", "false")
+        .json(path)
+    )
+
+
+def read_parquet_lake(spark: SparkSession, path: str) -> DataFrame:
+    tune(spark)
+    return spark.read.parquet(path)
+
+
+def write_export_csv(df: DataFrame, path: str) -> None:
+    """S12: CSV export — distributed write (one file per partition; use
+    coalesce(1) only for small UI downloads)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_export_json(df: DataFrame, path: str) -> None:
+    """S13: JSON-records export."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """The lake writer: parquet, optionally hive-partitioned. At 100 TB,
+    partition on the pruning dimension (date/city) and size files via
+    spark.sql.files.maxRecordsPerFile to dodge the small-files pathology
+    the reference had (flush.size=1 => 1 object/message,
+    ref:minio-connector.json:14)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: Kafka stream source (ref:spark-apps/weather_streaming.py:48-54;
+    the reference used startingOffsets=latest — tests need earliest for
+    determinism, SURVEY §7 risk (f)). Requires the kafka connector jar on
+    the cluster; in this container the file-source twin in streaming/jobs
+    stands in."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_sink(df: DataFrame, topic: str, bootstrap: str, checkpoint: str):
+    """S6: value-as-JSON Kafka producer sink."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.to_json(F.struct("*")).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -1,0 +1,133 @@
+"""Structured Streaming jobs: the reference's streaming ETL
+(ref:spark-apps/weather_streaming.py:48-216) re-expressed so batch and
+streaming share the SAME transformation functions (`weather_domain
+.cast_wire` / `.enrich` are pure DataFrame->DataFrame and streaming-safe
+— all narrow projections, SURVEY §3 "rebuild lifecycle").
+
+Reference parity (T1-T3, T7-T8): append output mode, per-sink
+checkpoints, multi-query coordination, explicit trigger. Upgrades the
+reference left on the table (T4-T6): event-time watermark + tumbling
+window aggregation (replacing the dashboard's full-lake rescans) and
+dropDuplicatesWithinWatermark for at-least-once sources.
+
+Tests drive these with a deterministic file source + availableNow
+trigger (the Kafka twin is sources.readers.kafka_stream_source — same
+downstream plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import weather_domain as wd
+from ..session import tune
+
+
+def wire_file_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
+    """Deterministic streaming source for tests: JSON-lines wire records
+    under the exact Kafka wire schema (S1's file twin). maxFilesPerTrigger
+    bounds micro-batch size the way Kafka's maxOffsetsPerTrigger does."""
+    tune(spark)
+    from pyspark.sql import types as Ty
+
+    schema = Ty.StructType(
+        [Ty.StructField(n, Ty.StringType()) for n in wd.wire_wide_sql("é")]
+        + [Ty.StructField("event_id", Ty.LongType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .json(wire_dir)
+    )
+
+
+def enriched_stream(wire_stream: DataFrame) -> DataFrame:
+    """The full enrichment pipeline on a streaming frame — byte-for-byte
+    the same functions the batch path runs (stream/batch equivalence is
+    pytest-asserted)."""
+    return wd.enrich(wd.cast_wire(wire_stream))
+
+
+def alerts_stream(enriched: DataFrame) -> DataFrame:
+    """P6/P5 alert routing (ref:spark-apps/weather_streaming.py:183-192)."""
+    return enriched.filter(F.col("alert_type") != "NORMAL").select(
+        "event_id", *wd.ALERT_COLUMNS
+    )
+
+
+def start_console_sink(enriched: DataFrame):
+    """S7 (ref:...:148-165): debug console sink, append mode."""
+    return (
+        enriched.select(
+            "timestamp_dt", "city_name", "temperature", "humidity", "pressure",
+            "heat_index", "dew_point", "wind_chill", "comfort_level", "alert_type",
+        )
+        .writeStream.outputMode("append")
+        .format("console")
+        .option("truncate", False)
+        .start()
+    )
+
+
+def start_lake_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"):
+    """S8/S9 (ref:...:170-201) with the format upgraded json->parquet;
+    exactly-once via checkpoint + file-sink commit log. availableNow
+    drains all pending input then stops — deterministic for tests,
+    batch-backfill-friendly in production."""
+    return (
+        df.writeStream.outputMode("append")
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_city_stats_stream(enriched: DataFrame) -> DataFrame:
+    """T4/T5 upgrade: event-time tumbling window (1 hour) per city with a
+    watermark — late records beyond 2 hours are dropped and state is
+    bounded (the reference recomputed the whole lake in pandas instead).
+    Exact integer sums keep results equal to the batch twin."""
+    # watermarks are defined on TIMESTAMP (instant) only; the session is
+    # pinned to UTC so NTZ<->LTZ casts are identity on the wire values
+    return (
+        enriched.withColumn("event_ts", F.col("timestamp_dt").cast("timestamp"))
+        .withWatermark("event_ts", "2 hours")
+        .groupBy(
+            F.window(F.col("event_ts"), "1 hour").alias("win"),
+            F.col("city_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("temperature").alias("sum_temp"),
+            F.max("wind_speed_num").alias("max_wind"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "city_name",
+            "n",
+            "sum_temp",
+            "max_wind",
+        )
+    )
+
+
+def deduped_stream(enriched: DataFrame) -> DataFrame:
+    """T6: at-least-once -> effectively-once via
+    dropDuplicatesWithinWatermark on the record key (bounded state; an
+    unbounded dropDuplicates would leak state forever)."""
+    return (
+        enriched.withColumn("event_ts", F.col("timestamp_dt").cast("timestamp"))
+        .withWatermark("event_ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("event_ts")
+    )
+
+
+def await_any(spark: SparkSession, timeout_s: int | None = None) -> None:
+    """T7 (ref:...:216): multi-query coordination."""
+    if timeout_s is None:
+        spark.streams.awaitAnyTermination()
+    else:
+        spark.streams.awaitAnyTermination(timeout_s * 1000)
