@@ -37,7 +37,9 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def token_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_dict(
+    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+) -> DataFrame:
     """(tok, tok_id) — dense ids, deterministic (alphabetical row_number).
 
     Global-sort window is fine for a vocabulary (small by Zipf's law); the
@@ -45,7 +47,7 @@ def token_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     return (
-        tokens(spark, sf_dir)
+        (toks if toks is not None else tokens(spark, sf_dir))
         .select("tok")
         .distinct()
         .withColumn(
@@ -74,17 +76,40 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_dict(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql import Window
 
     return (
-        doc_shingles(spark, sf_dir)
+        (shingles if shingles is not None else doc_shingles(spark, sf_dir))
         .select("shingle")
         .distinct()
         .withColumn(
             "sh_id", F.row_number().over(Window.orderBy("shingle")).cast("bigint")
         )
     )
+
+
+def hashed_id_spark(col: str, mod: int = 1 << 40) -> str:
+    """Portable 60-bit content hash -> bigint id (Spark side). Same value
+    as :func:`hashed_id_duck` — verified bit-equal. This is the SCALE path
+    for ids: no dictionary, no global row_number, no join; use the
+    dictionary builders above only when dense ids are required."""
+    return f"(CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT) % {mod})"
+
+
+def hashed_id_duck(col: str, mod: int = 1 << 40) -> str:
+    return f"(CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) % {mod})"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + cache a frame that downstream logic reuses several
+    times (self-joins, dict + sizes + candidate verification). Without
+    this Catalyst re-derives the whole upstream chain per reference —
+    8 scans of the corpus in the MinHash plan. Lazy local checkpoint:
+    materializes on first action, lives in executor memory/disk."""
+    return df.localCheckpoint(eager=False)
 
 
 # --- DuckDB oracle CTE twins ---------------------------------------------

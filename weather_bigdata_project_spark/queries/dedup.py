@@ -101,11 +101,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Top-50 most-similar document pairs by 3-gram Jaccard. Candidate
     generation is the shingle equi-join (never n^2); doc-frequency cap
     drops hot shingles before the join."""
-    sh = T.doc_shingles(spark, sf_dir)
+    sh = T.materialize(T.doc_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-    kept = sh.join(df_cap.filter(F.col("doc_freq") <= 100), "shingle").select(
-        "doc_id", "shingle"
+    kept = T.materialize(
+        sh.join(df_cap.filter(F.col("doc_freq") <= 100), "shingle").select(
+            "doc_id", "shingle"
+        )
     )
     a = kept.alias("a")
     b = kept.alias("b")
@@ -151,10 +153,12 @@ _HASH_VALUES_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_HASH
 @query(
     "dedup_minhash_lsh",
     oracle=(
-        "WITH " + T.SHINGLES_CTE + ", " + T.SHINGLE_DICT_CTE + ", "
+        "WITH " + T.SHINGLES_CTE + ", "
         f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
+        "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
+        + " AS sh_id FROM shingles), "
         "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
-        "FROM shingles JOIN sh_dict USING (shingle) CROSS JOIN params "
+        "FROM ids CROSS JOIN params "
         "GROUP BY doc_id, j), "
         f"bands AS (SELECT doc_id, (j - 1) // {_K // _BANDS} AS band, "
         "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig "
@@ -179,9 +183,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     Jaccard >= 0.5. Candidates come from the band-signature equi-join —
     the O(n^2) pair space is never materialized. Affine hashes over
     dictionary shingle ids are exact integers => oracle-portable."""
-    sh = T.doc_shingles(spark, sf_dir)
-    sd = T.shingle_dict(spark, sf_dir)
-    ids = sh.join(F.broadcast(sd), "shingle").select("doc_id", "sh_id")
+    sh = T.materialize(T.doc_shingles(spark, sf_dir))
+    ids = sh.select(
+        "doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh_id")
+    )
 
     params = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(_HASH_PARAMS, 1)], "j INT, a INT, b INT"
@@ -191,7 +196,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .groupBy("doc_id", "j")
         .agg(F.min((F.col("a") * F.col("sh_id") + F.col("b")) % _P).alias("mh"))
     )
-    bands = (
+    bands = T.materialize(
         sig.withColumn("band", F.expr(f"(j - 1) div {_K // _BANDS}"))
         .groupBy("doc_id", "band")
         .agg(
@@ -269,7 +274,7 @@ def dedup_simhash(spark, sf_dir):
     path blocks on 4-bit signature chunks (pigeonhole: distance<=3 pairs
     share a chunk) turning it into an equi-join, like the LSH operator."""
     toks = T.tokens(spark, sf_dir)
-    d = T.token_dict(spark, sf_dir)
+    d = T.token_dict(spark, sf_dir, toks=toks)
     tokhash = toks.join(F.broadcast(d), "tok").select(
         "doc_id", ((F.col("tok_id") * 2654435761) % 1048573).alias("h")
     )

@@ -156,7 +156,7 @@ def text_fingerprint(spark, sf_dir):
     (vocabulary is tiny vs corpus); exact integer arithmetic keeps it
     deterministic under any partitioning."""
     toks = T.tokens(spark, sf_dir)
-    d = T.token_dict(spark, sf_dir)
+    d = T.token_dict(spark, sf_dir, toks=toks)
     return (
         toks.join(F.broadcast(d), "tok")
         .groupBy("doc_id")
