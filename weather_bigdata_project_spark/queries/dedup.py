@@ -101,12 +101,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Top-50 most-similar document pairs by 3-gram Jaccard. Candidate
     generation is the shingle equi-join (never n^2); doc-frequency cap
     drops hot shingles before the join."""
-    sh = T.materialize(T.doc_shingles(spark, sf_dir))
+    # Shingle strings collapse to 60-bit content hashes up front: the
+    # doc-frequency agg, the cap join, and the candidate self-join all
+    # shuffle 8-byte ids instead of ~20-byte strings, and the equi-join
+    # compares longs. (md5-derived hash, collision odds ~1e-8 at 1e5
+    # distinct shingles; the oracle joins raw strings — same counts.)
+    sh = T.materialize(
+        T.doc_shingles(spark, sf_dir).select(
+            "doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh")
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
     kept = T.materialize(
-        sh.join(df_cap.filter(F.col("doc_freq") <= 100), "shingle").select(
-            "doc_id", "shingle"
+        sh.join(df_cap.filter(F.col("doc_freq") <= 100), "sh").select(
+            "doc_id", "sh"
         )
     )
     a = kept.alias("a")
@@ -114,7 +123,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -184,30 +193,40 @@ def dedup_minhash_lsh(spark, sf_dir):
     the O(n^2) pair space is never materialized. Affine hashes over
     dictionary shingle ids are exact integers => oracle-portable."""
     sh = T.materialize(T.doc_shingles(spark, sf_dir))
-    ids = sh.select(
-        "doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh_id")
-    )
+    sh_id = F.expr(T.hashed_id_spark("shingle"))
 
-    params = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(_HASH_PARAMS, 1)], "j INT, a INT, b INT"
+    # All 16 minhashes in ONE hash-aggregate: 16 min() columns over the
+    # shingle rows. Map-side partial agg means the shuffle carries one
+    # 16-column row per (doc_id, partition) — vs. the naive
+    # crossJoin(params) plan that shuffles 16x the shingle count.
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * sh_id + F.lit(b)) % _P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_HASH_PARAMS, 1)
+        ]
     )
-    sig = (
-        ids.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("sh_id") + F.col("b")) % _P).alias("mh"))
-    )
+    rpb = _K // _BANDS
     bands = T.materialize(
-        sig.withColumn("band", F.expr(f"(j - 1) div {_K // _BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(j, mh))), "
-                    "s -> CAST(s.mh AS STRING))"
-                ),
-            ).alias("band_sig")
-        )
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{k * rpb + r}").cast("string")
+                                    for r in range(1, rpb + 1)
+                                ],
+                            ).alias("band_sig"),
+                        )
+                        for k in range(_BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     )
     a = bands.alias("a")
     b = bands.alias("b")
