@@ -30,6 +30,7 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "embed_knn_bruteforce",
     "embed_ivf_search",
 ]

@@ -264,6 +264,98 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# --- embedding-cosine near-dup -------------------------------------------
+
+_NPLANES = 8
+# deterministic sign-random-projection hyperplane component (shared with
+# similarity.embed_lsh_buckets — exact rational, engine-portable)
+_W_SQL = (
+    "(CAST(((j * 73 + d * 37) * 2654435761) % 1000003 AS DOUBLE) "
+    "/ 1000003.0e0 - 0.5e0)"
+)
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0.0e0, (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=(
+        "WITH z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        f"proj AS (SELECT vec_id, j, SUM(x * {_W_SQL}) AS dot "
+        f"FROM z CROSS JOIN (SELECT unnest(range(0, {_NPLANES})) AS j) "
+        "GROUP BY vec_id, j), "
+        "bk AS (SELECT vec_id, SUM(CASE WHEN dot > 0.0e0 THEN (1 << j) "
+        "ELSE 0 END) AS bucket FROM proj GROUP BY vec_id), "
+        "pairs AS (SELECT a.vec_id AS vec1, b2.vec_id AS vec2 FROM bk a "
+        "JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), "
+        "dd AS (SELECT p.vec1, p.vec2, SUM(xa.x * xb.x) AS dot, "
+        "SUM(xa.x * xa.x) AS n1, SUM(xb.x * xb.x) AS n2 "
+        "FROM pairs p JOIN z xa ON xa.vec_id = p.vec1 "
+        "JOIN z xb ON xb.vec_id = p.vec2 AND xb.d = xa.d "
+        "GROUP BY p.vec1, p.vec2) "
+        "SELECT vec1, vec2, "
+        + rnd("dot / (SQRT(n1) * SQRT(n2))", 6)
+        + " AS cosine FROM dd ORDER BY cosine DESC, vec1, vec2 LIMIT 20"
+    ),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: top-20 most-cosine-similar vector pairs among
+    LSH candidates. Candidate generation is the sign-random-projection
+    bucket equi-join (8 hyperplanes -> 8-bit bucket; cosine-close vectors
+    land in the same bucket with high probability) — the O(n^2) pair
+    space is never formed. Verification is the exact cosine over the two
+    arrays, JVM-side via zip_with + aggregate. At 100 TB: multi-probe
+    (flip one plane bit) for recall, band into several independent bucket
+    sets exactly like MinHash bands."""
+    from .. import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    z = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "xf")
+    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("j"))
+    proj = (
+        z.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.expr(_W_SQL)).alias("dot"))
+    )
+    bk = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0.0, F.expr("shiftleft(1, j)")).otherwise(0)
+        ).alias("bucket")
+    )
+    withb = T.materialize(
+        emb.select("vec_id", "embedding").join(bk, "vec_id")
+    )
+    a = withb.alias("a")
+    b = withb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.expr(_DOT.format(a="a.embedding", b="b.embedding")).alias("dot"),
+            F.expr(_DOT.format(a="a.embedding", b="a.embedding")).alias("n1"),
+            F.expr(_DOT.format(a="b.embedding", b="b.embedding")).alias("n2"),
+        )
+        .select(
+            "vec1",
+            "vec2",
+            F.expr(rnd("dot / (SQRT(n1) * SQRT(n2))", 6)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec1", "vec2")
+        .limit(20)
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 _SIMHASH_BITS = 16
