@@ -341,6 +341,69 @@ def weather_export_json(spark, sf_dir):
     )
 
 
+# --- P9: null-column pruning (ref:streamlit/app.py:146) -------------------
+# pandas dropna(axis=1, how='all'): keep columns with any non-null value.
+# Declarative twin: ONE global aggregate row of per-column counts (single
+# pass, map-side partial agg), unpivoted via stack — the surviving-column
+# list, with evidence counts. No per-column scans at 100 TB.
+_P9_COLS = [
+    "temperature", "humidity", "pressure", "wind_speed_num",
+    "dew_point", "heat_index", "wind_chill",
+]
+
+
+@query(
+    "weather_nonnull_columns",
+    oracle=_oracle(
+        "SELECT column_name, n_nonnull FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, COUNT({c}) AS n_nonnull FROM enriched"
+            for c in _P9_COLS
+        )
+        + ") WHERE n_nonnull > 0"
+    ),
+)
+def weather_nonnull_columns(spark, sf_dir):
+    counts = _enr(spark, sf_dir).agg(
+        *[F.count(c).alias(c) for c in _P9_COLS]
+    )
+    stack_args = ", ".join(f"'{c}', {c}" for c in _P9_COLS)
+    return counts.selectExpr(
+        f"stack({len(_P9_COLS)}, {stack_args}) AS (column_name, n_nonnull)"
+    ).filter(F.col("n_nonnull") > 0)
+
+
+# --- F12: timestamped export filenames (ref:streamlit/app.py:454,463) -----
+@query(
+    "weather_export_filename",
+    oracle=_oracle(
+        "SELECT 'weather_data_' || strftime(MAX(timestamp_dt), "
+        "'%Y%m%d_%H%M%S') || '.csv' AS data_file, "
+        "'weather_alerts_' || strftime(MAX(timestamp_dt), "
+        "'%Y%m%d_%H%M%S') || '.json' AS alerts_file FROM enriched"
+    ),
+)
+def weather_export_filename(spark, sf_dir):
+    """The dashboard stamps export filenames with now(); deterministic
+    twin uses the data's own max event time (same date_format idiom)."""
+    return (
+        _enr(spark, sf_dir)
+        .agg(F.max("timestamp_dt").alias("m"))
+        .select(
+            F.concat(
+                F.lit("weather_data_"),
+                F.date_format("m", "yyyyMMdd_HHmmss"),
+                F.lit(".csv"),
+            ).alias("data_file"),
+            F.concat(
+                F.lit("weather_alerts_"),
+                F.date_format("m", "yyyyMMdd_HHmmss"),
+                F.lit(".json"),
+            ).alias("alerts_file"),
+        )
+    )
+
+
 # --- F9: epoch-unit heuristic (ref:streamlit/app.py:117-143) --------------
 @query(
     "epoch_unit_heuristic",
