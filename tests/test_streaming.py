@@ -89,6 +89,53 @@ def test_streaming_windowed_stats(spark, wire_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_stateful_city_extremes(spark, wire_dir):
+    """applyInPandasWithState running aggregates: after draining the whole
+    lake, the LAST emitted row per city (highest n_seen) must equal the
+    batch groupBy twin exactly."""
+    stream = jobs.wire_file_stream(spark, wire_dir)
+    st = jobs.stateful_city_extremes_stream(jobs.enriched_stream(stream))
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("city_extremes")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.table("city_extremes")
+    # multiple update rows per city (one per micro-batch that saw it);
+    # the final state row is the one with max n_seen
+    from pyspark.sql import Window
+
+    final = (
+        emitted.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("city_name").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    batch = (
+        wd.enriched_frame(spark, SF_SMOKE)
+        .groupBy("city_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(
+                (F.col("alert_type") != "NORMAL").cast("bigint")
+            ).alias("n_alerts"),
+            F.min("temperature").alias("min_temp"),
+            F.max("temperature").alias("max_temp"),
+        )
+    )
+    assert final.count() == 8
+    assert final.subtract(batch).count() == 0
+    assert batch.subtract(final).count() == 0
+
+
 def test_alerts_stream_filter(spark, wire_dir):
     stream = jobs.wire_file_stream(spark, wire_dir)
     alerts = jobs.alerts_stream(jobs.enriched_stream(stream))

@@ -125,6 +125,60 @@ def deduped_stream(enriched: DataFrame) -> DataFrame:
     )
 
 
+def stateful_city_extremes_stream(enriched: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-city running
+    record/alert counters and temperature extremes maintained ACROSS
+    micro-batches — semantics Spark's built-in windowed aggs can't express
+    (unbounded running state, one update row emitted per key per batch).
+
+    Scale design: state is 4 fixed-width numbers per city (bounded by key
+    cardinality, not stream length); batches arrive Arrow-vectorized and
+    are reduced with pandas vector ops, never per-row Python. The
+    reference had no stateful ops at all (SURVEY §2.7 T6) — this is the
+    idiomatic upgrade path for its 'recompute the lake per dashboard hit'
+    pattern."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "city_name STRING, n_seen BIGINT, n_alerts BIGINT, "
+        "min_temp INT, max_temp INT"
+    )
+    state_schema = "n BIGINT, na BIGINT, mn INT, mx INT"
+    SENT_MN, SENT_MX = 1 << 30, -(1 << 30)
+
+    def update(key, pdfs, state):
+        n, na, mn, mx = state.get if state.exists else (0, 0, SENT_MN, SENT_MX)
+        for pdf in pdfs:
+            n += len(pdf)
+            na += int((pdf["alert_type"] != "NORMAL").sum())
+            t = pd.to_numeric(pdf["temperature"], errors="coerce").dropna()
+            if len(t):
+                mn = min(mn, int(t.min()))
+                mx = max(mx, int(t.max()))
+        state.update((n, na, mn, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "city_name": key[0],
+                    "n_seen": n,
+                    "n_alerts": na,
+                    "min_temp": None if mn == SENT_MN else mn,
+                    "max_temp": None if mx == SENT_MX else mx,
+                }
+            ]
+        )
+
+    return (
+        enriched.select("city_name", "temperature", "alert_type")
+        .groupBy("city_name")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def await_any(spark: SparkSession, timeout_s: int | None = None) -> None:
     """T7 (ref:...:216): multi-query coordination."""
     if timeout_s is None:
