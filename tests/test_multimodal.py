@@ -36,6 +36,39 @@ def test_decode_stub_deterministic(spark):
         assert len(r.feature) == 8
 
 
+def test_resize_geometry_and_stub(spark):
+    """Aspect-preserving geometry computed JVM-side; stub resample scales
+    each feature by the same factor."""
+    dec = M.decode_media(
+        M.with_binary_payload(T.docs(spark, SF_SMOKE).limit(10))
+    )
+    out = {r.doc_id: r for r in M.resize_media(dec, 32, 32).collect()}
+    for r in dec.collect():
+        t = out[r.doc_id]
+        scale = min(32.0 / r.width, 32.0 / r.height)
+        assert t.thumb_w == int(round(r.width * scale))
+        assert t.thumb_h == int(round(r.height * scale))
+        assert max(t.thumb_w, t.thumb_h) <= 32
+        assert t.thumb_feature == [round(v * scale, 6) for v in r.feature]
+
+
+def test_frame_sampling_stride(spark):
+    """sequence+explode yields exactly ceil(n_frames/stride) frames, the
+    even indices, each with its deterministic feature."""
+    dec = M.decode_media(
+        M.with_binary_payload(T.docs(spark, SF_SMOKE).limit(10))
+    )
+    frames = M.sample_frames(dec, stride=2).collect()
+    by_doc = {}
+    for fr in frames:
+        by_doc.setdefault(fr.doc_id, []).append(fr)
+    for r in dec.collect():
+        got = sorted(by_doc[r.doc_id], key=lambda x: x.frame_idx)
+        assert [g.frame_idx for g in got] == list(range(0, r.n_frames, 2))
+        for g in got:
+            assert g.frame_feature == r.feature[g.frame_idx % 8]
+
+
 def test_metadata_query_prunes_binary(spark):
     """Selecting only metadata must not carry the binary column through
     the plan (column pruning — the 100 TB I/O guarantee)."""

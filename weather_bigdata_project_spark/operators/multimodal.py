@@ -86,3 +86,73 @@ def decode_media(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+def resize_media(decoded: DataFrame, thumb_w: int = 32, thumb_h: int = 32) -> DataFrame:
+    """Resize: aspect-preserving geometry (scale factor, output dims) is
+    pure column arithmetic — stays JVM-side in whole-stage codegen. Only
+    the pixel resample crosses into Python, as an Arrow-vectorized scalar
+    pandas_udf over the feature vector (STUB: scales the features; a real
+    deployment swaps the lambda body for PIL `Image.resize` on the frame
+    payload — signature and batching identical)."""
+    import pyspark.sql.functions as Fn
+
+    @Fn.pandas_udf("array<double>")
+    def _resample(feature: pd.Series, scale: pd.Series) -> pd.Series:
+        # STUB resample kernel — deterministic, vectorized per Arrow batch
+        return pd.Series(
+            [
+                [round(v * s, 6) for v in f] if f is not None else None
+                for f, s in zip(feature, scale)
+            ]
+        )
+
+    geo = decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr(
+            f"least(CAST({thumb_w} AS DOUBLE) / width, "
+            f"CAST({thumb_h} AS DOUBLE) / height)"
+        ).alias("scale"),
+        "feature",
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr("CAST(ROUND(width * scale) AS INT)").alias("thumb_w"),
+        F.expr("CAST(ROUND(height * scale) AS INT)").alias("thumb_h"),
+        "scale",
+        "feature",
+    )
+    return geo.select(
+        "doc_id", "width", "height", "thumb_w", "thumb_h",
+        _resample("feature", "scale").alias("thumb_feature"),
+    )
+
+
+def sample_frames(decoded: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: every `stride`-th frame index. Index selection is
+    pure relational (sequence + posexplode — JVM-side, no Python at all);
+    a real video pipeline would then decode ONLY the sampled indices in a
+    mapInPandas kernel (pyav seek), which is what makes stride sampling a
+    100 TB win — the skipped frames are never decoded. Here the per-frame
+    feature lookup stands in for that decode."""
+    return (
+        decoded.select(
+            "doc_id",
+            "n_frames",
+            F.expr(f"explode(sequence(0, n_frames - 1, {stride}))").alias(
+                "frame_idx"
+            ),
+            "feature",
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.expr(
+                "element_at(feature, 1 + frame_idx % 8)"
+            ).alias("frame_feature"),
+        )
+    )

@@ -35,6 +35,25 @@ def multimodal_decode_features(spark, sf_dir):
     return M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
 
 
+@query("multimodal_resize")  # no SQL oracle: Pandas-UDF resample kernel
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize: geometry JVM-side, resample as an
+    Arrow-vectorized pandas_udf (stubbed — operators/multimodal.py).
+    Unit tests pin the deterministic output."""
+    return M.resize_media(
+        M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+    )
+
+
+@query("multimodal_frame_sample")  # no SQL oracle: derives from decode stub
+def multimodal_frame_sample(spark, sf_dir):
+    """Stride-2 frame sampling: sequence+explode selects frame indices
+    JVM-side; only sampled frames would ever reach a real decoder."""
+    return M.sample_frames(
+        M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir))), stride=2
+    )
+
+
 @query(
     "multimodal_feature_agg",
     oracle=None,  # depends on the stubbed decode; checked by unit tests

@@ -459,3 +459,51 @@ def events_hourly_window(spark, sf_dir):
             ).alias("total_value"),
         )
     )
+
+
+# --- per-user session windows (SURVEY §2.7 T5's other half) ---------------
+@query(
+    "events_user_sessions",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "x AS (SELECT user_id, ts, value, CASE WHEN "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events_t), "
+        "y AS (SELECT user_id, ts, value, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+        "AS sid FROM x) "
+        "SELECT user_id, MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "COUNT(*) AS n_events, MAX(value) AS max_value "
+        "FROM y GROUP BY user_id, sid"
+    ),
+)
+def events_user_sessions(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user via
+    F.session_window — the built-in replacement for hand-rolled
+    gaps-and-islands (which is exactly what the oracle runs). Sessions
+    merge while consecutive event windows overlap (gap < 30 min, strict);
+    window end = last event + gap. The identical expression streams with
+    `withWatermark` in front (Spark merges session state incrementally;
+    state bounded by watermark, not stream length)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(
+                F.col("ts").cast("timestamp"), "30 minutes"
+            ).alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "max_value",
+        )
+    )
