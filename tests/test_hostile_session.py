@@ -1,0 +1,48 @@
+"""The driver builds its OWN SparkSession with unknown confs — queries
+must self-tune (session.tune) and not rely on session-construction
+settings. This probe flips the two most dangerous runtime confs (ANSI
+mode changes cast/overflow semantics; a non-UTC zone changes every
+epoch<->string function) and asserts oracle parity still holds."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+from tools.check_oracle import compare, duck_connect
+
+PROBES = [
+    "weather_enrich",          # try_cast battery + epoch formatting
+    "weather_city_stats",      # aggregation over enriched
+    "events_hourly_window",    # timestamp truncation
+    "events_user_sessions",    # session windows on timestamps
+    "epoch_unit_heuristic",    # raw epoch arithmetic
+]
+
+
+@pytest.fixture()
+def hostile(spark):
+    saved = {
+        "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),
+        "spark.sql.session.timeZone": spark.conf.get(
+            "spark.sql.session.timeZone"
+        ),
+    }
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_query_survives_hostile_confs(hostile, name):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    duck = duck_connect(SF_SMOKE)
+    try:
+        df = qs[name](hostile, SF_SMOKE)
+        problems = compare(name, df, oracles[name], duck)
+        assert not problems, "\n".join(problems)
+    finally:
+        duck.close()
