@@ -101,34 +101,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Top-50 most-similar document pairs by 3-gram Jaccard. Candidate
     generation is the shingle equi-join (never n^2); doc-frequency cap
     drops hot shingles before the join."""
-    # Shingle strings collapse to 60-bit content hashes up front: the
-    # doc-frequency agg, the cap join, and the candidate self-join all
-    # shuffle 8-byte ids instead of ~20-byte strings, and the equi-join
-    # compares longs. (md5-derived hash, collision odds ~1e-8 at 1e5
-    # distinct shingles; the oracle joins raw strings — same counts.)
+    # Candidate generation WITHOUT a self-join: one groupBy(shingle)
+    # gathers the (sorted, distinct) doc list per shingle; pair expansion
+    # is a narrow higher-order-function explode. vs. the classic
+    # kept-join-kept plan this is ONE shuffle of the shingle rows instead
+    # of two plus a join, and the doc-frequency skew cap (stopword
+    # shingles would expand quadratically) becomes a free size() filter
+    # on the gathered list instead of a separate counting join.
+    # Shingles collapse to 60-bit content hashes (8-byte shuffle keys;
+    # collision odds ~1e-8 at 1e5 distinct shingles — the oracle uses raw
+    # strings, same counts).
     sh = T.materialize(
         T.doc_shingles(spark, sf_dir).select(
             "doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh")
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
-    kept = T.materialize(
-        sh.join(df_cap.filter(F.col("doc_freq") <= 100), "sh").select(
-            "doc_id", "sh"
-        )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc1, y AS doc2))))"
     )
-    a = kept.alias("a")
-    b = kept.alias("b")
     common = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
+        sh.groupBy("sh")
+        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
+        .filter(F.expr("size(ds) BETWEEN 2 AND 100"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     s1 = sizes.alias("s1")
