@@ -104,3 +104,17 @@ def test_dirty_cast_null_semantics(spark):
     assert r.dew_point is None
     assert r.heat_index is None
     assert r.alert_type == "NORMAL"  # null flags -> False -> NORMAL
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ sketch (rsd=0.02) must land within 5x the configured
+    relative error of the exact per-group cardinality."""
+    from weather_bigdata_project_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["events_approx_distinct_users"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            2, 0.1 * r.exact_users
+        ), (r.event_type, r.approx_users, r.exact_users)

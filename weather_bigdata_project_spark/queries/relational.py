@@ -461,6 +461,22 @@ def events_hourly_window(spark, sf_dir):
     )
 
 
+# --- sketch aggregate: approx distinct users per event_type ---------------
+@query("events_approx_distinct_users")  # no SQL oracle: HLL++ is
+# engine-specific (Spark relativeSD=0.02 vs DuckDB's own sketch);
+# tests/test_enrichment.py bounds the error against the exact count
+def events_approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event_type — the
+    100 TB path for A4-style cardinality: fixed-size sketch per group,
+    map-side mergeable, no exact-distinct shuffle of the key universe.
+    Exact twin ships alongside for the error-bound test."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # --- per-user session windows (SURVEY §2.7 T5's other half) ---------------
 @query(
     "events_user_sessions",
