@@ -1,0 +1,70 @@
+"""Plan-quality regression tests: the SCALE.md guarantees, asserted.
+A change that silently drops predicate pushdown, widens a parquet scan,
+or drags Python into a JVM-only path fails here at sf0.001 — long
+before it costs anything at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from weather_bigdata_project_spark.plans import checks as C
+from weather_bigdata_project_spark.registry import QUERIES
+
+# every query whose plan must contain zero Python evaluation operators
+_JVM_ONLY = [
+    "weather_enrich",
+    "weather_city_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_order_revenue",
+    "tpch_q5_regional_revenue",
+    "window_moving_avg_events",
+    "events_hourly_window",
+    "events_user_sessions",
+    "events_json_extract",
+    "text_fingerprint",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "embed_knn_bruteforce",
+    "embed_ivf_search",
+]
+
+
+@pytest.mark.parametrize("name", _JVM_ONLY)
+def test_hot_path_stays_jvm_side(spark, name):
+    plan = C.formatted_plan(QUERIES[name](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_cartesian(plan)
+
+
+def test_q3_pushdown_and_broadcast(spark):
+    plan = C.formatted_plan(QUERIES["tpch_q3_order_revenue"](spark, SF_SMOKE))
+    C.assert_pushdown(plan, "l_shipdate")        # date filter reaches lineitem scan
+    C.assert_pushdown(plan, "c_mktsegment")      # segment filter reaches customer scan
+    C.assert_broadcast_join(plan, 1)
+    # projection pruning: q3 never needs lineitem quantity or tax
+    C.assert_scan_pruned(plan, "l_quantity")
+    C.assert_scan_pruned(plan, "l_tax")
+
+
+def test_q5_dimension_broadcasts(spark):
+    plan = C.formatted_plan(QUERIES["tpch_q5_regional_revenue"](spark, SF_SMOKE))
+    C.assert_pushdown(plan, "r_name")            # region filter pushed
+    C.assert_broadcast_join(plan, 3)             # supplier/nation/region hinted
+
+
+def test_metadata_scan_prunes_text(spark):
+    """multimodal_binary_meta computes from text but the documents scan
+    must read only what it needs (never lang/source)."""
+    plan = C.formatted_plan(QUERIES["multimodal_binary_meta"](spark, SF_SMOKE))
+    C.assert_scan_pruned(plan, "lang")
+    C.assert_scan_pruned(plan, "source")
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    """LIMIT-k queries must plan TakeOrderedAndProject (per-partition
+    heaps), not a full Exchange+Sort of the scored set."""
+    plan = C.formatted_plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
