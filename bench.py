@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "corpus_filter_pipeline",
     "embed_knn_bruteforce",
     "embed_ivf_search",
 ]

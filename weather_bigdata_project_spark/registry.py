@@ -42,3 +42,4 @@ from .queries import similarity  # noqa: E402,F401
 from .queries import text  # noqa: E402,F401
 from .queries import jsonops  # noqa: E402,F401
 from .queries import multimodal  # noqa: E402,F401
+from .queries import pipeline  # noqa: E402,F401  (composes the above)
