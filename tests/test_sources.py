@@ -1,0 +1,106 @@
+"""Source/sink round-trips (SURVEY §2.1 S11-S13): what goes out through
+the export writers must come back bit-identical through the lake
+readers."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from tests.conftest import SF_SMOKE
+from weather_bigdata_project_spark import weather_domain as wd
+from weather_bigdata_project_spark.sources import readers
+
+
+def _export_frame(spark):
+    """A plain-typed projection of the enriched frame (JSON has no
+    timestamp type — the lake stores formatted strings, as the reference
+    did)."""
+    return wd.enriched_frame(spark, SF_SMOKE).select(
+        "event_id", "city_name", "temperature", "wind_speed_num",
+        "alert_type", "event_time",
+    )
+
+
+_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("event_id", Ty.LongType()),
+        Ty.StructField("city_name", Ty.StringType()),
+        Ty.StructField("temperature", Ty.IntegerType()),
+        Ty.StructField("wind_speed_num", Ty.DoubleType()),
+        Ty.StructField("alert_type", Ty.StringType()),
+        Ty.StructField("event_time", Ty.StringType()),
+    ]
+)
+
+
+def test_json_lake_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="jsonlake_")
+    try:
+        df = _export_frame(spark)
+        readers.write_export_json(df, d)
+        back = readers.read_json_lake(spark, d, _SCHEMA)
+        assert back.count() == df.count()
+        assert back.subtract(df).count() == 0
+        assert df.subtract(back).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_lake_skips_junk_files(spark):
+    """The reference hand-filtered metadata/zero-byte objects
+    (streamlit/app.py:53-57); the declarative scan skips underscore and
+    hidden files and tolerates empty parts natively. (A *valid*
+    `_spark_metadata` streaming-sink log is exercised by
+    test_streaming.py, which batch-reads a file-sink output directory.)"""
+    d = tempfile.mkdtemp(prefix="jsonlake_")
+    try:
+        df = _export_frame(spark).limit(10)
+        readers.write_export_json(df, d)
+        with open(f"{d}/_not_data.json", "w") as f:
+            f.write("this is not json lines")
+        with open(f"{d}/.hidden.json", "w") as f:
+            f.write("nor is this")
+        open(f"{d}/empty.json", "w").close()
+        back = readers.read_json_lake(spark, d, _SCHEMA)
+        assert back.count() == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_export_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="csvexp_")
+    try:
+        df = _export_frame(spark)
+        readers.write_export_csv(df, d)
+        back = (
+            spark.read.schema(_SCHEMA)
+            .option("header", "true")
+            .csv(d)
+        )
+        assert back.count() == df.count()
+        assert back.subtract(df).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_lake_partitioned_write(spark):
+    d = tempfile.mkdtemp(prefix="pqlake_")
+    try:
+        df = _export_frame(spark)
+        readers.write_parquet(df, d, partition_by=["alert_type"])
+        back = readers.read_parquet_lake(spark, d)
+        assert back.count() == df.count()
+        # partition pruning: filtering the partition column must prune
+        # to a subset of files (plan shows partition filters, not a scan
+        # of everything + post-filter)
+        pruned = back.filter(F.col("alert_type") == "NORMAL")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "alert_type" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
