@@ -275,6 +275,104 @@ def set_except_nations(spark, sf_dir):
     )
 
 
+# --- outer joins ----------------------------------------------------------
+@query(
+    "join_left_outer_customer_orders",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders, "
+        "COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)) "
+        "AS DOUBLE) / 100.0e0, 0.0e0) AS total_spend "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_custkey, c_mktsegment"
+    ),
+)
+def join_left_outer_customer_orders(spark, sf_dir):
+    """LEFT OUTER join preserving order-less customers (COUNT of the
+    right key = 0 for them — the classic outer-join aggregate shape)."""
+    t = tables.load_all(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)) "
+                    "AS DOUBLE) / 100.0e0"
+                ),
+                F.lit(0.0),
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_activity",
+    oracle=(
+        "WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust "
+        "FROM customer GROUP BY 1), "
+        "s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp "
+        "FROM supplier GROUP BY 1) "
+        "SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, "
+        "COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp "
+        "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey"
+    ),
+)
+def join_full_outer_nation_activity(spark, sf_dir):
+    """FULL OUTER over pre-aggregated sides (aggregate-then-join: the
+    join input is |keys|, not |rows| — the at-scale ordering)."""
+    t = tables.load_all(spark, sf_dir)
+    c = (
+        t["customer"].groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+# --- ALL-variant set operations -------------------------------------------
+@query(
+    "set_intersect_all_nations",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT ALL SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_intersect_all_nations(spark, sf_dir):
+    """INTERSECT ALL: bag semantics (min of per-side multiplicities) —
+    Spark plans it as a counted hash-agg join, never a distinct."""
+    t = tables.load_all(spark, sf_dir)
+    return t["customer"].select(
+        F.col("c_nationkey").alias("nationkey")
+    ).intersectAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+
+
+@query(
+    "set_except_all_nations",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "EXCEPT ALL SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_except_all_nations(spark, sf_dir):
+    """EXCEPT ALL: multiplicity subtraction."""
+    t = tables.load_all(spark, sf_dir)
+    return t["customer"].select(
+        F.col("c_nationkey").alias("nationkey")
+    ).exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+
+
 # --- window functions ----------------------------------------------------
 @query(
     "window_rank_customers",
