@@ -42,6 +42,8 @@ def main() -> None:
     from weather_bigdata_project_spark.session import get_spark
     from weather_bigdata_project_spark import registry
 
+    registry.load()
+
     spark = get_spark("bench")
     # Warm-up: run every headline query once at sf0.001 (trivial data) so
     # the measured loop reports steady-state throughput — JVM/janino

@@ -9,7 +9,10 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 from weather_bigdata_project_spark.plans import checks as C
+from weather_bigdata_project_spark import registry
 from weather_bigdata_project_spark.registry import QUERIES
+
+registry.load()
 
 # every query whose plan must contain zero Python evaluation operators
 _JVM_ONLY = [

@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import textops as T
+from ..operators import textops as T  # noqa: F401  (oracle CTE reuse)
+
+# the building blocks must be registered before we can nest their SQL —
+# explicit imports make this module safe to import directly, not only
+# through registry.load()
+from . import dedup as _dedup  # noqa: F401
+from . import text as _text  # noqa: F401
 from ..registry import ORACLES, QUERIES, query
 
 _SUB = {

@@ -33,13 +33,24 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# import for registration side effects (order = SURVEY §2 order)
-from .queries import weather  # noqa: E402,F401
-from .queries import analytics  # noqa: E402,F401
-from .queries import relational  # noqa: E402,F401
-from .queries import dedup  # noqa: E402,F401
-from .queries import similarity  # noqa: E402,F401
-from .queries import text  # noqa: E402,F401
-from .queries import jsonops  # noqa: E402,F401
-from .queries import multimodal  # noqa: E402,F401
-from .queries import pipeline  # noqa: E402,F401  (composes the above)
+# import for registration side effects (order = SURVEY §2 order).
+# Deferred into a function so `registry` itself is cycle-free: query
+# modules do `from ..registry import query` at import time, which must
+# not re-enter these imports while a sibling module is half-initialized.
+_LOADED = False
+
+
+def load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from .queries import weather  # noqa: F401
+    from .queries import analytics  # noqa: F401
+    from .queries import relational  # noqa: F401
+    from .queries import dedup  # noqa: F401
+    from .queries import similarity  # noqa: F401
+    from .queries import text  # noqa: F401
+    from .queries import jsonops  # noqa: F401
+    from .queries import multimodal  # noqa: F401
+    from .queries import pipeline  # noqa: F401  (composes the above)
