@@ -136,6 +136,40 @@ def test_stateful_city_extremes(spark, wire_dir):
     assert batch.subtract(final).count() == 0
 
 
+def test_foreach_batch_dedup_upsert(spark):
+    """Source-side duplicates (the same wire rows written twice) must
+    collapse to unique event_ids in the lake; a restart with the same
+    checkpoint must add nothing."""
+    wire2 = tempfile.mkdtemp(prefix="wirelake_dup_")
+    out = tempfile.mkdtemp(prefix="fb_out_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    try:
+        w = wd.wire_frame(spark, SF_SMOKE)
+        # two physical copies of every record, across separate files
+        w.repartition(4).write.mode("overwrite").json(wire2)
+        w.repartition(3).write.mode("append").json(wire2)
+
+        def run():
+            stream = jobs.wire_file_stream(spark, wire2)
+            enriched = jobs.enriched_stream(stream).select(
+                *wd.ENRICHED_COLUMNS
+            )
+            q = jobs.start_foreach_batch_dedup_sink(enriched, out, ckpt)
+            q.awaitTermination(120)
+
+        run()
+        got = spark.read.parquet(out)
+        n = wd.wire_frame(spark, SF_SMOKE).count()
+        assert got.count() == n
+        assert got.select("event_id").distinct().count() == n
+
+        run()  # restart: checkpoint says everything is processed
+        assert spark.read.parquet(out).count() == n
+    finally:
+        for d in (wire2, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_alerts_stream_filter(spark, wire_dir):
     stream = jobs.wire_file_stream(spark, wire_dir)
     alerts = jobs.alerts_stream(jobs.enriched_stream(stream))

@@ -179,6 +179,37 @@ def stateful_city_extremes_stream(enriched: DataFrame) -> DataFrame:
     )
 
 
+def start_foreach_batch_dedup_sink(df: DataFrame, path: str, checkpoint: str):
+    """foreachBatch upsert: merge each micro-batch into a parquet lake
+    keyed by event_id — idempotent under at-least-once delivery, replays,
+    and restarts (the file sink alone is exactly-once per QUERY, but
+    cannot dedup records duplicated at the SOURCE). Inside the batch
+    function the frame is a plain batch DataFrame, so the existing-key
+    anti-join is ordinary relational code — this is the Spark-idiomatic
+    'MERGE INTO' shape for plain parquet.
+
+    At 100 TB: partition `path` on a pruning key and anti-join against
+    only the partitions the batch touches, or use a table format with
+    real MERGE (Delta/Iceberg) — the foreachBatch structure is identical."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(["event_id"])
+        try:
+            existing = spark.read.parquet(path).select("event_id")
+            new = new.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: lake does not exist yet
+        new.write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def await_any(spark: SparkSession, timeout_s: int | None = None) -> None:
     """T7 (ref:...:216): multi-query coordination."""
     if timeout_s is None:
