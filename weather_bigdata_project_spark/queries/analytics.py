@@ -341,6 +341,37 @@ def weather_export_json(spark, sf_dir):
     )
 
 
+# --- pivot: city x alert_type count matrix --------------------------------
+_ALERT_TYPES = [
+    "NORMAL", "EXTREME_TEMPERATURE", "HIGH_WIND", "PRESSURE_ANOMALY",
+]
+
+
+@query(
+    "weather_city_alert_pivot",
+    oracle=_oracle(
+        "SELECT city_name, "
+        + ", ".join(
+            f"COUNT(CASE WHEN alert_type = '{a}' THEN 1 END) AS {a}"
+            for a in _ALERT_TYPES
+        )
+        + " FROM enriched GROUP BY city_name"
+    ),
+)
+def weather_city_alert_pivot(spark, sf_dir):
+    """groupBy().pivot() with the value list DECLARED — one shuffle and
+    fixed output schema. Omitting the list makes Spark run an extra
+    distinct pass and yields data-dependent columns (schema instability —
+    never do that at scale)."""
+    return (
+        _enr(spark, sf_dir)
+        .groupBy("city_name")
+        .pivot("alert_type", _ALERT_TYPES)
+        .count()
+        .na.fill(0, _ALERT_TYPES)
+    )
+
+
 # --- P9: null-column pruning (ref:streamlit/app.py:146) -------------------
 # pandas dropna(axis=1, how='all'): keep columns with any non-null value.
 # Declarative twin: ONE global aggregate row of per-column counts (single
