@@ -158,34 +158,34 @@ _HASH_PARAMS = [(2 * j + 1, j * j + 7) for j in range(1, _K + 1)]
 _HASH_VALUES_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_HASH_PARAMS, 1))
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=(
-        "WITH " + T.SHINGLES_CTE + ", "
-        f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
-        "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
-        + " AS sh_id FROM shingles), "
-        "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
-        "FROM ids CROSS JOIN params "
-        "GROUP BY doc_id, j), "
-        f"bands AS (SELECT doc_id, (j - 1) // {_K // _BANDS} AS band, "
-        "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig "
-        "FROM sig GROUP BY doc_id, band), "
-        "cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
-        "FROM bands a JOIN bands b ON a.band = b.band "
-        "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id), "
-        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
-        "common AS (SELECT doc1, doc2, COUNT(*) AS c FROM cand "
-        "JOIN shingles x ON x.doc_id = doc1 "
-        "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
-        "GROUP BY doc1, doc2) "
-        "SELECT doc1, doc2, "
-        + rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
-        + " AS jaccard FROM common "
-        "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2 "
-        "WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5e0"
-    ),
+_MINHASH_ORACLE = (
+    "WITH " + T.SHINGLES_CTE + ", "
+    f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
+    "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
+    + " AS sh_id FROM shingles), "
+    "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
+    "FROM ids CROSS JOIN params "
+    "GROUP BY doc_id, j), "
+    f"bands AS (SELECT doc_id, (j - 1) // {_K // _BANDS} AS band, "
+    "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig "
+    "FROM sig GROUP BY doc_id, band), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
+    "FROM bands a JOIN bands b ON a.band = b.band "
+    "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
+    "common AS (SELECT doc1, doc2, COUNT(*) AS c FROM cand "
+    "JOIN shingles x ON x.doc_id = doc1 "
+    "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
+    "GROUP BY doc1, doc2) "
+    "SELECT doc1, doc2, "
+    + rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
+    + " AS jaccard FROM common "
+    "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2 "
+    "WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5e0"
 )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) -> LSH(4 bands x 4): near-dup pairs with verified
     Jaccard >= 0.5. Candidates come from the band-signature equi-join —
@@ -352,6 +352,80 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .orderBy(F.desc("cosine"), "vec1", "vec2")
         .limit(20)
+    )
+
+
+# --- near-dup clusters (connected components) -----------------------------
+
+
+@query(
+    "dedup_clusters",
+    oracle=(
+        "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM ("
+        + _MINHASH_ORACLE
+        + ")), "
+        "nodes AS (SELECT DISTINCT doc FROM "
+        "(SELECT doc1 AS doc FROM pairs UNION SELECT doc2 FROM pairs)), "
+        "edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs "
+        "UNION SELECT doc2, doc1 FROM pairs), "
+        "reach(doc, r) AS ("
+        "SELECT doc, doc FROM nodes "
+        "UNION "
+        "SELECT e.b, reach.r FROM edges e JOIN reach ON reach.doc = e.a) "
+        "SELECT doc AS doc_id, MIN(r) AS canonical_doc FROM reach "
+        "GROUP BY doc"
+    ),
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash pair
+    graph, each doc labeled with the min doc_id of its component (the
+    canonical survivor). Iterative label propagation — each round is one
+    distributed join+agg, the driver only checks a 1-row convergence
+    count (no data collects). Rounds needed = graph diameter <= O(log n)
+    for near-dup clusters in practice; the oracle computes the same
+    fixpoint with a recursive CTE. This is the standard Spark shape for
+    iterative algorithms (PageRank/CC) without graph libraries."""
+    pairs = T.materialize(
+        dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    )
+    edges = T.materialize(
+        pairs.union(
+            pairs.select(
+                F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+            )
+        )
+    )
+    labels = (
+        edges.select(F.col("doc1").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    for _ in range(20):  # hard cap; near-dup components are shallow
+        # min label among self and neighbors
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc)
+            .groupBy(F.col("doc1").alias("doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = T.materialize(
+            labels.join(neighbor_min, "doc", "left").select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("canonical_doc")
     )
 
 
