@@ -130,6 +130,29 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+# --- deterministic hash sampling ------------------------------------------
+
+
+@query(
+    "text_hash_sample",
+    oracle=(
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE " + T.hashed_id_duck("text", 1000) + " < 50"
+    ),
+)
+def text_hash_sample(spark, sf_dir):
+    """Deterministic ~5% sample by content hash — unlike df.sample()
+    (engine/partitioning-dependent RNG) this is reproducible across
+    engines, runs, and cluster sizes, which is what a training-data
+    pipeline needs for held-out splits. Narrow filter, pushdown-friendly,
+    and stable under re-partitioning."""
+    return (
+        T.docs(spark, sf_dir)
+        .filter(F.expr(T.hashed_id_spark("text", 1000)) < 50)
+        .select("doc_id", "n_chars")
+    )
+
+
 # --- document fingerprinting ----------------------------------------------
 
 # 31^k mod 2^31-1 position weights (period 8) — exact bigint arithmetic.
