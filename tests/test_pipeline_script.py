@@ -1,0 +1,27 @@
+"""The scripts/run_pipeline.py orchestration entry must produce a lake
+equal to the batch pipeline and route exactly the alert rows."""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+from tests.conftest import SF_SMOKE
+from weather_bigdata_project_spark import weather_domain as wd
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_run_pipeline_end_to_end(spark):
+    from scripts.run_pipeline import run
+
+    work = tempfile.mkdtemp(prefix="pipeline_")
+    try:
+        out = run(SF_SMOKE, work, cpus=8)
+        want = wd.enriched_frame(spark, SF_SMOKE)
+        assert out["wire_rows"] == out["lake_rows"] == want.count()
+        assert out["alert_rows"] == wd.alerts_frame(spark, SF_SMOKE).count()
+        assert out["cities"] == 8
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
