@@ -89,6 +89,56 @@ def test_streaming_windowed_stats(spark, wire_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_session_windows(spark, wire_dir):
+    """Sessionized stream under availableNow: every emitted (closed)
+    session must exactly match the batch F.session_window twin; sessions
+    still open at the final watermark are withheld by append mode."""
+    out = tempfile.mkdtemp(prefix="stream_sess_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sess_ckpt_")
+    try:
+        stream = jobs.wire_file_stream(spark, wire_dir)
+        sess = jobs.sessionized_city_stream(jobs.enriched_stream(stream))
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        batch = (
+            wd.enriched_frame(spark, SF_SMOKE)
+            .groupBy(
+                F.session_window(
+                    F.col("timestamp_dt").cast("timestamp"), "30 minutes"
+                ).alias("win"),
+                "city_name",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("temperature").alias("min_temp"),
+                F.max("temperature").alias("max_temp"),
+            )
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+                "city_name",
+                "n",
+                "min_temp",
+                "max_temp",
+            )
+        )
+        assert got.subtract(batch).count() == 0  # nothing wrong emitted
+        # withheld tail is at most the sessions still open per city
+        assert got.count() >= batch.count() - 2 * 8
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stateful_city_extremes(spark, wire_dir):
     """applyInPandasWithState running aggregates: after draining the whole
     lake, the LAST emitted row per city (highest n_seen) must equal the

@@ -113,6 +113,36 @@ def windowed_city_stats_stream(enriched: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_city_stream(enriched: DataFrame) -> DataFrame:
+    """T5's other half, streaming: per-city session windows (30-minute
+    inactivity gap) with a watermark. Spark merges session state
+    incrementally as events arrive; append mode emits a session once the
+    watermark passes its close — state is bounded by open sessions, not
+    stream length. Batch twin: the same F.session_window groupBy (see
+    queries/relational.events_user_sessions for the per-user variant)."""
+    return (
+        enriched.withColumn("event_ts", F.col("timestamp_dt").cast("timestamp"))
+        .withWatermark("event_ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("event_ts"), "30 minutes").alias("win"),
+            F.col("city_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("temperature").alias("min_temp"),
+            F.max("temperature").alias("max_temp"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+            "city_name",
+            "n",
+            "min_temp",
+            "max_temp",
+        )
+    )
+
+
 def deduped_stream(enriched: DataFrame) -> DataFrame:
     """T6: at-least-once -> effectively-once via
     dropDuplicatesWithinWatermark on the record key (bounded state; an
