@@ -24,8 +24,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_order_revenue",
     "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
     "window_moving_avg_events",
     "events_hourly_window",
+    "events_user_sessions",
     "events_json_extract",
     "text_fingerprint",
     "dedup_ngram_jaccard",

@@ -85,6 +85,48 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     )
 
 
+# --- TPC-H Q6 shape: forecast revenue change ------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=(
+        "SELECT "
+        + money(
+            "SUM(CAST(ROUND(l_extendedprice * l_discount * 10000.0e0) "
+            "AS BIGINT)) // 100"
+        )
+        + " AS revenue, COUNT(*) AS n_items FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.03e0 AND 0.05e0 "
+        "AND l_quantity < 24"
+    ),
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate — the canonical
+    predicate-pushdown showcase. All four predicates reach the parquet
+    scan (PushedFilters), the aggregation is a 1-row map-side partial;
+    at 100 TB this query's cost is exactly the bytes the scan cannot
+    skip."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("to_timestamp_ntz('1997-01-01 00:00:00')"))
+            & (F.col("l_shipdate") < F.expr("to_timestamp_ntz('1998-01-01 00:00:00')"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                money(
+                    "SUM(CAST(ROUND(l_extendedprice * l_discount "
+                    "* 10000.0e0) AS BIGINT)) div 100"
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --- TPC-H Q3 shape: shipping-priority top-k ----------------------------
 _Q3_REV = (
     "SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0) "
