@@ -341,6 +341,28 @@ def weather_export_json(spark, sf_dir):
     )
 
 
+# --- the SQL surface: same engine, spark.sql() entry ----------------------
+@query(
+    "weather_sql_city_summary",
+    oracle=_oracle(
+        "SELECT city_name, COUNT(*) AS n, MAX(heat_index) AS max_heat, "
+        "MIN(wind_chill) AS min_chill FROM enriched GROUP BY city_name"
+    ),
+)
+def weather_sql_city_summary(spark, sf_dir):
+    """The Spark SQL surface: the enriched pipeline registered as a temp
+    view, queried with spark.sql — identical Catalyst plan to the
+    DataFrame twin (views are just named logical plans)."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView(
+        "weather_enriched_v"
+    )
+    return spark.sql(
+        "SELECT city_name, COUNT(*) AS n, MAX(heat_index) AS max_heat, "
+        "MIN(wind_chill) AS min_chill FROM weather_enriched_v "
+        "GROUP BY city_name"
+    )
+
+
 # --- pivot: city x alert_type count matrix --------------------------------
 _ALERT_TYPES = [
     "NORMAL", "EXTREME_TEMPERATURE", "HIGH_WIND", "PRESSURE_ANOMALY",
