@@ -69,6 +69,38 @@ def test_frame_sampling_stride(spark):
             assert g.frame_feature == r.feature[g.frame_idx % 8]
 
 
+def test_label_pca_matches_numpy(spark):
+    """applyInPandas PCA must equal the same numpy computation done
+    driver-side on identically-sorted input."""
+    import numpy as np
+
+    from weather_bigdata_project_spark.registry import QUERIES
+    from weather_bigdata_project_spark import tables
+
+    got = {
+        r.label: r
+        for r in QUERIES["embed_label_pca"](spark, SF_SMOKE).collect()
+    }
+    emb = tables.load(spark, SF_SMOKE, "embeddings").collect()
+    by_label = {}
+    for r in sorted(emb, key=lambda r: r.vec_id):
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.stack([np.array(v, dtype=np.float64) for v in vecs])
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / max(len(X) - 1, 1)
+        w, v = np.linalg.eigh(C)
+        top = v[:, -1]
+        nz = np.nonzero(top)[0]
+        if len(nz) and top[nz[0]] < 0:
+            top = -top
+        r = got[label]
+        assert r.n_vectors == len(X)
+        assert r.evr == round(float(w[-1] / w.sum()), 6)
+        assert list(r.pc0) == [round(float(t), 6) for t in top]
+
+
 def test_metadata_query_prunes_binary(spark):
     """Selecting only metadata must not carry the binary column through
     the plan (column pruning — the 100 TB I/O guarantee)."""

@@ -122,6 +122,55 @@ def embed_lsh_buckets(spark, sf_dir):
     )
 
 
+# --- per-label PCA (grouped-map applyInPandas) ----------------------------
+
+
+@query("embed_label_pca")  # no SQL oracle: eigendecomposition; pinned by
+# tests/test_multimodal.py::test_label_pca_matches_numpy
+def embed_label_pca(spark, sf_dir):
+    """Per-label top principal component + explained-variance ratio via
+    applyInPandas (grouped map): each label's vectors arrive as ONE
+    Arrow batch, numpy does the eigendecomposition — the operator shape
+    for per-group numerics Spark builtins can't express. Determinism:
+    rows are sorted by vec_id inside the kernel (float reduction order
+    fixed) and the eigenvector sign is pinned to first-nonzero > 0.
+
+    At 100 TB: groups must fit one executor's memory (true for IVF
+    cells by construction); otherwise switch to the streaming
+    covariance form (groupBy sum of outer products — one shuffle of
+    d x d partials, then driver-side eigh on k tiny matrices)."""
+    import numpy as np
+    import pandas as pd
+
+    def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / max(len(X) - 1, 1)
+        w, v = np.linalg.eigh(C)
+        top = v[:, -1]
+        nz = np.nonzero(top)[0]
+        if len(nz) and top[nz[0]] < 0:
+            top = -top
+        evr = float(w[-1] / w.sum()) if w.sum() > 0 else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "label": int(pdf["label"].iloc[0]),
+                    "n_vectors": len(X),
+                    "evr": round(evr, 6),
+                    "pc0": [round(float(t), 6) for t in top],
+                }
+            ]
+        )
+
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").applyInPandas(
+        pca_group,
+        schema="label BIGINT, n_vectors BIGINT, evr DOUBLE, pc0 ARRAY<DOUBLE>",
+    )
+
+
 # --- IVF coarse-quantizer search -----------------------------------------
 
 
