@@ -87,6 +87,46 @@ def test_csv_export_roundtrip(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_sorted_write_produces_disjoint_rowgroup_stats(spark):
+    """write_parquet_sorted range-partitions + sorts on the pruning
+    column, so parquet files carry DISJOINT min/max ranges — a selective
+    filter can skip whole files/row-groups. Verified from the actual
+    parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_bigdata_project_spark import tables
+
+    d = tempfile.mkdtemp(prefix="sorted_lake_")
+    try:
+        ev = tables.load(spark, SF_SMOKE, "events").select(
+            "event_id", "user_id", "value"
+        )
+        readers.write_parquet_sorted(ev, d, ["event_id"], num_files=4)
+        ranges = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "event_id"
+                )
+                assert col.statistics is not None
+                ranges.append(
+                    (col.statistics.min, col.statistics.max)
+                )
+        assert len(ranges) >= 2  # layout actually split the data
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, "row-group ranges overlap — no skip benefit"
+        # and the full dataset reads back intact
+        assert spark.read.parquet(d).count() == ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_parquet_lake_partitioned_write(spark):
     d = tempfile.mkdtemp(prefix="pqlake_")
     try:
