@@ -122,6 +122,44 @@ def embed_lsh_buckets(spark, sf_dir):
     )
 
 
+# --- cross-modality join: documents with their embedding sidecar ----------
+
+
+@query(
+    "doc_embedding_join",
+    oracle=(
+        "WITH n AS (SELECT vec_id, label, "
+        "SQRT(SUM(CAST(x AS DOUBLE) * x)) AS norm FROM "
+        "(SELECT vec_id, label, unnest(embedding) AS x FROM embeddings) "
+        "GROUP BY vec_id, label) "
+        "SELECT d.doc_id, d.n_chars, d.lang, n.label, "
+        + rnd("n.norm", 4)
+        + " AS emb_norm FROM documents d JOIN n ON n.vec_id = d.doc_id"
+    ),
+)
+def doc_embedding_join(spark, sf_dir):
+    """Cross-modality equi-join: the documents table with its embedding
+    sidecar (id-aligned, the standard layout for a corpus + vectors at
+    scale — vectors live in their own table/files so text-only scans
+    never read them). Norm computed JVM-side from the array column; the
+    join is a plain hash join on the id."""
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id"),
+        "label",
+        F.expr(
+            "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
+        ).alias("norm"),
+    )
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        "label",
+        F.expr(rnd("norm", 4)).alias("emb_norm"),
+    )
+
+
 # --- per-label PCA (grouped-map applyInPandas) ----------------------------
 
 
