@@ -186,6 +186,44 @@ def test_stateful_city_extremes(spark, wire_dir):
     assert batch.subtract(final).count() == 0
 
 
+def test_incremental_resume_exactly_once(spark):
+    """Checkpointed file-sink across three runs: drain half the lake,
+    drain the rest, then re-run with nothing new — every wire row lands
+    exactly once, resume picks up only unprocessed files."""
+    wire3 = tempfile.mkdtemp(prefix="wirelake_inc_")
+    out = tempfile.mkdtemp(prefix="inc_out_")
+    ckpt = tempfile.mkdtemp(prefix="inc_ckpt_")
+    try:
+        w = wd.wire_frame(spark, SF_SMOKE)
+        first = w.filter(F.col("event_id") % 2 == 0)
+        second = w.filter(F.col("event_id") % 2 == 1)
+        first.repartition(4).write.mode("overwrite").json(wire3)
+
+        def drain():
+            stream = jobs.wire_file_stream(spark, wire3)
+            enriched = jobs.enriched_stream(stream).select(
+                *wd.ENRICHED_COLUMNS
+            )
+            q = jobs.start_lake_sink(enriched, out, ckpt, fmt="parquet")
+            q.awaitTermination(120)
+
+        drain()
+        n1 = spark.read.parquet(out).count()
+        assert n1 == first.count()
+
+        second.repartition(4).write.mode("append").json(wire3)
+        drain()
+        lake = spark.read.parquet(out)
+        assert lake.count() == w.count()
+        assert lake.select("event_id").distinct().count() == w.count()
+
+        drain()  # nothing new: exactly-once means nothing added
+        assert spark.read.parquet(out).count() == w.count()
+    finally:
+        for d in (wire3, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_foreach_batch_dedup_upsert(spark):
     """Source-side duplicates (the same wire rows written twice) must
     collapse to unique event_ids in the lake; a restart with the same
