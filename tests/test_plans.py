@@ -71,3 +71,46 @@ def test_topk_uses_heap_not_global_sort(spark):
     heaps), not a full Exchange+Sort of the scored set."""
     plan = C.formatted_plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+# --- advanced.py operators (as-of / band / salted / sample) ---------------
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must be exactly ONE exchange (on
+    user_id) — the whole point of the design vs a pair-blowup join."""
+    plan = C.formatted_plan(
+        QUERIES["join_asof_purchase_last_click"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    C.assert_max_shuffles(plan, 1)
+    C.assert_pushdown(plan, "event_type")  # side filters reach the scans
+
+
+def test_band_join_compiles_to_hash_join(spark):
+    """Bucketized band join must be a hash/sort-merge equi join — never a
+    nested-loop over the raw inequality."""
+    plan = C.formatted_plan(
+        QUERIES["join_range_clicks_before_purchase"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-threshold sampling is a pure filter: zero shuffles, and the
+    scan reads only the projected columns (props/ts pruned)."""
+    plan = C.formatted_plan(QUERIES["sample_stratified_events"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 0)
+    C.assert_scan_pruned(plan, "props")
+
+
+def test_q4_semi_join_no_multiplication(spark):
+    plan = C.formatted_plan(
+        QUERIES["tpch_q4_late_shipment_orders"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_cartesian(plan)
+    assert "LeftSemi" in plan
+    C.assert_pushdown(plan, "o_orderdate")

@@ -71,3 +71,26 @@ def assert_broadcast_join(plan: str, min_count: int = 1) -> None:
 
 def assert_no_cartesian(plan: str) -> None:
     assert "CartesianProduct" not in plan, "unbounded cartesian product"
+
+
+def assert_no_nested_loop(plan: str) -> None:
+    """Stricter than assert_no_cartesian: also rejects broadcast
+    nested-loop joins. Use on operators whose non-equi condition is
+    SUPPOSED to have been rewritten into an equi join (band joins);
+    deliberate broadcast-NLJ ops (brute-force ANN) skip this."""
+    assert_no_cartesian(plan)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "nested-loop join — a non-equi condition failed to compile to a "
+        "hash/sort-merge join"
+    )
+
+
+def count_exchanges(plan: str) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges — those
+    move only the small side)."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+
+def assert_max_shuffles(plan: str, n: int) -> None:
+    got = count_exchanges(plan)
+    assert got <= n, f"plan has {got} shuffle exchanges, budget is {n}"

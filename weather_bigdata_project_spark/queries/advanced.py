@@ -1,0 +1,424 @@
+"""Advanced relational operators: as-of join, band (range) join, salted
+skew join, deterministic stratified sampling, and the TPC-H query shapes
+(Q4/Q12/Q14/Q18) that exercise correlated-exists, conditional aggregation,
+ratio-of-sums, and having-then-join-back patterns.
+
+The reference has no joins at all (SURVEY.md §2.6) — this module is part
+of the relational-completeness extension surface, and each operator is
+written the way it must be written at 100 TB:
+
+- **as-of join** (Spark has no built-in): implemented as the union+window
+  plan — tag both sides, shuffle ONCE on the key, sort within partition,
+  carry the most recent right-hand value forward with
+  `last(..., ignorenulls=True)`. This is O(n log n/partition) with a
+  single exchange, vs the naive correlated-subquery O(n·m) the oracle
+  runs; it never materializes a pair blowup.
+- **band join** (inequality-range join): bucketize time into fixed-width
+  buckets = the band width, explode the PROBE side into the 2 adjacent
+  buckets, equi-join on (key, bucket), then re-check the exact range.
+  Turns a non-equi join (nested-loop in most engines) into a hash join
+  with 2x probe duplication — the standard scale trick.
+- **salted join**: when one join key dominates (hot user, hot null),
+  a plain hash join puts the whole key on one reducer. Salting splits
+  the fact side S ways on a deterministic salt and replicates the dim
+  side S times; result is identical to the plain join, but the hot key
+  now spreads over S reducers. (AQE skew-join does this adaptively for
+  sort-merge; explicit salting is the portable form and works for
+  broadcast-ineligible dims.)
+- **stratified sample**: content-hash (md5) thresholding per stratum —
+  deterministic, reproducible across engines/retries/scale (unlike
+  `sampleBy`, which draws from a seeded RNG that is partition-layout
+  dependent), and embarrassingly parallel: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import money, rnd
+from ..operators.textops import hashed_id_duck, hashed_id_spark
+from ..registry import query
+
+
+# --- as-of join: last click at-or-before each purchase --------------------
+@query(
+    "join_asof_purchase_last_click",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS last_click_ts, c.click_value "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+)
+def join_asof_purchase_last_click(spark, sf_dir):
+    """AS-OF LEFT JOIN (Spark lacks the operator; DuckDB oracle runs its
+    native ASOF JOIN). Union+window plan: one shuffle on user_id, sort by
+    (ts, side) within partition — right rows sort before left rows at
+    equal ts, so "at-or-before" includes ties — then `last(ignorenulls)`
+    carries the most recent click forward. Ties among clicks at the same
+    (user_id, ts) are resolved inside the same sort (value ascending, so
+    the carried row is the MAX — matching the oracle's GROUP BY + MAX
+    collapse) rather than with a separate pre-aggregation: the whole
+    operator is ONE exchange + one partition-local sort. No pair blowup
+    at any scale; window state is a single carried row."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "side",
+            F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+# --- band join: clicks in the 10 minutes before each purchase -------------
+_BAND_S = 600  # band width in seconds == bucket width
+
+
+@query(
+    "join_range_clicks_before_purchase",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT p.event_id, p.user_id, COUNT(c.ts) AS n_clicks "
+        "FROM events_t p LEFT JOIN events_t c "
+        "ON c.user_id = p.user_id AND c.event_type = 'click' "
+        "AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts "
+        "WHERE p.event_type = 'purchase' "
+        "GROUP BY p.event_id, p.user_id"
+    ),
+)
+def join_range_clicks_before_purchase(spark, sf_dir):
+    """Band join via bucketization: clicks keep their single 600 s epoch
+    bucket; purchases probe buckets {b-1, b} (a 600 s look-back window
+    spans at most 2 buckets), equi-join on (user_id, bucket), exact range
+    re-checked post-join. The plan is a plain hash join — no nested-loop
+    non-equi join, no cross product; probe-side duplication is exactly
+    2x. Bucket ids are computed with timestampdiff from the epoch, which
+    is timezone-independent on timestamp_ntz."""
+    ev = tables.load(spark, sf_dir, "events")
+    bucket = (
+        "CAST(FLOOR(timestampdiff(SECOND, "
+        f"to_timestamp_ntz('1970-01-01 00:00:00'), ts) / {_BAND_S}) AS BIGINT)"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.expr(bucket).alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.expr(bucket).alias("p_bucket"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.explode(
+                F.array(F.col("p_bucket") - 1, F.col("p_bucket"))
+            ).alias("probe_bucket"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("probe_bucket") == F.col("c_bucket"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTE"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_ts").alias("n_clicks")
+    )
+
+
+# --- TPC-H Q4 shape: orders with late-shipping lineitems -------------------
+@query(
+    "tpch_q4_late_shipment_orders",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+)
+def tpch_q4_late_shipment_orders(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to fixture columns: commit/receipt dates
+    do not exist, so "late" = shipped >60 days after order date). The
+    correlated EXISTS compiles to a LEFT SEMI join carrying the non-equi
+    date predicate as a join condition — one shuffle, no row
+    multiplication for multi-lineitem orders."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("to_timestamp_ntz('1996-01-01 00:00:00')"))
+        & (F.col("o_orderdate") < F.expr("to_timestamp_ntz('1997-01-01 00:00:00')"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- TPC-H Q12 shape: priority mix by return flag -------------------------
+_HIGH = "('1-URGENT', '2-HIGH')"
+
+
+@query(
+    "tpch_q12_priority_by_returnflag",
+    oracle=(
+        "SELECT l_returnflag, "
+        f"SUM(CASE WHEN o_orderpriority IN {_HIGH} THEN 1 ELSE 0 END) "
+        "AS high_line_count, "
+        f"SUM(CASE WHEN o_orderpriority NOT IN {_HIGH} THEN 1 ELSE 0 END) "
+        "AS low_line_count "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY l_returnflag"
+    ),
+)
+def tpch_q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode column absent -> grouped by returnflag):
+    fact-fact equi join + conditional aggregation. The CASE WHEN counters
+    are exact integers — no float-order concern — and fold into the
+    map-side partial agg."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("to_timestamp_ntz('1996-01-01 00:00:00')"))
+        & (F.col("l_shipdate") < F.expr("to_timestamp_ntz('1997-01-01 00:00:00')"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q14 shape: revenue share of one part type -----------------------
+_DISC_TTC = (
+    "CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0) AS BIGINT)"
+)
+
+
+@query(
+    "tpch_q14_type_revenue_share",
+    oracle=(
+        "SELECT "
+        + rnd(
+            f"100.0e0 * SUM(CASE WHEN p_type = 'ECONOMY' THEN {_DISC_TTC} "
+            f"ELSE 0 END) / SUM({_DISC_TTC})",
+            4,
+        )
+        + " AS economy_revenue_pct, "
+        f"{money(f'SUM({_DISC_TTC}) // 100')} AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"
+    ),
+)
+def tpch_q14_type_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (PROMO -> 'ECONOMY', the fixture's p_type value):
+    ratio-of-sums over a fact-dim join. Both sums are exact integer
+    ten-thousandths (order-insensitive); the single division happens once
+    at the output edge. part⋈lineitem is left to AQE: at small SF it
+    broadcasts, at 100 TB (part is SF-proportional) it shuffle-joins."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("to_timestamp_ntz('1997-06-01 00:00:00')"))
+        & (F.col("l_shipdate") < F.expr("to_timestamp_ntz('1997-07-01 00:00:00')"))
+    )
+    p = tables.load(spark, sf_dir, "part")
+    econ = F.when(F.col("p_type") == "ECONOMY", F.expr(_DISC_TTC)).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(econ).alias("econ_tt"),
+            F.sum(F.expr(_DISC_TTC)).alias("all_tt"),
+        )
+        .select(
+            F.expr(
+                rnd("100.0e0 * econ_tt / all_tt", 4)
+            ).alias("economy_revenue_pct"),
+            F.expr(money("all_tt div 100")).alias("total_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders ----------------------------------
+_Q18_MIN_QTY = 250
+
+
+@query(
+    "tpch_q18_large_volume_orders",
+    oracle=(
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        + money("SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT))")
+        + " AS o_totalprice, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        f"GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}) "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate"
+    ),
+)
+def tpch_q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-HAVING subquery -> semi join back to
+    the facts. The hot-key list (orders over the quantity threshold) is
+    tiny relative to lineitem, so it broadcasts into the semi join —
+    lineitem is filtered before the expensive customer join. Note
+    o_totalprice is grouped-through via SUM/COUNT trick (it is constant
+    per orderkey, summed cents / n rows keeps it exact)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+        .filter(F.col("sq") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.expr(
+                money("SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT))")
+            ).alias("o_totalprice"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+# --- salted skew join -------------------------------------------------------
+_SALTS = 8
+
+
+@query(
+    "join_salted_events_customer",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_events, "
+        + money("SUM(CAST(ROUND(value * 100.0e0) AS BIGINT))")
+        + " AS total_value "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+)
+def join_salted_events_customer(spark, sf_dir):
+    """Skew-resistant salted join: events.user_id is low-cardinality
+    (~150 keys for 10k+ rows — every key is 'hot' relative to a 200-way
+    shuffle), the textbook case where a plain shuffle join puts entire
+    keys on single reducers. Fact side gets salt = event_id % 8
+    (deterministic, retry-stable); dim side is replicated 8x via
+    explode; join key becomes (custkey, salt). Result is provably
+    identical to the plain join — the oracle IS the plain join."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "value", (F.pmod(F.col("event_id"), F.lit(_SALTS))).alias("salt")
+    )
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(_SALTS)])).alias("salt_r"),
+    )
+    return (
+        ev.join(
+            c,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (F.col("salt") == F.col("salt_r")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                money("SUM(CAST(ROUND(value * 100.0e0) AS BIGINT))")
+            ).alias("total_value"),
+        )
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+#: per-stratum keep rate in percent (content-hash threshold).
+_STRATA_PCT = {
+    "purchase": 100,
+    "signup": 50,
+    "error": 25,
+    "click": 10,
+    "view": 10,
+}
+
+
+def _strata_case(hash_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN event_type = '{k}' THEN {v}" for k, v in _STRATA_PCT.items()
+    )
+    return f"(({hash_expr}) % 100) < (CASE {whens} ELSE 0 END)"
+
+
+@query(
+    "sample_stratified_events",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT event_id, user_id, event_type, value FROM events_t "
+        "WHERE " + _strata_case(hashed_id_duck("CAST(event_id AS VARCHAR)"))
+    ),
+)
+def sample_stratified_events(spark, sf_dir):
+    """Deterministic stratified sample: keep rate varies per event_type
+    (100% of rare purchases, 10% of abundant clicks — the
+    rebalance-the-classes shape every training-data pipeline needs).
+    Selection = md5(event_id) mod 100 < rate: reproducible across
+    engines, retries, partitionings, and scale factors (a row's fate
+    never depends on which partition it landed in, unlike sampleBy's
+    seeded-RNG draw). Pure narrow filter — zero shuffle."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.filter(
+        F.expr(_strata_case(hashed_id_spark("CAST(event_id AS STRING)")))
+    ).select("event_id", "user_id", "event_type", "value")
