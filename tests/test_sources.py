@@ -144,3 +144,49 @@ def test_parquet_lake_partitioned_write(spark):
         )[1][:200]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """orders ⋈ lineitem both bucketed 8-way on the order key: the join
+    plan must contain ZERO shuffle exchanges (bucket co-location replaces
+    the exchange) and agree with the plain join."""
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.plans import checks as C
+    from weather_bigdata_project_spark.sources.readers import write_bucketed_table
+
+    o = tables.load(spark, SF_SMOKE, "orders")
+    li = tables.load(spark, SF_SMOKE, "lineitem")
+    write_bucketed_table(
+        o, "orders_b", str(tmp_path / "orders_b"), "o_orderkey", 8, "o_orderkey"
+    )
+    write_bucketed_table(
+        li, "lineitem_b", str(tmp_path / "li_b"), "l_orderkey", 8, "l_orderkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = C.formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        # whole-query shuffle budget: 1 (the groupBy). An unbucketed join
+        # adds two more exchanges (one per join input) and fails this.
+        C.assert_max_shuffles(plan, 1)
+        want = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        got = {r["o_orderstatus"]: r["count"] for r in joined.collect()}
+        assert got == {r["o_orderstatus"]: r["count"] for r in want.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

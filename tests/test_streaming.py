@@ -274,3 +274,103 @@ def test_alerts_stream_filter(spark, wire_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- stream-stream + stream-static joins ----------------------------------
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """sf0.001 events replayed as an 8-file parquet directory."""
+    import tempfile
+    from weather_bigdata_project_spark import tables
+
+    d = tempfile.mkdtemp(prefix="eventlake_")
+    (
+        tables.load(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch inner-join pairs (watermark > fixture span => nothing withheld
+    or evicted mid-replay)."""
+    import tempfile
+    from weather_bigdata_project_spark import tables
+
+    out = tempfile.mkdtemp(prefix="ssj_out_")
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    try:
+        stream = jobs.events_file_stream(spark, events_dir)
+        joined = jobs.interval_join_clicks_purchases(stream, watermark="365 days")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        ev = tables.load(spark, SF_SMOKE, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        want = purchases.join(
+            clicks,
+            F.expr(
+                "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+                "AND c_ts < ts"
+            ),
+        )
+        assert got.count() == want.count() > 0
+        assert got.select("event_id", "c_ts").subtract(
+            want.select("event_id", "c_ts")
+        ).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_join_enriches_every_event(spark, events_dir):
+    """Stream-static broadcast join: every event row survives (left
+    join), matched rows carry the customer segment."""
+    import tempfile
+    from weather_bigdata_project_spark import tables
+
+    out = tempfile.mkdtemp(prefix="sstat_out_")
+    ckpt = tempfile.mkdtemp(prefix="sstat_ckpt_")
+    try:
+        stream = jobs.events_file_stream(spark, events_dir)
+        customer = tables.load(spark, SF_SMOKE, "customer")
+        q = (
+            jobs.stream_static_segment_enrich(stream, customer)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        n_events = tables.load(spark, SF_SMOKE, "events").count()
+        assert got.count() == n_events
+        # user ids exist in customer at every SF => all matched
+        assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -117,3 +117,30 @@ def kafka_sink(df: DataFrame, topic: str, bootstrap: str, checkpoint: str):
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Hash-bucketed (optionally sorted) parquet table registered in the
+    session catalog. Two tables bucketed the same way on their join keys
+    co-locate: the join compiles WITHOUT a shuffle exchange on either
+    side (asserted in tests/test_sources.py) — at 100 TB this converts
+    every repeated fact-fact join on the bucket key from a full-data
+    shuffle into a zero-movement zip of bucket files. Bucket count is
+    chosen per deployment: ~(table size / executor-digestible split) and
+    equal across co-joined tables."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)

@@ -246,3 +246,77 @@ def await_any(spark: SparkSession, timeout_s: int | None = None) -> None:
         spark.streams.awaitAnyTermination()
     else:
         spark.streams.awaitAnyTermination(timeout_s * 1000)
+
+
+# --- stream-stream and stream-static joins (extension surface) ------------
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def events_file_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Typed parquet file-stream twin of an events Kafka topic (same
+    downstream plan; tests replay a directory deterministically)."""
+    tune(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+
+
+def interval_join_clicks_purchases(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the clicks
+    of the same user in the 10 minutes before it — the STREAMING twin of
+    the batch band join `join_range_clicks_before_purchase` (oracle-
+    checked there; the stream/batch equivalence test closes the loop).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark derives state-eviction: a buffered click can be
+    dropped once the purchase-side watermark passes click_ts + 10 min.
+    State is O(watermark-window of both streams), not O(stream). Tests
+    pass a watermark larger than the fixture's time span so no pair is
+    withheld and the result is exactly the batch inner join.
+
+    Watermarks require an instant-typed TIMESTAMP event-time column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on ntz), so both sides cast —
+    a fixed session-tz offset on both sides cannot change interval
+    comparisons."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "inner",
+    )
+
+
+def stream_static_segment_enrich(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a slowly-
+    changing dimension (customer segment). The static side is broadcast
+    per micro-batch — no streaming state at all, and the dim is re-read
+    each batch so dimension updates are picked up. The 100 TB-dim
+    variant drops the broadcast hint and lets AQE shuffle-join."""
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    return events.join(
+        dim, F.col("user_id") == F.col("c_custkey"), "left"
+    ).drop("c_custkey")
