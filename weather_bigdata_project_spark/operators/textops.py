@@ -30,6 +30,44 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
 
 
+def spread_small_scan(
+    df: DataFrame, spark: SparkSession, path: str
+) -> DataFrame:
+    """Small-input parallelization guard for expensive narrow chains
+    (shingle explode + per-shingle hashing): an input that arrives as
+    fewer scan splits than half the cluster's cores is redistributed so
+    the chain uses every core — without it, a single-row-group parquet
+    file pins the whole pipeline to ONE task. At production scale the
+    scan has thousands of native splits and this is a no-op; the
+    redistribution is round-robin (no key), so no skew. Only worth the
+    extra shuffle when real per-row compute follows — cheap projections
+    finish faster on one task than they would pay for a stage round-trip."""
+    par = spark.sparkContext.defaultParallelism
+    if _scan_splits(path) < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
+def _scan_splits(path: str) -> int:
+    """Upper bound on the parquet scan's split count = total row groups
+    (a row group is the smallest splittable unit). Pure driver-side
+    footer read (no Spark job, no plan compile — `df.rdd
+    .getNumPartitions()` costs a full physical-plan build per call)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return 1 << 30  # unknown layout: assume splittable, never repartition
+
+
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, tok) — 0-based positions, whitespace tokenization."""
     return docs(spark, sf_dir).select(
@@ -57,10 +95,14 @@ def token_dict(
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): DISTINCT 3-gram word shingles per document."""
-    d = docs(spark, sf_dir).select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
+    """(doc_id, shingle): DISTINCT 3-gram word shingles per document.
+    The input is spread across cores first (see spread_small_scan): the
+    3-gram explode multiplies bytes ~5x and downstream hashes every
+    shingle — the one chain where a single-split scan serializes real
+    compute."""
+    d = spread_small_scan(
+        docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     return (
         d.select(
             "doc_id",
