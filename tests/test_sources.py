@@ -190,3 +190,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compaction_shrinks_files_keeps_rows(spark, tmp_path):
+    """A 64-fragment lake compacts to far fewer files with identical
+    contents (order-insensitive)."""
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.sources.readers import compact_parquet_lake
+
+    lake = str(tmp_path / "lake")
+    src = tables.load(spark, SF_SMOKE, "orders")
+    src.repartition(64).write.parquet(lake)
+    import os
+
+    n_before = sum(1 for f in os.listdir(lake) if f.endswith(".parquet"))
+    assert n_before >= 64
+    n_after = compact_parquet_lake(spark, lake, target_file_mb=128)
+    assert n_after < n_before and n_after >= 1
+    got = spark.read.parquet(lake)
+    assert got.count() == src.count()
+    assert got.subtract(src).count() == 0 and src.subtract(got).count() == 0

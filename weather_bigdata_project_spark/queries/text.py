@@ -189,3 +189,28 @@ def text_fingerprint(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "text_top_tokens",
+    oracle=(
+        "WITH " + T.TOKS_CTE + " "
+        "SELECT tok, COUNT(*) AS n FROM toks "
+        f"WHERE tok NOT IN {T.STOPWORDS_SQL} AND tok <> '' "
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 30"
+    ),
+)
+def text_top_tokens(spark, sf_dir):
+    """Vocabulary head: top-30 non-stopword tokens by frequency. The
+    explode is narrow, the count is a map-side-combined hash agg on the
+    token (vocabulary-sized shuffle, not corpus-sized), and the top-k
+    compiles to TakeOrderedAndProject — per-partition heaps, no global
+    sort. Tie-broken on the token so the LIMIT is a total order."""
+    return (
+        T.tokens(spark, sf_dir)
+        .filter(~F.col("tok").isin(T.STOPWORDS) & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(30)
+    )

@@ -144,3 +144,43 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(name)
+
+
+def compact_parquet_lake(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target) files and atomically swap it in.
+    Returns the new file count.
+
+    This is the direct cure for the reference's worst scale pathology —
+    its raw archive wrote ONE S3 object per Kafka message
+    (ref:minio-connector.json:14 `flush.size=1`) and its streaming sink
+    emitted a file per micro-batch per partition, leaving the dashboard
+    doing O(files) sequential GETs (ref:streamlit/app.py:72-99). A
+    100 TB lake run instead compacts per partition directory (hour/day),
+    on a schedule or from foreachBatch every N batches — same routine,
+    scoped to the partitions the stream touched.
+
+    The swap is two renames (fragmented -> trash, compacted -> live), so
+    readers never observe a half-written directory; rename is atomic on
+    POSIX and single-key-range on object stores with a manifest layer."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__fragmented"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")
+    )
