@@ -28,6 +28,9 @@ HEADLINE = [
     "window_moving_avg_events",
     "events_hourly_window",
     "events_user_sessions",
+    "join_asof_purchase_last_click",
+    "join_range_clicks_before_purchase",
+    "tpch_q18_large_volume_orders",
     "events_json_extract",
     "text_fingerprint",
     "dedup_ngram_jaccard",
