@@ -31,6 +31,9 @@ HEADLINE = [
     "join_asof_purchase_last_click",
     "join_range_clicks_before_purchase",
     "tpch_q18_large_volume_orders",
+    "tpch_q10_returned_revenue",
+    "tpch_q13_order_count_distribution",
+    "events_moment_stats",
     "events_json_extract",
     "text_fingerprint",
     "dedup_ngram_jaccard",

@@ -18,6 +18,8 @@ PROBES = [
     "events_hourly_window",    # timestamp truncation
     "events_user_sessions",    # session windows on timestamps
     "epoch_unit_heuristic",    # raw epoch arithmetic
+    "events_moment_stats",     # hour(ts) second variable + ANSI sums
+    "window_time_range_avg",   # timestampdiff epoch + RANGE frame
 ]
 
 

@@ -114,3 +114,89 @@ def test_q4_semi_join_no_multiplication(spark):
     C.assert_no_cartesian(plan)
     assert "LeftSemi" in plan
     C.assert_pushdown(plan, "o_orderdate")
+
+
+# --- tpch_extra.py (Q2/Q10/Q13/Q15/Q17/Q19/Q22 shapes) ---------------------
+
+def test_q19_or_hull_pushed_to_both_scans(spark):
+    """The OR-of-ANDs predicate must not stay post-join: Catalyst splits
+    it into a per-side disjunction pushed into BOTH parquet scans
+    (quantity hull -> lineitem, brand/size -> part)."""
+    plan = C.formatted_plan(
+        QUERIES["tpch_q19_or_predicate_revenue"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_pushdown(plan, "l_quantity")
+    C.assert_pushdown(plan, "p_brand")
+    # join needs only 7 columns; the wide lineitem scan must be pruned
+    C.assert_scan_pruned(plan, "l_shipdate")
+    C.assert_scan_pruned(plan, "l_tax")
+
+
+def test_q10_topk_and_pruning(spark):
+    plan = C.formatted_plan(QUERIES["tpch_q10_returned_revenue"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan        # no global sort for top-20
+    C.assert_pushdown(plan, "l_returnflag")
+    C.assert_pushdown(plan, "o_orderdate")
+    C.assert_scan_pruned(plan, "l_quantity")
+
+
+def test_q2_decorrelated_min_reuses_partitioning(spark):
+    """The correlated-MIN rewrite must be window-over-aggregate: no
+    nested-loop re-scan, no Python, and the filtered part side joins by
+    broadcast."""
+    plan = C.formatted_plan(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    C.assert_pushdown(plan, "p_type")
+    C.assert_broadcast_join(plan, 3)
+
+
+def test_q22_anti_join_prunes_orders_probe(spark):
+    """NOT EXISTS compiles to left_anti; the orders probe must read only
+    o_custkey (the entire point of column pruning on a fact probe)."""
+    plan = C.formatted_plan(QUERIES["tpch_q22_dormant_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    C.assert_scan_pruned(plan, "o_totalprice")
+    C.assert_scan_pruned(plan, "o_orderdate")
+
+
+def test_q17_correlated_avg_is_single_lineitem_scan(spark):
+    """The window rewrite of the correlated AVG must scan lineitem ONCE
+    (the oracle's subquery form re-scans it per part)."""
+    plan = C.formatted_plan(
+        QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    assert plan.count("lineitem.parquet") == 1
+    C.assert_broadcast_join(plan, 1)
+
+
+# --- stats.py ---------------------------------------------------------------
+
+def test_moment_stats_single_scan_exact_sums(spark):
+    """All five moment sums must fold into ONE aggregate over ONE scan
+    (shuffle carries 5 integers per group), reading only value+ts+type."""
+    plan = C.formatted_plan(QUERIES["events_moment_stats"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    assert plan.count("events.parquet") == 1
+    C.assert_scan_pruned(plan, "props")
+    C.assert_scan_pruned(plan, "user_id")
+
+
+def test_rank_windows_single_shuffle(spark):
+    """ntile/percent_rank/cume_dist share one window spec -> one
+    exchange on event_type + one in-partition sort."""
+    plan = C.formatted_plan(
+        QUERIES["window_value_distribution_ranks"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    C.assert_scan_pruned(plan, "props")
+
+
+def test_time_range_window_single_shuffle(spark):
+    plan = C.formatted_plan(QUERIES["window_time_range_avg"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)

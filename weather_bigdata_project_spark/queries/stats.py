@@ -1,0 +1,193 @@
+"""Statistical aggregates and window extensions over the events stream.
+
+The reference's only statistics are mean/min/max/std of temperature
+(ref:streamlit/app.py:333-338,396-405, covered by weather_city_stats /
+weather_global_stats). This module extends the surface to second-moment
+statistics (variance, covariance, correlation) and distribution-rank
+windows (ntile / percent_rank / cume_dist) plus a time-RANGE rolling
+window — the shapes an analyst actually asks of an event stream.
+
+Numeric doctrine (see `functions/exprs.py`): never ship a float partial
+aggregate. `events.value` is an exactly-2-decimal double, so every moment
+is accumulated as an exact BIGINT sum of (scaled) integers — Sx, Sy, Sxx,
+Syy, Sxy — which is partition-order-insensitive by construction; the
+variance/correlation formulas then run ONCE per group on the aggregated
+scalars. (Spark's built-in var_samp/corr stream float updates whose
+result depends on partition order — fine for dashboards, fatal for a
+hash-compared oracle. The exact-sums form is also what you want at
+100 TB: the same 5 integer sums feed every derived statistic, one scan.)
+
+BIGINT headroom: Sxx <= n * (49_002)^2 ~ n * 2.4e9 — overflows int64
+around n ~ 3.8e9 rows per group; at that scale switch the accumulators to
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..registry import query
+
+#: value in exact integer cents; hour-of-day as the second variable
+_X = "CAST(ROUND(value * 100.0e0) AS BIGINT)"
+_Y = "CAST(hour(ts) AS BIGINT)"
+
+#: epoch microseconds of the (ns->us normalized) event timestamp,
+#: timezone-independent in both engines
+_EPOCH_US_SPARK = (
+    "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+)
+_EPOCH_US_DUCK = "epoch_us(ts)"
+
+#: derived statistics from the exact sums (identical text both engines;
+#: every input is an exact integer scalar, so the float math is one
+#: deterministic IEEE evaluation per group)
+_DERIVED = [
+    ("mean_value", rnd("CAST(sx AS DOUBLE) / (100.0e0 * n)", 4)),
+    (
+        "var_value",  # sample variance in units^2
+        rnd(
+            "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
+            "/ ((n - 1) * 10000.0e0)",
+            4,
+        ),
+    ),
+    (
+        "covar_value_hour",  # sample covariance(value_units, hour)
+        rnd(
+            "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) "
+            "/ ((n - 1) * 100.0e0)",
+            4,
+        ),
+    ),
+    (
+        "corr_value_hour",  # Pearson r (scale factors cancel)
+        rnd(
+            "(CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy) / "
+            "(sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx) * "
+            "sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy))",
+            6,
+        ),
+    ),
+]
+
+
+@query(
+    "events_moment_stats",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "m AS (SELECT event_type, COUNT(*) AS n, "
+        f"SUM({_X}) AS sx, SUM({_Y}) AS sy, "
+        f"SUM({_X} * {_X}) AS sxx, SUM({_Y} * {_Y}) AS syy, "
+        f"SUM({_X} * {_Y}) AS sxy "
+        "FROM events_t GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        + ", ".join(f"{e} AS {k}" for k, e in _DERIVED)
+        + " FROM m"
+    ),
+)
+def events_moment_stats(spark, sf_dir):
+    """Per-event-type mean / sample variance / covariance / Pearson
+    correlation of value vs hour-of-day, via exact integer moment sums.
+    One scan, one partial+final hash aggregate (the 5 integer sums fold
+    map-side); the float formulas run on a handful of groups, not rows."""
+    ev = tables.load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_X)).alias("sx"),
+        F.sum(F.expr(_Y)).alias("sy"),
+        F.sum(F.expr(f"{_X} * {_X}")).alias("sxx"),
+        F.sum(F.expr(f"{_Y} * {_Y}")).alias("syy"),
+        F.sum(F.expr(f"{_X} * {_Y}")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        *[f"{e} AS {k}" for k, e in _DERIVED],
+    )
+
+
+def _rnd_col(col: Column, k: int) -> Column:
+    """Column-form twin of exprs.rnd: scale, ROUND at 0, unscale."""
+    scale = float(10**k)
+    return F.round(col * scale).cast("double") / scale
+
+
+# --- distribution-rank windows ----------------------------------------------
+@query(
+    "window_value_distribution_ranks",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT event_id, event_type, value, "
+        "NTILE(4) OVER w AS quartile, "
+        + rnd("PERCENT_RANK() OVER w", 6)
+        + " AS pct_rank, "
+        + rnd("CUME_DIST() OVER w", 6)
+        + " AS cume_dist FROM events_t "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"
+    ),
+)
+def window_value_distribution_ranks(spark, sf_dir):
+    """NTILE / PERCENT_RANK / CUME_DIST per event_type ordered by value
+    (event_id tie-break makes the order total, so every rank is
+    deterministic). One shuffle on event_type, in-partition sort; all
+    three rank functions stream in a single pass over the sorted run.
+    Skew note: partitions are whole event_types — at extreme scale an
+    exact global rank per type is better served by approx quantiles;
+    this exact form is the SQL-surface parity piece."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        _rnd_col(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _rnd_col(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+# --- time-RANGE rolling window -----------------------------------------------
+_RANGE_US = 3 * 86400 * 1_000_000  # 3 days in microseconds
+
+
+@query(
+    "window_time_range_avg",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT event_id, user_id, ts, "
+        + rnd(
+            "CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) OVER w AS DOUBLE)"
+            " / (100.0e0 * COUNT(*) OVER w)",
+            4,
+        )
+        + " AS avg_value_3d FROM events_t "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH_US_DUCK} "
+        f"RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW)"
+    ),
+)
+def window_time_range_avg(spark, sf_dir):
+    """Per-user trailing-3-day average value: a RANGE frame over epoch
+    microseconds (RANGE, not ROWS, so timestamp ties share one frame and
+    the result is partition-layout-independent). The sum rides exact
+    cents; one division per output row on two exact scalars. One shuffle
+    on user_id — window state is the 3-day frame, not the stream."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr(_EPOCH_US_SPARK))
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    cents_sum = F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _rnd_col(cents_sum.cast("double") / (100.0 * cnt), 4).alias(
+            "avg_value_3d"
+        ),
+    )

@@ -49,6 +49,8 @@ def load() -> None:
     from .queries import analytics  # noqa: F401
     from .queries import relational  # noqa: F401
     from .queries import advanced  # noqa: F401
+    from .queries import tpch_extra  # noqa: F401
+    from .queries import stats  # noqa: F401
     from .queries import dedup  # noqa: F401
     from .queries import similarity  # noqa: F401
     from .queries import text  # noqa: F401
