@@ -33,6 +33,8 @@ HEADLINE = [
     "tpch_q18_large_volume_orders",
     "tpch_q10_returned_revenue",
     "tpch_q13_order_count_distribution",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "events_moment_stats",
     "events_json_extract",
     "text_fingerprint",

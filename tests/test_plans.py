@@ -200,3 +200,78 @@ def test_time_range_window_single_shuffle(spark):
     plan = C.formatted_plan(QUERIES["window_time_range_avg"](spark, SF_SMOKE))
     C.assert_no_python(plan)
     C.assert_max_shuffles(plan, 1)
+
+
+# --- tpch_rest.py (Q7/Q8/Q9/Q11/Q16/Q20/Q21 shapes) -------------------------
+
+def test_q7_single_fact_shuffle_chain(spark):
+    """Both nation dims and supplier broadcast; the only exchanges join
+    the two facts. The date window must reach the lineitem scan and the
+    nation-pair disjunction must reach the nation scans."""
+    plan = C.formatted_plan(QUERIES["tpch_q7_volume_shipping"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    C.assert_pushdown(plan, "l_shipdate")
+    C.assert_pushdown(plan, "NATION_1")
+    C.assert_scan_pruned(plan, "l_quantity")
+
+
+def test_q8_share_is_one_aggregate(spark):
+    """Numerator and denominator of the market share come out of ONE
+    conditional aggregate — one shuffle total; p_type prunes the fact
+    via the broadcast join before it."""
+    plan = C.formatted_plan(QUERIES["tpch_q8_market_share"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    C.assert_pushdown(plan, "p_type")
+    C.assert_pushdown(plan, "r_name")
+
+
+def test_q9_profit_single_shuffle(spark):
+    plan = C.formatted_plan(QUERIES["tpch_q9_product_profit"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    C.assert_pushdown(plan, "p_name")
+    C.assert_scan_pruned(plan, "l_tax")
+
+
+def test_q16_anti_join_and_expand_distinct(spark):
+    """NOT IN compiles to a broadcast anti join (never a shuffle of the
+    fact against the blacklist); count-distinct keeps its partial
+    aggregate below the exchange."""
+    plan = C.formatted_plan(
+        QUERIES["tpch_q16_supplier_part_counts"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    assert "LeftAnti" in plan
+    C.assert_pushdown(plan, "s_acctbal")
+    C.assert_pushdown(plan, "p_size")
+    C.assert_scan_pruned(plan, "l_extendedprice")
+
+
+def test_q21_exists_pair_is_one_per_order_aggregate(spark):
+    """The EXISTS / NOT-EXISTS pair must compile to the per-order
+    aggregate join-back: exactly two lineitem scans in the WHOLE plan
+    (one reduced per order, one for the failed lines), never one per
+    outer row; top-10 via TakeOrderedAndProject."""
+    plan = C.formatted_plan(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    assert plan.count("lineitem.parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    C.assert_pushdown(plan, "l_returnflag")
+    C.assert_pushdown(plan, "o_orderstatus")
+
+
+def test_q20_semi_joins_and_reduced_window(spark):
+    """Nested INs compile to semi joins; the part filter pushes; the
+    share window runs over the reduced pair frame (the plan's window
+    sort keys are the pair-aggregate output, not raw lineitem)."""
+    plan = C.formatted_plan(
+        QUERIES["tpch_q20_promotion_suppliers"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    assert "LeftSemi" in plan
+    C.assert_pushdown(plan, "p_name")
+    C.assert_pushdown(plan, "l_shipdate")

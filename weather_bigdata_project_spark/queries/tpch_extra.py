@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..functions.exprs import cents, money, rnd
+from ..operators.textops import materialize
 from ..registry import query
 
 #: discounted price in exact integer ten-thousandths (sum-safe)
@@ -190,18 +191,20 @@ def tpch_q13_order_count_distribution(spark, sf_dir):
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: aggregate view + scalar-subquery MAX against the
-    view itself. The revenue view (one row per supplier) is computed once
-    and reused for both the MAX and the final filter via a 1-row
-    broadcast join — at 100 TB the lineitem scan happens exactly once.
-    Exact-cents revenue makes `= MAX(...)` safe (float equality against
-    an aggregate would be a correctness bug)."""
+    view itself. The revenue view (one row per supplier) is materialized
+    (lazy local checkpoint) because both the MAX branch and the final
+    filter consume it — Catalyst has no common-subplan sharing, so
+    without the pin the scalar branch would re-scan lineitem; with it
+    the fact is scanned exactly once at any scale. Exact-cents revenue
+    makes `= MAX(...)` safe (float equality against an aggregate would
+    be a correctness bug)."""
     li = tables.load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.expr("to_timestamp_ntz('1996-01-01 00:00:00')"))
         & (F.col("l_shipdate") < F.expr("to_timestamp_ntz('1996-04-01 00:00:00')"))
     )
     s = tables.load(spark, sf_dir, "supplier")
-    revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.expr(_DISC_TT)).alias("total_tt")
+    revenue = materialize(
+        li.groupBy("l_suppkey").agg(F.sum(F.expr(_DISC_TT)).alias("total_tt"))
     )
     best = revenue.agg(F.max("total_tt").alias("max_tt"))
     return (
