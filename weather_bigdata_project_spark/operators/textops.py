@@ -118,6 +118,38 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): DISTINCT 3-gram shingles per document as 60-bit
+    content hashes — the scale path for every shingle consumer.
+
+    Fully narrow: shingling, hashing, AND the per-document dedup all
+    happen inside the row (`array_distinct` on the transformed array),
+    so there is NO shuffle at all — versus :func:`doc_shingles` +
+    `.distinct()`, which shuffles the ~5x-exploded shingle STRINGS just
+    to deduplicate within each document. Downstream shuffles then carry
+    8-byte ints instead of shingle text. Hash = the portable 60-bit md5
+    prefix (`hashed_id_spark`), bit-equal to the oracle's
+    `hashed_id_duck` over the same strings; collision odds ~1e-8 at 1e5
+    distinct shingles, and the oracles keep using raw strings — equal
+    counts either way."""
+    d = spread_small_scan(
+        docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> " + hashed_id_spark("concat_ws(' ', slice(toks, i, 3))") + ")"
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array() "
+                f"ELSE array_distinct({grams}) END"
+            )
+        ).alias("sh"),
+    )
+
+
 def shingle_dict(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
 ) -> DataFrame:

@@ -108,14 +108,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # of two plus a join, and the doc-frequency skew cap (stopword
     # shingles would expand quadratically) becomes a free size() filter
     # on the gathered list instead of a separate counting join.
-    # Shingles collapse to 60-bit content hashes (8-byte shuffle keys;
-    # collision odds ~1e-8 at 1e5 distinct shingles — the oracle uses raw
+    # Shingle build is doc_shingle_ids: per-doc dedup + 60-bit hashing
+    # inside the row — zero shuffles before the pinned frame, and every
+    # downstream exchange carries 8-byte keys (the oracle uses raw
     # strings, same counts).
-    sh = T.materialize(
-        T.doc_shingles(spark, sf_dir).select(
-            "doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh")
-        )
-    )
+    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
@@ -190,9 +187,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) -> LSH(4 bands x 4): near-dup pairs with verified
     Jaccard >= 0.5. Candidates come from the band-signature equi-join —
     the O(n^2) pair space is never materialized. Affine hashes over
-    dictionary shingle ids are exact integers => oracle-portable."""
-    sh = T.materialize(T.doc_shingles(spark, sf_dir))
-    sh_id = F.expr(T.hashed_id_spark("shingle"))
+    content-hashed shingle ids are exact integers => oracle-portable.
+    Shingles arrive as 60-bit ids from the zero-shuffle doc_shingle_ids
+    builder; signature math, sizes, and the verification join all run
+    on 8-byte ints."""
+    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir))
+    sh_id = F.col("sh")
 
     # All 16 minhashes in ONE hash-aggregate: 16 min() columns over the
     # shingle rows. Map-side partial agg means the shuffle carries one
@@ -247,7 +247,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .join(
             y,
             (F.col("y.doc_id") == F.col("doc2"))
-            & (F.col("x.shingle") == F.col("y.shingle")),
+            & (F.col("x.sh") == F.col("y.sh")),
         )
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("c"))
