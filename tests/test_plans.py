@@ -250,16 +250,15 @@ def test_q16_anti_join_and_expand_distinct(spark):
 
 
 def test_q21_exists_pair_is_one_per_order_aggregate(spark):
-    """The EXISTS / NOT-EXISTS pair must compile to the per-order
-    aggregate join-back: exactly two lineitem scans in the WHOLE plan
-    (one reduced per order, one for the failed lines), never one per
-    outer row; top-10 via TakeOrderedAndProject."""
+    """The EXISTS / NOT-EXISTS pair must compile to ONE per-order
+    aggregate over ONE lineitem scan (collect_set/collect_list + array
+    logic), never a re-scan per outer row; top-10 via
+    TakeOrderedAndProject."""
     plan = C.formatted_plan(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_SMOKE))
     C.assert_no_python(plan)
     C.assert_no_nested_loop(plan)
-    assert plan.count("lineitem.parquet") == 2
+    assert plan.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in plan
-    C.assert_pushdown(plan, "l_returnflag")
     C.assert_pushdown(plan, "o_orderstatus")
 
 

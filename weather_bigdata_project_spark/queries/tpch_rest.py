@@ -420,40 +420,46 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape (returnflag 'R' stands in for the late-receipt
     columns the fixtures lack): the sole supplier whose lines failed on
     a multi-supplier finished order. The EXISTS / NOT-EXISTS pair over
-    the same fact is rewritten as ONE per-order aggregate — distinct
-    suppliers and distinct FAILED suppliers per order — joined back to
-    the failed lines: `n_suppliers > 1 AND n_failed = 1` is exactly
-    "another supplier exists, no other failed supplier exists". Lineitem
-    is scanned twice total (once reduced per order, once for l1 rows)
-    instead of twice PER ROW; both sides shuffle on l_orderkey, and AQE
-    sees the reduced per-order frame is small. Top-10 compiles to
-    TakeOrderedAndProject with s_name (unique in fixtures) as
-    tie-break."""
+    the same fact is rewritten as ONE per-order aggregate off ONE
+    lineitem scan: collect_set(supplier) and collect_list(failed
+    supplier) per order, then pure array logic — `n_suppliers > 1 AND
+    n_failed = 1` is exactly "another supplier exists, no other failed
+    supplier exists", the sole failed supplier is bad[0], and its line
+    count is size(bad). Lines-per-order is bounded (7 in TPC-H), so the
+    collected arrays are O(1) per key at any scale and partial
+    (map-side) aggregation still applies. One fact shuffle total; the
+    qualifying-order frame that joins orders and supplier afterward is
+    order-reduced. Top-10 compiles to TakeOrderedAndProject with
+    s_name (unique in fixtures) as tie-break."""
     li = tables.load(spark, sf_dir, "lineitem")
     o = tables.load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     s = tables.load(spark, sf_dir, "supplier")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_failed"),
-    )
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("supps"),
+            F.expr(
+                "collect_list(CASE WHEN l_returnflag = 'R' "
+                "THEN l_suppkey END)"
+            ).alias("bad"),
+        )
+        .filter(
+            (F.size("supps") > 1)
+            & (F.size(F.array_distinct("bad")) == 1)
+        )
+        .select(
+            "l_orderkey",
+            F.col("bad").getItem(0).alias("l_suppkey"),
+            F.size("bad").alias("n_bad_lines"),
+        )
     )
     return (
-        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("po_orderkey"))
-            & (F.col("n_suppliers") > 1)
-            & (F.col("n_failed") == 1),
-        )
+        qual.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_bad_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
