@@ -119,19 +119,23 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): DISTINCT 3-gram shingles per document as 60-bit
-    content hashes — the scale path for every shingle consumer.
+    """(doc_id, n_sh, sh): DISTINCT 3-gram shingles per document as
+    60-bit content hashes, plus the document's distinct-shingle count —
+    the scale path for every shingle consumer.
 
-    Fully narrow: shingling, hashing, AND the per-document dedup all
-    happen inside the row (`array_distinct` on the transformed array),
-    so there is NO shuffle at all — versus :func:`doc_shingles` +
-    `.distinct()`, which shuffles the ~5x-exploded shingle STRINGS just
-    to deduplicate within each document. Downstream shuffles then carry
-    8-byte ints instead of shingle text. Hash = the portable 60-bit md5
-    prefix (`hashed_id_spark`), bit-equal to the oracle's
-    `hashed_id_duck` over the same strings; collision odds ~1e-8 at 1e5
-    distinct shingles, and the oracles keep using raw strings — equal
-    counts either way."""
+    Fully narrow: shingling, hashing, the per-document dedup
+    (`array_distinct` on the transformed array), AND the per-doc size
+    all happen inside the row, so there is NO shuffle at all — versus
+    :func:`doc_shingles` + `.distinct()`, which shuffles the
+    ~5x-exploded shingle STRINGS just to deduplicate within each
+    document, plus a groupBy(doc_id) just to count them. Downstream
+    shuffles then carry 8-byte ints instead of shingle text, and
+    consumers that need Jaccard denominators read n_sh for free instead
+    of joining a sizes aggregate. Hash = the portable 60-bit md5 prefix
+    (`hashed_id_spark`), bit-equal to the oracle's `hashed_id_duck`
+    over the same strings; collision odds ~1e-8 at 1e5 distinct
+    shingles, and the oracles keep using raw strings — equal counts
+    either way."""
     d = spread_small_scan(
         docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
     ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -139,14 +143,18 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 2), "
         "i -> " + hashed_id_spark("concat_ws(' ', slice(toks, i, 3))") + ")"
     )
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) < 3 THEN array() "
-                f"ELSE array_distinct({grams}) END"
-            )
-        ).alias("sh"),
+    arr = f"CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct({grams}) END"
+    # Let-binding via a single-element transform: `a` holds the computed
+    # gram array, so the expensive md5 transform runs ONCE per document.
+    # (A plain two-step select collapses into one projection where both
+    # size() and explode() inline the full expression — measured 14x
+    # slower; higher-order exprs are interpreted, no codegen CSE.)
+    wrapped = (
+        f"transform(array({arr}), "
+        "a -> transform(a, x -> struct(size(a) AS n_sh, x AS sh)))[0]"
+    )
+    return d.select("doc_id", F.inline(F.expr(wrapped))).select(
+        "doc_id", "n_sh", "sh"
     )
 
 

@@ -108,35 +108,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # of two plus a join, and the doc-frequency skew cap (stopword
     # shingles would expand quadratically) becomes a free size() filter
     # on the gathered list instead of a separate counting join.
-    # Shingle build is doc_shingle_ids: per-doc dedup + 60-bit hashing
-    # inside the row — zero shuffles before the pinned frame, and every
-    # downstream exchange carries 8-byte keys (the oracle uses raw
-    # strings, same counts).
+    # Shingle build is doc_shingle_ids: per-doc dedup, 60-bit hashing,
+    # AND the per-doc size all inside the row — zero shuffles before
+    # the pinned frame, every downstream exchange carries 8-byte keys
+    # (the oracle uses raw strings, same counts). Because n_sh rides
+    # along with each shingle row, the Jaccard denominators travel
+    # THROUGH the pair expansion (two extra ints per pair) and the
+    # classic sizes-join pair (two more shuffles / broadcast builds) is
+    # gone: the plan is scan -> groupBy(sh) -> explode ->
+    # groupBy(pair) -> TakeOrdered. Struct collect_set sorts by
+    # doc_id (first field), so pairs stay doc1 < doc2.
     sh = T.materialize(T.doc_shingle_ids(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc1, y AS doc2))))"
+        "y -> struct(x.doc_id AS doc1, x.n_sh AS n1, "
+        "y.doc_id AS doc2, y.n_sh AS n2))))"
     )
-    common = (
+    return (
         sh.groupBy("sh")
-        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
+        .agg(
+            F.expr(
+                "sort_array(collect_set(struct(doc_id, n_sh)))"
+            ).alias("ds")
+        )
         .filter(F.expr("size(ds) BETWEEN 2 AND 100"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .groupBy(
+            F.col("p.doc1").alias("doc1"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.doc2").alias("doc2"),
+            F.col("p.n2").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    return (
-        common.join(s1, F.col("doc1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
         .select(
             "doc1",
             "doc2",
             F.expr(
-                rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
+                rnd("CAST(c AS DOUBLE) / (n1 + n2 - c)", 4)
             ).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "doc1", "doc2")
@@ -239,9 +248,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = sh.alias("x")
     y = sh.alias("y")
+    # n_sh rides along from doc_shingle_ids (constant per doc), so the
+    # Jaccard denominators come out of the SAME aggregate as the
+    # intersection count — no sizes aggregate, no post-joins.
     common = (
         cand.join(x, F.col("x.doc_id") == F.col("doc1"))
         .join(
@@ -250,15 +261,15 @@ def dedup_minhash_lsh(spark, sf_dir):
             & (F.col("x.sh") == F.col("y.sh")),
         )
         .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("x.n_sh")).alias("n1"),
+            F.max(F.col("y.n_sh")).alias("n2"),
+        )
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    jac = "CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)"
+    jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     return (
-        common.join(s1, F.col("doc1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
-        .filter(F.expr(f"{jac} >= 0.5e0"))
+        common.filter(F.expr(f"{jac} >= 0.5e0"))
         .select("doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard"))
     )
 
