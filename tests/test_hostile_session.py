@@ -20,6 +20,8 @@ PROBES = [
     "epoch_unit_heuristic",    # raw epoch arithmetic
     "events_moment_stats",     # hour(ts) second variable + ANSI sums
     "window_time_range_avg",   # timestampdiff epoch + RANGE frame
+    "events_pivot_daily_types",  # to_date(ts) day bucketing
+    "events_funnel_conversion",  # timestamp ordering comparisons
 ]
 
 

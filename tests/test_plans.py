@@ -274,3 +274,45 @@ def test_q20_semi_joins_and_reduced_window(spark):
     assert "LeftSemi" in plan
     C.assert_pushdown(plan, "p_name")
     C.assert_pushdown(plan, "l_shipdate")
+
+
+# --- reshape.py ---------------------------------------------------------------
+
+def test_pivot_two_phase_single_fact_exchange(spark):
+    """Pivot with an explicit value list: no distinct-discovery scan of
+    event_type (one events scan), and only the (day, type) aggregate's
+    exchange sees fact volume — the PivotFirst phase reshapes the
+    already-reduced frame."""
+    plan = C.formatted_plan(QUERIES["events_pivot_daily_types"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 2)
+    assert plan.count("events.parquet") == 1
+    C.assert_scan_pruned(plan, "props")
+    C.assert_scan_pruned(plan, "value")
+
+
+def test_unpivot_adds_no_shuffle(spark):
+    """unpivot/melt is an Expand over the pivot output: the whole
+    round trip adds NO exchange beyond the pivot's own."""
+    plan = C.formatted_plan(QUERIES["events_unpivot_daily_types"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 2)
+    assert "Expand" in plan
+
+
+def test_exact_percentiles_single_shuffle(spark):
+    plan = C.formatted_plan(QUERIES["events_exact_percentiles"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    C.assert_scan_pruned(plan, "props")
+    C.assert_scan_pruned(plan, "ts")
+
+
+def test_funnel_two_aggregates_no_self_join(spark):
+    """The funnel must be per-user conditional mins + a global count —
+    one events scan, never one join per stage."""
+    plan = C.formatted_plan(QUERIES["events_funnel_conversion"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_cartesian(plan)
+    assert plan.count("events.parquet") == 1
+    C.assert_max_shuffles(plan, 2)   # user agg + 1-row global agg

@@ -1,0 +1,176 @@
+"""Reshape + distribution operators over the events stream: pivot /
+unpivot (wide<->long), exact interpolated percentiles, and a funnel
+conversion — the dashboard shapes one step past the reference's
+group-by tables (ref:streamlit/app.py:333-360 computes only long-format
+per-city aggregates; a real dashboard pivots them wide and reads
+quantiles off distributions).
+
+Scale notes:
+- pivot with an EXPLICIT value list avoids the distinct-discovery scan
+  of the pivot column (never call pivot without values at scale). The
+  physical plan is two-phase: a partial-combined aggregate on
+  (key, pivot-value) — the only exchange that sees fact-row volume —
+  then the PivotFirst aggregate over that already-reduced frame;
+- unpivot/melt is a narrow Expand (rows x k, no shuffle);
+- exact percentiles need the whole group's values; fine per
+  low-cardinality group (5 event types). The 100 TB path for
+  high-cardinality groups is approx_percentile (t-digest sketch,
+  mergeable partials) — `weather_city_boxstats` shows that form;
+- the funnel is two hash aggregates (per-user conditional mins, then a
+  global conditional count) — never a self-join per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..registry import query
+
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- pivot: long -> wide ------------------------------------------------------
+@query(
+    "events_pivot_daily_types",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT CAST(ts AS DATE) AS day, "
+        + ", ".join(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+            for t in _TYPES
+        )
+        + " FROM events_t GROUP BY day"
+    ),
+)
+def events_pivot_daily_types(spark, sf_dir):
+    """Daily event counts pivoted wide, one column per event type. The
+    explicit value list means no distinct scan to discover columns (and
+    a statically known schema); the plan is the two-phase pivot — the
+    (day, type) aggregate carries the fact volume through ONE exchange,
+    the PivotFirst aggregate reshapes the day x 5 frame. Missing
+    (day, type) cells are 0, not null, to match the conditional-sum
+    oracle."""
+    ev = tables.load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _TYPES]
+    )
+
+
+# --- unpivot: wide -> long ----------------------------------------------------
+@query(
+    "events_unpivot_daily_types",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT CAST(ts AS DATE) AS day, event_type, "
+        "COUNT(*) AS n FROM events_t GROUP BY day, event_type"
+    ),
+)
+def events_unpivot_daily_types(spark, sf_dir):
+    """melt/unpivot: the wide daily pivot back to long form via
+    `DataFrame.unpivot` (an Expand — narrow, zero additional shuffle on
+    top of the pivot's aggregate). Zero cells are dropped to mirror the
+    long-form groupBy the oracle runs; the pivot->unpivot round trip is
+    exactly the long aggregate."""
+    wide = events_pivot_daily_types(spark, sf_dir)
+    return (
+        wide.unpivot("day", _TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("day", "event_type", "n")
+    )
+
+
+# --- exact interpolated percentiles -------------------------------------------
+_QS = [0.25, 0.5, 0.75, 0.95]
+_QNAMES = ["p25", "p50", "p75", "p95"]
+
+
+@query(
+    "events_exact_percentiles",
+    oracle=(
+        "SELECT event_type, "
+        + ", ".join(
+            rnd(f"quantile_cont(value, {q}e0)", 4) + f" AS {n}"
+            for q, n in zip(_QS, _QNAMES)
+        )
+        + " FROM events GROUP BY event_type"
+    ),
+)
+def events_exact_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles of value per event type
+    (Spark `percentile` == DuckDB `quantile_cont`: both index the sorted
+    run at (n-1)*q and interpolate). All four quantiles come from ONE
+    percentile(array(...)) aggregate — one sort per group, one shuffle.
+    Exact percentiles buffer the group's values; right here groups are
+    the 5 event types. At 100 TB / high-cardinality groups use
+    approx_percentile (mergeable t-digest partials, no buffering) —
+    `weather_city_boxstats` demonstrates that form. Output edges ride
+    rnd(4) so the interpolation's last-ulp noise can't flip the hash."""
+    ev = tables.load(spark, sf_dir, "events")
+    qarr = ", ".join(f"{q}e0" for q in _QS)
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qarr}))").alias("qs")
+    )
+    return agg.select(
+        "event_type",
+        *[
+            F.expr(rnd(f"qs[{i}]", 4)).alias(n)
+            for i, n in enumerate(_QNAMES)
+        ],
+    )
+
+
+# --- funnel conversion ---------------------------------------------------------
+@query(
+    "events_funnel_conversion",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "u AS (SELECT user_id, "
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view, "
+        "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click, "
+        "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy "
+        "FROM events_t GROUP BY user_id) "
+        "SELECT COUNT(*) AS n_users, "
+        "SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed, "
+        "SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS clicked_after_view, "
+        "SUM(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 ELSE 0 END) "
+        "AS full_funnel FROM u"
+    ),
+)
+def events_funnel_conversion(spark, sf_dir):
+    """view -> click -> purchase funnel: per-user first-touch times from
+    ONE conditional-min aggregate, then a 1-row conditional count. Two
+    hash aggregates, no self-joins (the naive funnel joins the event
+    table once per stage); NULL comparisons drop non-converting users in
+    both engines identically. At 100 TB the per-user frame is the only
+    shuffle and it is user-cardinality, not event-cardinality."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return u.agg(
+        F.count(one).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), one).otherwise(zero)).alias(
+            "viewed"
+        ),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), one).otherwise(zero)
+        ).alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                one,
+            ).otherwise(zero)
+        ).alias("full_funnel"),
+    )
