@@ -22,6 +22,8 @@ PROBES = [
     "window_time_range_avg",   # timestampdiff epoch + RANGE frame
     "events_pivot_daily_types",  # to_date(ts) day bucketing
     "events_funnel_conversion",  # timestamp ordering comparisons
+    "events_daily_gapfill",      # date sequence generation
+    "events_cohort_retention",   # datediff arithmetic
 ]
 
 

@@ -316,3 +316,31 @@ def test_funnel_two_aggregates_no_self_join(spark):
     C.assert_no_cartesian(plan)
     assert plan.count("events.parquet") == 1
     C.assert_max_shuffles(plan, 2)   # user agg + 1-row global agg
+
+
+# --- timeseries.py ------------------------------------------------------------
+
+def test_gapfill_spine_never_sees_fact_volume(spark):
+    """After the pinned daily aggregate, the spine build + left join run
+    on calendar-days x types rows: one exchange in the visible plan, no
+    re-scan of events."""
+    plan = C.formatted_plan(QUERIES["events_daily_gapfill"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    assert plan.count("events.parquet") == 0   # pinned daily frame only
+    C.assert_max_shuffles(plan, 1)
+
+
+def test_ffill_single_window_exchange(spark):
+    plan = C.formatted_plan(QUERIES["events_daily_value_ffill"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+
+
+def test_cohort_retention_user_cardinality(spark):
+    """All aggregates/joins run on the pinned distinct (user, day)
+    frame — no events re-scan, no cartesian."""
+    plan = C.formatted_plan(QUERIES["events_cohort_retention"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_cartesian(plan)
+    assert plan.count("events.parquet") == 0
+    C.assert_max_shuffles(plan, 3)
