@@ -198,43 +198,51 @@ def dedup_minhash_lsh(spark, sf_dir):
     the O(n^2) pair space is never materialized. Affine hashes over
     content-hashed shingle ids are exact integers => oracle-portable.
     Shingles arrive as 60-bit ids from the zero-shuffle doc_shingle_ids
-    builder; signature math, sizes, and the verification join all run
-    on 8-byte ints."""
-    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir))
+    builder; ONE hash-aggregate per doc carries the 16 signature mins,
+    the shingle count, AND the shingle array, so verification is a pure
+    array_intersect over doc-cardinality rows — the shingle frame is
+    never re-joined."""
+    sh = T.doc_shingle_ids(spark, sf_dir)
     sh_id = F.col("sh")
 
-    # All 16 minhashes in ONE hash-aggregate: 16 min() columns over the
-    # shingle rows. Map-side partial agg means the shuffle carries one
-    # 16-column row per (doc_id, partition) — vs. the naive
-    # crossJoin(params) plan that shuffles 16x the shingle count.
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * sh_id + F.lit(b)) % _P).alias(f"mh{j}")
-            for j, (a, b) in enumerate(_HASH_PARAMS, 1)
-        ]
+    # All 16 minhashes + the doc's shingle set in ONE hash-aggregate.
+    # Map-side partial agg folds the 16 min() columns before the
+    # exchange; collect_list carries each doc's (already row-distinct)
+    # shingle ids — array length is shingles-per-doc (bounded by doc
+    # length), so the shuffle moves the corpus once, same as any
+    # signature build, and everything downstream is doc-cardinality.
+    docsig = T.materialize(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * sh_id + F.lit(b)) % _P).alias(f"mh{j}")
+                for j, (a, b) in enumerate(_HASH_PARAMS, 1)
+            ],
+            F.first("n_sh").alias("n_sh"),
+            F.collect_list("sh").alias("shs"),
+        )
     )
     rpb = _K // _BANDS
-    bands = T.materialize(
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("band"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{k * rpb + r}").cast("string")
-                                    for r in range(1, rpb + 1)
-                                ],
-                            ).alias("band_sig"),
-                        )
-                        for k in range(_BANDS)
-                    ]
-                )
-            ).alias("bs"),
-        ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    bands = docsig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{k * rpb + r}").cast("string")
+                                for r in range(1, rpb + 1)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for k in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -248,28 +256,30 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    x = sh.alias("x")
-    y = sh.alias("y")
-    # n_sh rides along from doc_shingle_ids (constant per doc), so the
-    # Jaccard denominators come out of the SAME aggregate as the
-    # intersection count — no sizes aggregate, no post-joins.
-    common = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc1"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc2"))
-            & (F.col("x.sh") == F.col("y.sh")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.max(F.col("x.n_sh")).alias("n1"),
-            F.max(F.col("y.n_sh")).alias("n2"),
+    d1 = docsig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("n_sh").alias("n1"),
+        F.col("shs").alias("shs1"),
+    )
+    d2 = docsig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("n_sh").alias("n2"),
+        F.col("shs").alias("shs2"),
+    )
+    verified = (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("c"),
+            "n1",
+            "n2",
         )
     )
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     return (
-        common.filter(F.expr(f"{jac} >= 0.5e0"))
+        verified.filter(F.expr(f"{jac} >= 0.5e0"))
         .select("doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard"))
     )
 
