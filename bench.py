@@ -36,6 +36,11 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "events_moment_stats",
+    "events_pivot_daily_types",
+    "events_exact_percentiles",
+    "events_funnel_conversion",
+    "events_daily_gapfill",
+    "events_cohort_retention",
     "events_json_extract",
     "text_fingerprint",
     "dedup_ngram_jaccard",
