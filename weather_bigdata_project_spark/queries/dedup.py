@@ -474,38 +474,67 @@ _SIMHASH_BITS = 16
     ),
 )
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash near-dup pairs (Hamming <= 3). Signature build is
-    two hash-aggs; the brute pair join is corpus-sized here — the 100 TB
-    path blocks on 4-bit signature chunks (pigeonhole: distance<=3 pairs
-    share a chunk) turning it into an equi-join, like the LSH operator."""
+    """16-bit SimHash near-dup pairs (Hamming <= 3), found via 4-bit
+    BLOCK BANDING, not a brute pair join: a pair at distance <= 3
+    differs in at most 3 of the 4 signature blocks, so (pigeonhole) it
+    shares at least one block — candidates are an equi-join on
+    (block#, block value), exactly the LSH trick, with the exact
+    Hamming check as the verifier. Output is provably identical to the
+    all-pairs join the oracle runs. Signature build is ONE hash
+    aggregate carrying all 16 bit-sums (conditional +/-1 columns; the
+    16x bit crossJoin of the textbook build never happens). At 100 TB:
+    widen to a 64-bit signature with 4x16-bit blocks so each band has
+    65k buckets (4-bit blocks only split 16 ways — fine here, too
+    coarse there); the plan shape is unchanged."""
     toks = T.tokens(spark, sf_dir)
     d = T.token_dict(spark, sf_dir, toks=toks)
     tokhash = toks.join(F.broadcast(d), "tok").select(
         "doc_id", ((F.col("tok_id") * 2654435761) % 1048573).alias("h")
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    bitsum = (
-        tokhash.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1 = 1"), 1).otherwise(-1)
-            ).alias("s")
-        )
+    bitsums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    simhash_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    sim = T.materialize(
+        tokhash.groupBy("doc_id")
+        .agg(*bitsums)
+        .select("doc_id", simhash_expr.alias("simhash"))
     )
-    sim = bitsum.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
-            "simhash"
-        )
-    )
-    a = sim.alias("a")
-    b = sim.alias("b")
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.expr(f"(simhash >> {4 * k}) & 15").alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("doc_id", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.bv").alias("bv"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
