@@ -1,95 +1,131 @@
-"""Property-based tests (hypothesis): the enrichment formulas evaluated
-by Catalyst must equal an INDEPENDENT pure-Python implementation of the
-reference semantics (ref:spark-apps/weather_streaming.py:81-142) on
-arbitrary inputs — not just the fixture value ranges."""
+"""Property-based tests (hypothesis): the cross-engine float doctrine
+and the optimized shingle builder, checked on adversarial random inputs
+rather than the fixed fixtures.
+
+These guard the two places a refactor can silently break parity:
+- `exprs.rnd` / `exprs.cents` must stay bit-identical between Spark and
+  DuckDB, INCLUDING the .xx5 tie boundaries that made the naive
+  ROUND(x, k) diverge (see functions/exprs.py);
+- `textops.doc_shingle_ids` (narrow array_distinct + let-bound hashing)
+  must emit exactly the same (doc_id, shingle-hash) set and per-doc
+  counts as the straightforward explode + global-distinct formulation
+  it replaced for speed.
+"""
 
 from __future__ import annotations
 
-import math
-from decimal import ROUND_HALF_UP, Decimal
+import os
+import tempfile
 
+import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
-from weather_bigdata_project_spark import weather_domain as wd
+from weather_bigdata_project_spark.functions.exprs import cents, money, rnd
+from weather_bigdata_project_spark.operators import textops as T
 
-# --- pure-Python reference semantics --------------------------------------
-
-
-def _round_half_up(x: float) -> int:
-    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
-
-
-def py_dew_point(t: int, h: int) -> int:
-    return _round_half_up(t - ((100 - h) / 5.0))
-
-
-def py_heat_index(t: int, h: int, w: float) -> int:
-    if t >= 27:
-        return _round_half_up(t + 0.33 * h - 0.70 * w - 4.00)
-    return t
-
-
-def py_wind_chill(t: int, w: float) -> int:
-    if t <= 10 and w > 4.8:
-        return _round_half_up(
-            13.12 + 0.6215 * t - 11.37 * math.pow(w, 0.16)
-            + 0.3965 * t * math.pow(w, 0.16)
-        )
-    return t
-
-
-def py_comfort(t: int, h: int) -> str:
-    if 18 <= t <= 24 and 30 <= h <= 60:
-        return "Comfortable"
-    if t > 30:
-        return "Very Hot"
-    if t < 10:
-        return "Cold"
-    if h > 80:
-        return "Humid"
-    return "Moderate"
-
-
-def py_alert(t: int, w: float, p: int) -> str:
-    if t > 40 or t < 0:
-        return "EXTREME_TEMPERATURE"
-    if w > 50:
-        return "HIGH_WIND"
-    if p < 980 or p > 1040:
-        return "PRESSURE_ANOMALY"
-    return "NORMAL"
-
-
-ROWS = st.lists(
-    st.tuples(
-        st.integers(min_value=-40, max_value=60),      # temperature
-        st.integers(min_value=0, max_value=100),       # humidity
-        st.integers(min_value=900, max_value=1100),    # pressure
-        # one-decimal wind keeps float repr exact in both engines
-        st.integers(min_value=0, max_value=700).map(lambda x: x / 10.0),
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-@settings(
-    max_examples=12,
+_SETTINGS = dict(
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=ROWS)
-def test_enrichment_matches_python_reference(spark, rows):
-    df = spark.createDataFrame(
-        [(t, h, p, w, "clear sky") for t, h, p, w in rows],
-        "temperature INT, humidity INT, pressure INT, "
-        "wind_speed_num DOUBLE, weather_description STRING",
+
+# values with 4 decimals hit the rnd(x, 2) tie boundary (.xx5) often
+_vals = st.lists(
+    st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+        lambda i: i / 10_000.0
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_rnd_parity_spark_duckdb(spark, xs):
+    """rnd(x, 2) must agree bit-for-bit across engines on arbitrary
+    4-decimal doubles (the .xx5 boundaries are the hazard)."""
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r[0] for r in df.selectExpr(f"{rnd('x', 2)} AS r").collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {rnd('x', 2)} FROM (SELECT ? AS x)", [x]).fetchone()[0]
+        for x in xs
+    ]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_cents_sum_is_partition_order_insensitive(spark, xs):
+    """Summing exact cents then dividing once must equal the Decimal
+    ground truth regardless of partitioning — the reason no shared
+    snippet ever sums raw doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    xs2 = [round(x, 2) for x in xs]
+    truth = float(
+        sum(
+            Decimal(str(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            for x in xs2
+        )
     )
-    got = wd.enrich(df).collect()
-    for r, (t, h, p, w) in zip(got, rows):
-        assert r.dew_point == py_dew_point(t, h), (t, h)
-        assert r.heat_index == py_heat_index(t, h, w), (t, h, w)
-        assert r.wind_chill == py_wind_chill(t, w), (t, w)
-        assert r.comfort_level == py_comfort(t, h), (t, h)
-        assert r.alert_type == py_alert(t, w, p), (t, w, p)
+    df = spark.createDataFrame([(x,) for x in xs2], "x double").repartition(7)
+    sum_expr = money("SUM(" + cents("x") + ")")
+    got = df.selectExpr(f"{sum_expr} AS s").collect()[0][0]
+    assert got == pytest.approx(truth, abs=1e-9)
+
+
+# words from a tiny alphabet force heavy shingle overlap across docs
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_doc_shingle_ids_matches_naive_builder(spark, texts):
+    """The fused narrow builder (array_distinct + let-bound hash + n_sh)
+    must emit exactly the naive explode->distinct->hash result, doc by
+    doc, on arbitrary corpora (empty docs, <3-token docs, full-dup
+    docs included)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+        fused = T.doc_shingle_ids(spark, tmp)
+        got = {
+            (r.doc_id, r.sh): r.n_sh for r in fused.collect()
+        }
+        naive = (
+            T.docs(spark, tmp)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+                        "ELSE transform(sequence(1, size(split(text, ' ')) - 2), "
+                        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
+                    )
+                ).alias("shingle"),
+            )
+            .distinct()
+            .select("doc_id", F.expr(T.hashed_id_spark("shingle")).alias("sh"))
+        )
+        want_rows = naive.collect()
+        want = {(r.doc_id, r.sh) for r in want_rows}
+        want_counts: dict[int, int] = {}
+        for r in want_rows:
+            want_counts[r.doc_id] = want_counts.get(r.doc_id, 0) + 1
+
+        assert set(got) == want
+        for (doc_id, _), n_sh in got.items():
+            assert n_sh == want_counts[doc_id]
