@@ -327,29 +327,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     LSH candidates. Candidate generation is the sign-random-projection
     bucket equi-join (8 hyperplanes -> 8-bit bucket; cosine-close vectors
     land in the same bucket with high probability) — the O(n^2) pair
-    space is never formed. Verification is the exact cosine over the two
-    arrays, JVM-side via zip_with + aggregate. At 100 TB: multi-probe
-    (flip one plane bit) for recall, band into several independent bucket
-    sets exactly like MinHash bands."""
+    space is never formed. Buckets are computed narrowly inside the row
+    (similarity.sign_bucket_sql — no posexplode/crossJoin/aggregate
+    build). Verification is the exact cosine over the two arrays,
+    JVM-side via zip_with + aggregate. At 100 TB: multi-probe (flip one
+    plane bit) for recall, band into several independent bucket sets
+    exactly like MinHash bands."""
     from .. import tables
+    from .similarity import sign_bucket_sql
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    z = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "xf")
-    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
-    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("j"))
-    proj = (
-        z.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.expr(_W_SQL)).alias("dot"))
-    )
-    bk = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0.0, F.expr("shiftleft(1, j)")).otherwise(0)
-        ).alias("bucket")
-    )
     withb = T.materialize(
-        emb.select("vec_id", "embedding").join(bk, "vec_id")
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
+        )
     )
     a = withb.alias("a")
     b = withb.alias("b")

@@ -83,6 +83,29 @@ _W_SQL = (
 )
 
 
+def sign_bucket_sql(nplanes: int) -> str:
+    """Narrow SQL expression: the sign-random-projection bucket of the
+    `embedding` array column, computed entirely inside the row — one
+    HOF fold per hyperplane, no posexplode, no plane crossJoin, no
+    aggregate. Each fold is a strict left-to-right sum in index order,
+    bit-identical to the oracle's SUM over unnest order (a float
+    aggregate over shuffled rows would not be). Per-plane j is inlined
+    as a literal, so each dot expression appears exactly once (see the
+    let-binding hazard note in textops.doc_shingle_ids)."""
+    terms = []
+    for j in range(nplanes):
+        w = (
+            f"(CAST((({j} * 73 + d * 37) * 2654435761) % 1000003 AS DOUBLE)"
+            " / 1000003.0e0 - 0.5e0)"
+        )
+        dot = (
+            "aggregate(transform(embedding, (x, d) -> "
+            f"CAST(x AS DOUBLE) * {w}), 0.0e0, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0.0e0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 @query(
     "embed_lsh_buckets",
     oracle=(
@@ -99,23 +122,15 @@ _W_SQL = (
 )
 def embed_lsh_buckets(spark, sf_dir):
     """Sign-random-projection LSH: 8 hyperplanes -> 8-bit bucket per
-    vector. Bucket histogram returned; candidate retrieval at scale is an
-    equi-join on bucket. Hyperplanes are exact-rational arithmetic (no RNG
-    at runtime, reproducible across engines and runs)."""
+    vector, computed NARROWLY inside the row (sign_bucket_sql: one HOF
+    fold per plane — the posexplode + plane-crossJoin + two-aggregate
+    textbook build shuffles dim x planes x rows; this shuffles nothing
+    until the final histogram). Candidate retrieval at scale is an
+    equi-join on bucket. Hyperplanes are exact-rational arithmetic (no
+    RNG at runtime, reproducible across engines and runs)."""
     emb = _emb(spark, sf_dir)
-    z = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "xf")
-    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
-    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("j"))
-    proj = (
-        z.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.expr(_W_SQL)).alias("dot"))
-    )
-    b = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0.0, F.expr("shiftleft(1, j)")).otherwise(0)
-        ).alias("bucket")
+    b = emb.select(
+        "vec_id", F.expr(sign_bucket_sql(_NPLANES)).alias("bucket")
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec")
