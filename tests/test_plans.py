@@ -344,3 +344,29 @@ def test_cohort_retention_user_cardinality(spark):
     C.assert_no_cartesian(plan)
     assert plan.count("events.parquet") == 0
     C.assert_max_shuffles(plan, 3)
+
+
+# --- warehouse.py -------------------------------------------------------------
+
+def test_scd2_no_self_join(spark):
+    """SCD2 must be aggregate + window (2 exchanges, 1 scan) — never the
+    history-against-itself self-join formulation."""
+    plan = C.formatted_plan(
+        QUERIES["scd2_customer_value_history"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_cartesian(plan)
+    assert plan.count("orders.parquet") == 1
+    C.assert_max_shuffles(plan, 2)
+    C.assert_scan_pruned(plan, "o_orderpriority")
+
+
+def test_profile_single_pass(spark):
+    """The column profile is ONE aggregate over ONE scan; the Expand is
+    the count-distinct pair, not a second pass."""
+    plan = C.formatted_plan(QUERIES["profile_lineitem_columns"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    assert plan.count("lineitem.parquet") == 1
+    C.assert_max_shuffles(plan, 2)
+    C.assert_scan_pruned(plan, "l_tax")
+    C.assert_scan_pruned(plan, "l_discount")

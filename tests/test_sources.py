@@ -210,3 +210,24 @@ def test_compaction_shrinks_files_keeps_rows(spark, tmp_path):
     got = spark.read.parquet(lake)
     assert got.count() == src.count()
     assert got.subtract(src).count() == 0 and src.subtract(got).count() == 0
+
+
+def test_lake_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: files written before a column existed
+    read back with that column as null when merge_schema=True (and the
+    new column is invisible under the default single-footer read)."""
+    from weather_bigdata_project_spark.sources.readers import read_parquet_lake
+
+    lake = str(tmp_path / "lake")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(lake)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(lake)
+
+    merged = read_parquet_lake(spark, lake, merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 9.5 and rows[1] is None and rows[2] is None
+    assert merged.count() == 3

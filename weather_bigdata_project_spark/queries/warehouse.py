@@ -1,0 +1,110 @@
+"""Warehouse-maintenance operators: SCD2 history derivation and
+single-pass column profiling.
+
+The reference has no notion of dimension history or data profiling —
+its dashboard re-reads the whole lake and trusts the columns it finds
+(ref:streamlit/app.py:243-245 guards column EXISTENCE, nothing else).
+These add the two shapes every lake team builds next: a slowly-changing
+history (validity intervals derived from an event stream) and a
+one-pass data-quality profile.
+
+Scale notes:
+- SCD2 is one reduced aggregate + one window: validity intervals come
+  from lead() over the per-key change dates — never a self-join of the
+  history against itself;
+- the profile is ONE aggregate row over ONE scan: every statistic
+  (counts, null counts, distincts, bounds) folds map-side; the exact
+  count-distincts add Expand rows proportional to the distinct counts,
+  not the fact rows. At 100 TB swap exact distinct for
+  approx_count_distinct per column — same single-pass plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import cents, money
+from ..registry import query
+
+
+@query(
+    "scd2_customer_value_history",
+    oracle=(
+        "WITH d AS (SELECT o_custkey, o_orderdate, "
+        f"SUM({cents('o_totalprice')}) AS day_c, COUNT(*) AS day_orders "
+        "FROM orders GROUP BY o_custkey, o_orderdate) "
+        "SELECT o_custkey, o_orderdate AS valid_from, "
+        "LEAD(o_orderdate) OVER w AS valid_to, "
+        f"{money('SUM(day_c) OVER w')} AS cum_value, "
+        "CAST(SUM(day_orders) OVER w AS BIGINT) AS cum_orders "
+        "FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+)
+def scd2_customer_value_history(spark, sf_dir):
+    """SCD2 (type-2 slowly-changing) history of each customer's
+    cumulative order value: one row per change day with
+    [valid_from, valid_to) interval, open-ended (null valid_to) for the
+    current state. Built as ONE per-(key, day) aggregate + ONE window
+    (lead for the interval end, running sums for the state) — the
+    classic self-join formulation of SCD2 never appears, and the window
+    runs over change-cardinality rows, not order-cardinality. Sums ride
+    exact cents through the running frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    d = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.expr(cents("o_totalprice"))).alias("day_c"),
+        F.count(F.lit(1)).alias("day_orders"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.expr(money("SUM(day_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")).alias("cum_value"),
+        F.sum("day_orders").over(wrun).cast("bigint").alias("cum_orders"),
+    )
+
+
+@query(
+    "profile_lineitem_columns",
+    oracle=(
+        "SELECT COUNT(*) AS n_rows, "
+        "SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag, "
+        "SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity, "
+        "COUNT(DISTINCT l_returnflag) AS distinct_returnflag, "
+        "COUNT(DISTINCT l_linestatus) AS distinct_linestatus, "
+        "MIN(l_quantity) AS min_quantity, MAX(l_quantity) AS max_quantity, "
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, "
+        "MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate "
+        "FROM lineitem"
+    ),
+)
+def profile_lineitem_columns(spark, sf_dir):
+    """One-pass data-quality profile of the fact table: row count, null
+    counts, exact distinct cardinalities, and value bounds — ONE
+    aggregate over ONE scan (min/max/null-count fold map-side; the two
+    count-distincts expand by their distinct cardinality, not fact
+    rows). Bounds are raw values (no cross-row float sums, so no parity
+    hazard). At 100 TB swap exact distincts for approx_count_distinct —
+    the plan shape is unchanged and the sketch merges map-side."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+        ).alias("null_returnflag"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_quantity"
+        ),
+        F.countDistinct("l_returnflag").alias("distinct_returnflag"),
+        F.countDistinct("l_linestatus").alias("distinct_linestatus"),
+        F.min("l_quantity").alias("min_quantity"),
+        F.max("l_quantity").alias("max_quantity"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )

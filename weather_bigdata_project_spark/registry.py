@@ -54,6 +54,7 @@ def load() -> None:
     from .queries import stats  # noqa: F401
     from .queries import reshape  # noqa: F401
     from .queries import timeseries  # noqa: F401
+    from .queries import warehouse  # noqa: F401
     from .queries import dedup  # noqa: F401
     from .queries import similarity  # noqa: F401
     from .queries import text  # noqa: F401

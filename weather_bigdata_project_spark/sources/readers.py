@@ -34,9 +34,20 @@ def read_json_lake(
     )
 
 
-def read_parquet_lake(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_lake(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet lake scan. `merge_schema=True` reconciles files written
+    under EVOLVED schemas (columns added over the lake's lifetime):
+    Spark unions the footers' schemas and old files surface the new
+    columns as nulls — the standard additive-evolution contract. Leave
+    it False on stable lakes: merging reads every file footer up front
+    (at 100 TB that is a real listing cost), while the default trusts a
+    single footer."""
     tune(spark)
-    return spark.read.parquet(path)
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        path
+    )
 
 
 def write_export_csv(df: DataFrame, path: str) -> None:
