@@ -54,10 +54,21 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional focused run: SPARK_GRAFT_QUERIES="tpch_q1_...,tpch_q3_..."
+    # (or "tpch" to run every registered tpch_* query)
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
     from weather_bigdata_project_spark.session import get_spark
     from weather_bigdata_project_spark import registry
 
     registry.load()
+    headline = HEADLINE
+    if subset:
+        if subset.strip() == "tpch":
+            headline = sorted(
+                n for n in registry.QUERIES if n.startswith("tpch_")
+            )
+        else:
+            headline = [n.strip() for n in subset.split(",") if n.strip()]
 
     spark = get_spark("bench")
     # Warm-up: run every headline query once at sf0.001 (trivial data) so
@@ -67,7 +78,7 @@ def main() -> None:
     spark.range(1000).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -75,7 +86,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.QUERIES[name]
         # best of 2 measured runs: reports steady-state throughput, damps
         # GC/compilation jitter (both runs execute the full plan)
