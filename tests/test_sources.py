@@ -231,3 +231,27 @@ def test_lake_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[3] == 9.5 and rows[1] is None and rows[2] is None
     assert merged.count() == 3
+
+
+def test_expire_lake_partitions(spark, tmp_path):
+    """Retention drops exactly the partitions below the cutoff, without
+    touching surviving data."""
+    from weather_bigdata_project_spark.sources.readers import (
+        expire_lake_partitions,
+        write_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(d)],
+        "id long, day string",
+    )
+    write_parquet(df, lake, partition_by=["day"])
+    removed = expire_lake_partitions(lake, "day", "2024-01-03")
+    assert removed == 2
+    left = spark.read.parquet(lake)
+    # partition values are type-inferred (strings -> dates) on read
+    assert set(
+        str(r.day) for r in left.select("day").distinct().collect()
+    ) == {"2024-01-03", "2024-01-04"}
+    assert left.count() == 3 + 4

@@ -374,3 +374,38 @@ def test_stream_static_join_enriches_every_event(spark, events_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_sliding_windows_match_batch(spark, events_dir):
+    """Sliding-window stream (30m window / 15m slide) under availableNow:
+    every emitted window must match the oracle-checked batch twin
+    events_sliding_window; append mode withholds only the watermark
+    tail."""
+    import tempfile
+    from weather_bigdata_project_spark.registry import QUERIES
+
+    out = tempfile.mkdtemp(prefix="slide_out_")
+    ckpt = tempfile.mkdtemp(prefix="slide_ckpt_")
+    try:
+        stream = jobs.events_file_stream(spark, events_dir)
+        win = jobs.sliding_event_counts_stream(stream, watermark="2 hours")
+        q = (
+            win.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        batch = QUERIES["events_sliding_window"](spark, SF_SMOKE)
+        assert got.subtract(batch).count() == 0
+        # withheld tail: windows whose end is within watermark+window of
+        # max event time — at most (2h/15m + 2) starts per event type
+        assert got.count() >= batch.count() - (8 + 2) * 5
+        assert got.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

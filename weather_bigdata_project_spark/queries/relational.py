@@ -601,6 +601,52 @@ def events_hourly_window(spark, sf_dir):
     )
 
 
+# --- sliding (overlapping) event-time windows ------------------------------
+@query(
+    "events_sliding_window",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "w AS (SELECT event_type, value, "
+        "unnest([time_bucket(INTERVAL '15 minutes', ts), "
+        "time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes']) "
+        "AS window_start FROM events_t) "
+        "SELECT window_start, event_type, COUNT(*) AS n, "
+        "(CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS DOUBLE) "
+        "/ 100.0e0) AS total_value "
+        "FROM w GROUP BY window_start, event_type"
+    ),
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding 30-minute windows every 15 minutes (each event lands in
+    width/slide = 2 windows) — T5's third window type alongside tumbling
+    and session. `F.window(ts, 30m, 15m)` expands rows by exactly 2
+    BEFORE the partial aggregate, so the shuffle carries 2x the group
+    partials, not 2x the events; the same groupBy runs under a watermark
+    on the stream. The oracle unnests the two epoch-aligned bucket
+    starts per event (both grids are midnight-aligned, so Spark's
+    epoch-origin windows equal DuckDB's time_bucket grid)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "30 minutes", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "(CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) "
+                "AS DOUBLE) / 100.0e0)"
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # --- sketch aggregate: approx distinct users per event_type ---------------
 @query("events_approx_distinct_users")  # no SQL oracle: HLL++ is
 # engine-specific (Spark relativeSD=0.02 vs DuckDB's own sketch);

@@ -195,3 +195,30 @@ def compact_parquet_lake(
     return sum(
         1 for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")
     )
+
+
+def expire_lake_partitions(path: str, partition_col: str, cutoff: str) -> int:
+    """Retention for a hive-partitioned lake: drop every partition
+    directory whose value sorts strictly below `cutoff` (ISO dates
+    compare correctly as strings). Returns the number of partitions
+    removed.
+
+    Pure driver-side directory removal — zero data is read or
+    rewritten, so cost is O(partitions dropped), never O(lake). This is
+    the partition-layout payoff the reference's flat JSON lake could
+    not have: expiring old data there means listing and deleting
+    O(files-in-lake) objects (ref:streamlit/app.py:53-57 lists the
+    whole bucket on every dashboard load). On an object store, swap the
+    rmtree for a prefix delete."""
+    import os
+    import shutil
+
+    removed = 0
+    prefix = partition_col + "="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        if entry[len(prefix):] < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            removed += 1
+    return removed

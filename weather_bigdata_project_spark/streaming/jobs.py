@@ -267,6 +267,42 @@ def events_file_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def sliding_event_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """T5's third window type, streaming: sliding 30-minute windows
+    every 15 minutes per event_type (each event lands in exactly 2
+    overlapping windows — `F.window(ts, 30m, 15m)` expands before the
+    partial aggregate, so state is per-(window, type), not per-event).
+    The watermark closes windows 2 h behind max event time; append mode
+    emits each window once, final. Batch twin with DuckDB oracle:
+    queries/relational.py `events_sliding_window`."""
+    return (
+        events.select(
+            F.col("ts").cast("timestamp").alias("event_ts"),
+            "event_type",
+            "value",
+        )
+        .withWatermark("event_ts", watermark)
+        .groupBy(
+            F.window("event_ts", "30 minutes", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")
+            ).alias("total_c"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("total_c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
 def interval_join_clicks_purchases(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
