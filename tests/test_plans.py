@@ -370,3 +370,17 @@ def test_profile_single_pass(spark):
     C.assert_max_shuffles(plan, 2)
     C.assert_scan_pruned(plan, "l_tax")
     C.assert_scan_pruned(plan, "l_discount")
+
+
+def test_point_in_time_join_is_union_window(spark):
+    """The temporal lookup must be the as-of union+window shape — no
+    interval-predicate nested-loop join, one orders scan, one events
+    scan."""
+    plan = C.formatted_plan(
+        QUERIES["join_point_in_time_customer_value"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("events.parquet") == 1
+    C.assert_pushdown(plan, "event_type")

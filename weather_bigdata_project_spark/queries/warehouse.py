@@ -68,6 +68,82 @@ def scd2_customer_value_history(spark, sf_dir):
     )
 
 
+_SCD2_ORACLE_CTE = (
+    "d AS (SELECT o_custkey, o_orderdate, "
+    f"SUM({cents('o_totalprice')}) AS day_c, COUNT(*) AS day_orders "
+    "FROM orders GROUP BY o_custkey, o_orderdate), "
+    "h AS (SELECT o_custkey, o_orderdate AS valid_from, "
+    "LEAD(o_orderdate) OVER w AS valid_to, "
+    f"{money('SUM(day_c) OVER w')} AS cum_value, "
+    "CAST(SUM(day_orders) OVER w AS BIGINT) AS cum_orders "
+    "FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+)
+
+
+@query(
+    "join_point_in_time_customer_value",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _SCD2_ORACLE_CTE + ", "
+        "e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day "
+        "FROM events_t WHERE event_type = 'purchase') "
+        "SELECT e.event_id, e.user_id, e.day, h.cum_value, h.cum_orders "
+        "FROM e LEFT JOIN h ON h.o_custkey = e.user_id "
+        "AND e.day >= CAST(h.valid_from AS DATE) "
+        "AND (h.valid_to IS NULL OR e.day < CAST(h.valid_to AS DATE))"
+    ),
+)
+def join_point_in_time_customer_value(spark, sf_dir):
+    """Point-in-time (temporal) join: each purchase event reads the
+    customer's order-value state AS OF its event day from the SCD2
+    history — the feature-store lookup that prevents training-data
+    leakage (never read a future state). The oracle joins by interval
+    containment; the Spark plan is the as-of union+window shape: ONE
+    exchange on the key, one partition-local sort on (date, side) with
+    history rows before events at ties (a change on the event's own day
+    is visible), then last(ignorenulls) carries the state forward.
+    Because SCD2 intervals tile contiguously per key, carry-forward ≡
+    interval containment — and no pair blowup exists at any scale."""
+    hist = scd2_customer_value_history(spark, sf_dir)
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    h = hist.select(
+        F.col("o_custkey").alias("key"),
+        F.to_date("valid_from").alias("d"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "cum_value",
+        "cum_orders",
+    )
+    e = ev.select(
+        F.col("user_id").alias("key"),
+        F.to_date("ts").alias("d"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("double").alias("cum_value"),
+        F.lit(None).cast("bigint").alias("cum_orders"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("d", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        h.unionByName(e)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("d").alias("day"),
+            "side",
+            F.last("cum_value", ignorenulls=True).over(w).alias("cum_value"),
+            F.last("cum_orders", ignorenulls=True).over(w).alias("cum_orders"),
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
 @query(
     "profile_lineitem_columns",
     oracle=(
