@@ -41,6 +41,10 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_daily_gapfill",
     "events_cohort_retention",
+    "events_sliding_window",
+    "scd2_customer_value_history",
+    "join_point_in_time_customer_value",
+    "profile_lineitem_columns",
     "events_json_extract",
     "text_fingerprint",
     "dedup_ngram_jaccard",

@@ -142,6 +142,42 @@ def weather_temp_histogram(spark, sf_dir):
     )
 
 
+# --- A7+: 2-D density heatmap (temp x humidity) ---------------------------
+@query(
+    "weather_temp_humidity_heatmap",
+    oracle=_oracle(
+        "SELECT CAST(FLOOR(CAST(temperature AS DOUBLE) / 5.0e0) AS INTEGER) "
+        "AS t_bin, "
+        "CAST(FLOOR(CAST(humidity AS DOUBLE) / 10.0e0) AS INTEGER) AS h_bin, "
+        "COUNT(*) AS n FROM enriched "
+        "WHERE temperature IS NOT NULL AND humidity IS NOT NULL "
+        "GROUP BY t_bin, h_bin"
+    ),
+)
+def weather_temp_humidity_heatmap(spark, sf_dir):
+    """2-D density heatmap: fixed-width bins (5 °C x 10 %RH) over two
+    integer-valued columns — the declarative form of a plotly
+    density_heatmap. Fixed widths need no bounds pass (unlike the
+    min/max-scaled 1-D histogram), so the whole plan is one narrow
+    projection + one grouped count; FLOOR over doubles keeps negative
+    temperatures binning identically in both engines."""
+    df = _enr(spark, sf_dir)
+    return (
+        df.filter(
+            F.col("temperature").isNotNull() & F.col("humidity").isNotNull()
+        )
+        .groupBy(
+            F.floor(F.col("temperature").cast("double") / 5.0)
+            .cast("integer")
+            .alias("t_bin"),
+            F.floor(F.col("humidity").cast("double") / 10.0)
+            .cast("integer")
+            .alias("h_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- A8: per-city box-plot stats (ref:streamlit/app.py:317-327) -----------
 @query(
     "weather_city_boxstats",
