@@ -1,0 +1,63 @@
+"""Meta-tests of the correctness gate itself (tools/check_oracle.py):
+the compare() routine must actually catch each mismatch class — a gate
+that silently passes wrong results is worse than no gate."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import canon_value, compare  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def test_compare_passes_on_identical(spark, con):
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert compare("t", sdf, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, s)", con) == []
+
+
+def test_compare_is_order_and_column_order_insensitive(spark, con):
+    sdf = spark.createDataFrame([(2, "b"), (1, "a")], "id long, s string")
+    # oracle emits columns in the other order and rows sorted differently
+    assert compare("t", sdf, "SELECT 'a' AS s, 1 AS id UNION ALL SELECT 'b', 2", con) == []
+
+
+def test_compare_catches_value_mismatch(spark, con):
+    sdf = spark.createDataFrame([(1, "a")], "id long, s string")
+    problems = compare("t", sdf, "SELECT 1 AS id, 'X' AS s", con)
+    assert any("value mismatch" in p for p in problems)
+
+
+def test_compare_catches_rowcount_mismatch(spark, con):
+    sdf = spark.createDataFrame([(1,)], "id long")
+    problems = compare("t", sdf, "SELECT unnest([1, 2]) AS id", con)
+    assert any("rowcount" in p for p in problems)
+
+
+def test_compare_catches_schema_mismatch(spark, con):
+    sdf = spark.createDataFrame([(1,)], "wrong_name long")
+    problems = compare("t", sdf, "SELECT 1 AS id", con)
+    assert any("schema" in p for p in problems)
+
+
+def test_canon_value_distinguishes_float_ulps():
+    """repr-based canonicalization must surface 1-ulp float drift (the
+    whole reason output edges are rounded via exprs.rnd)."""
+    import math
+
+    x = 0.1 + 0.2
+    assert canon_value(x) != canon_value(0.3)
+    assert canon_value(float("nan")) == "nan"
+    assert canon_value(None) == "\x00null"
+    assert canon_value(True) == "true" and canon_value(1) == "1"
+    assert math.isclose(x, 0.3)  # close is NOT equal — the gate is exact
