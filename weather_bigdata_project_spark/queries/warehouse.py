@@ -145,6 +145,60 @@ def join_point_in_time_customer_value(spark, sf_dir):
 
 
 @query(
+    "dq_lineitem_violations",
+    oracle=(
+        "SELECT 'fk_orphan_order' AS violation, COUNT(*) AS n FROM lineitem "
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) "
+        "UNION ALL "
+        "SELECT 'dup_line_key', COUNT(*) FROM ("
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) "
+        "UNION ALL "
+        "SELECT 'nonpositive_quantity', COUNT(*) FROM lineitem "
+        "WHERE l_quantity <= 0.0e0 "
+        "UNION ALL "
+        "SELECT 'discount_out_of_range', COUNT(*) FROM lineitem "
+        "WHERE l_discount < 0.0e0 OR l_discount > 1.0e0"
+    ),
+)
+def dq_lineitem_violations(spark, sf_dir):
+    """Data-quality gate as a query: referential integrity (orphaned
+    lineitems), primary-key uniqueness, and range constraints, each
+    reported as a violation count (all 0 on the driver fixtures — the
+    gate proves absence). FK check is a left_anti against the pruned
+    orders key column; PK check is one grouped count; range checks are
+    pushed-down scans. Each arm reads only the columns it tests, and a
+    0-count arm costs one pruned scan — at 100 TB you run this after
+    every load, so the arms matter."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey")
+    fk = (
+        li.select("l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("fk_orphan_order").alias("violation"), "n")
+    )
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dup_line_key").alias("violation"), "n")
+    )
+    qty = (
+        li.filter(F.col("l_quantity") <= 0.0)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("nonpositive_quantity").alias("violation"), "n")
+    )
+    disc = (
+        li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("discount_out_of_range").alias("violation"), "n")
+    )
+    return fk.unionByName(pk).unionByName(qty).unionByName(disc)
+
+
+@query(
     "profile_lineitem_columns",
     oracle=(
         "SELECT COUNT(*) AS n_rows, "
