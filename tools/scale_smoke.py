@@ -1,0 +1,155 @@
+"""Scale smoke: multiply the sf0.1 fixtures ~Nx (key-offset copies,
+FK-consistent) into /tmp and run headline queries against the result.
+
+This is NOT the correctness gate (oracles run at sf0.01); it is the
+evidence pass for SCALE.md — the same plans must hold, not OOM, and
+scale roughly linearly when the fact tables grow 10x. Dimension keys
+are offset per copy so join fan-outs stay realistic (each copy is a
+disjoint key universe except region/nation, which stay shared dims);
+document texts get a per-copy suffix token, so the corpus gains
+NEAR-duplicates across copies — a deliberate stress for the dedup
+family's candidate generation.
+
+Usage:
+    python3 tools/scale_smoke.py [--mult 10] [--out /tmp/sf_scale] \
+        [--src /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES_TO_RUN = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_order_revenue",
+    "tpch_q5_regional_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "events_moment_stats",
+    "events_sliding_window",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "join_asof_purchase_last_click",
+    "scd2_customer_value_history",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+]
+
+#: per-table (key column -> offset-base column source); offsets are
+#: i * (max(key)+1) per copy i, keeping FK chains consistent per copy
+_OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SHARED_DIMS = ["region", "nation"]
+
+#: key -> which table's key domain it offsets against
+_DOMAIN = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def build(spark, src: str, out: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    from weather_bigdata_project_spark import tables
+
+    bases = {}
+    for tbl, key in set(_DOMAIN.values()):
+        df = tables.load(spark, src, tbl)
+        bases[(tbl, key)] = df.agg(F.max(key)).collect()[0][0] + 1
+
+    for tbl in _SHARED_DIMS:
+        tables.load(spark, src, tbl).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
+    for tbl, keys in _OFFSETS.items():
+        df = tables.load(spark, src, tbl)
+        copies = []
+        for i in range(mult):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + i * bases[_DOMAIN[k]])
+            if tbl == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copy{i}"))
+                )
+            copies.append(c)
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        if tbl == "events":
+            # events.ts must survive as TIMESTAMP(NANOS)-free parquet;
+            # loader already normalized to timestamp_ntz — write as-is
+            pass
+        allc.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sf_scale")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from weather_bigdata_project_spark import registry
+    from weather_bigdata_project_spark.session import get_spark
+
+    registry.load()
+    spark = get_spark("scale-smoke")
+
+    if not args.skip_build:
+        t0 = time.time()
+        build(spark, args.src, args.out, args.mult)
+        print(f"# built {args.mult}x fixtures in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    times = {}
+    for name in QUERIES_TO_RUN:
+        t0 = time.time()
+        registry.QUERIES[name](spark, args.out).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_wall",
+                "mult": args.mult,
+                "value": round(sum(times.values()), 2),
+                "unit": "sec",
+                "queries": times,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
