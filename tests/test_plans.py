@@ -384,3 +384,14 @@ def test_point_in_time_join_is_union_window(spark):
     assert plan.count("orders.parquet") == 1
     assert plan.count("events.parquet") == 1
     C.assert_pushdown(plan, "event_type")
+
+
+def test_aqe_coalesces_at_runtime(spark):
+    """AQE must actually re-plan at runtime: after execution, the final
+    adaptive plan shows coalesced shuffle reads (AQEShuffleRead) instead
+    of the static 2x-cores partition count."""
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()
+    plan = C.formatted_plan(df)
+    assert "AdaptiveSparkPlan" in plan
+    assert "AQEShuffleRead" in plan

@@ -71,11 +71,17 @@ def dedup_exact_survivors(spark, sf_dir):
 
 # --- n-gram Jaccard near-dup ---------------------------------------------
 
+#: doc-frequency cap: shingles shared by more docs than this are dropped
+#: from candidate generation. Precision knob AND the quadratic guard —
+#: pair occurrences grow as cap^2 per hot shingle (measured in the 10x
+#: scale smoke, SCALE.md); dup-heavy corpora should run ~20.
+_DF_CAP = 100
+
 _JACCARD_PAIRS_SQL = (
     "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
     "df AS (SELECT shingle, COUNT(*) AS doc_freq FROM shingles GROUP BY shingle), "
     "kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle) "
-    "WHERE df.doc_freq <= 100), "
+    f"WHERE df.doc_freq <= {_DF_CAP}), "
     "common AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c "
     "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
     "GROUP BY 1, 2), "
@@ -132,7 +138,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 "sort_array(collect_set(struct(doc_id, n_sh)))"
             ).alias("ds")
         )
-        .filter(F.expr("size(ds) BETWEEN 2 AND 100"))
+        .filter(F.expr(f"size(ds) BETWEEN 2 AND {_DF_CAP}"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(
             F.col("p.doc1").alias("doc1"),
