@@ -255,3 +255,45 @@ def test_expire_lake_partitions(spark, tmp_path):
         str(r.day) for r in left.select("day").distinct().collect()
     ) == {"2024-01-03", "2024-01-04"}
     assert left.count() == 3 + 4
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering must shrink per-row-group bounding boxes on
+    BOTH dimensions vs an unclustered write of the same data — that
+    shrinkage IS the 2-D row-group-skip benefit, read straight from the
+    parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_bigdata_project_spark import tables
+
+    ev = tables.load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def bbox_area_sum(d):
+        total = 0.0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                stats = {}
+                for i in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(i)
+                    stats[c.path_in_schema] = c.statistics
+                u = stats["user_id"]
+                v = stats["value"]
+                total += max(u.max - u.min, 1) * max(v.max - v.min, 1e-9)
+        return total
+
+    zd = str(tmp_path / "zorder")
+    rd = str(tmp_path / "random")
+    readers.write_parquet_zorder(ev, zd, "user_id", "value", num_files=8)
+    ev.repartition(8).write.parquet(rd)
+
+    z_area = bbox_area_sum(zd)
+    r_area = bbox_area_sum(rd)
+    assert z_area < 0.5 * r_area, (z_area, r_area)
+    got = spark.read.parquet(zd)
+    assert got.count() == ev.count()
+    assert got.subtract(ev).count() == 0

@@ -222,3 +222,60 @@ def expire_lake_partitions(path: str, partition_col: str, cutoff: str) -> int:
             shutil.rmtree(os.path.join(path, entry))
             removed += 1
     return removed
+
+
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Lake writer with MULTI-dimensional layout: rows clustered on the
+    Morton (Z-order) interleave of two numeric columns, so row-group
+    min/max stats stay tight on BOTH dimensions at once — a 2-D range
+    query skips row groups on either predicate. The 1-D
+    `write_parquet_sorted` is strictly better for single-dimension
+    access; Z-order is the layout when queries filter on two (time x
+    key, lat x lon). This is plain-parquet clustering — no table format
+    needed, the same trick Delta/Iceberg OPTIMIZE ZORDER applies.
+
+    Each dimension is rank-normalized to `bits` bits via its min/max (a
+    1-row aggregate, broadcast back — no driver round-trip), then bit
+    positions interleave JVM-side with shift/mask expressions. The
+    z-key orders a repartitionByRange + sortWithinPartitions and is
+    dropped before writing."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(col_x).alias("x0"),
+        F.max(col_x).alias("x1"),
+        F.min(col_y).alias("y0"),
+        F.max(col_y).alias("y1"),
+    )
+    top = (1 << bits) - 1
+    norm = (
+        "CAST(ROUND((CAST({c} AS DOUBLE) - {lo}) * {top}e0 "
+        "/ GREATEST(CAST({hi} AS DOUBLE) - {lo}, 1.0e0)) AS BIGINT)"
+    )
+    nx = norm.format(c=col_x, lo="x0", hi="x1", top=top)
+    ny = norm.format(c=col_y, lo="y0", hi="y1", top=top)
+    interleave = " + ".join(
+        f"(((zx >> {b}) & 1) << {2 * b}) + (((zy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("zx", F.expr(nx))
+        .withColumn("zy", F.expr(ny))
+        .withColumn("zkey", F.expr(interleave))
+        .drop("x0", "x1", "y0", "y1", "zx", "zy")
+    )
+    (
+        out.repartitionByRange(num_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
