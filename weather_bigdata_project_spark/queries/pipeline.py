@@ -49,10 +49,9 @@ def corpus_filter_pipeline(spark, sf_dir):
     q = QUERIES["text_quality_score"](spark, sf_dir)
     lang = QUERIES["text_language_id"](spark, sf_dir)
     survivors = QUERIES["dedup_exact_survivors"](spark, sf_dir)
-    neardup = (
-        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
-        .select(F.col("doc2").alias("doc_id"))
-        .distinct()
+    # no distinct: the left_anti probe neither multiplies nor cares
+    neardup = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        F.col("doc2").alias("doc_id")
     )
     return (
         q.join(lang, "doc_id")
