@@ -297,3 +297,28 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     got = spark.read.parquet(zd)
     assert got.count() == ev.count()
     assert got.subtract(ev).count() == 0
+
+
+def test_dynamic_partition_pruning_on_lake_join(spark, tmp_path):
+    """A dimension filter must prune fact PARTITIONS at runtime
+    (dynamic partition pruning): the partitioned-lake scan's
+    PartitionFilters carries a dynamicpruning subquery fed by the dim
+    side — at 100 TB this is what keeps a filtered star join from
+    reading the whole fact lake."""
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.plans import checks as C
+
+    d = str(tmp_path / "lake")
+    ev = tables.load(spark, SF_SMOKE, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("view", 3)],
+        "event_type string, pri int",
+    ).filter(F.col("pri") <= 1)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = C.formatted_plan(j)
+    assert "dynamicpruning" in plan.lower()
+    got = {r.event_type: r["count"] for r in j.collect()}
+    assert set(got) == {"click"}
+    assert got["click"] == ev.filter(F.col("event_type") == "click").count()
