@@ -42,9 +42,20 @@ EVENTS_ORACLE_CTE = (
 )
 
 
+#: (applicationId, sf_dir, name) -> DataFrame. DataFrames are immutable
+#: logical plans, so reuse is free; the memo skips the file listing +
+#: footer schema read that spark.read.parquet repeats per call (tens of
+#: ms each — real money across a 35-query benchmark sweep). Keyed by
+#: applicationId so a new session never sees a stale plan.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; events gets its ns->us timestamp fixup."""
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
@@ -54,6 +65,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "to_timestamp_ntz('1970-01-01 00:00:00'))"
             ),
         )
+    _CACHE[key] = df
     return df
 
 
