@@ -602,6 +602,32 @@ def events_hourly_window(spark, sf_dir):
 
 
 # --- sliding (overlapping) event-time windows ------------------------------
+def sliding_window_agg(df):
+    """The sliding-window aggregation itself, shared verbatim by the
+    batch query below and the streaming job
+    (streaming/jobs.sliding_event_counts_stream) — the engine's core
+    design point: one transformation, two execution modes. Input needs
+    (event_ts: timestamp, event_type, value)."""
+    return (
+        df.groupBy(
+            F.window(F.col("event_ts"), "30 minutes", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")
+            ).alias("total_c"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("total_c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
 @query(
     "events_sliding_window",
     oracle=(
@@ -626,24 +652,8 @@ def events_sliding_window(spark, sf_dir):
     starts per event (both grids are midnight-aligned, so Spark's
     epoch-origin windows equal DuckDB's time_bucket grid)."""
     ev = tables.load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window(F.col("ts"), "30 minutes", "15 minutes").alias("win"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "(CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) "
-                "AS DOUBLE) / 100.0e0)"
-            ).alias("total_value"),
-        )
-        .select(
-            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    return sliding_window_agg(
+        ev.select(F.col("ts").alias("event_ts"), "event_type", "value")
     )
 
 

@@ -276,30 +276,16 @@ def sliding_event_counts_stream(
     partial aggregate, so state is per-(window, type), not per-event).
     The watermark closes windows 2 h behind max event time; append mode
     emits each window once, final. Batch twin with DuckDB oracle:
-    queries/relational.py `events_sliding_window`."""
-    return (
+    queries/relational.py `events_sliding_window` — both call the
+    shared `sliding_window_agg`, so the plans cannot drift."""
+    from ..queries.relational import sliding_window_agg
+
+    return sliding_window_agg(
         events.select(
             F.col("ts").cast("timestamp").alias("event_ts"),
             "event_type",
             "value",
-        )
-        .withWatermark("event_ts", watermark)
-        .groupBy(
-            F.window("event_ts", "30 minutes", "15 minutes").alias("win"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")
-            ).alias("total_c"),
-        )
-        .select(
-            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            (F.col("total_c").cast("double") / 100.0).alias("total_value"),
-        )
+        ).withWatermark("event_ts", watermark)
     )
 
 
