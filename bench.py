@@ -47,6 +47,9 @@ HEADLINE = [
     "profile_lineitem_columns",
     "events_json_extract",
     "text_fingerprint",
+    "text_repetition_metrics",
+    "contamination_ngram_overlap",
+    "corpus_token_budget",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

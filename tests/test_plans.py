@@ -434,3 +434,41 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_th,
         )
+
+
+def test_repetition_metrics_zero_shuffle(spark):
+    """Gopher repetition signals compute inside the row: no exchange,
+    no Python, no explode-groupBy round trip."""
+    plan = C.formatted_plan(
+        QUERIES["text_repetition_metrics"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 0)
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    """The contamination check's training side probes a BROADCAST
+    benchmark-shingle set (benchmarks are fixed-size; the corpus is
+    not), and both source filters are pushed into their scans."""
+    plan = C.formatted_plan(
+        QUERIES["contamination_ngram_overlap"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_broadcast_join(plan, 1)
+    pushed = " ".join(C.pushed_filters(plan))
+    assert "EqualTo(source,src0)" in pushed
+    assert "Not(EqualTo(source,src0))" in pushed
+
+
+@pytest.mark.parametrize("name", ["corpus_mix_sample", "corpus_token_budget"])
+def test_mix_operators_single_source_exchange(spark, name):
+    """Both data-mixing operators are ONE window exchange partitioned on
+    source — never a global sort."""
+    plan = C.formatted_plan(QUERIES[name](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    # the one exchange hash-partitions on source; a global sort would
+    # show up as rangepartitioning / SinglePartition
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan

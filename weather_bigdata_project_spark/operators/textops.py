@@ -118,7 +118,9 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_shingle_ids(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_sh, sh): DISTINCT 3-gram shingles per document as
     60-bit content hashes, plus the document's distinct-shingle count —
     the scale path for every shingle consumer.
@@ -135,9 +137,17 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hashed_id_spark`), bit-equal to the oracle's `hashed_id_duck`
     over the same strings; collision odds ~1e-8 at 1e5 distinct
     shingles, and the oracles keep using raw strings — equal counts
-    either way."""
+    either way.
+
+    `frame` overrides the input (must carry doc_id + text) so callers
+    can shingle a pre-filtered slice — e.g. the contamination check
+    shingles benchmark and training partitions separately, keeping the
+    source filter pushed into each scan instead of joining the full
+    shingle frame back to documents."""
     d = spread_small_scan(
-        docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+        docs(spark, sf_dir) if frame is None else frame,
+        spark,
+        f"{sf_dir}/documents.parquet",
     ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     grams = (
         "transform(sequence(1, size(toks) - 2), "

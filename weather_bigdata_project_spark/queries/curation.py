@@ -1,0 +1,286 @@
+"""Corpus-curation operators over `documents` — the data-selection half
+of an LLM training pipeline (the text.py family scores documents; this
+family decides what to TRAIN on):
+
+- Gopher-style intra-document repetition metrics (filter signal),
+- benchmark-contamination check (n-gram overlap vs a held-out set),
+- deterministic source-mix sampling (per-source caps),
+- per-source token-budget selection (quality-ranked data mixing).
+
+All four are JVM-side Catalyst plans. Repetition is fully narrow
+(higher-order array functions inside the row — zero shuffles);
+contamination joins the exploded training shingles against a BROADCAST
+distinct benchmark-shingle set; the two mixing operators are one window
+exchange on `source` each. At 100 TB: repetition scales embarrassingly;
+the benchmark set stays broadcastable by construction (benchmarks are
+tiny vs the corpus); mix/budget windows partition by source, so
+parallelism = number of sources × AQE splits, and no global sort exists
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import rnd
+from ..operators import textops as T
+from ..registry import query
+
+# --- Gopher-style repetition metrics (narrow, zero-shuffle) ---------------
+
+# Let-binding via single-element transform (see textops.doc_shingle_ids):
+# the n-gram array is built ONCE, then both size() and array_distinct()
+# read the bound variable — HOF exprs are interpreted, no codegen CSE.
+def _distinct_ngram_ratio_spark(n: int) -> str:
+    grams = (
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    return (
+        f"CASE WHEN size(split(text, ' ')) < {n} THEN 1.0e0 ELSE "
+        f"transform(array({grams}), "
+        "b -> CAST(size(array_distinct(b)) AS DOUBLE) / size(b))[0] END"
+    )
+
+
+# Longest run in the SORTED token array == the highest single-token
+# count: one interpreted fold per document, still narrow/zero-shuffle —
+# the explode+groupBy(doc_id, tok)+max alternative costs two shuffles.
+_TOP_TOKEN_COUNT_SPARK = (
+    "aggregate(array_sort(split(text, ' ')), "
+    "named_struct('prev', CAST(NULL AS STRING), "
+    "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+    "'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+    "acc -> acc.best)"
+)
+
+_REP_FLAG = "(top_tok_frac > 0.12e0 OR bi_distinct_ratio < 0.93e0)"
+
+
+@query(
+    "text_repetition_metrics",
+    oracle=(
+        "WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "per AS (SELECT doc_id, unnest(toks) AS tok FROM sp), "
+        "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM per GROUP BY 1, 2), "
+        "top AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS n "
+        "FROM cnt GROUP BY 1), "
+        "bi AS (SELECT doc_id, len(toks) AS n_tokens, "
+        "CASE WHEN len(toks) < 2 THEN 1.0e0 ELSE "
+        "CAST(len(list_distinct(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1) "
+        "END AS br, "
+        "CASE WHEN len(toks) < 3 THEN 1.0e0 ELSE "
+        "CAST(len(list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) "
+        "/ (len(toks) - 2) END AS tr FROM sp) "
+        "SELECT doc_id, n_tokens, "
+        + rnd("CAST(best AS DOUBLE) / n", 4)
+        + " AS top_tok_frac, "
+        + rnd("br", 4)
+        + " AS bi_distinct_ratio, "
+        + rnd("tr", 4)
+        + " AS tri_distinct_ratio, "
+        "(" + rnd("CAST(best AS DOUBLE) / n", 4) + " > 0.12e0 OR "
+        + rnd("br", 4) + " < 0.93e0) AS repetitive "
+        "FROM top JOIN bi USING (doc_id)"
+    ),
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals (per Rae et al. 2021 §A1.1
+    filters): top-token fraction, distinct 2-/3-gram ratios, and the
+    boolean keep/drop flag. Everything computes inside the row with
+    higher-order array functions — ZERO shuffles, scales embarrassingly
+    (the oracle's explode+groupBy formulation is the semantics, not the
+    plan)."""
+    return (
+        T.docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("size(split(text, ' '))").alias("n_tokens"),
+            F.expr(
+                rnd(
+                    f"CAST(({_TOP_TOKEN_COUNT_SPARK}) AS DOUBLE) "
+                    "/ size(split(text, ' '))",
+                    4,
+                )
+            ).alias("top_tok_frac"),
+            F.expr(rnd(_distinct_ngram_ratio_spark(2), 4)).alias(
+                "bi_distinct_ratio"
+            ),
+            F.expr(rnd(_distinct_ngram_ratio_spark(3), 4)).alias(
+                "tri_distinct_ratio"
+            ),
+        )
+        .withColumn("repetitive", F.expr(_REP_FLAG))
+    )
+
+
+# --- benchmark contamination (n-gram overlap vs a held-out set) -----------
+
+_BENCH_SOURCE = "src0"
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=(
+        "WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "sh AS (SELECT doc_id, source, unnest("
+        "CASE WHEN len(toks) < 3 THEN [] ELSE "
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))) END) AS shingle FROM sp), "
+        f"bench AS (SELECT DISTINCT shingle FROM sh "
+        f"WHERE source = '{_BENCH_SOURCE}'), "
+        f"train AS (SELECT doc_id, shingle FROM sh "
+        f"WHERE source <> '{_BENCH_SOURCE}'), "
+        "n AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY 1), "
+        "h AS (SELECT t.doc_id, COUNT(*) AS n_hits FROM train t "
+        "JOIN bench b USING (shingle) GROUP BY 1) "
+        "SELECT doc_id, n_sh, n_hits, "
+        + rnd("CAST(n_hits AS DOUBLE) / n_sh", 4)
+        + " AS hit_frac FROM h JOIN n USING (doc_id)"
+    ),
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination check: training docs (source != 'src0')
+    sharing any distinct 3-gram shingle with the benchmark set
+    (source = 'src0'), with per-doc overlap counts — the pre-training
+    hygiene step that keeps eval sets out of the corpus.
+
+    Scale shape: both sides shingle NARROWLY off their own
+    filter-pushed scan (`textops.doc_shingle_ids` — 8-byte hashes,
+    per-doc dedup inside the row); the benchmark's distinct-hash set is
+    tiny by construction (benchmarks are fixed-size; the corpus grows)
+    so the probe is a BROADCAST hash semi-join — the 100 TB training
+    side never shuffles at all, and the one agg that follows groups on
+    doc_id of the surviving (contaminated) sliver only."""
+    d = T.docs(spark, sf_dir)
+    bench_sh = (
+        T.doc_shingle_ids(
+            spark, sf_dir, frame=d.filter(F.col("source") == _BENCH_SOURCE)
+        )
+        .select("sh")
+        .distinct()
+    )
+    train = T.doc_shingle_ids(
+        spark, sf_dir, frame=d.filter(F.col("source") != _BENCH_SOURCE)
+    )
+    return (
+        train.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_sh").alias("n_sh"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hits",
+            F.expr(rnd("CAST(n_hits AS DOUBLE) / n_sh", 4)).alias("hit_frac"),
+        )
+    )
+
+
+# --- deterministic source-mix sampling ------------------------------------
+
+_MIX_CAP = 5
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=(
+        "SELECT doc_id, source, pick FROM ("
+        "SELECT doc_id, source, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY "
+        + T.hashed_id_duck("text")
+        + ", doc_id) AS pick FROM documents) "
+        f"WHERE pick <= {_MIX_CAP}"
+    ),
+)
+def corpus_mix_sample(spark, sf_dir):
+    """Source-mix rebalancing: at most 5 documents per source, chosen by
+    content-hash order — the deterministic twin of per-source downsampling
+    in a data-mixing recipe (reproducible across engines, runs, and
+    cluster sizes, unlike RNG sampling). One window exchange partitioned
+    on source; no global sort. At 100 TB swap the cap for per-source
+    target counts — the plan shape is unchanged."""
+    w = Window.partitionBy("source").orderBy(
+        F.expr(T.hashed_id_spark("text")), "doc_id"
+    )
+    return (
+        T.docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).alias("pick"))
+        .filter(F.col("pick") <= _MIX_CAP)
+    )
+
+
+# --- per-source token-budget selection ------------------------------------
+
+_TOKEN_BUDGET = 600
+
+# Lexical-diversity score; exact bigint/bigint IEEE division is
+# bit-identical across engines, so ordering on it is deterministic.
+_SCORE_SPARK = (
+    "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) "
+    "/ size(split(text, ' '))"
+)
+_SCORE_DUCK = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) "
+    "/ len(string_split(text, ' '))"
+)
+
+
+@query(
+    "corpus_token_budget",
+    oracle=(
+        "WITH sp AS (SELECT doc_id, source, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        f"{_SCORE_DUCK} AS sc FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, sc, "
+        "SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY sc DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+        "FROM sp) "
+        "SELECT doc_id, source, n_tokens, cum_tokens, "
+        + rnd("sc", 4)
+        + f" AS score FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}"
+    ),
+)
+def corpus_token_budget(spark, sf_dir):
+    """Data selection under a token budget: per source, take the
+    highest-lexical-diversity documents until the source's running token
+    count exceeds the budget — the "fill each domain's quota with its
+    best data" step of a mixing recipe. The cumulative window partitions
+    by source (never a global order), so the plan is one exchange and
+    parallelism follows the source count; per-source budgets are exactly
+    how a 100 TB mix is specified, so the global-budget variant this
+    deliberately avoids (a single-partition window) never needs to
+    exist."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("sc"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = T.docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(_SCORE_SPARK).alias("sc"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            F.expr(rnd("sc", 4)).alias("score"),
+        )
+    )
