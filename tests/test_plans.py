@@ -460,7 +460,10 @@ def test_contamination_probe_broadcasts_benchmark(spark):
     assert "Not(EqualTo(source,src0))" in pushed
 
 
-@pytest.mark.parametrize("name", ["corpus_mix_sample", "corpus_token_budget"])
+@pytest.mark.parametrize(
+    "name",
+    ["corpus_mix_sample", "corpus_token_budget", "corpus_sequence_pack"],
+)
 def test_mix_operators_single_source_exchange(spark, name):
     """Both data-mixing operators are ONE window exchange partitioned on
     source — never a global sort."""

@@ -284,3 +284,58 @@ def corpus_token_budget(spark, sf_dir):
             F.expr(rnd("sc", 4)).alias("score"),
         )
     )
+
+
+# --- sequence packing (docs -> fixed-capacity training sequences) ---------
+
+_SEQ_LEN = 512
+
+
+@query(
+    "corpus_sequence_pack",
+    oracle=(
+        "WITH sp AS (SELECT doc_id, source, "
+        "len(string_split(text, ' ')) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
+        "AS off FROM sp) "
+        "SELECT doc_id, source, n_tokens, "
+        # NB: DuckDB CAST(double AS BIGINT) ROUNDS; `//` on bigints is
+        # the floor division that matches Spark's floor(col / L).
+        f"(off // {_SEQ_LEN}) AS seq_id, "
+        f"(off % {_SEQ_LEN}) AS seq_offset, "
+        f"((off // {_SEQ_LEN}) <> "
+        f"((off + n_tokens - 1) // {_SEQ_LEN})) AS straddles "
+        "FROM c"
+    ),
+)
+def corpus_sequence_pack(spark, sf_dir):
+    """Sequence packing: concatenate each source's documents in
+    deterministic (doc_id) order and cut the stream into fixed
+    512-token training sequences — every doc gets its (seq_id,
+    seq_offset) address and a flag for straddling a sequence boundary.
+    This is the greedy contiguous packing a pretraining tokenizer job
+    runs before writing examples. One cumulative window partitioned by
+    source (exact bigint sums, no floats anywhere); at 100 TB the
+    partition key becomes (source, shard) and the plan is unchanged."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = T.docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr("size(split(text, ' '))").alias("n_tokens")
+    )
+    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(off / _SEQ_LEN).alias("seq_id"),
+        (off % _SEQ_LEN).cast("bigint").alias("seq_offset"),
+        (
+            F.floor(off / _SEQ_LEN)
+            != F.floor((off + F.col("n_tokens") - 1) / _SEQ_LEN)
+        ).alias("straddles"),
+    )
