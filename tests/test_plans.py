@@ -437,13 +437,18 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
 
 
 def test_repetition_metrics_zero_shuffle(spark):
-    """Gopher repetition signals compute inside the row: no exchange,
-    no Python, no explode-groupBy round trip."""
+    """Gopher repetition signals compute inside the row: no Python, no
+    explode-groupBy round trip. The only exchange permitted is the
+    small-scan spread guard (round-robin, fires only when the input has
+    fewer splits than cores — a no-op at production scale), and nothing
+    downstream of the metrics may shuffle."""
     plan = C.formatted_plan(
         QUERIES["text_repetition_metrics"](spark, SF_SMOKE)
     )
     C.assert_no_python(plan)
-    C.assert_max_shuffles(plan, 0)
+    C.assert_max_shuffles(plan, 1)
+    assert "hashpartitioning" not in plan  # spread is round-robin only
+    assert "rangepartitioning" not in plan
 
 
 def test_contamination_probe_broadcasts_benchmark(spark):

@@ -40,6 +40,9 @@ QUERIES_TO_RUN = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "text_quality_score",
+    "text_repetition_metrics",
+    "contamination_ngram_overlap",
+    "corpus_sequence_pack",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are

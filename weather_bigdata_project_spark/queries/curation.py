@@ -98,27 +98,39 @@ def text_repetition_metrics(spark, sf_dir):
     higher-order array functions — ZERO shuffles, scales embarrassingly
     (the oracle's explode+groupBy formulation is the semantics, not the
     plan)."""
-    return (
-        T.docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr("size(split(text, ' '))").alias("n_tokens"),
-            F.expr(
-                rnd(
-                    f"CAST(({_TOP_TOKEN_COUNT_SPARK}) AS DOUBLE) "
-                    "/ size(split(text, ' '))",
-                    4,
-                )
-            ).alias("top_tok_frac"),
-            F.expr(rnd(_distinct_ngram_ratio_spark(2), 4)).alias(
-                "bi_distinct_ratio"
-            ),
-            F.expr(rnd(_distinct_ngram_ratio_spark(3), 4)).alias(
-                "tri_distinct_ratio"
-            ),
-        )
-        .withColumn("repetitive", F.expr(_REP_FLAG))
+    # One evaluation per metric: the flag reads the let-bound struct
+    # fields instead of re-inlining the fold/ngram expressions (a plain
+    # select + withColumn collapses into one projection that evaluates
+    # top_tok_frac and bi_distinct_ratio TWICE — the interpreted-HOF
+    # double-eval hazard, see textops.doc_shingle_ids; inline() is a
+    # generator, so Catalyst cannot collapse through it).
+    top = rnd(
+        f"CAST(({_TOP_TOKEN_COUNT_SPARK}) AS DOUBLE) "
+        "/ size(split(text, ' '))",
+        4,
     )
+    metrics = (
+        "named_struct("
+        "'n_tokens', size(split(text, ' ')), "
+        f"'top_tok_frac', {top}, "
+        f"'bi_distinct_ratio', {rnd(_distinct_ngram_ratio_spark(2), 4)}, "
+        f"'tri_distinct_ratio', {rnd(_distinct_ngram_ratio_spark(3), 4)})"
+    )
+    wrapped = (
+        f"transform(array({metrics}), m -> named_struct("
+        "'n_tokens', m.n_tokens, "
+        "'top_tok_frac', m.top_tok_frac, "
+        "'bi_distinct_ratio', m.bi_distinct_ratio, "
+        "'tri_distinct_ratio', m.tri_distinct_ratio, "
+        "'repetitive', m.top_tok_frac > 0.12e0 "
+        "OR m.bi_distinct_ratio < 0.93e0))"
+    )
+    # n-gram string building is real per-row compute: spread a
+    # single-row-group scan across cores (no-op at production scale).
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
+    return d.select("doc_id", F.inline(F.expr(wrapped)))
 
 
 # --- benchmark contamination (n-gram overlap vs a held-out set) -----------
