@@ -322,3 +322,56 @@ def test_dynamic_partition_pruning_on_lake_join(spark, tmp_path):
     got = {r.event_type: r["count"] for r in j.collect()}
     assert set(got) == {"click"}
     assert got["click"] == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_lake_upsert_merge(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys inserted,
+    untouched rows carried over byte-identically; no scratch dirs
+    survive the swap."""
+    import os
+
+    from weather_bigdata_project_spark.sources.readers import (
+        upsert_parquet_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    ).write.parquet(lake)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (9, "z", 90.0)], "id long, name string, v double"
+    )
+    upsert_parquet_lake(spark, lake, updates, ["id"])
+
+    rows = {r.id: (r.name, r.v) for r in spark.read.parquet(lake).collect()}
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        3: ("c", 30.0),
+        9: ("z", 90.0),
+    }
+    assert not [d for d in os.listdir(tmp_path) if "__" in d]
+
+
+def test_lake_delete_where(spark, tmp_path):
+    """DELETE WHERE removes exactly the TRUE-predicate rows (NULL keeps,
+    SQL semantics) and reports the deleted count."""
+    from weather_bigdata_project_spark.sources.readers import (
+        delete_from_parquet_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "eu", 1.0), (2, "us", None), (3, "eu", 3.0), (4, None, 4.0)],
+        "id long, region string, v double",
+    ).write.parquet(lake)
+
+    n = delete_from_parquet_lake(spark, lake, "region = 'eu' AND v > 2.0e0")
+    assert n == 1
+    assert sorted(r.id for r in spark.read.parquet(lake).collect()) == [
+        1,
+        2,
+        4,
+    ]

@@ -279,3 +279,74 @@ def write_parquet_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _atomic_lake_swap(df: DataFrame, path: str) -> None:
+    """Write `df` beside the live directory, then swap with two renames
+    (live -> trash, new -> live) — the same reader-safe protocol as
+    compact_parquet_lake: no reader ever observes a half-written lake."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__rewriting"
+    old = path.rstrip("/") + "__replaced"
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def upsert_parquet_lake(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> None:
+    """Batch MERGE (upsert) into a plain-parquet lake: lake rows whose
+    key matches an update row are REPLACED, unmatched update rows are
+    INSERTED, everything else is carried over — copy-on-write, swapped
+    in atomically (`_atomic_lake_swap`), so readers see the old or the
+    new lake, never a mix. The batch twin of the streaming
+    `start_foreach_batch_dedup_sink` (streaming/jobs.py) MERGE shape.
+
+    Plan shape: the carried-over side is a LEFT ANTI join of the lake
+    against the update keys — update batches are small next to the lake,
+    so the key set is broadcast and the lake side never shuffles. At
+    100 TB: hive-partition the lake and run this per partition directory
+    touched by the update batch (derive touched partitions from the
+    batch's partition values) — rewrite cost follows the update's
+    partition footprint, not lake size. Plain parquet has no row-level
+    transaction log; the directory swap IS the commit, which is exactly
+    the copy-on-write strategy table formats automate per-file."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    keys = updates.select(*key_cols).distinct()
+    kept = current.join(F.broadcast(keys), key_cols, "left_anti")
+    _atomic_lake_swap(
+        kept.unionByName(updates.select(*current.columns)), path
+    )
+
+
+def delete_from_parquet_lake(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """DELETE WHERE for a plain-parquet lake (the GDPR-erasure /
+    retract-bad-batch primitive): rewrite keeping the complement of the
+    predicate, atomic-swap, return the number of rows deleted. NULL
+    predicate results keep the row (SQL DELETE semantics: only TRUE
+    deletes).
+
+    At 100 TB the predicate should lead with the partition column so
+    only matching partition directories rewrite (expire_lake_partitions
+    is the O(1)-data special case when the predicate IS the partition
+    bound); within a rewrite the filter is a pushdown-friendly narrow
+    scan, and row counts come from the same two jobs that write."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    before = current.count()
+    keep = current.filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    _atomic_lake_swap(keep, path)
+    return before - spark.read.parquet(path).count()
