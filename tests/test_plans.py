@@ -33,6 +33,7 @@ _JVM_ONLY = [
     "dedup_embedding_cosine",
     "embed_knn_bruteforce",
     "embed_ivf_search",
+    "embed_ivf_recall",
 ]
 
 

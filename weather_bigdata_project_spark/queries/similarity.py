@@ -291,3 +291,146 @@ def embed_ivf_search(spark, sf_dir):
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(5)
     )
+
+
+# --- ANN quality evaluation: IVF recall@5 vs exact ------------------------
+
+_NQ = 8  # query batch: vec_id < 8
+_K = 5
+
+_COS = rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+
+
+@query(
+    "embed_ivf_recall",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {_NQ}), "
+        "qz AS (SELECT q_id, CAST(unnest(qe) AS DOUBLE) AS qx, "
+        "generate_subscripts(qe, 1) - 1 AS d FROM q), "
+        "z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        "pair AS (SELECT qz.q_id, z.vec_id, SUM(z.x * qz.qx) AS dot, "
+        "SUM(z.x * z.x) AS n2, SUM(qz.qx * qz.qx) AS q2 "
+        "FROM z JOIN qz USING (d) WHERE z.vec_id <> qz.q_id GROUP BY 1, 2), "
+        "er AS (SELECT q_id, vec_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY {_COS} DESC, vec_id) AS rk FROM pair), "
+        f"ex AS (SELECT q_id, vec_id FROM er WHERE rk <= {_K}), "
+        "cent AS (SELECT label, d, AVG(x) AS c FROM z GROUP BY 1, 2), "
+        "ls AS (SELECT qz.q_id, cent.label, "
+        "SUM(qz.qx * cent.c) / (SQRT(SUM(cent.c * cent.c)) "
+        "* SQRT(SUM(qz.qx * qz.qx))) AS cos "
+        "FROM cent JOIN qz USING (d) GROUP BY 1, 2), "
+        "best AS (SELECT q_id, label FROM (SELECT q_id, label, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY "
+        + rnd("cos", 6)
+        + " DESC, label) AS rk FROM ls) WHERE rk = 1), "
+        "cand AS (SELECT b.q_id, e.vec_id, e.embedding FROM embeddings e "
+        "JOIN best b ON e.label = b.label AND e.vec_id <> b.q_id), "
+        "cz AS (SELECT q_id, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM cand), "
+        "ip AS (SELECT cz.q_id, cz.vec_id, SUM(cz.x * qz.qx) AS dot, "
+        "SUM(cz.x * cz.x) AS n2, SUM(qz.qx * qz.qx) AS q2 FROM cz "
+        "JOIN qz ON cz.d = qz.d AND cz.q_id = qz.q_id GROUP BY 1, 2), "
+        "ir AS (SELECT q_id, vec_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY {_COS} DESC, vec_id) AS rk FROM ip), "
+        f"iv AS (SELECT q_id, vec_id FROM ir WHERE rk <= {_K}) "
+        "SELECT ex.q_id, COUNT(iv.vec_id) AS n_hit, "
+        + rnd(f"CAST(COUNT(iv.vec_id) AS DOUBLE) / {_K}.0e0", 4)
+        + " AS recall_at_5 FROM ex LEFT JOIN iv "
+        "ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id GROUP BY 1"
+    ),
+)
+def embed_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the IVF route (probe the one
+    nearest inverted list) against the exact cosine top-5, per query in
+    a broadcast batch of 8 query vectors — the self-evaluation every
+    approximate index needs before it replaces the exact path.
+
+    Scale shape: the exact side is ONE narrow pass over the corpus per
+    batch (query batch broadcast, per-partition top-k heaps feed a
+    q_id-partitioned window); the IVF side scores (centroid x query)
+    on tiny frames and scans only the routed inverted lists. Recall
+    joins two K-row-per-query frames — negligible. Raising the query
+    batch from 8 to thousands changes no plan shape, only the broadcast
+    size."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    wq = Window.partitionBy("q_id")
+
+    def _top5(pairs):
+        scored = pairs.select(
+            "q_id",
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="qe")).alias("dot"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+            F.expr(_DOT.format(a="qe", b="qe")).alias("q2"),
+        ).select("q_id", "vec_id", F.expr(_COS).alias("cosine"))
+        return (
+            scored.withColumn(
+                "rk",
+                F.row_number().over(
+                    wq.orderBy(F.desc("cosine"), "vec_id")
+                ),
+            )
+            .filter(F.col("rk") <= _K)
+            .select("q_id", "vec_id")
+        )
+
+    exact5 = _top5(
+        emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    )
+
+    z = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("d", "xf")
+    ).select("vec_id", "label", "d", F.col("xf").cast("double").alias("x"))
+    cent = z.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    qz = q.select(
+        "q_id", F.posexplode(F.col("qe")).alias("d", "qxf")
+    ).select("q_id", "d", F.col("qxf").cast("double").alias("qx"))
+    ls = (
+        cent.join(F.broadcast(qz), "d")
+        .groupBy("q_id", "label")
+        .agg(
+            (
+                F.sum(F.col("qx") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("cos")
+        )
+    )
+    best = (
+        ls.withColumn(
+            "rk",
+            F.row_number().over(
+                wq.orderBy(F.desc(F.expr(rnd("cos", 6))), "label")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("q_id", "label")
+    )
+    cand = (
+        emb.join(F.broadcast(best), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+    )
+    ivf5 = _top5(cand)
+
+    return (
+        exact5.join(
+            ivf5.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "q_id",
+            "n_hit",
+            F.expr(rnd(f"CAST(n_hit AS DOUBLE) / {_K}.0e0", 4)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
