@@ -481,3 +481,33 @@ def test_mix_operators_single_source_exchange(spark, name):
     assert "hashpartitioning(source" in plan
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_pii_redact_narrow_and_pruned(spark):
+    """PII scrub is a pure map: zero exchanges, JVM regex only, and the
+    scan must not read the columns the query never touches."""
+    plan = C.formatted_plan(QUERIES["text_pii_redact"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 0)
+    C.assert_scan_pruned(plan, "lang")
+    C.assert_scan_pruned(plan, "source")
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    """tf-idf joins the vocabulary-sized df frame by BROADCAST (never a
+    corpus-side sort-merge), and the whole chain is <= 3 exchanges:
+    tf agg, df agg, rank window."""
+    plan = C.formatted_plan(QUERIES["text_tfidf_top_terms"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    C.assert_max_shuffles(plan, 3)
+
+
+def test_inverted_index_two_hash_aggs(spark):
+    """Inverted index is two map-side-combined hash aggs — the shuffle
+    carries (doc, term) pairs then vocabulary rows, never raw tokens."""
+    plan = C.formatted_plan(QUERIES["text_inverted_index"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 2)
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2

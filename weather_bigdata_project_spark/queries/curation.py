@@ -351,3 +351,84 @@ def corpus_sequence_pack(spark, sf_dir):
             != F.floor((off + F.col("n_tokens") - 1) / _SEQ_LEN)
         ).alias("straddles"),
     )
+
+
+# --- PII redaction (narrow, zero-shuffle) ---------------------------------
+
+# The synthetic corpus carries no natural PII, so the query first plants
+# deterministic PII derived from doc_id (one email, one phone, one IP per
+# document — same expression in Spark and the oracle), then runs the real
+# operator: a regexp_replace scrub chain. Patterns are RE2-and-Java-regex
+# compatible (no lookaround, no backrefs).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_INJECT_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@mail',"
+    " cast(doc_id % 7 as string), '.com call 555-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0'), ' from 10.',"
+    " cast(doc_id % 256 as string), '.0.1')"
+)
+_INJECT_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||"
+    " CAST(doc_id % 7 AS VARCHAR) || '.com call 555-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=(
+        "WITH injected AS (SELECT doc_id, n_chars, "
+        f"{_INJECT_DUCK} AS raw FROM documents), "
+        "scrubbed AS (SELECT doc_id, n_chars, "
+        f"len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails, "
+        f"len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(raw, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g') AS clean FROM injected) "
+        "SELECT doc_id, n_emails, n_phones, "
+        f"len(regexp_extract_all(clean, '{_PII_IP}')) AS n_ips_left, "
+        "substr(clean, n_chars + 1) AS redacted_tail FROM scrubbed"
+    ),
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub — the redaction pass every public-web training corpus
+    runs (C4/Dolma-style): regexp_replace chain for emails, phone
+    numbers, and IPv4 addresses, plus per-document match counts for the
+    removal report. Fully narrow (regex inside the row, zero shuffles,
+    whole-stage codegen); at 100 TB this is an embarrassingly parallel
+    map over the scan with no state. `n_ips_left` re-scans the CLEAN
+    text and must be 0 for every row — the operator audits itself.
+
+    Reference parity: the reference has no PII pass (its pipeline
+    ships raw messages, minio-connector.json flush.size=1); this is a
+    north-star curation addition."""
+    d = T.docs(spark, sf_dir).withColumn("raw", F.expr(_INJECT_SPARK))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"regexp_count(raw, '{_PII_EMAIL}')").alias("n_emails"),
+        F.expr(f"regexp_count(raw, '{_PII_PHONE}')").alias("n_phones"),
+        clean.alias("_clean"),
+        F.col("n_chars"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.expr(f"regexp_count(_clean, '{_PII_IP}')").alias("n_ips_left"),
+        F.expr("substring(_clean, cast(n_chars + 1 as int))").alias(
+            "redacted_tail"
+        ),
+    )

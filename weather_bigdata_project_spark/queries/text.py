@@ -214,3 +214,95 @@ def text_top_tokens(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(30)
     )
+
+
+# --- tf-idf term ranking --------------------------------------------------
+
+_TF_CTE = (
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+    "WHERE tok <> '' GROUP BY doc_id, tok)"
+)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", " + _TF_CTE + ", "
+        "df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), "
+        "scored AS (SELECT doc_id, tok, tf, df, "
+        "(tf * 1000000) // df AS score_ppm FROM tf JOIN df USING (tok)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score_ppm DESC, tok) AS rnk FROM scored) "
+        "SELECT doc_id, rnk, tok, tf, df, score_ppm FROM r WHERE rnk <= 3"
+    ),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by a tf-idf-style score. The idf factor
+    is the exact rational 1/df scaled to ppm and FLOOR-divided
+    (`score_ppm = tf*1e6 div df`) — same rarity ordering as log-idf for
+    a fixed corpus, but exact bigint arithmetic, so the ranking is
+    bit-stable across engines and partitionings (SCALE.md float
+    doctrine: no cross-engine doubles in ORDER BY).
+
+    Plan: tf hash-agg (one corpus shuffle on (doc_id, tok)), df agg on
+    the vocabulary-sized tf frame, BROADCAST df back onto tf (vocab <<
+    corpus by Zipf), then one rank window on doc_id. Ties broken on tok
+    so the top-3 cut is a total order."""
+    toks = T.tokens(spark, sf_dir).filter(F.col("tok") != "")
+    # tf feeds BOTH the df aggregate and the join probe: pin it so the
+    # corpus is tokenized+aggregated ONCE (Catalyst has no cross-consumer
+    # CSE — without this the scan+tf chain runs twice).
+    tf = T.materialize(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        F.expr("(tf * 1000000L) div df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score_ppm")
+    )
+
+
+# --- inverted index -------------------------------------------------------
+
+
+@query(
+    "text_inverted_index",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", " + _TF_CTE + " "
+        "SELECT tok, COUNT(*) AS df, SUM(tf) AS total_tf, "
+        "list_slice(list_sort(list(doc_id)), 1, 10) AS head_postings "
+        "FROM tf GROUP BY tok"
+    ),
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index build: token -> document frequency, total term
+    frequency, and the head of the sorted posting list (first 10
+    doc_ids). The tf pre-aggregate makes postings row-distinct by
+    construction; both aggregations are map-side-combined hash aggs, so
+    the shuffle carries (doc, term) pairs then vocabulary-sized rows —
+    never raw tokens. At 100 TB the posting lists themselves would go to
+    a bucketed sink partitioned by token hash (write path:
+    `readers.write_bucketed_table`); the head slice here keeps the
+    oracle row bounded while exercising the same plan."""
+    toks = T.tokens(spark, sf_dir).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+            "head_postings"
+        ),
+    )
