@@ -375,3 +375,63 @@ def test_lake_delete_where(spark, tmp_path):
         2,
         4,
     ]
+
+
+def test_lake_snapshot_time_travel(spark):
+    """Snapshot commits: append keeps history, overwrite starts a new
+    lineage, every old version stays readable (time travel), and the
+    diff between versions reads only the new data directories."""
+    work = tempfile.mkdtemp(prefix="snaplake")
+    lake = f"{work}/lake"
+    try:
+        base = _export_frame(spark)
+        v1 = readers.snapshot_commit(
+            spark, lake, base.filter(F.col("event_id") % 3 == 0), "overwrite"
+        )
+        v2 = readers.snapshot_commit(
+            spark, lake, base.filter(F.col("event_id") % 3 == 1), "append"
+        )
+        assert (v1, v2) == (1, 2)
+        n1 = base.filter(F.col("event_id") % 3 == 0).count()
+        n2 = base.filter(F.col("event_id") % 3 == 1).count()
+        assert readers.read_lake_snapshot(spark, lake, 1).count() == n1
+        assert readers.read_lake_snapshot(spark, lake).count() == n1 + n2
+        # CDF: v1 -> v2 is exactly the appended slice
+        diff = readers.snapshot_diff(spark, lake, 1, 2)
+        assert diff.count() == n2
+        assert (
+            diff.agg(F.min((F.col("event_id") % 3 == 1).cast("int"))).first()[0]
+            == 1
+        )
+        # overwrite starts fresh; history still readable
+        readers.snapshot_commit(spark, lake, base.limit(5), "overwrite")
+        assert readers.read_lake_snapshot(spark, lake).count() == 5
+        assert readers.read_lake_snapshot(spark, lake, 2).count() == n1 + n2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_lake_snapshot_vacuum(spark):
+    """Vacuum drops unreferenced data dirs and old manifests; the
+    retained snapshot is untouched and expired versions fail loudly."""
+    import pytest as _pytest
+
+    work = tempfile.mkdtemp(prefix="snapvac")
+    lake = f"{work}/lake"
+    try:
+        base = _export_frame(spark)
+        readers.snapshot_commit(spark, lake, base.limit(10), "overwrite")
+        readers.snapshot_commit(spark, lake, base.limit(20), "overwrite")
+        removed = readers.vacuum_lake_snapshots(lake, keep_last=1)
+        assert removed == 1  # v1's only dir is unreferenced by v2
+        assert readers.snapshot_versions(lake) == [2]
+        assert readers.read_lake_snapshot(spark, lake).count() == 20
+        with _pytest.raises(FileNotFoundError):
+            readers.read_lake_snapshot(spark, lake, 1)
+        # append lineage: vacuum after appends removes NOTHING (all dirs
+        # are referenced by the retained head)
+        readers.snapshot_commit(spark, lake, base.limit(3), "append")
+        assert readers.vacuum_lake_snapshots(lake, keep_last=1) == 0
+        assert readers.read_lake_snapshot(spark, lake).count() == 23
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -350,3 +350,159 @@ def delete_from_parquet_lake(
     )
     _atomic_lake_swap(keep, path)
     return before - spark.read.parquet(path).count()
+
+
+# --- snapshot versioning (time travel) ------------------------------------
+#
+# A Delta-lite commit protocol on plain parquet: data files are immutable
+# and live under <path>/data/c<N>/; each commit publishes a JSON manifest
+# <path>/_versions/v<N>.json listing the data directories that compose
+# that version. The manifest CREATE is the commit point — written to a
+# temp name, then hard-linked into place (os.link fails if the target
+# exists), which gives atomic publish AND optimistic concurrency: two
+# racing writers both prepare data, exactly one wins version N, the
+# loser's retry sees N and targets N+1. Readers never list data/ — they
+# read a manifest and load exactly its directories, so a half-written
+# commit is invisible. This is the core of what Delta/Iceberg do, sized
+# for a directory-per-commit granularity:
+#   - append commit = O(new data) write + one manifest (lake size never
+#     rewritten — the 100 TB ingest path),
+#   - overwrite commit = new manifest pointing only at the new dir,
+#   - time travel = read an old manifest,
+#   - incremental consumption (CDF for appends) = manifest set diff,
+#   - vacuum = delete data dirs unreferenced by retained manifests.
+
+
+def _versions_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_versions")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending. O(manifest count) listing."""
+    import os
+
+    vd = _versions_dir(path)
+    if not os.path.isdir(vd):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(vd)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(_versions_dir(path), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def snapshot_commit(
+    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+) -> int:
+    """Commit `df` as a new snapshot version; returns the version number.
+
+    mode="append": the new version is previous dirs + one new dir (no
+    existing byte is touched). mode="overwrite": the new version is only
+    the new dir (old data stays until `vacuum_lake_snapshots`, keeping
+    time travel alive). Retries the manifest link on a lost race."""
+    import json
+    import os
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode: {mode}")
+    tune(spark)
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    while True:
+        versions = snapshot_versions(path)
+        version = (versions[-1] + 1) if versions else 1
+        data_dir = f"c{version}"
+        df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
+        dirs = [data_dir]
+        if mode == "append" and versions:
+            dirs = _read_manifest(path, versions[-1])["dirs"] + dirs
+        manifest = {"version": version, "mode": mode, "dirs": dirs}
+        tmp = os.path.join(_versions_dir(path), f".v{version}.json.tmp")
+        final = os.path.join(_versions_dir(path), f"v{version}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent = the commit
+            os.unlink(tmp)
+            return version
+        except FileExistsError:  # lost the race: clean up, retry as N+1
+            os.unlink(tmp)
+
+
+def read_lake_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest if `version` is None) — time travel.
+    Loads exactly the manifest's directories; never lists data/."""
+    import os
+
+    tune(spark)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    m = _read_manifest(path, v)
+    return spark.read.parquet(
+        *[os.path.join(path, "data", d) for d in m["dirs"]]
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Rows added between two versions (change-data-feed for the append
+    path): reads ONLY the data directories present in `to_version`'s
+    manifest but not `from_version`'s — incremental consumers (a
+    training-data ingest job, a downstream index refresh) pay for new
+    data, never for a full-lake scan or an expensive row-level
+    except(). Overwrite commits replace the dir set, so the diff after
+    an overwrite is that whole new version — the consumer sees it as a
+    full refresh, which is what an overwrite means."""
+    import os
+
+    tune(spark)
+    old = set(_read_manifest(path, from_version)["dirs"])
+    new = [
+        d for d in _read_manifest(path, to_version)["dirs"] if d not in old
+    ]
+    if not new:
+        return read_lake_snapshot(spark, path, to_version).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(path, "data", d) for d in new]
+    )
+
+
+def vacuum_lake_snapshots(path: str, keep_last: int = 1) -> int:
+    """Drop all but the newest `keep_last` manifests and delete data
+    directories no retained manifest references; returns directories
+    removed. O(retained manifests + dirs) metadata work — data deletion
+    is directory unlink, no scan."""
+    import os
+    import shutil
+
+    versions = snapshot_versions(path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["dirs"])
+    for v in versions:
+        if v not in keep:
+            os.unlink(os.path.join(_versions_dir(path), f"v{v}.json"))
+    removed = 0
+    data_root = os.path.join(path, "data")
+    for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        if d not in live:
+            shutil.rmtree(os.path.join(data_root, d))
+            removed += 1
+    return removed
