@@ -4,6 +4,7 @@ source must produce exactly the batch result."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -408,4 +409,64 @@ def test_streaming_sliding_windows_match_batch(spark, events_dir):
         assert got.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_agg_mv(spark, wire_dir):
+    """The foreachBatch-maintained MV must equal the one-shot batch
+    aggregate over the same wire data (multi-batch folding is exact:
+    integer cents sums, min/max merge), and a restart with the same
+    checkpoint must fold nothing twice."""
+    out = tempfile.mkdtemp(prefix="mv_out_") + "/mv"
+    ckpt = tempfile.mkdtemp(prefix="mv_ckpt_")
+    try:
+        def run():
+            stream = jobs.wire_file_stream(spark, wire_dir)
+            enriched = jobs.enriched_stream(stream).select(
+                "city_name", "temperature"
+            )
+            q = jobs.start_incremental_agg_sink(enriched, out, ckpt)
+            q.awaitTermination(120)
+
+        run()
+        assert jobs._mv_last_batch(out) >= 0  # marker installed with data
+        got = {
+            r["city_name"]: r
+            for r in jobs.read_incremental_agg_mv(spark, out).collect()
+        }
+        exp = {
+            r["city_name"]: r
+            for r in wd.enriched_frame(spark, SF_SMOKE)
+            .groupBy("city_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(
+                        F.expr("cast(round(temperature * 100e0, 0) as bigint)")
+                    )
+                    / 100.0
+                    / F.count(F.lit(1))
+                ).alias("avg_temp"),
+                F.min("temperature").alias("min_temp"),
+                F.max("temperature").alias("max_temp"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for c in exp:
+            assert got[c]["n_events"] == exp[c]["n_events"]
+            assert got[c]["avg_temp"] == pytest.approx(exp[c]["avg_temp"])
+            assert got[c]["min_temp"] == exp[c]["min_temp"]
+            assert got[c]["max_temp"] == exp[c]["max_temp"]
+
+        before = jobs._mv_last_batch(out)
+        run()  # restart: checkpoint replays nothing, MV unchanged
+        got2 = {
+            r["city_name"]: r["n_events"]
+            for r in jobs.read_incremental_agg_mv(spark, out).collect()
+        }
+        assert got2 == {c: exp[c]["n_events"] for c in exp}
+        assert jobs._mv_last_batch(out) == before
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -342,3 +342,108 @@ def stream_static_segment_enrich(
     return events.join(
         dim, F.col("user_id") == F.col("c_custkey"), "left"
     ).drop("c_custkey")
+
+
+# --- incremental materialized view (exactly-once foreachBatch) ------------
+
+MV_SCHEMA = (
+    "city_name string, n_events bigint, sum_temp_cents bigint, "
+    "min_temp double, max_temp double"
+)
+
+
+def _mv_last_batch(path: str) -> int:
+    import json
+    import os
+
+    marker = os.path.join(path, "_batch.json")
+    if not os.path.exists(marker):
+        return -1
+    with open(marker) as fh:
+        return json.load(fh)["batch_id"]
+
+
+def read_incremental_agg_mv(spark: SparkSession, path: str) -> DataFrame:
+    """The MV's query surface: per-city count/avg/min/max, with avg
+    derived at read time from the exact integer sum (never averaged
+    across merges — re-averaging averages is wrong under uneven batch
+    sizes; summing cents is exact and associative)."""
+    return spark.read.parquet(path).select(
+        "city_name",
+        "n_events",
+        (F.col("sum_temp_cents") / 100.0 / F.col("n_events")).alias(
+            "avg_temp"
+        ),
+        "min_temp",
+        "max_temp",
+    )
+
+
+def start_incremental_agg_sink(enriched: DataFrame, path: str, checkpoint: str):
+    """Incrementally-maintained aggregate materialized view: each
+    micro-batch folds its PARTIAL per-city aggregate (count / exact
+    cents sum / min / max — all associative+commutative, so
+    merge-by-re-aggregation is exact in any arrival order) into a
+    parquet MV, atomically.
+
+    Exactly-once without a transaction log: the batch id is committed
+    INSIDE the swapped directory (`_batch.json` written to the staging
+    dir before the rename), so data+marker install together — a crash
+    anywhere leaves either the old MV or the new MV, never a half
+    state; on foreachBatch replay (at-least-once delivery) the marker
+    says the batch is already folded and the merge is skipped. This is
+    the streaming twin of the batch `weather_city_stats` aggregate and
+    the MV-maintenance pattern (stateless partial agg -> keyed merge)
+    that scales: state lives in the MV (city-cardinality rows), not in
+    the stream, so the job's memory is O(batch), and the MV rewrite is
+    O(cities) per trigger — at 100 TB the stream never re-scans the
+    lake.
+    """
+    import json
+    import os
+    import shutil
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _mv_last_batch(path):
+            return  # replayed batch: already folded, skip (idempotence)
+        partial = batch_df.groupBy("city_name").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(temperature * 100e0, 0) as bigint)")).alias(
+                "sum_temp_cents"
+            ),
+            F.min("temperature").alias("min_temp"),
+            F.max("temperature").alias("max_temp"),
+        )
+        if os.path.isdir(path):
+            cur = spark.read.schema(MV_SCHEMA).parquet(path)
+            merged = (
+                cur.unionByName(partial)
+                .groupBy("city_name")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_temp_cents").alias("sum_temp_cents"),
+                    F.min("min_temp").alias("min_temp"),
+                    F.max("max_temp").alias("max_temp"),
+                )
+            )
+        else:
+            merged = partial
+        tmp = path.rstrip("/") + "__rewriting"
+        old = path.rstrip("/") + "__replaced"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_batch.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        if os.path.isdir(path):
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+
+    return (
+        enriched.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
