@@ -1,0 +1,224 @@
+"""Geospatial operators over the enriched weather frame: grid-cell
+aggregation, nearest-station assignment (haversine), and radius search.
+
+The reference carries lat/lon on every observation (cast battery,
+ref:spark-apps/weather_streaming.py:69-70) but never computes with them —
+the dashboard only plots raw points. These operators add the spatial
+analytics a weather lake actually needs.
+
+Scale design:
+- grid-cell stats: the cell id is pure narrow arithmetic on the scan;
+  one hash-agg shuffle whose key cardinality is the cell count (bounded
+  by the territory, not the data) — per-partition partials keep bytes
+  moved proportional to cells x partitions at 100 TB;
+- nearest-station: stations are a per-city aggregate (8 rows). Instead
+  of a row x station shuffle join + per-row re-aggregate, the station
+  list is collapsed to ONE array row broadcast to every task; the argmin
+  is a narrow `array_min(transform(...))` over that array — ZERO
+  shuffles on the observation side, O(|stations|) work per row. The
+  classic cross-join-then-groupBy(event_id) plan would shuffle
+  |rows| x |stations| — this one moves nothing;
+- radius filter: narrow filter; at 100 TB a lat/lon bounding-box
+  pre-filter (min/max comparable to parquet column stats) would skip
+  whole row groups before any trig runs.
+
+Cross-engine determinism: station centroids use the exact-integer idiom
+(sum of ROUND(coord*1e4) BIGINTs, one final division) so no float-sum
+order noise exists; haversine distances are snapped to integer
+micro-km (ROUND(d*1e6)) before any argmin/compare/aggregate, so a
+last-ulp libm difference between the JVM and DuckDB cannot flip a
+winner or a filter edge; ties break on city name in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import weather_domain as wd
+from ..registry import query
+
+#: mean-earth-radius haversine, engine-neutral SQL (RADIANS/SIN/COS/
+#: ASIN/SQRT/POW are identical syntax in Spark SQL and DuckDB).
+def _hav(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        "(2.0e0 * 6371.0e0 * ASIN(SQRT("
+        f"POW(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0e0), 2.0e0) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2.0e0), 2.0e0))))"
+    )
+
+
+#: distance in integer micro-km: exact to compare/sum across engines
+def _hav_ukm(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"CAST(ROUND({_hav(lat1, lon1, lat2, lon2)} * 1.0e6) AS BIGINT)"
+    )
+
+
+# --- grid-cell aggregation ------------------------------------------------
+
+_CELL = "CAST(FLOOR({c} * 2.0e0) AS INTEGER)"  # 0.5-degree cells
+
+_GRID_ORACLE = f"""
+WITH {wd.oracle_enriched_cte()}
+SELECT {_CELL.format(c='lat')} AS cell_lat,
+       {_CELL.format(c='lon')} AS cell_lon,
+       COUNT(*) AS n_obs,
+       COUNT(temperature) AS n_temp,
+       SUM(CAST(temperature AS BIGINT)) AS sum_temp,
+       CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE)
+         / COUNT(temperature) AS avg_temp
+FROM enriched
+GROUP BY 1, 2
+"""
+
+
+@query("geo_grid_cell_stats", oracle=_GRID_ORACLE)
+def geo_grid_cell_stats(spark, sf_dir):
+    """0.5-degree grid-cell climatology: per-cell observation count and
+    mean temperature. Cell id is narrow arithmetic; the aggregate's key
+    space is the territory's cell count, so the single shuffle moves
+    per-partition partials only. The average derives from an exact
+    BIGINT sum (temperature is already integer), so it is identical
+    across engines and partition orders."""
+    e = wd.enriched_frame(spark, sf_dir)
+    return (
+        e.select(
+            F.expr(_CELL.format(c="lat")).alias("cell_lat"),
+            F.expr(_CELL.format(c="lon")).alias("cell_lon"),
+            "temperature",
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.count("temperature").alias("n_temp"),
+            F.sum(F.col("temperature").cast("bigint")).alias("sum_temp"),
+            F.expr(
+                "CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE)"
+                " / COUNT(temperature)"
+            ).alias("avg_temp"),
+        )
+    )
+
+
+# --- nearest-station assignment ------------------------------------------
+
+_STATIONS_CTE = """
+obs AS (SELECT event_id, city_name, lat, lon FROM enriched),
+st AS (
+  SELECT city_name AS station_city,
+         CAST(SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT)) AS DOUBLE)
+           / (1.0e4 * COUNT(*)) AS s_lat,
+         CAST(SUM(CAST(ROUND(lon * 1.0e4) AS BIGINT)) AS DOUBLE)
+           / (1.0e4 * COUNT(*)) AS s_lon
+  FROM obs GROUP BY city_name
+)"""
+
+_NEAREST_ORACLE = f"""
+WITH {wd.oracle_enriched_cte()},
+{_STATIONS_CTE},
+d AS (
+  SELECT obs.event_id, obs.city_name, st.station_city,
+         {_hav_ukm('obs.lat', 'obs.lon', 'st.s_lat', 'st.s_lon')} AS d_ukm
+  FROM obs CROSS JOIN st
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_id ORDER BY d_ukm, station_city) AS rk
+  FROM d
+)
+SELECT city_name, station_city AS nearest_station,
+       COUNT(*) AS n_obs,
+       SUM(d_ukm) AS sum_d_ukm,
+       CAST(SUM(d_ukm) AS DOUBLE) / (1.0e6 * COUNT(*)) AS avg_dist_km
+FROM r WHERE rk = 1
+GROUP BY city_name, station_city
+"""
+
+
+@query("join_geo_nearest_station", oracle=_NEAREST_ORACLE)
+def join_geo_nearest_station(spark, sf_dir):
+    """Assign every observation to its haversine-nearest station
+    (stations = per-city centroids) and summarize the confusion matrix
+    label-city x nearest-station. The station list collapses to a single
+    array row cross-joined (broadcast, 1 row) onto the observations; the
+    argmin is `array_min(transform(...))` — narrow, zero shuffles on the
+    fact side, unlike the naive row x station join + groupBy(event_id)
+    re-aggregate. Struct ordering gives the (distance, city) tie-break
+    for free."""
+    e = wd.enriched_frame(spark, sf_dir).select(
+        "event_id", "city_name", "lat", "lon"
+    )
+    st = e.groupBy("city_name").agg(
+        F.expr("SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT))").alias("sl_lat"),
+        F.expr("SUM(CAST(ROUND(lon * 1.0e4) AS BIGINT))").alias("sl_lon"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.col("city_name").alias("station_city"),
+        F.expr("CAST(sl_lat AS DOUBLE) / (1.0e4 * n)").alias("s_lat"),
+        F.expr("CAST(sl_lon AS DOUBLE) / (1.0e4 * n)").alias("s_lon"),
+    )
+    stations = st.agg(
+        F.sort_array(
+            F.collect_list(F.struct("station_city", "s_lat", "s_lon"))
+        ).alias("stations")
+    )
+    best = (
+        e.join(F.broadcast(stations))  # 1-row broadcast: stays narrow
+        .select(
+            "city_name",
+            F.expr(
+                "array_min(transform(stations, s -> struct("
+                + _hav_ukm("lat", "lon", "s.s_lat", "s.s_lon")
+                + " AS d_ukm, s.station_city AS station_city)))"
+            ).alias("best"),
+        )
+    )
+    return best.groupBy(
+        "city_name",
+        F.col("best.station_city").alias("nearest_station"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("best.d_ukm").alias("sum_d_ukm"),
+        F.expr(
+            "CAST(SUM(best.d_ukm) AS DOUBLE) / (1.0e6 * COUNT(*))"
+        ).alias("avg_dist_km"),
+    )
+
+
+# --- radius search --------------------------------------------------------
+
+#: Casablanca city center; 250 km search radius
+_CTR_LAT, _CTR_LON, _RADIUS_UKM = "33.5731e0", "-7.5898e0", 250_000_000
+
+_RADIUS_ORACLE = f"""
+WITH {wd.oracle_enriched_cte()},
+d AS (
+  SELECT event_id, city_name, temperature, alert_type,
+         {_hav_ukm('lat', 'lon', _CTR_LAT, _CTR_LON)} AS d_ukm
+  FROM enriched
+)
+SELECT event_id, city_name, temperature, alert_type,
+       CAST(d_ukm AS DOUBLE) / 1.0e6 AS dist_km
+FROM d WHERE d_ukm <= {_RADIUS_UKM}
+"""
+
+
+@query("geo_radius_filter", oracle=_RADIUS_ORACLE)
+def geo_radius_filter(spark, sf_dir):
+    """All observations within 250 km (haversine) of Casablanca's
+    center. Narrow filter — no shuffle at any scale; the integer
+    micro-km snap makes the boundary identical across engines. At
+    100 TB, precede with the bounding-box inequality (lat/lon BETWEEN)
+    so parquet min/max stats skip far-away row groups before trig."""
+    e = wd.enriched_frame(spark, sf_dir)
+    d = e.select(
+        "event_id", "city_name", "temperature", "alert_type",
+        F.expr(
+            _hav_ukm("lat", "lon", _CTR_LAT, _CTR_LON)
+        ).alias("d_ukm"),
+    )
+    return d.filter(F.col("d_ukm") <= _RADIUS_UKM).select(
+        "event_id", "city_name", "temperature", "alert_type",
+        F.expr("CAST(d_ukm AS DOUBLE) / 1.0e6").alias("dist_km"),
+    )

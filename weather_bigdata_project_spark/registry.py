@@ -59,6 +59,7 @@ def load() -> None:
     from .queries import similarity  # noqa: F401
     from .queries import text  # noqa: F401
     from .queries import curation  # noqa: F401
+    from .queries import geo  # noqa: F401
     from .queries import jsonops  # noqa: F401
     from .queries import multimodal  # noqa: F401
     from .queries import pipeline  # noqa: F401  (composes the above)
