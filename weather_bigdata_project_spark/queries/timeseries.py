@@ -26,7 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import money
+from ..functions.exprs import money, rnd
 from ..operators.textops import materialize
 from ..registry import query
 
@@ -159,4 +159,189 @@ def events_cohort_retention(spark, sf_dir):
             "cohort", F.datediff("day", "cohort").alias("day_offset")
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --- behavioral transition matrix ----------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT user_id, event_type AS to_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS from_type FROM events_t) "
+        "SELECT from_type, to_type, COUNT(*) AS n_transitions, "
+        "COUNT(DISTINCT user_id) AS n_users "
+        "FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
+    ),
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type -> to_type) with transition and distinct-user
+    counts. One exchange on user_id for the lag window (state = one
+    row), then a hash-agg whose key space is |types|^2 — the shuffle
+    after the window moves per-partition partials only. The (ts,
+    event_id) order key is total, so the lag is deterministic under any
+    partitioning."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        p.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --- rolling anomaly detection -------------------------------------------
+# Both rolling operators compute their statistics from EXACT integer
+# window sums (v_c cents are BIGINT; sums of <=14 of them are far below
+# 2^53, so every addition order yields the same double). The float
+# division/sqrt then runs on bit-identical inputs in both engines — no
+# stddev()/corr() builtin is used, because Welford-style streaming
+# updates differ across engines in the last ulp.
+
+_Z_WIN = (
+    "OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+)
+
+#: z-score of today's value against the trailing 7-day window, from
+#: exact sums: var_samp = (Sxx - Sx^2/k) / (k-1).
+_Z_EXPR = (
+    "CASE WHEN k >= 3 AND mn <> mx THEN "
+    + rnd(
+        "(CAST(v_c AS DOUBLE) - CAST(sx AS DOUBLE) / k) / "
+        "SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / k) / (k - 1))",
+        3,
+    )
+    + " END"
+)
+
+_ZSCORE_ORACLE = (
+    "WITH " + _DAILY_CTE + ", "
+    "wst AS (SELECT event_type, day, v_c, "
+    f"COUNT(*) {_Z_WIN} AS k, "
+    f"SUM(v_c) {_Z_WIN} AS sx, "
+    f"SUM(v_c * v_c) {_Z_WIN} AS sxx, "
+    f"MIN(v_c) {_Z_WIN} AS mn, "
+    f"MAX(v_c) {_Z_WIN} AS mx "
+    "FROM c) "
+    f"SELECT event_type, day, {money('v_c')} AS day_value, "
+    f"{_Z_EXPR} AS zscore, "
+    f"COALESCE(ABS({_Z_EXPR}) > 2.5e0, FALSE) AS is_anomaly "
+    "FROM wst"
+)
+
+
+@query("events_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark, sf_dir):
+    """Daily-value anomaly flags: each (type, day) total scored against
+    its own trailing 7-day window; |z| > 2.5 flags the day. Runs on the
+    reduced daily frame — one exchange on event_type, window state is
+    7 rows — so the fact table is touched exactly once by the daily
+    aggregate. The reference hard-codes global thresholds
+    (ref:spark-apps/weather_streaming.py:127-136); this is the
+    self-calibrating upgrade."""
+    c = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    st = c.select(
+        "event_type",
+        "day",
+        "v_c",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("v_c").over(w).alias("sx"),
+        F.sum(F.expr("v_c * v_c")).over(w).alias("sxx"),
+        F.min("v_c").over(w).alias("mn"),
+        F.max("v_c").over(w).alias("mx"),
+    )
+    return st.select(
+        "event_type",
+        "day",
+        F.expr(money("v_c")).alias("day_value"),
+        F.expr(_Z_EXPR).alias("zscore"),
+        F.expr(f"COALESCE(ABS({_Z_EXPR}) > 2.5e0, FALSE)").alias(
+            "is_anomaly"
+        ),
+    )
+
+
+_C_WIN = (
+    "OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+)
+
+#: Pearson r of (daily count, daily value) from exact integer sums:
+#: r = (k*Sxy - Sx*Sy) / sqrt((k*Sxx - Sx^2) * (k*Syy - Sy^2))
+_CORR_EXPR = (
+    "CASE WHEN k >= 3 AND mnx <> mxx AND mny <> mxy THEN "
+    + rnd(
+        "(k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / SQRT((k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *"
+        " CAST(sx AS DOUBLE)) * (k * CAST(syy AS DOUBLE) -"
+        " CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+        4,
+    )
+    + " END"
+)
+
+_ROLLCORR_ORACLE = (
+    "WITH " + _DAILY_CTE + ", "
+    "wst AS (SELECT event_type, day, "
+    f"COUNT(*) {_C_WIN} AS k, "
+    f"SUM(n) {_C_WIN} AS sx, "
+    f"SUM(v_c) {_C_WIN} AS sy, "
+    f"SUM(n * n) {_C_WIN} AS sxx, "
+    f"SUM(v_c * v_c) {_C_WIN} AS syy, "
+    f"SUM(n * v_c) {_C_WIN} AS sxy, "
+    f"MIN(n) {_C_WIN} AS mnx, MAX(n) {_C_WIN} AS mxx, "
+    f"MIN(v_c) {_C_WIN} AS mny, MAX(v_c) {_C_WIN} AS mxy "
+    "FROM c) "
+    f"SELECT event_type, day, {_CORR_EXPR} AS rolling_corr FROM wst"
+)
+
+
+@query("events_rolling_corr", oracle=_ROLLCORR_ORACLE)
+def events_rolling_corr(spark, sf_dir):
+    """Trailing 14-day Pearson correlation between each type's daily
+    event count and daily value total — does volume drive value? Same
+    exact-sum doctrine as the z-score: six integer window sums, one
+    shared float formula; degenerate windows (constant series, <3 days)
+    yield NULL instead of engine-dependent NaN."""
+    c = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, 0)
+    )
+    st = c.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("sx"),
+        F.sum("v_c").over(w).alias("sy"),
+        F.sum(F.expr("n * n")).over(w).alias("sxx"),
+        F.sum(F.expr("v_c * v_c")).over(w).alias("syy"),
+        F.sum(F.expr("n * v_c")).over(w).alias("sxy"),
+        F.min("n").over(w).alias("mnx"),
+        F.max("n").over(w).alias("mxx"),
+        F.min("v_c").over(w).alias("mny"),
+        F.max("v_c").over(w).alias("mxy"),
+    )
+    return st.select(
+        "event_type", "day", F.expr(_CORR_EXPR).alias("rolling_corr")
     )
