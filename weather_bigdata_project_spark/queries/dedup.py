@@ -537,3 +537,63 @@ def dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# --- edit-distance (Levenshtein) near-dup --------------------------------
+
+_LEV_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         substr(text, 1, 16) AS blk,
+         substr(text, 1, 120) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc1, c.doc_id AS doc2, a.lang,
+       levenshtein(a.head, c.head) AS edit_distance
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE abs(a.n_chars - c.n_chars) <= 15
+  AND levenshtein(a.head, c.head) <= 15
+"""
+
+
+@query("dedup_edit_distance", oracle=_LEV_ORACLE)
+def dedup_edit_distance(spark, sf_dir):
+    """Prefix-blocked Levenshtein near-dup pairs: candidates must share
+    (lang, first-16-chars) — an equi-join, never an all-pairs product —
+    and pass a |length delta| <= 15 cheap guard before the O(len^2) DP
+    runs on the 120-char heads. Spark's 3-arg levenshtein threshold
+    short-circuits the DP row as soon as the band exceeds 15, so the
+    worst-case cost per surviving pair is O(len * threshold). At 100 TB
+    the blocking key graduates to (simhash band, length band) — same
+    equi-join shape, same per-pair cost; edit distance itself is exact
+    integer arithmetic, so the oracle matches bit-for-bit."""
+    b = (
+        T.docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("substr(text, 1, 16)").alias("blk"),
+            F.expr("substr(text, 1, 120)").alias("head"),
+        )
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(F.expr("abs(a.n_chars - c.n_chars) <= 15"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("c.doc_id").alias("doc2"),
+            F.col("a.lang").alias("lang"),
+            F.expr("levenshtein(a.head, c.head, 15)").alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance").between(0, 15))
+    )
