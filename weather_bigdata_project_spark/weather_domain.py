@@ -253,8 +253,19 @@ def _adapt(sql: str, engine: str) -> str:
 
 def wire_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic weather wire stream: 14 all-string columns, the exact
-    reference wire schema (ref:spark-apps/weather_streaming.py:28-43)."""
+    reference wire schema (ref:spark-apps/weather_streaming.py:28-43).
+
+    The base scan is spread across cores before the synthesis chain:
+    the fixture parquet is a single row group (= one scan task), and
+    everything downstream of here is narrow (timestamp formatting +
+    string casts are the most expensive scalar work in the repo), so an
+    unspread scan pins the whole weather family to one core. The spread
+    moves two int columns — measured ~2x on the sf0.1 flagship; no-op
+    at production scale where the scan has thousands of splits."""
+    from .operators.textops import spread_small_scan
+
     ev = tables.load(spark, sf_dir, "events").select("event_id", "user_id")
+    ev = spread_small_scan(ev, spark, f"{sf_dir}/events.parquet")
     num = ev.select(
         "event_id",
         "user_id",
