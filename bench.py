@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "embed_knn_bruteforce",
     "embed_ivf_search",
+    "join_geo_nearest_station",
+    "events_anomaly_zscore",
+    "dedup_edit_distance",
 ]
 
 
