@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import weather_domain as wd
+from ..operators.textops import materialize
 from ..registry import query
 
 #: mean-earth-radius haversine, engine-neutral SQL (RADIANS/SIN/COS/
@@ -146,8 +147,14 @@ def join_geo_nearest_station(spark, sf_dir):
     fact side, unlike the naive row x station join + groupBy(event_id)
     re-aggregate. Struct ordering gives the (distance, city) tie-break
     for free."""
-    e = wd.enriched_frame(spark, sf_dir).select(
-        "event_id", "city_name", "lat", "lon"
+    # pinned: both the station aggregate and the probe side consume it,
+    # and Catalyst has no common-subplan sharing — without the pin the
+    # wire synthesis (the most expensive scalar chain in the repo) runs
+    # twice.
+    e = materialize(
+        wd.enriched_frame(spark, sf_dir).select(
+            "event_id", "city_name", "lat", "lon"
+        )
     )
     st = e.groupBy("city_name").agg(
         F.expr("SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT))").alias("sl_lat"),
