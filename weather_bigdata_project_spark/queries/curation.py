@@ -432,3 +432,53 @@ def text_pii_redact(spark, sf_dir):
             "redacted_tail"
         ),
     )
+
+
+# --- deterministic train/validation/test split ---------------------------
+
+#: LCG hash bucket in [0, 1000): pure integer arithmetic, no engine
+#: hash function (Spark xxhash64 and DuckDB hash() disagree), no
+#: overflow at any realistic doc_id (doc_id * 1103515245 < 2^63 up to
+#: ~8.3e9 docs).
+_SPLIT_H = "((doc_id * 1103515245 + 12345) % 1000)"
+_SPLIT = (
+    f"CASE WHEN {_SPLIT_H} < 900 THEN 'train' "
+    f"WHEN {_SPLIT_H} < 950 THEN 'validation' ELSE 'test' END"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT {_SPLIT} AS split, lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_split_assign", oracle=_SPLIT_ORACLE)
+def corpus_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/validation/test assignment by an LCG
+    hash of doc_id, summarized per (split, lang). Membership is a pure
+    narrow expression — reproducible across runs, engines, and
+    re-partitioning, with no sampling state to checkpoint; the
+    aggregate's key space is 3 x |langs|. At 100 TB the same expression
+    is the partition predicate for writing the three corpora — no
+    shuffle, no global coordination, and a doc's split never changes
+    when the corpus grows (stable hash, unlike fraction-based
+    randomSplit)."""
+    return (
+        T.docs(spark, sf_dir)
+        .select(
+            F.expr(_SPLIT).alias("split"),
+            "lang",
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -434,3 +434,82 @@ def embed_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# --- k-means assignment step ---------------------------------------------
+
+_KM_K = 8
+
+#: squared-L2 in integer micro-units: exact to compare/sum cross-engine
+#: (the fold is strict left-to-right in index order; the oracle's SUM
+#: over unnest runs the same order, and the micro-snap absorbs any
+#: last-ulp summation difference before the argmin decides anything)
+_L2U = (
+    "CAST(ROUND(aggregate(zip_with({a}, {b}, "
+    "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "0.0e0, (acc, v) -> acc + v) * 1.0e6) AS BIGINT)"
+)
+
+_KMEANS_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+z AS (
+  SELECT e.vec_id, e.label, s.seed_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.se) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN s
+),
+d AS (
+  SELECT vec_id, label, seed_id,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM z GROUP BY vec_id, label, seed_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d_u, seed_id) AS rk
+  FROM d
+)
+SELECT seed_id AS cluster, COUNT(*) AS n_members,
+       COUNT(DISTINCT label) AS n_labels,
+       SUM(d_u) AS sum_d_u,
+       CAST(SUM(d_u) AS DOUBLE) / (1.0e6 * COUNT(*)) AS avg_sq_dist
+FROM r WHERE rk = 1
+GROUP BY seed_id
+"""
+
+
+@query("embed_kmeans_assign", oracle=_KMEANS_ORACLE)
+def embed_kmeans_assign(spark, sf_dir):
+    """One k-means assignment step against K=8 fixed seed vectors
+    (vec_id 0..7): every embedding joins its nearest seed by squared
+    L2; output is per-cluster size, label diversity, and mean squared
+    distance (inertia / n). The seed set collapses to ONE broadcast
+    array row and the argmin is a narrow array_min(transform(...)) —
+    zero shuffles on the corpus side, which is exactly the Lloyd's-
+    iteration inner loop you want at 100 TB (the update step would be
+    an exact-integer centroid aggregate on the assignment output)."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.struct(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")).alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    best = emb.join(F.broadcast(seeds)).select(
+        "label",
+        F.expr(
+            "array_min(transform(seeds, s -> struct("
+            + _L2U.format(a="embedding", b="s.se")
+            + " AS d_u, s.seed_id AS seed_id)))"
+        ).alias("best"),
+    )
+    return best.groupBy(F.col("best.seed_id").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("label").alias("n_labels"),
+        F.sum("best.d_u").alias("sum_d_u"),
+        F.expr(
+            "CAST(SUM(best.d_u) AS DOUBLE) / (1.0e6 * COUNT(*))"
+        ).alias("avg_sq_dist"),
+    )
