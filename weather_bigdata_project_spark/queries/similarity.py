@@ -491,20 +491,7 @@ def embed_kmeans_assign(spark, sf_dir):
     zero shuffles on the corpus side, which is exactly the Lloyd's-
     iteration inner loop you want at 100 TB (the update step would be
     an exact-integer centroid aggregate on the assignment output)."""
-    emb = _emb(spark, sf_dir)
-    seeds = (
-        emb.filter(F.col("vec_id") < _KM_K)
-        .select(F.struct(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se")).alias("s"))
-        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
-    )
-    best = emb.join(F.broadcast(seeds)).select(
-        "label",
-        F.expr(
-            "array_min(transform(seeds, s -> struct("
-            + _L2U.format(a="embedding", b="s.se")
-            + " AS d_u, s.seed_id AS seed_id)))"
-        ).alias("best"),
-    )
+    best = _kmeans_best(_emb(spark, sf_dir))
     return best.groupBy(F.col("best.seed_id").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.countDistinct("label").alias("n_labels"),
@@ -512,4 +499,104 @@ def embed_kmeans_assign(spark, sf_dir):
         F.expr(
             "CAST(SUM(best.d_u) AS DOUBLE) / (1.0e6 * COUNT(*))"
         ).alias("avg_sq_dist"),
+    )
+
+
+#: assignment CTE chain shared by the update step: a = (vec_id -> cluster)
+_KM_ASSIGN_CTE = f"""
+s AS (
+  SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+z AS (
+  SELECT e.vec_id, s.seed_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.se) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN s
+),
+d AS (
+  SELECT vec_id, seed_id,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM z GROUP BY vec_id, seed_id
+),
+a AS (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d_u, seed_id) AS rk FROM d
+  ) WHERE rk = 1
+)"""
+
+_KM_UPDATE_ORACLE = f"""
+WITH {_KM_ASSIGN_CTE},
+ex AS (
+  SELECT a.cluster,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM embeddings e JOIN a USING (vec_id)
+)
+SELECT cluster, dim, COUNT(*) AS n_members,
+       SUM(CAST(ROUND(x * 1.0e6) AS BIGINT)) AS s_u,
+       CAST(SUM(CAST(ROUND(x * 1.0e6) AS BIGINT)) AS DOUBLE)
+         / (1.0e6 * COUNT(*)) AS centroid
+FROM ex GROUP BY cluster, dim
+"""
+
+
+def _kmeans_best(emb):
+    """Per-vector nearest seed: (vec_id, label, embedding, best struct).
+    Broadcast-array argmin — narrow, zero corpus-side shuffles."""
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("se"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    return emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "array_min(transform(seeds, s -> struct("
+            + _L2U.format(a="embedding", b="s.se")
+            + " AS d_u, s.seed_id AS seed_id)))"
+        ).alias("best"),
+    )
+
+
+@query("embed_kmeans_update", oracle=_KM_UPDATE_ORACLE)
+def embed_kmeans_update(spark, sf_dir):
+    """The k-means UPDATE step: new centroids of the clusters produced
+    by the assignment step, in long form (cluster, dim, centroid).
+    Element values snap to integer micro-units before the per-(cluster,
+    dim) sum, so centroids are exact rationals — order-insensitive and
+    engine-identical, unlike a naive float mean. One posexplode (narrow)
+    + one hash-agg whose key space is K x dims = 512; map-side partials
+    mean the shuffle moves per-partition partial sums, not elements.
+    Together with embed_kmeans_assign this is a full Lloyd's iteration,
+    each half independently oracle-checked."""
+    emb = _emb(spark, sf_dir)
+    ex = _kmeans_best(emb).select(
+        F.col("best.seed_id").alias("cluster"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    )
+    return (
+        ex.select(
+            "cluster",
+            "dim",
+            F.expr(
+                "CAST(ROUND(CAST(xf AS DOUBLE) * 1.0e6) AS BIGINT)"
+            ).alias("x_u"),
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("x_u").alias("s_u"),
+            F.expr(
+                "CAST(SUM(x_u) AS DOUBLE) / (1.0e6 * COUNT(*))"
+            ).alias("centroid"),
+        )
     )
