@@ -482,3 +482,64 @@ def corpus_split_assign(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# --- corpus mix divergence -----------------------------------------------
+
+#: per-term KL contribution p*ln(p/q), snapped to integer nano-units so
+#: the cross-term SUM is exact integer arithmetic (ln() may differ in
+#: the last ulp between the JVM and libm; 1e-9 snapping absorbs it)
+_KL_TERM_U = (
+    "CAST(ROUND((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE)) * "
+    "LN((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE)) / "
+    "(CAST(cg AS DOUBLE) / CAST(tg AS DOUBLE))) * 1.0e9) AS BIGINT)"
+)
+
+_KL_ORACLE = f"""
+WITH tf AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tfc AS (SELECT source, tok, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+st AS (SELECT source, SUM(c) AS ts FROM tfc GROUP BY source),
+gt AS (SELECT tok, SUM(c) AS cg FROM tfc GROUP BY tok),
+g AS (SELECT SUM(c) AS tg FROM tfc),
+terms AS (
+  SELECT tfc.source, {_KL_TERM_U} AS t_u
+  FROM tfc JOIN st USING (source) JOIN gt USING (tok) CROSS JOIN g
+)
+SELECT source, COUNT(*) AS n_terms,
+       CAST(SUM(t_u) AS DOUBLE) / 1.0e9 AS kl_divergence
+FROM terms GROUP BY source
+"""
+
+
+@query("corpus_source_divergence", oracle=_KL_ORACLE)
+def corpus_source_divergence(spark, sf_dir):
+    """KL divergence of each source's token distribution from the
+    corpus-wide distribution — the standard drift/mix-skew monitor for
+    a training-data pipeline (a source whose KL jumps changed its
+    content). Tokenization carries `source` from the scan, so the only
+    fact-volume shuffle is the (source, token) count; source totals,
+    global token counts, and the grand total all derive from that
+    pinned reduced frame (vocabulary-sized). Per-term contributions
+    snap to integer nano-units before summing, so the result is exact
+    modulo one final division in both engines."""
+    tfc = T.materialize(
+        T.docs(spark, sf_dir)
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = tfc.groupBy("source").agg(F.sum("c").alias("ts"))
+    gt = tfc.groupBy("tok").agg(F.sum("c").alias("cg"))
+    g = tfc.agg(F.sum("c").alias("tg"))
+    terms = (
+        tfc.join(F.broadcast(st), "source")
+        .join(gt, "tok")
+        .join(F.broadcast(g))
+        .select("source", F.expr(_KL_TERM_U).alias("t_u"))
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.expr("CAST(SUM(t_u) AS DOUBLE) / 1.0e9").alias("kl_divergence"),
+    )
