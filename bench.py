@@ -93,11 +93,23 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    def clear_session_state() -> None:
+        # Pinned frames (lazy localCheckpoint) persist RDD blocks for the
+        # life of the session; across a 40-query suite they accumulate
+        # into real GC/storage pressure that slows LATER queries by 3-7x
+        # (measured: dedup_minhash_lsh 3.4s isolated vs 11.1s late in a
+        # polluted suite). Dropping them between queries makes each
+        # measurement a fresh-session number.
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0
     for name in headline:
         fn = registry.QUERIES[name]
+        clear_session_state()
         # best of 2 measured runs: reports steady-state throughput, damps
         # GC/compilation jitter (both runs execute the full plan)
         dt = None
