@@ -129,3 +129,52 @@ def test_doc_shingle_ids_matches_naive_builder(spark, texts):
         assert set(got) == want
         for (doc_id, _), n_sh in got.items():
             assert n_sh == want_counts[doc_id]
+
+
+# --- haversine micro-km snap parity --------------------------------------
+
+_coords = st.lists(
+    st.tuples(
+        st.integers(min_value=-899_999, max_value=899_999).map(
+            lambda i: i / 10_000.0
+        ),
+        st.integers(min_value=-1_799_999, max_value=1_799_999).map(
+            lambda i: i / 10_000.0
+        ),
+        st.integers(min_value=-899_999, max_value=899_999).map(
+            lambda i: i / 10_000.0
+        ),
+        st.integers(min_value=-1_799_999, max_value=1_799_999).map(
+            lambda i: i / 10_000.0
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(_coords)
+def test_haversine_ukm_parity_spark_duckdb(spark, pairs):
+    """The geo family's claim: snapping haversine to integer micro-km
+    makes the value engine-exact even though JVM and libm trig can
+    differ in the last ulp. Checked on arbitrary coordinate pairs
+    across the full lat/lon domain (antipodes, poles, near-zero
+    separations included)."""
+    from weather_bigdata_project_spark.queries.geo import _hav_ukm
+
+    expr = _hav_ukm("lat1", "lon1", "lat2", "lon2")
+    df = spark.createDataFrame(
+        list(pairs), "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    got = [r[0] for r in df.selectExpr(f"{expr} AS d").collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS lat1, ? AS lon1, "
+            "? AS lat2, ? AS lon2)",
+            list(p),
+        ).fetchone()[0]
+        for p in pairs
+    ]
+    assert got == want

@@ -43,6 +43,18 @@ QUERIES_TO_RUN = [
     "text_repetition_metrics",
     "contamination_ngram_overlap",
     "corpus_sequence_pack",
+    "weather_enrich",
+    "geo_grid_cell_stats",
+    "join_geo_nearest_station",
+    "geo_radius_filter",
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_rolling_corr",
+    "dedup_edit_distance",
+    "embed_kmeans_assign",
+    "embed_kmeans_update",
+    "corpus_split_assign",
+    "corpus_source_divergence",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
