@@ -543,3 +543,46 @@ def corpus_source_divergence(spark, sf_dir):
         F.count(F.lit(1)).alias("n_terms"),
         F.expr("CAST(SUM(t_u) AS DOUBLE) / 1.0e9").alias("kl_divergence"),
     )
+
+
+# --- weighted sample without replacement ---------------------------------
+
+_WS_TOP = 100
+
+#: Efraimidis-Spirakis priority key = u^(1/w) with a deterministic LCG
+#: uniform u — reproducible across engines, retries, and partitionings
+#: (rand()'s stream is partition-layout-dependent; this isn't). The
+#: snap to integer pico-units absorbs pow()'s last-ulp differences.
+_WS_KEY_U = (
+    "CAST(ROUND(POW("
+    "CAST((doc_id * 48271) % 2147483647 + 1 AS DOUBLE) / 2147483648.0e0, "
+    "1.0e0 / CAST(n_chars AS DOUBLE)) * 1.0e12) AS BIGINT)"
+)
+
+_WS_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_WS_KEY_U} AS priority_u
+FROM documents
+ORDER BY priority_u DESC, doc_id LIMIT {_WS_TOP}
+"""
+
+
+@query("corpus_weighted_sample", oracle=_WS_ORACLE)
+def corpus_weighted_sample(spark, sf_dir):
+    """Weighted sample without replacement (Efraimidis-Spirakis): the
+    top-100 docs by priority u^(1/weight), weight = n_chars, u from a
+    deterministic LCG on doc_id. Longer docs are proportionally more
+    likely, yet membership is a pure narrow expression + top-k heap
+    (TakeOrderedAndProject) — one pass, no global sort, no RNG state,
+    and the sample is stable under corpus growth and re-partitioning.
+    This is the distributed one-pass weighted sampler a mix-building
+    pipeline wants at 100 TB."""
+    return (
+        T.docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang", "source", "n_chars",
+            F.expr(_WS_KEY_U).alias("priority_u"),
+        )
+        .orderBy(F.desc("priority_u"), "doc_id")
+        .limit(_WS_TOP)
+    )

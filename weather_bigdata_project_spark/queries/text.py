@@ -306,3 +306,95 @@ def text_inverted_index(spark, sf_dir):
             "head_postings"
         ),
     )
+
+
+# --- collocation mining (PMI) --------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 30
+
+#: pointwise mutual information in integer nano-units: all ratios are
+#: single divisions of exact integer counts; LN may differ in the last
+#: ulp between engines, the snap absorbs it before ranking
+_PMI_U = (
+    "CAST(ROUND(LN((CAST(c_xy AS DOUBLE) / CAST(t_bi AS DOUBLE)) / "
+    "((CAST(c_x AS DOUBLE) / CAST(t_uni AS DOUBLE)) * "
+    "(CAST(c_y AS DOUBLE) / CAST(t_uni AS DOUBLE)))) * 1.0e9) AS BIGINT)"
+)
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tu AS (SELECT SUM(c) AS t_uni FROM uni),
+bi AS (
+  SELECT unnest(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> struct_pack(w1 := string_split(text, ' ')[i],
+                            w2 := string_split(text, ' ')[i + 1]))) AS b
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bic AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+tb AS (SELECT SUM(c_xy) AS t_bi FROM bic),
+scored AS (
+  SELECT w1, w2, c_xy, {_PMI_U} AS pmi_u
+  FROM bic
+  JOIN uni ux ON ux.tok = bic.w1
+  JOIN uni uy ON uy.tok = bic.w2
+  CROSS JOIN tu CROSS JOIN tb,
+  LATERAL (SELECT ux.c AS c_x, uy.c AS c_y) _
+  WHERE c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, CAST(pmi_u AS DOUBLE) / 1.0e9 AS pmi
+FROM scored ORDER BY pmi_u DESC, w1, w2 LIMIT {_PMI_TOP}
+"""
+
+
+@query("text_bigram_pmi", oracle=_PMI_ORACLE)
+def text_bigram_pmi(spark, sf_dir):
+    """Top-30 collocations by pointwise mutual information over adjacent
+    token bigrams (min count 5) — the classic phrase-mining signal for
+    tokenizer/vocabulary work. Bigram generation is a narrow in-row
+    transform over the split array (no posexplode self-join); the only
+    fact-volume shuffle is the bigram count, unigram counts are
+    vocabulary-sized and broadcast onto it; totals are 1-row broadcasts.
+    PMI snaps to integer nano-units before ranking so the top-k heap
+    (TakeOrderedAndProject — no global sort) picks identical rows in
+    both engines; ties break on the pair."""
+    d = T.docs(spark, sf_dir).select(
+        F.split(F.col("text"), " ").alias("ts")
+    )
+    toks = d.select(F.explode("ts").alias("tok"))
+    uni = T.materialize(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    tu = uni.agg(F.sum("c").alias("t_uni"))
+    bi = d.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2), "
+                "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b")
+    )
+    bic = T.materialize(
+        bi.select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    tb = bic.agg(F.sum("c_xy").alias("t_bi"))
+    scored = (
+        bic.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.selectExpr("tok AS w1", "c AS c_x")), "w1")
+        .join(F.broadcast(uni.selectExpr("tok AS w2", "c AS c_y")), "w2")
+        .join(F.broadcast(tu))
+        .join(F.broadcast(tb))
+        .select("w1", "w2", "c_xy", F.expr(_PMI_U).alias("pmi_u"))
+    )
+    return (
+        scored.orderBy(F.desc("pmi_u"), "w1", "w2")
+        .limit(_PMI_TOP)
+        .select(
+            "w1", "w2", "c_xy",
+            F.expr("CAST(pmi_u AS DOUBLE) / 1.0e9").alias("pmi"),
+        )
+    )

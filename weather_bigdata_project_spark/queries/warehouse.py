@@ -25,7 +25,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import cents, money
+from ..functions.exprs import cents, money, rnd
+from ..operators import textops as T
 from ..registry import query
 
 
@@ -237,4 +238,51 @@ def profile_lineitem_columns(spark, sf_dir):
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+# --- join-key skew diagnostic --------------------------------------------
+
+_SKEW_TOP = 20
+
+_SKEW_ORACLE = f"""
+WITH kc AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM kc)
+SELECT key, cnt, n_keys,
+       {rnd('CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)', 8)} AS share
+FROM kc CROSS JOIN t
+ORDER BY cnt DESC, key LIMIT {_SKEW_TOP}
+"""
+
+
+@query("dq_key_skew", oracle=_SKEW_ORACLE)
+def dq_key_skew(spark, sf_dir):
+    """Heavy-hitter diagnostic for a join key: top-20 o_custkey values
+    by frequency with their share of all orders and the distinct-key
+    count. This is the query you run BEFORE choosing a join strategy at
+    100 TB — a key whose share is large enough to overflow one task is
+    the signal to salt (join_salted_events_customer) or lean on AQE
+    skew splitting. One hash-agg on the key (map-side partials), a
+    1-row totals broadcast, and a top-k heap; key cardinality never
+    touches the driver."""
+    kc = T.materialize(
+        tables.load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = kc.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        kc.join(F.broadcast(t))
+        .select(
+            "key", "cnt", "n_keys",
+            F.expr(
+                rnd("CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)", 8)
+            ).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_SKEW_TOP)
     )
