@@ -398,3 +398,73 @@ def text_bigram_pmi(spark, sf_dir):
             F.expr("CAST(pmi_u AS DOUBLE) / 1.0e9").alias("pmi"),
         )
     )
+
+
+# --- Zipf fit over the vocabulary ----------------------------------------
+
+#: log-rank / log-frequency snapped to integer 1e-5 units: exact sums
+#: at vocabularies up to ~1e6 tokens (x_u^2 sums stay inside BIGINT),
+#: one shared closed-form OLS on the exact integers after that
+_ZIPF_XY = (
+    "CAST(ROUND(LN(CAST(rk AS DOUBLE)) * 1.0e5) AS BIGINT) AS x, "
+    "CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1.0e5) AS BIGINT) AS y"
+)
+
+_ZIPF_FIT = (
+    "SELECT COUNT(*) AS n_vocab, "
+    + rnd(
+        "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+        "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)",
+        6,
+    )
+    + " AS zipf_slope, "
+    + rnd(
+        "(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) * "
+        "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)) / "
+        "(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) * "
+        "CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))",
+        6,
+    )
+    + " AS r2"
+)
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM uni
+),
+xy AS (SELECT {_ZIPF_XY} FROM ranked)
+{_ZIPF_FIT} FROM xy
+"""
+
+
+@query("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log-frequency on log-rank (a healthy natural-language corpus sits
+    near -1; a synthetic or template-heavy one doesn't — a cheap
+    corpus-health signal). The only fact-volume shuffle is the unigram
+    count; ranking is a window over the vocabulary (small by Zipf
+    itself), and the fit is one global aggregate of exact integer
+    sums."""
+    toks = T.docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    ranked = uni.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "tok"))
+        .alias("rk"),
+    )
+    xy = ranked.selectExpr(
+        "CAST(ROUND(LN(CAST(rk AS DOUBLE)) * 1.0e5) AS BIGINT) AS x",
+        "CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1.0e5) AS BIGINT) AS y",
+    )
+    xy.createOrReplaceTempView("zipf_xy")
+    return spark.sql(f"{_ZIPF_FIT} FROM zipf_xy")

@@ -345,3 +345,82 @@ def events_rolling_corr(spark, sf_dir):
     return st.select(
         "event_type", "day", F.expr(_CORR_EXPR).alias("rolling_corr")
     )
+
+
+# --- per-type OLS trend ---------------------------------------------------
+
+#: x = epoch day (exact int), y = daily value in whole currency units
+#: (cents/100, rounded — keeps y^2 sums inside BIGINT at any realistic
+#: SF). All five sums are exact integers; the closed-form OLS then runs
+#: identical IEEE double ops in both engines. Integer differences
+#: (k*Sxx - Sx^2 etc.) are computed IN BIGINT, so the classic
+#: catastrophic-cancellation of naive one-pass OLS never happens.
+#: datediff spelling differs (Spark: datediff(end, start); DuckDB:
+#: datediff('day', start, end)) — each engine gets its own projection,
+#: both producing the same exact epoch-day integer.
+_OLS_PROJ_DUCK = (
+    "SELECT event_type, "
+    "CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x, "
+    "CAST(ROUND(CAST(v_c AS DOUBLE) / 100.0e0) AS BIGINT) AS y"
+)
+
+_OLS_EXPR_SLOPE = (
+    "CASE WHEN k >= 2 AND (k * sxx - sx * sx) <> 0 THEN "
+    + rnd(
+        "CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)",
+        6,
+    )
+    + " END"
+)
+_OLS_EXPR_R2 = (
+    "CASE WHEN k >= 2 AND (k * sxx - sx * sx) <> 0 "
+    "AND (k * syy - sy * sy) <> 0 THEN "
+    + rnd(
+        "(CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE))"
+        " / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE))",
+        6,
+    )
+    + " END"
+)
+
+_OLS_ORACLE = (
+    "WITH " + _DAILY_CTE + ", "
+    "xy AS (" + _OLS_PROJ_DUCK + " FROM c), "
+    "ols AS (SELECT event_type, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy "
+    "FROM xy GROUP BY event_type) "
+    f"SELECT event_type, k AS n_days, {_OLS_EXPR_SLOPE} AS slope_per_day, "
+    f"{_OLS_EXPR_R2} AS r2 FROM ols"
+)
+
+
+@query("events_value_trend_ols", oracle=_OLS_ORACLE)
+def events_value_trend_ols(spark, sf_dir):
+    """Least-squares trend of each type's daily value total: slope
+    (currency units per day) and fit quality r^2, in closed form from
+    five exact integer sums over the reduced daily frame. One
+    |types|-key aggregate after the daily rollup — the regression
+    itself adds zero shuffles, and the integer-difference formulation
+    sidesteps the cancellation that makes naive one-pass OLS unstable."""
+    c = _daily(spark, sf_dir)
+    xy = c.select(
+        "event_type",
+        F.expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(CAST(v_c AS DOUBLE) / 100.0e0) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        F.expr(_OLS_EXPR_SLOPE).alias("slope_per_day"),
+        F.expr(_OLS_EXPR_R2).alias("r2"),
+    )
