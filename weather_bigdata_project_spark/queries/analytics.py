@@ -527,3 +527,45 @@ def epoch_unit_heuristic(spark, sf_dir):
             "to_timestamp_ntz('1970-01-01 00:00:00'))"
         ).alias("parsed_ts"),
     )
+
+
+# --- equi-depth temperature buckets --------------------------------------
+
+
+@query(
+    "weather_temp_equidepth",
+    oracle=_oracle(
+        ", t AS (SELECT event_id, temperature FROM enriched "
+        "WHERE temperature IS NOT NULL), "
+        "q AS (SELECT temperature, NTILE(4) OVER ("
+        "ORDER BY temperature, event_id) AS bucket FROM t) "
+        "SELECT bucket, COUNT(*) AS n, MIN(temperature) AS t_lo, "
+        "MAX(temperature) AS t_hi FROM q GROUP BY bucket"
+    ),
+)
+def weather_temp_equidepth(spark, sf_dir):
+    """Equi-DEPTH temperature quartile buckets (equal row counts,
+    data-driven boundaries) — the complement of the dashboard's
+    fixed-width histogram (A7). NTILE over the (temperature, event_id)
+    total order makes bucket membership deterministic across engines
+    and partitionings despite integer-temperature ties. The global-sort
+    window is the cost (documented: at 100 TB swap NTILE for
+    percentile_approx boundaries + a narrow bucket lookup — same
+    output shape, no global sort); the aggregate after it is 4 keys."""
+    e = wd.enriched_frame(spark, sf_dir)
+    from pyspark.sql import Window
+
+    t = e.filter(F.col("temperature").isNotNull()).select(
+        "event_id", "temperature"
+    )
+    q = t.select(
+        "temperature",
+        F.ntile(4)
+        .over(Window.orderBy("temperature", "event_id"))
+        .alias("bucket"),
+    )
+    return q.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("temperature").alias("t_lo"),
+        F.max("temperature").alias("t_hi"),
+    )

@@ -174,3 +174,72 @@ def events_funnel_conversion(spark, sf_dir):
             ).otherwise(zero)
         ).alias("full_funnel"),
     )
+
+
+# --- funnel conversion latency -------------------------------------------
+
+#: exact integer latency (whole seconds) between funnel stages,
+#: timezone-independent in both engines
+_LAT_SPARK = (
+    "CAST(timestampdiff(SECOND, t_view, t_buy) AS BIGINT)"
+)
+_LAT_DUCK = "CAST(epoch_us(t_buy - t_view) // 1000000 AS BIGINT)"
+
+_FLAT_QS = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+
+
+@query(
+    "events_funnel_latency",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "u AS (SELECT user_id, "
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view, "
+        "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click, "
+        "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy "
+        "FROM events_t GROUP BY user_id), "
+        f"lat AS (SELECT {_LAT_DUCK} AS lat_s FROM u "
+        "WHERE t_click > t_view AND t_buy > t_click) "
+        "SELECT COUNT(*) AS n_converted, "
+        + ", ".join(
+            rnd(f"quantile_cont(lat_s, {q}e0)", 4) + f" AS {n}"
+            for q, n in _FLAT_QS
+        )
+        + " FROM lat"
+    ),
+)
+def events_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution: exact interpolated percentiles of
+    the view->purchase latency over fully-converted users. The per-user
+    conditional-min aggregate is the same single pass the funnel query
+    uses (no per-stage self-joins); latencies are exact integer seconds
+    (NTZ arithmetic — timezone-independent), and the percentile runs as
+    ONE percentile(array) aggregate over the already-user-cardinality
+    frame."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    lat = u.filter(
+        (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_buy") > F.col("t_click"))
+    ).select(F.expr(_LAT_SPARK).alias("lat_s"))
+    qarr = ", ".join(f"{q}e0" for q, _ in _FLAT_QS)
+    agg = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr(f"percentile(lat_s, array({qarr}))").alias("qs"),
+    )
+    return agg.select(
+        "n_converted",
+        *[
+            F.expr(rnd(f"qs[{i}]", 4)).alias(n)
+            for i, (_, n) in enumerate(_FLAT_QS)
+        ],
+    )

@@ -424,3 +424,70 @@ def events_value_trend_ols(spark, sf_dir):
         F.expr(_OLS_EXPR_SLOPE).alias("slope_per_day"),
         F.expr(_OLS_EXPR_R2).alias("r2"),
     )
+
+
+# --- activity profile & per-group top-k ----------------------------------
+
+
+@query(
+    "events_hour_profile",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        "SELECT (isodow(ts) - 1) AS dow, hour(ts) AS hod, "
+        "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users "
+        "FROM events_t GROUP BY 1, 2"
+    ),
+)
+def events_hour_profile(spark, sf_dir):
+    """Activity heatmap by (day-of-week, hour-of-day): event and
+    distinct-user counts per cell. Narrow date-part projection + one
+    hash-agg over a fixed 168-cell key space — partial aggregation
+    collapses before the exchange at any scale. Day-of-week is pinned
+    to Monday=0 in both engines (Spark weekday == DuckDB isodow-1);
+    the session-timezone-independent NTZ timestamp keeps the cells
+    identical under hostile sessions."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("weekday(ts)").alias("dow"),
+            F.hour("ts").alias("hod"),
+            "user_id",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_top_days_per_type",
+    oracle=(
+        "WITH " + _DAILY_CTE + ", "
+        "r AS (SELECT event_type, day, v_c, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type ORDER BY v_c DESC, day) AS rnk FROM c) "
+        f"SELECT event_type, day, rnk, {money('v_c')} AS day_value "
+        "FROM r WHERE rnk <= 3"
+    ),
+)
+def events_top_days_per_type(spark, sf_dir):
+    """Top-3 revenue days per event type — the per-group top-k pattern.
+    Runs on the reduced daily frame; the rank window compiles to
+    WindowGroupLimit, so each partition keeps a 3-row heap per group
+    BEFORE the exchange — the shuffle never carries more than
+    3 x |types| x partitions rows regardless of history length. Ties
+    break on the day, so the pick is total-ordered in both engines."""
+    c = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("v_c"), "day")
+    return (
+        c.select(
+            "event_type", "day", "v_c",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type", "day", "rnk",
+            F.expr(money("v_c")).alias("day_value"),
+        )
+    )
