@@ -470,3 +470,58 @@ def test_incremental_agg_mv(spark, wire_dir):
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_transition_counts_stream(spark, tmp_path):
+    """Stateful streaming transition counts: drained over a time-ordered
+    file stream in multiple micro-batches, the summed emissions must
+    equal the batch transition matrix exactly (per-user last-type state
+    survives batch boundaries)."""
+    import shutil
+
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.registry import QUERIES
+
+    src = str(tmp_path / "events_ranged")
+    ev = tables.load(spark, SF_SMOKE, "events")
+    # four time-range files, lexicographic names follow event time so the
+    # file stream (maxFilesPerTrigger=1) replays history in order
+    ev.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    # the file source replays by (modification time, path); range files
+    # are written concurrently, so pin strictly increasing mtimes in
+    # range order to make the replay order the event-time order
+    import glob
+    import os
+
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            tables.load(spark, SF_SMOKE, "events").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.transition_counts_stream(stream)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("transitions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("transitions")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n_transitions"))
+    )
+    want = QUERIES["events_transition_matrix"](spark, SF_SMOKE).select(
+        "from_type", "to_type", "n_transitions"
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+    shutil.rmtree(src, ignore_errors=True)

@@ -447,3 +447,56 @@ def start_incremental_agg_sink(enriched: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming first-order transition counts (applyInPandasWithState):
+    per-user last-seen event type carried across micro-batches; each
+    batch emits the (from_type, to_type) pair counts it completed. The
+    batch twin is queries/timeseries.events_transition_matrix — summing
+    the emitted counts over a drained stream reproduces it exactly
+    (given time-ordered arrival per user, the usual Kafka-key guarantee).
+
+    Scale design: state is ONE (type, timestamp) pair per user — bounded
+    by key cardinality, not stream length; batches arrive
+    Arrow-vectorized and are reduced with pandas shift/groupby, never
+    per-row Python loops."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "from_type STRING, to_type STRING, n BIGINT"
+    state_schema = "last_type STRING, last_us BIGINT"
+
+    def update(key, pdfs, state):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        if state.exists:
+            last_type, _ = state.get
+            types = [last_type] + types
+        pairs = pd.DataFrame(
+            {"from_type": types[:-1], "to_type": types[1:]}
+        )
+        state.update((batch["event_type"].iloc[-1], int(batch["us"].iloc[-1])))
+        if pairs.empty:
+            return
+        out = (
+            pairs.groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        yield out
+
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
