@@ -139,6 +139,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
             ).alias("ds")
         )
         .filter(F.expr(f"size(ds) BETWEEN 2 AND {_DF_CAP}"))
+        # AQE coalesces the grouped-list stage to a handful of partitions
+        # by BYTE size, but the explode below multiplies work ~size(ds)^2
+        # per row — re-spread the (small) list frame so pair expansion
+        # uses every core. The exchange moves only the grouped lists;
+        # the win grows with dup density (the 10x smoke's 66 s is this).
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(
             F.col("p.doc1").alias("doc1"),
