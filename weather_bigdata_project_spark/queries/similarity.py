@@ -600,3 +600,92 @@ def embed_kmeans_update(spark, sf_dir):
             ).alias("centroid"),
         )
     )
+
+
+# --- product quantization encode -----------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace (64-dim vectors)
+
+#: in-row PQ code for one subspace s: argmin over the K seed
+#: sub-centroids of the micro-snapped squared-L2 between 8-dim slices.
+#: slice() is 1-based in Spark SQL; struct ordering gives the
+#: (distance, seed) tie-break.
+_PQ_CODE_SPARK = (
+    "transform(sequence(0, {m} - 1), s -> "
+    "array_min(transform(seeds, k -> struct("
+    "CAST(ROUND(aggregate(zip_with("
+    "slice(embedding, s * {d} + 1, {d}), "
+    "slice(k.se, s * {d} + 1, {d}), "
+    "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "0.0e0, (acc, v) -> acc + v) * 1.0e6) AS BIGINT) AS d_u, "
+    "k.seed_id AS seed_id))))"
+).format(m=_PQ_M, d=_PQ_DSUB)
+
+_PQ_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+z AS (
+  SELECT e.vec_id, s.seed_id,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.se) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN s
+),
+d AS (
+  SELECT vec_id, seed_id, dim // {_PQ_DSUB} AS sub,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM z GROUP BY vec_id, seed_id, dim // {_PQ_DSUB}
+),
+best AS (
+  SELECT vec_id, sub, seed_id AS code, d_u FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub ORDER BY d_u, seed_id) AS rk FROM d
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       {', '.join(f"MAX(CASE WHEN sub = {s} THEN code END) AS c{s}" for s in range(_PQ_M))},
+       SUM(d_u) AS err_u
+FROM best GROUP BY vec_id
+"""
+
+
+@query("embed_pq_encode", oracle=_PQ_ORACLE)
+def embed_pq_encode(spark, sf_dir):
+    """Product-quantization encoding: each 64-dim vector compressed to
+    8 sub-codes (one per 8-dim subspace, codebook = the K seed
+    sub-vectors) plus the total quantization error. The entire encode
+    is IN-ROW — the codebook rides the same single broadcast array row
+    as the k-means/IVF operators and every subspace argmin is a
+    `transform` over it — so the corpus side has ZERO shuffles and the
+    operator is a pure narrow map at any scale. Completes the ANN
+    family: brute-force (exact), LSH (hash route), IVF (coarse route),
+    PQ (compressed residual scan)."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("se"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    coded = emb.join(F.broadcast(seeds)).select(
+        "vec_id", F.expr(_PQ_CODE_SPARK).alias("codes")
+    )
+    return coded.select(
+        "vec_id",
+        *[
+            F.expr(f"codes[{s}].seed_id").alias(f"c{s}")
+            for s in range(_PQ_M)
+        ],
+        F.expr(
+            "aggregate(transform(codes, c -> c.d_u), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("err_u"),
+    )
