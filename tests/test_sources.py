@@ -76,13 +76,14 @@ def test_csv_export_roundtrip(spark):
     try:
         df = _export_frame(spark)
         readers.write_export_csv(df, d)
-        back = (
-            spark.read.schema(_SCHEMA)
-            .option("header", "true")
-            .csv(d)
-        )
+        back = readers.read_csv_lake(spark, d, _SCHEMA)
         assert back.count() == df.count()
         assert back.subtract(df).count() == 0
+        # junk files in the lake directory are skipped by the glob
+        with open(f"{d}/_junk.txt", "w") as f:
+            f.write("not,a,csv,part\n")
+        again = readers.read_csv_lake(spark, d, _SCHEMA)
+        assert again.count() == df.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -50,6 +50,25 @@ def read_parquet_lake(
     )
 
 
+def read_csv_lake(
+    spark: SparkSession, path: str, schema: Ty.StructType
+) -> DataFrame:
+    """CSV lake scan, completing the source matrix (parquet/JSON/CSV).
+    Declared schema — never inference (inference is a full extra pass
+    over the data, and its type guesses drift as the data grows);
+    malformed rows land in PERMISSIVE nulls rather than failing the
+    scan, matching the dashboard's coerce-don't-crash posture
+    (ref:streamlit/app.py:121)."""
+    tune(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("pathGlobFilter", "*.csv")
+        .csv(path)
+    )
+
+
 def write_export_csv(df: DataFrame, path: str) -> None:
     """S12: CSV export — distributed write (one file per partition; use
     coalesce(1) only for small UI downloads)."""
