@@ -59,6 +59,9 @@ HEADLINE = [
     "join_geo_nearest_station",
     "events_anomaly_zscore",
     "dedup_edit_distance",
+    "embed_kmeans_assign",
+    "text_bigram_pmi",
+    "corpus_source_divergence",
 ]
 
 
