@@ -603,3 +603,82 @@ def dedup_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_distance").between(0, 15))
     )
+
+
+# --- chunk-level (line-level) dedup --------------------------------------
+
+_CHUNK_W = 10  # tokens per non-overlapping chunk
+
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST((len(ts) + {_CHUNK_W} - 1)
+           // {_CHUNK_W} AS INT)),
+           i -> array_to_string(
+             ts[i * {_CHUNK_W} + 1 : i * {_CHUNK_W} + {_CHUNK_W}], ' ')))
+           AS chunk
+  FROM d
+),
+cf AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY chunk)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       {rnd('CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 4)}
+         AS dup_fraction
+FROM ch JOIN cf USING (chunk)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@query("dedup_chunk_level", oracle=_CHUNK_ORACLE)
+def dedup_chunk_level(spark, sf_dir):
+    """Chunk-level (a.k.a. line-level) dedup signal: split every doc
+    into non-overlapping 10-token chunks, count corpus-wide chunk
+    frequencies, and report each doc's duplicated-chunk fraction — the
+    RefinedWeb/C4 step that removes boilerplate WITHIN otherwise-unique
+    pages, which document-level dedup (exact/MinHash) cannot see.
+    Chunking is a narrow in-row transform; the chunk-frequency
+    aggregate and the chunk equi-join are the only shuffles (at 100 TB
+    both ride a 64-bit chunk hash, and the frequency side is
+    map-combined before the exchange). A doc's fraction >= ~0.5 is the
+    usual removal threshold; emitting the fraction, not a verdict,
+    keeps the policy in the pipeline layer."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    )
+    ch = T.materialize(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(ts) + {_CHUNK_W} - 1)"
+                    f" div {_CHUNK_W} AS INT) - 1), "
+                    f"i -> array_join(slice(ts, i * {_CHUNK_W} + 1, "
+                    f"{_CHUNK_W}), ' '))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    cf = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        ch.join(cf, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("c") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.expr(
+            rnd("CAST(n_dup_chunks AS DOUBLE) / COUNT(*)", 4).replace(
+                "COUNT(*)", "n_chunks"
+            )
+        ).alias("dup_fraction"),
+    )
