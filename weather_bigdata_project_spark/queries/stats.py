@@ -191,3 +191,67 @@ def window_time_range_avg(spark, sf_dir):
             "avg_value_3d"
         ),
     )
+
+
+# --- chi-square test of independence -------------------------------------
+
+#: per-cell contribution (obs - exp)^2 / exp in integer micro-units;
+#: exp = row_tot * col_tot / total is exact-integer in, one float
+#: division out — identical IEEE in both engines, snap absorbs the rest
+_CHI_TERM_U = (
+    "CAST(ROUND(POW(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot, 2.0e0)"
+    " / (CAST(rt AS DOUBLE) * ct / tot) * 1.0e6) AS BIGINT)"
+)
+
+_CHISQ_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "cells AS (SELECT event_type, (isodow(ts) - 1) AS dow, COUNT(*) AS o "
+    "FROM events_t GROUP BY 1, 2), "
+    "rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type), "
+    "ct AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY dow), "
+    "tot AS (SELECT SUM(o) AS tot FROM cells), "
+    "terms AS (SELECT " + _CHI_TERM_U + " AS t_u FROM cells "
+    "JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot) "
+    "SELECT COUNT(*) AS n_cells, "
+    "(SELECT (COUNT(DISTINCT event_type) - 1) * 6 FROM cells) AS dof, "
+    "CAST(SUM(t_u) AS DOUBLE) / 1.0e6 AS chi2 FROM terms"
+)
+
+
+@query("events_type_dow_chisq", oracle=_CHISQ_ORACLE)
+def events_type_dow_chisq(spark, sf_dir):
+    """Chi-square independence test: is event type independent of
+    day-of-week? Contingency cells are one |types| x 7 hash-agg over
+    the fact table; marginals and the grand total derive from the cell
+    frame (broadcast back), and each cell's (O-E)^2/E contribution
+    snaps to integer micro-units before the exact final sum. The
+    dashboard-statistics capability the reference's pandas layer would
+    hand to scipy — here it is one aggregate pipeline, no driver-side
+    math."""
+    ev = tables.load(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type", F.expr("weekday(ts)").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    from ..operators.textops import materialize
+
+    cells = materialize(cells)
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("tot"))
+    dof = cells.agg(
+        F.expr("(COUNT(DISTINCT event_type) - 1) * 6").alias("dof")
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(tot))
+        .select(F.expr(_CHI_TERM_U).alias("t_u"))
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr("CAST(SUM(t_u) AS DOUBLE) / 1.0e6").alias("chi2"),
+        )
+        .join(F.broadcast(dof))
+        .select("n_cells", "dof", "chi2")
+    )
