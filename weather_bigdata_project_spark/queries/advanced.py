@@ -422,3 +422,110 @@ def sample_stratified_events(spark, sf_dir):
     return ev.filter(
         F.expr(_strata_case(hashed_id_spark("CAST(event_id AS STRING)")))
     ).select("event_id", "user_id", "event_type", "value")
+
+
+# --- market-basket brand affinity ----------------------------------------
+
+_LIFT_MIN_N = 5
+
+#: lift = P(a,b) / (P(a) P(b)) over orders; all probabilities are
+#: single divisions of exact integer counts, snapped to micro-units
+_LIFT_U = (
+    "CAST(ROUND((CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)) / "
+    "((CAST(n_a AS DOUBLE) / CAST(n_orders AS DOUBLE)) * "
+    "(CAST(n_b AS DOUBLE) / CAST(n_orders AS DOUBLE))) * 1.0e6) AS BIGINT)"
+)
+
+_BASKET_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+bf AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT brand_a, brand_b, n_ab,
+         {_LIFT_U.replace('n_a ', 'fa.n ').replace('n_b ', 'fb.n ')} AS lift_u
+  FROM pairs
+  JOIN bf fa ON fa.brand = brand_a
+  JOIN bf fb ON fb.brand = brand_b
+  CROSS JOIN tot
+  WHERE n_ab >= {_LIFT_MIN_N}
+)
+SELECT brand_a, brand_b, n_ab,
+       CAST(lift_u AS DOUBLE) / 1.0e6 AS lift
+FROM scored ORDER BY lift_u DESC, brand_a, brand_b LIMIT 25
+"""
+
+
+@query("basket_brand_lift", oracle=_BASKET_ORACLE)
+def basket_brand_lift(spark, sf_dir):
+    """Market-basket affinity: top-25 part-brand pairs by lift across
+    orders. The brand dimension broadcasts onto lineitem; per-order
+    brand sets are gathered by ONE groupBy(order) and pairs expand
+    IN-ROW from the sorted set (bounded by brands-per-order, ~7 in this
+    schema) — the classic ob-join-ob self-join would shuffle the
+    order-brand frame twice and explode skewed orders quadratically in
+    the join. Probabilities are single divisions of exact counts,
+    snapped before the top-k heap."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+    )
+    from ..operators.textops import materialize
+
+    sets = materialize(
+        ob.groupBy("okey").agg(
+            F.expr("sort_array(collect_set(brand))").alias("bs")
+        )
+    )
+    tot = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bf = sets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pair_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        sets.filter(F.size("bs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_N)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(bf.selectExpr("brand AS brand_a", "n AS n_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bf.selectExpr("brand AS brand_b", "n AS n_b")),
+            "brand_b",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "n_ab", F.expr(_LIFT_U).alias("lift_u")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_u"), "brand_a", "brand_b")
+        .limit(25)
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            F.expr("CAST(lift_u AS DOUBLE) / 1.0e6").alias("lift"),
+        )
+    )
