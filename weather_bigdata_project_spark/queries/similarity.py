@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..functions.exprs import rnd
+from ..operators import textops as T
 from ..registry import query
 
 _DOT = (
@@ -688,4 +689,187 @@ def embed_pq_encode(spark, sf_dir):
             "aggregate(transform(codes, c -> c.d_u), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("err_u"),
+    )
+
+
+# --- power-iteration PC1 (iterative algorithm, oracle-exact) --------------
+
+_PI_ITERS = 4
+_PI_DIMS = 64
+_PI_V0_U = 125_000  # 1/8 in 1e-6 units: ||(1/8,...,1/8)||_64 = 1 exactly
+
+
+def _pi_oracle() -> str:
+    """Unrolled power iteration as a DuckDB CTE chain. Every cross-row
+    sum is exact integer arithmetic (snapped operands), and the one
+    order-sensitive float reduction — the per-vector dot product — is
+    pinned with an ordered aggregate (SUM(... ORDER BY dim)), which
+    DuckDB evaluates as the same left-to-right fold Spark's
+    `aggregate(zip_with(...))` runs. Iterations are therefore
+    bit-identical across engines."""
+    cte = [f"""rows0 AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+mu AS MATERIALIZED (
+  SELECT dim, CAST(ROUND(CAST(SUM(CAST(ROUND(x * 1.0e6) AS BIGINT))
+    AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT) AS mu
+  FROM rows0 GROUP BY dim
+),
+v0 AS (SELECT unnest(range(0, {_PI_DIMS})) AS dim,
+              CAST({_PI_V0_U} AS BIGINT) AS vu)"""]
+    for k in range(1, _PI_ITERS + 1):
+        p = k - 1
+        cte.append(f"""imv{k} AS (
+  SELECT SUM(mu * vu) AS imv FROM mu JOIN v{p} USING (dim)
+),
+dot{k} AS (
+  SELECT r.vec_id,
+         SUM(r.x * (CAST(v.vu AS DOUBLE) / 1.0e6) ORDER BY r.dim) AS dot
+  FROM rows0 r JOIN v{p} v USING (dim) GROUP BY r.vec_id
+),
+t{k} AS MATERIALIZED (
+  SELECT vec_id, CAST(ROUND((dot - CAST((SELECT imv FROM imv{k}) AS DOUBLE)
+    / 1.0e12) * 1.0e6) AS BIGINT) AS tu
+  FROM dot{k}
+),
+st{k} AS (SELECT SUM(tu) AS st FROM t{k}),
+sw{k} AS (
+  SELECT r.dim, SUM(CAST(ROUND(r.x * CAST(t.tu AS DOUBLE)) AS BIGINT)) AS sw
+  FROM rows0 r JOIN t{k} t USING (vec_id) GROUP BY r.dim
+),
+w{k} AS MATERIALIZED (
+  SELECT dim, CAST(ROUND((CAST(sw AS DOUBLE)
+    - CAST(mu * (SELECT st FROM st{k}) AS DOUBLE) / 1.0e6)
+    / (SELECT n FROM nn)) AS BIGINT) AS wu
+  FROM sw{k} JOIN mu USING (dim)
+),
+nr{k} AS (SELECT SUM(wu * wu) AS s2 FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT dim, CAST(ROUND(CAST(wu AS DOUBLE)
+    / SQRT(CAST((SELECT s2 FROM nr{k}) AS DOUBLE)) * 1.0e6) AS BIGINT) AS vu
+  FROM w{k}
+)""")
+    last = _PI_ITERS
+    cte.append(f"""sgn AS (
+  SELECT CASE WHEN (SELECT vu FROM v{last} WHERE vu <> 0
+                    ORDER BY dim LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+),
+lam AS (SELECT CAST(ROUND(SQRT(CAST(s2 AS DOUBLE))) AS BIGINT) AS lu
+        FROM nr{last})""")
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT dim, CAST(vu * (SELECT s FROM sgn) AS DOUBLE) / 1.0e6 AS loading,
+       CAST((SELECT lu FROM lam) AS DOUBLE) / 1.0e6 AS eigenvalue
+FROM v{last}"""
+    )
+
+
+@query("embed_power_iteration_pc1", oracle=_pi_oracle())
+def embed_power_iteration_pc1(spark, sf_dir):
+    """Top principal component of the embedding corpus by FOUR matrix-
+    free power iterations — the iterative-algorithm pattern (MLlib-style
+    driver loop: per-iteration state is the 64-int snapped vector, the
+    data never leaves the cluster). Each iteration is one narrow pass
+    computing per-row projections t_i = (x_i - m) . v, one per-dim
+    exact-integer aggregate of x_i[d] * t_i, and a 64-row normalize;
+    every cross-row reduction rides snapped integers, and the per-row
+    dot is a left fold — so all four iterations, and hence the final
+    loadings, are bit-identical to the unrolled SQL oracle. Unlike
+    embed_label_pca (grouped-map numpy, rows-only check) this scales to
+    corpora no single executor can hold and is oracle-gated."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    rows = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    mu_rows = (
+        rows.groupBy("dim")
+        .agg(
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CAST(ROUND(x * 1.0e6) AS BIGINT)) "
+                f"AS DOUBLE) / {n}) AS BIGINT)"
+            ).alias("mu")
+        )
+        .collect()
+    )
+    mu = {r["dim"]: r["mu"] for r in mu_rows}
+    vu = [_PI_V0_U] * _PI_DIMS
+    lam_u = 0
+    for _ in range(_PI_ITERS):
+        imv = sum(mu[d] * vu[d] for d in range(_PI_DIMS))  # exact ints
+        varr = "array(" + ", ".join(
+            f"CAST({u} AS BIGINT)" for u in vu
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {varr}, "
+            "(x, vu) -> CAST(x AS DOUBLE) * (CAST(vu AS DOUBLE) / 1.0e6)), "
+            "0.0e0, (acc, v) -> acc + v)"
+        )
+        t = T.materialize(
+            emb.select(
+                "embedding",
+                F.expr(
+                    f"CAST(ROUND(({dot} - CAST({imv} AS DOUBLE) / 1.0e12)"
+                    " * 1.0e6) AS BIGINT)"
+                ).alias("tu"),
+            )
+        )
+        st = t.agg(F.sum("tu")).collect()[0][0]
+        sw_rows = (
+            t.select(F.posexplode("embedding").alias("dim", "xf"), "tu")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(CAST(xf AS DOUBLE) * CAST(tu AS DOUBLE))"
+                        " AS BIGINT)"
+                    )
+                ).alias("sw")
+            )
+            .collect()
+        )
+        sw = {r["dim"]: r["sw"] for r in sw_rows}
+        w_df = spark.createDataFrame(
+            [(d, int(sw[d]), int(mu[d])) for d in range(_PI_DIMS)],
+            "dim INT, sw BIGINT, mu BIGINT",
+        ).select(
+            "dim",
+            F.expr(
+                f"CAST(ROUND((CAST(sw AS DOUBLE) - "
+                f"CAST(mu * CAST({st} AS BIGINT) AS DOUBLE) / 1.0e6)"
+                f" / {n}) AS BIGINT)"
+            ).alias("wu"),
+        )
+        w_df = T.materialize(w_df)
+        nrm2 = w_df.agg(F.sum(F.expr("wu * wu"))).collect()[0][0]
+        v_rows = w_df.select(
+            "dim",
+            F.expr(
+                f"CAST(ROUND(CAST(wu AS DOUBLE) / "
+                f"SQRT(CAST({nrm2} AS DOUBLE)) * 1.0e6) AS BIGINT)"
+            ).alias("vu"),
+        ).collect()
+        vu_map = {r["dim"]: r["vu"] for r in v_rows}
+        vu = [int(vu_map[d]) for d in range(_PI_DIMS)]
+        lam_row = spark.sql(
+            f"SELECT CAST(ROUND(SQRT(CAST({nrm2} AS DOUBLE))) AS BIGINT) AS l"
+        ).collect()
+        lam_u = int(lam_row[0]["l"])
+    s = 1
+    for u in vu:
+        if u != 0:
+            s = -1 if u < 0 else 1
+            break
+    out = spark.createDataFrame(
+        [(d, int(vu[d] * s), lam_u) for d in range(_PI_DIMS)],
+        "dim INT, vu BIGINT, lu BIGINT",
+    )
+    return out.select(
+        "dim",
+        F.expr("CAST(vu AS DOUBLE) / 1.0e6").alias("loading"),
+        F.expr("CAST(lu AS DOUBLE) / 1.0e6").alias("eigenvalue"),
     )
