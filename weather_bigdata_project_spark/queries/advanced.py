@@ -529,3 +529,150 @@ def basket_brand_lift(spark, sf_dir):
             F.expr("CAST(lift_u AS DOUBLE) / 1.0e6").alias("lift"),
         )
     )
+
+
+# --- PageRank over the brand co-occurrence graph --------------------------
+
+_PR_ITERS = 3
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+#: shared graph CTEs: symmetric weighted edges from order co-occurrence
+_PR_GRAPH = """
+ob AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.brand AS ba, b.brand AS bb, COUNT(*) AS w
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT ba AS src, bb AS dst, w FROM pairs
+  UNION ALL
+  SELECT bb AS src, ba AS dst, w FROM pairs
+),
+outw AS MATERIALIZED (
+  SELECT src, SUM(w) AS wout FROM edges GROUP BY src
+),
+nodes AS MATERIALIZED (SELECT src AS brand FROM outw),
+nn AS (SELECT COUNT(*) AS n FROM nodes)"""
+
+
+def _pr_oracle() -> str:
+    """Unrolled damped PageRank. Rank vectors live in integer nano-units;
+    each edge contribution snaps before the per-destination sum, so every
+    iteration is exact integer arithmetic plus one identical IEEE
+    expression — bit-equal across engines, like the power-iteration PC1."""
+    cte = [_PR_GRAPH, (
+        "r0 AS (SELECT brand, CAST(ROUND(1.0e9 / (SELECT n FROM nn)) "
+        "AS BIGINT) AS ru FROM nodes)"
+    )]
+    for k in range(1, _PR_ITERS + 1):
+        p = k - 1
+        cte.append(f"""s{k} AS (
+  SELECT e.dst AS brand,
+         SUM(CAST(ROUND(CAST(e.w AS DOUBLE) * CAST(r.ru AS DOUBLE)
+           / CAST(o.wout AS DOUBLE)) AS BIGINT)) AS su
+  FROM edges e
+  JOIN r{p} r ON r.brand = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT n.brand, CAST(ROUND(
+    {100 - _PR_D_NUM}.0e0 / {_PR_D_DEN} * 1.0e9 / (SELECT n FROM nn)
+    + {_PR_D_NUM}.0e0 / {_PR_D_DEN} * CAST(COALESCE(s.su, 0) AS DOUBLE)
+  ) AS BIGINT) AS ru
+  FROM nodes n LEFT JOIN s{k} s ON s.brand = n.brand
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT brand, CAST(ru AS DOUBLE) / 1.0e9 AS pagerank
+FROM r{_PR_ITERS}"""
+    )
+
+
+@query("graph_pagerank_brands", oracle=_pr_oracle())
+def graph_pagerank_brands(spark, sf_dir):
+    """Damped PageRank (3 iterations, d=0.85) over the brand
+    co-occurrence graph induced by orders — the graph-analytics pattern
+    on the star schema. The graph builds once (edges + out-weights,
+    pinned); each iteration is ONE broadcast join of the rank vector
+    (node-cardinality — brands, users, hosts — always << edges) onto the
+    edge list and one per-destination sum of nano-snapped contributions,
+    so iterations are exact integer arithmetic and match the unrolled
+    SQL oracle bit-for-bit. At 100 TB the same loop shuffles edges once
+    per iteration on dst; rank state stays dimension-sized."""
+    from ..operators.textops import materialize
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = materialize(
+        pairs.selectExpr("ba AS src", "bb AS dst", "w").unionAll(
+            pairs.selectExpr("bb AS src", "ba AS dst", "w")
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = outw.select(F.col("src").alias("brand"))
+    n = nodes.count()
+    ranks = materialize(
+        nodes.select(
+            "brand",
+            F.expr(f"CAST(ROUND(1.0e9 / {n}) AS BIGINT)").alias("ru"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(
+                    ranks.selectExpr("brand AS src", "ru")
+                ),
+                "src",
+            )
+            .join(F.broadcast(outw), "src")
+            .groupBy(F.col("dst").alias("brand"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(CAST(w AS DOUBLE) * CAST(ru AS DOUBLE)"
+                        " / CAST(wout AS DOUBLE)) AS BIGINT)"
+                    )
+                ).alias("su")
+            )
+        )
+        ranks = materialize(
+            nodes.join(contrib, "brand", "left").select(
+                "brand",
+                F.expr(
+                    f"CAST(ROUND({100 - _PR_D_NUM}.0e0 / {_PR_D_DEN} "
+                    f"* 1.0e9 / {n} + {_PR_D_NUM}.0e0 / {_PR_D_DEN} "
+                    "* CAST(COALESCE(su, 0) AS DOUBLE)) AS BIGINT)"
+                ).alias("ru"),
+            )
+        )
+    return ranks.select(
+        "brand", F.expr("CAST(ru AS DOUBLE) / 1.0e9").alias("pagerank")
+    )
