@@ -34,6 +34,30 @@ _JVM_ONLY = [
     "embed_knn_bruteforce",
     "embed_ivf_search",
     "embed_ivf_recall",
+    "join_geo_nearest_station",
+    "geo_grid_cell_stats",
+    "geo_radius_filter",
+    "embed_kmeans_assign",
+    "embed_kmeans_update",
+    "embed_pq_encode",
+    "dedup_edit_distance",
+    "dedup_chunk_level",
+    "text_bigram_pmi",
+    "text_zipf_slope",
+    "basket_brand_lift",
+    "graph_pagerank_brands",
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_rolling_corr",
+    "events_value_trend_ols",
+    "events_hour_profile",
+    "events_funnel_latency",
+    "corpus_source_divergence",
+    "corpus_split_assign",
+    "corpus_weighted_sample",
+    "dq_key_skew",
+    "events_type_dow_chisq",
+    "weather_degree_days",
 ]
 
 
