@@ -719,3 +719,51 @@ def events_user_sessions(spark, sf_dir):
             "max_value",
         )
     )
+
+
+# --- pure-SQL surface: multi-table join via spark.sql ---------------------
+
+_SQL_Q3 = """
+SELECT l.l_orderkey AS okey,
+       SUM(CAST(ROUND(l.l_extendedprice * (1.0e0 - l.l_discount)
+         * 100.0e0) AS BIGINT)) AS rev_c,
+       o.o_orderdate, o.o_orderpriority
+FROM {c} c
+JOIN {o} o ON c.c_custkey = o.o_custkey
+JOIN {l} l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY rev_c DESC, okey LIMIT 10
+"""
+
+
+@query(
+    "sql_tpch_q3_surface",
+    oracle=(
+        "WITH q AS ("
+        + _SQL_Q3.format(c="customer", o="orders", l="lineitem")
+        + ") SELECT okey, "
+        + "CAST(rev_c AS DOUBLE) / 100.0e0 AS revenue, "
+        "o_orderdate, o_orderpriority FROM q"
+    ),
+)
+def sql_tpch_q3_surface(spark, sf_dir):
+    """The multi-table SQL API surface: TPC-H Q3 written as ONE
+    spark.sql string over registered temp views — same Catalyst plan,
+    same pushdown/broadcast behavior as the DataFrame twin
+    (tpch_q3_order_revenue), because a view is just a named logical
+    plan. Revenue rides exact cents; the engine-facing text is shared
+    with the oracle verbatim."""
+    for t in ("customer", "orders", "lineitem"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    q = spark.sql(
+        _SQL_Q3.format(c="sqlv_customer", o="sqlv_orders", l="sqlv_lineitem")
+    )
+    return q.selectExpr(
+        "okey",
+        "CAST(rev_c AS DOUBLE) / 100.0e0 AS revenue",
+        "o_orderdate",
+        "o_orderpriority",
+    )
