@@ -114,3 +114,161 @@ def events_json_typed_parse(spark, sf_dir):
         .select("event_id", F.col("p.k").alias("k"))
         .filter(F.col("k").isNotNull())
     )
+
+
+# --- scalar function batteries -------------------------------------------
+# Broad engine-parity coverage of the scalar surface beyond what the
+# weather pipeline exercises: string, datetime, and three-valued-logic
+# semantics, each as ONE narrow projection the oracle mirrors verbatim
+# (or with the documented per-engine spelling where names differ).
+
+_STR_EXPRS = [
+    ("up", "UPPER(substr(text, 1, 12))",
+     "UPPER(substr(text, 1, 12))"),
+    ("lo", "LOWER(substr(text, 1, 12))",
+     "LOWER(substr(text, 1, 12))"),
+    ("tr", "TRIM('  ' || substr(text, 1, 8) || ' ')",
+     "TRIM('  ' || substr(text, 1, 8) || ' ')"),
+    ("lp", "LPAD(CAST(doc_id AS STRING), 8, '0')",
+     "LPAD(CAST(doc_id AS STRING), 8, '0')"),
+    ("rp", "RPAD(lang, 6, '_')",
+     "RPAD(lang, 6, '_')"),
+    ("rev", "REVERSE(substr(text, 1, 10))",
+     "REVERSE(substr(text, 1, 10))"),
+    ("rep", "REPLACE(substr(text, 1, 20), ' ', '-')",
+     "REPLACE(substr(text, 1, 20), ' ', '-')"),
+    ("cw", "CONCAT_WS('|', lang, source, CAST(n_chars AS STRING))",
+     "CONCAT_WS('|', lang, source, CAST(n_chars AS STRING))"),
+    ("ins", "INSTR(text, 'data')",
+     "INSTR(text, 'data')"),
+    ("lft", "LEFT(text, 6)",
+     "LEFT(text, 6)"),
+    ("rgt", "RIGHT(text, 6)",
+     "RIGHT(text, 6)"),
+    ("spl", "SPLIT_PART(text, ' ', 3)",
+     "SPLIT_PART(text, ' ', 3)"),
+    ("rx", "REGEXP_REPLACE(substr(text, 1, 30), '[aeiou]', '*')",
+     "REGEXP_REPLACE(substr(text, 1, 30), '[aeiou]', '*', 'g')"),
+    ("sw", "CAST((text LIKE 'the%') AS INT)",
+     "CAST((text LIKE 'the%') AS INT)"),
+    ("md", "MD5(substr(text, 1, 16))",
+     "MD5(substr(text, 1, 16))"),
+]
+
+
+@query(
+    "sql_string_functions",
+    oracle=(
+        "SELECT doc_id, "
+        + ", ".join(f"{d} AS {n}" for n, _, d in _STR_EXPRS)
+        + " FROM documents"
+    ),
+)
+def sql_string_functions(spark, sf_dir):
+    """String-function battery: 15 scalar functions in one narrow
+    projection, text mirrored verbatim into the oracle (both engines
+    accept the same spellings — DuckDB's STRING alias included). Covers case
+    mapping, pad/trim, reverse/replace, multi-arg concat, search,
+    slicing, split-part, regex replace, predicates-as-ints, and hashing.
+    All whole-stage-codegen'd; zero shuffles."""
+    from ..operators import textops as T
+
+    return T.docs(spark, sf_dir).selectExpr(
+        "doc_id", *[f"{sp} AS {n}" for n, sp, _ in _STR_EXPRS]
+    )
+
+
+#: (name, spark spelling, duckdb spelling) — names differ per engine for
+#: a few; semantics verified identical by the oracle gate
+_DT_EXPRS = [
+    ("trunc_w", "CAST(date_trunc('week', ts) AS DATE)",
+     "CAST(date_trunc('week', ts) AS DATE)"),
+    ("trunc_d", "CAST(date_trunc('day', ts) AS DATE)",
+     "CAST(date_trunc('day', ts) AS DATE)"),
+    ("yr", "year(ts)", "year(ts)"),
+    ("qtr", "quarter(ts)", "quarter(ts)"),
+    ("mo", "month(ts)", "month(ts)"),
+    ("dy", "day(ts)", "day(ts)"),
+    ("doy", "dayofyear(ts)", "dayofyear(ts)"),
+    ("hr", "hour(ts)", "hour(ts)"),
+    ("mi", "minute(ts)", "minute(ts)"),
+    ("ld", "last_day(CAST(ts AS DATE))", "last_day(CAST(ts AS DATE))"),
+    ("plus_3d", "CAST(ts + INTERVAL 3 DAY AS DATE)",
+     "CAST(ts + INTERVAL 3 DAY AS DATE)"),
+    ("minus_2h", "ts - INTERVAL 2 HOUR", "ts - INTERVAL 2 HOUR"),
+    ("fmt", "date_format(ts, 'yyyy-MM-dd HH:mm')",
+     "strftime(ts, '%Y-%m-%d %H:%M')"),
+    ("epoch_d", "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)",
+     "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"),
+]
+
+
+@query(
+    "sql_datetime_functions",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " SELECT event_id, "
+        + ", ".join(d + f" AS {n}" for n, _, d in _DT_EXPRS)
+        + " FROM events_t"
+    ),
+)
+def sql_datetime_functions(spark, sf_dir):
+    """Datetime-function battery over the NTZ event timestamps: truncs,
+    parts, interval arithmetic, last_day, formatting, epoch-day. Where
+    the engines spell a function differently (date_format vs strftime,
+    2-arg vs 3-arg datediff) both spellings are pinned side by side and
+    the oracle gate proves the semantics identical. NTZ keeps every
+    value session-timezone-independent (hostile-session safe)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id", *[f"{s} AS {n}" for n, s, _ in _DT_EXPRS]
+    )
+
+
+_NULL_EXPRS = [
+    ("nsafe_eq", "CAST((vnull <=> vnull2) AS INT)",
+     "CAST((vnull IS NOT DISTINCT FROM vnull2) AS INT)"),
+    ("nsafe_ne", "CAST(NOT (vnull <=> 1.0e0) AS INT)",
+     "CAST((vnull IS DISTINCT FROM 1.0e0) AS INT)"),
+    ("coal", "COALESCE(vnull, vnull2, -1.0e0)",
+     "COALESCE(vnull, vnull2, -1.0e0)"),
+    ("nif", "NULLIF(event_type, 'view')", "NULLIF(event_type, 'view')"),
+    ("nvl2", "CASE WHEN vnull IS NOT NULL THEN 'y' ELSE 'n' END",
+     "CASE WHEN vnull IS NOT NULL THEN 'y' ELSE 'n' END"),
+    ("and3", "CAST((vnull > 0.5e0) AND (value > 0.0e0) AS INT)",
+     "CAST((vnull > 0.5e0) AND (value > 0.0e0) AS INT)"),
+    ("or3", "CAST((vnull > 0.5e0) OR (value >= 0.0e0) AS INT)",
+     "CAST((vnull > 0.5e0) OR (value >= 0.0e0) AS INT)"),
+    ("in3", "CAST(vnull IN (1.0e0, 2.0e0) AS INT)",
+     "CAST(vnull IN (1.0e0, 2.0e0) AS INT)"),
+]
+
+
+@query(
+    "sql_null_semantics",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "base AS (SELECT event_id, event_type, value, "
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS vnull, "
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS vnull2 "
+        "FROM events_t) "
+        "SELECT event_id, "
+        + ", ".join(d + f" AS {n}" for n, _, d in _NULL_EXPRS)
+        + " FROM base"
+    ),
+)
+def sql_null_semantics(spark, sf_dir):
+    """Three-valued-logic battery on injected nulls: null-safe equality
+    (Spark's <=> vs standard IS NOT DISTINCT FROM), COALESCE/NULLIF,
+    NULL propagation through AND/OR/IN, and CASE-based NVL2. The boolean
+    results are cast to INT so a NULL (unknown) survives to the output
+    and the hash comparison proves BOTH engines produced unknown — not
+    just a falsy value — in every tri-state case."""
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_id", "event_type", "value",
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS vnull",
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS vnull2",
+    )
+    return base.selectExpr(
+        "event_id", *[f"{s} AS {n}" for n, s, _ in _NULL_EXPRS]
+    )
