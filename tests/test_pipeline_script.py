@@ -25,3 +25,27 @@ def test_run_pipeline_end_to_end(spark):
         assert out["cities"] == 8
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_dashboard_script_runs():
+    """The CLI dashboard (streamlit surface replacement) prints every
+    requested panel header against the smoke fixtures."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/scripts/run_dashboard.py",
+            "--panels",
+            "weather_global_stats,weather_alert_counts",
+            "--rows",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "== weather_global_stats ==" in out.stdout
+    assert "== weather_alert_counts ==" in out.stdout
