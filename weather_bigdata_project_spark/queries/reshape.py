@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import rnd
+from ..functions.exprs import money, rnd
 from ..registry import query
 
 _TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -242,4 +242,48 @@ def events_funnel_latency(spark, sf_dir):
             F.expr(rnd(f"qs[{i}]", 4)).alias(n)
             for i, (_, n) in enumerate(_FLAT_QS)
         ],
+    )
+
+
+# --- multi-granularity time rollup ---------------------------------------
+
+
+@query(
+    "events_time_rollup",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "base AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, "
+        "CAST(ts AS DATE) AS day, hour(ts) AS hr, "
+        "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c FROM events_t) "
+        "SELECT wk, day, hr, COUNT(*) AS n, "
+        f"{money('SUM(v_c)')} AS total_value, "
+        "GROUPING(wk) AS g_wk, GROUPING(day) AS g_day, "
+        "GROUPING(hr) AS g_hr "
+        "FROM base GROUP BY GROUPING SETS ((wk), (wk, day), "
+        "(wk, day, hr), ())"
+    ),
+)
+def events_time_rollup(spark, sf_dir):
+    """Multi-granularity time rollup: event counts and exact-cents value
+    totals at week, day, hour, and grand-total levels in ONE pass via
+    GROUPING SETS — the Expand operator replicates each row once per
+    level before a single hash-agg, so the fact table is scanned once
+    where the dashboard's per-granularity queries would scan it four
+    times. GROUPING() markers disambiguate the levels (a NULL day at
+    the week level vs a genuine NULL)."""
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "CAST(date_trunc('week', ts) AS DATE) AS wk",
+        "CAST(ts AS DATE) AS day",
+        "hour(ts) AS hr",
+        "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c",
+    )
+    base.createOrReplaceTempView("events_time_rollup_v")
+    return spark.sql(
+        "SELECT wk, day, hr, COUNT(*) AS n, "
+        f"{money('SUM(v_c)')} AS total_value, "
+        "GROUPING(wk) AS g_wk, GROUPING(day) AS g_day, "
+        "GROUPING(hr) AS g_hr "
+        "FROM events_time_rollup_v GROUP BY GROUPING SETS ((wk), "
+        "(wk, day), (wk, day, hr), ())"
     )
