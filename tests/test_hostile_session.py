@@ -24,6 +24,12 @@ PROBES = [
     "events_funnel_conversion",  # timestamp ordering comparisons
     "events_daily_gapfill",      # date sequence generation
     "events_cohort_retention",   # datediff arithmetic
+    "sql_datetime_functions",    # the whole datetime battery
+    "events_hour_profile",       # weekday/hour cells
+    "events_funnel_latency",     # NTZ timestampdiff seconds
+    "events_time_rollup",        # date_trunc grouping sets
+    "events_value_trend_ols",    # epoch-day regression x
+    "weather_degree_days",       # timestamp_dt day bucketing
 ]
 
 
