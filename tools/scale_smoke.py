@@ -55,6 +55,16 @@ QUERIES_TO_RUN = [
     "embed_kmeans_update",
     "corpus_split_assign",
     "corpus_source_divergence",
+    "text_bigram_pmi",
+    "dedup_chunk_level",
+    "basket_brand_lift",
+    "graph_pagerank_brands",
+    "embed_pq_encode",
+    "embed_power_iteration_pc1",
+    "corpus_weighted_sample",
+    "events_type_dow_chisq",
+    "events_funnel_latency",
+    "events_time_rollup",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
