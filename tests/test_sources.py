@@ -436,3 +436,79 @@ def test_lake_snapshot_vacuum(spark):
         assert readers.read_lake_snapshot(spark, lake).count() == 23
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_weather_api_python_datasource_batch(spark):
+    """The REST-ingestion Python DataSource: partitioned batch read of
+    the 14-column wire schema, and the engine's own cast+enrich pipeline
+    runs directly on top (the NiFi -> Kafka -> Spark chain collapsed to
+    one registered source)."""
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.sources.weather_api_source import (
+        WIRE_FIELDS,
+        WeatherApiDataSource,
+    )
+
+    spark.dataSource.register(WeatherApiDataSource)
+    wire = (
+        spark.read.format("weather_api")
+        .option("rows", 500)
+        .option("partitions", 4)
+        .load()
+    )
+    assert [f.name for f in wire.schema.fields] == WIRE_FIELDS
+    assert wire.rdd.getNumPartitions() == 4
+    assert wire.count() == 500
+    enriched = wd.enrich(wd.cast_wire(wire))
+    got = enriched.select("city_name", "alert_type", "temperature")
+    assert got.count() == 500
+    # the dirty 'N/A' rows null out through the TRY_CAST battery
+    assert got.filter("temperature IS NULL").count() == 6  # ids 0,97,...,485
+
+
+def test_weather_api_python_datasource_stream(spark, tmp_path):
+    """Streaming flavor: offsets are event ids, micro-batches emit fresh
+    records, and the stream replays deterministically. Drains two
+    batches into a memory sink through the SAME enrich fns."""
+    from pyspark.sql import functions as F
+
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.sources.weather_api_source import (
+        WeatherApiDataSource,
+    )
+
+    spark.dataSource.register(WeatherApiDataSource)
+    stream = (
+        spark.readStream.format("weather_api")
+        .option("batch_size", 40)
+        .load()
+    )
+    enriched = wd.enrich(wd.cast_wire(stream))
+    q = (
+        enriched.select("event_time", "city_name", "alert_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("api_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "api_ckpt")
+        )
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("api_stream").count() >= 80:
+                break
+            time.sleep(1)
+        n = spark.table("api_stream").count()
+        assert n >= 80, f"stream produced only {n} rows"
+        assert (
+            spark.table("api_stream")
+            .filter(F.col("city_name") == "Casablanca")
+            .count()
+            > 0
+        )
+    finally:
+        q.stop()
