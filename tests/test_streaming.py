@@ -525,3 +525,66 @@ def test_transition_counts_stream(spark, tmp_path):
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_observation_metrics_match_aggregates(spark):
+    """Observation rides quality counters on the enriched frame with no
+    second scan; values must equal independently-computed aggregates."""
+    from weather_bigdata_project_spark.streaming.observe import (
+        observed_quality,
+    )
+
+    e = wd.enriched_frame(spark, SF_SMOKE)
+    observed, obs = observed_quality(e)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("temperature").isNull().cast("bigint")).alias(
+            "n_null_temp"
+        ),
+        F.sum((F.col("alert_type") != "NORMAL").cast("bigint")).alias(
+            "n_alerts"
+        ),
+        F.sum(
+            F.expr("CAST(ROUND(wind_speed_num * 100.0e0) AS BIGINT)")
+        ).alias("wind_cents"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"] == 1000
+    assert got["n_null_temp"] == want["n_null_temp"]
+    assert got["n_alerts"] == want["n_alerts"]
+    assert got["wind_cents"] == want["wind_cents"]
+
+
+def test_streaming_listener_captures_progress(spark, wire_dir):
+    """The StreamingQueryListener sees every micro-batch: total input
+    rows across captured progress events equal the lake size."""
+    import time
+
+    from weather_bigdata_project_spark.streaming import observe
+
+    lis = observe.attach_listener(spark)
+    try:
+        stream = jobs.wire_file_stream(spark, wire_dir)
+        q = (
+            jobs.enriched_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("observed_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; wait for the totals to land
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            s = lis.progress_summary()
+            if s["total_input_rows"] >= 1000:
+                break
+            time.sleep(0.5)
+        s = lis.progress_summary()
+        assert s["total_input_rows"] == 1000, s
+        assert s["batches"] >= 1
+        assert "observed_stream" in s["queries"]
+    finally:
+        observe.detach_listener(spark, lis)
