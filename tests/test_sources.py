@@ -512,3 +512,49 @@ def test_weather_api_python_datasource_stream(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_lake_snapshot_commit_race(spark, tmp_path):
+    """Two writers race for version 2: the winner's snapshot must ship
+    the winner's BYTES (with version-derived data dirs, the loser's
+    pre-link write clobbered data/c2 — the lost-update this test pins),
+    and the loser must land as version 3 on top of it."""
+    import os
+    from unittest import mock
+
+    lake = str(tmp_path / "racelake")
+
+    def frame(tag):
+        return spark.range(5).selectExpr(
+            "id", f"'{tag}' AS writer"
+        )
+
+    assert readers.snapshot_commit(spark, lake, frame("base")) == 1
+
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not state["fired"] and dst.endswith("v2.json"):
+            state["fired"] = True
+            # writer B commits v2 while A sits between its data write
+            # and its manifest link; B's own link passes through here
+            assert readers.snapshot_commit(spark, lake, frame("B")) == 2
+            # fall through: A's link now hits the existing v2 manifest
+        return real_link(src, dst, *a, **kw)
+
+    with mock.patch("os.link", side_effect=racing_link):
+        assert readers.snapshot_commit(spark, lake, frame("A")) == 3
+
+    v2 = readers.read_lake_snapshot(spark, lake, version=2)
+    # the winner's snapshot contains the winner's bytes, untouched by
+    # the loser's pre-link write
+    assert (
+        v2.filter(F.col("writer") == "B").count() == 5
+        and v2.filter(F.col("writer") == "A").count() == 0
+    )
+    v3 = readers.read_lake_snapshot(spark, lake, version=3)
+    assert {
+        r["writer"] for r in v3.select("writer").distinct().collect()
+    } == {"base", "B", "A"}
+    assert v3.count() == 15

@@ -428,24 +428,35 @@ def snapshot_commit(
     mode="append": the new version is previous dirs + one new dir (no
     existing byte is touched). mode="overwrite": the new version is only
     the new dir (old data stays until `vacuum_lake_snapshots`, keeping
-    time travel alive). Retries the manifest link on a lost race."""
+    time travel alive). Retries the manifest link on a lost race.
+
+    Concurrency: the data directory name is UNIQUE per commit (never
+    derived from the version number), so a loser's write can never
+    collide with the winner's files — version-numbered dirs had a
+    lost-update window where two racers both wrote data/cN and the
+    loser's bytes shipped under the winner's manifest
+    (tests/test_sources.py::test_lake_snapshot_commit_race). Data is
+    written exactly once; only the cheap manifest link retries."""
     import json
     import os
+    import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode}")
     tune(spark)
     os.makedirs(_versions_dir(path), exist_ok=True)
+    data_dir = f"u-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
     while True:
         versions = snapshot_versions(path)
         version = (versions[-1] + 1) if versions else 1
-        data_dir = f"c{version}"
-        df.write.mode("overwrite").parquet(os.path.join(path, "data", data_dir))
         dirs = [data_dir]
         if mode == "append" and versions:
             dirs = _read_manifest(path, versions[-1])["dirs"] + dirs
         manifest = {"version": version, "mode": mode, "dirs": dirs}
-        tmp = os.path.join(_versions_dir(path), f".v{version}.json.tmp")
+        tmp = os.path.join(
+            _versions_dir(path), f".v{version}.{data_dir}.json.tmp"
+        )
         final = os.path.join(_versions_dir(path), f"v{version}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -453,7 +464,7 @@ def snapshot_commit(
             os.link(tmp, final)  # atomic create-if-absent = the commit
             os.unlink(tmp)
             return version
-        except FileExistsError:  # lost the race: clean up, retry as N+1
+        except FileExistsError:  # lost the race: re-resolve as N+1
             os.unlink(tmp)
 
 
