@@ -5,6 +5,9 @@ verified against the reference's real lake output
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
 
 from weather_bigdata_project_spark import weather_domain as wd
 
@@ -118,3 +121,51 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r.approx_users - r.exact_users) <= max(
             2, 0.1 * r.exact_users
         ), (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_pandas_udf_haversine_matches_jvm_twin(spark):
+    """The Arrow pandas_udf haversine must agree with the JVM expression
+    twin EXACTLY after the micro-km snap, on the fixture coordinates —
+    the same snap-absorbs-libm-ulp argument the geo oracles rest on."""
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.functions.udfs import (
+        haversine_ukm_pandas,
+    )
+    from weather_bigdata_project_spark.queries.geo import _hav_ukm
+
+    e = wd.enriched_frame(spark, SF_SMOKE).select("event_id", "lat", "lon")
+    both = e.select(
+        "event_id",
+        F.expr(
+            _hav_ukm("lat", "lon", "33.5731e0", "-7.5898e0")
+        ).alias("jvm"),
+        haversine_ukm_pandas(
+            F.col("lat"), F.col("lon"),
+            F.lit(33.5731), F.lit(-7.5898),
+        ).alias("py"),
+    )
+    assert both.filter(F.col("jvm") != F.col("py")).count() == 0
+
+
+def test_udtf_chunker_matches_jvm_twin(spark):
+    """The Python UDTF chunker and the in-row JVM transform emit the
+    same (doc_id, pos, chunk, n_tokens) rows."""
+    from weather_bigdata_project_spark.functions.udfs import (
+        ChunkTokens,
+        chunk_tokens_jvm,
+    )
+    from weather_bigdata_project_spark.operators import textops as T
+
+    docs = T.docs(spark, SF_SMOKE).select("doc_id", "text").limit(50)
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, c.pos, c.chunk, c.n_tokens "
+        "FROM udtf_docs d, LATERAL chunk_tokens(d.text, 10) c"
+    )
+    want = chunk_tokens_jvm(docs, "text", 10).select(
+        "doc_id", "pos", "chunk", "n_tokens"
+    )
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
