@@ -48,6 +48,8 @@ _JVM_ONLY = [
     "graph_pagerank_brands",
     "events_transition_matrix",
     "events_anomaly_zscore",
+    "events_anomaly_mad",
+    "events_value_ewma",
     "events_rolling_corr",
     "events_value_trend_ols",
     "events_hour_profile",

@@ -491,3 +491,121 @@ def events_top_days_per_type(spark, sf_dir):
             F.expr(money("v_c")).alias("day_value"),
         )
     )
+
+
+# --- EWMA smoothing (recursive state, exact snapped fold) ------------------
+
+#: alpha = 0.2 as an exact IEEE literal; state rides integer nano-units
+#: and snaps (ROUND at scale 0 — the cross-engine-safe rounding, see
+#: functions/exprs.py) after every step, so the left fold is bit-equal
+#: in Spark and DuckDB despite being a float recursion.
+_EWMA_STEP = "CAST(ROUND(0.2e0 * {x} + 0.8e0 * {s}) AS BIGINT)"
+
+_EWMA_ORACLE = (
+    "WITH RECURSIVE " + _DAILY_CTE + ", "
+    "xs AS (SELECT event_type, day, "
+    "CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT) AS x, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i "
+    "FROM c), "
+    "r AS (SELECT event_type, day, i, x AS s FROM xs WHERE i = 1 "
+    "UNION ALL SELECT x.event_type, x.day, x.i, "
+    + _EWMA_STEP.format(x="x.x", s="r.s")
+    + " FROM xs x JOIN r ON x.event_type = r.event_type "
+    "AND x.i = r.i + 1) "
+    "SELECT event_type, day, CAST(s AS DOUBLE) / 1.0e9 AS ewma FROM r"
+)
+
+
+@query("events_value_ewma", oracle=_EWMA_ORACLE)
+def events_value_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.2) of each type's
+    daily mean value — the recursive-state smoother every monitoring
+    dashboard wants (the reference plots raw observed points only,
+    ref:streamlit/app.py:243-251).
+
+    EWMA is inherently sequential IN TIME but embarrassingly parallel
+    ACROSS series: the fold runs in-row over each type's collected
+    daily series (`aggregate` HOF — Flink's keyed-process shape,
+    pandas' groupby().ewm), so the only shuffle is the groupBy that
+    built the daily frame. Series length is calendar-bounded (days),
+    never fact-bounded, so the collected array stays tiny at any data
+    scale. State snaps to integer nanos after every step; the oracle
+    is a recursive CTE running the identical recursion — bit-equal.
+    """
+    c = _daily(spark, sf_dir)
+    xs = c.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT)").alias("x"),
+    )
+    step = _EWMA_STEP.format(x="e.x", s="element_at(acc, -1).s")
+    fold = (
+        "aggregate(sort_array(xs), "
+        "CAST(array() AS ARRAY<STRUCT<day: DATE, s: BIGINT>>), "
+        "(acc, e) -> concat(acc, array(named_struct("
+        "'day', e.day, "
+        "'s', CASE WHEN size(acc) = 0 THEN e.x ELSE " + step + " END))))"
+    )
+    return (
+        xs.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .select("event_type", F.explode(F.expr(fold)).alias("e"))
+        .select(
+            "event_type",
+            F.col("e.day").alias("day"),
+            F.expr("CAST(e.s AS DOUBLE) / 1.0e9").alias("ewma"),
+        )
+    )
+
+
+# --- robust anomaly detection: median / MAD --------------------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=(
+        "WITH " + _DAILY_CTE + ", "
+        "m AS (SELECT event_type, 2.0e0 * quantile_cont(n, 0.5e0) AS med2 "
+        "FROM c GROUP BY event_type), "
+        "d AS (SELECT c.event_type, c.day, c.n, "
+        "ABS(2.0e0 * c.n - m.med2) AS d2 "
+        "FROM c JOIN m ON c.event_type = m.event_type), "
+        "md AS (SELECT event_type, 2.0e0 * quantile_cont(d2, 0.5e0) "
+        "AS mad4 FROM d GROUP BY event_type) "
+        "SELECT d.event_type, d.day, d.n, "
+        "(2.0e0 * d.d2 > 3.0e0 * md.mad4) AS is_anomaly "
+        "FROM d JOIN md ON d.event_type = md.event_type"
+    ),
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly flags on daily event counts: a day is anomalous
+    when its count sits more than 3 MADs from the per-type median —
+    the outlier-resistant twin of `events_anomaly_zscore` (one wild
+    day cannot drag the threshold the way it drags a mean/stddev).
+
+    Exactness doctrine: counts are integers, so 2x the interpolated
+    median ((a+b)/2 doubled = a+b) is an integer-valued double, as is
+    every |2n - med2| deviation and its doubled median; the flag
+    compares exactly-representable doubles — no rounding boundary
+    exists in either engine. Two dimension-sized aggregate+broadcast
+    joins over the reduced daily frame; the fact table is scanned
+    once."""
+    c = _daily(spark, sf_dir)
+    m = c.groupBy("event_type").agg(
+        F.expr("2.0e0 * percentile(n, 0.5e0)").alias("med2")
+    )
+    d = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("ABS(2.0e0 * n - med2)").alias("d2"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("2.0e0 * percentile(d2, 0.5e0)").alias("mad4")
+    )
+    return d.join(F.broadcast(md), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("2.0e0 * d2 > 3.0e0 * mad4").alias("is_anomaly"),
+    )
