@@ -46,6 +46,7 @@ _JVM_ONLY = [
     "text_zipf_slope",
     "basket_brand_lift",
     "graph_pagerank_brands",
+    "graph_triangle_brands",
     "events_transition_matrix",
     "events_anomaly_zscore",
     "events_anomaly_mad",

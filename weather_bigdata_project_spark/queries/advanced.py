@@ -676,3 +676,131 @@ def graph_pagerank_brands(spark, sf_dir):
     return ranks.select(
         "brand", F.expr("CAST(ru AS DOUBLE) / 1.0e9").alias("pagerank")
     )
+
+
+# --- triangle counting / clustering coefficient ---------------------------
+
+#: keep the strongest 30% of co-occurrence edges (exact integer rank
+#: cut — 10*rank <= 3*|E| — so the sparsification is engine-exact and
+#: scale-relative, never an absolute weight threshold that breaks when
+#: the data grows 100x).
+_TRI_ORACLE = (
+    "WITH " + _PR_GRAPH + ", "
+    "ne AS (SELECT COUNT(*) AS n FROM pairs), "
+    "rk AS (SELECT ba, bb, ROW_NUMBER() OVER "
+    "(ORDER BY w DESC, ba, bb) AS r FROM pairs), "
+    "kept AS (SELECT ba, bb FROM rk CROSS JOIN ne WHERE 10 * r <= 3 * ne.n), "
+    "tri AS (SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c "
+    "FROM kept e1 JOIN kept e2 ON e1.bb = e2.ba "
+    "JOIN kept e3 ON e3.ba = e1.ba AND e3.bb = e2.bb), "
+    "tn AS (SELECT brand, COUNT(*) AS n_tri FROM ("
+    "SELECT a AS brand FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) GROUP BY brand), "
+    "deg AS (SELECT brand, COUNT(*) AS degree FROM ("
+    "SELECT ba AS brand FROM kept UNION ALL SELECT bb FROM kept) "
+    "GROUP BY brand) "
+    "SELECT d.brand, d.degree, COALESCE(tn.n_tri, 0) AS n_triangles, "
+    "CASE WHEN d.degree >= 2 THEN "
+    + rnd(
+        "2.0e0 * COALESCE(tn.n_tri, 0) / (d.degree * (d.degree - 1.0e0))",
+        6,
+    )
+    + " ELSE CAST(NULL AS DOUBLE) END AS clustering "
+    "FROM deg d LEFT JOIN tn ON tn.brand = d.brand"
+)
+
+
+@query("graph_triangle_brands", oracle=_TRI_ORACLE)
+def graph_triangle_brands(spark, sf_dir):
+    """Per-brand triangle count + local clustering coefficient on the
+    strongest-30% brand co-occurrence graph — the graph-topology
+    pattern next to `graph_pagerank_brands` (community cohesion, spam
+    detection, feature engineering for graph ML).
+
+    The edge list is brand-cardinality (dimension-sized), so the
+    rank-based sparsification window and the three-way triangle
+    self-join all run on frames << the fact table; the fact scan
+    happens once to build co-occurrence. Triangles enumerate each
+    a<b<c exactly once because every kept edge is stored low<high and
+    the join chain preserves the order. At 100 TB with a fact-sized
+    edge list the same plan holds with the standard degree-ordering
+    trick (orient edges from low- to high-degree endpoints) — the
+    rank cut here plays that load-bounding role. Counts are integers,
+    the coefficient is one snapped division — engine-exact."""
+    from ..operators.textops import materialize
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .groupBy("okey")
+        .agg(F.expr("sort_array(collect_set(brand))").alias("bs"))
+    )
+    pair_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS ba, y AS bb))))"
+    )
+    pairs = (
+        sets.filter(F.size("bs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    n_edges = pairs.count()
+    rk = pairs.select(
+        "ba",
+        "bb",
+        F.row_number()
+        .over(Window.orderBy(F.desc("w"), "ba", "bb"))
+        .alias("r"),
+    )
+    kept = materialize(
+        rk.filter(F.expr(f"10 * r <= 3 * {n_edges}")).select("ba", "bb")
+    )
+    e1, e2, e3 = kept.alias("e1"), kept.alias("e2"), kept.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.bb") == F.col("e2.ba"))
+        .join(
+            e3,
+            (F.col("e3.ba") == F.col("e1.ba"))
+            & (F.col("e3.bb") == F.col("e2.bb")),
+        )
+        .select(
+            F.col("e1.ba").alias("a"),
+            F.col("e1.bb").alias("b"),
+            F.col("e2.bb").alias("c"),
+        )
+    )
+    tn = (
+        tri.selectExpr("a AS brand")
+        .unionAll(tri.selectExpr("b AS brand"))
+        .unionAll(tri.selectExpr("c AS brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        kept.selectExpr("ba AS brand")
+        .unionAll(kept.selectExpr("bb AS brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coeff = (
+        "CASE WHEN degree >= 2 THEN "
+        + rnd(
+            "2.0e0 * COALESCE(n_tri, 0) / (degree * (degree - 1.0e0))", 6
+        )
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return deg.join(F.broadcast(tn), "brand", "left").select(
+        "brand",
+        "degree",
+        F.expr("COALESCE(n_tri, 0)").alias("n_triangles"),
+        F.expr(coeff).alias("clustering"),
+    )
