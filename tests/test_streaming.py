@@ -588,3 +588,136 @@ def test_streaming_listener_captures_progress(spark, wire_dir):
         assert "observed_stream" in s["queries"]
     finally:
         observe.detach_listener(spark, lis)
+
+
+def test_transform_with_state_ewma(spark, tmp_path):
+    """transformWithStateInPandas EWMA: drained over an event-id-ordered
+    multi-batch file stream, each city's final state must be bit-equal
+    to the batch JVM `aggregate` HOF running the same snapped recursion
+    (typed ValueState survives batch boundaries; RocksDB provider).
+
+    The transformWithState Python client speaks protobuf to the JVM
+    state server; this container ships pyspark without protobuf, so the
+    test skips where the dependency is absent (the operator itself has
+    no import-time dependency)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its "
+        "state-server protocol",
+    )
+    import glob
+
+    from weather_bigdata_project_spark import weather_domain as wd
+
+    enr = wd.enrich(wd.cast_wire(wd.wire_frame(spark, SF_SMOKE))).select(
+        "city_name", "event_id", "temperature"
+    )
+    src = str(tmp_path / "enr_ranged")
+    enr.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(enr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.ewma_temperature_stream(stream)
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            st.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_ewma")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prov:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prov
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # last emitted row per city = final state
+    got = (
+        spark.table("tws_ewma")
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY city_name "
+                "ORDER BY n_seen DESC)"
+            ),
+        )
+        .filter("rn = 1")
+        .select("city_name", "n_seen", "ewma_temp")
+    )
+    fold = (
+        "aggregate(sort_array(collect_list(struct(event_id, temperature))), "
+        "CAST(NULL AS BIGINT), (s, e) -> CASE WHEN s IS NULL THEN "
+        "CAST(e.temperature AS BIGINT) * 1000000000 ELSE "
+        "CAST(ROUND(0.2e0 * (CAST(e.temperature AS BIGINT) * 1000000000) "
+        "+ 0.8e0 * s) AS BIGINT) END)"
+    )
+    want = (
+        enr.filter("temperature IS NOT NULL")
+        .groupBy("city_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.expr(f"CAST({fold} AS DOUBLE) / 1.0e9").alias("ewma_temp"),
+        )
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
+def test_ewma_fold_py_matches_jvm_fold(spark):
+    """The Python EWMA recursion (used by the transformWithState
+    processor) must be bit-equal to the JVM `aggregate` HOF fold on the
+    same ordered input — including across a mid-series state handoff
+    (the micro-batch boundary case)."""
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.streaming.jobs import ewma_fold_py
+
+    enr = wd.enrich(wd.cast_wire(wd.wire_frame(spark, SF_SMOKE))).select(
+        "city_name", "event_id", "temperature"
+    )
+    fold = (
+        "aggregate(sort_array(collect_list(struct(event_id, temperature))), "
+        "CAST(NULL AS BIGINT), (s, e) -> CASE WHEN s IS NULL THEN "
+        "CAST(e.temperature AS BIGINT) * 1000000000 ELSE "
+        "CAST(ROUND(0.2e0 * (CAST(e.temperature AS BIGINT) * 1000000000) "
+        "+ 0.8e0 * s) AS BIGINT) END)"
+    )
+    want = {
+        r["city_name"]: (r["n"], r["s"])
+        for r in enr.filter("temperature IS NOT NULL")
+        .groupBy("city_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.expr(fold).alias("s")
+        )
+        .collect()
+    }
+    rows = (
+        enr.filter("temperature IS NOT NULL")
+        .orderBy("event_id")
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in rows:
+        series.setdefault(r["city_name"], []).append(r["temperature"])
+    assert set(series) == set(want)
+    for city, temps in series.items():
+        # single fold
+        assert ewma_fold_py(temps) == want[city]
+        # split fold: state handed across a batch boundary mid-series
+        cut = len(temps) // 2
+        n1, s1 = ewma_fold_py(temps[:cut])
+        assert ewma_fold_py(temps[cut:], n1, s1) == want[city]

@@ -500,3 +500,92 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_fold_py(temps, n: int = 0, s: int | None = None):
+    """The alpha=0.2 EWMA recursion over integer nano-units, snapped
+    ties-away-from-zero after every step — the Python twin of the JVM
+    `aggregate` HOF fold in queries/timeseries.events_value_ewma.
+    `0.2 * x + 0.8 * s` is the same IEEE-double expression in CPython
+    and in Spark's codegen, and scale-0 ties-away rounding matches
+    Spark's ROUND — so both folds are bit-equal on identical input
+    order (unit-tested in tests/test_streaming.py)."""
+    import math
+
+    for t in temps:
+        x = int(t) * 1_000_000_000
+        if s is None:
+            s = x
+        else:
+            v = 0.2 * x + 0.8 * s
+            s = (
+                int(math.floor(v + 0.5))
+                if v >= 0
+                else int(math.ceil(v - 0.5))
+            )
+        n += 1
+    return n, s
+
+
+def ewma_temperature_stream(enriched: DataFrame) -> DataFrame:
+    """Per-city streaming EWMA of temperature via Spark 4's
+    transformWithStateInPandas — the modern typed-state successor to
+    applyInPandasWithState (explicit state variables, timers, TTL;
+    requires the RocksDB state store provider AND the protobuf package
+    — the Python state client speaks protobuf to the JVM state server,
+    so environments without it must stay on applyInPandasWithState,
+    e.g. `stateful_city_extremes_stream`). Twin of the batch
+    `events_value_ewma` fold: identical alpha=0.2 recursion over
+    integer nano-units, snapped ties-away-from-zero after every step,
+    so a drained stream's final state is BIT-EQUAL to the JVM-side
+    `aggregate` HOF fold on the same rows (tests/test_streaming.py).
+
+    Scale design: state is two fixed-width ints per city (bounded by
+    key cardinality, never stream length); rows arrive Arrow-batched
+    and fold in event_id order, so replays of time-ordered partitions
+    are deterministic. The sequential recursion is per-key — across
+    cities it parallelizes exactly like the batch fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CityEwma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("ewma", "n BIGINT, s BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._st.get()
+            n, s = (prev[0], prev[1]) if prev is not None else (0, None)
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.dropna(subset=["temperature"]).sort_values(
+                "event_id", kind="mergesort"
+            )
+            n, s = ewma_fold_py(pdf["temperature"].tolist(), n, s)
+            self._st.update((n, s))
+            yield pd.DataFrame(
+                [
+                    {
+                        "city_name": key[0],
+                        "n_seen": n,
+                        "ewma_temp": None if s is None else s / 1.0e9,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        enriched.select("city_name", "event_id", "temperature")
+        .groupBy("city_name")
+        .transformWithStateInPandas(
+            statefulProcessor=CityEwma(),
+            outputStructType=(
+                "city_name STRING, n_seen BIGINT, ewma_temp DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
