@@ -106,17 +106,23 @@ def main() -> None:
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
+        # memoized shingle checkpoints died with the unpersist above
+        from weather_bigdata_project_spark.operators import textops
+
+        textops.clear_shingle_memo()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0
     for name in headline:
         fn = registry.QUERIES[name]
-        clear_session_state()
         # best of 2 measured runs: reports steady-state throughput, damps
-        # GC/compilation jitter (both runs execute the full plan)
+        # GC/compilation jitter (both runs execute the full plan —
+        # clearing per RUN also drops the shared-shingle memo, so no
+        # run measures another run's cached frames)
         dt = None
         for _ in range(2):
+            clear_session_state()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             d = round(time.time() - t0, 3)

@@ -204,6 +204,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+#: (applicationId, sf_dir) -> materialized default shingle frame. The
+#: Jaccard, MinHash, and corpus-pipeline queries all start from the
+#: same (doc_id, n_sh, sh) frame; within one session the checkpointed
+#: copy is shared so the md5 shingling of the corpus runs once per
+#: scale factor, not once per query. Keyed by applicationId so a new
+#: session never sees another session's (unreachable) checkpoint.
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_shingle_ids_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, materialized :func:`doc_shingle_ids` (default
+    corpus only — frame-override callers keep their own builds so their
+    source filters stay pushed into the scan)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SHINGLE_MEMO.get(key)
+    if got is None:
+        got = materialize(doc_shingle_ids(spark, sf_dir))
+        _SHINGLE_MEMO[key] = got
+    return got
+
+
+def clear_shingle_memo() -> None:
+    """Drop memoized shingle checkpoints. MUST be called by any harness
+    that force-unpersists the session's RDDs (bench.py does, for
+    per-query isolation): an unpersisted localCheckpoint block cannot
+    be recomputed, so a stale memo entry would throw
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use."""
+    _SHINGLE_MEMO.clear()
+
+
 # --- DuckDB oracle CTE twins ---------------------------------------------
 
 TOKS_CTE = (

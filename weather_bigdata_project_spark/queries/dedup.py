@@ -124,7 +124,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # gone: the plan is scan -> groupBy(sh) -> explode ->
     # groupBy(pair) -> TakeOrdered. Struct collect_set sorts by
     # doc_id (first field), so pairs stay doc1 < doc2.
-    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir))
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "
@@ -214,7 +214,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     the shingle count, AND the shingle array, so verification is a pure
     array_intersect over doc-cardinality rows — the shingle frame is
     never re-joined."""
-    sh = T.doc_shingle_ids(spark, sf_dir)
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
     sh_id = F.col("sh")
 
     # All 16 minhashes + the doc's shingle set in ONE hash-aggregate.
