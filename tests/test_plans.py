@@ -47,6 +47,9 @@ _JVM_ONLY = [
     "basket_brand_lift",
     "graph_pagerank_brands",
     "graph_triangle_brands",
+    "events_variant_extract",
+    "sql_recursive_brand_reach",
+    "sql_udf_dew_point",
     "events_transition_matrix",
     "events_anomaly_zscore",
     "events_anomaly_mad",

@@ -62,4 +62,5 @@ def load() -> None:
     from .queries import geo  # noqa: F401
     from .queries import jsonops  # noqa: F401
     from .queries import multimodal  # noqa: F401
+    from .queries import spark4  # noqa: F401
     from .queries import pipeline  # noqa: F401  (composes the above)
