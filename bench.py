@@ -62,6 +62,10 @@ HEADLINE = [
     "embed_kmeans_assign",
     "text_bigram_pmi",
     "corpus_source_divergence",
+    "events_value_ewma",
+    "graph_triangle_brands",
+    "events_variant_extract",
+    "sql_recursive_brand_reach",
 ]
 
 

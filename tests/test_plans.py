@@ -50,6 +50,9 @@ _JVM_ONLY = [
     "events_variant_extract",
     "sql_recursive_brand_reach",
     "sql_udf_dew_point",
+    "sql_lateral_topk_customers",
+    "sql_table_fn_date_spine",
+    "weather_collated_city_stats",
     "events_transition_matrix",
     "events_anomaly_zscore",
     "events_anomaly_mad",

@@ -178,3 +178,115 @@ def sql_udf_dew_point(spark, sf_dir):
         "dew_point_udf(temperature, humidity) AS dp FROM udf_casted) "
         "GROUP BY city_name"
     )
+
+
+# --- LATERAL: correlated per-group top-k as a join operator ---------------
+
+#: top-2 customers by balance per nation through a correlated LATERAL
+#: subquery — the SQL-standard spelling of per-group top-k. Spark
+#: decorrelates this into the same WindowGroupLimit shape as the
+#: window-function form (events_top_days_per_type), so the scale story
+#: is identical: per-partition 2-row heaps before any exchange.
+_LATERAL_SQL = """SELECT n.n_name, x.c_custkey, x.c_name, x.c_acctbal
+FROM {n} n, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal FROM {c} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x"""
+
+
+@query(
+    "sql_lateral_topk_customers",
+    oracle=_LATERAL_SQL.format(n="nation", c="customer"),
+)
+def sql_lateral_topk_customers(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT: the richest
+    two customers of every nation, identical SQL text on both engines.
+    Tie-break on c_custkey makes the pick total-ordered; balances are
+    per-row values (no cross-row float arithmetic), so no snapping is
+    needed."""
+    for t in ("nation", "customer"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(_LATERAL_SQL.format(n="lat_nation", c="lat_customer"))
+
+
+# --- SQL table function: reusable set-returning logic ---------------------
+
+
+@query(
+    "sql_table_fn_date_spine",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS d0, "
+        "MAX(CAST(ts AS DATE)) AS d1 FROM events_t GROUP BY event_type) "
+        "SELECT event_type, COUNT(*) AS n_days FROM b, LATERAL ("
+        "SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), "
+        "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day) x "
+        "GROUP BY event_type"
+    ),
+)
+def sql_table_fn_date_spine(spark, sf_dir):
+    """SQL table function (CREATE FUNCTION ... RETURNS TABLE): the
+    calendar-spine generator behind events_daily_gapfill packaged as a
+    named, reusable set-returning function and applied per event type
+    via LATERAL. Like scalar SQL UDFs it is inlined during analysis —
+    the plan is the same explode(sequence(...)) Generate node, zero
+    Python. The spine is generated from each type's own [min, max]
+    bounds row, so the generated row count is calendar-bounded."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_spine(d0 DATE, d1 DATE) "
+        "RETURNS TABLE(day DATE) "
+        "RETURN SELECT explode(sequence(d0, d1, interval 1 day))"
+    )
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "spine_events"
+    )
+    return spark.sql(
+        "WITH b AS (SELECT event_type, MIN(CAST(ts AS DATE)) AS d0, "
+        "MAX(CAST(ts AS DATE)) AS d1 FROM spine_events GROUP BY event_type) "
+        "SELECT event_type, COUNT(*) AS n_days "
+        "FROM b, LATERAL date_spine(d0, d1) GROUP BY event_type"
+    )
+
+
+# --- collations: case-insensitive grouping without lower() rewrites -------
+
+
+@query(
+    "weather_collated_city_stats",
+    oracle=(
+        f"WITH {wd.oracle_enriched_cte()}, "
+        "mixed AS (SELECT CASE WHEN event_id % 2 = 0 "
+        "THEN UPPER(city_name) ELSE city_name END AS city_mixed, "
+        "temperature FROM casted) "
+        "SELECT LOWER(city_mixed) AS city, COUNT(*) AS n, "
+        "MIN(temperature) AS min_temp, MAX(temperature) AS max_temp "
+        "FROM mixed GROUP BY LOWER(city_mixed)"
+    ),
+)
+def weather_collated_city_stats(spark, sf_dir):
+    """Spark 4 collations: grouping on a UTF8_LCASE-collated key makes
+    case-insensitive semantics a TYPE property instead of a lower()
+    rewrite at every use site (the reference's dashboard normalized
+    names by hand, ref:streamlit/app.py:228-231). Mixed-case city names
+    (deterministically upper-cased on even event_ids) collapse into one
+    group per city; the output key is lowered because the collated
+    group's representative casing is partition-order-dependent — the
+    group COUNTS are what the collation guarantees."""
+    casted = wd.cast_wire(wd.wire_frame(spark, sf_dir))
+    mixed = casted.select(
+        F.expr(
+            "CASE WHEN event_id % 2 = 0 THEN UPPER(city_name) "
+            "ELSE city_name END COLLATE UTF8_LCASE"
+        ).alias("city_mixed"),
+        "temperature",
+    )
+    return mixed.groupBy("city_mixed").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("temperature").alias("min_temp"),
+        F.max("temperature").alias("max_temp"),
+    ).select(
+        F.expr("CAST(LOWER(city_mixed) AS STRING)").alias("city"),
+        "n",
+        "min_temp",
+        "max_temp",
+    )
