@@ -169,3 +169,28 @@ def test_udtf_chunker_matches_jvm_twin(spark):
     assert got.count() == want.count()
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+def test_hll_sketch_union_mergeable(spark):
+    """Datasketches HLL (hll_sketch_agg / hll_union_agg): per-day
+    sketches unioned must estimate the global cardinality within the
+    sketch's error envelope — THE property that makes sketch columns
+    pre-aggregable in a 100 TB rollup (store one sketch per partition,
+    merge at query time; never rescan raw data for a distinct count)."""
+    from weather_bigdata_project_spark import tables
+    from tests.conftest import SF_SMOKE
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    ev.createOrReplaceTempView("hll_events")
+    [r] = spark.sql(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        "hll_sketch_agg(user_id) AS s FROM hll_events GROUP BY day) "
+        "SELECT hll_sketch_estimate(hll_union_agg(s)) AS merged, "
+        "(SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) "
+        "FROM hll_events) AS global_est, "
+        "(SELECT COUNT(DISTINCT user_id) FROM hll_events) AS exact "
+        "FROM daily"
+    ).collect()
+    # default lgConfigK=12 -> ~1.6% rsd; allow 5 sigma on both paths
+    for est in (r.merged, r.global_est):
+        assert abs(est - r.exact) <= max(2, 0.08 * r.exact), r

@@ -544,3 +544,52 @@ def test_inverted_index_two_hash_aggs(spark):
     C.assert_no_python(plan)
     C.assert_max_shuffles(plan, 2)
     assert plan.count("HashAggregate") >= 4  # partial+final x 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """When the dim side is too big to broadcast, Spark can still inject
+    a runtime BloomFilter built from the filtered dim keys into the fact
+    scan — the shuffle-join analogue of dynamic partition pruning, and
+    the mechanism that keeps a 100 TB fact shuffle proportional to the
+    SELECTED keys, not the whole fact table. Verified live by forcing
+    the shuffle-join path (broadcast off) and dropping the injection
+    size thresholds to fixture scale."""
+    from weather_bigdata_project_spark import tables
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = tables.load(spark, SF_SMOKE, "lineitem")
+        od = tables.load(spark, SF_SMOKE, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower(), optimized[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
