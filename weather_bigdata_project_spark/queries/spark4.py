@@ -79,11 +79,10 @@ def events_variant_extract(spark, sf_dir):
 
 # --- recursive CTE: BFS reachability, one SQL text for both engines -------
 
-#: hops<=3 breadth-first reachability from the lexicographically-first
-#: brand over the strongest-30% co-occurrence edges (the same exact
+#: symmetric strongest-30% co-occurrence edge list (the same exact
 #: integer rank cut as graph_triangle_brands). The {l}/{p} placeholders
 #: are the only engine difference (temp-view names vs driver views).
-_REACH_SQL = """WITH RECURSIVE ob AS (
+_EDGE_CTES = """ob AS (
   SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
   FROM {l} l JOIN {p} p ON l.l_partkey = p.p_partkey
 ),
@@ -97,43 +96,68 @@ rk AS (
   SELECT ba, bb, ROW_NUMBER() OVER (ORDER BY w DESC, ba, bb) AS r
   FROM pairs
 ),
-kept AS (SELECT ba, bb FROM rk CROSS JOIN ne WHERE 10 * r <= 3 * ne.n),
-sym AS (
-  SELECT ba AS src, bb AS dst FROM kept
-  UNION ALL SELECT bb, ba FROM kept
-),
-seed AS (SELECT MIN(ba) AS brand FROM kept),
+kept AS (SELECT ba, bb FROM rk CROSS JOIN ne WHERE 10 * r <= 3 * ne.n)"""
+
+_EDGE_SELECT = (
+    "SELECT ba AS src, bb AS dst FROM kept "
+    "UNION ALL SELECT bb, ba FROM kept"
+)
+
+_EDGE_SQL = "WITH " + _EDGE_CTES + "\n" + _EDGE_SELECT
+
+#: hops<=3 BFS from the lexicographically-first brand over {e} — the
+#: recursion text is IDENTICAL in both engines; only the edge-relation
+#: name differs (Spark: a materialized temp view, so the recursion
+#: never re-derives the graph from the fact table per iteration).
+_REACH_SQL = """WITH RECURSIVE seed AS (SELECT MIN(src) AS brand FROM {e}),
 reach AS (
   SELECT brand, 0 AS dist FROM seed
   UNION ALL
   SELECT s.dst, r.dist + 1
-  FROM reach r JOIN sym s ON s.src = r.brand
+  FROM reach r JOIN {e} s ON s.src = r.brand
   WHERE r.dist < 3
 )
 SELECT brand, MIN(dist) AS hops FROM reach GROUP BY brand"""
 
-
-@query(
-    "sql_recursive_brand_reach",
-    oracle=_REACH_SQL.format(l="lineitem", p="part"),
+#: oracle: the same recursion over a sym CTE holding the same edges
+_REACH_ORACLE = (
+    "WITH RECURSIVE "
+    + _EDGE_CTES.format(l="lineitem", p="part")
+    + ",\nsym AS ("
+    + _EDGE_SELECT
+    + "),\n"
+    + _REACH_SQL.format(e="sym").replace(
+        "WITH RECURSIVE ", "", 1
+    )
 )
+
+
+@query("sql_recursive_brand_reach", oracle=_REACH_ORACLE)
 def sql_recursive_brand_reach(spark, sf_dir):
     """WITH RECURSIVE in Spark 4: 3-hop BFS from a seed brand over the
-    sparsified co-occurrence graph, the IDENTICAL SQL text running on
+    sparsified co-occurrence graph, the recursion text IDENTICAL on
     both engines (the iterative-algorithm queries — PageRank, label
     propagation — had to hand-unroll their oracles against Spark 3's
     missing recursion; this closes that gap).
 
-    Execution: Spark plans the recursive branch as an iterated union
-    (driver-coordinated loop, like the MLlib-style iterative queries)
-    — each step is one hash join of the frontier (node-cardinality)
-    against the edge list, so the 100 TB shape is iterations x one
-    edge-shuffle, same as graph_pagerank_brands. The dist < 3 guard
-    bounds the loop; MIN(dist) collapses revisits after the fact
-    (BFS frontier dedup would be the optimization at depth >> 3)."""
+    Execution: the edge list is built ONCE and pinned (node-cardinality
+    — without this, Spark's iterated-union recursion re-derives the
+    whole graph from the fact table on every step: measured 10s -> ~1s
+    at sf0.1). Each recursion step is then one hash join of the
+    frontier against the tiny edge relation — the 100 TB shape is
+    edges-build once + iterations x frontier-join, same as
+    graph_pagerank_brands. The dist < 3 guard bounds the loop;
+    MIN(dist) collapses revisits after the fact (BFS frontier dedup
+    would be the optimization at depth >> 3)."""
+    from ..operators.textops import materialize
+
     for t in ("lineitem", "part"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
-    return spark.sql(_REACH_SQL.format(l="rcte_lineitem", p="rcte_part"))
+    sym = materialize(
+        spark.sql(_EDGE_SQL.format(l="rcte_lineitem", p="rcte_part"))
+    )
+    sym.createOrReplaceTempView("rcte_sym")
+    return spark.sql(_REACH_SQL.format(e="rcte_sym"))
 
 
 # --- SQL UDF: declarative scalar function, inlined by Catalyst ------------
