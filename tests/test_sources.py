@@ -558,3 +558,24 @@ def test_lake_snapshot_commit_race(spark, tmp_path):
         r["writer"] for r in v3.select("writer").distinct().collect()
     } == {"base", "B", "A"}
     assert v3.count() == 15
+
+
+def test_orc_lake_roundtrip_with_pushdown(spark):
+    """ORC round-trip (the 4th source-matrix leg): full-fidelity rows
+    back, and a selective filter reaches the ORC scan as a pushed
+    filter (ORC carries stripe/row-group stats like parquet)."""
+    d = tempfile.mkdtemp(prefix="orclake_")
+    try:
+        df = _export_frame(spark)
+        readers.write_orc(df, d)
+        back = readers.read_orc_lake(spark, d)
+        assert back.count() == df.count()
+        assert back.subtract(df).count() == 0
+        assert df.subtract(back).count() == 0
+        sel = back.filter(F.col("event_id") == 7)
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "event_id" in plan.split(
+            "PushedFilters: ["
+        )[1].split("]")[0], plan[:1500]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -69,6 +69,22 @@ def read_csv_lake(
     )
 
 
+def read_orc_lake(spark: SparkSession, path: str) -> DataFrame:
+    """ORC lake scan — the fourth leg of the source matrix
+    (parquet/JSON/CSV/ORC). ORC is columnar with file/stripe/row-group
+    statistics like parquet, so predicate pushdown and column pruning
+    apply identically (Spark's vectorized ORC reader, `PushedFilters`
+    visible in explain); interop matters for lakes written by
+    Hive/Trino-era pipelines."""
+    tune(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC writer twin of write_parquet (snappy, per-partition files)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_export_csv(df: DataFrame, path: str) -> None:
     """S12: CSV export — distributed write (one file per partition; use
     coalesce(1) only for small UI downloads)."""
