@@ -62,6 +62,7 @@ _JVM_ONLY = [
     "events_hour_profile",
     "events_funnel_latency",
     "corpus_source_divergence",
+    "corpus_perplexity_unigram",
     "corpus_split_assign",
     "corpus_weighted_sample",
     "dq_key_skew",

@@ -586,3 +586,55 @@ def corpus_weighted_sample(spark, sf_dir):
         .orderBy(F.desc("priority_u"), "doc_id")
         .limit(_WS_TOP)
     )
+
+
+# --- unigram LM perplexity scoring (fluency signal) -----------------------
+
+#: per-token log-prob snapped to 1e-5 units (the Zipf/PMI doctrine:
+#: libm LN may differ by an ulp between engines; snapping to integer
+#: units BEFORE the cross-row sum makes the per-doc total exact).
+_LP_U = "CAST(ROUND(LN(CAST(c AS DOUBLE) / t) * 1.0e5) AS BIGINT)"
+
+_PPL_ORACLE = (
+    "WITH " + T.TOKS_CTE + ", "
+    "vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+    "tt AS (SELECT COUNT(*) AS t FROM toks), "
+    "lp AS (SELECT toks.doc_id, " + _LP_U + " AS lp_u "
+    "FROM toks JOIN vocab ON toks.tok = vocab.tok CROSS JOIN tt) "
+    "SELECT doc_id, COUNT(*) AS n_tok, "
+    "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*)) AS avg_logp "
+    "FROM lp GROUP BY doc_id"
+)
+
+
+@query("corpus_perplexity_unigram", oracle=_PPL_ORACLE)
+def corpus_perplexity_unigram(spark, sf_dir):
+    """Per-document unigram language-model score: average log-probability
+    of the document's tokens under the corpus's own unigram
+    distribution — the classic CCNet/Dolma-style fluency proxy (gibberish
+    and boilerplate score far from the corpus mode; the negative of this
+    is log-perplexity).
+
+    Shape: one token-cardinality hash-agg builds the unigram model, one
+    equi-join scores tokens against it, one doc-cardinality agg reduces.
+    The model frame is vocabulary-sized — at 100 TB, broadcast the head
+    (Zipf: a few thousand types cover most tokens) and shuffle-join only
+    the tail. Per-token logs snap to 1e-5 integer units before the
+    cross-row sum (libm-ulp doctrine, see text_zipf_slope), so the
+    per-doc mean is exact-integer arithmetic divided once."""
+    toks = T.materialize(
+        T.docs(spark, sf_dir).select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t = toks.count()
+    lp = toks.join(vocab, "tok").select(
+        "doc_id", F.expr(_LP_U.replace(" t)", f" {t})")).alias("lp_u")
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.expr(
+            "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
+        ).alias("avg_logp"),
+    )
