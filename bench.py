@@ -66,6 +66,8 @@ HEADLINE = [
     "graph_triangle_brands",
     "events_variant_extract",
     "sql_recursive_brand_reach",
+    "sql_lateral_topk_customers",
+    "corpus_perplexity_unigram",
 ]
 
 

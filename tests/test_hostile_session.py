@@ -30,6 +30,12 @@ PROBES = [
     "events_time_rollup",        # date_trunc grouping sets
     "events_value_trend_ols",    # epoch-day regression x
     "weather_degree_days",       # timestamp_dt day bucketing
+    "events_value_ewma",         # to_date daily fold input
+    "events_anomaly_mad",        # daily counts + exact-int medians
+    "events_variant_extract",    # JSON serialize/parse round-trip
+    "sql_table_fn_date_spine",   # CAST(ts AS DATE) + date sequence
+    "sql_udf_dew_point",         # SQL UDF over try_cast battery
+    "weather_collated_city_stats",  # collation + cast battery
 ]
 
 
