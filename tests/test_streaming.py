@@ -721,3 +721,81 @@ def test_ewma_fold_py_matches_jvm_fold(spark):
         cut = len(temps) // 2
         n1, s1 = ewma_fold_py(temps[:cut])
         assert ewma_fold_py(temps[cut:], n1, s1) == want[city]
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join over a time-ordered
+    multi-batch replay: everything emitted must be a row of the batch
+    left join, and every purchase older than the final watermark tail
+    must have emitted (matched or null-padded) — watermark-driven outer
+    emission actually fires, it does not just buffer forever."""
+    import glob
+
+    from weather_bigdata_project_spark import tables
+
+    ev = tables.load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_ranged_lj")
+    ev.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = str(tmp_path / "lj_out")
+    ckpt = str(tmp_path / "lj_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = jobs.interval_left_join_clicks_purchases(
+        stream, watermark="1 minute"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "left_outer",
+    )
+    # nothing wrong emitted (null-padded rows included in the compare)
+    assert got.subtract(want).count() == 0
+    # null-padded outer rows DID emit (the stateful behavior under test)
+    assert got.filter("c_ts IS NULL").count() > 0
+    # completeness outside the final watermark tail: the global
+    # watermark is min over BOTH sides' max event times minus the
+    # delay, so purchases older than that minus slack must all be
+    # present (matched or null-padded)
+    [mp] = purchases.agg(F.max("ts").alias("m")).collect()
+    [mc] = clicks.agg(F.max("c_ts").alias("m")).collect()
+    cutoff = min(mp["m"], mc["m"]) - __import__("datetime").timedelta(
+        minutes=15
+    )
+    missing = (
+        purchases.filter(F.col("ts") <= F.lit(cutoff))
+        .select("event_id")
+        .subtract(got.select("event_id"))
+    )
+    assert missing.count() == 0

@@ -330,6 +330,42 @@ def interval_join_clicks_purchases(
     )
 
 
+def interval_left_join_clicks_purchases(
+    events: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits,
+    matched to its prior-10-minute clicks or null-padded if none came —
+    the attribution query where "no touchpoint" is itself the signal.
+
+    Outer semantics are what make this STATEFUL in a way the inner join
+    is not: a purchase cannot be declared click-less until BOTH
+    watermarks pass its join window, so Spark buffers it and emits the
+    null-padded row only on watermark advance. State stays
+    O(watermark-window); the test drains a multi-batch time-ordered
+    replay so watermarks actually move, and rows inside the final
+    watermark tail are (correctly) withheld at termination."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "left_outer",
+    )
+
+
 def stream_static_segment_enrich(
     events: DataFrame, customer: DataFrame
 ) -> DataFrame:
