@@ -57,6 +57,8 @@ _JVM_ONLY = [
     "events_anomaly_zscore",
     "events_anomaly_mad",
     "events_value_ewma",
+    "events_trailing_distinct_users",
+    "orders_yoy_priority_growth",
     "events_rolling_corr",
     "events_value_trend_ols",
     "events_hour_profile",

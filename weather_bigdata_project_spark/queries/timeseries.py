@@ -609,3 +609,54 @@ def events_anomaly_mad(spark, sf_dir):
         "n",
         F.expr("2.0e0 * d2 > 3.0e0 * mad4").alias("is_anomaly"),
     )
+
+
+# --- trailing-window distinct users (sliding COUNT DISTINCT) ---------------
+
+
+@query(
+    "events_trailing_distinct_users",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events_t), "
+        "b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du), "
+        "x AS (SELECT user_id, CAST(unnest(generate_series("
+        "CAST(day AS TIMESTAMP), CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, "
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM du) "
+        "SELECT x.day, COUNT(DISTINCT user_id) AS trailing_users "
+        "FROM x CROSS JOIN b WHERE x.day BETWEEN b.d0 AND b.d1 "
+        "GROUP BY x.day"
+    ),
+)
+def events_trailing_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (the WAU curve) —
+    COUNT(DISTINCT) over a sliding window, which SQL window frames
+    cannot express (no DISTINCT in window aggregates in either engine).
+
+    The spine-explode rewrite: each (user, day) observation is fanned
+    to the <=7 window-end days it participates in, then one hash-agg
+    per day distinct-counts users. Fan-out factor = window length (a
+    constant), input is the already-distinct (user, day) frame (user x
+    day cardinality, not event cardinality), so at 100 TB this is
+    7x a dimension-sized frame — versus the naive per-day self-join
+    which re-scans the fact table per window day. The bounds row is a
+    broadcast single-row cross join, pruning spine days beyond the
+    observed range."""
+    ev = tables.load(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    b = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    x = du.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        x.join(F.broadcast(b))
+        .filter(F.col("day").between(F.col("d0"), F.col("d1")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("trailing_users"))
+    )

@@ -286,3 +286,55 @@ def dq_key_skew(spark, sf_dir):
         .orderBy(F.desc("cnt"), "key")
         .limit(_SKEW_TOP)
     )
+
+
+# --- year-over-year growth (lag ratio over exact sums) --------------------
+
+
+@query(
+    "orders_yoy_priority_growth",
+    oracle=(
+        "WITH y AS (SELECT o_orderpriority, YEAR(o_orderdate) AS yr, "
+        f"SUM({cents('o_totalprice')}) AS rev_c "
+        "FROM orders GROUP BY o_orderpriority, YEAR(o_orderdate)), "
+        "g AS (SELECT o_orderpriority, yr, rev_c, "
+        "LAG(rev_c) OVER (PARTITION BY o_orderpriority ORDER BY yr) "
+        "AS prev_c FROM y) "
+        f"SELECT o_orderpriority, yr, {money('rev_c')} AS revenue, "
+        + rnd(
+            "(CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE)) "
+            "/ CAST(prev_c AS DOUBLE)",
+            6,
+        )
+        + " AS yoy_growth FROM g"
+    ),
+)
+def orders_yoy_priority_growth(spark, sf_dir):
+    """Year-over-year revenue growth per order priority — the
+    period-over-period comparison every finance dashboard runs (TPC-DS
+    territory; the reference's dashboard had no period comparisons at
+    all). One hash-agg to (priority x year) — after which everything is
+    dimension-sized — then a lag window per priority; revenue rides
+    exact cents so the growth ratio is one deterministic division,
+    snapped at 1e-6. First year per priority is NULL growth."""
+    od = tables.load(spark, sf_dir, "orders")
+    y = od.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(F.expr(cents("o_totalprice"))).alias("rev_c"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    g = y.select(
+        "o_orderpriority", "yr", "rev_c",
+        F.lag("rev_c").over(w).alias("prev_c"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "yr",
+        F.expr(money("rev_c")).alias("revenue"),
+        F.expr(
+            rnd(
+                "(CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE)) "
+                "/ CAST(prev_c AS DOUBLE)",
+                6,
+            )
+        ).alias("yoy_growth"),
+    )
