@@ -807,3 +807,73 @@ def graph_triangle_brands(spark, sf_dir):
         F.expr("COALESCE(n_tri, 0)").alias("n_triangles"),
         F.expr(coeff).alias("clustering"),
     )
+
+
+# --- forward as-of join: next click at-or-after each purchase -------------
+
+
+@query(
+    "join_asof_purchase_next_click",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS next_click_ts, c.click_value "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts <= c.ts"
+    ),
+)
+def join_asof_purchase_next_click(spark, sf_dir):
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    purchase paired with the user's next click at-or-after it — the
+    post-purchase-behavior twin of join_asof_purchase_last_click.
+
+    Same union+window plan mirrored in time: one shuffle on user_id,
+    partition-local sort by (ts, side, value DESC) — purchases sort
+    BEFORE clicks at equal ts so "at-or-after" includes ties, and
+    descending value makes the first eligible click the MAX-value one,
+    matching the oracle's GROUP BY + MAX collapse — then
+    first(ignorenulls) over the [current, unbounded following] frame.
+    ONE exchange, no pair blowup, O(1) window state."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.desc("click_value"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "side",
+            F.first("click_ts", ignorenulls=True).over(w).alias(
+                "next_click_ts"
+            ),
+            F.first("click_value", ignorenulls=True).over(w).alias(
+                "click_value"
+            ),
+        )
+        .filter(F.col("side") == 0)
+        .drop("side")
+    )
