@@ -109,3 +109,42 @@ def test_metadata_query_prunes_binary(spark):
     )
     plan = meta._jdf.queryExecution().optimizedPlan().toString()
     assert "sha256_hex" not in plan
+
+
+def test_phash_neardup_banding_and_verify(spark):
+    """pHash near-dup plumbing: identical payloads pair at distance 0;
+    a one-window edit lands within the Hamming threshold; pairs are
+    canonical (doc1 < doc2, no self-pairs); and everything the band
+    join emits is verified by the exact bit_count distance."""
+    from weather_bigdata_project_spark.operators import multimodal as M
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    # +1 on one byte flips that window's parity (a case flip is +-32 on
+    # each byte — even — and would NOT change a parity hash)
+    edited = "uhe" + base[3:]
+    rows = [
+        (1, base),
+        (2, base),          # exact duplicate of 1
+        (3, edited),        # near duplicate of 1
+        (4, "completely different payload " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    b = M.with_binary_payload(docs)
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in M.phash_neardup_pairs(b, max_hamming=6).collect()
+    }
+    assert got[(1, 2)] == 0                     # exact dup collides at 0
+    assert (1, 3) in got and 1 <= got[(1, 3)] <= 6  # near dup within band
+    for (d1, d2), h in got.items():
+        assert d1 < d2 and 0 <= h <= 6
+    assert (1, 4) not in got and (2, 4) not in got
+
+    # kernel is deterministic and locality-sensitive: the stub phash of
+    # base vs edited differs in at most a couple of window bits
+    ph = {
+        r["doc_id"]: r["phash"]
+        for r in M.phash_media(b).collect()
+    }
+    assert ph[1] == ph[2]
+    assert bin((ph[1] ^ ph[3]) & ((1 << 64) - 1)).count("1") <= 2

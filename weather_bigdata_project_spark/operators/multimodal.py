@@ -156,3 +156,93 @@ def sample_frames(decoded: DataFrame, stride: int = 2) -> DataFrame:
             ).alias("frame_feature"),
         )
     )
+
+
+def _phash_stub(payload: bytes) -> int:
+    """STUB — stands in for a real perceptual hash (pHash/dHash over
+    decoded, resized pixels). Deterministic 64-bit signature from 64
+    payload windows' parities, which is locality-sensitive the way a
+    real pHash is: a small payload edit flips only the bits of the
+    windows it touches. A real deployment replaces ONLY this function
+    (PIL decode -> 8x8 DCT -> median threshold, same int64 out)."""
+    bits = 0
+    n = len(payload)
+    for i in range(64):
+        w = payload[i * 4:(i + 1) * 4]
+        if (sum(w) + i) % 2 if n else i % 2:
+            bits |= 1 << i
+    # keep it in signed-int64 range for the BIGINT column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_media(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, phash BIGINT): Arrow-vectorized pandas_udf over the
+    binary column — the only Python step; everything downstream
+    (banding, candidate join, Hamming verify) is JVM-side."""
+    import pyspark.sql.functions as Fn
+
+    @Fn.pandas_udf("bigint")
+    def _ph(content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _phash_stub(bytes(c) if c is not None else b"")
+                for c in content
+            ]
+        )
+
+    return binary_df.select("doc_id", _ph("content").alias("phash"))
+
+
+def phash_neardup_pairs(
+    binary_df: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a binary media column:
+    band the 64-bit signature into 4 x 16-bit keys (any pair within
+    Hamming distance <= 6 of a real pHash usually collides on >=1 full
+    band; same equi-join trick as MinHash-LSH and SimHash), equi-join
+    candidates on (band, band_bits), then verify the exact distance
+    with bit_count(XOR) — a single JVM intrinsic.
+
+    At 100 TB: candidates are near-linear in dup density (never the
+    O(n^2) pair space), the join keys are 12-byte ints, and the binary
+    payloads are read ONCE by the hash kernel and never shuffled."""
+    ph = phash_media(binary_df)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftrightunsigned(phash, {16 * b}) "
+                            "& 65535 AS INT)"
+                        ).alias("band_bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band"), F.col("bk.band_bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.phash").alias("ph1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("b.phash").alias("ph2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc1",
+        "doc2",
+        F.expr("bit_count(ph1 ^ ph2)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -75,3 +75,14 @@ def multimodal_feature_agg(spark, sf_dir):
             ).alias("avg_f0"),
         )
     )
+
+
+@query("multimodal_phash_neardup")  # no SQL oracle: pandas_udf hash kernel
+def multimodal_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the binary media column
+    (stub pHash kernel, real LSH-band plumbing — see
+    operators/multimodal.py phash_neardup_pairs). Driver records
+    rows-only; the banding/verify math is unit-tested in
+    tests/test_multimodal.py."""
+    b = M.with_binary_payload(T.docs(spark, sf_dir))
+    return M.phash_neardup_pairs(b)
