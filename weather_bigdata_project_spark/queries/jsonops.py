@@ -272,3 +272,61 @@ def sql_null_semantics(spark, sf_dir):
     return base.selectExpr(
         "event_id", *[f"{s} AS {n}" for n, s, _ in _NULL_EXPRS]
     )
+
+
+# --- F16+: window-function battery ----------------------------------------
+
+#: every ranking/offset/frame window function over one totally-ordered
+#: per-type partition (ORDER BY value-cents DESC, day — unique within a
+#: type, so every engine picks identical rows). percent_rank and
+#: cume_dist are ratios of exact ints, deterministic in IEEE doubles.
+_WF = "OVER (PARTITION BY event_type ORDER BY v_c DESC, day)"
+_WF_FULL = (
+    "OVER (PARTITION BY event_type ORDER BY v_c DESC, day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
+_WINDOW_EXPRS = [
+    ("rn", f"ROW_NUMBER() {_WF}"),
+    ("rnk", f"RANK() {_WF}"),
+    ("drnk", f"DENSE_RANK() {_WF}"),
+    ("prnk", f"PERCENT_RANK() {_WF}"),
+    ("cume", f"CUME_DIST() {_WF}"),
+    ("quartile", f"NTILE(4) {_WF}"),
+    ("prev_c", f"LAG(v_c) {_WF}"),
+    ("next_c", f"LEAD(v_c, 1, -1) {_WF}"),
+    ("top_c", f"FIRST_VALUE(v_c) {_WF}"),
+    ("bottom_c", f"LAST_VALUE(v_c) {_WF_FULL}"),
+    ("third_c", f"NTH_VALUE(v_c, 3) {_WF_FULL}"),
+]
+
+_WINDOW_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS v_c "
+    "FROM events_t GROUP BY event_type, CAST(ts AS DATE)) "
+    "SELECT event_type, day, v_c, "
+    + ", ".join(f"{s} AS {n}" for n, s in _WINDOW_EXPRS)
+    + " FROM c"
+)
+
+
+@query("sql_window_functions", oracle=_WINDOW_ORACLE)
+def sql_window_functions(spark, sf_dir):
+    """Window-function battery (the F13-F15 batteries' ranking/offset
+    sibling): every ranking, distribution, offset, and frame-navigation
+    window function in one pass over the per-type daily frame —
+    ROW_NUMBER/RANK/DENSE_RANK, PERCENT_RANK/CUME_DIST, NTILE, LAG/LEAD
+    (with explicit default), FIRST/LAST/NTH_VALUE with an explicit
+    full-partition frame (the default frame stops at CURRENT ROW, a
+    classic silent-wrong-answer trap — pinned here identically in both
+    engines). ONE exchange on event_type serves all eleven functions."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).alias("v_c")
+    )
+    return c.selectExpr(
+        "event_type", "day", "v_c",
+        *[f"{s} AS {n}" for n, s in _WINDOW_EXPRS],
+    )
