@@ -61,6 +61,7 @@ _JVM_ONLY = [
     "orders_yoy_priority_growth",
     "join_asof_purchase_next_click",
     "sql_window_functions",
+    "sql_array_functions",
     "events_rolling_corr",
     "events_value_trend_ols",
     "events_hour_profile",

@@ -330,3 +330,71 @@ def sql_window_functions(spark, sf_dir):
         "event_type", "day", "v_c",
         *[f"{s} AS {n}" for n, s in _WINDOW_EXPRS],
     )
+
+
+# --- F17+: array / higher-order-function battery --------------------------
+
+#: (name, spark_expr, duck_expr) over `l` = the document's token array.
+#: Same VALUES, engine-local spellings (Spark HOF lambdas vs DuckDB
+#: list_* functions); list_position returns NULL-when-absent in DuckDB
+#: vs 0 in Spark, pinned with COALESCE.
+_ARRAY_EXPRS = [
+    ("n_tok", "size(l)", "len(l)"),
+    (
+        "has_data",
+        "array_contains(l, 'data')",
+        "list_contains(l, 'data')",
+    ),
+    (
+        "pos_data",
+        "array_position(l, 'data')",
+        "COALESCE(list_position(l, 'data'), 0)",
+    ),
+    (
+        "first3",
+        "concat_ws('|', slice(l, 1, 3))",
+        "array_to_string(l[1:3], '|')",
+    ),
+    ("n_distinct_tok", "size(array_distinct(l))", "len(list_distinct(l))"),
+    ("last_tok", "element_at(l, -1)", "l[-1]"),
+    (
+        "n_long",
+        "size(filter(l, x -> length(x) > 5))",
+        "len(list_filter(l, x -> length(x) > 5))",
+    ),
+    (
+        "total_chars",
+        "aggregate(l, 0, (a, x) -> a + length(x))",
+        "CAST(list_sum(list_transform(l, x -> length(x))) AS INT)",
+    ),
+    ("min_tok", "array_min(l)", "list_min(l)"),
+    ("max_tok", "array_max(l)", "list_max(l)"),
+]
+
+_ARRAY_ORACLE = (
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS l "
+    "FROM documents) "
+    "SELECT doc_id, "
+    + ", ".join(d + " AS " + n for n, _, d in _ARRAY_EXPRS)
+    + " FROM base"
+)
+
+
+@query("sql_array_functions", oracle=_ARRAY_ORACLE)
+def sql_array_functions(spark, sf_dir):
+    """Array / higher-order-function battery (F17+, sibling of the
+    string/datetime/null/window batteries): size, membership, position
+    (null-vs-0 semantics pinned), slicing, distinct, negative indexing,
+    lambda filter, lambda fold, and min/max over each document's token
+    array. All in-row — zero shuffles, one scan of documents — and all
+    JVM-side: Spark's HOF lambdas compile to Catalyst expressions, not
+    Python."""
+    from ..operators import textops as T
+
+    return (
+        T.docs(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("l"))
+        .selectExpr(
+            "doc_id", *[f"{s} AS {n}" for n, s, _ in _ARRAY_EXPRS]
+        )
+    )
