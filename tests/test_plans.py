@@ -62,6 +62,7 @@ _JVM_ONLY = [
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",
+    "dedup_rate_by_source",
     "events_rolling_corr",
     "events_value_trend_ols",
     "events_hour_profile",

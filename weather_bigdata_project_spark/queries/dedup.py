@@ -682,3 +682,63 @@ def dedup_chunk_level(spark, sf_dir):
             )
         ).alias("dup_fraction"),
     )
+
+
+# --- near-dup composition: where do duplicates come from? ------------------
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=(
+        "WITH nd AS (" + _MINHASH_ORACLE + "), "
+        "lab AS (SELECT "
+        "CASE WHEN d1.source <= d2.source THEN d1.source ELSE d2.source "
+        "END AS source_a, "
+        "CASE WHEN d1.source <= d2.source THEN d2.source ELSE d1.source "
+        "END AS source_b "
+        "FROM nd JOIN documents d1 ON nd.doc1 = d1.doc_id "
+        "JOIN documents d2 ON nd.doc2 = d2.doc_id), "
+        "tot AS (SELECT COUNT(*) AS t FROM lab) "
+        "SELECT source_a, source_b, COUNT(*) AS n_pairs, "
+        + rnd("CAST(COUNT(*) AS DOUBLE) / t", 6)
+        + " AS share FROM lab CROSS JOIN tot "
+        "GROUP BY source_a, source_b, t"
+    ),
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Near-dup provenance: MinHash pairs attributed to their (source,
+    source) combination — the curation diagnostic that tells you WHICH
+    crawls/dumps duplicate each other (within-source share says
+    re-crawl; cross-source share says mirror sites / syndication).
+
+    Composition of the verified MinHash block: pairs (sparse by
+    construction) join the (doc_id, source) projection twice — at
+    100 TB that projection is two 8-byte-ish columns off a columnar
+    scan, and the pair side is orders of magnitude smaller than the
+    corpus, so both joins broadcast the pair side or hash tiny frames.
+    The unordered source pair is canonicalized (a <= b) identically in
+    both engines; shares are exact-count ratios snapped at 1e-6."""
+    nd = dedup_minhash_lsh(spark, sf_dir)
+    src = T.docs(spark, sf_dir).select("doc_id", "source")
+    lab = (
+        nd.join(
+            src.selectExpr("doc_id AS doc1", "source AS s1"), "doc1"
+        )
+        .join(src.selectExpr("doc_id AS doc2", "source AS s2"), "doc2")
+        .selectExpr(
+            "CASE WHEN s1 <= s2 THEN s1 ELSE s2 END AS source_a",
+            "CASE WHEN s1 <= s2 THEN s2 ELSE s1 END AS source_b",
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        lab.join(F.broadcast(tot))
+        .groupBy("source_a", "source_b", "t")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr(rnd("CAST(n_pairs AS DOUBLE) / t", 6)).alias("share"),
+        )
+    )
