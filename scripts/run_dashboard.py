@@ -32,6 +32,9 @@ PANELS = [
     "weather_recent_alerts",     # newest alerts (ref:app.py:378)
     "weather_degree_days",       # energy upgrade (beyond the reference)
     "weather_temp_equidepth",    # equi-depth buckets (beyond)
+    "events_value_ewma",         # smoothed trend line (beyond)
+    "events_anomaly_mad",        # robust outlier flags (beyond)
+    "events_trailing_distinct_users",  # WAU curve (beyond)
 ]
 
 
