@@ -178,3 +178,37 @@ def test_haversine_ukm_parity_spark_duckdb(spark, pairs):
         for p in pairs
     ]
     assert got == want
+
+
+_temps = st.lists(
+    st.integers(min_value=-60, max_value=60), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(_temps, st.integers(min_value=0, max_value=39))
+def test_ewma_fold_py_matches_jvm_on_random_series(spark, temps, cut):
+    """The Python EWMA recursion (transformWithState processor kernel)
+    must equal the JVM `aggregate` HOF fold on ARBITRARY integer series
+    — including negative temperatures and any batch-boundary split, not
+    just the fixture's values (guards the ties-away-from-zero snap
+    against the asymmetric-rounding bug a refactor could introduce)."""
+    from weather_bigdata_project_spark.streaming.jobs import ewma_fold_py
+
+    cut = min(cut, len(temps))
+    n1, s1 = ewma_fold_py(temps[:cut])
+    got = ewma_fold_py(temps[cut:], n1, s1)
+
+    rows = [(i, t) for i, t in enumerate(temps)]
+    df = spark.createDataFrame(rows, "i INT, t INT")
+    fold = (
+        "aggregate(sort_array(collect_list(struct(i, t))), "
+        "CAST(NULL AS BIGINT), (s, e) -> CASE WHEN s IS NULL THEN "
+        "CAST(e.t AS BIGINT) * 1000000000 ELSE "
+        "CAST(ROUND(0.2e0 * (CAST(e.t AS BIGINT) * 1000000000) "
+        "+ 0.8e0 * s) AS BIGINT) END)"
+    )
+    [r] = df.agg(
+        F.count(F.lit(1)).alias("n"), F.expr(fold).alias("s")
+    ).collect()
+    assert got == (r["n"], r["s"])
