@@ -63,6 +63,7 @@ _JVM_ONLY = [
     "sql_window_functions",
     "sql_array_functions",
     "dedup_rate_by_source",
+    "sql_agg_functions",
     "events_rolling_corr",
     "events_value_trend_ols",
     "events_hour_profile",

@@ -398,3 +398,60 @@ def sql_array_functions(spark, sf_dir):
             "doc_id", *[f"{s} AS {n}" for n, s, _ in _ARRAY_EXPRS]
         )
     )
+
+
+# --- F18+: aggregate-function battery -------------------------------------
+
+#: (name, spark_expr, duck_expr) per-type aggregates over the daily
+#: frame (c: event_type, day, n, v_c — all exact ints, so every result
+#: is deterministic under any partition order). max_by/min_by order on
+#: `day` (unique within a type) so ties cannot arise.
+_AGG_EXPRS = [
+    ("n_days", "COUNT(*)", "COUNT(*)"),
+    ("busy_days", "count_if(n >= 5)", "count_if(n >= 5)"),
+    ("all_active", "bool_and(n > 0)", "bool_and(n > 0)"),
+    ("any_heavy", "bool_or(n >= 8)", "bool_or(n >= 8)"),
+    ("and_bits", "bit_and(n)", "bit_and(n)"),
+    ("or_bits", "bit_or(n)", "bit_or(n)"),
+    ("xor_bits", "bit_xor(n)", "bit_xor(n)"),
+    ("latest_v_c", "max_by(v_c, day)", "arg_max(v_c, day)"),
+    ("earliest_v_c", "min_by(v_c, day)", "arg_min(v_c, day)"),
+    (
+        "med2_n",
+        "2.0e0 * percentile(n, 0.5e0)",
+        "2.0e0 * quantile_cont(n, 0.5e0)",
+    ),
+]
+
+_AGG_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "c AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n, "
+    "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS v_c "
+    "FROM events_t GROUP BY event_type, CAST(ts AS DATE)) "
+    "SELECT event_type, "
+    + ", ".join(d + " AS " + nm for nm, _, d in _AGG_EXPRS)
+    + " FROM c GROUP BY event_type"
+)
+
+
+@query("sql_agg_functions", oracle=_AGG_ORACLE)
+def sql_agg_functions(spark, sf_dir):
+    """Aggregate-function battery (F18+): conditional counting
+    (count_if), boolean aggregates (bool_and/bool_or), bitwise
+    aggregates (bit_and/or/xor), argmin/argmax (max_by/min_by vs
+    DuckDB's arg_max/arg_min — ordered on the unique day column so no
+    tie ambiguity exists), and the interpolated median in doubled units
+    (integer-valued, so exactly representable). Inputs are the exact
+    integer daily frame — every aggregate here is partition-order
+    invariant by construction, the property the float doctrine
+    otherwise has to buy with snapping."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).alias("v_c"),
+    )
+    return c.groupBy("event_type").agg(
+        *[F.expr(s).alias(nm) for nm, s, _ in _AGG_EXPRS]
+    )
