@@ -194,3 +194,25 @@ def test_hll_sketch_union_mergeable(spark):
     # default lgConfigK=12 -> ~1.6% rsd; allow 5 sigma on both paths
     for est in (r.merged, r.global_est):
         assert abs(est - r.exact) <= max(2, 0.08 * r.exact), r
+
+
+def test_percentile_approx_error_bound_vs_exact(spark):
+    """The documented scale swap (exact percentile -> percentile_approx
+    at 100 TB, see weather_temp_equidepth) is only safe if the sketch's
+    rank error is actually bounded: with accuracy=1000 the approximate
+    quartiles of the lineitem price column must each sit within 0.5% of
+    the true rank."""
+    from weather_bigdata_project_spark import tables
+    from tests.conftest import SF_SMOKE
+
+    li = tables.load(spark, SF_SMOKE, "lineitem").select("l_extendedprice")
+    n = li.count()
+    [r] = li.agg(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.25e0, 0.5e0, "
+            "0.75e0), 1000)"
+        ).alias("ap"),
+    ).collect()
+    for q, approx in zip((0.25, 0.5, 0.75), r["ap"]):
+        rank = li.filter(F.col("l_extendedprice") <= approx).count()
+        assert abs(rank / n - q) <= 0.005, (q, approx, rank / n)
