@@ -65,6 +65,19 @@ QUERIES_TO_RUN = [
     "events_type_dow_chisq",
     "events_funnel_latency",
     "events_time_rollup",
+    "events_value_ewma",
+    "events_anomaly_mad",
+    "events_trailing_distinct_users",
+    "graph_triangle_brands",
+    "sql_recursive_brand_reach",
+    "events_variant_extract",
+    "sql_window_functions",
+    "sql_array_functions",
+    "corpus_perplexity_unigram",
+    "dedup_rate_by_source",
+    "join_asof_purchase_next_click",
+    "orders_yoy_priority_growth",
+    "multimodal_phash_neardup",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
