@@ -59,6 +59,8 @@ _JVM_ONLY = [
     "events_value_ewma",
     "events_trailing_distinct_users",
     "orders_yoy_priority_growth",
+    "orders_rfm_segments",
+    "events_dow_seasonality",
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",

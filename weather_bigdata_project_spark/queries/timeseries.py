@@ -660,3 +660,50 @@ def events_trailing_distinct_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("trailing_users"))
     )
+
+
+# --- weekly seasonality index ---------------------------------------------
+
+
+@query(
+    "events_dow_seasonality",
+    oracle=(
+        "WITH " + _DAILY_CTE + ", "
+        "d AS (SELECT event_type, dayofweek(day) + 1 AS dow, "
+        "SUM(n) AS s_d, COUNT(*) AS days_d FROM c "
+        "GROUP BY event_type, dayofweek(day) + 1), "
+        "t AS (SELECT event_type, SUM(n) AS s_t, COUNT(*) AS days_t "
+        "FROM c GROUP BY event_type) "
+        "SELECT d.event_type, d.dow, "
+        + rnd(
+            "CAST(d.s_d AS DOUBLE) * t.days_t / t.s_t / d.days_d", 6
+        )
+        + " AS seasonal_index "
+        "FROM d JOIN t ON d.event_type = t.event_type"
+    ),
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Weekly seasonality index per event type: mean daily count on
+    each day-of-week divided by the type's overall mean daily count
+    (1.0 = flat; >1 = that weekday over-indexes) — the decomposition a
+    forecasting pipeline runs before de-seasonalizing. All inputs are
+    exact integer sums off the reduced daily frame; the index is one
+    left-associated double expression snapped at 1e-6, identical in
+    both engines. Day-of-week numbering is NOT portable — Spark's
+    dayofweek is 1=Sunday, DuckDB's is 0=Sunday — so the oracle pins
+    +1 explicitly (the same class of trap as list_position's
+    null-vs-0, recorded in the F17+ battery)."""
+    c = _daily(spark, sf_dir)
+    d = c.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(F.sum("n").alias("s_d"), F.count(F.lit(1)).alias("days_d"))
+    t = c.groupBy("event_type").agg(
+        F.sum("n").alias("s_t"), F.count(F.lit(1)).alias("days_t")
+    )
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        F.expr(
+            rnd("CAST(s_d AS DOUBLE) * days_t / s_t / days_d", 6)
+        ).alias("seasonal_index"),
+    )

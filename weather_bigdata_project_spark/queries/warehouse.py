@@ -338,3 +338,61 @@ def orders_yoy_priority_growth(spark, sf_dir):
             )
         ).alias("yoy_growth"),
     )
+
+
+# --- RFM customer segmentation --------------------------------------------
+
+
+@query(
+    "orders_rfm_segments",
+    oracle=(
+        "WITH base AS (SELECT o_custkey, "
+        "MAX(CAST(o_orderdate AS DATE)) AS last_day, "
+        "COUNT(*) AS n_orders, "
+        f"SUM({cents('o_totalprice')}) AS spend_c "
+        "FROM orders GROUP BY o_custkey), "
+        "scored AS (SELECT "
+        "NTILE(4) OVER (ORDER BY last_day DESC, o_custkey) AS r, "
+        "NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f, "
+        "NTILE(4) OVER (ORDER BY spend_c DESC, o_custkey) AS m, "
+        "spend_c FROM base) "
+        "SELECT r, f, m, COUNT(*) AS n_customers, "
+        f"{money('SUM(spend_c)')} AS segment_spend "
+        "FROM scored GROUP BY r, f, m"
+    ),
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic CRM cut: each customer scored
+    into recency/frequency/monetary quartiles (1 = best), reported as
+    the 4x4x4 segment matrix with exact spend. NTILE ties are
+    impossible: every ordering ends on the unique o_custkey, so both
+    engines assign identical quartiles.
+
+    Scale shape: one hash-agg to customer grain (the only fact-sized
+    exchange), then three global NTILE windows. A global NTILE is a
+    single-partition sort — fine at customer cardinality here; at
+    true 100 TB customer counts swap quartiles for percentile_approx
+    thresholds + a broadcast bucketize (same outputs, no global sort)
+    — the swap is one expression, the segment matrix is unchanged."""
+    od = tables.load(spark, sf_dir, "orders")
+    base = od.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr(cents("o_totalprice"))).alias("spend_c"),
+    )
+    scored = base.select(
+        F.expr(
+            "NTILE(4) OVER (ORDER BY last_day DESC, o_custkey)"
+        ).alias("r"),
+        F.expr(
+            "NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey)"
+        ).alias("f"),
+        F.expr(
+            "NTILE(4) OVER (ORDER BY spend_c DESC, o_custkey)"
+        ).alias("m"),
+        "spend_c",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(money("SUM(spend_c)")).alias("segment_spend"),
+    )
