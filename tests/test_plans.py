@@ -61,6 +61,7 @@ _JVM_ONLY = [
     "orders_yoy_priority_growth",
     "orders_rfm_segments",
     "events_dow_seasonality",
+    "events_cusum_drift",
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",

@@ -707,3 +707,84 @@ def events_dow_seasonality(spark, sf_dir):
             rnd("CAST(s_d AS DOUBLE) * days_t / s_t / days_d", 6)
         ).alias("seasonal_index"),
     )
+
+
+# --- CUSUM drift detection -------------------------------------------------
+
+#: one-sided CUSUM in integer nano-units: s_i = max(0, s_{i-1} + x_i -
+#: mu - k), alarm when s crosses h = 5*mu. With counts and a snapped
+#: integer target the whole recursion is EXACT integer arithmetic —
+#: no float appears anywhere, so cross-engine equality is structural.
+_CUSUM_STEP = "GREATEST(CAST(0 AS BIGINT), {s} + {x} * 1000000000 - {mu} - {k})"
+
+_CUSUM_ORACLE = (
+    "WITH RECURSIVE " + _DAILY_CTE + ", "
+    "m AS (SELECT event_type, "
+    "CAST(ROUND(SUM(n) * 1.0e9 / COUNT(*)) AS BIGINT) AS mu_n "
+    "FROM c GROUP BY event_type), "
+    "xs AS (SELECT c.event_type, c.day, c.n, m.mu_n, "
+    "CAST(m.mu_n // 4 AS BIGINT) AS k_n, "
+    "ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.day) AS i "
+    "FROM c JOIN m ON c.event_type = m.event_type), "
+    "r AS (SELECT event_type, day, i, mu_n, k_n, "
+    + _CUSUM_STEP.format(s="CAST(0 AS BIGINT)", x="n", mu="mu_n", k="k_n")
+    + " AS s FROM xs WHERE i = 1 "
+    "UNION ALL SELECT x.event_type, x.day, x.i, x.mu_n, x.k_n, "
+    + _CUSUM_STEP.format(s="r.s", x="x.n", mu="x.mu_n", k="x.k_n")
+    + " FROM xs x JOIN r ON x.event_type = r.event_type "
+    "AND x.i = r.i + 1) "
+    "SELECT event_type, day, CAST(s AS DOUBLE) / 1.0e9 AS cusum, "
+    "(s > 5 * mu_n) AS drift_alarm FROM r"
+)
+
+
+@query("events_cusum_drift", oracle=_CUSUM_ORACLE)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detector on daily event counts: the
+    running excess over (per-type mean + k) that a monitoring pipeline
+    alarms on when a sustained upward shift accumulates — unlike the
+    z-score/MAD flags (single-day outliers), CUSUM integrates small
+    persistent drifts until they cross h = 5x the mean.
+
+    Same execution shape as events_value_ewma (sequential in time,
+    parallel across types, in-row fold over the collected daily
+    series), but the recursion is PURE integer arithmetic — counts in
+    nano-units against a snapped integer target — so no rounding step
+    exists at all and the oracle's recursive CTE matches structurally.
+    """
+    c = _daily(spark, sf_dir)
+    m = c.groupBy("event_type").agg(
+        F.expr(
+            "CAST(ROUND(SUM(n) * 1.0e9 / COUNT(*)) AS BIGINT)"
+        ).alias("mu_n")
+    )
+    xs = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "mu_n",
+        F.expr("CAST(mu_n DIV 4 AS BIGINT)").alias("k_n"),
+    )
+    step = _CUSUM_STEP.format(s="element_at(acc, -1).s", x="e.n", mu="mu_n", k="k_n")
+    first = _CUSUM_STEP.format(s="CAST(0 AS BIGINT)", x="e.n", mu="mu_n", k="k_n")
+    fold = (
+        "aggregate(sort_array(xs), "
+        "CAST(array() AS ARRAY<STRUCT<day: DATE, s: BIGINT>>), "
+        "(acc, e) -> concat(acc, array(named_struct("
+        "'day', e.day, "
+        f"'s', CASE WHEN size(acc) = 0 THEN {first} ELSE {step} END))))"
+    )
+    return (
+        xs.groupBy("event_type", "mu_n", "k_n")
+        .agg(F.expr("collect_list(struct(day, n))").alias("xs"))
+        .select(
+            "event_type", "mu_n",
+            F.explode(F.expr(fold)).alias("e"),
+        )
+        .select(
+            "event_type",
+            F.col("e.day").alias("day"),
+            F.expr("CAST(e.s AS DOUBLE) / 1.0e9").alias("cusum"),
+            F.expr("e.s > 5 * mu_n").alias("drift_alarm"),
+        )
+    )
