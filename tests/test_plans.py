@@ -62,6 +62,7 @@ _JVM_ONLY = [
     "orders_rfm_segments",
     "events_dow_seasonality",
     "events_cusum_drift",
+    "events_holt_trend",
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",

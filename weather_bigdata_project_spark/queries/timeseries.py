@@ -788,3 +788,87 @@ def events_cusum_drift(spark, sf_dir):
             F.expr("e.s > 5 * mu_n").alias("drift_alarm"),
         )
     )
+
+
+# --- Holt linear-trend smoothing (two-state recursion) ---------------------
+
+#: Holt's double exponential smoothing, alpha=0.2, beta=0.1, both exact
+#: IEEE literals; level and trend ride integer nano-units and snap
+#: (ROUND at 0) after every step. Two state variables thread the fold —
+#: the pattern that generalizes the single-state EWMA/CUSUM recursions.
+_HOLT_L = "CAST(ROUND(0.2e0 * {x} + 0.8e0 * ({l} + {b})) AS BIGINT)"
+_HOLT_B = "CAST(ROUND(0.1e0 * ({l1} - {l}) + 0.9e0 * {b}) AS BIGINT)"
+
+_HOLT_ORACLE = (
+    "WITH RECURSIVE " + _DAILY_CTE + ", "
+    "xs AS (SELECT event_type, day, "
+    "CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT) AS x, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i "
+    "FROM c), "
+    "nn AS (SELECT event_type, MAX(i) AS imax FROM xs GROUP BY event_type), "
+    # anchor needs two points: l1 = x1, b1 = x2 - x1
+    "r AS (SELECT a.event_type, a.day, a.i, a.x AS l, "
+    "b2.x - a.x AS b FROM xs a JOIN xs b2 "
+    "ON a.event_type = b2.event_type AND a.i = 1 AND b2.i = 2 "
+    "UNION ALL SELECT x.event_type, x.day, x.i, "
+    + _HOLT_L.format(x="x.x", l="r.l", b="r.b") + ", "
+    + _HOLT_B.format(
+        l1=_HOLT_L.format(x="x.x", l="r.l", b="r.b"), l="r.l", b="r.b"
+    )
+    + " FROM xs x JOIN r ON x.event_type = r.event_type "
+    "AND x.i = r.i + 1) "
+    "SELECT event_type, day, "
+    "CAST(l AS DOUBLE) / 1.0e9 AS level, "
+    "CAST(b AS DOUBLE) / 1.0e9 AS trend, "
+    "CAST(l + b AS DOUBLE) / 1.0e9 AS forecast_next FROM r"
+)
+
+
+@query("events_holt_trend", oracle=_HOLT_ORACLE)
+def events_holt_trend(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of each
+    type's daily mean value: level + trend state per step and the
+    one-step-ahead forecast (level + trend) — what a capacity-planning
+    dashboard draws as the dotted projection line. Generalizes the
+    EWMA fold to TWO state variables threaded through the same in-row
+    snapped recursion (struct accumulator); the oracle's recursive CTE
+    carries both columns. Anchor: l1 = x1, b1 = x2 - x1 (types with a
+    single observed day have no defined trend and drop out via the
+    two-point anchor join — same in both engines)."""
+    c = _daily(spark, sf_dir)
+    xs = c.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT)").alias("x"),
+    )
+    lstep = _HOLT_L.format(
+        x="e.x", l="element_at(acc, -1).l", b="element_at(acc, -1).b"
+    )
+    bstep = _HOLT_B.format(
+        l1=lstep, l="element_at(acc, -1).l", b="element_at(acc, -1).b"
+    )
+    fold = (
+        "aggregate(slice(sort_array(xs), 2, size(xs)), "
+        "CAST(array(named_struct("
+        "'day', sort_array(xs)[0].day, "
+        "'l', sort_array(xs)[0].x, "
+        "'b', sort_array(xs)[1].x - sort_array(xs)[0].x)) "
+        "AS ARRAY<STRUCT<day: DATE, l: BIGINT, b: BIGINT>>), "
+        "(acc, e) -> concat(acc, array(named_struct("
+        f"'day', e.day, 'l', {lstep}, 'b', {bstep}))))"
+    )
+    return (
+        xs.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .filter(F.expr("size(xs) >= 2"))
+        .select("event_type", F.explode(F.expr(fold)).alias("e"))
+        .select(
+            "event_type",
+            F.col("e.day").alias("day"),
+            F.expr("CAST(e.l AS DOUBLE) / 1.0e9").alias("level"),
+            F.expr("CAST(e.b AS DOUBLE) / 1.0e9").alias("trend"),
+            F.expr("CAST(e.l + e.b AS DOUBLE) / 1.0e9").alias(
+                "forecast_next"
+            ),
+        )
+    )
