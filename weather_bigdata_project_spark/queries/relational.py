@@ -767,3 +767,74 @@ def sql_tpch_q3_surface(spark, sf_dir):
         "o_orderdate",
         "o_orderpriority",
     )
+
+
+# --- NULL-key join semantics battery --------------------------------------
+
+
+@query(
+    "sql_join_null_semantics",
+    oracle=(
+        "WITH e AS (SELECT event_id, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid "
+        "FROM events), "
+        "c AS (SELECT c_custkey FROM customer) "
+        "SELECT "
+        "(SELECT COUNT(*) FROM e JOIN c ON e.uid = c.c_custkey) "
+        "AS n_inner, "
+        "(SELECT COUNT(*) FROM e LEFT JOIN c ON e.uid = c.c_custkey) "
+        "AS n_left, "
+        "(SELECT COUNT(*) FROM e LEFT JOIN c ON e.uid = c.c_custkey "
+        "WHERE c.c_custkey IS NULL) AS n_left_unmatched, "
+        "(SELECT COUNT(*) FROM e SEMI JOIN c ON e.uid = c.c_custkey) "
+        "AS n_semi, "
+        "(SELECT COUNT(*) FROM e ANTI JOIN c ON e.uid = c.c_custkey) "
+        "AS n_anti, "
+        "(SELECT COUNT(*) FROM e WHERE uid IN "
+        "(SELECT c_custkey FROM c)) AS n_in, "
+        "(SELECT COUNT(*) FROM e WHERE uid NOT IN "
+        "(SELECT c_custkey FROM c)) AS n_not_in, "
+        "(SELECT COUNT(*) FROM e JOIN c "
+        "ON e.uid IS NOT DISTINCT FROM c.c_custkey) AS n_nullsafe"
+    ),
+)
+def sql_join_null_semantics(spark, sf_dir):
+    """NULL-key join semantics, pinned: rows whose join key is NULL
+    never match an equi-join — inner drops them, left null-pads them,
+    semi drops them, and ANTI KEEPS them (NULL = 'no known match').
+    NOT IN's infamous trap (one NULL in the subquery empties the whole
+    result) does not fire here because the build side has no NULLs, so
+    n_not_in and n_anti agree only on the null-key rows' treatment —
+    NOT IN drops the NULL-key probe rows (the comparison is unknown)
+    while anti-join keeps them, and the two counts differ by exactly
+    that. The null-safe equality join (<=> / IS NOT DISTINCT FROM)
+    matches NULL to NULL — what a data-repair join sometimes wants.
+    One query pins all eight behaviors so a join-rewrite regression
+    (e.g. anti-join -> NOT IN) cannot silently change NULL handling."""
+    ev = tables.load(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid",
+    )
+    cu = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    ev.createOrReplaceTempView("njs_e")
+    cu.createOrReplaceTempView("njs_c")
+    return spark.sql(
+        "SELECT "
+        "(SELECT COUNT(*) FROM njs_e e JOIN njs_c c "
+        "ON e.uid = c.c_custkey) AS n_inner, "
+        "(SELECT COUNT(*) FROM njs_e e LEFT JOIN njs_c c "
+        "ON e.uid = c.c_custkey) AS n_left, "
+        "(SELECT COUNT(*) FROM njs_e e LEFT JOIN njs_c c "
+        "ON e.uid = c.c_custkey WHERE c.c_custkey IS NULL) "
+        "AS n_left_unmatched, "
+        "(SELECT COUNT(*) FROM njs_e e LEFT SEMI JOIN njs_c c "
+        "ON e.uid = c.c_custkey) AS n_semi, "
+        "(SELECT COUNT(*) FROM njs_e e LEFT ANTI JOIN njs_c c "
+        "ON e.uid = c.c_custkey) AS n_anti, "
+        "(SELECT COUNT(*) FROM njs_e WHERE uid IN "
+        "(SELECT c_custkey FROM njs_c)) AS n_in, "
+        "(SELECT COUNT(*) FROM njs_e WHERE uid NOT IN "
+        "(SELECT c_custkey FROM njs_c)) AS n_not_in, "
+        "(SELECT COUNT(*) FROM njs_e e JOIN njs_c c "
+        "ON e.uid <=> c.c_custkey) AS n_nullsafe"
+    )
