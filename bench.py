@@ -68,6 +68,10 @@ HEADLINE = [
     "sql_recursive_brand_reach",
     "sql_lateral_topk_customers",
     "corpus_perplexity_unigram",
+    "events_cusum_drift",
+    "events_holt_trend",
+    "orders_rfm_segments",
+    "events_trailing_distinct_users",
 ]
 
 

@@ -78,6 +78,13 @@ QUERIES_TO_RUN = [
     "join_asof_purchase_next_click",
     "orders_yoy_priority_growth",
     "multimodal_phash_neardup",
+    "events_cusum_drift",
+    "events_holt_trend",
+    "events_dow_seasonality",
+    "orders_rfm_segments",
+    "orders_yoy_priority_growth",
+    "sql_agg_functions",
+    "sql_join_null_semantics",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
