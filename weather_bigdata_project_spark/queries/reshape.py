@@ -287,3 +287,63 @@ def events_time_rollup(spark, sf_dir):
         "FROM events_time_rollup_v GROUP BY GROUPING SETS ((wk), "
         "(wk, day), (wk, day, hr), ())"
     )
+
+
+@query(
+    "events_funnel_strict",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "v AS (SELECT user_id, MIN(ts) AS t_v FROM events_t "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.ts) AS t_c FROM events_t e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > v.t_v "
+        "GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.ts) AS t_p FROM events_t e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_c "
+        "GROUP BY e.user_id) "
+        "SELECT (SELECT COUNT(*) FROM v) AS viewed, "
+        "(SELECT COUNT(*) FROM c) AS clicked_after_view, "
+        "(SELECT COUNT(*) FROM p) AS purchased_after_click"
+    ),
+)
+def events_funnel_strict(spark, sf_dir):
+    """STRICT ordered funnel: stage N's anchor is the first event after
+    the user's stage-N-1 anchor — first click AFTER the first view,
+    first purchase AFTER that click. This differs from
+    events_funnel_conversion's first-touch comparison (there, a user
+    whose only clicks precede their first view but who clicked after a
+    later view is miscounted — strict chaining cannot be expressed by
+    comparing global first-touch times).
+
+    Shape: each stage is one conditional scan + a user-cardinality
+    min-aggregate joined to the previous stage's anchors; stage joins
+    are user-keyed (the same single shuffle key end-to-end, so AQE
+    reuses the partitioning). At 100 TB stage frames shrink
+    monotonically — the funnel property itself bounds the work."""
+    ev = tables.load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .join(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .join(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
