@@ -65,6 +65,7 @@ _JVM_ONLY = [
     "events_holt_trend",
     "sql_join_null_semantics",
     "events_funnel_strict",
+    "lineitem_abc_pareto",
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",

@@ -396,3 +396,70 @@ def orders_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.expr(money("SUM(spend_c)")).alias("segment_spend"),
     )
+
+
+# --- ABC / Pareto classification ------------------------------------------
+
+
+@query(
+    "lineitem_abc_pareto",
+    oracle=(
+        "WITH pr AS (SELECT l_partkey, "
+        f"SUM({cents('l_extendedprice')}) AS rev_c "
+        "FROM lineitem GROUP BY l_partkey), "
+        "t AS (SELECT SUM(rev_c) AS tot_c FROM pr), "
+        "r AS (SELECT l_partkey, rev_c, "
+        "SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c "
+        "FROM pr), "
+        "cls AS (SELECT CASE "
+        "WHEN 100 * cum_c <= 80 * t.tot_c THEN 'A' "
+        "WHEN 100 * cum_c <= 95 * t.tot_c THEN 'B' "
+        "ELSE 'C' END AS abc_class, rev_c, t.tot_c FROM r CROSS JOIN t) "
+        "SELECT abc_class, COUNT(*) AS n_parts, "
+        f"{money('SUM(rev_c)')} AS class_revenue, "
+        + rnd("CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(tot_c) AS DOUBLE)", 6)
+        + " AS revenue_share FROM cls GROUP BY abc_class"
+    ),
+)
+def lineitem_abc_pareto(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: parts covering
+    the first 80% of cumulative revenue are class A, to 95% B, the tail
+    C — the inventory-prioritization cut every supply-chain dashboard
+    opens with. The class boundary test is 100*cum <= K*total on exact
+    integer cents — no float appears in any decision, so the partition
+    is bit-stable in both engines (ties broken by partkey in the
+    running-sum order).
+
+    The global ordered prefix sum is a single-partition window at PART
+    cardinality (fine here; at true catalog scale swap to the
+    two-phase distributed prefix sum: range-partition by the sort key,
+    per-partition sums, broadcast the partition offsets — same outputs,
+    no single-partition stage)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.expr(cents("l_extendedprice"))).alias("rev_c")
+    )
+    t = pr.agg(F.sum("rev_c").alias("tot_c"))
+    w = (
+        Window.orderBy(F.desc("rev_c"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = pr.select(
+        "l_partkey", "rev_c", F.sum("rev_c").over(w).alias("cum_c")
+    ).join(F.broadcast(t))
+    cls = r.select(
+        F.expr(
+            "CASE WHEN 100 * cum_c <= 80 * tot_c THEN 'A' "
+            "WHEN 100 * cum_c <= 95 * tot_c THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+        "rev_c",
+        "tot_c",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr(money("SUM(rev_c)")).alias("class_revenue"),
+        F.expr(
+            rnd("CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(tot_c) AS DOUBLE)", 6)
+        ).alias("revenue_share"),
+    )
