@@ -66,6 +66,7 @@ _JVM_ONLY = [
     "sql_join_null_semantics",
     "events_funnel_strict",
     "lineitem_abc_pareto",
+    "events_user_streaks",
     "join_asof_purchase_next_click",
     "sql_window_functions",
     "sql_array_functions",

@@ -872,3 +872,55 @@ def events_holt_trend(spark, sf_dir):
             ),
         )
     )
+
+
+# --- gaps and islands: consecutive-day activity streaks --------------------
+
+
+@query(
+    "events_user_streaks",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events_t), "
+        "grp AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY day) AS INTEGER) AS island "
+        "FROM du), "
+        "runs AS (SELECT user_id, COUNT(*) AS run_len "
+        "FROM grp GROUP BY user_id, island), "
+        "best AS (SELECT user_id, MAX(run_len) AS best_streak "
+        "FROM runs GROUP BY user_id) "
+        "SELECT best_streak, COUNT(*) AS n_users FROM best "
+        "GROUP BY best_streak"
+    ),
+)
+def events_user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user, reported as a
+    distribution — the gaps-and-islands pattern (the day-grain sibling
+    of timestamp sessionization): day minus its per-user row_number is
+    constant exactly within a run of consecutive days, so one window +
+    two hash-aggs find every island without self-joins or recursion.
+
+    All arithmetic is date-minus-integer (exact); the only exchange is
+    the user_id window partition, then island/user aggregates reuse
+    user-keyed partitioning. Input is the distinct (user, day) frame —
+    user x day cardinality, never event cardinality."""
+    ev = tables.load(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grp = du.select(
+        "user_id",
+        "day",
+        F.expr(
+            "date_sub(day, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS INT))"
+        ).alias("island"),
+    )
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("best_streak")
+    )
+    return best.groupBy("best_streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
