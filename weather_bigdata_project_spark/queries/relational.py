@@ -795,7 +795,10 @@ def sql_tpch_q3_surface(spark, sf_dir):
         "(SELECT COUNT(*) FROM e WHERE uid NOT IN "
         "(SELECT c_custkey FROM c)) AS n_not_in, "
         "(SELECT COUNT(*) FROM e JOIN c "
-        "ON e.uid IS NOT DISTINCT FROM c.c_custkey) AS n_nullsafe"
+        "ON e.uid IS NOT DISTINCT FROM c.c_custkey) AS n_nullsafe, "
+        "(SELECT COUNT(*) FROM e WHERE uid NOT IN "
+        "(SELECT c_custkey FROM c UNION ALL SELECT NULL)) "
+        "AS n_not_in_nullbuild"
     ),
 )
 def sql_join_null_semantics(spark, sf_dir):
@@ -809,8 +812,13 @@ def sql_join_null_semantics(spark, sf_dir):
     while anti-join keeps them, and the two counts differ by exactly
     that. The null-safe equality join (<=> / IS NOT DISTINCT FROM)
     matches NULL to NULL — what a data-repair join sometimes wants.
-    One query pins all eight behaviors so a join-rewrite regression
-    (e.g. anti-join -> NOT IN) cannot silently change NULL handling."""
+    The ninth column fires the trap on purpose: one NULL injected into
+    the NOT IN subquery makes every comparison unknown, so the count
+    collapses to zero — Spark plans this as a null-aware anti join
+    (BroadcastNestedLoopJoin), and both engines agree on the empty
+    result. One query pins all nine behaviors so a join-rewrite
+    regression (e.g. anti-join -> NOT IN) cannot silently change NULL
+    handling."""
     ev = tables.load(spark, sf_dir, "events").selectExpr(
         "event_id",
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid",
@@ -836,5 +844,8 @@ def sql_join_null_semantics(spark, sf_dir):
         "(SELECT COUNT(*) FROM njs_e WHERE uid NOT IN "
         "(SELECT c_custkey FROM njs_c)) AS n_not_in, "
         "(SELECT COUNT(*) FROM njs_e e JOIN njs_c c "
-        "ON e.uid <=> c.c_custkey) AS n_nullsafe"
+        "ON e.uid <=> c.c_custkey) AS n_nullsafe, "
+        "(SELECT COUNT(*) FROM njs_e WHERE uid NOT IN "
+        "(SELECT c_custkey FROM njs_c UNION ALL SELECT NULL)) "
+        "AS n_not_in_nullbuild"
     )
