@@ -1,0 +1,265 @@
+"""Behavioral / diagnostic analytics over the events stream: session
+path mining, series autocorrelation, and a key-skew profiler.
+
+The reference's analytics stop at per-city aggregates of a single metric
+(ref:streamlit/app.py:333-338); its event-shaped sibling questions —
+"what do sessions look like", "is the series self-correlated", "which
+keys are hot" — never appear. These three operators add them, each as
+one declarative plan:
+
+- `events_session_paths`: clickstream path mining — sessionize by a
+  30-minute inactivity gap, collapse each session to its ordered
+  event-type sequence, rank the most common paths.
+- `events_acf_daily`: autocorrelation of the global daily event-count
+  series at lags 1..7 — the statistical twin of the dashboard's by-eye
+  trend reading, and the input that justifies (or kills) a seasonal
+  model like `events_dow_seasonality`.
+- `events_key_skew_profile`: per-key frequency skew diagnostic (heavy
+  key, skew ratio, count percentiles). At 100 TB this is the number
+  that decides whether a join on this key needs salting
+  (`join_salted_events_customer`) or AQE skew splitting — measured,
+  not guessed.
+
+Numeric doctrine (see `queries/stats.py`): counts are exact BIGINTs;
+every cross-row sum stays integer; float division happens once per
+output row on exact scalars, then snaps via `rnd` so the hash compare
+cannot see last-ulp noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..operators.textops import materialize
+from ..registry import query
+
+#: epoch microseconds of the (ns->us normalized) event timestamp,
+#: timezone-independent in both engines (same idiom as queries/stats.py)
+_EPOCH_US_SPARK = (
+    "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+)
+_EPOCH_US_DUCK = "epoch_us(ts)"
+
+#: session inactivity gap: 30 minutes, in microseconds (matches the
+#: session_window gap of `events_user_sessions`)
+_GAP_US = 30 * 60 * 1_000_000
+
+
+# --- session path mining ------------------------------------------------------
+
+_PATHS_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    f"e AS (SELECT user_id, event_id, event_type, {_EPOCH_US_DUCK} AS tus "
+    "FROM events_t), "
+    "m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL "
+    f"OR tus - LAG(tus) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS ns "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), "
+    "s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id "
+    "ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+    "ROW) AS sid FROM m), "
+    "p AS (SELECT user_id, sid, "
+    "string_agg(event_type, '>' ORDER BY tus, event_id) AS path, "
+    "COUNT(*) AS plen FROM s GROUP BY user_id, sid) "
+    "SELECT path, COUNT(*) AS n_sessions, "
+    "CAST(MAX(plen) AS BIGINT) AS path_len "
+    "FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"
+)
+
+
+@query("events_session_paths", oracle=_PATHS_ORACLE)
+def events_session_paths(spark, sf_dir):
+    """Top-20 session paths: sessionize each user's stream by a 30-min
+    inactivity gap (lag + running-sum windows, one exchange on user_id,
+    O(1) window state), collapse each session to its time-ordered
+    event-type sequence ('view>click>purchase'), count sessions per
+    path. The per-session collect is bounded by session length — human
+    sessions, not table size — and the path-frequency aggregate runs on
+    the session frame (already two reductions below fact volume). The
+    final top-20 is a total order (count desc, path asc), so both
+    engines pick identical rows. Path mining is the session-level
+    upgrade of `events_funnel_strict`'s fixed three-stage funnel."""
+    ev = tables.load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(_EPOCH_US_SPARK).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    ns = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = e.withColumn("sid", F.sum(ns).over(run))
+    p = s.groupBy("user_id", "sid").agg(
+        F.expr(
+            "concat_ws('>', transform("
+            "array_sort(collect_list(struct(tus, event_id, event_type))), "
+            "x -> x.event_type))"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("plen").cast("bigint").alias("path_len"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# --- autocorrelation of the daily series -------------------------------------
+
+_N_LAGS = 7
+
+_ACF_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x "
+    "FROM events_t GROUP BY 1), "
+    "t AS (SELECT COUNT(*) AS nd, SUM(x) AS sx FROM d), "
+    "v AS (SELECT day, nd * x - sx AS dev FROM d CROSS JOIN t), "
+    "l AS (SELECT dev, "
+    + ", ".join(
+        f"LAG(dev, {k}) OVER (ORDER BY day) AS l{k}"
+        for k in range(1, _N_LAGS + 1)
+    )
+    + " FROM v), "
+    "u AS ("
+    + " UNION ALL ".join(
+        f"SELECT {k} AS lag, dev, l{k} AS dl FROM l"
+        for k in range(1, _N_LAGS + 1)
+    )
+    + "), "
+    "den AS (SELECT SUM(dev * dev) AS den FROM v) "
+    "SELECT lag, COUNT(dl) AS n_pairs, "
+    + rnd("CAST(SUM(dev * dl) AS DOUBLE) / den", 6)
+    + " AS acf FROM u CROSS JOIN den GROUP BY lag, den"
+)
+
+
+@query("events_acf_daily", oracle=_ACF_ORACLE)
+def events_acf_daily(spark, sf_dir):
+    """Autocorrelation of the global daily event-count series at lags
+    1..7: r_k = sum(dev_t * dev_{t-k}) / sum(dev_t^2) with the exact
+    integer deviation dev_t = n_days * x_t - sum(x) (scaling by n_days
+    clears the rational mean, so every cross-row product is exact
+    BIGINT; one float division per lag at the edge). The fact table
+    reduces to the daily frame first — the ORDER BY day window runs on
+    calendar-sized data in one task, which is the right plan: 100 TB of
+    events is still only ~10^4 days. BIGINT headroom: dev ~ nd * x, so
+    dev^2 * nd overflows int64 only past ~10^6 days x 10^6 events/day;
+    swap the accumulators to DECIMAL(38,0) there. A lag-k spike here is
+    the quantitative justification for the weekly model in
+    `events_dow_seasonality` (expect k=7 to dominate)."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = materialize(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
+    )
+    t = d.agg(F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx"))
+    v = materialize(
+        d.join(F.broadcast(t)).select(
+            "day", (F.col("nd") * F.col("x") - F.col("sx")).alias("dev")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = v.select(
+        "dev",
+        *[F.lag("dev", k).over(w).alias(f"l{k}") for k in range(1, _N_LAGS + 1)],
+    )
+    stacked = lagged.selectExpr(
+        f"stack({_N_LAGS}, "
+        + ", ".join(f"{k}, dev, l{k}" for k in range(1, _N_LAGS + 1))
+        + ") AS (lag, dev, dl)"
+    )
+    den = v.agg(F.sum(F.expr("dev * dev")).alias("den"))
+    return (
+        stacked.groupBy("lag")
+        .agg(
+            F.count("dl").alias("n_pairs"),
+            F.sum(F.expr("dev * dl")).alias("num"),
+        )
+        .join(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(rnd("CAST(num AS DOUBLE) / den", 6)).alias("acf"),
+        )
+    )
+
+
+# --- key-skew profiler --------------------------------------------------------
+
+_SKEW_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "c AS (SELECT user_id, COUNT(*) AS c FROM events_t GROUP BY user_id), "
+    "mx AS (SELECT MAX(c) AS max_c FROM c) "
+    "SELECT COUNT(*) AS n_keys, SUM(c) AS n_events, "
+    "(SELECT max_c FROM mx) AS max_count, "
+    "(SELECT MIN(user_id) FROM c WHERE c = (SELECT max_c FROM mx)) "
+    "AS top_key, "
+    + rnd("CAST(SUM(c) AS DOUBLE) / COUNT(*)", 4)
+    + " AS avg_per_key, "
+    + rnd(
+        "CAST((SELECT max_c FROM mx) AS DOUBLE) * COUNT(*) / SUM(c)", 4
+    )
+    + " AS skew_ratio, "
+    + ", ".join(
+        rnd(f"quantile_cont(c, {q}e0)", 4) + f" AS p{int(q * 100)}_count"
+        for q in (0.5, 0.9, 0.99)
+    )
+    + " FROM c"
+)
+
+
+@query("events_key_skew_profile", oracle=_SKEW_ORACLE)
+def events_key_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic for the events->user_id key: key count, max
+    and percentile key frequencies, the hottest key, and the skew ratio
+    max/avg — the measured input to the salt-or-not decision
+    (`join_salted_events_customer` demonstrates the cure; this query
+    tells you whether you need it, and `skewJoin` AQE thresholds map
+    directly onto skew_ratio). One map-combined hash aggregate reduces
+    fact volume to key cardinality; everything after runs on the key
+    frame (exact percentiles buffer it — at billion-key scale swap to
+    approx_percentile, same plan shape otherwise). top_key is
+    deterministic: MIN(user_id) among keys hitting the max count."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = materialize(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = c.agg(F.max("c").alias("max_c"))
+    top = (
+        c.join(F.broadcast(mx), F.col("c") == F.col("max_c"))
+        .agg(F.min("user_id").alias("top_key"))
+    )
+    prof = c.groupBy().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_events"),
+        F.expr("percentile(c, array(0.5e0, 0.9e0, 0.99e0))").alias("qs"),
+    )
+    return (
+        prof.join(F.broadcast(mx))
+        .join(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_events",
+            F.col("max_c").alias("max_count"),
+            "top_key",
+            F.expr(rnd("CAST(n_events AS DOUBLE) / n_keys", 4)).alias(
+                "avg_per_key"
+            ),
+            F.expr(
+                rnd("CAST(max_c AS DOUBLE) * n_keys / n_events", 4)
+            ).alias("skew_ratio"),
+            *[
+                F.expr(rnd(f"qs[{i}]", 4)).alias(f"p{int(q * 100)}_count")
+                for i, q in enumerate((0.5, 0.9, 0.99))
+            ],
+        )
+    )

@@ -52,6 +52,7 @@ def load() -> None:
     from .queries import tpch_extra  # noqa: F401
     from .queries import tpch_rest  # noqa: F401
     from .queries import stats  # noqa: F401
+    from .queries import behavior  # noqa: F401
     from .queries import reshape  # noqa: F401
     from .queries import timeseries  # noqa: F401
     from .queries import warehouse  # noqa: F401
