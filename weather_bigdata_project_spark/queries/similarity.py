@@ -873,3 +873,128 @@ def embed_power_iteration_pc1(spark, sf_dir):
         F.expr("CAST(vu AS DOUBLE) / 1.0e6").alias("loading"),
         F.expr("CAST(lu AS DOUBLE) / 1.0e6").alias("eigenvalue"),
     )
+
+
+# --- silhouette score over the label clustering ---------------------------
+
+_SIL_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1.0e6) AS BIGINT)
+           AS x_u
+  FROM embeddings
+),
+c AS (
+  SELECT label, dim, SUM(x_u) AS s_u, COUNT(*) AS n
+  FROM ex GROUP BY label, dim
+),
+v AS (
+  SELECT vec_id, label,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, v.label, c.label AS clabel,
+         CAST(ROUND(SUM(
+           (v.x - CAST(c.s_u AS DOUBLE) / (1.0e6 * c.n)) *
+           (v.x - CAST(c.s_u AS DOUBLE) / (1.0e6 * c.n))
+         ) * 1.0e6) AS BIGINT) AS d_u
+  FROM v JOIN c ON v.dim = c.dim
+  GROUP BY v.vec_id, v.label, c.label
+),
+ab AS (
+  SELECT vec_id, label,
+         SQRT(CAST(MAX(CASE WHEN clabel = label THEN d_u END) AS DOUBLE)
+              / 1.0e6) AS a,
+         SQRT(CAST(MIN(CASE WHEN clabel <> label THEN d_u END) AS DOUBLE)
+              / 1.0e6) AS b
+  FROM d GROUP BY vec_id, label
+),
+s AS (
+  SELECT label,
+         CASE WHEN GREATEST(a, b) = 0.0e0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND((b - a) / GREATEST(a, b) * 1.0e6) AS BIGINT)
+         END AS s_u
+  FROM ab
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(s_u) AS DOUBLE) / (1.0e6 * COUNT(*)) AS mean_silhouette
+FROM s GROUP BY label
+"""
+
+
+@query("embed_silhouette_labels", oracle=_SIL_ORACLE)
+def embed_silhouette_labels(spark, sf_dir):
+    """Clustering-quality audit of the label partition: simplified
+    silhouette s = (b - a) / max(a, b) per vector, where a = Euclidean
+    distance to the OWN label centroid and b = distance to the nearest
+    OTHER centroid; output is per-label mean silhouette. Centroids come
+    from one posexplode + |labels| x dims exact-integer hash aggregate
+    (micro-snapped element sums, same doctrine as embed_kmeans_update),
+    collapse to ONE broadcast array row, and every per-vector distance
+    is an in-row fold against that broadcast — zero corpus-side
+    shuffles before the final per-label aggregate. Squared distances
+    snap to integer micro-units before sqrt, per-vector silhouettes
+    snap to micro-units before the exact integer mean, so the hash
+    compare never sees float summation order. The metric completes the
+    clustering suite: assign (embed_kmeans_assign) -> update
+    (embed_kmeans_update) -> evaluate (here)."""
+    emb = _emb(spark, sf_dir)
+    cent_long = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "label",
+            "dim",
+            F.expr(
+                "CAST(ROUND(CAST(xf AS DOUBLE) * 1.0e6) AS BIGINT)"
+            ).alias("x_u"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("x_u").alias("s_u"), F.count(F.lit(1)).alias("n"))
+    )
+    carr = cent_long.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, "
+            "CAST(s_u AS DOUBLE) / (1.0e6 * n) AS cd))), s -> s.cd)"
+        ).alias("carr")
+    )
+    cents = carr.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("clabel"), F.col("carr"))
+            )
+        ).alias("cents")
+    )
+    dist = _L2U.format(a="embedding", b="c.carr")
+    ab = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "SQRT(CAST(filter(transform(cents, c -> struct("
+            + dist
+            + " AS d_u, c.clabel AS clabel)), x -> x.clabel = label)[0].d_u"
+            " AS DOUBLE) / 1.0e6)"
+        ).alias("a"),
+        F.expr(
+            "SQRT(CAST(array_min(filter(transform(cents, c -> struct("
+            + dist
+            + " AS d_u, c.clabel AS clabel)), x -> x.clabel != label)).d_u"
+            " AS DOUBLE) / 1.0e6)"
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "CASE WHEN GREATEST(a, b) = 0.0e0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(ROUND((b - a) / GREATEST(a, b) * 1.0e6) AS BIGINT) "
+            "END"
+        ).alias("s_u"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            "CAST(SUM(s_u) AS DOUBLE) / (1.0e6 * COUNT(*))"
+        ).alias("mean_silhouette"),
+    )
