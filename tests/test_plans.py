@@ -448,44 +448,6 @@ def test_aqe_coalesces_at_runtime(spark):
     assert "AQEShuffleRead" in plan
 
 
-def test_runtime_bloom_filter_injects_on_selective_join(spark):
-    """Runtime bloom-filter pruning (the non-partition-column sibling of
-    DPP): a selective dim filter injects might_contain onto the fact
-    side of a shuffle join. Local fixtures sit under the 10 GB
-    application-side threshold, so the test lowers it to prove the
-    mechanism — at 100 TB the default threshold is exactly when it
-    matters."""
-    from weather_bigdata_project_spark import tables
-
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_th = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    try:
-        li = tables.load(spark, SF_SMOKE, "lineitem")
-        o = tables.load(spark, SF_SMOKE, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = (
-            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderstatus")
-            .count()
-        )
-        plan = C.formatted_plan(j)
-        assert "might_contain" in plan.lower()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            prev_th,
-        )
-
-
 def test_repetition_metrics_zero_shuffle(spark):
     """Gopher repetition signals compute inside the row: no Python, no
     explode-groupBy round trip. The only exchange permitted is the
