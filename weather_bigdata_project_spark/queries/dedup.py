@@ -176,7 +176,10 @@ _HASH_PARAMS = [(2 * j + 1, j * j + 7) for j in range(1, _K + 1)]
 _HASH_VALUES_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_HASH_PARAMS, 1))
 
 
-_MINHASH_ORACLE = (
+#: shared oracle CTE chain: shingles -> minhash signatures -> LSH bands
+#: -> candidate pairs -> exact common-shingle counts (used by both the
+#: LSH dedup query and the signature-accuracy audit below)
+_MH_CTE = (
     "WITH " + T.SHINGLES_CTE + ", "
     f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
     "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
@@ -194,7 +197,11 @@ _MINHASH_ORACLE = (
     "common AS (SELECT doc1, doc2, COUNT(*) AS c FROM cand "
     "JOIN shingles x ON x.doc_id = doc1 "
     "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
-    "GROUP BY doc1, doc2) "
+    "GROUP BY doc1, doc2)"
+)
+
+_MINHASH_ORACLE = (
+    _MH_CTE + " "
     "SELECT doc1, doc2, "
     + rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
     + " AS jaccard FROM common "
@@ -203,27 +210,17 @@ _MINHASH_ORACLE = (
 )
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16) -> LSH(4 bands x 4): near-dup pairs with verified
-    Jaccard >= 0.5. Candidates come from the band-signature equi-join —
-    the O(n^2) pair space is never materialized. Affine hashes over
-    content-hashed shingle ids are exact integers => oracle-portable.
-    Shingles arrive as 60-bit ids from the zero-shuffle doc_shingle_ids
-    builder; ONE hash-aggregate per doc carries the 16 signature mins,
-    the shingle count, AND the shingle array, so verification is a pure
-    array_intersect over doc-cardinality rows — the shingle frame is
-    never re-joined."""
+def _minhash_docsig(spark, sf_dir):
+    """(doc_id, mh1..mh16, n_sh, shs): all 16 minhashes + the doc's
+    shingle set in ONE hash-aggregate. Map-side partial agg folds the 16
+    min() columns before the exchange; collect_list carries each doc's
+    (already row-distinct) shingle ids — array length is shingles-per-doc
+    (bounded by doc length), so the shuffle moves the corpus once, same
+    as any signature build, and everything downstream is
+    doc-cardinality."""
     sh = T.doc_shingle_ids_shared(spark, sf_dir)
     sh_id = F.col("sh")
-
-    # All 16 minhashes + the doc's shingle set in ONE hash-aggregate.
-    # Map-side partial agg folds the 16 min() columns before the
-    # exchange; collect_list carries each doc's (already row-distinct)
-    # shingle ids — array length is shingles-per-doc (bounded by doc
-    # length), so the shuffle moves the corpus once, same as any
-    # signature build, and everything downstream is doc-cardinality.
-    docsig = T.materialize(
+    return T.materialize(
         sh.groupBy("doc_id").agg(
             *[
                 F.min((F.lit(a) * sh_id + F.lit(b)) % _P).alias(f"mh{j}")
@@ -233,6 +230,13 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.collect_list("sh").alias("shs"),
         )
     )
+
+
+def _lsh_candidates(docsig):
+    """LSH banding self-join over the signature frame: distinct
+    (doc1 < doc2) pairs agreeing on at least one band. The O(n^2) pair
+    space is never materialized — only the band-signature equi-join's
+    matches."""
     rpb = _K // _BANDS
     bands = docsig.select(
         "doc_id",
@@ -258,7 +262,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -268,6 +272,21 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) -> LSH(4 bands x 4): near-dup pairs with verified
+    Jaccard >= 0.5. Candidates come from the band-signature equi-join —
+    the O(n^2) pair space is never materialized. Affine hashes over
+    content-hashed shingle ids are exact integers => oracle-portable.
+    Shingles arrive as 60-bit ids from the zero-shuffle doc_shingle_ids
+    builder; ONE hash-aggregate per doc carries the 16 signature mins,
+    the shingle count, AND the shingle array, so verification is a pure
+    array_intersect over doc-cardinality rows — the shingle frame is
+    never re-joined."""
+    docsig = _minhash_docsig(spark, sf_dir)
+    cand = _lsh_candidates(docsig)
     d1 = docsig.select(
         F.col("doc_id").alias("doc1"),
         F.col("n_sh").alias("n1"),
@@ -293,6 +312,86 @@ def dedup_minhash_lsh(spark, sf_dir):
     return (
         verified.filter(F.expr(f"{jac} >= 0.5e0"))
         .select("doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard"))
+    )
+
+
+# --- MinHash signature accuracy audit -------------------------------------
+
+_MH_EST_ORACLE = (
+    _MH_CTE + ", "
+    "m AS (SELECT doc1, doc2, "
+    "COUNT(CASE WHEN x.mh = y.mh THEN 1 END) AS keq "
+    "FROM cand JOIN sig x ON x.doc_id = doc1 "
+    "JOIN sig y ON y.doc_id = doc2 AND y.j = x.j "
+    "GROUP BY doc1, doc2) "
+    "SELECT m.doc1, m.doc2, keq AS sig_matches, "
+    + rnd(f"CAST(keq AS DOUBLE) / {_K}.0e0", 4)
+    + " AS est_jaccard, "
+    + rnd(
+        "CAST(COALESCE(c, 0) AS DOUBLE) / "
+        "(s1.n_sh + s2.n_sh - COALESCE(c, 0))",
+        4,
+    )
+    + " AS exact_jaccard, "
+    + rnd(
+        f"ABS(CAST(keq AS DOUBLE) / {_K}.0e0 - "
+        "CAST(COALESCE(c, 0) AS DOUBLE) / "
+        "(s1.n_sh + s2.n_sh - COALESCE(c, 0)))",
+        4,
+    )
+    + " AS abs_err "
+    "FROM m LEFT JOIN common ON common.doc1 = m.doc1 "
+    "AND common.doc2 = m.doc2 "
+    "JOIN sizes s1 ON s1.doc_id = m.doc1 "
+    "JOIN sizes s2 ON s2.doc_id = m.doc2"
+)
+
+
+@query("dedup_minhash_estimate_error", oracle=_MH_EST_ORACLE)
+def dedup_minhash_estimate_error(spark, sf_dir):
+    """MinHash self-audit: for every LSH candidate pair, the
+    signature-ESTIMATED Jaccard (matching minhash components / 16)
+    side-by-side with the EXACT shingle Jaccard and the absolute error —
+    the index-quality check that tells you whether 16 hashes and a 0.5
+    threshold are tuned right before a 100 TB dedup run commits to
+    them (same self-evaluation pattern as embed_ivf_recall). Signatures
+    and shingle sets ride the ONE docsig aggregate shared with
+    dedup_minhash_lsh; the per-pair comparison is two in-row array ops
+    (zip_with equality count, array_intersect size) on doc-cardinality
+    rows — no shingle re-join."""
+    docsig = _minhash_docsig(spark, sf_dir)
+    cand = _lsh_candidates(docsig)
+    sig_arr = "array(" + ", ".join(f"mh{j}" for j in range(1, _K + 1)) + ")"
+    d1 = docsig.selectExpr(
+        "doc_id AS doc1", "n_sh AS n1", "shs AS shs1", f"{sig_arr} AS sig1"
+    )
+    d2 = docsig.selectExpr(
+        "doc_id AS doc2", "n_sh AS n2", "shs AS shs2", f"{sig_arr} AS sig2"
+    )
+    pair = (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.expr(
+                "CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), "
+                "v -> v)) AS BIGINT)"
+            ).alias("keq"),
+            F.size(F.array_intersect("shs1", "shs2")).alias("c"),
+            "n1",
+            "n2",
+        )
+    )
+    est = f"CAST(keq AS DOUBLE) / {_K}.0e0"
+    exact = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
+    return pair.select(
+        "doc1",
+        "doc2",
+        F.col("keq").alias("sig_matches"),
+        F.expr(rnd(est, 4)).alias("est_jaccard"),
+        F.expr(rnd(exact, 4)).alias("exact_jaccard"),
+        F.expr(rnd(f"ABS({est} - {exact})", 4)).alias("abs_err"),
     )
 
 
