@@ -72,6 +72,13 @@ HEADLINE = [
     "events_holt_trend",
     "orders_rfm_segments",
     "events_trailing_distinct_users",
+    "events_session_paths",
+    "events_acf_daily",
+    "events_key_skew_profile",
+    "embed_silhouette_labels",
+    "dedup_minhash_estimate_error",
+    "events_interarrival_stats",
+    "embed_norm_stats",
 ]
 
 

@@ -263,3 +263,66 @@ def events_key_skew_profile(spark, sf_dir):
             ],
         )
     )
+
+
+# --- inter-arrival gap statistics --------------------------------------------
+
+_IA_QS = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+
+_IA_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    f"e AS (SELECT event_type, event_id, {_EPOCH_US_DUCK} AS tus "
+    "FROM events_t), "
+    "g AS (SELECT event_type, tus - LAG(tus) OVER ("
+    "PARTITION BY event_type ORDER BY tus, event_id) AS g FROM e) "
+    "SELECT event_type, COUNT(g) AS n_gaps, "
+    + rnd("CAST(SUM(g) AS DOUBLE) / (1.0e6 * COUNT(g))", 4)
+    + " AS mean_gap_s, "
+    + ", ".join(
+        rnd(f"quantile_cont(g, {q}e0) / 1.0e6", 4) + f" AS {n}_gap_s"
+        for q, n in _IA_QS
+    )
+    + ", "
+    + rnd("CAST(MAX(g) AS DOUBLE) / 1.0e6", 4)
+    + " AS max_gap_s FROM g WHERE g IS NOT NULL GROUP BY event_type"
+)
+
+
+@query("events_interarrival_stats", oracle=_IA_ORACLE)
+def events_interarrival_stats(spark, sf_dir):
+    """Inter-arrival gap distribution per event type: mean / p50 / p90 /
+    p99 / max seconds between consecutive events of the type — the
+    arrival-process profile that sizes streaming watermarks
+    (`withWatermark` tolerances should dominate the p99 gap) and batch
+    window widths. Gaps are exact integer microseconds from one lag
+    window (partition = event_type, O(1) state); the per-type exact
+    percentile buffers one type's gaps — at extreme scale swap to
+    approx_percentile, same plan otherwise. Mean rides the exact
+    integer sum; every output snaps via rnd(4)."""
+    ev = tables.load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", F.expr(_EPOCH_US_SPARK).alias("tus")
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    g = e.select(
+        "event_type", (F.col("tus") - F.lag("tus").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    qarr = ", ".join(f"{q}e0" for q, _ in _IA_QS)
+    agg = g.groupBy("event_type").agg(
+        F.count("g").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.expr(f"percentile(g, array({qarr}))").alias("qs"),
+        F.max("g").alias("mg"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.expr(rnd("CAST(sg AS DOUBLE) / (1.0e6 * n_gaps)", 4)).alias(
+            "mean_gap_s"
+        ),
+        *[
+            F.expr(rnd(f"qs[{i}] / 1.0e6", 4)).alias(f"{n}_gap_s")
+            for i, (_, n) in enumerate(_IA_QS)
+        ],
+        F.expr(rnd("CAST(mg AS DOUBLE) / 1.0e6", 4)).alias("max_gap_s"),
+    )

@@ -998,3 +998,72 @@ def embed_silhouette_labels(spark, sf_dir):
             "CAST(SUM(s_u) AS DOUBLE) / (1.0e6 * COUNT(*))"
         ).alias("mean_silhouette"),
     )
+
+
+# --- embedding-quality norm audit -----------------------------------------
+
+_NORM_ORACLE = """
+WITH n AS (
+  SELECT label, len(embedding) AS n_dims,
+         CASE WHEN len(list_filter(embedding,
+                x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0
+              THEN 1 ELSE 0 END AS bad,
+         CAST(ROUND(SQRT(CAST((
+           SELECT CAST(ROUND(SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                  * 1.0e6) AS BIGINT)
+           FROM unnest(embedding) AS u(x)
+         ) AS DOUBLE) / 1.0e6) * 1.0e6) AS BIGINT) AS norm_u
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       MIN(n_dims) AS min_dims, MAX(n_dims) AS max_dims,
+       SUM(bad) AS n_nonfinite,
+       COUNT(CASE WHEN norm_u = 0 THEN 1 END) AS n_zero_norm,
+       CAST(SUM(norm_u) AS DOUBLE) / (1.0e6 * COUNT(*)) AS mean_norm,
+       CAST(MIN(norm_u) AS DOUBLE) / 1.0e6 AS min_norm,
+       CAST(MAX(norm_u) AS DOUBLE) / 1.0e6 AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@query("embed_norm_stats", oracle=_NORM_ORACLE)
+def embed_norm_stats(spark, sf_dir):
+    """Vector-quality gate for the embedding corpus, per label:
+    dimensionality consistency (min/max dims), non-finite element
+    counts, zero-norm counts, and the L2-norm distribution (mean / min /
+    max). Run this BEFORE building any index — a 100 TB ANN build that
+    discovers NaN vectors at query time is a re-run; here it is one
+    narrow in-row pass (fold for the squared norm, exists() for the
+    finiteness probe — no explode, no shuffle before the per-label
+    aggregate). Squared norms snap to integer micro-units, then the
+    norm itself snaps again after sqrt, so sums and extrema are exact
+    cross-engine."""
+    emb = _emb(spark, sf_dir)
+    n = emb.select(
+        "label",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("n_dims"),
+        F.expr(
+            "CASE WHEN exists(embedding, "
+            "x -> x IS NULL OR isnan(CAST(x AS DOUBLE))) "
+            "THEN 1 ELSE 0 END"
+        ).alias("bad"),
+        F.expr(
+            "CAST(ROUND(SQRT(CAST("
+            "CAST(ROUND(aggregate(embedding, 0.0e0, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) "
+            "* 1.0e6) AS BIGINT)"
+            " AS DOUBLE) / 1.0e6) * 1.0e6) AS BIGINT)"
+        ).alias("norm_u"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("n_dims").alias("min_dims"),
+        F.max("n_dims").alias("max_dims"),
+        F.sum("bad").alias("n_nonfinite"),
+        F.count(F.when(F.col("norm_u") == 0, 1)).alias("n_zero_norm"),
+        F.expr("CAST(SUM(norm_u) AS DOUBLE) / (1.0e6 * COUNT(*))").alias(
+            "mean_norm"
+        ),
+        F.expr("CAST(MIN(norm_u) AS DOUBLE) / 1.0e6").alias("min_norm"),
+        F.expr("CAST(MAX(norm_u) AS DOUBLE) / 1.0e6").alias("max_norm"),
+    )
