@@ -571,3 +571,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_cogroup_uses_arrow_cogroup_operator(spark):
+    """The cogrouped-pandas as-of join must route through the Arrow
+    co-group operator (FlatMapCoGroupsInPandas) with ONE exchange per
+    side on the key — not a pair-blowup join, not row-at-a-time
+    Python."""
+    plan = C.formatted_plan(
+        QUERIES["join_asof_cogrouped_pandas"](spark, SF_SMOKE)
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    C.assert_max_shuffles(plan, 2)  # one per co-grouped side

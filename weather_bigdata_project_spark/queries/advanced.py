@@ -877,3 +877,93 @@ def join_asof_purchase_next_click(spark, sf_dir):
         .filter(F.col("side") == 0)
         .drop("side")
     )
+
+
+# --- as-of join via co-grouped pandas -------------------------------------
+@query(
+    "join_asof_cogrouped_pandas",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS last_click_ts, c.click_value "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+)
+def join_asof_cogrouped_pandas(spark, sf_dir):
+    """The SAME as-of semantics as `join_asof_purchase_last_click`, but
+    through Spark's co-grouped map API: `groupBy(key).cogroup(...)
+    .applyInPandas` hands each user's clicks AND purchases to one
+    Arrow-batched pandas function that runs `merge_asof` locally. This
+    is the escape hatch for per-key algorithms the DataFrame DSL cannot
+    express (multi-column nearest-match, custom tolerance logic,
+    model scoring per entity): both sides shuffle ONCE on the key,
+    Arrow moves each group across the Python boundary in columnar
+    batches, and the pair blowup never materializes. The union+window
+    form stays the preferred JVM-only plan when semantics allow —
+    this query exists to pin the cogroup plumbing (plan shows
+    FlatMapCoGroupsInPandas) against the identical DuckDB ASOF oracle.
+    Skew note: one group = one pandas call, so a hot user lands on one
+    task — profile with events_key_skew_profile first; pandas per-group
+    cost is O(n log n) sorts."""
+    import pandas as pd
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "last_click_ts timestamp_ntz, click_value double"
+    )
+
+    def asof(cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        if len(pu) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "event_id",
+                    "user_id",
+                    "ts",
+                    "last_click_ts",
+                    "click_value",
+                ]
+            )
+        pu = pu.sort_values("ts", kind="mergesort")
+        if len(cl) == 0:
+            out = pu[["event_id", "user_id", "ts"]].copy()
+            out["last_click_ts"] = pd.NaT
+            out["click_value"] = pd.NA
+            return out
+        # collapse click ties at equal ts to MAX(value) — matches the
+        # oracle's GROUP BY user_id, ts + MAX collapse
+        c = (
+            cl.groupby("ts", as_index=False)["value"]
+            .max()
+            .sort_values("ts", kind="mergesort")
+        )
+        c["last_click_ts"] = c["ts"]
+        c = c.rename(columns={"value": "click_value"})
+        out = pd.merge_asof(
+            pu,
+            c,
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[
+            ["event_id", "user_id", "ts", "last_click_ts", "click_value"]
+        ]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof, schema=out_schema)
+    )
