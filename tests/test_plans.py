@@ -583,3 +583,15 @@ def test_asof_cogroup_uses_arrow_cogroup_operator(spark):
     )
     assert "FlatMapCoGroupsInPandas" in plan
     C.assert_max_shuffles(plan, 2)  # one per co-grouped side
+
+
+def test_chunk_windows_zero_shuffle_narrow(spark):
+    """Sliding-window chunking is a pure narrow map: split + in-row
+    window transform + explode. The only exchange permitted is the
+    small-scan spread guard (round-robin); nothing hash/range
+    partitions, and no Python appears."""
+    plan = C.formatted_plan(QUERIES["corpus_chunk_windows"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_max_shuffles(plan, 1)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan

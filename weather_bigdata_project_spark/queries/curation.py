@@ -638,3 +638,57 @@ def corpus_perplexity_unigram(spark, sf_dir):
             "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
         ).alias("avg_logp"),
     )
+
+
+# --- sliding-window chunking ----------------------------------------------
+
+_WIN_W = 32   # window width in tokens
+_WIN_S = 16   # stride (50% overlap)
+
+_CHUNK_WIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks, CAST(g AS BIGINT) AS s
+  FROM t, unnest(generate_series(1, len(toks), {_WIN_S})) AS u(g)
+)
+SELECT doc_id, (s - 1) // {_WIN_S} AS win_idx,
+       array_to_string(toks[s : LEAST(s + {_WIN_W} - 1, len(toks))], ' ')
+         AS window_text,
+       LEAST(s + {_WIN_W} - 1, len(toks)) - s + 1 AS n_tokens
+FROM w
+"""
+
+
+@query("corpus_chunk_windows", oracle=_CHUNK_WIN_ORACLE)
+def corpus_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking: every doc becomes overlapping
+    {w}-token windows at stride {s} (50% overlap) — the chunker feeding
+    long-document embedding pipelines, where each window is embedded
+    separately and `doc_embedding_join` stitches results back. Pure
+    in-row work: one split, one transform(sequence) over window starts,
+    one explode — ZERO shuffles, so the operator scales as a narrow map
+    over however many corpus partitions exist. Contrast with
+    corpus_sequence_pack (which PACKS multiple docs into fixed training
+    sequences); this SPLITS single docs for retrieval/embedding. The
+    fan-out is len/stride rows per doc — bounded by document length,
+    never corpus size.""".format(w=_WIN_W, s=_WIN_S)
+    docs = T.docs(spark, sf_dir)
+    wins = (
+        f"transform(sequence(0, CAST((size(toks) - 1) div {_WIN_S} AS INT)), "
+        f"i -> named_struct("
+        f"'win_idx', CAST(i AS BIGINT), "
+        f"'window_text', array_join(slice(toks, i * {_WIN_S} + 1, {_WIN_W}), ' '), "
+        f"'n_tokens', CAST(size(slice(toks, i * {_WIN_S} + 1, {_WIN_W})) AS BIGINT)))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(wins)).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.win_idx").alias("win_idx"),
+            F.col("w.window_text").alias("window_text"),
+            F.col("w.n_tokens").alias("n_tokens"),
+        )
+    )
