@@ -595,3 +595,13 @@ def test_chunk_windows_zero_shuffle_narrow(spark):
     C.assert_max_shuffles(plan, 1)
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_interval_overlap_is_hash_join(spark):
+    """The bucketized interval-overlap join must compile to an equi
+    hash/sort-merge join on the bucket — never BroadcastNestedLoop over
+    the raw range predicate — and stay JVM-side."""
+    plan = C.formatted_plan(QUERIES["join_session_overlap"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)
+    assert "TakeOrderedAndProject" in plan  # top-20 via heaps

@@ -82,9 +82,17 @@ QUERIES_TO_RUN = [
     "events_holt_trend",
     "events_dow_seasonality",
     "orders_rfm_segments",
-    "orders_yoy_priority_growth",
     "sql_agg_functions",
     "sql_join_null_semantics",
+    "events_session_paths",
+    "events_acf_daily",
+    "events_key_skew_profile",
+    "events_interarrival_stats",
+    "embed_silhouette_labels",
+    "embed_norm_stats",
+    "dedup_minhash_estimate_error",
+    "join_asof_cogrouped_pandas",
+    "corpus_chunk_windows",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are

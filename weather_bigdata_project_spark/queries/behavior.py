@@ -326,3 +326,123 @@ def events_interarrival_stats(spark, sf_dir):
         ],
         F.expr(rnd("CAST(mg AS DOUBLE) / 1.0e6", 4)).alias("max_gap_s"),
     )
+
+
+# --- interval-overlap join ----------------------------------------------------
+
+#: bucket width for the interval equi-join: 1 hour in microseconds
+_IV_W = 3600 * 1_000_000
+
+#: shared session-interval CTE: per-(user, sid) [s_start, s_end] epoch-us
+#: intervals from the same 30-min-gap sessionization as the path miner
+_SESS_CTE = (
+    tables.EVENTS_ORACLE_CTE + ", "
+    f"e AS (SELECT user_id, event_id, {_EPOCH_US_DUCK} AS tus "
+    "FROM events_t), "
+    "m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL "
+    f"OR tus - LAG(tus) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS ns "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), "
+    "s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id "
+    "ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+    "ROW) AS sid FROM m), "
+    "iv AS (SELECT user_id, sid, MIN(tus) AS s_start, MAX(tus) AS s_end "
+    "FROM s GROUP BY user_id, sid)"
+)
+
+_OVERLAP_ORACLE = (
+    "WITH " + _SESS_CTE + " "
+    "SELECT a.user_id AS user1, a.sid AS sid1, "
+    "b.user_id AS user2, b.sid AS sid2, "
+    + rnd(
+        "CAST(LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start) "
+        "AS DOUBLE) / 1.0e6",
+        4,
+    )
+    + " AS overlap_s "
+    "FROM iv a JOIN iv b ON a.user_id < b.user_id "
+    "AND a.s_start <= b.s_end AND b.s_start <= a.s_end "
+    "WHERE LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start) > 0 "
+    "ORDER BY overlap_s DESC, user1, sid1, user2, sid2 LIMIT 20"
+)
+
+
+def _session_intervals(spark, sf_dir):
+    """(user_id, sid, s_start, s_end): the Spark twin of _SESS_CTE."""
+    ev = tables.load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr(_EPOCH_US_SPARK).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    ns = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("sid", F.sum(ns).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("tus").alias("s_start"), F.max("tus").alias("s_end"))
+    )
+
+
+@query("join_session_overlap", oracle=_OVERLAP_ORACLE)
+def join_session_overlap(spark, sf_dir):
+    """Interval-OVERLAP join (range x range — the genomics/calendar
+    shape, distinct from the point-in-range band join): which sessions
+    of DIFFERENT users ran concurrently, top-20 by overlap duration.
+    Each session interval explodes into its covered 1-hour buckets
+    (fan-out = interval length / bucket width — human-session-bounded);
+    candidates equi-join on the bucket (hash join, never a nested
+    loop), dedupe (two intervals meet in every shared bucket), then the
+    EXACT overlap condition re-checks and measures. The oracle runs
+    DuckDB's native inequality join over the same intervals. Top-20 is
+    a total order (duration desc, then both keys). At 100 TB the bucket
+    width is the knob: ~median interval length keeps fan-out ~2 while
+    the equi-join stays balanced."""
+    iv = materialize(_session_intervals(spark, sf_dir))
+    bucketed = iv.select(
+        "user_id",
+        "sid",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.expr(
+                f"sequence(s_start div {_IV_W}, s_end div {_IV_W})"
+            )
+        ).alias("bkt"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user1"),
+            F.col("a.sid").alias("sid1"),
+            F.col("b.user_id").alias("user2"),
+            F.col("b.sid").alias("sid2"),
+            F.col("a.s_start").alias("st1"),
+            F.col("a.s_end").alias("en1"),
+            F.col("b.s_start").alias("st2"),
+            F.col("b.s_end").alias("en2"),
+        )
+        .distinct()
+    )
+    ov = "LEAST(en1, en2) - GREATEST(st1, st2)"
+    return (
+        pairs.filter(F.expr(f"{ov} > 0"))
+        .select(
+            "user1",
+            "sid1",
+            "user2",
+            "sid2",
+            F.expr(rnd(f"CAST({ov} AS DOUBLE) / 1.0e6", 4)).alias(
+                "overlap_s"
+            ),
+        )
+        .orderBy(
+            F.desc("overlap_s"), "user1", "sid1", "user2", "sid2"
+        )
+        .limit(20)
+    )
