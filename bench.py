@@ -79,6 +79,9 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "events_interarrival_stats",
     "embed_norm_stats",
+    "join_session_overlap",
+    "corpus_chunk_windows",
+    "dedup_prefix_filter_jaccard",
 ]
 
 

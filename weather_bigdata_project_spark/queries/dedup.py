@@ -841,3 +841,95 @@ def dedup_rate_by_source(spark, sf_dir):
             F.expr(rnd("CAST(n_pairs AS DOUBLE) / t", 6)).alias("share"),
         )
     )
+
+
+# --- prefix-filtering exact similarity join (PPJoin-style) ----------------
+
+_PF_T = 0.5  # Jaccard threshold
+
+_PF_ORACLE = (
+    "WITH " + T.SHINGLES_CTE + ", "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles "
+    "GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c "
+    "FROM shingles a JOIN shingles b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc1, doc2, "
+    + rnd("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 4)
+    + " AS jaccard FROM common "
+    "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2 "
+    f"WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= {_PF_T}e0"
+)
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_PF_ORACLE)
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    """Exact similarity join by PREFIX FILTERING (PPJoin family): ALL
+    pairs with 3-gram Jaccard >= 0.5, found without MinHash and without
+    the full shingle equi-join. Each doc's shingle ids sort into one
+    canonical order; a pair with J >= t MUST share a token within the
+    first n - ceil(t*n) + 1 tokens of each side (the prefix), so only
+    prefixes explode into the candidate join — with a size-ratio guard
+    (t <= n1/n2 <= 1/t is implied by J >= t) pruning cross-size pairs
+    before verification. Unlike MinHash banding this blocking is
+    LOSSLESS: the oracle enumerates every qualifying pair over the raw
+    shingle join and must match exactly. Verification is one
+    array_intersect over the doc-cardinality signature frame (arrays
+    gathered once, same docarr discipline as dedup_minhash_lsh). At
+    scale, order tokens by ascending document frequency instead of by
+    hash — the prefix then holds each doc's RAREST shingles, collapsing
+    candidate volume; the hash order here is oracle-stable and
+    order-valid, just not frequency-optimal."""
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
+    docarr = T.materialize(
+        sh.groupBy("doc_id").agg(
+            F.expr("sort_array(collect_list(sh))").alias("arr"),
+            F.first("n_sh").alias("n"),
+        )
+    )
+    plen = "CAST(n - ((n + 1) div 2) + 1 AS INT)"
+    pfx = docarr.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr(f"slice(arr, 1, {plen})")).alias("psh"),
+    )
+    a = pfx.alias("a")
+    b = pfx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.psh") == F.col("b.psh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.col("a.n") >= F.col("b.n"))
+            & (2 * F.col("b.n") >= F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    d1 = docarr.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("arr").alias("arr1"),
+        F.col("n").alias("n1"),
+    )
+    d2 = docarr.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("arr").alias("arr2"),
+        F.col("n").alias("n2"),
+    )
+    ver = (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("arr1", "arr2")).alias("c"),
+            "n1",
+            "n2",
+        )
+    )
+    jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
+    return ver.filter(F.expr(f"{jac} >= {_PF_T}e0")).select(
+        "doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard")
+    )
