@@ -455,3 +455,74 @@ def sql_agg_functions(spark, sf_dir):
     return c.groupBy("event_type").agg(
         *[F.expr(s).alias(nm) for nm, s, _ in _AGG_EXPRS]
     )
+
+
+# --- semi-structured schema profiler --------------------------------------
+
+#: three synthetic "producer versions" of the same event doc — the
+#: schema-drift shape a real ingest pipeline sees after deploys add and
+#: drop fields (S4's JSONPath world, where nobody declared a schema)
+_DRIFT_DOC_SPARK = (
+    "CASE WHEN event_id % 3 = 0 THEN to_json(named_struct("
+    "'id', event_id, 'type', event_type, 'value', value)) "
+    "WHEN event_id % 3 = 1 THEN to_json(named_struct("
+    "'id', event_id, 'uid', user_id, 'value', value, "
+    "'day', to_date(ts))) "
+    "ELSE to_json(named_struct('id', event_id)) END"
+)
+
+_DRIFT_DOC_DUCK = (
+    "CASE WHEN event_id % 3 = 0 THEN to_json(struct_pack("
+    "id := event_id, type := event_type, value := value)) "
+    "WHEN event_id % 3 = 1 THEN to_json(struct_pack("
+    "id := event_id, uid := user_id, value := value, "
+    "day := CAST(ts AS DATE))) "
+    "ELSE to_json(struct_pack(id := event_id)) END"
+)
+
+
+@query(
+    "events_json_schema_profile",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        f"d AS (SELECT {_DRIFT_DOC_DUCK} AS j FROM events_t), "
+        "t AS (SELECT COUNT(*) AS n_docs FROM d), "
+        "k AS (SELECT u.k AS key FROM d, unnest(json_keys(j)) AS u(k)) "
+        "SELECT key, COUNT(*) AS n_present, n_docs, "
+        + rnd("CAST(COUNT(*) AS DOUBLE) / n_docs", 6)
+        + " AS presence_rate FROM k CROSS JOIN t GROUP BY key, n_docs"
+    ),
+)
+def events_json_schema_profile(spark, sf_dir):
+    """Schema-drift profiler for a semi-structured JSON column: which
+    keys exist across the corpus and how often — run it BEFORE
+    declaring the StructType a 100 TB ingest will cast with (the
+    reference hardcodes its 14-field wire schema,
+    ref:spark-apps/weather_streaming.py:28-43; this query is how you
+    DISCOVER that schema, and how you catch a deploy that silently
+    dropped a field). Docs parse once to a key map in-row
+    (from_json -> map_keys -> explode); the aggregate's key space is
+    the key vocabulary, not the doc count, so map-side partials
+    collapse the fan-out. Profiled here over three synthesized
+    producer versions with divergent shapes."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = ev.select(F.expr(_DRIFT_DOC_SPARK).alias("j"))
+    t = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    k = d.select(
+        F.explode(
+            F.map_keys(F.expr("from_json(j, 'map<string,string>')"))
+        ).alias("key")
+    )
+    return (
+        k.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .join(F.broadcast(t))
+        .select(
+            "key",
+            "n_present",
+            "n_docs",
+            F.expr(rnd("CAST(n_present AS DOUBLE) / n_docs", 6)).alias(
+                "presence_rate"
+            ),
+        )
+    )
