@@ -967,3 +967,98 @@ def join_asof_cogrouped_pandas(spark, sf_dir):
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(asof, schema=out_schema)
     )
+
+
+# --- as-of join, direction = nearest --------------------------------------
+
+_NEAREST_PICK_BACK = (
+    "(fts IS NULL OR (bts IS NOT NULL AND "
+    "epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)))"
+)
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts), "
+        "b AS (SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS bts, c.click_value AS bval "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts), "
+        "f AS (SELECT p.event_id, c.ts AS fts, c.click_value AS fval "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts <= c.ts) "
+        "SELECT event_id, user_id, ts, "
+        f"CASE WHEN {_NEAREST_PICK_BACK} THEN bts ELSE fts END "
+        "AS nearest_click_ts, "
+        f"CASE WHEN {_NEAREST_PICK_BACK} THEN bval ELSE fval END "
+        "AS click_value, "
+        "CASE WHEN bts IS NULL AND fts IS NULL THEN NULL "
+        f"WHEN {_NEAREST_PICK_BACK} THEN 'backward' ELSE 'forward' END "
+        "AS direction, "
+        + rnd(
+            f"ABS(epoch_us(CASE WHEN {_NEAREST_PICK_BACK} THEN bts "
+            "ELSE fts END) - epoch_us(ts)) / 1.0e6",
+            4,
+        )
+        + " AS dt_s FROM b JOIN f USING (event_id)"
+    ),
+)
+def join_asof_nearest_click(spark, sf_dir):
+    """As-of join with direction = NEAREST (pandas merge_asof's third
+    mode, completing backward / forward / nearest): each purchase pairs
+    with whichever click is closest in time, either side, ties to
+    backward. Composes the two verified single-shuffle union+window
+    plans (join_asof_purchase_last_click, ..._next_click) and joins
+    them on the unique purchase event_id — both inputs are already
+    purchase-cardinality, so the combine step is an equi join on a
+    unique key, AQE-broadcastable. The tie-break and distance compute
+    on exact integer epoch microseconds; dt_s snaps at the edge."""
+    eus = (
+        "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
+        "{c})"
+    )
+    back = join_asof_purchase_last_click(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_click_ts").alias("bts"),
+        F.col("click_value").alias("bval"),
+    )
+    fwd = join_asof_purchase_next_click(spark, sf_dir).select(
+        "event_id",
+        F.col("next_click_ts").alias("fts"),
+        F.col("click_value").alias("fval"),
+    )
+    pick_back = (
+        "(fts IS NULL OR (bts IS NOT NULL AND "
+        f"{eus.format(c='ts')} - {eus.format(c='bts')} <= "
+        f"{eus.format(c='fts')} - {eus.format(c='ts')}))"
+    )
+    j = back.join(fwd, "event_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"CASE WHEN {pick_back} THEN bts ELSE fts END").alias(
+            "nearest_click_ts"
+        ),
+        F.expr(f"CASE WHEN {pick_back} THEN bval ELSE fval END").alias(
+            "click_value"
+        ),
+        F.expr(
+            "CASE WHEN bts IS NULL AND fts IS NULL THEN NULL "
+            f"WHEN {pick_back} THEN 'backward' ELSE 'forward' END"
+        ).alias("direction"),
+        F.expr(
+            rnd(
+                f"ABS({eus.format(c='(CASE WHEN ' + pick_back + ' THEN bts ELSE fts END)')}"
+                f" - {eus.format(c='ts')}) / 1.0e6",
+                4,
+            )
+        ).alias("dt_s"),
+    )

@@ -463,3 +463,75 @@ def lineitem_abc_pareto(spark, sf_dir):
             rnd("CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(tot_c) AS DOUBLE)", 6)
         ).alias("revenue_share"),
     )
+
+
+# --- cohort LTV curve -----------------------------------------------------
+
+_LTV_ORACLE = (
+    "WITH o AS (SELECT o_custkey, o_orderdate, "
+    + cents("o_totalprice")
+    + " AS c FROM orders), "
+    "f AS (SELECT o_custkey, MIN(o_orderdate) AS d0 FROM o GROUP BY 1), "
+    "j AS (SELECT o.o_custkey, o.c, date_trunc('month', d0) AS cohort_month, "
+    "(year(o_orderdate) * 12 + month(o_orderdate)) "
+    "- (year(d0) * 12 + month(d0)) AS month_offset "
+    "FROM o JOIN f USING (o_custkey)), "
+    "g AS (SELECT cohort_month, CAST(month_offset AS BIGINT) AS month_offset, "
+    "COUNT(DISTINCT o_custkey) AS n_active, SUM(c) AS rev_c "
+    "FROM j GROUP BY 1, 2) "
+    "SELECT cohort_month, month_offset, n_active, "
+    + money("rev_c")
+    + " AS revenue, "
+    + money(
+        "SUM(rev_c) OVER (PARTITION BY cohort_month ORDER BY month_offset "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    + " AS cum_revenue FROM g"
+)
+
+
+@query("orders_cohort_ltv", oracle=_LTV_ORACLE)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue accumulated by month offset since acquisition — the
+    finance twin of events_cohort_retention (which counts activity;
+    this sums money). Two hash aggregates (first-order date at customer
+    cardinality, then cohort x offset cells) around one join on
+    o_custkey, a cumulative window over the cell frame (cohort-month
+    cardinality, trivially partitioned). Revenue rides exact cents
+    through the aggregate AND the running window, so cum_revenue is
+    exact at any scale; month arithmetic is integer year*12+month in
+    both engines (no interval/timezone semantics to diverge)."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(cents("o_totalprice")).alias("c"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    j = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "c",
+        F.expr("trunc(d0, 'MM')").alias("cohort_month"),
+        F.expr(
+            "CAST((year(o_orderdate) * 12 + month(o_orderdate)) "
+            "- (year(d0) * 12 + month(d0)) AS BIGINT)"
+        ).alias("month_offset"),
+    )
+    g = j.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("c").alias("rev_c"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "cohort_month",
+        "month_offset",
+        "n_active",
+        F.expr(money("rev_c")).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100.0).alias(
+            "cum_revenue"
+        ),
+    )
