@@ -446,3 +446,65 @@ def join_session_overlap(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# --- behavioral entropy -------------------------------------------------------
+
+#: per-(user, type) entropy term -p*log2(p), p = c/n, snapped to integer
+#: 1e-5 units (the Zipf/PMI/perplexity doctrine: libm LOG may differ by
+#: an ulp between engines; snapping each term to an integer before the
+#: cross-row SUM makes the aggregate exact and order-insensitive)
+_ENT_TERM_U = (
+    "CAST(ROUND(-(CAST(c AS DOUBLE) / n) * "
+    "LOG2(CAST(c AS DOUBLE) / n) * 1.0e5) AS BIGINT)"
+)
+
+_ENTROPY_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "tc AS (SELECT user_id, event_type, COUNT(*) AS c "
+    "FROM events_t GROUP BY 1, 2), "
+    "un AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types "
+    "FROM tc GROUP BY 1), "
+    "terms AS (SELECT tc.user_id, " + _ENT_TERM_U + " AS e_u "
+    "FROM tc JOIN un ON tc.user_id = un.user_id) "
+    "SELECT un.user_id, un.n AS n_events, un.n_types, "
+    "CAST(SUM(e_u) AS DOUBLE) / 1.0e5 AS entropy_bits "
+    "FROM terms JOIN un ON terms.user_id = un.user_id "
+    "GROUP BY un.user_id, un.n, un.n_types"
+)
+
+
+@query("events_user_entropy", oracle=_ENTROPY_ORACLE)
+def events_user_entropy(spark, sf_dir):
+    """Per-user behavioral entropy: Shannon entropy (bits) of each
+    user's event-type distribution — the exploration-vs-habit
+    segmentation feature (0 bits = single-type user, log2(5) ~ 2.32 =
+    uniform over all five types). Two stacked hash aggregates reduce
+    facts to (user, type) cells then user totals; each -p*log2(p) term
+    snaps to integer 1e-5 units before the per-user sum, so the
+    aggregate is exact and partition-order-free. Everything after the
+    first aggregate is user-cardinality; the cells<->totals join is on
+    the same key the aggregate just partitioned by, so no extra
+    exchange materializes."""
+    ev = tables.load(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tc = materialize(tc)
+    un = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    terms = tc.join(un, "user_id").select(
+        "user_id", F.expr(_ENT_TERM_U).alias("e_u")
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(F.sum("e_u").alias("s_u"))
+        .join(un, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            F.expr("CAST(s_u AS DOUBLE) / 1.0e5").alias("entropy_bits"),
+        )
+    )
