@@ -508,3 +508,100 @@ def events_user_entropy(spark, sf_dir):
             F.expr("CAST(s_u AS DOUBLE) / 1.0e5").alias("entropy_bits"),
         )
     )
+
+
+# --- per-user feature matrix --------------------------------------------------
+
+_FEAT_ORACLE = (
+    "WITH " + _SESS_CTE + ", "
+    "base AS (SELECT user_id, COUNT(*) AS n_events, "
+    "COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days, "
+    "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS v_c, "
+    "MAX(CAST(ts AS DATE)) AS last_day FROM events_t GROUP BY user_id), "
+    "g AS (SELECT MAX(last_day) AS gmax FROM base), "
+    "sess AS (SELECT user_id, COUNT(*) AS n_sessions FROM iv "
+    "GROUP BY user_id), "
+    "tc AS (SELECT user_id, event_type, COUNT(*) AS c "
+    "FROM events_t GROUP BY 1, 2), "
+    "un AS (SELECT user_id, SUM(c) AS n FROM tc GROUP BY 1), "
+    "ent AS (SELECT tc.user_id, "
+    "SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n) * "
+    "LOG2(CAST(c AS DOUBLE) / n) * 1.0e5) AS BIGINT)) AS e_u "
+    "FROM tc JOIN un ON tc.user_id = un.user_id GROUP BY tc.user_id) "
+    "SELECT base.user_id, n_events, n_active_days, n_sessions, "
+    "CAST(datediff('day', last_day, gmax) AS BIGINT) AS recency_days, "
+    + rnd("CAST(n_events AS DOUBLE) / n_active_days", 4)
+    + " AS events_per_active_day, "
+    "CAST(v_c AS DOUBLE) / 100.0e0 AS monetary, "
+    "CAST(e_u AS DOUBLE) / 1.0e5 AS entropy_bits "
+    "FROM base CROSS JOIN g "
+    "JOIN sess ON sess.user_id = base.user_id "
+    "JOIN ent ON ent.user_id = base.user_id"
+)
+
+
+@query("events_user_features", oracle=_FEAT_ORACLE)
+def events_user_features(spark, sf_dir):
+    """Feature-store materialization: one wide ML feature row per user —
+    activity volume (n_events, n_active_days), engagement shape
+    (n_sessions via 30-min-gap sessionization, events_per_active_day),
+    recency against the corpus's last observed day, monetary total in
+    exact cents, and behavioral entropy — the assembled training matrix
+    for a churn/LTV model, composed from the individually verified
+    feature blocks. Every branch reduces to user cardinality inside its
+    own aggregate BEFORE the assembly joins, and all joins share the
+    user_id key, so the whole matrix is a chain of co-partitioned hash
+    joins over dimension-sized frames; the corpus max-day is a 1-row
+    broadcast. Exact integer doctrine throughout (cents, snapped log
+    terms, integer day arithmetic)."""
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).alias(
+            "v_c"
+        ),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    base = materialize(base)
+    g = base.agg(F.max("last_day").alias("gmax"))
+    sess = _session_intervals(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    tc = materialize(
+        ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    un = tc.groupBy("user_id").agg(F.sum("c").alias("n"))
+    ent = (
+        tc.join(un, "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(ROUND(-(CAST(c AS DOUBLE) / n) * "
+                "LOG2(CAST(c AS DOUBLE) / n) * 1.0e5) AS BIGINT)"
+            ).alias("t_u"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t_u").alias("e_u"))
+    )
+    return (
+        base.join(F.broadcast(g))
+        .join(sess, "user_id")
+        .join(ent, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_sessions",
+            F.expr(
+                "CAST(datediff(gmax, last_day) AS BIGINT)"
+            ).alias("recency_days"),
+            F.expr(
+                rnd("CAST(n_events AS DOUBLE) / n_active_days", 4)
+            ).alias("events_per_active_day"),
+            F.expr("CAST(v_c AS DOUBLE) / 100.0e0").alias("monetary"),
+            F.expr("CAST(e_u AS DOUBLE) / 1.0e5").alias("entropy_bits"),
+        )
+    )
