@@ -579,3 +579,51 @@ def test_orc_lake_roundtrip_with_pushdown(spark):
         )[1].split("]")[0], plan[:1500]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lake_snapshot_incremental_agg_maintenance(spark):
+    """Batch incremental view maintenance over the snapshot CDF: a
+    per-type (count, cents-sum) aggregate is maintained across append
+    commits by folding ONLY snapshot_diff's new-data slices into the
+    previous aggregate — never re-scanning the lake — and equals the
+    full recompute at every version. This is the batch twin of the
+    streaming incremental MV (start_incremental_agg_sink): same
+    partial-aggregate fold, driven by commit diffs instead of
+    micro-batches. At 100 TB the refresh cost is O(new data), which is
+    the entire point of the manifest protocol's directory-level CDF."""
+    work = tempfile.mkdtemp(prefix="snapivm")
+    lake = f"{work}/lake"
+    try:
+        base = _export_frame(spark)
+        slices = [
+            base.filter(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+        agg_cols = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(ROUND(wind_speed_num * 100.0e0) AS BIGINT)")
+            ).alias("v_c"),
+        ]
+
+        def full(df):
+            return {
+                r["alert_type"]: (r["n"], r["v_c"])
+                for r in df.groupBy("alert_type").agg(*agg_cols).collect()
+            }
+
+        mv: dict[str, tuple[int, int]] = {}
+        prev_v = None
+        for s in slices:
+            v = readers.snapshot_commit(spark, lake, s, "append")
+            delta = (
+                readers.snapshot_diff(spark, lake, prev_v, v)
+                if prev_v is not None
+                else readers.read_lake_snapshot(spark, lake, v)
+            )
+            for t, (n, vc) in full(delta).items():
+                n0, v0 = mv.get(t, (0, 0))
+                mv[t] = (n0 + n, v0 + vc)
+            assert mv == full(readers.read_lake_snapshot(spark, lake, v))
+            prev_v = v
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
