@@ -86,3 +86,35 @@ def multimodal_phash_neardup(spark, sf_dir):
     tests/test_multimodal.py."""
     b = M.with_binary_payload(T.docs(spark, sf_dir))
     return M.phash_neardup_pairs(b)
+
+
+@query(
+    "multimodal_exact_dupes",
+    oracle=(
+        "SELECT sha256(text) AS sha256_hex, "
+        "COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id, "
+        "MAX(doc_id) AS max_dup_id "
+        "FROM documents GROUP BY sha256(text) HAVING COUNT(*) >= 2"
+    ),
+)
+def multimodal_exact_dupes(spark, sf_dir):
+    """Exact-bytes dedup over the opaque binary payload: group by the
+    content hash, keep groups with >= 2 copies, elect the lowest doc_id
+    canonical. This is byte-identical asset dedup (re-uploaded images,
+    mirrored audio) — the multimodal twin of dedup_exact, and the ONE
+    multimodal query that is fully oracle-checkable because hashing
+    needs no decode kernel. The payload is hashed once in-row (the scan
+    never ships bytes past the hash projection); the aggregate's keys
+    are digest-cardinality. At 100 TB run it as the first pass before
+    any perceptual near-dup (multimodal_phash_neardup) — exact dupes
+    are the cheap majority of waste."""
+    b = M.with_binary_payload(T.docs(spark, sf_dir))
+    return (
+        b.groupBy("sha256_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_dup_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
