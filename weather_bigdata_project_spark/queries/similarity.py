@@ -1067,3 +1067,105 @@ def embed_norm_stats(spark, sf_dir):
         F.expr("CAST(MIN(norm_u) AS DOUBLE) / 1.0e6").alias("min_norm"),
         F.expr("CAST(MAX(norm_u) AS DOUBLE) / 1.0e6").alias("max_norm"),
     )
+
+
+# --- embedding centroid drift monitor -------------------------------------
+
+#: per-(label, dim) squared centroid difference, snapped to integer
+#: micro-units before the per-label sum (centroids are exact rationals
+#: from integer sums, so the one subtraction+square per cell is a
+#: deterministic IEEE evaluation in both engines)
+_DRIFT_TERM_U = (
+    "CAST(ROUND(POW("
+    "CAST(sa AS DOUBLE) / (1.0e6 * na) - CAST(sb AS DOUBLE) / (1.0e6 * nb),"
+    " 2.0e0) * 1.0e6) AS BIGINT)"
+)
+
+_DRIFT_NORM_U = (
+    "CAST(ROUND(POW(CAST(sa AS DOUBLE) / (1.0e6 * na), 2.0e0) * 1.0e6) "
+    "AS BIGINT)"
+)
+
+_CDRIFT_ORACLE = f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1.0e6) AS BIGINT)
+           AS x_u
+  FROM embeddings
+),
+c AS (
+  SELECT label, half, dim, SUM(x_u) AS s_u, COUNT(*) AS n
+  FROM ex GROUP BY label, half, dim
+),
+w AS (
+  SELECT a.label, a.dim, a.s_u AS sa, a.n AS na, b.s_u AS sb, b.n AS nb
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label, CAST(MAX(na) AS BIGINT) AS n_ref,
+       CAST(MAX(nb) AS BIGINT) AS n_new,
+       {rnd("SQRT(CAST(SUM(" + _DRIFT_TERM_U + ") AS DOUBLE) / 1.0e6)", 6)}
+         AS drift_l2,
+       {rnd(
+           "SQRT(CAST(SUM(" + _DRIFT_TERM_U + ") AS DOUBLE)"
+           " / CAST(SUM(" + _DRIFT_NORM_U + ") AS DOUBLE))", 6)}
+         AS drift_rel
+FROM w GROUP BY label
+"""
+
+
+@query("embed_centroid_drift", oracle=_CDRIFT_ORACLE)
+def embed_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: per-label centroid shift between two
+    corpus halves (even vs odd vec_id — standing in for reference batch
+    vs refreshed batch / old encoder vs re-embedded corpus). Reports
+    absolute L2 drift and drift relative to the reference centroid's
+    norm — the alarm that re-embedding moved the space enough to
+    invalidate an ANN index or stored thresholds. One posexplode +
+    (label x half x dims) exact-integer aggregate, a self-join on the
+    cell frame (dimension-sized), per-cell squared differences snapped
+    to micro-units, exact sums, sqrt at the edge. Zero corpus-side
+    shuffles beyond the one cell aggregate."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.expr("CAST(ROUND(CAST(xf AS DOUBLE) * 1.0e6) AS BIGINT)").alias(
+            "x_u"
+        ),
+    )
+    c = T.materialize(
+        ex.groupBy("label", "half", "dim").agg(
+            F.sum("x_u").alias("s_u"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    a = c.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s_u").alias("sa"), F.col("n").alias("na")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s_u").alias("sb"), F.col("n").alias("nb")
+    )
+    w = a.join(b, ["label", "dim"])
+    return w.groupBy("label").agg(
+        F.max("na").cast("bigint").alias("n_ref"),
+        F.max("nb").cast("bigint").alias("n_new"),
+        F.expr(
+            rnd(
+                "SQRT(CAST(SUM(" + _DRIFT_TERM_U + ") AS DOUBLE) / 1.0e6)",
+                6,
+            )
+        ).alias("drift_l2"),
+        F.expr(
+            rnd(
+                "SQRT(CAST(SUM(" + _DRIFT_TERM_U + ") AS DOUBLE)"
+                " / CAST(SUM(" + _DRIFT_NORM_U + ") AS DOUBLE))",
+                6,
+            )
+        ).alias("drift_rel"),
+    )
