@@ -82,6 +82,11 @@ HEADLINE = [
     "join_session_overlap",
     "corpus_chunk_windows",
     "dedup_prefix_filter_jaccard",
+    "events_user_features",
+    "orders_cohort_ltv",
+    "orders_backlog_sweepline",
+    "embed_centroid_drift",
+    "join_asof_nearest_click",
 ]
 
 

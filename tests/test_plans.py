@@ -83,6 +83,24 @@ _JVM_ONLY = [
     "dq_key_skew",
     "events_type_dow_chisq",
     "weather_degree_days",
+    "events_session_paths",
+    "events_acf_daily",
+    "events_key_skew_profile",
+    "events_interarrival_stats",
+    "events_user_entropy",
+    "events_user_features",
+    "events_json_schema_profile",
+    "embed_silhouette_labels",
+    "embed_norm_stats",
+    "embed_centroid_drift",
+    "dedup_minhash_estimate_error",
+    "dedup_prefix_filter_jaccard",
+    "corpus_chunk_windows",
+    "join_session_overlap",
+    "join_asof_nearest_click",
+    "orders_cohort_ltv",
+    "orders_backlog_sweepline",
+    "multimodal_exact_dupes",
 ]
 
 
