@@ -232,12 +232,13 @@ def _minhash_docsig(spark, sf_dir):
     )
 
 
-def _lsh_candidates(docsig):
+def _lsh_candidates(docsig, n_bands: int = _BANDS):
     """LSH banding self-join over the signature frame: distinct
     (doc1 < doc2) pairs agreeing on at least one band. The O(n^2) pair
     space is never materialized — only the band-signature equi-join's
-    matches."""
-    rpb = _K // _BANDS
+    matches. `n_bands` must divide _K; more bands = higher recall,
+    more candidates (the S-curve knob the tuning matrix measures)."""
+    rpb = _K // n_bands
     bands = docsig.select(
         "doc_id",
         F.explode(
@@ -253,7 +254,7 @@ def _lsh_candidates(docsig):
                             ],
                         ).alias("band_sig"),
                     )
-                    for k in range(_BANDS)
+                    for k in range(n_bands)
                 ]
             )
         ).alias("bs"),
@@ -932,4 +933,102 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     return ver.filter(F.expr(f"{jac} >= {_PF_T}e0")).select(
         "doc1", "doc2", F.expr(rnd(jac, 4)).alias("jaccard")
+    )
+
+
+# --- LSH band-configuration tuning matrix ---------------------------------
+
+_TUNE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band), b*r = 16
+
+
+def _tune_oracle() -> str:
+    # shared truth set: ALL pairs with exact J >= 0.5 (the prefix-filter
+    # oracle's enumeration), counted once
+    parts = [
+        _MH_CTE + ", "
+        "tru AS (SELECT doc1, doc2 FROM common "
+        "JOIN sizes s1 ON s1.doc_id = doc1 "
+        "JOIN sizes s2 ON s2.doc_id = doc2 "
+        f"WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= {_PF_T}e0), "
+        "tot AS (SELECT COUNT(*) AS n_true_total FROM tru)"
+    ]
+    rows = []
+    for b, r in _TUNE_CONFIGS:
+        parts.append(
+            f", bands{b} AS (SELECT doc_id, (j - 1) // {r} AS band, "
+            "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bs "
+            "FROM sig GROUP BY doc_id, band), "
+            f"cand{b} AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+            f"FROM bands{b} a JOIN bands{b} b ON a.band = b.band "
+            "AND a.bs = b.bs AND a.doc_id < b.doc_id), "
+            f"m{b} AS (SELECT COUNT(*) AS n_candidates, "
+            "COUNT(t.doc1) AS n_true_candidates "
+            f"FROM cand{b} LEFT JOIN tru t ON t.doc1 = d1 AND t.doc2 = d2)"
+        )
+        rows.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band, "
+            "n_candidates, n_true_candidates, n_true_total, "
+            "CASE WHEN n_candidates = 0 THEN NULL ELSE "
+            + rnd("CAST(n_true_candidates AS DOUBLE) / n_candidates", 4)
+            + " END AS precision_at_t, "
+            "CASE WHEN n_true_total = 0 THEN NULL ELSE "
+            + rnd("CAST(n_true_candidates AS DOUBLE) / n_true_total", 4)
+            + f" END AS recall_at_t FROM m{b} CROSS JOIN tot"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(rows)
+
+
+@query("dedup_minhash_band_tuning", oracle=_tune_oracle())
+def dedup_minhash_band_tuning(spark, sf_dir):
+    """LSH S-curve tuning matrix, measured: for three band layouts of
+    the same 16 minhashes (2x8 strict, 4x4 balanced, 8x2 loose) —
+    candidate-pair volume, how many candidates are TRUE near-dups
+    (exact J >= 0.5 per the lossless prefix-filter enumeration), and
+    the resulting precision/recall. This is the number you tune BEFORE
+    a 100 TB dedup run: more bands = higher recall but more candidate
+    verification cost; the matrix quantifies the trade on the actual
+    corpus instead of the theoretical 1-(1-s^r)^b curve. Signatures
+    come from the ONE shared docsig aggregate; each config adds only a
+    band explode + equi-join + count, and the truth set is computed
+    once and broadcast to all three probes."""
+    docsig = _minhash_docsig(spark, sf_dir)
+    tru = T.materialize(
+        dedup_prefix_filter_jaccard(spark, sf_dir).select("doc1", "doc2")
+    )
+    tot = tru.agg(F.count(F.lit(1)).alias("n_true_total"))
+    rows = None
+    for b, r in _TUNE_CONFIGS:
+        cand = _lsh_candidates(docsig, n_bands=b)
+        m = (
+            cand.join(
+                tru.withColumn("hit", F.lit(1)), ["doc1", "doc2"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count("hit").alias("n_true_candidates"),
+            )
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_true_candidates",
+            )
+        )
+        rows = m if rows is None else rows.unionByName(m)
+    return rows.join(F.broadcast(tot)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_candidates",
+        "n_true_total",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN NULL ELSE "
+            + rnd("CAST(n_true_candidates AS DOUBLE) / n_candidates", 4)
+            + " END"
+        ).alias("precision_at_t"),
+        F.expr(
+            "CASE WHEN n_true_total = 0 THEN NULL ELSE "
+            + rnd("CAST(n_true_candidates AS DOUBLE) / n_true_total", 4)
+            + " END"
+        ).alias("recall_at_t"),
     )
