@@ -605,3 +605,122 @@ def events_user_features(spark, sf_dir):
             F.expr("CAST(e_u AS DOUBLE) / 1.0e5").alias("entropy_bits"),
         )
     )
+
+
+# --- Kaplan-Meier survival curve ---------------------------------------------
+
+#: ln of the per-day survival factor (n-d)/n, snapped to integer 1e-6
+#: units: the factors multiply across days, so the log-domain cumulative
+#: SUM of snapped integers is exact and order-free; one exp at the edge
+_KM_TERM_U = (
+    "CAST(ROUND(LN(CAST(n_at_risk - d_events AS DOUBLE) / n_at_risk) "
+    "* 1.0e6) AS BIGINT)"
+)
+
+_KM_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "u AS (SELECT user_id, "
+    "MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END) AS d0, "
+    "MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) "
+    "AS dp FROM events_t GROUP BY user_id), "
+    "g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events_t), "
+    "dur AS (SELECT CASE WHEN dp >= d0 THEN datediff('day', d0, dp) "
+    "ELSE datediff('day', d0, gmax) END AS t, "
+    "CASE WHEN dp >= d0 THEN 1 ELSE 0 END AS ev "
+    "FROM u CROSS JOIN g WHERE d0 IS NOT NULL), "
+    "tot AS (SELECT COUNT(*) AS n_tot FROM dur), "
+    "rt AS (SELECT t, SUM(ev) AS d_events, "
+    "SUM(1 - ev) AS c_censored FROM dur GROUP BY t), "
+    "risk AS (SELECT t, d_events, c_censored, "
+    "n_tot - COALESCE(SUM(d_events + c_censored) OVER ("
+    "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS n_at_risk FROM rt CROSS JOIN tot) "
+    "SELECT CAST(t AS BIGINT) AS duration_days, "
+    "CAST(n_at_risk AS BIGINT) AS n_at_risk, "
+    "CAST(d_events AS BIGINT) AS d_events, "
+    "CAST(c_censored AS BIGINT) AS c_censored, "
+    "CASE WHEN n_at_risk = d_events THEN 0.0e0 ELSE "
+    + rnd(
+        "EXP(CAST(SUM(" + _KM_TERM_U + ") OVER ("
+        "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS DOUBLE) / 1.0e6)",
+        6,
+    )
+    + " END AS survival FROM risk WHERE n_at_risk > 0"
+)
+
+
+@query("events_survival_km", oracle=_KM_ORACLE)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for view->purchase conversion
+    latency, with right-censoring: users who viewed but never purchased
+    are censored at the corpus's last observed day instead of being
+    dropped (what events_funnel_latency's percentile view cannot
+    express — naive latency stats over converters only are biased
+    toward fast converters). The fact table reduces to one row per
+    viewing user (conditional-min aggregate), then to the day-indexed
+    risk table; the KM product rides the log domain as snapped integer
+    terms under a running window over ~10^2 calendar rows. The
+    n_at_risk = d_events boundary (everyone remaining converts) pins
+    survival to exact 0 in both engines rather than exp(ln(0))."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "MIN(CASE WHEN event_type = 'view' THEN to_date(ts) END)"
+        ).alias("d0"),
+        F.expr(
+            "MIN(CASE WHEN event_type = 'purchase' THEN to_date(ts) END)"
+        ).alias("dp"),
+    )
+    g = ev.agg(F.max(F.to_date("ts")).alias("gmax"))
+    dur = (
+        u.filter(F.col("d0").isNotNull())
+        .join(F.broadcast(g))
+        .select(
+            F.expr(
+                "CASE WHEN dp >= d0 THEN datediff(dp, d0) "
+                "ELSE datediff(gmax, d0) END"
+            ).alias("t"),
+            F.expr("CASE WHEN dp >= d0 THEN 1 ELSE 0 END").alias("ev"),
+        )
+    )
+    dur = materialize(dur)
+    tot = dur.agg(F.count(F.lit(1)).alias("n_tot"))
+    rt = dur.groupBy("t").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.expr("1 - ev")).alias("c_censored"),
+    )
+    prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        rt.join(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_tot")
+            - F.coalesce(
+                F.sum(F.expr("d_events + c_censored")).over(prior),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("n_at_risk") > 0)
+    )
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("t").cast("bigint").alias("duration_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("c_censored").cast("bigint").alias("c_censored"),
+        F.when(F.col("n_at_risk") == F.col("d_events"), F.lit(0.0))
+        .otherwise(
+            F.expr(
+                rnd(
+                    "EXP(CAST(SUM(" + _KM_TERM_U + ") OVER ("
+                    "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                    "CURRENT ROW) AS DOUBLE) / 1.0e6)",
+                    6,
+                )
+            )
+        )
+        .alias("survival"),
+    )
