@@ -314,3 +314,44 @@ def weather_collated_city_stats(spark, sf_dir):
         "min_temp",
         "max_temp",
     )
+
+
+# --- SQL pipe syntax ------------------------------------------------------
+
+_PIPE_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "f AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c FROM events_t "
+    "WHERE event_type IN ('purchase', 'click')), "
+    "g AS (SELECT event_type, day, COUNT(*) AS n, SUM(v_c) AS s_c "
+    "FROM f GROUP BY event_type, day) "
+    "SELECT event_type, day, n, "
+    "CAST(s_c AS DOUBLE) / 100.0e0 AS revenue FROM g"
+)
+
+
+@query("sql_pipe_syntax_daily_revenue", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax_daily_revenue(spark, sf_dir):
+    """Spark 4 SQL PIPE syntax (`|>`): the linear query form where each
+    stage reads top-to-bottom (FROM |> WHERE |> EXTEND |> AGGREGATE |>
+    SELECT) instead of SQL's inside-out nesting — same Catalyst plan as
+    the nested form, purely an authoring-surface feature, pinned here
+    because a user migrating dashboards to this engine may write it.
+    The pipeline: filter monetized event types, derive exact cents and
+    the event day, aggregate per (type, day), unscale at the edge.
+    Oracle runs the equivalent classic SQL on DuckDB (which has no pipe
+    syntax) — identical results prove the pipe form is sugar, not
+    semantics."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pipe_events"
+    )
+    return spark.sql(
+        "FROM pipe_events "
+        "|> WHERE event_type IN ('purchase', 'click') "
+        "|> EXTEND CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c, "
+        "to_date(ts) AS day "
+        "|> AGGREGATE COUNT(*) AS n, SUM(v_c) AS s_c "
+        "GROUP BY event_type, day "
+        "|> EXTEND CAST(s_c AS DOUBLE) / 100.0e0 AS revenue "
+        "|> SELECT event_type, day, n, revenue"
+    )
