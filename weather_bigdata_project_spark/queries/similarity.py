@@ -1169,3 +1169,164 @@ def embed_centroid_drift(spark, sf_dir):
             )
         ).alias("drift_rel"),
     )
+
+
+# --- IVF nprobe tuning matrix ---------------------------------------------
+
+_NPROBES = [1, 2, 4]
+
+
+def _nprobe_oracle() -> str:
+    head = (
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {_NQ}), "
+        "qz AS (SELECT q_id, CAST(unnest(qe) AS DOUBLE) AS qx, "
+        "generate_subscripts(qe, 1) - 1 AS d FROM q), "
+        "z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+        "pair AS (SELECT qz.q_id, z.vec_id, SUM(z.x * qz.qx) AS dot, "
+        "SUM(z.x * z.x) AS n2, SUM(qz.qx * qz.qx) AS q2 "
+        "FROM z JOIN qz USING (d) WHERE z.vec_id <> qz.q_id GROUP BY 1, 2), "
+        "er AS (SELECT q_id, vec_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY {_COS} DESC, vec_id) AS rk FROM pair), "
+        f"ex AS (SELECT q_id, vec_id FROM er WHERE rk <= {_K}), "
+        "cent AS (SELECT label, d, AVG(x) AS c FROM z GROUP BY 1, 2), "
+        "ls AS (SELECT qz.q_id, cent.label, "
+        "SUM(qz.qx * cent.c) / (SQRT(SUM(cent.c * cent.c)) "
+        "* SQRT(SUM(qz.qx * qz.qx))) AS cos "
+        "FROM cent JOIN qz USING (d) GROUP BY 1, 2), "
+        "rkl AS (SELECT q_id, label, ROW_NUMBER() OVER ("
+        "PARTITION BY q_id ORDER BY " + rnd("cos", 6)
+        + " DESC, label) AS lrk FROM ls)"
+    )
+    rows = []
+    for p in _NPROBES:
+        head += (
+            f", cand{p} AS (SELECT b.q_id, e.vec_id, e.embedding "
+            f"FROM embeddings e JOIN rkl b ON e.label = b.label "
+            f"AND b.lrk <= {p} AND e.vec_id <> b.q_id), "
+            f"cz{p} AS (SELECT q_id, vec_id, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x, "
+            f"generate_subscripts(embedding, 1) - 1 AS d FROM cand{p}), "
+            f"ip{p} AS (SELECT cz{p}.q_id, cz{p}.vec_id, "
+            f"SUM(cz{p}.x * qz.qx) AS dot, SUM(cz{p}.x * cz{p}.x) AS n2, "
+            f"SUM(qz.qx * qz.qx) AS q2 FROM cz{p} "
+            f"JOIN qz ON cz{p}.d = qz.d AND cz{p}.q_id = qz.q_id "
+            "GROUP BY 1, 2), "
+            f"ir{p} AS (SELECT q_id, vec_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q_id ORDER BY {_COS} DESC, vec_id) AS rk "
+            f"FROM ip{p}), "
+            f"iv{p} AS (SELECT q_id, vec_id FROM ir{p} WHERE rk <= {_K})"
+        )
+        rows.append(
+            f"SELECT {p} AS nprobe, "
+            f"(SELECT COUNT(*) FROM cand{p}) AS n_scanned, "
+            f"(SELECT COUNT(*) FROM ex JOIN iv{p} "
+            f"ON ex.q_id = iv{p}.q_id AND ex.vec_id = iv{p}.vec_id) "
+            "AS n_hits, "
+            + rnd(
+                f"CAST((SELECT COUNT(*) FROM ex JOIN iv{p} "
+                f"ON ex.q_id = iv{p}.q_id AND ex.vec_id = iv{p}.vec_id) "
+                f"AS DOUBLE) / {_NQ * _K}.0e0",
+                4,
+            )
+            + " AS recall_at_5"
+        )
+    return head + " " + " UNION ALL ".join(rows)
+
+
+@query("embed_ivf_nprobe_matrix", oracle=_nprobe_oracle())
+def embed_ivf_nprobe_matrix(spark, sf_dir):
+    """IVF nprobe tuning matrix, measured: recall@5 of the IVF route
+    probing the 1 / 2 / 4 nearest inverted lists, with the scanned-
+    vector count as the cost axis — the ANN twin of
+    dedup_minhash_band_tuning (that one tunes blocking; this one tunes
+    probe depth) and the number that picks nprobe BEFORE an index
+    serves production traffic. The centroid route table and the exact
+    top-5 truth set compute ONCE (materialized); each config adds only
+    a probed-list scan + per-query top-5 heap + a K-row join against
+    the truth set."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    wq = Window.partitionBy("q_id")
+
+    def top5(pairs):
+        scored = pairs.select(
+            "q_id",
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="qe")).alias("dot"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+            F.expr(_DOT.format(a="qe", b="qe")).alias("q2"),
+        ).select("q_id", "vec_id", F.expr(_COS).alias("cosine"))
+        return (
+            scored.withColumn(
+                "rk",
+                F.row_number().over(wq.orderBy(F.desc("cosine"), "vec_id")),
+            )
+            .filter(F.col("rk") <= _K)
+            .select("q_id", "vec_id")
+        )
+
+    exact5 = T.materialize(
+        top5(
+            emb.crossJoin(F.broadcast(q)).filter(
+                F.col("vec_id") != F.col("q_id")
+            )
+        )
+    )
+    z = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("d", "xf")
+    ).select("vec_id", "label", "d", F.col("xf").cast("double").alias("x"))
+    cent = z.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    qz = q.select(
+        "q_id", F.posexplode(F.col("qe")).alias("d", "qxf")
+    ).select("q_id", "d", F.col("qxf").cast("double").alias("qx"))
+    ls = (
+        cent.join(F.broadcast(qz), "d")
+        .groupBy("q_id", "label")
+        .agg(
+            (
+                F.sum(F.col("qx") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("cos")
+        )
+    )
+    rkl = T.materialize(
+        ls.withColumn(
+            "lrk",
+            F.row_number().over(
+                wq.orderBy(F.desc(F.expr(rnd("cos", 6))), "label")
+            ),
+        ).select("q_id", "label", "lrk")
+    )
+    out = None
+    for p in _NPROBES:
+        route = rkl.filter(F.col("lrk") <= p).select("q_id", "label")
+        cand = (
+            emb.join(F.broadcast(route), "label")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(F.broadcast(q), "q_id")
+        )
+        scanned = cand.agg(F.count(F.lit(1)).alias("n_scanned"))
+        hits = (
+            exact5.join(top5(cand), ["q_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        row = (
+            scanned.join(F.broadcast(hits))
+            .select(
+                F.lit(p).alias("nprobe"),
+                "n_scanned",
+                "n_hits",
+                F.expr(
+                    rnd(f"CAST(n_hits AS DOUBLE) / {_NQ * _K}.0e0", 4)
+                ).alias("recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
