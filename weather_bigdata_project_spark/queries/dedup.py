@@ -1032,3 +1032,85 @@ def dedup_minhash_band_tuning(spark, sf_dir):
             + " END"
         ).alias("recall_at_t"),
     )
+
+
+# --- near-dup graph degree profile ----------------------------------------
+
+_DEG_ORACLE = (
+    _MH_CTE + ", "
+    "pairs AS (SELECT doc1, doc2 FROM common "
+    "JOIN sizes s1 ON s1.doc_id = doc1 "
+    "JOIN sizes s2 ON s2.doc_id = doc2 "
+    "WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5e0), "
+    "deg AS (SELECT doc_id, COUNT(*) AS degree FROM ("
+    "SELECT doc1 AS doc_id FROM pairs "
+    "UNION ALL SELECT doc2 FROM pairs) GROUP BY doc_id), "
+    "tot AS (SELECT COUNT(*) AS n_docs FROM documents) "
+    "SELECT degree, COUNT(*) AS n_docs_at_degree, "
+    "(SELECT n_docs FROM tot) - (SELECT COUNT(*) FROM deg) "
+    "AS n_clean_docs, "
+    "(SELECT MAX(degree) FROM deg) AS max_degree "
+    "FROM deg GROUP BY degree"
+)
+
+
+@query("dedup_graph_degree_profile", oracle=_DEG_ORACLE)
+def dedup_graph_degree_profile(spark, sf_dir):
+    """Near-dup graph health profile: the degree distribution of the
+    verified MinHash near-dup graph (how many docs have 1, 2, ...
+    near-duplicates), plus the clean-document count and the hottest
+    node's degree. Degree tells you the dedup strategy: a max_degree
+    near corpus size means a template/boilerplate cluster (use
+    dedup_chunk_level, not pair removal); heavy tails here are what
+    blow up pair-verification cost (the SCALE.md cap^2 argument,
+    measured per-corpus). Rides the verified pair set from the shared
+    docsig machinery; degrees are one union + hash-agg at pair
+    cardinality."""
+    docsig = _minhash_docsig(spark, sf_dir)
+    cand = _lsh_candidates(docsig)
+    d1 = docsig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("n_sh").alias("n1"),
+        F.col("shs").alias("shs1"),
+    )
+    d2 = docsig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("n_sh").alias("n2"),
+        F.col("shs").alias("shs2"),
+    )
+    pairs = (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("c"),
+            "n1",
+            "n2",
+        )
+        .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
+        .select("doc1", "doc2")
+    )
+    deg = T.materialize(
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tot = T.docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_dirty"),
+        F.max("degree").alias("max_degree"),
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs_at_degree"))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(summary))
+        .select(
+            "degree",
+            "n_docs_at_degree",
+            (F.col("n_docs") - F.col("n_dirty")).alias("n_clean_docs"),
+            "max_degree",
+        )
+    )
