@@ -724,3 +724,135 @@ def events_survival_km(spark, sf_dir):
         )
         .alias("survival"),
     )
+
+
+# --- Markov next-event prediction, evaluated out-of-sample -------------------
+
+_MARKOV_EVAL_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, "
+    "MAX(CAST(ts AS DATE)) AS d1 FROM events_t), "
+    "cut AS (SELECT d0 + CAST(FLOOR(0.7e0 * datediff('day', d0, d1)) "
+    "AS INTEGER) AS cutoff FROM b), "
+    "e AS (SELECT user_id, event_id, event_type, "
+    f"{_EPOCH_US_DUCK} AS tus, "
+    "CAST(ts AS DATE) < (SELECT cutoff FROM cut) AS is_train "
+    "FROM events_t), "
+    "p AS (SELECT LAG(event_type) OVER w AS from_type, "
+    "event_type AS to_type, "
+    "LAG(is_train) OVER w AS prev_train, is_train "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), "
+    "tr AS (SELECT from_type, to_type, COUNT(*) AS c FROM p "
+    "WHERE from_type IS NOT NULL AND prev_train AND is_train "
+    "GROUP BY 1, 2), "
+    "pred AS (SELECT from_type, to_type AS predicted_type, "
+    "tc AS n_train_transitions FROM ("
+    "SELECT from_type, to_type, c, SUM(c) OVER ("
+    "PARTITION BY from_type) AS tc, ROW_NUMBER() OVER ("
+    "PARTITION BY from_type ORDER BY c DESC, to_type) AS rk FROM tr) "
+    "WHERE rk = 1), "
+    "te AS (SELECT from_type, to_type FROM p "
+    "WHERE from_type IS NOT NULL AND NOT prev_train AND NOT is_train) "
+    "SELECT te.from_type, "
+    "CAST(MAX(pred.n_train_transitions) AS BIGINT) "
+    "AS n_train_transitions, "
+    "COUNT(*) AS n_test_transitions, "
+    "MAX(pred.predicted_type) AS predicted_type, "
+    "SUM(CASE WHEN te.to_type = pred.predicted_type THEN 1 ELSE 0 END) "
+    "AS n_correct, "
+    + rnd(
+        "CAST(SUM(CASE WHEN te.to_type = pred.predicted_type "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)",
+        4,
+    )
+    + " AS accuracy FROM te LEFT JOIN pred "
+    "ON te.from_type = pred.from_type GROUP BY te.from_type"
+)
+
+
+@query("events_markov_eval", oracle=_MARKOV_EVAL_ORACLE)
+def events_markov_eval(spark, sf_dir):
+    """Out-of-sample evaluation of the first-order Markov next-event
+    model: train the transition matrix on the first 70% of the time
+    range, predict argmax(next | current), score on transitions wholly
+    inside the held-out tail — per current-type test accuracy. This
+    closes the model loop that events_transition_matrix opens (that
+    query FITS; this one answers "does it generalize"), and the
+    time-based split is the leakage-safe one for sequence data (a
+    random row split would leak future context — the same discipline
+    corpus_split_assign applies to documents). One lag window tags each
+    transition with its epoch; the model is |types|^2 cells; evaluation
+    is a broadcast join of the 5-row prediction table onto the test
+    transitions. Deterministic argmax: count desc, type asc."""
+    ev = tables.load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    e = (
+        ev.join(F.broadcast(b))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr(_EPOCH_US_SPARK).alias("tus"),
+            F.expr(
+                "to_date(ts) < date_add(d0, "
+                "CAST(FLOOR(0.7e0 * datediff(d1, d0)) AS INT))"
+            ).alias("is_train"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    p = materialize(
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            F.lag("is_train").over(w).alias("prev_train"),
+            "is_train",
+        ).filter(F.col("from_type").isNotNull())
+    )
+    tr = (
+        p.filter(F.col("prev_train") & F.col("is_train"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wf = Window.partitionBy("from_type")
+    pred = (
+        tr.withColumn("tc", F.sum("c").over(wf))
+        .withColumn(
+            "rk",
+            F.row_number().over(wf.orderBy(F.desc("c"), "to_type")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "from_type",
+            F.col("to_type").alias("predicted_type"),
+            F.col("tc").alias("n_train_transitions"),
+        )
+    )
+    te = p.filter(~F.col("prev_train") & ~F.col("is_train")).select(
+        "from_type", "to_type"
+    )
+    return (
+        te.join(F.broadcast(pred), "from_type", "left")
+        .groupBy("from_type")
+        .agg(
+            F.max("n_train_transitions")
+            .cast("bigint")
+            .alias("n_train_transitions"),
+            F.count(F.lit(1)).alias("n_test_transitions"),
+            F.max("predicted_type").alias("predicted_type"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN to_type = predicted_type THEN 1 ELSE 0 END"
+                )
+            ).alias("n_correct"),
+            F.expr(
+                rnd(
+                    "CAST(SUM(CASE WHEN to_type = predicted_type "
+                    "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)",
+                    4,
+                )
+            ).alias("accuracy"),
+        )
+    )
