@@ -592,3 +592,87 @@ def orders_backlog_sweepline(spark, sf_dir):
     return daily.select(
         "day", F.sum("d").over(w).cast("bigint").alias("open_orders")
     )
+
+
+# --- p-chart: returns-rate statistical process control --------------------
+
+_PCHART_ORACLE = (
+    "WITH w AS (SELECT date_trunc('week', l_shipdate) AS week, "
+    "COUNT(*) AS n, "
+    "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r "
+    "FROM lineitem GROUP BY 1), "
+    "g AS (SELECT SUM(r) AS rt, SUM(n) AS nt FROM w) "
+    "SELECT week, n, r, "
+    + rnd("CAST(r AS DOUBLE) / n", 6)
+    + " AS p_hat, "
+    + rnd("CAST(rt AS DOUBLE) / nt", 6)
+    + " AS p_bar, "
+    + rnd(
+        "CAST(rt AS DOUBLE) / nt + 3.0e0 * SQRT((CAST(rt AS DOUBLE) / nt) "
+        "* (1.0e0 - CAST(rt AS DOUBLE) / nt) / n)",
+        6,
+    )
+    + " AS ucl, "
+    + rnd(
+        "GREATEST(0.0e0, CAST(rt AS DOUBLE) / nt - 3.0e0 * "
+        "SQRT((CAST(rt AS DOUBLE) / nt) "
+        "* (1.0e0 - CAST(rt AS DOUBLE) / nt) / n))",
+        6,
+    )
+    + " AS lcl, "
+    "CASE WHEN CAST(r AS DOUBLE) / n > "
+    "CAST(rt AS DOUBLE) / nt + 3.0e0 * SQRT((CAST(rt AS DOUBLE) / nt) "
+    "* (1.0e0 - CAST(rt AS DOUBLE) / nt) / n) "
+    "OR CAST(r AS DOUBLE) / n < "
+    "GREATEST(0.0e0, CAST(rt AS DOUBLE) / nt - 3.0e0 * "
+    "SQRT((CAST(rt AS DOUBLE) / nt) "
+    "* (1.0e0 - CAST(rt AS DOUBLE) / nt) / n)) "
+    "THEN 1 ELSE 0 END AS out_of_control "
+    "FROM w CROSS JOIN g"
+)
+
+
+@query("lineitem_returns_pchart", oracle=_PCHART_ORACLE)
+def lineitem_returns_pchart(spark, sf_dir):
+    """Statistical process control over the returns rate: a weekly
+    p-chart — per-week return share against 3-sigma binomial control
+    limits around the overall rate, flagging out-of-control weeks. The
+    SPC discipline the reference's threshold alerts approximate by
+    hand (fixed cutoffs, ref:weather_streaming.py:127-142) done
+    properly: limits derive from the process itself and tighten with
+    per-week sample size. One map-combined hash aggregate to the
+    weekly frame, a 1-row broadcast of the global rate, every
+    comparison on the same exact-integer-derived doubles in both
+    engines, snapped at the edges."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+        ).alias("r"),
+    )
+    g = w.agg(F.sum("r").alias("rt"), F.sum("n").alias("nt"))
+    pb = "CAST(rt AS DOUBLE) / nt"
+    sig = f"SQRT(({pb}) * (1.0e0 - {pb}) / n)"
+    return (
+        w.join(F.broadcast(g))
+        .select(
+            "week",
+            "n",
+            "r",
+            F.expr(rnd("CAST(r AS DOUBLE) / n", 6)).alias("p_hat"),
+            F.expr(rnd(pb, 6)).alias("p_bar"),
+            F.expr(rnd(f"{pb} + 3.0e0 * {sig}", 6)).alias("ucl"),
+            F.expr(
+                rnd(f"GREATEST(0.0e0, {pb} - 3.0e0 * {sig})", 6)
+            ).alias("lcl"),
+            F.expr(
+                f"CASE WHEN CAST(r AS DOUBLE) / n > {pb} + 3.0e0 * {sig} "
+                f"OR CAST(r AS DOUBLE) / n < "
+                f"GREATEST(0.0e0, {pb} - 3.0e0 * {sig}) "
+                "THEN 1 ELSE 0 END"
+            ).alias("out_of_control"),
+        )
+    )
