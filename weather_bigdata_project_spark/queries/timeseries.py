@@ -924,3 +924,131 @@ def events_user_streaks(spark, sf_dir):
     return best.groupBy("best_streak").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --- Holt-Winters additive seasonal smoothing (three-state recursion) -------
+
+#: alpha=0.2 level, beta=0.1 trend, gamma=0.3 season, period m=7; all
+#: state in integer nano-units, snapped (ROUND at 0) after every step.
+#: {sj} is the season slot for the CURRENT observation; {l1} the freshly
+#: computed level (inlined where referenced — the recomputation is the
+#: same IEEE expression, so snapping keeps both engines identical).
+_HW_L = "CAST(ROUND(0.2e0 * ({x} - {sj}) + 0.8e0 * ({l} + {b})) AS BIGINT)"
+_HW_B = "CAST(ROUND(0.1e0 * ({l1} - {l}) + 0.9e0 * {b}) AS BIGINT)"
+_HW_S = "CAST(ROUND(0.3e0 * ({x} - {l1}) + 0.7e0 * {sj}) AS BIGINT)"
+_HW_M = 7
+
+
+def _hw_oracle() -> str:
+    j = f"((x.i - 1) % {_HW_M}) + 1"
+    sj = f"r.s[{j}]"
+    l1 = _HW_L.format(x="x.x", sj=sj, l="r.l", b="r.b")
+    b1 = _HW_B.format(l1=l1, l="r.l", b="r.b")
+    s1 = _HW_S.format(x="x.x", l1=l1, sj=sj)
+    jo = f"((i - 1) % {_HW_M}) + 1"
+    jn = f"(i % {_HW_M}) + 1"
+    return (
+        "WITH RECURSIVE " + _DAILY_CTE + ", "
+        "xs AS (SELECT event_type, day, "
+        "CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT) AS x, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i "
+        "FROM c), "
+        "i0 AS (SELECT event_type, "
+        f"CAST(ROUND(SUM(CASE WHEN i <= {_HW_M} THEN x END) / {_HW_M}.0e0)"
+        " AS BIGINT) AS l0, MAX(i) AS imax FROM xs GROUP BY event_type), "
+        "anchor AS (SELECT xs.event_type, MAX(xs.day) AS day, "
+        f"{_HW_M} AS i, i0.l0 AS l, CAST(0 AS BIGINT) AS b, "
+        "list(xs.x - i0.l0 ORDER BY xs.i) AS s "
+        f"FROM xs JOIN i0 USING (event_type) WHERE xs.i <= {_HW_M} "
+        f"AND i0.imax > {_HW_M} GROUP BY xs.event_type, i0.l0), "
+        "r AS (SELECT * FROM anchor "
+        "UNION ALL SELECT x.event_type, x.day, x.i, "
+        f"{l1} AS l, {b1} AS b, "
+        f"list_concat(list_concat(list_slice(r.s, 1, {j} - 1), [{s1}]), "
+        f"list_slice(r.s, {j} + 1, {_HW_M})) AS s "
+        "FROM xs x JOIN r ON x.event_type = r.event_type "
+        "AND x.i = r.i + 1) "
+        "SELECT event_type, day, "
+        "CAST(l AS DOUBLE) / 1.0e9 AS level, "
+        "CAST(b AS DOUBLE) / 1.0e9 AS trend, "
+        f"CAST(s[{jo}] AS DOUBLE) / 1.0e9 AS season, "
+        f"CAST(l + b + s[{jn}] AS DOUBLE) / 1.0e9 AS forecast_next "
+        f"FROM r WHERE i > {_HW_M}"
+    )
+
+
+@query("events_holt_winters", oracle=_hw_oracle())
+def events_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal smoothing (period 7) of each
+    type's daily mean value: level + trend + a seven-slot seasonal
+    state threaded through one in-row snapped fold — the recursion
+    family's summit (EWMA: one state; CUSUM: one integer state; Holt:
+    two; here: nine, two scalars plus the season array), and the model
+    the weekly cycle events_dow_seasonality MEASURES actually wants
+    fitted. Anchor: level = mean of the first week, trend = 0, season
+    slot j = x_j - level; recursion starts at day 8; forecast_next adds
+    the NEXT day's season slot. The oracle's recursive CTE carries the
+    seasonal LIST through list_slice surgery — bit-equal to the Spark
+    transform() update because every component snaps to integer
+    nano-units after every step. Types with <= 7 observed days have no
+    anchored season and drop out in both engines."""
+    c = _daily(spark, sf_dir)
+    xs = c.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT)").alias("x"),
+    )
+    # 0-based inside Spark lambdas: element_at is 1-based, transform
+    # index k is 0-based; i rides in the accumulator struct
+    j1 = f"((element_at(acc, -1).i + 1 - 1) % {_HW_M}) + 1"  # 1-based slot
+    sj = f"element_at(element_at(acc, -1).s, {j1})"
+    l1 = _HW_L.format(x="e.x", sj=sj, l="element_at(acc, -1).l",
+                      b="element_at(acc, -1).b")
+    b1 = _HW_B.format(l1=l1, l="element_at(acc, -1).l",
+                      b="element_at(acc, -1).b")
+    s1 = _HW_S.format(x="e.x", l1=l1, sj=sj)
+    week = f"slice(sort_array(xs), 1, {_HW_M})"
+    l0 = (
+        "CAST(ROUND(aggregate(" + week + ", CAST(0 AS BIGINT), "
+        f"(a, e) -> a + e.x) / {_HW_M}.0e0) AS BIGINT)"
+    )
+    fold = (
+        f"aggregate(slice(sort_array(xs), {_HW_M} + 1, size(xs)), "
+        "CAST(array(named_struct("
+        f"'day', sort_array(xs)[{_HW_M} - 1].day, "
+        f"'i', {_HW_M}, "
+        f"'l', {l0}, "
+        "'b', CAST(0 AS BIGINT), "
+        f"'s', transform({week}, e -> e.x - {l0}))) "
+        "AS ARRAY<STRUCT<day: DATE, i: INT, l: BIGINT, b: BIGINT, "
+        "s: ARRAY<BIGINT>>>), "
+        "(acc, e) -> concat(acc, array(named_struct("
+        "'day', e.day, "
+        "'i', element_at(acc, -1).i + 1, "
+        f"'l', {l1}, "
+        f"'b', {b1}, "
+        f"'s', transform(element_at(acc, -1).s, (v, k) -> "
+        f"IF(k = {j1} - 1, {s1}, v))))))"
+    )
+    jo = f"((e.i - 1) % {_HW_M}) + 1"
+    jn = f"(e.i % {_HW_M}) + 1"
+    return (
+        xs.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .filter(F.expr(f"size(xs) > {_HW_M}"))
+        .select("event_type", F.explode(F.expr(fold)).alias("e"))
+        .filter(F.expr(f"e.i > {_HW_M}"))
+        .select(
+            "event_type",
+            F.col("e.day").alias("day"),
+            F.expr("CAST(e.l AS DOUBLE) / 1.0e9").alias("level"),
+            F.expr("CAST(e.b AS DOUBLE) / 1.0e9").alias("trend"),
+            F.expr(
+                f"CAST(element_at(e.s, {jo}) AS DOUBLE) / 1.0e9"
+            ).alias("season"),
+            F.expr(
+                f"CAST(e.l + e.b + element_at(e.s, {jn}) AS DOUBLE) "
+                "/ 1.0e9"
+            ).alias("forecast_next"),
+        )
+    )
