@@ -255,3 +255,107 @@ def events_type_dow_chisq(spark, sf_dir):
         .join(F.broadcast(dof))
         .select("n_cells", "dof", "chi2")
     )
+
+
+# --- deterministic Poisson-bootstrap confidence interval -------------------
+
+_BOOT_B = 50
+
+#: deterministic per-(row, replicate) uniform in [0, 1e6): pure-integer
+#: LCG (no engine hash function — Spark xxhash64 and DuckDB hash()
+#: disagree); event_id folds mod 1000003 first so every product stays
+#: far from int64 overflow at any corpus size
+_BOOT_U = (
+    "(((event_id % 1000003) * 1103515245 + b * 999331 + 12345) "
+    "% 1000000)"
+)
+
+#: Poisson(1) inverse CDF over the integer uniform: cumulative
+#: probabilities scaled to 1e6 and floored — the Poisson bootstrap's
+#: per-row replicate weight (independence across rows is what makes
+#: this a single narrow pass at 100 TB: no global resample indexing)
+_BOOT_W = (
+    f"(CASE WHEN {_BOOT_U} < 367879 THEN 0 "
+    f"WHEN {_BOOT_U} < 735758 THEN 1 "
+    f"WHEN {_BOOT_U} < 919698 THEN 2 "
+    f"WHEN {_BOOT_U} < 981011 THEN 3 "
+    f"WHEN {_BOOT_U} < 996340 THEN 4 "
+    f"WHEN {_BOOT_U} < 999405 THEN 5 "
+    f"WHEN {_BOOT_U} < 999916 THEN 6 ELSE 7 END)"
+)
+
+_BOOT_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "e AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c FROM events_t), "
+    f"r AS (SELECT e.*, CAST(u.b AS BIGINT) AS b FROM e, "
+    f"unnest(generate_series(1, {_BOOT_B})) AS u(b)), "
+    f"m AS (SELECT event_type, b, SUM({_BOOT_W} * v_c) AS swc, "
+    f"SUM({_BOOT_W}) AS sw FROM r GROUP BY event_type, b), "
+    "mb AS (SELECT event_type, "
+    "CAST(swc AS DOUBLE) / (100.0e0 * sw) AS mean_b FROM m "
+    "WHERE sw > 0), "
+    "pt AS (SELECT event_type, COUNT(*) AS n_rows, "
+    + rnd("CAST(SUM(v_c) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+    + " AS mean_value FROM e GROUP BY event_type) "
+    "SELECT pt.event_type, n_rows, mean_value, "
+    "COUNT(*) AS n_resamples, "
+    + rnd("quantile_cont(mean_b, 0.025e0)", 4)
+    + " AS ci_lo, "
+    + rnd("quantile_cont(mean_b, 0.975e0)", 4)
+    + " AS ci_hi FROM mb JOIN pt ON mb.event_type = pt.event_type "
+    "GROUP BY pt.event_type, n_rows, mean_value"
+)
+
+
+@query("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+def events_bootstrap_ci(spark, sf_dir):
+    """Deterministic POISSON bootstrap: a 95% confidence interval for
+    each type's mean value from 50 resamples, with every resample
+    weight derived from a pure-integer LCG of (event_id, replicate) —
+    reproducible across runs, engines, partitionings, and retries
+    (engine RNGs are partition-order-dependent; a deterministic
+    uncertainty estimate can gate a pipeline, a flaky one cannot).
+    Poisson weights make each replicate independent per row, so the
+    plan is one narrow 50x explode + a (types x 50)-key map-combined
+    aggregate — no global resample coordination at any scale; the
+    percentile runs over 50 resample means per type. The uncertainty
+    layer the reference's dashboard means never had."""
+    ev = tables.load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)").alias("v_c"),
+    )
+    r = e.select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(CAST(1 AS BIGINT), CAST({_BOOT_B} AS BIGINT))")
+        ).alias("b"),
+    )
+    m = r.groupBy("event_type", "b").agg(
+        F.sum(F.expr(f"{_BOOT_W} * v_c")).alias("swc"),
+        F.sum(F.expr(_BOOT_W)).alias("sw"),
+    )
+    mb = m.filter(F.col("sw") > 0).select(
+        "event_type",
+        F.expr("CAST(swc AS DOUBLE) / (100.0e0 * sw)").alias("mean_b"),
+    )
+    pt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            rnd("CAST(SUM(v_c) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+        ).alias("mean_value"),
+    )
+    agg = mb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.expr("percentile(mean_b, array(0.025e0, 0.975e0))").alias("qs"),
+    )
+    return agg.join(pt, "event_type").select(
+        "event_type",
+        "n_rows",
+        "mean_value",
+        "n_resamples",
+        F.expr(rnd("qs[0]", 4)).alias("ci_lo"),
+        F.expr(rnd("qs[1]", 4)).alias("ci_hi"),
+    )
