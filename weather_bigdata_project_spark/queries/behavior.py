@@ -856,3 +856,84 @@ def events_markov_eval(spark, sf_dir):
             ).alias("accuracy"),
         )
     )
+
+
+# --- Lorenz/Gini value concentration ------------------------------------------
+
+_GINI_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "u AS (SELECT user_id, "
+    "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS v_c "
+    "FROM events_t GROUP BY user_id), "
+    "r AS (SELECT v_c, ROW_NUMBER() OVER (ORDER BY v_c, user_id) AS i "
+    "FROM u), "
+    "t AS (SELECT COUNT(*) AS n, SUM(v_c) AS s, "
+    "SUM(i * v_c) AS iw FROM r) "
+    "SELECT n AS n_users, "
+    "CAST(s AS DOUBLE) / 100.0e0 AS total_value, "
+    + rnd(
+        "(2.0e0 * iw) / (CAST(n AS DOUBLE) * s) "
+        "- (CAST(n AS DOUBLE) + 1.0e0) / n",
+        6,
+    )
+    + " AS gini, "
+    + rnd(
+        "1.0e0 - CAST((SELECT SUM(v_c) FROM r WHERE i <= n - n // 10) "
+        "AS DOUBLE) / s",
+        6,
+    )
+    + " AS top_decile_share FROM t"
+)
+
+
+@query("events_gini_concentration", oracle=_GINI_ORACLE)
+def events_gini_concentration(spark, sf_dir):
+    """Value-concentration audit: the Gini coefficient of per-user
+    monetary totals (0 = perfectly even, ->1 = whale-dominated) plus
+    the top-decile share — the inequality diagnostic behind both
+    business questions (revenue concentration risk) and engineering
+    ones (a high Gini on a JOIN KEY's weight predicts the skew that
+    events_key_skew_profile measures structurally). Gini via the exact
+    rank-weighted identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    cents totals: one hash aggregate to user cardinality, one global
+    rank window over the user frame (documented single-task sort at
+    this cardinality; at billions of keys swap to the binned Lorenz
+    approximation), exact integer sums, two float divisions at the
+    edge."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).alias(
+            "v_c"
+        )
+    )
+    w = Window.orderBy("v_c", "user_id")
+    r = materialize(
+        u.select("v_c", F.row_number().over(w).alias("i"))
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(F.expr("i * v_c")).alias("iw"),
+    )
+    bot = (
+        r.join(F.broadcast(t.select("n")))
+        .filter(F.expr("i <= n - n DIV 10"))
+        .agg(F.sum("v_c").alias("bot_s"))
+    )
+    return (
+        t.join(F.broadcast(bot))
+        .select(
+            F.col("n").alias("n_users"),
+            F.expr("CAST(s AS DOUBLE) / 100.0e0").alias("total_value"),
+            F.expr(
+                rnd(
+                    "(2.0e0 * iw) / (CAST(n AS DOUBLE) * s) "
+                    "- (CAST(n AS DOUBLE) + 1.0e0) / n",
+                    6,
+                )
+            ).alias("gini"),
+            F.expr(
+                rnd("1.0e0 - CAST(bot_s AS DOUBLE) / s", 6)
+            ).alias("top_decile_share"),
+        )
+    )

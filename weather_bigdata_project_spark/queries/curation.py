@@ -692,3 +692,106 @@ def corpus_chunk_windows(spark, sf_dir):
             F.col("w.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# --- cross-split near-dup leakage audit -----------------------------------
+
+_LEAK_ORACLE = (
+    # the minhash near-dup pair machinery (dedup.py CTE chain), with
+    # each side mapped to its deterministic split assignment
+    "WITH " + T.SHINGLES_CTE + ", "
+    "params(j, a, b) AS (VALUES "
+    + ", ".join(
+        f"({j}, {2 * j + 1}, {j * j + 7})" for j in range(1, 17)
+    )
+    + "), "
+    "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
+    + " AS sh_id FROM shingles), "
+    "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % 1000003) AS mh "
+    "FROM ids CROSS JOIN params GROUP BY doc_id, j), "
+    "bands AS (SELECT doc_id, (j - 1) // 4 AS band, "
+    "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bs "
+    "FROM sig GROUP BY doc_id, band), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs "
+    "AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles "
+    "GROUP BY doc_id), "
+    "pairs AS (SELECT doc1, doc2 FROM ("
+    "SELECT doc1, doc2, COUNT(*) AS c FROM cand "
+    "JOIN shingles x ON x.doc_id = doc1 "
+    "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
+    "GROUP BY doc1, doc2) j "
+    "JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2 "
+    "WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5e0), "
+    "sp AS (SELECT doc_id, " + _SPLIT.replace("doc_id", "doc_id")
+    + " AS split FROM documents) "
+    "SELECT LEAST(a.split, b.split) AS split_a, "
+    "GREATEST(a.split, b.split) AS split_b, "
+    "COUNT(*) AS n_pairs, "
+    "SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS n_leaks "
+    "FROM pairs JOIN sp a ON a.doc_id = doc1 "
+    "JOIN sp b ON b.doc_id = doc2 "
+    "GROUP BY 1, 2"
+)
+
+
+@query("corpus_split_leakage", oracle=_LEAK_ORACLE)
+def corpus_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate leakage audit: verified MinHash
+    near-dup pairs mapped onto the deterministic train/val/test
+    assignment (corpus_split_assign's LCG), counted per split
+    combination — pairs straddling two splits ARE evaluation
+    contamination (the test member is a near-copy of a training
+    member), the within-corpus twin of contamination_ngram_overlap's
+    external-benchmark check. The fix this audit motivates: assign
+    splits AFTER near-dup clustering, by cluster id (dedup_clusters),
+    never by raw doc id. Pair machinery rides the shared docsig
+    aggregate; the split map is a narrow expression joined at pair
+    cardinality."""
+    from .dedup import _lsh_candidates, _minhash_docsig
+
+    docsig = _minhash_docsig(spark, sf_dir)
+    cand = _lsh_candidates(docsig)
+    d1 = docsig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("n_sh").alias("n1"),
+        F.col("shs").alias("shs1"),
+    )
+    d2 = docsig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("n_sh").alias("n2"),
+        F.col("shs").alias("shs2"),
+    )
+    pairs = (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("c"),
+            "n1",
+            "n2",
+        )
+        .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
+        .select("doc1", "doc2")
+    )
+    sp = T.docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPLIT).alias("split")
+    )
+    a = sp.select(F.col("doc_id").alias("doc1"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc2"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.expr("CASE WHEN sa <> sb THEN 1 ELSE 0 END")
+            ).alias("n_leaks"),
+        )
+    )
