@@ -87,6 +87,12 @@ HEADLINE = [
     "orders_backlog_sweepline",
     "embed_centroid_drift",
     "join_asof_nearest_click",
+    "events_holt_winters",
+    "events_bootstrap_ci",
+    "events_survival_km",
+    "events_markov_eval",
+    "dedup_minhash_band_tuning",
+    "corpus_split_leakage",
 ]
 
 

@@ -676,3 +676,77 @@ def lineitem_returns_pchart(spark, sf_dir):
             ).alias("out_of_control"),
         )
     )
+
+
+# --- supplier concentration (HHI) -----------------------------------------
+
+_HHI_TERM_U = (
+    "CAST(ROUND(POW(CAST(v_c AS DOUBLE) / t_c, 2.0e0) * 1.0e8) AS BIGINT)"
+)
+
+_HHI_ORACLE = (
+    "WITH s AS (SELECT n.n_name AS nation, l.l_suppkey, "
+    "SUM(CAST(ROUND(l.l_extendedprice * (1.0e0 - l.l_discount) * 100.0e0) "
+    "AS BIGINT)) AS v_c "
+    "FROM lineitem l JOIN supplier su ON su.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = su.s_nationkey "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT nation, SUM(v_c) AS t_c, COUNT(*) AS n_suppliers "
+    "FROM s GROUP BY nation) "
+    "SELECT s.nation, MAX(n_suppliers) AS n_suppliers, "
+    "CAST(MAX(t_c) AS DOUBLE) / 100.0e0 AS total_revenue, "
+    "CAST(SUM(" + _HHI_TERM_U + ") AS DOUBLE) / 1.0e8 AS hhi, "
+    + rnd("CAST(MAX(mx) AS DOUBLE) / MAX(t_c)", 6)
+    + " AS top_share FROM ("
+    "SELECT s.*, t.t_c, t.n_suppliers, "
+    "MAX(v_c) OVER (PARTITION BY s.nation) AS mx "
+    "FROM s JOIN t USING (nation)) s GROUP BY s.nation"
+)
+
+
+@query("supplier_concentration_hhi", oracle=_HHI_ORACLE)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Market-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue share within each nation (sum of squared shares —
+    1/n for perfect competition, 1.0 for monopoly; antitrust wakes up
+    above 0.25), plus the largest single share — the categorical twin
+    of events_gini_concentration's continuous inequality measure.
+    Revenue reduces to (nation, supplier) exact cents through the
+    broadcast dim joins; each squared share snaps to 1e-8 integer
+    units before the per-nation sum, so the index is exact
+    cross-engine. Supply-chain reading: a high-HHI nation is a
+    single-supplier dependency risk."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    su = tables.load(spark, sf_dir, "supplier")
+    na = tables.load(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) "
+                    "* 100.0e0) AS BIGINT)"
+                )
+            ).alias("v_c")
+        )
+    )
+    s = T.materialize(s)
+    t = s.groupBy("nation").agg(
+        F.sum("v_c").alias("t_c"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    wn = Window.partitionBy("nation")
+    j = s.join(t, "nation").withColumn("mx", F.max("v_c").over(wn))
+    return j.groupBy("nation").agg(
+        F.max("n_suppliers").alias("n_suppliers"),
+        F.expr("CAST(MAX(t_c) AS DOUBLE) / 100.0e0").alias(
+            "total_revenue"
+        ),
+        F.expr(
+            "CAST(SUM(" + _HHI_TERM_U + ") AS DOUBLE) / 1.0e8"
+        ).alias("hhi"),
+        F.expr(rnd("CAST(MAX(mx) AS DOUBLE) / MAX(t_c)", 6)).alias(
+            "top_share"
+        ),
+    )
