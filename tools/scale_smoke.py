@@ -93,6 +93,30 @@ QUERIES_TO_RUN = [
     "dedup_minhash_estimate_error",
     "join_asof_cogrouped_pandas",
     "corpus_chunk_windows",
+    "dedup_prefix_filter_jaccard",
+    "dedup_minhash_band_tuning",
+    "dedup_graph_degree_profile",
+    "corpus_split_leakage",
+    "events_json_schema_profile",
+    "events_user_entropy",
+    "events_user_features",
+    "events_gini_concentration",
+    "events_markov_eval",
+    "events_survival_km",
+    "events_bootstrap_ci",
+    "events_holt_winters",
+    "join_asof_nearest_click",
+    "join_session_overlap",
+    "orders_cohort_ltv",
+    "orders_backlog_sweepline",
+    "lineitem_returns_pchart",
+    "supplier_concentration_hhi",
+    "embed_centroid_drift",
+    "embed_norm_stats",
+    "embed_silhouette_labels",
+    "embed_ivf_nprobe_matrix",
+    "multimodal_exact_dupes",
+    "sql_pipe_syntax_daily_revenue",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are

@@ -937,3 +937,79 @@ def events_gini_concentration(spark, sf_dir):
             ).alias("top_decile_share"),
         )
     )
+
+
+# --- A/B two-proportion z-test ------------------------------------------------
+
+#: pooled two-proportion z; NULL when the pooled rate is degenerate
+#: (0 or 1 => zero variance — ANSI division would throw, and no test
+#: is defined)
+_AB_Z = (
+    "CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL ELSE "
+    "(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) / "
+    "SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2)) "
+    "* (1.0e0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2)) "
+    "* (1.0e0 / n1 + 1.0e0 / n2)) END"
+)
+
+_AB_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "u AS (SELECT user_id, user_id % 2 AS grp, "
+    "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    ">= 3 THEN 1 ELSE 0 END AS conv "
+    "FROM events_t GROUP BY user_id), "
+    "g AS (SELECT "
+    "COUNT(CASE WHEN grp = 0 THEN 1 END) AS n1, "
+    "SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS c1, "
+    "COUNT(CASE WHEN grp = 1 THEN 1 END) AS n2, "
+    "SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS c2 FROM u) "
+    "SELECT n1, c1, n2, c2, "
+    + rnd("CAST(c1 AS DOUBLE) / n1", 6)
+    + " AS rate_a, "
+    + rnd("CAST(c2 AS DOUBLE) / n2", 6)
+    + " AS rate_b, "
+    + rnd(_AB_Z, 4)
+    + " AS z_stat, "
+    f"CASE WHEN {_AB_Z} IS NOT NULL AND ABS({_AB_Z}) > 1.959964e0 "
+    "THEN 1 ELSE 0 END AS significant_95 FROM g"
+)
+
+
+@query("events_ab_conversion_ztest", oracle=_AB_ORACLE)
+def events_ab_conversion_ztest(spark, sf_dir):
+    """Experimentation analytics: a two-proportion z-test on per-user
+    conversion (did the user purchase at least 3 times) between deterministic
+    variant groups (user_id parity standing in for the assignment
+    hash — in production the bucketing IS an LCG like
+    corpus_split_assign's). Pooled-variance z statistic and the 95%
+    significance verdict, all from four exact integers (group sizes +
+    conversions) — the whole test is two stacked aggregates ending in
+    a single row, so the expensive part is the per-user reduction the
+    engine would run for any funnel metric anyway. The statistical
+    floor every dashboard comparison of two rates should stand on."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END) >= 3 THEN 1 ELSE 0 END"
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("grp"), "conv")
+    g = u.agg(
+        F.expr("COUNT(CASE WHEN grp = 0 THEN 1 END)").alias("n1"),
+        F.expr("SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END)").alias("c1"),
+        F.expr("COUNT(CASE WHEN grp = 1 THEN 1 END)").alias("n2"),
+        F.expr("SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END)").alias("c2"),
+    )
+    return g.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr(rnd("CAST(c1 AS DOUBLE) / n1", 6)).alias("rate_a"),
+        F.expr(rnd("CAST(c2 AS DOUBLE) / n2", 6)).alias("rate_b"),
+        F.expr(rnd(_AB_Z, 4)).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN {_AB_Z} IS NOT NULL "
+            f"AND ABS({_AB_Z}) > 1.959964e0 THEN 1 ELSE 0 END"
+        ).alias("significant_95"),
+    )

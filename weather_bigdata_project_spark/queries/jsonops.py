@@ -526,3 +526,75 @@ def events_json_schema_profile(spark, sf_dir):
             ),
         )
     )
+
+
+# --- table diff / reconciliation ------------------------------------------
+
+#: deterministic LCG bucket for synthesizing "version B" of the table
+_DIFF_H = "((event_id * 1103515245 + 12345) % 100)"
+
+_DIFF_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    f"a AS (SELECT event_id, user_id, event_type, value FROM events_t), "
+    "b AS ("
+    f"SELECT event_id, user_id, event_type, "
+    f"CASE WHEN {_DIFF_H} = 1 THEN value + 1.0e0 ELSE value END AS value "
+    f"FROM a WHERE {_DIFF_H} <> 0 "
+    "UNION ALL "
+    "SELECT event_id + 100000000, user_id, event_type, value "
+    f"FROM a WHERE {_DIFF_H} = 2), "
+    "j AS (SELECT COALESCE(a.event_id, b.event_id) AS k, "
+    "CASE WHEN b.event_id IS NULL THEN 'only_a' "
+    "WHEN a.event_id IS NULL THEN 'only_b' "
+    "WHEN a.user_id = b.user_id AND a.event_type = b.event_type "
+    "AND a.value = b.value THEN 'same' ELSE 'changed' END AS status "
+    "FROM a FULL OUTER JOIN b ON a.event_id = b.event_id) "
+    "SELECT status, COUNT(*) AS n_rows FROM j GROUP BY status"
+)
+
+
+@query("events_table_diff", oracle=_DIFF_ORACLE)
+def events_table_diff(spark, sf_dir):
+    """Data-diff reconciliation: compare two versions of a table by
+    primary key and classify every key as same / changed / only_a
+    (deleted) / only_b (added) — the dataset regression test run
+    before promoting a pipeline change (did the refactor alter
+    anything it shouldn't?), and the verification step after a
+    migration or backfill. Version B synthesizes deterministically
+    from A (1% deleted, 1% value-bumped, 1% re-keyed additions via the
+    LCG bucket) so the diff exercises every class. One full outer join
+    on the key with in-row column comparison; at 100 TB both sides
+    shuffle once on the key — or zero times if the lake is bucketed by
+    it (write_bucketed_table) — and a row-level hash (sha2 of the
+    concatenated row) replaces the column list when schemas are
+    wide."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.select("event_id", "user_id", "event_type", "value")
+    b = a.filter(F.expr(f"{_DIFF_H} <> 0")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            f"CASE WHEN {_DIFF_H} = 1 THEN value + 1.0e0 ELSE value END"
+        ).alias("value"),
+    ).unionByName(
+        a.filter(F.expr(f"{_DIFF_H} = 2")).select(
+            (F.col("event_id") + 100000000).alias("event_id"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    aa = a.alias("a")
+    bb = b.alias("b")
+    j = aa.join(
+        bb, F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    ).select(
+        F.expr(
+            "CASE WHEN b.event_id IS NULL THEN 'only_a' "
+            "WHEN a.event_id IS NULL THEN 'only_b' "
+            "WHEN a.user_id = b.user_id AND a.event_type = b.event_type "
+            "AND a.value = b.value THEN 'same' ELSE 'changed' END"
+        ).alias("status")
+    )
+    return j.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
