@@ -212,3 +212,95 @@ def test_ewma_fold_py_matches_jvm_on_random_series(spark, temps, cut):
         F.count(F.lit(1)).alias("n"), F.expr(fold).alias("s")
     ).collect()
     assert got == (r["n"], r["s"])
+
+
+def _hw_fold_py(xs):
+    """Python twin of the events_holt_winters JVM fold (timeseries._HW_*):
+    anchor on the first 7 values, then the snapped three-state
+    recursion. Returns ([(i, l, b)] for i >= 8 (1-based), final s)."""
+    import math
+
+    def snap(v: float) -> int:
+        return (
+            int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+        )
+
+    m = 7
+    l = snap(sum(xs[:m]) / 7.0)
+    b = 0
+    s = [x - l for x in xs[:m]]
+    out = []
+    for k in range(m, len(xs)):
+        x = xs[k]
+        j = k % m
+        l1 = snap(0.2 * (x - s[j]) + 0.8 * (l + b))
+        b1 = snap(0.1 * (l1 - l) + 0.9 * b)
+        s[j] = snap(0.3 * (x - l1) + 0.7 * s[j])
+        l, b = l1, b1
+        out.append((k + 1, l, b))
+    return out, s
+
+
+_hw_xs = st.lists(
+    st.integers(min_value=-1_000_000, max_value=1_000_000),
+    min_size=8,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(_hw_xs)
+def test_holt_winters_fold_matches_jvm_on_random_series(spark, xs):
+    """The Holt-Winters three-state recursion (level + trend + 7-slot
+    season) must be bit-equal between the Python twin and the JVM
+    `aggregate` HOF fold on ARBITRARY integer series — guards the
+    per-step snap and the season-slot indexing (an off-by-one in the
+    modular slot cycle would still pass smooth fixtures)."""
+    from weather_bigdata_project_spark.queries.timeseries import (
+        _HW_B,
+        _HW_L,
+        _HW_M,
+        _HW_S,
+    )
+
+    want_steps, want_s = _hw_fold_py(xs)
+
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "i INT, x BIGINT"
+    )
+    j1 = f"((element_at(acc, -1).i + 1 - 1) % {_HW_M}) + 1"
+    sj = f"element_at(element_at(acc, -1).s, {j1})"
+    l1 = _HW_L.format(
+        x="e.x", sj=sj, l="element_at(acc, -1).l", b="element_at(acc, -1).b"
+    )
+    b1 = _HW_B.format(
+        l1=l1, l="element_at(acc, -1).l", b="element_at(acc, -1).b"
+    )
+    s1 = _HW_S.format(x="e.x", l1=l1, sj=sj)
+    week = f"slice(sort_array(xs), 1, {_HW_M})"
+    l0 = (
+        "CAST(ROUND(aggregate(" + week + ", CAST(0 AS BIGINT), "
+        f"(a, e) -> a + e.x) / {_HW_M}.0e0) AS BIGINT)"
+    )
+    fold = (
+        f"aggregate(slice(sort_array(xs), {_HW_M} + 1, size(xs)), "
+        "CAST(array(named_struct("
+        f"'i', {_HW_M}, 'l', {l0}, 'b', CAST(0 AS BIGINT), "
+        f"'s', transform({week}, e -> e.x - {l0}))) "
+        "AS ARRAY<STRUCT<i: INT, l: BIGINT, b: BIGINT, "
+        "s: ARRAY<BIGINT>>>), "
+        "(acc, e) -> concat(acc, array(named_struct("
+        "'i', element_at(acc, -1).i + 1, "
+        f"'l', {l1}, 'b', {b1}, "
+        f"'s', transform(element_at(acc, -1).s, (v, k) -> "
+        f"IF(k = {j1} - 1, {s1}, v))))))"
+    )
+    [row] = (
+        df.agg(F.expr("collect_list(struct(i, x))").alias("xs"))
+        .selectExpr(f"{fold} AS st")
+        .collect()
+    )
+    got_steps = [(e["i"], e["l"], e["b"]) for e in row["st"][1:]]
+    got_s = list(row["st"][-1]["s"])
+    assert got_steps == want_steps
+    assert got_s == want_s
