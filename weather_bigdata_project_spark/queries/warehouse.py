@@ -750,3 +750,70 @@ def supplier_concentration_hhi(spark, sf_dir):
             "top_share"
         ),
     )
+
+
+# --- 4-4-5 fiscal calendar aggregation ------------------------------------
+
+#: fiscal year starts Feb 1; weeks are 0-based from the fiscal start,
+#: week 52/53 (the year's ragged tail) clamps into period 12 — the
+#: standard 4-4-5 retail convention. Pure integer date arithmetic,
+#: identical text in both engines.
+_FY = "(CASE WHEN month(o_orderdate) >= 2 THEN year(o_orderdate) " \
+      "ELSE year(o_orderdate) - 1 END)"
+
+
+def _fp(datediff_expr: str) -> str:
+    w = f"LEAST(({datediff_expr}) DIV 7, 51)"
+    return (
+        f"(({w}) DIV 13) * 3 + "
+        f"(CASE WHEN ({w}) % 13 < 4 THEN 0 "
+        f"WHEN ({w}) % 13 < 8 THEN 1 ELSE 2 END) + 1"
+    )
+
+
+_FP_SPARK = _fp(f"datediff(o_orderdate, make_date({_FY}, 2, 1))")
+_FP_DUCK = _fp(f"datediff('day', make_date({_FY}, 2, 1), o_orderdate)")
+
+_FISCAL_ORACLE = (
+    "WITH o AS (SELECT o_orderdate, "
+    + cents("o_totalprice")
+    + " AS c FROM orders) "
+    f"SELECT {_FY} AS fiscal_year, "
+    + _FP_DUCK.replace("DIV", "//")
+    + " AS fiscal_period, "
+    "COUNT(*) AS n_orders, "
+    + money("SUM(c)")
+    + " AS revenue, "
+    "MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day "
+    "FROM o GROUP BY 1, 2"
+)
+
+
+@query("orders_fiscal_445_revenue", oracle=_FISCAL_ORACLE)
+def orders_fiscal_445_revenue(spark, sf_dir):
+    """Revenue on the 4-4-5 RETAIL FISCAL calendar (fiscal year from
+    Feb 1; quarters of 4+4+5 weeks; the 53rd-week tail clamps into
+    period 12): the calendar-dimension capability every warehouse
+    conversation hits that bare date_trunc cannot express — fiscal
+    periods contain a FIXED number of weekdays, so period-over-period
+    comparisons aren't distorted by month-length (the flaw in
+    orders_yoy_priority_growth's gregorian months, deliberately kept
+    there for contrast). The mapping is pure integer date arithmetic
+    inlined into the aggregate key — no calendar dimension TABLE to
+    join, version, or backfill, and it pushes through partition
+    pruning at 100 TB. Revenue rides exact cents."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderdate", F.expr(cents("o_totalprice")).alias("c")
+    )
+    return (
+        o.groupBy(
+            F.expr(_FY).alias("fiscal_year"),
+            F.expr(_FP_SPARK).alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(money("SUM(c)")).alias("revenue"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_day"),
+        )
+    )
