@@ -468,3 +468,79 @@ def text_zipf_slope(spark, sf_dir):
     )
     xy.createOrReplaceTempView("zipf_xy")
     return spark.sql(f"{_ZIPF_FIT} FROM zipf_xy")
+
+
+# --- classifier evaluation: language-ID vs labels -------------------------
+
+_LANGID_PRED = (
+    f"CASE WHEN CAST(SUM(CASE WHEN tok IN {T.STOPWORDS_SQL} THEN 1 "
+    "ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.05e0 THEN 'en' "
+    "ELSE 'unknown' END"
+)
+
+_LANGID_EVAL_ORACLE = (
+    "WITH " + T.TOKS_CTE + ", "
+    f"p AS (SELECT doc_id, {_LANGID_PRED} AS lang_pred "
+    "FROM toks GROUP BY doc_id), "
+    "j AS (SELECT d.lang, p.lang_pred FROM documents d "
+    "JOIN p ON p.doc_id = d.doc_id), "
+    "t AS (SELECT COUNT(*) AS n_total, "
+    "SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree "
+    "FROM j) "
+    "SELECT lang, lang_pred, COUNT(*) AS n_docs, "
+    + rnd("CAST((SELECT n_agree FROM t) AS DOUBLE) / (SELECT n_total FROM t)", 4)
+    + " AS overall_accuracy FROM j GROUP BY lang, lang_pred"
+)
+
+
+@query("text_langid_confusion", oracle=_LANGID_EVAL_ORACLE)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier evaluation against ground truth: the confusion matrix
+    of the stopword-density language heuristic versus the corpus's
+    labeled `lang` column, plus overall agreement — the eval loop every
+    heuristic filter needs before it silently drops a slice of the
+    corpus (a 'fr' row predicted 'unknown' is recall lost; 'en'
+    predicted from non-English text is noise admitted). The prediction
+    is the SAME aggregate text_language_id runs; the matrix is a
+    |langs| x |preds| hash-agg on doc-cardinality rows with the
+    agreement scalar broadcast back. Swap the heuristic for a real
+    model (pandas UDF) and this evaluation query is unchanged — that
+    interface stability is the point."""
+    toks = T.tokens(spark, sf_dir)
+    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
+    p = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(stop).cast("double").alias("_ns"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_ns") / F.col("_nt") >= 0.05, "en")
+            .otherwise("unknown")
+            .alias("lang_pred"),
+        )
+    )
+    d = T.docs(spark, sf_dir).select("doc_id", "lang")
+    from ..operators.textops import materialize
+
+    j = materialize(p.join(d, "doc_id").select("lang", "lang_pred"))
+    t = j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.expr("CASE WHEN lang = lang_pred THEN 1 ELSE 0 END")
+        ).alias("n_agree"),
+    )
+    return (
+        j.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(t))
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.expr(
+                rnd("CAST(n_agree AS DOUBLE) / n_total", 4)
+            ).alias("overall_accuracy"),
+        )
+    )
