@@ -817,3 +817,81 @@ def orders_fiscal_445_revenue(spark, sf_dir):
             F.max("o_orderdate").alias("last_day"),
         )
     )
+
+
+# --- Laspeyres price index ------------------------------------------------
+
+#: per-(numerator/denominator) basket term p * q0, snapped to integer
+#: micro-cents: p is a ratio of exact integers (cents / quantity), q0 an
+#: exact integer, so one float multiply per term, snapped before the sum
+_LASP_TERM = (
+    "CAST(ROUND((CAST({pc} AS DOUBLE) / {pq}) * {q0} * 1.0e4) AS BIGINT)"
+)
+
+_LASP_ORACLE = (
+    "WITH py AS (SELECT l_partkey, year(l_shipdate) AS yr, "
+    "SUM(CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT)) AS pc, "
+    "SUM(CAST(l_quantity AS BIGINT)) AS pq "
+    "FROM lineitem GROUP BY 1, 2), "
+    "b AS (SELECT l_partkey, pc AS pc0, pq AS pq0 FROM py "
+    "WHERE yr = (SELECT MIN(yr) FROM py)), "
+    "j AS (SELECT py.yr, "
+    + _LASP_TERM.format(pc="py.pc", pq="py.pq", q0="b.pq0")
+    + " AS num_u, "
+    + _LASP_TERM.format(pc="b.pc0", pq="b.pq0", q0="b.pq0")
+    + " AS den_u "
+    "FROM py JOIN b ON b.l_partkey = py.l_partkey) "
+    "SELECT yr AS year, COUNT(*) AS n_parts_in_basket, "
+    + rnd("CAST(SUM(num_u) AS DOUBLE) / SUM(den_u) * 100.0e0", 4)
+    + " AS laspeyres_index FROM j GROUP BY yr"
+)
+
+
+@query("part_price_index_laspeyres", oracle=_LASP_ORACLE)
+def part_price_index_laspeyres(spark, sf_dir):
+    """Laspeyres price index by year (base = first observed year, index
+    100): the fixed-basket inflation measure — each year's per-part
+    average price weighted by the BASE year's quantities, so quantity
+    substitution never masquerades as price change. The index-number
+    family the dashboard's raw averages cannot express (a mean price
+    shift can be pure mix shift). Per-(part, year) price cells reduce
+    exactly (cents / integer quantity); basket terms snap to micro-cent
+    integers before the per-year sums; the base-year basket joins back
+    at part cardinality (shuffle on partkey, or broadcast when the
+    basket is a curated subset). Parts absent in the base year drop
+    from the basket — the standard fixed-basket rule, identical in
+    both engines."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(
+            F.expr("CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT)")
+        ).alias("pc"),
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("pq"),
+    )
+    py = T.materialize(py)
+    y0 = py.agg(F.min("yr").alias("y0"))
+    b = (
+        py.join(F.broadcast(y0), py.yr == F.col("y0"))
+        .select(
+            F.col("l_partkey"),
+            F.col("pc").alias("pc0"),
+            F.col("pq").alias("pq0"),
+        )
+    )
+    j = py.join(b, "l_partkey").select(
+        "yr",
+        F.expr(
+            _LASP_TERM.format(pc="pc", pq="pq", q0="pq0")
+        ).alias("num_u"),
+        F.expr(
+            _LASP_TERM.format(pc="pc0", pq="pq0", q0="pq0")
+        ).alias("den_u"),
+    )
+    return j.groupBy(F.col("yr").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_parts_in_basket"),
+        F.expr(
+            rnd("CAST(SUM(num_u) AS DOUBLE) / SUM(den_u) * 100.0e0", 4)
+        ).alias("laspeyres_index"),
+    )
