@@ -1052,3 +1052,108 @@ def events_holt_winters(spark, sf_dir):
             ).alias("forecast_next"),
         )
     )
+
+
+# --- Holt forecast backtest ------------------------------------------------
+
+#: APE term in integer 1e-6 units: forecast f = l + h*b (nano-units)
+#: vs actual x (nano-units), both exact integers at evaluation time
+_APE_U = (
+    "CAST(ROUND(ABS(CAST({f} AS DOUBLE) - {x}) / CAST({x} AS DOUBLE) "
+    "* 1.0e6) AS BIGINT)"
+)
+
+_BACKTEST_ORACLE = (
+    "WITH RECURSIVE " + _DAILY_CTE + ", "
+    "xs AS (SELECT event_type, day, "
+    "CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT) AS x, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i "
+    "FROM c), "
+    "nn AS (SELECT event_type, MAX(i) AS imax, "
+    "GREATEST(2, (4 * MAX(i)) // 5) AS cut FROM xs GROUP BY event_type), "
+    "r AS (SELECT a.event_type, a.i, a.x AS l, b2.x - a.x AS b "
+    "FROM xs a JOIN xs b2 "
+    "ON a.event_type = b2.event_type AND a.i = 1 AND b2.i = 2 "
+    "UNION ALL SELECT x.event_type, x.i, "
+    + _HOLT_L.format(x="x.x", l="r.l", b="r.b") + ", "
+    + _HOLT_B.format(
+        l1=_HOLT_L.format(x="x.x", l="r.l", b="r.b"), l="r.l", b="r.b"
+    )
+    + " FROM xs x JOIN r ON x.event_type = r.event_type "
+    "AND x.i = r.i + 1 "
+    "JOIN nn ON nn.event_type = x.event_type AND x.i <= nn.cut), "
+    "st AS (SELECT r.event_type, r.l, r.b, nn.cut, nn.imax FROM r "
+    "JOIN nn ON nn.event_type = r.event_type AND r.i = nn.cut), "
+    "te AS (SELECT xs.event_type, xs.i - st.cut AS h, xs.x, "
+    "st.l + (xs.i - st.cut) * st.b AS f "
+    "FROM xs JOIN st ON st.event_type = xs.event_type "
+    "AND xs.i > st.cut) "
+    "SELECT event_type, COUNT(*) AS n_test, "
+    + rnd(
+        "CAST(SUM(" + _APE_U.format(f="f", x="x") + ") AS DOUBLE) "
+        "/ (1.0e4 * COUNT(*))",
+        4,
+    )
+    + " AS mape_pct FROM te GROUP BY event_type"
+)
+
+
+@query("events_holt_backtest", oracle=_BACKTEST_ORACLE)
+def events_holt_backtest(spark, sf_dir):
+    """Forecast BACKTEST for the Holt linear-trend model: fit on the
+    first 80% of each type's daily series, freeze the (level, trend)
+    state at the cutoff, project the multi-step forecast l + h*b across
+    the held-out tail, and report per-type MAPE — the out-of-sample
+    loop-closer for the smoothing family (events_holt_trend FITS; this
+    answers 'how wrong is it h days out'), same eval discipline as
+    events_markov_eval. The train fold carries ONLY the running
+    (l, b) struct (no history array — O(1) fold state); the holdout
+    join is per-type state broadcast onto the test rows; APE terms
+    snap to 1e-6 integer units before the exact mean."""
+    c = _daily(spark, sf_dir)
+    xs = c.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT)").alias("x"),
+    )
+    lstep = _HOLT_L.format(x="e.x", l="acc.l", b="acc.b")
+    bstep = _HOLT_B.format(l1=lstep, l="acc.l", b="acc.b")
+    cut = "GREATEST(2, (4 * size(xs)) DIV 5)"
+    fold = (
+        f"aggregate(slice(sort_array(xs), 2, {cut} - 1), "
+        "named_struct("
+        "'l', sort_array(xs)[0].x, "
+        "'b', sort_array(xs)[1].x - sort_array(xs)[0].x), "
+        "(acc, e) -> named_struct("
+        f"'l', {lstep}, 'b', {bstep}))"
+    )
+    st = (
+        xs.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .filter(F.expr(f"size(xs) > {cut}"))
+        .select(
+            "event_type",
+            F.expr(f"{fold}.l").alias("l"),
+            F.expr(f"{fold}.b").alias("b"),
+            F.expr(cut).alias("cut"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    xi = xs.withColumn("i", F.row_number().over(w))
+    te = xi.join(F.broadcast(st), "event_type").filter(
+        F.col("i") > F.col("cut")
+    ).select(
+        "event_type",
+        "x",
+        (F.col("l") + (F.col("i") - F.col("cut")) * F.col("b")).alias("f"),
+    )
+    return te.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.expr(
+            rnd(
+                "CAST(SUM(" + _APE_U.format(f="f", x="x") + ") AS DOUBLE)"
+                " / (1.0e4 * COUNT(*))",
+                4,
+            )
+        ).alias("mape_pct"),
+    )
