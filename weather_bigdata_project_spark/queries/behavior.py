@@ -1013,3 +1013,102 @@ def events_ab_conversion_ztest(spark, sf_dir):
             f"AND ABS({_AB_Z}) > 1.959964e0 THEN 1 ELSE 0 END"
         ).alias("significant_95"),
     )
+
+
+# --- difference-in-differences ------------------------------------------------
+
+_DID_CELL = (
+    "SUM(CASE WHEN grp = {g} AND post = {p} THEN v_c ELSE 0 END)"
+)
+_DID_N = "COUNT(CASE WHEN grp = {g} AND post = {p} THEN 1 END)"
+
+
+def _did_mean(g: int, p: int) -> str:
+    return (
+        f"CAST({_DID_CELL.format(g=g, p=p)} AS DOUBLE) / "
+        f"(100.0e0 * {_DID_N.format(g=g, p=p)})"
+    )
+
+
+_DID_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, "
+    "MAX(CAST(ts AS DATE)) AS d1 FROM events_t), "
+    "e AS (SELECT user_id % 2 AS grp, "
+    "CASE WHEN CAST(ts AS DATE) >= d0 + CAST(FLOOR("
+    "0.7e0 * datediff('day', d0, d1)) AS INTEGER) THEN 1 ELSE 0 END "
+    "AS post, "
+    "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c "
+    "FROM events_t CROSS JOIN b) "
+    "SELECT "
+    + ", ".join(
+        _DID_N.format(g=g, p=p) + f" AS n_{'b' if g else 'a'}_"
+        f"{'post' if p else 'pre'}"
+        for g in (0, 1)
+        for p in (0, 1)
+    )
+    + ", "
+    + ", ".join(
+        rnd(_did_mean(g, p), 4) + f" AS mean_{'b' if g else 'a'}_"
+        f"{'post' if p else 'pre'}"
+        for g in (0, 1)
+        for p in (0, 1)
+    )
+    + ", "
+    + rnd(
+        f"(({_did_mean(1, 1)}) - ({_did_mean(1, 0)})) - "
+        f"(({_did_mean(0, 1)}) - ({_did_mean(0, 0)}))",
+        4,
+    )
+    + " AS did_effect FROM e"
+)
+
+
+@query("events_did_analysis", oracle=_DID_ORACLE)
+def events_did_analysis(spark, sf_dir):
+    """Difference-in-differences on mean event value: treatment group
+    (user parity, standing in for the rollout bucket) x pre/post the
+    70% time cut — the causal-inference design for STAGGERED rollouts
+    where a plain post-only comparison (events_ab_conversion_ztest's
+    shape) would absorb any time trend into the treatment effect. The
+    2x2 cell means and the DiD interaction all derive from ONE
+    conditional aggregate over exact cents (eight integers -> one
+    row); the time cut is the same leakage-safe boundary the Markov
+    and Holt backtests use. Parallel-trends checking = run this with
+    post redefined at earlier placebo cuts."""
+    ev = tables.load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    e = ev.join(F.broadcast(b)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr(
+            "CASE WHEN to_date(ts) >= date_add(d0, "
+            "CAST(FLOOR(0.7e0 * datediff(d1, d0)) AS INT)) "
+            "THEN 1 ELSE 0 END"
+        ).alias("post"),
+        F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)").alias("v_c"),
+    )
+    cells = [
+        F.expr(_DID_N.format(g=g, p=p)).alias(
+            f"n_{'b' if g else 'a'}_{'post' if p else 'pre'}"
+        )
+        for g in (0, 1)
+        for p in (0, 1)
+    ] + [
+        F.expr(rnd(_did_mean(g, p), 4)).alias(
+            f"mean_{'b' if g else 'a'}_{'post' if p else 'pre'}"
+        )
+        for g in (0, 1)
+        for p in (0, 1)
+    ] + [
+        F.expr(
+            rnd(
+                f"(({_did_mean(1, 1)}) - ({_did_mean(1, 0)})) - "
+                f"(({_did_mean(0, 1)}) - ({_did_mean(0, 0)}))",
+                4,
+            )
+        ).alias("did_effect")
+    ]
+    return e.agg(*cells)
