@@ -359,3 +359,161 @@ def events_bootstrap_ci(spark, sf_dir):
         F.expr(rnd("qs[0]", 4)).alias("ci_lo"),
         F.expr(rnd("qs[1]", 4)).alias("ci_hi"),
     )
+
+
+# --- one-way ANOVA ---------------------------------------------------------
+
+#: per-group sx^2/n snapped to an INTEGER before the cross-group sum
+#: (sx^2 overflows int64, so the division runs in double — one
+#: deterministic expression per group — and the snap makes the k-row
+#: sum exact and order-free; same for the single grand-mean term)
+_SGM_U = "CAST(ROUND(CAST(sx AS DOUBLE) * sx / n) AS BIGINT)"
+_GT_U = "CAST(ROUND(CAST(sxt AS DOUBLE) * sxt / nt) AS BIGINT)"
+
+_ANOVA_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    f"g AS (SELECT event_type, COUNT(*) AS n, SUM({_X}) AS sx, "
+    f"SUM({_X} * {_X}) AS sxx FROM events_t GROUP BY event_type), "
+    "t AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(sx) AS sxt, "
+    f"SUM(sxx) AS sxxt, SUM({_SGM_U}) AS sgm_u FROM g) "
+    "SELECT k AS n_groups, nt AS n_rows, "
+    + rnd(
+        f"(CAST(sgm_u - {_GT_U} AS DOUBLE) / (k - 1)) / "
+        "(CAST(sxxt - sgm_u AS DOUBLE) / (nt - k)) ",
+        4,
+    )
+    + " AS f_stat, "
+    + rnd(f"CAST(sgm_u - {_GT_U} AS DOUBLE) / 10000.0e0", 4)
+    + " AS ss_between, "
+    + rnd("CAST(sxxt - sgm_u AS DOUBLE) / 10000.0e0", 4)
+    + " AS ss_within FROM t"
+)
+
+
+@query("events_value_anova", oracle=_ANOVA_ORACLE)
+def events_value_anova(spark, sf_dir):
+    """One-way ANOVA across event types: does mean value differ between
+    groups more than within them? F = (SS_between/(k-1)) /
+    (SS_within/(n-k)), with every sum of squares derived from the SAME
+    exact integer moment sums (n, Sx, Sxx per group) that
+    events_moment_stats accumulates — one map-combined hash aggregate
+    over the fact table, then float algebra on k rows. The continuous
+    companion to events_type_dow_chisq's categorical independence
+    test; a large F here is what justifies per-type models downstream.
+    The only cross-group float term (sum of sx^2/n) runs over the
+    k-row group frame in one deterministic order in both engines
+    (single aggregation of k exact rationals; rnd absorbs the last
+    ulp)."""
+    ev = tables.load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_X)).alias("sx"),
+        F.sum(F.expr(f"{_X} * {_X}")).alias("sxx"),
+    )
+    from ..operators.textops import materialize
+
+    g = materialize(g)
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("sx").alias("sxt"),
+        F.sum("sxx").alias("sxxt"),
+        F.sum(F.expr(_SGM_U)).alias("sgm_u"),
+    )
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.expr(
+            rnd(
+                f"(CAST(sgm_u - {_GT_U} AS DOUBLE) / (k - 1)) / "
+                "(CAST(sxxt - sgm_u AS DOUBLE) / (nt - k)) ",
+                4,
+            )
+        ).alias("f_stat"),
+        F.expr(
+            rnd(f"CAST(sgm_u - {_GT_U} AS DOUBLE) / 10000.0e0", 4)
+        ).alias("ss_between"),
+        F.expr(
+            rnd("CAST(sxxt - sgm_u AS DOUBLE) / 10000.0e0", 4)
+        ).alias("ss_within"),
+    )
+
+
+# --- Benford's law forensic screen ----------------------------------------
+
+#: expected Benford first-digit probabilities log10(1 + 1/d), snapped to
+#: integer 1e-9 units as fixed literals (identical constants both
+#: engines; no libm call at query time)
+_BENFORD_P9 = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013,
+    5: 79181246, 6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {u}" for d, u in _BENFORD_P9.items())
+    + " END"
+)
+
+#: per-digit chi-square term (o - e)^2 / e in integer micro-units
+_BEN_CHI_U = (
+    "CAST(ROUND(POW(CAST(o AS DOUBLE) - CAST(e9 AS DOUBLE) * nt / 1.0e9, "
+    "2.0e0) / (CAST(e9 AS DOUBLE) * nt / 1.0e9) * 1.0e6) AS BIGINT)"
+)
+
+_BENFORD_ORACLE = (
+    "WITH d AS (SELECT CAST(SUBSTR(CAST("
+    "CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT) AS VARCHAR), 1, 1) "
+    "AS INTEGER) AS first_digit FROM orders), "
+    "c AS (SELECT first_digit, COUNT(*) AS o FROM d GROUP BY 1), "
+    "t AS (SELECT SUM(o) AS nt FROM c), "
+    f"x AS (SELECT first_digit, o, {_BENFORD_CASE} AS e9, nt "
+    "FROM c CROSS JOIN t) "
+    "SELECT first_digit, o AS n_observed, "
+    + rnd("CAST(o AS DOUBLE) / nt", 6)
+    + " AS observed_frac, "
+    + rnd("CAST(e9 AS DOUBLE) / 1.0e9", 6)
+    + " AS benford_frac, "
+    + rnd(f"CAST(SUM({_BEN_CHI_U}) OVER () AS DOUBLE) / 1.0e6", 4)
+    + " AS chi2_total FROM x"
+)
+
+
+@query("orders_benford_screen", oracle=_BENFORD_ORACLE)
+def orders_benford_screen(spark, sf_dir):
+    """Benford's-law forensic screen on order totals: observed
+    first-digit distribution vs the log10(1 + 1/d) expectation, with
+    the overall chi-square — the fraud/data-fabrication smell test
+    auditors run on financial columns (synthetic or tampered amounts
+    rarely honor Benford; TPC-H's uniform generator should FAIL the
+    screen loudly, which is itself the demonstration). First digit via
+    exact integer-cents string prefix (no float log); expected
+    probabilities are fixed 1e-9-unit integer literals; chi-square
+    terms snap to micro-units before the exact 9-row sum. One hash
+    aggregate over the fact column, everything after on 9 rows."""
+    o = tables.load(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100.0e0) "
+            "AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("o"))
+    from ..operators.textops import materialize
+
+    c = materialize(c)
+    t = c.agg(F.sum("o").alias("nt"))
+    x = c.join(F.broadcast(t)).select(
+        "first_digit", "o", F.expr(_BENFORD_CASE).alias("e9"), "nt"
+    )
+    w = Window.partitionBy()
+    return x.select(
+        "first_digit",
+        F.col("o").alias("n_observed"),
+        F.expr(rnd("CAST(o AS DOUBLE) / nt", 6)).alias("observed_frac"),
+        F.expr(rnd("CAST(e9 AS DOUBLE) / 1.0e9", 6)).alias(
+            "benford_frac"
+        ),
+        F.expr(rnd(f"CAST(SUM({_BEN_CHI_U}) OVER () AS DOUBLE) / 1.0e6", 4)).alias(
+            "chi2_total"
+        ),
+    )
