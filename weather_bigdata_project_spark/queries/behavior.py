@@ -1112,3 +1112,94 @@ def events_did_analysis(spark, sf_dir):
         ).alias("did_effect")
     ]
     return e.agg(*cells)
+
+
+# --- periodogram of the daily series ------------------------------------------
+
+#: candidate periods in days (2..14 covers the weekly band and its
+#: aliases); per-term products snap to integer 1e-4 units before the
+#: exact sums — libm cos/sin may differ by an ulp between engines, but
+#: the product noise (|dev| * 1e-16) sits far below the snap step
+_PG_PERIODS = list(range(2, 15))
+
+_PG_C_U = (
+    "CAST(ROUND(dev * COS(2.0e0 * PI() * t / {p}) * 1.0e4) AS BIGINT)"
+)
+_PG_S_U = (
+    "CAST(ROUND(dev * SIN(2.0e0 * PI() * t / {p}) * 1.0e4) AS BIGINT)"
+)
+
+_PG_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x "
+    "FROM events_t GROUP BY 1), "
+    "tt AS (SELECT COUNT(*) AS nd, SUM(x) AS sx FROM d), "
+    "v AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, "
+    "nd * x - sx AS dev, nd FROM d CROSS JOIN tt), "
+    "den AS (SELECT SUM(dev * dev) AS den FROM v), "
+    "p AS ("
+    + " UNION ALL ".join(
+        f"SELECT {p} AS period, "
+        f"SUM({_PG_C_U.format(p=p)}) AS sc_u, "
+        f"SUM({_PG_S_U.format(p=p)}) AS ss_u FROM v"
+        for p in _PG_PERIODS
+    )
+    + ") "
+    "SELECT period, "
+    + rnd(
+        "(CAST(sc_u AS DOUBLE) * sc_u + CAST(ss_u AS DOUBLE) * ss_u) "
+        "/ (1.0e8 * den)",
+        6,
+    )
+    + " AS rel_power FROM p CROSS JOIN den"
+)
+
+
+@query("events_periodogram", oracle=_PG_ORACLE)
+def events_periodogram(spark, sf_dir):
+    """Periodogram of the global daily event-count series at candidate
+    periods 2..14 days: spectral power (squared projection onto
+    cos/sin at each period, normalized by total variance) — the
+    frequency-domain sibling of events_acf_daily, and the scan that
+    finds periodicities ACF's fixed integer lags can miss. Expect the
+    7-day line to dominate (the weekly cycle events_dow_seasonality
+    models). Mean removal rides the exact integer deviation nd*x - sx;
+    each cos/sin projection term snaps to 1e-4 integer units before
+    the exact per-period sums (libm trig last-ulp differences sit
+    orders of magnitude below the snap); the squared magnitudes
+    combine as one deterministic float expression per period. All 13
+    periods stack over the SAME calendar-sized daily frame — one fact
+    reduction, 13 projections of ~10^2 rows each."""
+    ev = tables.load(spark, sf_dir, "events")
+    d = materialize(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
+    )
+    tt = d.agg(F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx"))
+    w = Window.orderBy("day")
+    v = materialize(
+        d.join(F.broadcast(tt)).select(
+            (F.row_number().over(w) - 1).alias("t"),
+            (F.col("nd") * F.col("x") - F.col("sx")).alias("dev"),
+        )
+    )
+    den = v.agg(F.sum(F.expr("dev * dev")).alias("den"))
+    rows = None
+    for p in _PG_PERIODS:
+        m = v.agg(
+            F.lit(p).alias("period"),
+            F.sum(F.expr(_PG_C_U.format(p=p))).alias("sc_u"),
+            F.sum(F.expr(_PG_S_U.format(p=p))).alias("ss_u"),
+        )
+        rows = m if rows is None else rows.unionByName(m)
+    return rows.join(F.broadcast(den)).select(
+        "period",
+        F.expr(
+            rnd(
+                "(CAST(sc_u AS DOUBLE) * sc_u + CAST(ss_u AS DOUBLE) "
+                "* ss_u) / (1.0e8 * den)",
+                6,
+            )
+        ).alias("rel_power"),
+    )
