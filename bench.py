@@ -93,6 +93,16 @@ HEADLINE = [
     "events_markov_eval",
     "dedup_minhash_band_tuning",
     "corpus_split_leakage",
+    "events_periodogram",
+    "events_value_anova",
+    "orders_benford_screen",
+    "events_did_analysis",
+    "events_table_diff",
+    "text_langid_confusion",
+    "part_price_index_laspeyres",
+    "orders_fiscal_445_revenue",
+    "events_holt_backtest",
+    "supplier_concentration_hhi",
 ]
 
 

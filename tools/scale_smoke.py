@@ -117,6 +117,16 @@ QUERIES_TO_RUN = [
     "embed_ivf_nprobe_matrix",
     "multimodal_exact_dupes",
     "sql_pipe_syntax_daily_revenue",
+    "events_periodogram",
+    "events_value_anova",
+    "orders_benford_screen",
+    "events_did_analysis",
+    "events_ab_conversion_ztest",
+    "events_table_diff",
+    "text_langid_confusion",
+    "part_price_index_laspeyres",
+    "orders_fiscal_445_revenue",
+    "events_holt_backtest",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
