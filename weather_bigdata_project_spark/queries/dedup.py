@@ -1114,3 +1114,71 @@ def dedup_graph_degree_profile(spark, sf_dir):
             "max_degree",
         )
     )
+
+
+# --- quality-aware canonical selection ------------------------------------
+
+
+def _canon_oracle() -> str:
+    # text.py registers text_quality_score; force it first (registry
+    # loads dedup before text, and this oracle nests both blocks' SQL)
+    from . import text as _text  # noqa: F401
+    from ..registry import ORACLES
+
+    return (
+        "WITH cl AS (SELECT * FROM (" + ORACLES["dedup_clusters"] + ")), "
+        "q AS (SELECT doc_id, quality FROM ("
+        + ORACLES["text_quality_score"]
+        + ")), "
+        "j AS (SELECT cl.canonical_doc AS cluster_id, cl.doc_id, "
+        "q.quality FROM cl JOIN q USING (doc_id)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id) AS rk FROM j) "
+        "SELECT cluster_id, COUNT(*) AS n_members, "
+        "MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc, "
+        "MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality "
+        "FROM r GROUP BY cluster_id"
+    )
+
+
+@query("dedup_cluster_canonical_quality", oracle=None)
+def dedup_cluster_canonical_quality(spark, sf_dir):
+    """Quality-aware canonical selection: within each near-dup CLUSTER
+    (connected components over the verified MinHash graph), keep the
+    HIGHEST-quality member (ties to lowest doc_id) instead of the
+    naive min-id survivor — near-duplicates usually differ by
+    boilerplate or truncation, and min-id keeps whichever crawl
+    happened first, not the best copy. This upgrades the removal
+    policy corpus_filter_pipeline applies (drop doc2 of every pair)
+    to a per-cluster decision. Composes two verified blocks (cluster
+    labels x quality scores) with one join + one per-cluster window
+    over cluster-cardinality rows; the oracle nests both blocks'
+    SQL."""
+    from .text import text_quality_score
+
+    cl = dedup_clusters(spark, sf_dir).select(
+        F.col("canonical_doc").alias("cluster_id"), "doc_id"
+    )
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = cl.join(q, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    r = j.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.expr("CASE WHEN rk = 1 THEN doc_id END")).alias(
+            "kept_doc"
+        ),
+        F.max(F.expr("CASE WHEN rk = 1 THEN quality END")).alias(
+            "kept_quality"
+        ),
+    )
+
+
+# register the oracle lazily: it nests two already-registered oracles
+from ..registry import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_cluster_canonical_quality"] = _canon_oracle()
