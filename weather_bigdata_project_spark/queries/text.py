@@ -544,3 +544,64 @@ def text_langid_confusion(spark, sf_dir):
             ).alias("overall_accuracy"),
         )
     )
+
+
+# --- vocabulary coverage curve --------------------------------------------
+
+_COV_CUTS = [100, 500, 1000, 5000]
+
+_COV_ORACLE = (
+    "WITH " + T.TOKS_CTE + ", "
+    "v AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+    "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk "
+    "FROM v), "
+    "t AS (SELECT SUM(c) AS total, COUNT(*) AS n_types FROM v) "
+    "SELECT k AS vocab_size, n_types, "
+    + rnd(
+        "CAST((SELECT SUM(c) FROM r WHERE rk <= k) AS DOUBLE) / total", 6
+    )
+    + " AS token_coverage FROM t CROSS JOIN ("
+    + " UNION ALL ".join(f"SELECT {k} AS k" for k in _COV_CUTS)
+    + ") ks"
+)
+
+
+@query("text_vocab_coverage_curve", oracle=_COV_ORACLE)
+def text_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-100 / 500 / 1k / 5k types — the tokenizer-budget
+    planning input (where this curve flattens is where growing a BPE
+    vocabulary stops paying, and its complement is the OOV rate a
+    fixed vocab accepts). One token-cardinality hash aggregate builds
+    the vocabulary, one global rank over the vocabulary frame (type
+    cardinality, not corpus cardinality — the Zipf query's argument),
+    then four cumulative sums read off the ranked run. Deterministic
+    rank: count desc, token asc."""
+    toks = T.tokens(spark, sf_dir)
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from ..operators.textops import materialize
+    from pyspark.sql import Window
+
+    v = materialize(v)
+    w = Window.orderBy(F.desc("c"), "tok")
+    r = materialize(
+        v.select("c", F.row_number().over(w).alias("rk"))
+    )
+    t = v.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    rows = None
+    for k in _COV_CUTS:
+        m = (
+            r.filter(F.col("rk") <= k)
+            .agg(F.sum("c").alias("topc"))
+            .select(F.lit(k).alias("vocab_size"), "topc")
+        )
+        rows = m if rows is None else rows.unionByName(m)
+    return rows.join(F.broadcast(t)).select(
+        "vocab_size",
+        "n_types",
+        F.expr(
+            rnd("CAST(topc AS DOUBLE) / total", 6)
+        ).alias("token_coverage"),
+    )
