@@ -1203,3 +1203,88 @@ def events_periodogram(spark, sf_dir):
             )
         ).alias("rel_power"),
     )
+
+
+# --- growth accounting --------------------------------------------------------
+
+_GROWTH_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+    "FROM events_t), "
+    "f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id), "
+    "m AS (SELECT ud.user_id, ud.day, f.d0, "
+    "LAG(ud.day) OVER (PARTITION BY ud.user_id ORDER BY ud.day) AS prev "
+    "FROM ud JOIN f ON f.user_id = ud.user_id), "
+    "act AS (SELECT day, "
+    "COUNT(CASE WHEN day = d0 THEN 1 END) AS n_new, "
+    "COUNT(CASE WHEN day > d0 AND prev = day - 1 THEN 1 END) "
+    "AS n_retained, "
+    "COUNT(CASE WHEN day > d0 AND prev < day - 1 THEN 1 END) "
+    "AS n_resurrected FROM m GROUP BY day), "
+    "ch AS (SELECT day + 1 AS day, COUNT(*) AS n_churned FROM m m1 "
+    "WHERE NOT EXISTS (SELECT 1 FROM ud WHERE ud.user_id = m1.user_id "
+    "AND ud.day = m1.day + 1) GROUP BY m1.day) "
+    "SELECT act.day, n_new, n_retained, n_resurrected, "
+    "n_new + n_retained + n_resurrected AS n_active, "
+    "COALESCE(ch.n_churned, 0) AS n_churned_from_prev "
+    "FROM act LEFT JOIN ch ON ch.day = act.day"
+)
+
+
+@query("events_growth_accounting", oracle=_GROWTH_ORACLE)
+def events_growth_accounting(spark, sf_dir):
+    """Growth accounting: every day's active users decomposed into NEW
+    (first day), RETAINED (also active yesterday), RESURRECTED (active
+    before, but not yesterday), plus the churn OUT of each day (active
+    that day, absent the next) — the DAU decomposition growth teams
+    read before any topline number, and the disaggregation that tells
+    you whether growth is acquisition or resurrection. Everything
+    reduces to the distinct (user, day) frame first (user-cardinality
+    x active days); classification is one per-user lag window; churn
+    is the same frame shifted by a day (left anti via the lag in
+    reverse — here an absence join on the next day, at
+    (user, day)-cardinality). Exact integer counts throughout."""
+    ev = tables.load(spark, sf_dir, "events")
+    ud = materialize(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    f = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    m = materialize(
+        ud.join(f, "user_id").select(
+            "user_id",
+            "day",
+            "d0",
+            F.lag("day").over(w).alias("prev"),
+        )
+    )
+    act = m.groupBy("day").agg(
+        F.count(F.when(F.expr("day = d0"), 1)).alias("n_new"),
+        F.count(
+            F.when(F.expr("day > d0 AND prev = day - INTERVAL 1 DAY"), 1)
+        ).alias("n_retained"),
+        F.count(
+            F.when(F.expr("day > d0 AND prev < day - INTERVAL 1 DAY"), 1)
+        ).alias("n_resurrected"),
+    )
+    nxt = ud.select(
+        "user_id", F.date_sub("day", 1).alias("day")
+    )
+    ch = (
+        m.join(nxt, ["user_id", "day"], "left_anti")
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(ch, "day", "left")
+        .select(
+            "day",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.expr("n_new + n_retained + n_resurrected").alias("n_active"),
+            F.coalesce("n_churned", F.lit(0)).alias(
+                "n_churned_from_prev"
+            ),
+        )
+    )
