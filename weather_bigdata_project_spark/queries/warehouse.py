@@ -895,3 +895,78 @@ def part_price_index_laspeyres(spark, sf_dir):
             rnd("CAST(SUM(num_u) AS DOUBLE) / SUM(den_u) * 100.0e0", 4)
         ).alias("laspeyres_index"),
     )
+
+
+# --- nation trade balance -------------------------------------------------
+
+_TRADE_ORACLE = (
+    "WITH s AS (SELECT n.n_name AS nation, "
+    "SUM(CAST(ROUND(l.l_extendedprice * (1.0e0 - l.l_discount) * 100.0e0)"
+    " AS BIGINT)) AS sup_c "
+    "FROM lineitem l JOIN supplier su ON su.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = su.s_nationkey GROUP BY 1), "
+    "d AS (SELECT n.n_name AS nation, "
+    "SUM(CAST(ROUND(o.o_totalprice * 100.0e0) AS BIGINT)) AS dem_c "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1) "
+    "SELECT COALESCE(s.nation, d.nation) AS nation, "
+    + money("COALESCE(sup_c, 0)")
+    + " AS supply_revenue, "
+    + money("COALESCE(dem_c, 0)")
+    + " AS demand_spend, "
+    + money("COALESCE(sup_c, 0) - COALESCE(dem_c, 0)")
+    + " AS trade_balance "
+    "FROM s FULL OUTER JOIN d ON s.nation = d.nation"
+)
+
+
+@query("nation_trade_balance", oracle=_TRADE_ORACLE)
+def nation_trade_balance(spark, sf_dir):
+    """Two-fact comparison: each nation's SUPPLY-side revenue (lineitem
+    discounted revenue attributed through supplier nationality) against
+    its DEMAND-side spend (order totals through customer nationality),
+    and the balance — the export/import view a single star join cannot
+    produce because the two money flows attribute through DIFFERENT
+    dimension paths. Each side is its own broadcast-dim fact aggregate
+    reduced to nation cardinality BEFORE the full-outer combine (25
+    rows) — the comparison join never sees fact volume. Exact cents on
+    both sides; the balance is an exact integer difference."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    su = tables.load(spark, sf_dir, "supplier")
+    na = tables.load(spark, sf_dir, "nation")
+    o = tables.load(spark, sf_dir, "orders")
+    cu = tables.load(spark, sf_dir, "customer")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) "
+                    "* 100.0e0) AS BIGINT)"
+                )
+            ).alias("sup_c")
+        )
+    )
+    d = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)")
+            ).alias("dem_c")
+        )
+    )
+    return (
+        s.join(d, "nation", "full_outer")
+        .select(
+            "nation",
+            F.expr(money("COALESCE(sup_c, 0)")).alias("supply_revenue"),
+            F.expr(money("COALESCE(dem_c, 0)")).alias("demand_spend"),
+            F.expr(
+                money("COALESCE(sup_c, 0) - COALESCE(dem_c, 0)")
+            ).alias("trade_balance"),
+        )
+    )
