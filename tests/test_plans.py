@@ -101,6 +101,32 @@ _JVM_ONLY = [
     "orders_cohort_ltv",
     "orders_backlog_sweepline",
     "multimodal_exact_dupes",
+    "events_holt_winters",
+    "events_holt_backtest",
+    "events_bootstrap_ci",
+    "events_survival_km",
+    "events_markov_eval",
+    "events_value_anova",
+    "events_periodogram",
+    "events_did_analysis",
+    "events_ab_conversion_ztest",
+    "events_gini_concentration",
+    "events_growth_accounting",
+    "events_table_diff",
+    "orders_benford_screen",
+    "orders_fiscal_445_revenue",
+    "part_price_index_laspeyres",
+    "supplier_concentration_hhi",
+    "nation_trade_balance",
+    "lineitem_returns_pchart",
+    "text_langid_confusion",
+    "text_vocab_coverage_curve",
+    "corpus_split_leakage",
+    "dedup_minhash_band_tuning",
+    "dedup_graph_degree_profile",
+    "dedup_cluster_canonical_quality",
+    "embed_ivf_nprobe_matrix",
+    "sql_pipe_syntax_daily_revenue",
 ]
 
 
