@@ -698,3 +698,46 @@ def session_paths_stream(events: DataFrame) -> DataFrame:
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def start_compacting_lake_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    target_file_mb: int = 128,
+    every: int = 3,
+    small_frac_threshold: float = 0.5,
+):
+    """Append lake sink with DOCTOR-GATED in-line compaction: each
+    micro-batch appends plain parquet (foreachBatch — no file-sink
+    `_spark_metadata`, whose manifest would go stale under rewrites);
+    every `every` batches the layout doctor measures the directory and
+    triggers `compact_parquet_lake` ONLY on a 'compact' verdict — the
+    measured cure for the reference's one-file-per-message pathology
+    (ref:minio-connector.json:14) applied while the stream runs, not
+    as a separate nightly job. foreachBatch calls are serial, so the
+    atomic-swap rewrite never races the writer; concurrent READERS see
+    either the old or the new directory (two renames). Production
+    hardening: pair the append with the batch-id commit the
+    incremental-MV sink uses so replayed batches are idempotent; at
+    100 TB scope both append and compaction to the partition
+    directories the batch touched."""
+    from ..sources.readers import compact_parquet_lake, lake_layout_doctor
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(path)
+        if every > 0 and batch_id > 0 and batch_id % every == 0:
+            verdict = lake_layout_doctor(
+                path, target_file_mb, small_frac_threshold
+            )
+            if verdict["verdict"] == "compact":
+                compact_parquet_lake(
+                    batch.sparkSession, path, target_file_mb
+                )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
