@@ -906,3 +906,10 @@ def test_compacting_lake_sink_heals_small_files(spark, tmp_path):
     # in-line compactions collapse all but the post-compaction tail
     assert n_files <= 8
     assert lake_layout_doctor(lake, target_file_mb=0)["verdict"] == "ok"
+    # restart with the same checkpoint and no new input: the drained
+    # stream replays nothing — the appends are checkpoint-fenced
+    q2 = jobs.start_compacting_lake_sink(
+        stream, lake, ckpt, target_file_mb=64, every=3
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == ev.count()
