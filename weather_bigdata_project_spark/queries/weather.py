@@ -101,3 +101,137 @@ def weather_degree_days(spark, sf_dir):
             F.expr(f"CASE WHEN t_c > {b} THEN t_c - {b} ELSE 0 END")
         ).alias("cdd_c"),
     )
+
+
+# --- record-breaking days -------------------------------------------------
+
+_REC_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "r AS (SELECT city_name, timestamp_dt, event_id, temperature, "
+    "MAX(temperature) OVER w AS prev_max, "
+    "MIN(temperature) OVER w AS prev_min FROM enriched "
+    "WINDOW w AS (PARTITION BY city_name ORDER BY timestamp_dt, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "SELECT city_name, timestamp_dt, event_id, temperature, "
+    "CASE WHEN temperature > prev_max THEN 'record_high' "
+    "ELSE 'record_low' END AS record_kind, "
+    "CASE WHEN temperature > prev_max THEN prev_max "
+    "ELSE prev_min END AS previous_record "
+    "FROM r WHERE temperature > prev_max OR temperature < prev_min"
+)
+
+
+@query("weather_record_days", oracle=_REC_ORACLE)
+def weather_record_days(spark, sf_dir):
+    """Record-breaking observations: every reading that sets a new
+    all-time high or low for its city at the moment it arrives (running
+    extrema over strictly PRIOR readings — the first observation sets
+    no record), with the record it broke. The 'new record temperature'
+    headline the reference's dashboard cannot produce from its
+    whole-lake rescans without recomputing history per hit; here it is
+    one ordered window per city, O(1) running state, and the SAME
+    query incrementalizes under streaming as a stateful max/min
+    (stateful_city_extremes_stream carries exactly this state). Ties
+    do not break records (strict inequality, both engines)."""
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    w = (
+        Window.partitionBy("city_name")
+        .orderBy("timestamp_dt", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.select(
+        "city_name",
+        "timestamp_dt",
+        "event_id",
+        "temperature",
+        F.max("temperature").over(w).alias("prev_max"),
+        F.min("temperature").over(w).alias("prev_min"),
+    )
+    return r.filter(
+        (F.col("temperature") > F.col("prev_max"))
+        | (F.col("temperature") < F.col("prev_min"))
+    ).select(
+        "city_name",
+        "timestamp_dt",
+        "event_id",
+        "temperature",
+        F.expr(
+            "CASE WHEN temperature > prev_max THEN 'record_high' "
+            "ELSE 'record_low' END"
+        ).alias("record_kind"),
+        F.expr(
+            "CASE WHEN temperature > prev_max THEN prev_max "
+            "ELSE prev_min END"
+        ).alias("previous_record"),
+    )
+
+
+# --- heat-wave runs -------------------------------------------------------
+
+_HW_RUN_MIN = 3  # minimum consecutive hot days
+
+_HEATWAVE_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "d AS (SELECT city_name, CAST(timestamp_dt AS DATE) AS day, "
+    "MAX(temperature) AS dmax FROM enriched GROUP BY 1, 2), "
+    "p AS (SELECT city_name, quantile_cont(2 * dmax, 0.9e0) AS p90_2x "
+    "FROM d GROUP BY city_name), "
+    "h AS (SELECT d.city_name, d.day, d.dmax FROM d "
+    "JOIN p ON p.city_name = d.city_name WHERE 2 * d.dmax >= p90_2x), "
+    "g AS (SELECT *, day - CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY city_name ORDER BY day) AS INTEGER) AS grp FROM h) "
+    "SELECT city_name, MIN(day) AS run_start, MAX(day) AS run_end, "
+    "COUNT(*) AS run_days, MAX(dmax) AS peak_temp "
+    "FROM g GROUP BY city_name, grp "
+    f"HAVING COUNT(*) >= {_HW_RUN_MIN}"
+)
+
+
+@query("weather_heatwave_runs", oracle=_HEATWAVE_ORACLE)
+def weather_heatwave_runs(spark, sf_dir):
+    """Heat waves: runs of {n}+ CONSECUTIVE days where a city's daily
+    max reaches its own 90th percentile — the event the reference's
+    per-reading threshold alerts (ref:weather_streaming.py:127-142)
+    structurally cannot see, because a heat wave is a property of a
+    day SEQUENCE, not any single observation. Self-calibrating per
+    city (each city's own p90, computed on doubled units so the
+    interpolated threshold compares exactly in both engines), then the
+    gaps-and-islands day-minus-row_number constant groups consecutive
+    hot days; runs shorter than {n} days drop. All frames from the
+    daily aggregate down are calendar-sized.""".format(n=_HW_RUN_MIN)
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    d = e.groupBy(
+        "city_name", F.to_date("timestamp_dt").alias("day")
+    ).agg(F.max("temperature").alias("dmax"))
+    from ..operators.textops import materialize
+
+    d = materialize(d)
+    p = d.groupBy("city_name").agg(
+        F.expr("percentile(2 * dmax, 0.9e0)").alias("p90_2x")
+    )
+    h = d.join(p, "city_name").filter(
+        F.expr("2 * dmax >= p90_2x")
+    )
+    w = Window.partitionBy("city_name").orderBy("day")
+    g = h.withColumn(
+        "grp",
+        F.expr(
+            "day - make_dt_interval(CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY city_name ORDER BY day) AS INT), 0, 0, 0)"
+        ),
+    )
+    return (
+        g.groupBy("city_name", "grp")
+        .agg(
+            F.min("day").alias("run_start"),
+            F.max("day").alias("run_end"),
+            F.count(F.lit(1)).alias("run_days"),
+            F.max("dmax").alias("peak_temp"),
+        )
+        .filter(F.col("run_days") >= _HW_RUN_MIN)
+        .drop("grp")
+    )
