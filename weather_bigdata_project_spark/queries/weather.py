@@ -235,3 +235,62 @@ def weather_heatwave_runs(spark, sf_dir):
         .filter(F.col("run_days") >= _HW_RUN_MIN)
         .drop("grp")
     )
+
+
+# --- comfort-state dwell time ---------------------------------------------
+
+_DWELL_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "r AS (SELECT city_name, comfort_level, "
+    "epoch_us(LEAD(timestamp_dt) OVER (PARTITION BY city_name "
+    "ORDER BY timestamp_dt, event_id)) - epoch_us(timestamp_dt) AS g "
+    "FROM enriched) "
+    "SELECT city_name, comfort_level, COUNT(g) AS n_intervals, "
+    "SUM(g) AS dwell_us, "
+    + "(CAST(ROUND((CAST(SUM(g) AS DOUBLE) / 3.6e9) * 1e4) AS DOUBLE) "
+    "/ 1e4)"
+    + " AS dwell_hours "
+    "FROM r WHERE g IS NOT NULL GROUP BY city_name, comfort_level"
+)
+
+
+@query("weather_comfort_dwell", oracle=_DWELL_ORACLE)
+def weather_comfort_dwell(spark, sf_dir):
+    """State dwell-time accounting: how long each city SPENDS in each
+    comfort level — every inter-reading interval attributed to the
+    state observed at its start (step-function semantics, the standard
+    telemetry convention). Counting readings per state (what the
+    dashboard's value_counts does) weights by SAMPLING RATE, not time,
+    and lies whenever observation cadence varies; this does not. One
+    lead window per city (exact integer microsecond gaps), one hash
+    aggregate to (city x comfort) cells; the last reading of each city
+    has no successor and contributes no dwell — both engines agree."""
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    epoch = (
+        "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
+        "{c})"
+    )
+    w = Window.partitionBy("city_name").orderBy("timestamp_dt", "event_id")
+    r = e.select(
+        "city_name",
+        "comfort_level",
+        (
+            F.expr(epoch.format(c="lead(timestamp_dt) OVER (PARTITION BY "
+                                  "city_name ORDER BY timestamp_dt, event_id)"))
+            - F.expr(epoch.format(c="timestamp_dt"))
+        ).alias("g"),
+    )
+    return (
+        r.filter(F.col("g").isNotNull())
+        .groupBy("city_name", "comfort_level")
+        .agg(
+            F.count("g").alias("n_intervals"),
+            F.sum("g").alias("dwell_us"),
+            F.expr(
+                "(CAST(ROUND((CAST(SUM(g) AS DOUBLE) / 3.6e9) * 1e4) "
+                "AS DOUBLE) / 1e4)"
+            ).alias("dwell_hours"),
+        )
+    )
