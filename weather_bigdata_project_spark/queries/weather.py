@@ -294,3 +294,71 @@ def weather_comfort_dwell(spark, sf_dir):
             ).alias("dwell_hours"),
         )
     )
+
+
+# --- stuck-sensor (flatline) detection ------------------------------------
+
+_FLAT_MIN = 2  # demo threshold (fixture temps rarely repeat);
+#              production telemetry uses >= 5
+
+_FLATLINE_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "r AS (SELECT city_name, temperature, timestamp_dt, event_id, "
+    "ROW_NUMBER() OVER (PARTITION BY city_name "
+    "ORDER BY timestamp_dt, event_id) - "
+    "ROW_NUMBER() OVER (PARTITION BY city_name, temperature "
+    "ORDER BY timestamp_dt, event_id) AS grp FROM enriched) "
+    "SELECT city_name, temperature AS stuck_value, "
+    "MIN(timestamp_dt) AS run_start, MAX(timestamp_dt) AS run_end, "
+    "COUNT(*) AS run_len FROM r "
+    "GROUP BY city_name, temperature, grp "
+    f"HAVING COUNT(*) >= {_FLAT_MIN}"
+)
+
+
+@query("weather_flatline_runs", oracle=_FLATLINE_ORACLE)
+def weather_flatline_runs(spark, sf_dir):
+    """Stuck-sensor detection: runs of {n}+ CONSECUTIVE identical
+    temperature readings per city — the telemetry data-quality failure
+    (frozen sensor, stale cache, repeated retransmit) that per-reading
+    range checks pass happily, because every individual value is
+    plausible. Value-keyed gaps-and-islands: the difference of two
+    row_numbers (per city vs per city+value) is constant exactly while
+    the value repeats; two window passes over one exchange, then a
+    run-level aggregate. Streaming twin: the same detection is a tiny
+    extension of stateful_city_extremes_stream's per-city state (carry
+    last value + run length).""".format(n=_FLAT_MIN)
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    w_all = Window.partitionBy("city_name").orderBy(
+        "timestamp_dt", "event_id"
+    )
+    w_val = Window.partitionBy("city_name", "temperature").orderBy(
+        "timestamp_dt", "event_id"
+    )
+    r = e.select(
+        "city_name",
+        "temperature",
+        "timestamp_dt",
+        "event_id",
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_val)
+        ).alias("grp"),
+    )
+    return (
+        r.groupBy("city_name", "temperature", "grp")
+        .agg(
+            F.min("timestamp_dt").alias("run_start"),
+            F.max("timestamp_dt").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= _FLAT_MIN)
+        .select(
+            "city_name",
+            F.col("temperature").alias("stuck_value"),
+            "run_start",
+            "run_end",
+            "run_len",
+        )
+    )
