@@ -103,6 +103,13 @@ HEADLINE = [
     "orders_fiscal_445_revenue",
     "events_holt_backtest",
     "supplier_concentration_hhi",
+    "events_growth_accounting",
+    "nation_trade_balance",
+    "text_vocab_coverage_curve",
+    "weather_record_days",
+    "weather_heatwave_runs",
+    "weather_comfort_dwell",
+    "dedup_cluster_canonical_quality",
 ]
 
 
