@@ -517,3 +517,85 @@ def orders_benford_screen(spark, sf_dir):
             "chi2_total"
         ),
     )
+
+
+# --- Welch's t-test --------------------------------------------------------
+
+#: per-group n / sum / sumsq via one conditional aggregate; variance and
+#: the t statistic evaluate ONCE on the single output row (exact-int
+#: inputs, deterministic IEEE in both engines, rnd at the edge)
+_W_N = "COUNT(CASE WHEN wk = {w} THEN 1 END)"
+_W_SX = "SUM(CASE WHEN wk = {w} THEN x ELSE 0 END)"
+_W_SXX = "SUM(CASE WHEN wk = {w} THEN x * x ELSE 0 END)"
+
+
+def _w_var(w: int) -> str:
+    n, sx, sxx = (
+        _W_N.format(w=w),
+        _W_SX.format(w=w),
+        _W_SXX.format(w=w),
+    )
+    return (
+        f"((CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * {sx} / {n})"
+        f" / ({n} - 1))"
+    )
+
+
+def _w_mean(w: int) -> str:
+    return (
+        f"(CAST({_W_SX.format(w=w)} AS DOUBLE) / "
+        f"(100.0e0 * {_W_N.format(w=w)}))"
+    )
+
+
+_W_T = (
+    f"(({_w_mean(0)}) - ({_w_mean(1)})) / "
+    f"(SQRT(({_w_var(0)}) / {_W_N.format(w=0)} "
+    f"+ ({_w_var(1)}) / {_W_N.format(w=1)}) / 100.0e0)"
+)
+
+_TTEST_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "e AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk, "
+    "CAST(ROUND(value * 100.0e0) AS BIGINT) AS x FROM events_t) "
+    "SELECT "
+    + _W_N.format(w=0) + " AS n_weekday, "
+    + _W_N.format(w=1) + " AS n_weekend, "
+    + rnd(_w_mean(0), 4) + " AS mean_weekday, "
+    + rnd(_w_mean(1), 4) + " AS mean_weekend, "
+    + rnd(_W_T, 4) + " AS t_stat, "
+    + f"CASE WHEN ABS({_W_T}) > 1.96e0 THEN 1 ELSE 0 END "
+    "AS significant_95 FROM e"
+)
+
+
+@query("events_weekend_ttest", oracle=_TTEST_ORACLE)
+def events_weekend_ttest(spark, sf_dir):
+    """Welch's two-sample t-test: does mean event value differ between
+    weekdays and weekends? Unequal-variance form (no pooled-variance
+    assumption — the robust default), completing the inference battery:
+    proportions get the z-test (events_ab_conversion_ztest), means get
+    this, k-group means get ANOVA (events_value_anova), categoricals
+    get chi-square. ONE conditional aggregate produces all six exact
+    integers (n/sum/sumsq per group); the statistic is a single
+    deterministic float evaluation on the one-row result. Degrees of
+    freedom are thousands here, so the 1.96 normal cutoff is the
+    appropriate critical value (document Welch-Satterthwaite for small
+    samples)."""
+    ev = tables.load(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr(
+            "CASE WHEN weekday(ts) >= 5 THEN 1 ELSE 0 END"
+        ).alias("wk"),
+        F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)").alias("x"),
+    )
+    return e.agg(
+        F.expr(_W_N.format(w=0)).alias("n_weekday"),
+        F.expr(_W_N.format(w=1)).alias("n_weekend"),
+        F.expr(rnd(_w_mean(0), 4)).alias("mean_weekday"),
+        F.expr(rnd(_w_mean(1), 4)).alias("mean_weekend"),
+        F.expr(rnd(_W_T, 4)).alias("t_stat"),
+        F.expr(
+            f"CASE WHEN ABS({_W_T}) > 1.96e0 THEN 1 ELSE 0 END"
+        ).alias("significant_95"),
+    )
