@@ -970,3 +970,55 @@ def nation_trade_balance(spark, sf_dir):
             ).alias("trade_balance"),
         )
     )
+
+
+# --- decile analysis ------------------------------------------------------
+
+_DECILE_ORACLE = (
+    "WITH d AS (SELECT c_mktsegment, "
+    "CAST(ROUND(c_acctbal * 100.0e0) AS BIGINT) AS b_c, "
+    "NTILE(10) OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal, c_custkey) AS decile FROM customer) "
+    "SELECT c_mktsegment, decile, COUNT(*) AS n_customers, "
+    + money("SUM(b_c)")
+    + " AS total_balance, "
+    + rnd("CAST(SUM(b_c) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+    + " AS avg_balance, "
+    + money("MIN(b_c)")
+    + " AS min_balance, "
+    + money("MAX(b_c)")
+    + " AS max_balance "
+    "FROM d GROUP BY c_mktsegment, decile"
+)
+
+
+@query("customer_balance_deciles", oracle=_DECILE_ORACLE)
+def customer_balance_deciles(spark, sf_dir):
+    """Decile analysis: customers ranked into balance deciles WITHIN
+    each market segment (NTILE over a total order — c_custkey breaks
+    acctbal ties, so decile membership is deterministic), with per-cell
+    counts and exact-cents balance totals/extrema — the classic BI
+    decile report (who holds the money, per segment) and the shape a
+    scorecard binning step produces. One exchange on segment, one
+    in-partition sort, one hash aggregate over 10 x |segments| cells.
+    At billion-customer scale the exact NTILE swaps for
+    approx-percentile thresholds, same trade documented on
+    orders_rfm_segments."""
+    cu = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    d = cu.select(
+        "c_mktsegment",
+        F.expr("CAST(ROUND(c_acctbal * 100.0e0) AS BIGINT)").alias("b_c"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return d.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(money("SUM(b_c)")).alias("total_balance"),
+        F.expr(
+            rnd("CAST(SUM(b_c) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+        ).alias("avg_balance"),
+        F.expr(money("MIN(b_c)")).alias("min_balance"),
+        F.expr(money("MAX(b_c)")).alias("max_balance"),
+    )
