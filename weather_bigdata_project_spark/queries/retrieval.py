@@ -1,0 +1,174 @@
+"""Retrieval operators over `documents`: BM25 ranking and positional
+phrase search — the query-serving half of the inverted-index story
+(`text_inverted_index` builds the index; these are the lookups a
+retrieval-augmented pipeline runs against it).
+
+Scale notes (SCALE.md doctrine):
+- BM25 filters the token stream to the query's terms BEFORE any shuffle,
+  so the aggregate carries candidate-docs x query-terms rows, never the
+  corpus; document length is a narrow in-row `size(split(...))`.
+- Per-(doc, term) contributions are snapped to integer micro-units
+  before the cross-term SUM, so scores are exact integers — order- and
+  partitioning-insensitive, bit-stable across engines (the `_PMI_U`
+  doctrine from text.py).
+- Phrase search is a positional-index self-equi-join on (doc_id, pos) —
+  a hash join, never a nested loop; the oracle recomputes occurrences
+  with an in-row list scan (a genuinely different algorithm), so the
+  match is an algebraic cross-check, not a mirror.
+
+Reference parity: the reference has no retrieval surface at all (its
+only text handling is `weather_description.like(...)` —
+ref:spark-apps/weather_streaming.py:107-112); this extends the
+north-star text-analysis family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import textops as T
+from ..registry import query
+
+# --- BM25 ----------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+_BM25_K1 = "1.2e0"
+_BM25_B = "0.75e0"
+_BM25_TOP = 10
+
+#: Okapi BM25 contribution of one (doc, term) row, in integer
+#: micro-units. `idf_u` is the LN snapped to nano-units first (absorbs
+#: last-ulp libm differences); dl/avgdl is the exact-integer product
+#: dl*n divided once by sdl, so both engines see identical doubles.
+#: Identical expression TEXT runs on Spark and DuckDB.
+_BM25_CONTRIB_U = (
+    "CAST(ROUND((CAST(idf_u AS DOUBLE) / 1.0e9) * "
+    f"(CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0e0)) / "
+    f"(CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0e0 - {_BM25_B} + {_BM25_B} * "
+    "(CAST(dl * n AS DOUBLE) / CAST(sdl AS DOUBLE)))) "
+    "* 1.0e6) AS BIGINT)"
+)
+
+_BM25_IDF_U = (
+    "CAST(ROUND(LN((CAST(n - df AS DOUBLE) + 0.5e0) / "
+    "(CAST(df AS DOUBLE) + 0.5e0) + 1.0e0) * 1.0e9) AS BIGINT)"
+)
+
+
+@query(
+    "text_bm25_search",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", "
+        "dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+        "FROM documents), "
+        "tot AS (SELECT SUM(dl) AS sdl, COUNT(*) AS n FROM dl), "
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+        f"WHERE tok IN {_BM25_TERMS_SQL} GROUP BY doc_id, tok), "
+        "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), "
+        "idf AS (SELECT tok, df, " + _BM25_IDF_U + " AS idf_u "
+        "FROM dfq, tot), "
+        "contrib AS (SELECT doc_id, " + _BM25_CONTRIB_U + " AS c_u "
+        "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), tot), "
+        "scored AS (SELECT doc_id, SUM(c_u) AS score_u FROM contrib "
+        "GROUP BY doc_id), "
+        "r AS (SELECT doc_id, score_u, ROW_NUMBER() OVER "
+        "(ORDER BY score_u DESC, doc_id) AS rnk FROM scored) "
+        "SELECT rnk, doc_id, "
+        "CAST(score_u AS DOUBLE) / 1.0e6 AS bm25 "
+        f"FROM r WHERE rnk <= {_BM25_TOP}"
+    ),
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the fixed query {spark, join, stream} (k1=1.2,
+    b=0.75). Token stream is filtered to the 3 query terms before the
+    (doc, term) aggregate, so every shuffle after the scan carries
+    candidates only; df and the global (sdl, n) totals are 1-to-3-row
+    aggregates broadcast back (never a driver collect); contributions are
+    micro-unit integers so the cross-term SUM and the top-10 cut are
+    exact. Tie-break on doc_id => total order."""
+    docs = T.docs(spark, sf_dir)
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("n")
+    )
+    tf = (
+        T.tokens(spark, sf_dir)
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfq.crossJoin(F.broadcast(tot)).select(
+        "tok", "df", F.expr(_BM25_IDF_U).alias("idf_u")
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_BM25_CONTRIB_U).alias("c_u"))
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+    # top-10 cut FIRST via orderBy+limit => TakeOrderedAndProject
+    # (per-partition 10-row heaps, driver merges 10 rows) — the global
+    # rank window then runs over a 10-row frame, never the candidate set.
+    top = scored.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(
+        _BM25_TOP
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "doc_id",
+        F.expr("CAST(score_u AS DOUBLE) / 1.0e6").alias("bm25"),
+    )
+
+
+# --- positional phrase search --------------------------------------------
+
+_PHRASE_W1 = "merge"
+_PHRASE_W2 = "join"
+
+
+@query(
+    "text_phrase_search",
+    oracle=(
+        # In-row list scan: 1-based DuckDB lists; i ranges over positions
+        # that have a successor. Deliberately NOT the join algorithm the
+        # Spark side uses — an independent recomputation.
+        "WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s "
+        "FROM documents) "
+        "SELECT doc_id, len(list_filter(range(1, len(s)), "
+        f"i -> s[i] = '{_PHRASE_W1}' AND s[i + 1] = '{_PHRASE_W2}')) "
+        "AS n_occurrences "
+        "FROM sp "
+        "WHERE len(list_filter(range(1, len(s)), "
+        f"i -> s[i] = '{_PHRASE_W1}' AND s[i + 1] = '{_PHRASE_W2}')) > 0"
+    ),
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase search ("merge join") as a positional-index
+    self-join: occurrences are (doc, pos) pairs where tok='merge' meets
+    tok='join' at pos+1 — the classic IR positional-intersection
+    operator. Both sides are pre-filtered to their single term before
+    the join, so the hash join's inputs are term-posting-sized, never
+    the corpus; the join key (doc_id, pos+1=pos) is equi, so this is a
+    shuffle hash join at scale — no nested loop. The oracle recomputes
+    occurrences with an in-row list scan: two different algorithms must
+    agree exactly."""
+    toks = T.tokens(spark, sf_dir)
+    left = toks.filter(F.col("tok") == _PHRASE_W1).select(
+        "doc_id", (F.col("pos") + F.lit(1)).alias("succ")
+    )
+    right = toks.filter(F.col("tok") == _PHRASE_W2).select(
+        F.col("doc_id").alias("r_doc_id"), F.col("pos").alias("r_pos")
+    )
+    hits = left.join(
+        right,
+        (left.doc_id == F.col("r_doc_id"))
+        & (left.succ == F.col("r_pos")),
+    ).select(left.doc_id)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

@@ -59,6 +59,7 @@ def load() -> None:
     from .queries import dedup  # noqa: F401
     from .queries import similarity  # noqa: F401
     from .queries import text  # noqa: F401
+    from .queries import retrieval  # noqa: F401
     from .queries import curation  # noqa: F401
     from .queries import geo  # noqa: F401
     from .queries import jsonops  # noqa: F401
