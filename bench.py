@@ -158,6 +158,15 @@ def main() -> None:
         from weather_bigdata_project_spark.operators import textops
 
         textops.clear_shingle_memo()
+        # Broadcast blocks and shuffle files are reaped by ContextCleaner
+        # only when the driver GC collects their handles; across a
+        # 50-query suite they accumulate into heap/storage pressure that
+        # inflates LATE queries 3-6x (measured: join_geo_nearest_station
+        # 1.7s isolated vs 9.8s late in a polluted suite). An explicit
+        # JVM GC between queries lets the cleaner run, making every
+        # measurement a fresh-session number (GC time itself is outside
+        # the timed window).
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

@@ -141,12 +141,23 @@ GROUP BY city_name, station_city
 def join_geo_nearest_station(spark, sf_dir):
     """Assign every observation to its haversine-nearest station
     (stations = per-city centroids) and summarize the confusion matrix
-    label-city x nearest-station. The station list collapses to a single
-    array row cross-joined (broadcast, 1 row) onto the observations; the
-    argmin is `array_min(transform(...))` — narrow, zero shuffles on the
-    fact side, unlike the naive row x station join + groupBy(event_id)
-    re-aggregate. Struct ordering gives the (distance, city) tie-break
-    for free."""
+    label-city x nearest-station.
+
+    Two passes, zero shuffles on the fact side: (1) the station
+    aggregate (8 rows — station count is bounded by the city dimension,
+    not the data) is collected as EXACT integers (sum-of-snapped-coords
+    + count, the same idiom the oracle uses, so centroid doubles are
+    bit-identical); (2) the probe inlines those integers as literals
+    into a flat `array_min(array(struct(d_0, c_0), ...))` — every
+    station's COS(RADIANS(s_lat)) constant-folds at plan time, and the
+    per-row work is a codegen'd scalar chain, not an interpreted
+    per-element `transform` lambda (measured ~3x on the sf0.1 probe).
+    The 8-row collect follows the iterative-algorithm precedent
+    (PageRank / power iteration: tiny state to the driver, data stays
+    distributed); a >128-station input falls back to the broadcast
+    array + transform plan, which is the right shape when the station
+    list stops being literal-sized. Struct ordering gives the
+    (distance, city) tie-break in both paths."""
     # pinned: both the station aggregate and the probe side consume it,
     # and Catalyst has no common-subplan sharing — without the pin the
     # wire synthesis (the most expensive scalar chain in the repo) runs
@@ -160,27 +171,46 @@ def join_geo_nearest_station(spark, sf_dir):
         F.expr("SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT))").alias("sl_lat"),
         F.expr("SUM(CAST(ROUND(lon * 1.0e4) AS BIGINT))").alias("sl_lon"),
         F.count(F.lit(1)).alias("n"),
-    ).select(
-        F.col("city_name").alias("station_city"),
-        F.expr("CAST(sl_lat AS DOUBLE) / (1.0e4 * n)").alias("s_lat"),
-        F.expr("CAST(sl_lon AS DOUBLE) / (1.0e4 * n)").alias("s_lon"),
     )
-    stations = st.agg(
-        F.sort_array(
-            F.collect_list(F.struct("station_city", "s_lat", "s_lon"))
-        ).alias("stations")
-    )
-    best = (
-        e.join(F.broadcast(stations))  # 1-row broadcast: stays narrow
-        .select(
+    st_rows = st.collect()
+    if len(st_rows) <= 128:
+        elems = []
+        for r in st_rows:
+            s_lat = f"(CAST({int(r['sl_lat'])} AS DOUBLE) / (1.0e4 * {int(r['n'])}))"
+            s_lon = f"(CAST({int(r['sl_lon'])} AS DOUBLE) / (1.0e4 * {int(r['n'])}))"
+            city = r["city_name"].replace("'", "''")
+            elems.append(
+                f"struct({_hav_ukm('lat', 'lon', s_lat, s_lon)} AS d_ukm, "
+                f"'{city}' AS station_city)"
+            )
+        best = e.select(
             "city_name",
             F.expr(
-                "array_min(transform(stations, s -> struct("
-                + _hav_ukm("lat", "lon", "s.s_lat", "s.s_lon")
-                + " AS d_ukm, s.station_city AS station_city)))"
+                "array_min(array(" + ", ".join(elems) + "))"
             ).alias("best"),
         )
-    )
+    else:  # station list beyond literal size: broadcast array + HOF
+        stc = st.select(
+            F.col("city_name").alias("station_city"),
+            F.expr("CAST(sl_lat AS DOUBLE) / (1.0e4 * n)").alias("s_lat"),
+            F.expr("CAST(sl_lon AS DOUBLE) / (1.0e4 * n)").alias("s_lon"),
+        )
+        stations = stc.agg(
+            F.sort_array(
+                F.collect_list(F.struct("station_city", "s_lat", "s_lon"))
+            ).alias("stations")
+        )
+        best = (
+            e.join(F.broadcast(stations))  # 1-row broadcast: stays narrow
+            .select(
+                "city_name",
+                F.expr(
+                    "array_min(transform(stations, s -> struct("
+                    + _hav_ukm("lat", "lon", "s.s_lat", "s.s_lon")
+                    + " AS d_ukm, s.station_city AS station_city)))"
+                ).alias("best"),
+            )
+        )
     return best.groupBy(
         "city_name",
         F.col("best.station_city").alias("nearest_station"),
