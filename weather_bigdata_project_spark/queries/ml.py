@@ -1,0 +1,182 @@
+"""Distributed ML training as a first-class query: logistic regression
+by full-batch gradient descent over `documents` — the
+iterative-algorithm pattern (MLlib-style driver loop) applied to model
+fitting, fully oracle-GATED like `embed_power_iteration_pc1`.
+
+Why it scales: each iteration is ONE map-side-combined aggregate over
+the (materialized, narrow) feature frame — three snapped gradient sums
+— plus an O(1) driver-side weight update computed IN SQL (so ROUND
+ties-away semantics match the oracle, never Python's banker rounding).
+The data never moves; per-iteration driver state is 3 integers. At
+100 TB this is exactly MLlib's `LogisticRegressionWithLBFGS` data
+pattern (treeAggregate of gradient partials), minus the line search.
+
+Cross-engine determinism doctrine (SCALE.md): per-row gradient
+contributions are snapped to integer micro-units BEFORE the cross-row
+SUM (exact, order-insensitive); weights are integer micro-units; the
+only libm call (EXP) sits inside a snap. Prediction correctness uses
+`z >= 0` (algebraically equivalent to p >= 0.5) so accuracy counting
+involves no EXP at all.
+
+Reference parity: the reference has no ML surface; this is north-star
+extension surface (training-data pipelines end in model fits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.textops import materialize
+from ..registry import query
+
+_ITERS = 3
+_LR = "2.0e0"
+
+#: feature spec, identical SQL text in both engines: label = english,
+#: x1 = chars/1000, x2 = whitespace tokens/100, bias implicit.
+_Y = "CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END"
+_X1 = "CAST(n_chars AS DOUBLE) / 1000.0e0"
+
+
+def _x2(engine: str) -> str:
+    if engine == "spark":
+        return "CAST(size(split(text, ' ')) AS DOUBLE) / 100.0e0"
+    return "CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0e0"
+
+
+def _z(w0: str, w1: str, w2: str) -> str:
+    """Linear score with micro-unit integer weight expressions."""
+    return (
+        f"((CAST({w0} AS DOUBLE) / 1.0e6) "
+        f"+ (CAST({w1} AS DOUBLE) / 1.0e6) * x1 "
+        f"+ (CAST({w2} AS DOUBLE) / 1.0e6) * x2)"
+    )
+
+
+def _grad_u(w0: str, w1: str, w2: str, xj: str) -> str:
+    """SUM of per-row snapped gradient contributions (micro-units)."""
+    p = f"(1.0e0 / (1.0e0 + EXP(-{_z(w0, w1, w2)})))"
+    return f"SUM(CAST(ROUND((y - {p}) * {xj} * 1.0e6) AS BIGINT))"
+
+
+def _upd(w_old: str, sg: str, n: str) -> str:
+    """w_u + ROUND(lr * mean-gradient): everything in SQL so ROUND is
+    ties-away in both engines."""
+    return (
+        f"CAST({w_old} + ROUND({_LR} * CAST({sg} AS DOUBLE) / {n}) "
+        "AS BIGINT)"
+    )
+
+
+def _correct(w0: str, w1: str, w2: str) -> str:
+    """n_correct at weights w: prediction is z >= 0 (== p >= 0.5), so no
+    EXP — the count is exact in both engines."""
+    return (
+        f"SUM(CASE WHEN ({_z(w0, w1, w2)} >= 0.0e0) = (y = 1.0e0) "
+        "THEN 1 ELSE 0 END)"
+    )
+
+
+def _oracle() -> str:
+    # MATERIALIZED throughout: the weight chain references each previous
+    # CTE many times; inlined CTEs would expand the scan tree
+    # exponentially in the iteration count (observed as fd exhaustion).
+    fx = (
+        f"fx AS MATERIALIZED (SELECT {_Y} AS y, {_X1} AS x1, "
+        f"{_x2('duck')} AS x2 FROM documents)"
+    )
+    parts = [fx, "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM fx)",
+             "w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, "
+             "CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c)"]
+    for i in range(1, _ITERS + 1):
+        pw = f"(SELECT a FROM w{i-1})", f"(SELECT b FROM w{i-1})", \
+            f"(SELECT c FROM w{i-1})"
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT {_grad_u(*pw, '1.0e0')} AS s0, "
+            f"{_grad_u(*pw, 'x1')} AS s1, "
+            f"{_grad_u(*pw, 'x2')} AS s2 FROM fx)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                _upd(
+                    f"(SELECT {o} FROM w{i-1})",
+                    f"(SELECT {s} FROM g{i})",
+                    "(SELECT n FROM nn)",
+                )
+                + f" AS {o}"
+                for o, s in (("a", "s0"), ("b", "s1"), ("c", "s2"))
+            )
+            + ")"
+        )
+    evals = []
+    for i in range(_ITERS + 1):
+        wi = f"(SELECT a FROM w{i})", f"(SELECT b FROM w{i})", \
+            f"(SELECT c FROM w{i})"
+        evals.append(
+            f"SELECT {i} AS iter, "
+            f"CAST((SELECT a FROM w{i}) AS DOUBLE) / 1.0e6 AS w0, "
+            f"CAST((SELECT b FROM w{i}) AS DOUBLE) / 1.0e6 AS w1, "
+            f"CAST((SELECT c FROM w{i}) AS DOUBLE) / 1.0e6 AS w2, "
+            f"(SELECT {_correct(*wi)} FROM fx) AS n_correct"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(evals)
+
+
+@query("ml_logreg_gd", oracle=_oracle())
+def ml_logreg_gd(spark, sf_dir):
+    """Logistic regression (predict lang='en' from document length
+    features) trained by 3 full-batch GD steps; output = the weight
+    trajectory + training accuracy at every step. Per iteration: one
+    aggregate (3 exact snapped sums) + one 1-row SQL weight update; the
+    feature frame is materialized once and scanned 3+4 times (gradient
+    + eval passes), each a map-combined aggregate — bytes to the driver
+    per pass: 3 integers. Bit-identical to the unrolled-CTE oracle."""
+    from .. import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    fx = materialize(
+        docs.select(
+            F.expr(_Y).alias("y"),
+            F.expr(_X1).alias("x1"),
+            F.expr(_x2("spark")).alias("x2"),
+        )
+    )
+    n = fx.count()
+    w = (0, 0, 0)
+    hist = []
+
+    def lit(v: int) -> str:
+        return f"CAST({v} AS BIGINT)"
+
+    for i in range(_ITERS + 1):
+        if i > 0:
+            pw = tuple(lit(x) for x in w)
+            g = fx.agg(
+                F.expr(_grad_u(*pw, "1.0e0")).alias("s0"),
+                F.expr(_grad_u(*pw, "x1")).alias("s1"),
+                F.expr(_grad_u(*pw, "x2")).alias("s2"),
+            ).collect()[0]
+            upd = spark.sql(
+                "SELECT "
+                + ", ".join(
+                    _upd(lit(w[j]), lit(int(g[f"s{j}"])), str(n))
+                    + f" AS u{j}"
+                    for j in range(3)
+                )
+            ).collect()[0]
+            w = (int(upd["u0"]), int(upd["u1"]), int(upd["u2"]))
+        wi = tuple(lit(x) for x in w)
+        nc = fx.agg(F.expr(_correct(*wi)).alias("nc")).collect()[0]["nc"]
+        hist.append((i, w[0], w[1], w[2], int(nc)))
+
+    out = spark.createDataFrame(
+        hist, "iter INT, a BIGINT, b BIGINT, c BIGINT, n_correct BIGINT"
+    )
+    return out.select(
+        "iter",
+        F.expr("CAST(a AS DOUBLE) / 1.0e6").alias("w0"),
+        F.expr("CAST(b AS DOUBLE) / 1.0e6").alias("w1"),
+        F.expr("CAST(c AS DOUBLE) / 1.0e6").alias("w2"),
+        "n_correct",
+    )
