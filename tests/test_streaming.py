@@ -913,3 +913,80 @@ def test_compacting_lake_sink_heals_small_files(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(lake).count() == ev.count()
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER stream-stream interval join over a time-ordered
+    multi-batch replay: emitted rows must be a subset of the batch full
+    join; null-padded rows fire on BOTH sides (click-less purchases AND
+    conversion-less clicks) — i.e. watermark-driven outer emission works
+    in both directions, the property the inner/left variants can't
+    show."""
+    import glob
+
+    from weather_bigdata_project_spark import tables
+
+    ev = tables.load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_ranged_fj")
+    ev.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = str(tmp_path / "fj_out")
+    ckpt = str(tmp_path / "fj_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = jobs.interval_full_join_clicks_purchases(
+        stream, watermark="1 minute"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "full_outer",
+    )
+    # nothing wrong emitted (both null-padded directions included)
+    assert got.subtract(want).count() == 0
+    # outer rows fired in BOTH directions
+    assert got.filter("c_ts IS NULL").count() > 0  # click-less purchase
+    assert got.filter("ts IS NULL").count() > 0    # conversion-less click
+    # completeness outside the final watermark tail, purchase side
+    [mp] = purchases.agg(F.max("ts").alias("m")).collect()
+    [mc] = clicks.agg(F.max("c_ts").alias("m")).collect()
+    cutoff = min(mp["m"], mc["m"]) - __import__("datetime").timedelta(
+        minutes=15
+    )
+    missing = (
+        purchases.filter(F.col("ts") <= F.lit(cutoff))
+        .select("event_id")
+        .subtract(got.filter("event_id IS NOT NULL").select("event_id"))
+    )
+    assert missing.count() == 0

@@ -355,3 +355,31 @@ def sql_pipe_syntax_daily_revenue(spark, sf_dir):
         "|> EXTEND CAST(s_c AS DOUBLE) / 100.0e0 AS revenue "
         "|> SELECT event_type, day, n, revenue"
     )
+
+
+# --- GROUP BY ALL ---------------------------------------------------------
+
+#: body shared verbatim by both engines; only the table name differs
+_GBA_BODY = (
+    "SELECT o_orderpriority, YEAR(o_orderdate) AS order_year, "
+    "COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)) AS DOUBLE) "
+    "/ 100.0e0 AS revenue "
+    "FROM {orders} GROUP BY ALL"
+)
+
+
+@query("sql_group_by_all", oracle=_GBA_BODY.format(orders="orders"))
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 3.4+/4, DuckDB): the grouping key list is
+    inferred as every non-aggregate select item — the dashboard-authoring
+    shorthand that removes the classic copy-the-select-list failure mode.
+    Identical SQL text runs on both engines (only the table binding
+    differs), so parity proves the inference resolves to the same
+    explicit (priority, year) grouping; revenue rides the exact-cents
+    idiom. Plan is the ordinary partial+final hash aggregate — the
+    feature is analysis-time sugar with zero physical cost."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gba_orders"
+    )
+    return spark.sql(_GBA_BODY.format(orders="gba_orders"))

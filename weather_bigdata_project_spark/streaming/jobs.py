@@ -366,6 +366,41 @@ def interval_left_join_clicks_purchases(
     )
 
 
+def interval_full_join_clicks_purchases(
+    events: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix (inner / left-outer / full-outer): purchases with no prior
+    click null-pad on the click side (attribution gap), AND clicks that
+    never converted null-pad on the purchase side (abandoned intent).
+    Both directions are watermark-driven: a click is declared
+    conversion-less only when the purchase-side watermark passes
+    click_ts + 10 min, so BOTH buffers stay O(watermark-window). The
+    unmatched-click stream is exactly the input a re-marketing pipeline
+    consumes, which is why the full-outer form (not two one-sided jobs
+    scanning the stream twice) is the operator worth having."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", watermark)
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND c_ts >= ts - INTERVAL 10 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "full_outer",
+    )
+
+
 def stream_static_segment_enrich(
     events: DataFrame, customer: DataFrame
 ) -> DataFrame:
