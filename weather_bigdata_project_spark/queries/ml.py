@@ -180,3 +180,129 @@ def ml_logreg_gd(spark, sf_dir):
         F.expr("CAST(c AS DOUBLE) / 1.0e6").alias("w2"),
         "n_correct",
     )
+
+
+# --- multinomial Naive Bayes: train + holdout confusion matrix ------------
+
+#: shared SQL snippets — identical text in both engines; every log is
+#: snapped to integer micro-units before any cross-row SUM.
+_NB_LP_U = (
+    "CAST(ROUND(LN(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) "
+    "/ CAST(n_tok + v AS DOUBLE)) * 1.0e6) AS BIGINT)"
+)
+_NB_PR_U = (
+    "CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(nd_all AS DOUBLE)) "
+    "* 1.0e6) AS BIGINT)"
+)
+
+_NB_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tr AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 < 7),
+te AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 >= 7),
+cls AS MATERIALIZED (
+  SELECT lang AS cls, COUNT(*) AS n_tok FROM tr GROUP BY lang
+),
+nd AS MATERIALIZED (
+  SELECT lang AS cls, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, lang FROM tr) GROUP BY lang
+),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM tr),
+ndt AS (SELECT SUM(n_docs) AS nd_all FROM nd),
+model AS MATERIALIZED (
+  SELECT tok, lang AS cls, COUNT(*) AS cnt FROM tr GROUP BY tok, lang
+),
+pri AS (SELECT cls, {_NB_PR_U} AS pr_u FROM nd, ndt),
+st AS (
+  SELECT t.doc_id, t.lang, c.cls, {_NB_LP_U} AS lp_u
+  FROM te t
+  CROSS JOIN cls c
+  CROSS JOIN vv
+  LEFT JOIN model m ON m.tok = t.tok AND m.cls = c.cls
+),
+ds AS (
+  SELECT doc_id, lang, cls, SUM(lp_u) AS s_tok
+  FROM st GROUP BY doc_id, lang, cls
+),
+sc AS (
+  SELECT d.doc_id, d.lang, d.cls, d.s_tok + p.pr_u AS s_u
+  FROM ds d JOIN pri p ON d.cls = p.cls
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY s_u DESC, cls) AS rk
+  FROM sc
+)
+SELECT lang, cls AS pred_lang, COUNT(*) AS n_docs
+FROM r WHERE rk = 1 GROUP BY lang, cls
+"""
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained on a
+    deterministic 70% split (doc_id % 10 < 7) and evaluated as a
+    confusion matrix on the holdout — the classic one-pass-trainable
+    text model (add-one smoothing, log-domain scoring).
+
+    Train = two hash-aggs (class token totals, per-(token, class)
+    counts) + two tiny scalars (vocab size, doc priors) — all
+    map-side-combined; the model is vocabulary x classes, Zipf-bounded,
+    broadcast onto the scoring join here (at a vocabulary too big to
+    broadcast, the same plan shuffle-joins on tok). Scoring fans each
+    holdout token out by |classes| (= 5, a constant), sums EXACT snapped
+    per-token log-probs per (doc, class), adds the snapped prior, and
+    takes the per-doc argmax through one window (DESC score, class-name
+    tie-break => total order). Every LN is snapped to micro-units before
+    any cross-row sum, so both engines produce the identical matrix —
+    complementing ml_logreg_gd (iterative, driver loop) with the
+    closed-form, fully-declarative end of distributed model fitting."""
+    from .. import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    tr = materialize(toks.filter(F.expr("doc_id % 10 < 7")))
+    te = toks.filter(F.expr("doc_id % 10 >= 7"))
+    cls = tr.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    nd = (
+        tr.select("doc_id", "lang").distinct()
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    vv = tr.agg(F.countDistinct("tok").alias("v"))
+    ndt = nd.agg(F.sum("n_docs").alias("nd_all"))
+    model = tr.groupBy("tok", F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pri = nd.crossJoin(F.broadcast(ndt)).select(
+        "cls", F.expr(_NB_PR_U).alias("pr_u")
+    )
+    st = (
+        te.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vv))
+        .join(F.broadcast(model), ["tok", "cls"], "left")
+        .select("doc_id", "lang", "cls", F.expr(_NB_LP_U).alias("lp_u"))
+    )
+    ds = st.groupBy("doc_id", "lang", "cls").agg(
+        F.sum("lp_u").alias("s_tok")
+    )
+    sc = ds.join(F.broadcast(pri), "cls").select(
+        "doc_id", "lang", "cls",
+        (F.col("s_tok") + F.col("pr_u")).alias("s_u"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s_u"), F.asc("cls"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("lang", F.col("cls").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
