@@ -127,6 +127,9 @@ _JVM_ONLY = [
     "dedup_cluster_canonical_quality",
     "embed_ivf_nprobe_matrix",
     "sql_pipe_syntax_daily_revenue",
+    "events_mannwhitney_u",
+    "events_ks_weekend",
+    "events_spearman_corr",
 ]
 
 

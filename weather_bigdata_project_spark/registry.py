@@ -61,6 +61,7 @@ def load() -> None:
     from .queries import text  # noqa: F401
     from .queries import retrieval  # noqa: F401
     from .queries import ml  # noqa: F401
+    from .queries import nonparam  # noqa: F401
     from .queries import pyexec  # noqa: F401
     from .queries import curation  # noqa: F401
     from .queries import geo  # noqa: F401
