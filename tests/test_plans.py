@@ -130,6 +130,10 @@ _JVM_ONLY = [
     "events_mannwhitney_u",
     "events_ks_weekend",
     "events_spearman_corr",
+    "events_stl_decompose",
+    "lineitem_corr_matrix",
+    "ml_linreg_normal_eq",
+    "embed_random_projection",
 ]
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import tables
+from ..functions.exprs import rnd
 from ..operators.textops import materialize
 from ..registry import query
 
@@ -132,7 +134,6 @@ def ml_logreg_gd(spark, sf_dir):
     feature frame is materialized once and scanned 3+4 times (gradient
     + eval passes), each a map-combined aggregate — bytes to the driver
     per pass: 3 integers. Bit-identical to the unrolled-CTE oracle."""
-    from .. import tables
 
     docs = tables.load(spark, sf_dir, "documents")
     fx = materialize(
@@ -259,7 +260,6 @@ def ml_naive_bayes_langid(spark, sf_dir):
     any cross-row sum, so both engines produce the identical matrix —
     complementing ml_logreg_gd (iterative, driver loop) with the
     closed-form, fully-declarative end of distributed model fitting."""
-    from .. import tables
 
     docs = tables.load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -306,3 +306,89 @@ def ml_naive_bayes_langid(spark, sf_dir):
         .groupBy("lang", F.col("cls").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- closed-form OLS: normal equations from one gram-matrix aggregate -----
+
+#: exact integer units: y = price cents, x1 = quantity, x2 = discount
+#: hundredths. Every gram accumulator is DECIMAL(38,0): y*y reaches
+#: ~1e14 per row, so its BIGINT sum dies around 1e5 rows — the decimal
+#: sums stay exact and partition-order-insensitive at any scale.
+_OLS_GRAM = (
+    "u AS (SELECT CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT) AS y, "
+    "CAST(l_quantity AS BIGINT) AS x1, "
+    "CAST(ROUND(l_discount * 100.0e0) AS BIGINT) AS x2 FROM {src}), "
+    "g AS (SELECT COUNT(*) AS n, "
+    "SUM(CAST(x1 AS DECIMAL(38,0))) AS s1, "
+    "SUM(CAST(x2 AS DECIMAL(38,0))) AS s2, "
+    "SUM(CAST(y AS DECIMAL(38,0))) AS sy, "
+    "SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11, "
+    "SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12, "
+    "SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22, "
+    "SUM(CAST(x1 * y AS DECIMAL(38,0))) AS s1y, "
+    "SUM(CAST(x2 * y AS DECIMAL(38,0))) AS s2y, "
+    "SUM(CAST(y * y AS DECIMAL(38,0))) AS syy FROM u), "
+    "gd AS (SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, "
+    "CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy, "
+    "CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12, "
+    "CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y, "
+    "CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy FROM g)"
+)
+
+
+def _det3(r1: str, r2: str, r3: str) -> str:
+    """3x3 determinant text from comma-joined row strings."""
+    a, b, c = r1.split(",")
+    d, e, f = r2.split(",")
+    g, h, i = r3.split(",")
+    return (
+        f"(({a}) * (({e}) * ({i}) - ({f}) * ({h})) "
+        f"- ({b}) * (({d}) * ({i}) - ({f}) * ({g})) "
+        f"+ ({c}) * (({d}) * ({h}) - ({e}) * ({g})))"
+    )
+
+
+#: Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] beta = [sy,s1y,s2y]
+_OLS_DET = _det3("n,s1,s2", "s1,s11,s12", "s2,s12,s22")
+_OLS_B0 = _det3("sy,s1,s2", "s1y,s11,s12", "s2y,s12,s22")
+_OLS_B1 = _det3("n,sy,s2", "s1,s1y,s12", "s2,s2y,s22")
+_OLS_B2 = _det3("n,s1,sy", "s1,s11,s1y", "s2,s12,s2y")
+
+_OLS_TAIL = (
+    "beta AS (SELECT n, sy, s1y, s2y, syy, "
+    f"{_OLS_B0} / {_OLS_DET} AS b0, "
+    f"{_OLS_B1} / {_OLS_DET} AS b1, "
+    f"{_OLS_B2} / {_OLS_DET} AS b2 FROM gd) "
+    "SELECT CAST(n AS BIGINT) AS n, "
+    + rnd("b0 / 100.0e0", 4) + " AS intercept_dollars, "
+    + rnd("b1 / 100.0e0", 4) + " AS beta_per_qty_dollars, "
+    + rnd("b2 / 100.0e0", 4) + " AS beta_per_disc_pt_dollars, "
+    + rnd(
+        "1.0e0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) "
+        "/ (syy - sy * sy / n)",
+        6,
+    )
+    + " AS r2 FROM beta"
+)
+
+
+def _ols_sql(src: str) -> str:
+    return "WITH " + _OLS_GRAM.format(src=src) + ", " + _OLS_TAIL
+
+
+@query("ml_linreg_normal_eq", oracle=_ols_sql("lineitem"))
+def ml_linreg_normal_eq(spark, sf_dir):
+    """Closed-form multiple linear regression (extendedprice ~ quantity +
+    discount) via the normal equations: ONE map-combined aggregate
+    builds the exact-decimal gram matrix (9 sums + count), then Cramer's
+    rule solves the 3x3 system in a single deterministic float
+    evaluation — no gradient loop, no driver-side linear algebra, no
+    second data pass (R^2 falls out of the same sums). This is the
+    MLlib-`summary`-style distributed pattern: at 100 TB the cost is
+    exactly one scan + one 10-scalar reduce, and the identical SQL text
+    runs on the DuckDB oracle. Complements ml_logreg_gd, whose loss has
+    no closed form and needs the iterative path."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ols_lineitem"
+    )
+    return spark.sql(_ols_sql("ols_lineitem"))

@@ -1330,3 +1330,59 @@ def embed_ivf_nprobe_matrix(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- Johnson-Lindenstrauss random sign projection (64 -> 8 dims) ----------
+
+#: deterministic +/-1 sign for (dim i, output axis k): a fixed integer
+#: hash both engines evaluate identically in BIGINT. Production swaps in
+#: xxhash64(i, k, seed); the projection's JL guarantee only needs the
+#: signs to be fixed and ~balanced, which this is.
+_RP_SIGN = (
+    "(CASE WHEN ((CAST({i} AS BIGINT) * 73856093 + "
+    "(CAST({k} AS BIGINT) + 1) * 19349663) % 1000003) % 2 = 0 "
+    "THEN 1 ELSE -1 END)"
+)
+
+_RP_OUT = 8
+
+_RP_ORACLE = (
+    "WITH cells AS (SELECT vec_id, "
+    "generate_subscripts(embedding, 1) AS i, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1.0e6) AS BIGINT) AS eu "
+    "FROM embeddings) "
+    "SELECT vec_id, CAST(k AS INT) AS k, "
+    "CAST(SUM(" + _RP_SIGN.format(i="i", k="k") + " * eu) AS DOUBLE) / 1.0e6"
+    " AS comp FROM cells, generate_series(0, " + str(_RP_OUT - 1) + ")"
+    " AS kk(k) GROUP BY vec_id, k"
+)
+
+
+@query("embed_random_projection", oracle=_RP_ORACLE)
+def embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    64-dim vector onto 8 random +/-1 sign axes (Achlioptas'
+    database-friendly construction — no Gaussian sampling, no stored
+    projection matrix; the sign is a pure integer hash of (dim, axis)
+    recomputed on the fly). The entire projection is IN-ROW: one
+    `transform` over the 8 axes, each an `aggregate` fold of exact
+    micro-unit integers over the vector's own dims — zero shuffles,
+    zero Python, embarrassingly parallel at any corpus size. Each
+    component is an exact BIGINT sum emitted long-form (vec_id, axis,
+    value); downstream ANN sketches consume it as the cheap pre-filter
+    space. Oracle computes the same signs and sums by explicit
+    unnest + group-by."""
+    emb = _emb(spark, sf_dir)
+    sgn = _RP_SIGN.format(i="i", k="k")
+    return emb.selectExpr(
+        "vec_id",
+        f"""posexplode(transform(sequence(0, {_RP_OUT - 1}), k ->
+            aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),
+              (acc, i) -> acc + {sgn} *
+                CAST(ROUND(CAST(element_at(embedding, i) AS DOUBLE)
+                           * 1.0e6) AS BIGINT))))
+           AS (k, comp_u)""",
+    ).selectExpr(
+        "vec_id", "CAST(k AS INT) AS k",
+        "CAST(comp_u AS DOUBLE) / 1.0e6 AS comp",
+    )

@@ -599,3 +599,99 @@ def events_weekend_ttest(spark, sf_dir):
             f"CASE WHEN ABS({_W_T}) > 1.96e0 THEN 1 ELSE 0 END"
         ).alias("significant_95"),
     )
+
+
+# --- pairwise Pearson correlation matrix (lineitem numerics) --------------
+
+#: exact integer units per variable: quantity as-is, price in cents,
+#: discount/tax in hundredths
+_CM_UNITS = (
+    "u AS (SELECT CAST(l_quantity AS BIGINT) AS q, "
+    "CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT) AS p, "
+    "CAST(ROUND(l_discount * 100.0e0) AS BIGINT) AS d, "
+    "CAST(ROUND(l_tax * 100.0e0) AS BIGINT) AS t FROM {src})"
+)
+
+_CM_VARS = ["q", "p", "d", "t"]
+_CM_NAMES = {
+    "q": "l_quantity",
+    "p": "l_extendedprice",
+    "d": "l_discount",
+    "t": "l_tax",
+}
+
+
+def _cm_sums() -> str:
+    """One aggregate: n + first/second moments of all 4 vars + all 6
+    cross-products. Every accumulator is DECIMAL(38,0) — p*p sums pass
+    int64 around 1e5 rows (price cents ~1e7, squared ~1e14), and one
+    uniform exact-decimal sum keeps the whole gram matrix
+    partition-order-insensitive at any scale."""
+    parts = ["COUNT(*) AS n"]
+    for v in _CM_VARS:
+        parts.append(f"SUM(CAST({v} AS DECIMAL(38,0))) AS s_{v}")
+    for i, a in enumerate(_CM_VARS):
+        for b in _CM_VARS[i:]:
+            parts.append(f"SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS s_{a}{b}")
+    return "s AS (SELECT " + ", ".join(parts) + " FROM u)"
+
+
+def _cm_doubles() -> str:
+    """Single cast-to-DOUBLE point: the float formulas below then share
+    byte-identical text across engines on identical IEEE inputs."""
+    cols = ["CAST(n AS DOUBLE) AS n"] + [
+        f"CAST(s_{v} AS DOUBLE) AS s_{v}" for v in _CM_VARS
+    ]
+    for i, a in enumerate(_CM_VARS):
+        for b in _CM_VARS[i:]:
+            cols.append(f"CAST(s_{a}{b} AS DOUBLE) AS s_{a}{b}")
+    return "sd AS (SELECT " + ", ".join(cols) + " FROM s)"
+
+
+def _cm_corr(a: str, b: str) -> str:
+    sxy = f"s_{a}{b}"
+    return rnd(
+        f"(n * {sxy} - s_{a} * s_{b}) / "
+        f"(sqrt(n * s_{a}{a} - s_{a} * s_{a}) * "
+        f"sqrt(n * s_{b}{b} - s_{b} * s_{b}))",
+        6,
+    )
+
+
+def _cm_sql(src: str) -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CM_VARS)
+        for b in _CM_VARS[i + 1 :]
+    ]
+    selects = " UNION ALL ".join(
+        f"SELECT '{_CM_NAMES[a]}' AS x, '{_CM_NAMES[b]}' AS y, "
+        f"{_cm_corr(a, b)} AS corr FROM sd"
+        for a, b in pairs
+    )
+    return (
+        "WITH "
+        + _CM_UNITS.format(src=src)
+        + ", "
+        + _cm_sums()
+        + ", "
+        + _cm_doubles()
+        + " "
+        + selects
+    )
+
+
+@query("lineitem_corr_matrix", oracle=_cm_sql("lineitem"))
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the four lineitem numeric
+    columns (quantity, extendedprice, discount, tax) — the EDA profiling
+    step before any model fit. ONE scan and ONE map-combined aggregate
+    produce the full gram matrix (4 first moments + 10 second moments as
+    exact DECIMAL(38,0) sums); the 6 correlations are float formulas
+    over that single 15-scalar row, emitted long-form. At 100 TB this is
+    the optimal shape: no per-pair rescans, no Python, no shuffle beyond
+    the one partial+final aggregate."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cm_lineitem"
+    )
+    return spark.sql(_cm_sql("cm_lineitem"))

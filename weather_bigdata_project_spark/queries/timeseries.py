@@ -1157,3 +1157,67 @@ def events_holt_backtest(spark, sf_dir):
             )
         ).alias("mape_pct"),
     )
+
+
+# --- classical seasonal decomposition (trend / seasonal / residual) -------
+
+def _stl_sql(src: str, dow: str) -> str:
+    """Shared decomposition text from the daily frame onward. `dow` is the
+    engine's 0=Monday day-of-week spelling (the only dialect difference).
+
+    Exactness: daily totals are integer cents; the centered 7-day trend is
+    carried as its integer numerator t7 (value = t7/7), so the detrended
+    series has exact integer numerator dn = 7*y - t7. Per-weekday seasonal
+    means and their grand-centering then run ONCE over a 7-row frame in
+    DOUBLE with identical expression text — one deterministic IEEE
+    evaluation per weekday, snapped at the output edge."""
+    return (
+        "daily AS (SELECT CAST(ts AS DATE) AS d, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS y "
+        f"FROM {src} GROUP BY CAST(ts AS DATE)), "
+        "tr AS (SELECT d, y, "
+        "SUM(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+        " AS t7, "
+        "COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+        " AS c7 FROM daily), "
+        f"core AS (SELECT d, {dow} AS k, y, t7, 7 * y - t7 AS dn "
+        "FROM tr WHERE c7 = 7), "
+        "dw AS (SELECT k, SUM(dn) AS s_num, COUNT(*) AS s_cnt "
+        "FROM core GROUP BY k), "
+        "sb AS (SELECT SUM(CAST(s_num AS DOUBLE) / (7.0e0 * s_cnt)) "
+        "/ COUNT(*) AS sbar FROM dw), "
+        "seas AS (SELECT k, CAST(s_num AS DOUBLE) / (7.0e0 * s_cnt) - sbar"
+        " AS s FROM dw CROSS JOIN sb) "
+        "SELECT d, CAST(y AS DOUBLE) / 100.0e0 AS daily_total, "
+        + rnd("CAST(t7 AS DOUBLE) / 700.0e0", 4)
+        + " AS trend, "
+        + rnd("s / 100.0e0", 4)
+        + " AS seasonal, "
+        + rnd(
+            "CAST(y AS DOUBLE) / 100.0e0 - CAST(t7 AS DOUBLE) / 700.0e0"
+            " - s / 100.0e0",
+            4,
+        )
+        + " AS residual FROM core JOIN seas USING (k)"
+    )
+
+
+@query(
+    "events_stl_decompose",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _stl_sql("events_t", "(isodow(d) - 1)")
+    ),
+)
+def events_stl_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily revenue series —
+    trend (centered 7-day moving average), weekly seasonal (per-weekday
+    mean of the detrended series, grand-centered), residual. The
+    statsmodels `seasonal_decompose` capability the reference's pandas
+    layer would reach for, expressed as: one map-combined daily
+    aggregate (the only row-cardinality shuffle), one window pass over
+    the day frame (domain-bounded — days, not events), a 7-row seasonal
+    aggregate broadcast back. Interior days only (full 7-day window),
+    so the decomposition identity holds exactly on every output row."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql("WITH " + _stl_sql("ts_events", "weekday(d)"))
