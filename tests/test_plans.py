@@ -134,6 +134,9 @@ _JVM_ONLY = [
     "lineitem_corr_matrix",
     "ml_linreg_normal_eq",
     "embed_random_projection",
+    "events_theilsen_trend",
+    "events_changepoint_sse",
+    "text_rake_keywords",
 ]
 
 

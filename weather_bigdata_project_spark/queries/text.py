@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import tables
 from ..functions.exprs import rnd
 from ..operators import textops as T
 from ..registry import query
@@ -605,3 +606,74 @@ def text_vocab_coverage_curve(spark, sf_dir):
             rnd("CAST(topc AS DOUBLE) / total", 6)
         ).alias("token_coverage"),
     )
+
+
+# --- RAKE keyword extraction ---------------------------------------------
+
+def _rake_tail(phrase_agg: str) -> str:
+    """Shared scoring text from the token frame `tok(doc_id, pos, tok)`.
+    Candidate phrases are maximal stopword-free runs (island id = running
+    stopword count per doc); word degree/frequency aggregate over the
+    phrase-membership frame; the per-word RAKE score deg/freq snaps to
+    integer micro-units ONCE, so every later cross-row sum (phrase
+    scores) is exact BIGINT arithmetic. `phrase_agg` is the engine's
+    order-preserving string aggregation — the only dialect difference."""
+    return (
+        f"t2 AS (SELECT doc_id, pos, tok, CASE WHEN tok IN {T.STOPWORDS_SQL}"
+        " THEN 1 ELSE 0 END AS st FROM tok WHERE tok <> ''), "
+        "seg AS (SELECT doc_id, pos, tok, st, SUM(st) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS isl FROM t2), "
+        "w AS (SELECT doc_id, isl, pos, tok FROM seg WHERE st = 0), "
+        "pl AS (SELECT doc_id, isl, COUNT(*) AS plen FROM w "
+        "GROUP BY doc_id, isl), "
+        "ws AS (SELECT tok, COUNT(*) AS freq, SUM(plen) AS deg "
+        "FROM w JOIN pl USING (doc_id, isl) GROUP BY tok), "
+        "su AS (SELECT tok, CAST(ROUND(1.0e6 * CAST(deg AS DOUBLE) / freq)"
+        " AS BIGINT) AS score_u FROM ws), "
+        "inst AS (SELECT doc_id, isl, SUM(score_u) AS ps_u FROM w "
+        "JOIN su USING (tok) GROUP BY doc_id, isl), "
+        f"txt AS (SELECT doc_id, isl, {phrase_agg} AS phrase FROM w "
+        "GROUP BY doc_id, isl), "
+        "agg AS (SELECT phrase, COUNT(*) AS n_occ, MAX(ps_u) AS ps_u "
+        "FROM inst JOIN txt USING (doc_id, isl) GROUP BY phrase) "
+        "SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, "
+        "CAST(ps_u AS DOUBLE) / 1.0e6 AS rake_score FROM agg "
+        "ORDER BY rake_score DESC, n_occ DESC, phrase LIMIT 20"
+    )
+
+
+_RAKE_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    + _rake_tail("string_agg(tok, ' ' ORDER BY pos)")
+)
+
+_RAKE_SPARK = (
+    "WITH tok AS (SELECT doc_id, pos, tok FROM rake_docs "
+    "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok), "
+    + _rake_tail(
+        "array_join(transform(array_sort(collect_list("
+        "named_struct('pos', pos, 'tok', tok))), s -> s.tok), ' ')"
+    )
+)
+
+
+@query("text_rake_keywords", oracle=_RAKE_ORACLE)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = degree/frequency over
+    all candidate phrases; phrase score = sum of member word scores;
+    top-20 phrases corpus-wide. Everything is token-cardinality hash
+    aggregates with map-side combine plus vocabulary-sized broadcast
+    joins — no regex backtracking, no Python. The per-word score is
+    snapped to micro-units at its single float division, so phrase
+    scores sum exactly and the corpus-wide ranking is
+    partition-order-insensitive; the top-20 rides a TakeOrdered heap,
+    not a global sort. Keyword surfacing is the missing third leg of the
+    text-relevance family next to text_tfidf_top_terms (term weighting)
+    and text_bm25_search (query ranking)."""
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "rake_docs"
+    )
+    return spark.sql(_RAKE_SPARK)

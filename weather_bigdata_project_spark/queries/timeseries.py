@@ -1221,3 +1221,106 @@ def events_stl_decompose(spark, sf_dir):
     so the decomposition identity holds exactly on every output row."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
     return spark.sql("WITH " + _stl_sql("ts_events", "weekday(d)"))
+
+
+# --- Theil-Sen robust trend --------------------------------------------------
+
+def _theilsen_sql(src: str) -> str:
+    """Shared text: daily totals -> indexed frame -> all-pairs slopes ->
+    lower-median pick. Slopes are one float division per pair of exact
+    integers (identical IEEE both engines); the median is a rank pick
+    (lower median — no averaging, so no second float op), totally
+    ordered by (slope, i, j) for a deterministic choice among equal
+    slopes."""
+    return (
+        "daily AS (SELECT CAST(ts AS DATE) AS d, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS y "
+        f"FROM {src} GROUP BY CAST(ts AS DATE)), "
+        "idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, y FROM daily), "
+        "pairs AS (SELECT a.i AS i, b.i AS j, "
+        "CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS slope "
+        "FROM idx a JOIN idx b ON b.i > a.i), "
+        "ranked AS (SELECT slope, ROW_NUMBER() OVER "
+        "(ORDER BY slope, i, j) AS rn, COUNT(*) OVER () AS np FROM pairs) "
+        "SELECT (SELECT COUNT(*) FROM idx) AS n_days, "
+        "CAST(np AS BIGINT) AS n_pairs, "
+        + rnd("slope / 100.0e0", 4)
+        + " AS theilsen_slope_dollars_per_day "
+        "FROM ranked WHERE rn = CAST(floor((np + 1) / 2.0e0) AS BIGINT)"
+    )
+
+
+@query(
+    "events_theilsen_trend",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _theilsen_sql("events_t")
+    ),
+)
+def events_theilsen_trend(spark, sf_dir):
+    """Theil-Sen estimator of the daily-revenue trend: the median of all
+    pairwise slopes — robust to ~29% outlier days, where the OLS slope
+    (events_value_trend_ols) is pulled by any single spike. The pair
+    enumeration is over the DAILY frame (days^2 pairs, domain-bounded —
+    never fact-row pairs), so the self-join is a few-MB broadcast at any
+    event volume; the only row-cardinality work is the one daily
+    aggregate."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql("WITH " + _theilsen_sql("ts_events"))
+
+
+# --- single-changepoint detection by SSE reduction ---------------------------
+
+def _cpt_sql(src: str) -> str:
+    """Shared text: prefix sums of daily cents and squared cents make
+    each candidate split's two-segment SSE a closed-form float over
+    exact integers; argmax by (reduction DESC, day ASC) — both engines
+    evaluate bit-identical doubles from identical integer inputs, so the
+    ordering agrees. Squared-cents prefix sums ride DECIMAL(38,0)
+    (daily-total^2 exceeds int64 headroom once daily revenue passes
+    ~3e9 cents)."""
+    return (
+        "daily AS (SELECT CAST(ts AS DATE) AS d, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS y "
+        f"FROM {src} GROUP BY CAST(ts AS DATE)), "
+        "pre AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS t, "
+        "SUM(CAST(y AS DECIMAL(38,0))) OVER (ORDER BY d) AS p, "
+        "SUM(CAST(y AS DECIMAL(38,0)) * y) OVER (ORDER BY d) AS q, "
+        "COUNT(*) OVER () AS n, "
+        "SUM(CAST(y AS DECIMAL(38,0))) OVER () AS ptot, "
+        "SUM(CAST(y AS DECIMAL(38,0)) * y) OVER () AS qtot FROM daily), "
+        "cand AS (SELECT d, t, "
+        "CAST(qtot AS DOUBLE) - CAST(ptot AS DOUBLE) * ptot / n "
+        "- ((CAST(q AS DOUBLE) - CAST(p AS DOUBLE) * p / t) "
+        "+ ((CAST(qtot AS DOUBLE) - q) "
+        "- (CAST(ptot AS DOUBLE) - p) * (CAST(ptot AS DOUBLE) - p) "
+        "/ (n - t))) AS reduction, "
+        "CAST(p AS DOUBLE) / (100.0e0 * t) AS left_mean, "
+        "(CAST(ptot AS DOUBLE) - p) / (100.0e0 * (n - t)) AS right_mean, "
+        "CAST(qtot AS DOUBLE) - CAST(ptot AS DOUBLE) * ptot / n AS sst "
+        "FROM pre WHERE t < n) "
+        "SELECT d AS split_day, "
+        + rnd("sst / 1.0e4", 2) + " AS sst_dollars2, "
+        + rnd("reduction / 1.0e4", 2) + " AS sse_reduction_dollars2, "
+        + rnd("left_mean", 2) + " AS left_mean_dollars, "
+        + rnd("right_mean", 2) + " AS right_mean_dollars "
+        "FROM cand ORDER BY reduction DESC, d ASC LIMIT 1"
+    )
+
+
+@query(
+    "events_changepoint_sse",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _cpt_sql("events_t")
+    ),
+)
+def events_changepoint_sse(spark, sf_dir):
+    """Single-changepoint detection on daily revenue: the split that
+    maximally reduces two-segment SSE vs the global fit (binary
+    segmentation's first step / CUSUM's offline twin — events_cusum_drift
+    is the online form). Prefix sums over the day frame make every
+    candidate split O(1), the whole scan of candidates one window pass;
+    daily aggregation is again the only row-cardinality shuffle. Left /
+    right segment means document WHAT changed at the detected break."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql("WITH " + _cpt_sql("ts_events"))
