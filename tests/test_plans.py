@@ -137,6 +137,7 @@ _JVM_ONLY = [
     "events_theilsen_trend",
     "events_changepoint_sse",
     "text_rake_keywords",
+    "sql_subquery_battery",
 ]
 
 

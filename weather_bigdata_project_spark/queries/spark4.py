@@ -383,3 +383,55 @@ def sql_group_by_all(spark, sf_dir):
         "gba_orders"
     )
     return spark.sql(_GBA_BODY.format(orders="gba_orders"))
+
+
+# --- subquery decorrelation battery ---------------------------------------
+
+#: identical text on both engines; {c}/{o} are the table spellings.
+#: Each count exercises one subquery shape Catalyst must decorrelate:
+#: EXISTS -> left-semi join, NOT EXISTS -> left-anti join, IN ->
+#: left-semi, NOT IN over a null-producing projection -> null-aware
+#: anti join (the three-valued-logic trap: one NULL in the subquery
+#: makes NOT IN UNKNOWN everywhere, so the count is 0 BY DESIGN),
+#: correlated scalar MAX -> aggregate + equi join.
+_SUBQ_BODY = (
+    "SELECT "
+    "(SELECT COUNT(*) FROM {c} c WHERE EXISTS "
+    "(SELECT 1 FROM {o} o WHERE o.o_custkey = c.c_custkey)) AS n_exists, "
+    "(SELECT COUNT(*) FROM {c} c WHERE NOT EXISTS "
+    "(SELECT 1 FROM {o} o WHERE o.o_custkey = c.c_custkey)) "
+    "AS n_not_exists, "
+    "(SELECT COUNT(*) FROM {c} c WHERE c.c_custkey IN "
+    "(SELECT o_custkey FROM {o} WHERE o_totalprice > 150000.0e0)) "
+    "AS n_in_big_spenders, "
+    "(SELECT COUNT(*) FROM {c} c WHERE c.c_custkey NOT IN "
+    "(SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_custkey END "
+    "FROM {o})) AS n_not_in_null_trap, "
+    "(SELECT COUNT(*) FROM {c} c WHERE c.c_acctbal > "
+    "(SELECT 1.0e-1 * MAX(o.o_totalprice) FROM {o} o "
+    "WHERE o.o_custkey = c.c_custkey)) AS n_above_tenth_max"
+)
+
+
+@query(
+    "sql_subquery_battery",
+    oracle=_SUBQ_BODY.format(c="customer", o="orders"),
+)
+def sql_subquery_battery(spark, sf_dir):
+    """Subquery-decorrelation battery: EXISTS / NOT EXISTS / IN /
+    null-trap NOT IN / correlated scalar aggregate, one count each,
+    IDENTICAL SQL text on both engines. The reference never writes a
+    subquery (SURVEY §2.6) but any SQL surface must: Catalyst rewrites
+    every shape here into a join (semi, anti, null-aware anti,
+    aggregate+equi) rather than a per-row re-execution — the plan gate
+    asserts no Python and no cartesian blowup survives. The NOT IN
+    count is 0 by three-valued logic (a NULL in the subquery makes the
+    predicate UNKNOWN for every row) — kept deliberately as the
+    regression canary for null-aware anti-join semantics."""
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "subq_customer"
+    )
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "subq_orders"
+    )
+    return spark.sql(_SUBQ_BODY.format(c="subq_customer", o="subq_orders"))
