@@ -138,6 +138,8 @@ _JVM_ONLY = [
     "events_changepoint_sse",
     "text_rake_keywords",
     "sql_subquery_battery",
+    "events_holt_gridsearch",
+    "graph_link_prediction_brands",
 ]
 
 

@@ -1062,3 +1062,87 @@ def join_asof_nearest_click(spark, sf_dir):
             )
         ).alias("dt_s"),
     )
+
+
+# --- common-neighbor link prediction --------------------------------------
+
+#: shared tail from the weighted-pairs frame: same strongest-30% exact
+#: rank cut as graph_triangle_brands, then Jaccard-of-neighborhoods over
+#: candidate NON-edges (pairs sharing >= 1 neighbor). Everything after
+#: the fact-side co-occurrence build is brand-cardinality.
+_LP_TAIL = (
+    "ne AS (SELECT COUNT(*) AS n FROM {pairs}), "
+    "rk AS (SELECT ba, bb, ROW_NUMBER() OVER "
+    "(ORDER BY w DESC, ba, bb) AS r FROM {pairs}), "
+    "kept AS (SELECT ba, bb FROM rk CROSS JOIN ne "
+    "WHERE 10 * r <= 3 * ne.n), "
+    "adj AS (SELECT ba AS a, bb AS b FROM kept "
+    "UNION ALL SELECT bb AS a, ba AS b FROM kept), "
+    "deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY a), "
+    "cn AS (SELECT x.a AS u, y.a AS v, COUNT(*) AS common "
+    "FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a "
+    "GROUP BY x.a, y.a), "
+    "nonedge AS (SELECT u, v, common FROM cn LEFT JOIN kept k "
+    "ON k.ba = cn.u AND k.bb = cn.v WHERE k.ba IS NULL), "
+    "scored AS (SELECT u, v, common, du.d AS deg_u, dv.d AS deg_v, "
+    + rnd("CAST(common AS DOUBLE) / (du.d + dv.d - common)", 6)
+    + " AS jaccard FROM nonedge "
+    "JOIN deg du ON du.a = nonedge.u JOIN deg dv ON dv.a = nonedge.v) "
+    "SELECT u AS brand1, v AS brand2, CAST(common AS BIGINT) AS n_common, "
+    "CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v, "
+    "jaccard FROM scored ORDER BY jaccard DESC, brand1, brand2 LIMIT 10"
+)
+
+
+def _brand_pairs(spark, sf_dir):
+    """Weighted brand co-occurrence pairs (ba < bb) from order baskets —
+    the same fact-side build as graph_triangle_brands: broadcast part
+    dim join, per-order brand set, IN-ROW pair explode (baskets are
+    small), one hash-agg. This is the only fact-cardinality work in the
+    graph family."""
+    from ..operators.textops import materialize
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+        .groupBy("okey")
+        .agg(F.expr("sort_array(collect_set(brand))").alias("bs"))
+    )
+    pair_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS ba, y AS bb))))"
+    )
+    return materialize(
+        sets.filter(F.size("bs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@query(
+    "graph_link_prediction_brands",
+    oracle="WITH " + _PR_GRAPH + ", " + _LP_TAIL.format(pairs="pairs"),
+)
+def graph_link_prediction_brands(spark, sf_dir):
+    """Common-neighbor link prediction on the sparsified brand graph:
+    for every non-adjacent brand pair sharing at least one neighbor,
+    the Jaccard similarity of their neighborhoods — top-10 predicted
+    links (recommendation candidates / graph-completion features).
+    Completes the graph family: components (dedup_clusters), triangles,
+    PageRank, and now prediction. The candidate set is generated by the
+    neighbor self-join (never all-pairs), the non-edge filter is an
+    anti join against the kept edge list, and every frame past the one
+    fact-cardinality co-occurrence build is brand-sized; counts are
+    exact integers and the score is one snapped division."""
+    pairs = _brand_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("lp_pairs")
+    return spark.sql("WITH " + _LP_TAIL.format(pairs="lp_pairs"))

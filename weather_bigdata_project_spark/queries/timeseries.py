@@ -1324,3 +1324,105 @@ def events_changepoint_sse(spark, sf_dir):
     right segment means document WHAT changed at the detected break."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
     return spark.sql("WITH " + _cpt_sql("ts_events"))
+
+
+# --- Holt smoothing grid search (self-evaluation doctrine) ----------------
+
+#: one smoothing step + running one-step-ahead squared error, shared
+#: shape between the Spark fold and the oracle's recursive CTE. State
+#: rides (level, trend, sse) — level/trend in snapped 1e9-units, the
+#: error snapped to milli-dollars BEFORE squaring so the running sum
+#: stays well inside BIGINT (md^2 ~ 1e12 for a $1000 miss).
+_HG_L = "CAST(ROUND({a} * {x} + (1.0e0 - {a}) * ({l} + {b})) AS BIGINT)"
+_HG_B = (
+    "CAST(ROUND({bt} * ({l1} - {l}) + (1.0e0 - {bt}) * {b}) AS BIGINT)"
+)
+_HG_E = "CAST(ROUND(({l} + {b} - {x}) / 1.0e6) AS BIGINT)"
+
+_HG_GRID = "(VALUES (0.2e0, 0.1e0), (0.5e0, 0.1e0), (0.8e0, 0.1e0), (0.5e0, 0.3e0))"
+
+
+def _hg_oracle() -> str:
+    lstep = _HG_L.format(a="r.alpha", x="x.x", l="r.l", b="r.b")
+    bstep = _HG_B.format(bt="r.beta", l1=lstep, l="r.l", b="r.b")
+    estep = _HG_E.format(l="r.l", b="r.b", x="x.x")
+    return (
+        "WITH RECURSIVE " + _DAILY_CTE + ", "
+        "xs AS (SELECT event_type, day, "
+        "CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT) AS x, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i "
+        "FROM c), "
+        f"grid(alpha, beta) AS {_HG_GRID}, "
+        "nn AS (SELECT event_type, MAX(i) AS imax FROM xs "
+        "GROUP BY event_type), "
+        "r AS (SELECT a.event_type, g.alpha, g.beta, a.i, a.x AS l, "
+        "b2.x - a.x AS b, CAST(0 AS BIGINT) AS s "
+        "FROM xs a JOIN xs b2 ON a.event_type = b2.event_type "
+        "AND a.i = 1 AND b2.i = 2 CROSS JOIN grid g "
+        "UNION ALL SELECT x.event_type, r.alpha, r.beta, x.i, "
+        f"{lstep}, {bstep}, r.s + {estep} * {estep} "
+        "FROM xs x JOIN r ON x.event_type = r.event_type "
+        "AND x.i = r.i + 1) "
+        "SELECT event_type, alpha, beta, sse_dollars2, "
+        "CASE WHEN RANK() OVER (PARTITION BY event_type "
+        "ORDER BY s, alpha, beta) = 1 THEN 1 ELSE 0 END AS is_best "
+        "FROM (SELECT r.event_type, r.alpha, r.beta, r.s, "
+        "CAST(r.s AS DOUBLE) / 1.0e6 AS sse_dollars2 "
+        "FROM r JOIN nn ON r.event_type = nn.event_type "
+        "AND r.i = nn.imax) t"
+    )
+
+
+@query("events_holt_gridsearch", oracle=_hg_oracle())
+def events_holt_gridsearch(spark, sf_dir):
+    """Holt smoothing-parameter grid search, measured: one-step-ahead
+    SSE of four (alpha, beta) configs per event type, best flagged.
+    The self-evaluation doctrine applied to forecasting — you price the
+    smoothing constants on the actual series BEFORE trusting the
+    projection (events_holt_backtest then validates the winner
+    out-of-sample). Each config is the same in-row snapped fold as
+    events_holt_trend with the error accumulated as a third state
+    component, so the whole 4-config grid is ONE aggregate over the
+    grid-crossed daily frame (days x 4 rows, domain-bounded) — no
+    per-config rescans of the fact table."""
+    c = _daily(spark, sf_dir)
+    xs = c.select(
+        "event_type",
+        "day",
+        F.expr("CAST(ROUND(v_c * 1.0e7 / n) AS BIGINT)").alias("x"),
+    )
+    grid = spark.sql(f"SELECT * FROM {_HG_GRID} AS grid(alpha, beta)")
+    lstep = _HG_L.format(a="alpha", x="e.x", l="acc.l", b="acc.b")
+    bstep = _HG_B.format(bt="beta", l1=lstep, l="acc.l", b="acc.b")
+    estep = _HG_E.format(l="acc.l", b="acc.b", x="e.x")
+    fold = (
+        "aggregate(slice(sort_array(xs), 2, size(xs)), "
+        "CAST(named_struct("
+        "'l', sort_array(xs)[0].x, "
+        "'b', sort_array(xs)[1].x - sort_array(xs)[0].x, "
+        "'s', 0) AS STRUCT<l: BIGINT, b: BIGINT, s: BIGINT>), "
+        "(acc, e) -> named_struct("
+        f"'l', {lstep}, 'b', {bstep}, 's', acc.s + {estep} * {estep}))"
+    )
+    folded = (
+        xs.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .filter(F.expr("size(xs) >= 2"))
+        .join(F.broadcast(grid))
+        .select(
+            "event_type",
+            "alpha",
+            "beta",
+            F.expr(fold + ".s").alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "alpha", "beta")
+    return folded.select(
+        "event_type",
+        "alpha",
+        "beta",
+        F.expr("CAST(s AS DOUBLE) / 1.0e6").alias("sse_dollars2"),
+        F.when(F.rank().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_best"),
+    )
