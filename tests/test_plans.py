@@ -140,6 +140,9 @@ _JVM_ONLY = [
     "sql_subquery_battery",
     "events_holt_gridsearch",
     "graph_link_prediction_brands",
+    "events_pacf_daily",
+    "dq_fk_integrity",
+    "events_attribution_linear",
 ]
 
 
@@ -662,3 +665,13 @@ def test_interval_overlap_is_hash_join(spark):
     C.assert_no_python(plan)
     C.assert_no_nested_loop(plan)
     assert "TakeOrderedAndProject" in plan  # top-20 via heaps
+
+
+def test_attribution_band_join_is_hash_join(spark):
+    """The 60-min attribution look-back must ride the bucketized equi
+    join (hash/sort-merge), never a time-inequality nested loop."""
+    plan = C.formatted_plan(
+        QUERIES["events_attribution_linear"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    C.assert_no_nested_loop(plan)

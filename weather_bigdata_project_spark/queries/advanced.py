@@ -1146,3 +1146,87 @@ def graph_link_prediction_brands(spark, sf_dir):
     pairs = _brand_pairs(spark, sf_dir)
     pairs.createOrReplaceTempView("lp_pairs")
     return spark.sql("WITH " + _LP_TAIL.format(pairs="lp_pairs"))
+
+
+# --- multi-touch attribution (linear credit) -------------------------------
+
+_ATTR_S = 3600  # look-back window in seconds == bucket width
+
+
+@query(
+    "events_attribution_linear",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "tp AS (SELECT DISTINCT p.event_id AS pid, "
+        "c.event_type AS touch_type "
+        "FROM events_t p JOIN events_t c ON c.user_id = p.user_id "
+        "AND c.event_type <> 'purchase' "
+        "AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts "
+        "WHERE p.event_type = 'purchase'), "
+        "nt AS (SELECT pid, COUNT(*) AS n FROM tp GROUP BY pid), "
+        "cr AS (SELECT touch_type, "
+        "CAST(ROUND(1.0e6 / n) AS BIGINT) AS credit_u "
+        "FROM tp JOIN nt USING (pid)) "
+        "SELECT touch_type, COUNT(*) AS n_conversions_touched, "
+        "CAST(SUM(credit_u) AS BIGINT) AS credit_u_total "
+        "FROM cr GROUP BY touch_type"
+    ),
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every event type seen for the
+    user in the 60 minutes before a purchase shares that conversion's
+    credit equally (1/n to each distinct touching type). The
+    marketing-analytics counterpart of the funnel family —
+    join_asof_purchase_last_click IS last-touch attribution; this is
+    the fractional model. Same bucketized band join as
+    join_range_clicks_before_purchase (probe buckets {b-1, b}, exact
+    range re-checked — a hash join, never a time-inequality NLJ); the
+    per-conversion share snaps to integer micro-credits at its single
+    division so the corpus-wide credit sums are exact BIGINTs."""
+    ev = tables.load(spark, sf_dir, "events")
+    bucket = (
+        "CAST(FLOOR(timestampdiff(SECOND, "
+        f"to_timestamp_ntz('1970-01-01 00:00:00'), ts) / {_ATTR_S}) AS BIGINT)"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.expr(bucket).alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.expr(bucket).alias("pb"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.explode(F.array(F.col("pb") - 1, F.col("pb"))).alias(
+                "probe_bucket"
+            ),
+        )
+    )
+    tp = (
+        purchases.join(
+            touches,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("probe_bucket") == F.col("c_bucket"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 60 MINUTE"))
+            & (F.col("c_ts") < F.col("ts")),
+        )
+        .select(F.col("event_id").alias("pid"), "touch_type")
+        .distinct()
+    )
+    nt = tp.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tp.join(nt, "pid")
+        .select(
+            "touch_type",
+            F.expr("CAST(ROUND(1.0e6 / n) AS BIGINT)").alias("credit_u"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions_touched"),
+            F.sum("credit_u").cast("bigint").alias("credit_u_total"),
+        )
+    )

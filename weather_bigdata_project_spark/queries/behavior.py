@@ -1288,3 +1288,57 @@ def events_growth_accounting(spark, sf_dir):
             ),
         )
     )
+
+
+# --- partial autocorrelation (Durbin-Levinson, lags 1..3) ------------------
+
+def _pacf_sql(src: str) -> str:
+    """Shared text: the same exact-integer deviation trick as
+    events_acf_daily (dev = nd*x - sx clears the rational mean) gives
+    integer lag sums; r1..r3 become doubles at ONE cast point and the
+    Durbin-Levinson closed forms run once on a single row — identical
+    IEEE text both engines, snapped at the edge."""
+    return (
+        "d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x "
+        f"FROM {src} GROUP BY CAST(ts AS DATE)), "
+        "t AS (SELECT COUNT(*) AS nd, SUM(x) AS sx FROM d), "
+        "v AS (SELECT day, nd * x - sx AS dev FROM d CROSS JOIN t), "
+        "l AS (SELECT dev, LAG(dev, 1) OVER (ORDER BY day) AS l1, "
+        "LAG(dev, 2) OVER (ORDER BY day) AS l2, "
+        "LAG(dev, 3) OVER (ORDER BY day) AS l3 FROM v), "
+        "s AS (SELECT SUM(dev * dev) AS den, SUM(dev * l1) AS n1, "
+        "SUM(dev * l2) AS n2, SUM(dev * l3) AS n3 FROM l), "
+        "r AS (SELECT CAST(n1 AS DOUBLE) / den AS r1, "
+        "CAST(n2 AS DOUBLE) / den AS r2, "
+        "CAST(n3 AS DOUBLE) / den AS r3 FROM s), "
+        "p2 AS (SELECT r1, r2, r3, "
+        "(r2 - r1 * r1) / (1.0e0 - r1 * r1) AS phi22 FROM r), "
+        "p3 AS (SELECT r1, r2, r3, phi22, "
+        "r1 * (1.0e0 - phi22) AS phi21 FROM p2) "
+        "SELECT " + rnd("r1", 6) + " AS pacf1, "
+        + rnd("phi22", 6) + " AS pacf2, "
+        + rnd(
+            "(r3 - phi21 * r2 - phi22 * r1) / "
+            "(1.0e0 - phi21 * r1 - phi22 * r2)",
+            6,
+        )
+        + " AS pacf3 FROM p3"
+    )
+
+
+@query(
+    "events_pacf_daily",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _pacf_sql("events_t")
+    ),
+)
+def events_pacf_daily(spark, sf_dir):
+    """Partial autocorrelation of the daily count series at lags 1-3 via
+    the Durbin-Levinson closed forms — the AR-order selector that
+    separates direct lag influence from what lag-1 already explains
+    (events_acf_daily answers IS there memory; this answers which lags
+    carry it). Same daily-frame reduction and exact-integer lag sums as
+    the ACF; the recursion is three closed-form float expressions on
+    one row, not an iterative solve."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("bh_events")
+    return spark.sql("WITH " + _pacf_sql("bh_events"))

@@ -1022,3 +1022,63 @@ def customer_balance_deciles(spark, sf_dir):
         F.expr(money("MIN(b_c)")).alias("min_balance"),
         F.expr(money("MAX(b_c)")).alias("max_balance"),
     )
+
+
+# --- referential-integrity audit ------------------------------------------
+
+#: identical text both engines; {o}/{c}/{l}/{p} are table spellings.
+#: Each FK is audited in both directions: orphan children (FK value
+#: with no parent — hard corruption) and unreferenced parents (valid
+#: but dead dimension rows — a retention/cost signal, and the join
+#: pruning opportunity DQ dashboards track).
+_FK_BODY = (
+    "SELECT 'orders.o_custkey -> customer.c_custkey' AS fk, "
+    "(SELECT COUNT(*) FROM {o} o LEFT JOIN {c} c "
+    "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) "
+    "AS n_orphan_children, "
+    "(SELECT COUNT(*) FROM {c} c LEFT JOIN {o} o "
+    "ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NULL) "
+    "AS n_unreferenced_parents "
+    "UNION ALL SELECT 'lineitem.l_orderkey -> orders.o_orderkey', "
+    "(SELECT COUNT(*) FROM {l} l LEFT JOIN {o} o "
+    "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL), "
+    "(SELECT COUNT(*) FROM {o} o LEFT JOIN {l} l "
+    "ON l.l_orderkey = o.o_orderkey WHERE l.l_orderkey IS NULL) "
+    "UNION ALL SELECT 'lineitem.l_partkey -> part.p_partkey', "
+    "(SELECT COUNT(*) FROM {l} l LEFT JOIN {p} p "
+    "ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL), "
+    "(SELECT COUNT(*) FROM {p} p LEFT JOIN {l} l "
+    "ON l.l_partkey = p.p_partkey WHERE l.l_partkey IS NULL)"
+)
+
+
+@query(
+    "dq_fk_integrity",
+    oracle=_FK_BODY.format(
+        o="orders", c="customer", l="lineitem", p="part"
+    ),
+)
+def dq_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit over the star schema's three foreign
+    keys, each in both directions: orphaned child rows (corruption — the
+    count a pipeline gate should hard-fail on) and unreferenced parent
+    rows (dead dimension entries — TPC-H ships ~1/3 of customers with no
+    orders by design, so the audit is non-vacuous on the fixtures).
+    Catalyst compiles each existence probe to a semi/anti-style hash
+    join: dimension sides broadcast, the lineitem->orders big-big probe
+    shuffles once on the join key. This plus dq_lineitem_violations
+    (domain rules) and dq_key_skew (distribution) completes the
+    data-quality trio a warehouse runs before trusting a load."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("fk_orders")
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "fk_customer"
+    )
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fk_lineitem"
+    )
+    tables.load(spark, sf_dir, "part").createOrReplaceTempView("fk_part")
+    return spark.sql(
+        _FK_BODY.format(
+            o="fk_orders", c="fk_customer", l="fk_lineitem", p="fk_part"
+        )
+    )
