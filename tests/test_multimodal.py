@@ -148,3 +148,36 @@ def test_phash_neardup_banding_and_verify(spark):
     }
     assert ph[1] == ph[2]
     assert bin((ph[1] ^ ph[3]) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_audio_vad_segments_match_python_reference(spark):
+    """Audio framing + energy VAD: Spark's segment assembly must equal a
+    pure-Python reference on a constructed corpus — loud/quiet frame
+    runs engineered from high/low byte values. Also pins: tail bytes
+    that do not fill a frame are dropped, and docs shorter than one
+    frame vanish entirely."""
+    from weather_bigdata_project_spark.operators import multimodal as M
+
+    fb = M.AUDIO_FRAME_BYTES
+    loud, quiet = "z" * fb, " " * fb  # byte 122 vs 32
+    # doc 1: loud loud quiet loud  -> segments [0,2) and [3,4)
+    # doc 2: quiet quiet           -> no segments
+    # doc 3: loud + half-frame tail (dropped) -> segment [0,1)
+    rows = [
+        (1, loud + loud + quiet + loud),
+        (2, quiet + quiet),
+        (3, loud + "z" * (fb // 2)),
+        (4, "z" * (fb - 1)),  # shorter than one frame: no rows at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    segs = M.audio_voiced_segments(M.with_binary_payload(docs)).collect()
+    got = {
+        (r["doc_id"], r["start_ms"]): (r["end_ms"], r["n_frames"],
+                                       r["mean_energy"])
+        for r in segs
+    }
+    ms = M.AUDIO_FRAME_MS
+    assert got[(1, 0)] == (2 * ms, 2, 122.0)
+    assert got[(1, 3 * ms)] == (4 * ms, 1, 122.0)
+    assert got[(3, 0)] == (ms, 1, 122.0)
+    assert len(segs) == 3  # docs 2 and 4 contribute nothing

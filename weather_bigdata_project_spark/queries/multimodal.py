@@ -118,3 +118,17 @@ def multimodal_exact_dupes(spark, sf_dir):
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@query("multimodal_audio_segments")  # no SQL oracle: pandas_udf kernel
+def multimodal_audio_segments(spark, sf_dir):
+    """Audio VAD segmentation over the binary payload column: JVM-side
+    fixed-rate framing (20 ms / 640 B) and gaps-and-islands segment
+    merge around ONE Arrow-batched energy kernel (stubbed — see
+    operators/multimodal.py). The silence-trim pass an audio curation
+    pipeline runs before paying for ASR; driver records rows-only, the
+    deterministic kernel + segment assembly are unit-tested in
+    tests/test_multimodal.py."""
+    return M.audio_voiced_segments(
+        M.with_binary_payload(T.docs(spark, sf_dir))
+    )
