@@ -143,6 +143,8 @@ _JVM_ONLY = [
     "events_pacf_daily",
     "dq_fk_integrity",
     "events_attribution_linear",
+    "events_power_analysis",
+    "geo_idw_interpolation",
 ]
 
 

@@ -259,3 +259,71 @@ def geo_radius_filter(spark, sf_dir):
         "event_id", "city_name", "temperature", "alert_type",
         F.expr("CAST(d_ukm AS DOUBLE) / 1.0e6").alias("dist_km"),
     )
+
+
+# --- inverse-distance-weighted field interpolation -------------------------
+
+def _idw_sql(src: str) -> str:
+    """Shared text from the enriched relation: stations = exact-integer
+    per-city centroids + milli-degree mean temps; grid points = centers
+    of occupied 0.5-degree cells; weights = relative inverse-square
+    distance snapped to integer parts-per-1e9 of the NEAREST station's
+    weight (w_rel = (d_min/d)^2 — bounded (0,1], so one snap holds both
+    near and far stations; absolute 1/d^2 spans 13 orders of magnitude
+    and cannot ride a single integer scale). Every cross-row sum is
+    exact BIGINT; each weight is one identical IEEE evaluation."""
+    return (
+        f"obs AS (SELECT lat, lon, temperature, city_name FROM {src}), "
+        "st AS (SELECT city_name AS station_city, "
+        "CAST(SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT)) AS DOUBLE) "
+        "/ (1.0e4 * COUNT(*)) AS s_lat, "
+        "CAST(SUM(CAST(ROUND(lon * 1.0e4) AS BIGINT)) AS DOUBLE) "
+        "/ (1.0e4 * COUNT(*)) AS s_lon, "
+        "CAST(ROUND(CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE) "
+        "* 1000.0e0 / COUNT(temperature)) AS BIGINT) AS t_mdeg "
+        "FROM obs GROUP BY city_name), "
+        "cells AS (SELECT DISTINCT "
+        + _CELL.format(c="lat") + " AS cell_lat, "
+        + _CELL.format(c="lon") + " AS cell_lon FROM obs), "
+        "pts AS (SELECT cell_lat, cell_lon, "
+        "(cell_lat + 0.5e0) / 2.0e0 AS g_lat, "
+        "(cell_lon + 0.5e0) / 2.0e0 AS g_lon FROM cells), "
+        "d AS (SELECT cell_lat, cell_lon, station_city, t_mdeg, "
+        "GREATEST("
+        + _hav_ukm("g_lat", "g_lon", "s_lat", "s_lon")
+        + ", 1) AS d_ukm FROM pts CROSS JOIN st), "
+        "dm AS (SELECT cell_lat, cell_lon, MIN(d_ukm) AS d_min "
+        "FROM d GROUP BY cell_lat, cell_lon), "
+        "wts AS (SELECT d.cell_lat, d.cell_lon, d.t_mdeg, "
+        "CAST(ROUND(1.0e9 * (CAST(dm.d_min AS DOUBLE) / d.d_ukm) "
+        "* (CAST(dm.d_min AS DOUBLE) / d.d_ukm)) AS BIGINT) AS wu "
+        "FROM d JOIN dm ON d.cell_lat = dm.cell_lat "
+        "AND d.cell_lon = dm.cell_lon) "
+        "SELECT cell_lat, cell_lon, "
+        "CAST(SUM(CASE WHEN wu > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_stations_used, "
+        "(CAST(ROUND((CAST(SUM(wu * t_mdeg) AS DOUBLE) "
+        "/ (1000.0e0 * SUM(wu))) * 1e3) AS DOUBLE) / 1e3) AS idw_temp "
+        "FROM wts GROUP BY cell_lat, cell_lon"
+    )
+
+
+@query(
+    "geo_idw_interpolation",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", " + _idw_sql("enriched")
+    ),
+)
+def geo_idw_interpolation(spark, sf_dir):
+    """Inverse-distance-weighted temperature field: interpolate each
+    occupied 0.5-degree cell center from ALL station means with 1/d^2
+    weights — the gridded-product step between point observations
+    (geo_grid_cell_stats averages only a cell's own points) and a map
+    layer. The station frame is dimension-sized so the cells-x-stations
+    cross join is broadcast and bounded by territory, never by events;
+    weights snap to integer ppb relative to the nearest station so the
+    weighted sums are exact BIGINTs at any partition layout."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView(
+        "idw_enriched"
+    )
+    return spark.sql("WITH " + _idw_sql("idw_enriched"))

@@ -695,3 +695,56 @@ def lineitem_corr_matrix(spark, sf_dir):
         "cm_lineitem"
     )
     return spark.sql(_cm_sql("cm_lineitem"))
+
+
+# --- A/B test power analysis (sample-size calculator) ----------------------
+
+def _power_sql(src: str) -> str:
+    """Shared text: exact integer moment sums per event type -> sample
+    variance -> required n per arm for three relative effect sizes via
+    the classic two-sample approximation n = 16 sigma^2 / delta^2
+    (alpha=.05 two-sided, 80% power). One aggregate; every float step is
+    a single identical IEEE evaluation over exact scalars."""
+    return (
+        "m AS (SELECT event_type, COUNT(*) AS n, "
+        f"SUM({_X}) AS sx, SUM({_X} * {_X}) AS sxx FROM {src} "
+        "GROUP BY event_type), "
+        "v AS (SELECT event_type, n, "
+        "CAST(sx AS DOUBLE) / (100.0e0 * n) AS mean_v, "
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
+        "/ ((n - 1) * 10000.0e0) AS var_v FROM m WHERE n > 1), "
+        "e AS (SELECT * FROM (VALUES (1), (5), (10)) AS t(effect_pct)) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n_observed, "
+        "effect_pct, "
+        + rnd("mean_v", 4) + " AS mean_value, "
+        + rnd("var_v", 4) + " AS var_value, "
+        "CAST(CEIL(16.0e0 * var_v / "
+        "(mean_v * effect_pct / 100.0e0) / "
+        "(mean_v * effect_pct / 100.0e0)) AS BIGINT) AS required_n_per_arm "
+        "FROM v CROSS JOIN e"
+    )
+
+
+@query(
+    "events_power_analysis",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "src AS (SELECT event_type, value FROM events_t), "
+        + _power_sql("src")
+    ),
+)
+def events_power_analysis(spark, sf_dir):
+    """A/B sample-size calculator from MEASURED variance: for each event
+    type, the n per arm needed to detect a 1/5/10% lift in mean value at
+    alpha=.05 / 80% power (n = 16 sigma^2/delta^2). The planning step
+    BEFORE events_ab_conversion_ztest reads a result — experimentation
+    platforms compute this from the live metric stream, which is exactly
+    one exact-integer moment aggregate here; the three effect sizes are
+    a 3-row literal cross join, not three scans."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql(
+        "WITH src AS (SELECT event_type, value, ts FROM pw_events), "
+        + _power_sql("src")
+    )
