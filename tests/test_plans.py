@@ -145,6 +145,7 @@ _JVM_ONLY = [
     "events_attribution_linear",
     "events_power_analysis",
     "geo_idw_interpolation",
+    "embed_mmr_rerank",
 ]
 
 

@@ -1386,3 +1386,147 @@ def embed_random_projection(spark, sf_dir):
         "vec_id", "CAST(k AS INT) AS k",
         "CAST(comp_u AS DOUBLE) / 1.0e6 AS comp",
     )
+
+
+# --- MMR diversified re-ranking -------------------------------------------
+
+_MMR_K = 4       # results to select
+_MMR_POOL = 8    # relevance candidate pool
+#: score = 0.7 * relevance - 0.3 * max-similarity-to-selected, computed
+#: on integer micro-cosines and re-snapped per step
+_MMR_SCORE = "CAST(ROUND(0.7e0 * {rel} - 0.3e0 * {ms}) AS BIGINT)"
+
+
+def _mmr_tail(cand: str, sims: str) -> str:
+    """Shared greedy-selection text over cand(vec_id, rel_u) and the
+    symmetric sims(v1, v2, sim_u): K unrolled argmax steps, each a
+    candidate-pool-sized aggregate (the pool is tiny by construction —
+    this is a RE-ranker; the heavy top-N retrieval already happened)."""
+    steps = ["s1 AS (SELECT vec_id, rel_u FROM " + cand
+             + " ORDER BY rel_u DESC, vec_id LIMIT 1)"]
+    sel = "s1"
+    for k in range(2, _MMR_K + 1):
+        prev_sel = sel
+        steps.append(
+            f"r{k} AS (SELECT c.vec_id, c.rel_u, MAX(s.sim_u) AS ms "
+            f"FROM {cand} c JOIN {sims} s ON s.v1 = c.vec_id "
+            f"JOIN {prev_sel} t ON s.v2 = t.vec_id "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel}) "
+            "GROUP BY c.vec_id, c.rel_u)"
+        )
+        steps.append(
+            f"s{k}_pick AS (SELECT vec_id, rel_u FROM r{k} ORDER BY "
+            + _MMR_SCORE.format(rel="rel_u", ms="ms")
+            + " DESC, vec_id LIMIT 1)"
+        )
+        steps.append(
+            f"sel{k} AS (SELECT * FROM {prev_sel} "
+            f"UNION ALL SELECT * FROM s{k}_pick)"
+        )
+        sel = f"sel{k}"
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS mmr_rank, vec_id, "
+        "CAST(rel_u AS DOUBLE) / 1.0e6 AS relevance FROM "
+        + ("s1" if k == 1 else f"s{k}_pick")
+        for k in range(1, _MMR_K + 1)
+    )
+    return ", ".join(steps) + " " + finals
+
+
+_MMR_ORACLE = (
+    "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+    "zr AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+    "CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q "
+    "WHERE vec_id <> 0), "
+    "dr AS (SELECT vec_id, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+    "SUM(y * y) AS q2 FROM zr GROUP BY vec_id), "
+    "cand AS (SELECT vec_id, "
+    "CAST(ROUND(dot / (SQRT(n2) * SQRT(q2)) * 1.0e6) AS BIGINT) AS rel_u "
+    f"FROM dr ORDER BY rel_u DESC, vec_id LIMIT {_MMR_POOL}), "
+    "ce AS (SELECT c.vec_id, e.embedding FROM cand c "
+    "JOIN embeddings e USING (vec_id)), "
+    "zp AS (SELECT a.vec_id AS v1, b.vec_id AS v2, "
+    "CAST(unnest(a.embedding) AS DOUBLE) AS x, "
+    "CAST(unnest(b.embedding) AS DOUBLE) AS y "
+    "FROM ce a JOIN ce b ON a.vec_id < b.vec_id), "
+    "dp AS (SELECT v1, v2, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+    "SUM(y * y) AS m2 FROM zp GROUP BY v1, v2), "
+    "halfsims AS (SELECT v1, v2, "
+    "CAST(ROUND(dot / (SQRT(n2) * SQRT(m2)) * 1.0e6) AS BIGINT) AS sim_u "
+    "FROM dp), "
+    "simsym AS (SELECT v1, v2, sim_u FROM halfsims "
+    "UNION ALL SELECT v2 AS v1, v1 AS v2, sim_u FROM halfsims), "
+    + _mmr_tail("cand", "simsym")
+)
+
+
+@query("embed_mmr_rerank", oracle=_MMR_ORACLE)
+def embed_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from the cosine top-8 pool for query vec 0, greedily select 4
+    results maximizing 0.7*relevance - 0.3*max-similarity-to-already-
+    selected — the diversity pass every retrieval stack runs between
+    ANN recall and the LLM context window. The expensive parts (pool
+    retrieval = one narrow scan + heap; pairwise sims = pool^2 in-row
+    folds) are Spark-shaped; the greedy loop is K unrolled
+    pool-sized argmax steps on integer micro-cosines, so selection is
+    deterministic and engine-exact. Completes the retrieval family:
+    BM25 (lexical), kNN/IVF/LSH/PQ (vector recall), MMR (result
+    diversity)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(ROUND("
+                + _DOT.format(a="embedding", b="qe")
+                + " / (SQRT(" + _DOT.format(a="embedding", b="embedding")
+                + ") * SQRT(" + _DOT.format(a="qe", b="qe")
+                + ")) * 1.0e6) AS BIGINT)"
+            ).alias("rel_u"),
+        )
+        .orderBy(F.desc("rel_u"), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    # pinned: the unrolled greedy tail references cand/sims many times
+    # (each selk is a union of every earlier pick) — without checkpoints
+    # the whole retrieval re-executes per reference
+    cand = T.materialize(cand)
+    ce = T.materialize(
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    a = ce.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")
+    )
+    b = ce.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")
+    )
+    half = (
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.expr(
+                "CAST(ROUND("
+                + _DOT.format(a="e1", b="e2")
+                + " / (SQRT(" + _DOT.format(a="e1", b="e1")
+                + ") * SQRT(" + _DOT.format(a="e2", b="e2")
+                + ")) * 1.0e6) AS BIGINT)"
+            ).alias("sim_u"),
+        )
+    )
+    simsym = T.materialize(
+        half.unionByName(
+            half.select(
+                F.col("v2").alias("v1"), F.col("v1").alias("v2"), "sim_u"
+            )
+        )
+    )
+    cand.createOrReplaceTempView("mmr_cand")
+    simsym.createOrReplaceTempView("mmr_sims")
+    return spark.sql("WITH " + _mmr_tail("mmr_cand", "mmr_sims"))
