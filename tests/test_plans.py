@@ -146,6 +146,7 @@ _JVM_ONLY = [
     "events_power_analysis",
     "geo_idw_interpolation",
     "embed_mmr_rerank",
+    "events_seasonal_esd",
 ]
 
 

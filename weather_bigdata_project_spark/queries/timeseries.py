@@ -1161,16 +1161,9 @@ def events_holt_backtest(spark, sf_dir):
 
 # --- classical seasonal decomposition (trend / seasonal / residual) -------
 
-def _stl_sql(src: str, dow: str) -> str:
-    """Shared decomposition text from the daily frame onward. `dow` is the
-    engine's 0=Monday day-of-week spelling (the only dialect difference).
-
-    Exactness: daily totals are integer cents; the centered 7-day trend is
-    carried as its integer numerator t7 (value = t7/7), so the detrended
-    series has exact integer numerator dn = 7*y - t7. Per-weekday seasonal
-    means and their grand-centering then run ONCE over a 7-row frame in
-    DOUBLE with identical expression text — one deterministic IEEE
-    evaluation per weekday, snapped at the output edge."""
+def _stl_core(src: str, dow: str) -> str:
+    """CTE chain of the decomposition up to per-weekday seasonal values
+    (shared by the decomposition output and the ESD anomaly screen)."""
     return (
         "daily AS (SELECT CAST(ts AS DATE) AS d, "
         "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS y "
@@ -1187,8 +1180,23 @@ def _stl_sql(src: str, dow: str) -> str:
         "sb AS (SELECT SUM(CAST(s_num AS DOUBLE) / (7.0e0 * s_cnt)) "
         "/ COUNT(*) AS sbar FROM dw), "
         "seas AS (SELECT k, CAST(s_num AS DOUBLE) / (7.0e0 * s_cnt) - sbar"
-        " AS s FROM dw CROSS JOIN sb) "
-        "SELECT d, CAST(y AS DOUBLE) / 100.0e0 AS daily_total, "
+        " AS s FROM dw CROSS JOIN sb)"
+    )
+
+
+def _stl_sql(src: str, dow: str) -> str:
+    """Shared decomposition text from the daily frame onward. `dow` is the
+    engine's 0=Monday day-of-week spelling (the only dialect difference).
+
+    Exactness: daily totals are integer cents; the centered 7-day trend is
+    carried as its integer numerator t7 (value = t7/7), so the detrended
+    series has exact integer numerator dn = 7*y - t7. Per-weekday seasonal
+    means and their grand-centering then run ONCE over a 7-row frame in
+    DOUBLE with identical expression text — one deterministic IEEE
+    evaluation per weekday, snapped at the output edge."""
+    return (
+        _stl_core(src, dow)
+        + " SELECT d, CAST(y AS DOUBLE) / 100.0e0 AS daily_total, "
         + rnd("CAST(t7 AS DOUBLE) / 700.0e0", 4)
         + " AS trend, "
         + rnd("s / 100.0e0", 4)
@@ -1426,3 +1434,57 @@ def events_holt_gridsearch(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("is_best"),
     )
+
+# --- robust anomaly screen on the deseasonalized residuals -----------------
+
+def _esd_sql(src: str, dow: str) -> str:
+    """Shared text: STL core -> integer micro-unit residuals -> robust
+    (median/MAD) z-scores -> days with |z| > 3. Medians are lower-median
+    rank picks over the day frame (total order: value then day), so no
+    float averaging exists anywhere before the one z formula."""
+    return (
+        _stl_core(src, dow) + ", "
+        "res AS (SELECT d, CAST(ROUND((CAST(y AS DOUBLE) / 100.0e0 "
+        "- CAST(t7 AS DOUBLE) / 700.0e0 - s / 100.0e0) * 1.0e6) AS BIGINT)"
+        " AS ru FROM core JOIN seas USING (k)), "
+        "mr AS (SELECT ru AS med_u FROM ("
+        "SELECT ru, ROW_NUMBER() OVER (ORDER BY ru, d) AS rn, "
+        "COUNT(*) OVER () AS n FROM res) t "
+        "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
+        "dev AS (SELECT d, ru, ABS(ru - med_u) AS du FROM res "
+        "CROSS JOIN mr), "
+        "mad AS (SELECT du AS mad_u FROM ("
+        "SELECT du, ROW_NUMBER() OVER (ORDER BY du, d) AS rn, "
+        "COUNT(*) OVER () AS n FROM dev) t "
+        "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
+        "z AS (SELECT d, ru, "
+        "0.6745e0 * (ru - med_u) / mad_u AS zz "
+        "FROM res CROSS JOIN mr CROSS JOIN mad) "
+        "SELECT d AS day, "
+        "(CAST(ru AS DOUBLE) / 1.0e6) AS residual, "
+        + rnd("zz", 4) + " AS robust_z, "
+        "CASE WHEN ABS(zz) > 3.0e0 THEN 1 ELSE 0 END AS is_anomaly "
+        "FROM z ORDER BY ABS(zz) DESC, d LIMIT 5"
+    )
+
+
+@query(
+    "events_seasonal_esd",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _esd_sql("events_t", "(isodow(d) - 1)")
+    ),
+)
+def events_seasonal_esd(spark, sf_dir):
+    """Seasonal-robust anomaly screen (Twitter S-H-ESD shape): remove
+    trend + weekly seasonality via the shared STL core, then rank days
+    by residual robust z-score (median/MAD, 0.6745 consistency factor):
+    top-5 shown, |z| > 3 flagged — catches anomalies raw z-scores miss
+    on sloped or weekly-patterned data and refuses the false positives
+    they raise every weekend. Residuals snap to integer micro-units;
+    both medians are deterministic lower-median rank picks; the one
+    float z formula runs on exact integers. Same plan skeleton as the
+    decomposition: one row-cardinality daily aggregate, then day-frame
+    windows."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql("WITH " + _esd_sql("ts_events", "weekday(d)"))
