@@ -1451,15 +1451,15 @@ def _esd_sql(src: str, dow: str) -> str:
         "SELECT ru, ROW_NUMBER() OVER (ORDER BY ru, d) AS rn, "
         "COUNT(*) OVER () AS n FROM res) t "
         "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
-        "dev AS (SELECT d, ru, ABS(ru - med_u) AS du FROM res "
-        "CROSS JOIN mr), "
+        "dev AS (SELECT d, ru, "
+        "ABS(ru - (SELECT med_u FROM mr)) AS du FROM res), "
         "mad AS (SELECT du AS mad_u FROM ("
         "SELECT du, ROW_NUMBER() OVER (ORDER BY du, d) AS rn, "
         "COUNT(*) OVER () AS n FROM dev) t "
         "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
         "z AS (SELECT d, ru, "
-        "0.6745e0 * (ru - med_u) / mad_u AS zz "
-        "FROM res CROSS JOIN mr CROSS JOIN mad) "
+        "0.6745e0 * (ru - (SELECT med_u FROM mr)) "
+        "/ (SELECT mad_u FROM mad) AS zz FROM res) "
         "SELECT d AS day, "
         "(CAST(ru AS DOUBLE) / 1.0e6) AS residual, "
         + rnd("zz", 4) + " AS robust_z, "
