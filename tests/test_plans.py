@@ -147,6 +147,7 @@ _JVM_ONLY = [
     "geo_idw_interpolation",
     "embed_mmr_rerank",
     "events_seasonal_esd",
+    "corpus_perplexity_bigram",
 ]
 
 

@@ -795,3 +795,83 @@ def corpus_split_leakage(spark, sf_dir):
             ).alias("n_leaks"),
         )
     )
+
+
+# --- bigram LM perplexity scoring (context-aware fluency) ------------------
+
+#: add-one-smoothed conditional log-prob, snapped to 1e-5 units before
+#: the cross-row per-doc sum (same libm-ulp doctrine as the unigram LM)
+_LP2_U = (
+    "CAST(ROUND(LN((CAST(c_xy AS DOUBLE) + 1.0e0) / "
+    "(CAST(c_ctx AS DOUBLE) + vn)) * 1.0e5) AS BIGINT)"
+)
+
+_PPL2_ORACLE = (
+    "WITH bi AS (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(string_split(text, ' '))), "
+    "i -> struct_pack(w1 := string_split(text, ' ')[i], "
+    "w2 := string_split(text, ' ')[i + 1]))) AS b "
+    "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+    "bit AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi), "
+    "bic AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bit GROUP BY w1, w2), "
+    "ctx AS (SELECT w1, SUM(c_xy) AS c_ctx FROM bic GROUP BY w1), "
+    "vcab AS (SELECT COUNT(DISTINCT tok) AS vn FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents)), "
+    "lp AS (SELECT bit.doc_id, " + _LP2_U + " AS lp_u "
+    "FROM bit JOIN bic USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vcab) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, "
+    "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*)) AS avg_logp "
+    "FROM lp GROUP BY doc_id"
+)
+
+
+@query("corpus_perplexity_bigram", oracle=_PPL2_ORACLE)
+def corpus_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM fluency score: per-doc mean log P(w_i | w_{i-1}) under
+    the corpus's own add-one-smoothed bigram model — the context-aware
+    upgrade of corpus_perplexity_unigram (word salad with plausible
+    unigrams scores well there; here it pays for every unseen
+    transition). Bigram generation is the in-row transform from
+    text_bigram_pmi (no positional self-join); the model is two
+    vocabulary-shaped aggregates joined back onto the bigram stream;
+    each conditional log-prob snaps to 1e-5 units so per-doc sums are
+    exact. In a curation stack this score feeds the same quality gate
+    as the unigram one, with the two disagreeing exactly on
+    scrambled/templated text."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    )
+    bit = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2), "
+                    "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bit = T.materialize(bit)
+    bic = T.materialize(
+        bit.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    ctx = bic.groupBy("w1").agg(F.sum("c_xy").alias("c_ctx"))
+    vcab = (
+        d.select(F.explode("ts").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vn"))
+    )
+    lp = (
+        bit.join(bic, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vcab))
+        .select("doc_id", F.expr(_LP2_U).alias("lp_u"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(
+            "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
+        ).alias("avg_logp"),
+    )
