@@ -148,6 +148,7 @@ _JVM_ONLY = [
     "embed_mmr_rerank",
     "events_seasonal_esd",
     "corpus_perplexity_bigram",
+    "events_forecast_reconcile",
 ]
 
 

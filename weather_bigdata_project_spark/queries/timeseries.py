@@ -1488,3 +1488,105 @@ def events_seasonal_esd(spark, sf_dir):
     windows."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
     return spark.sql("WITH " + _esd_sql("ts_events", "weekday(d)"))
+
+
+# --- hierarchical forecast reconciliation ---------------------------------
+
+def _fr_oracle() -> str:
+    lstep = _HOLT_L.format(x="x.x", l="r.l", b="r.b")
+    bstep = _HOLT_B.format(l1=lstep, l="r.l", b="r.b")
+    return (
+        "WITH RECURSIVE " + tables.EVENTS_ORACLE_CTE + ", "
+        "c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS x "
+        "FROM events_t GROUP BY event_type, CAST(ts AS DATE)), "
+        "u AS (SELECT event_type, day, x FROM c "
+        "UNION ALL SELECT 'TOTAL' AS event_type, day, SUM(x) AS x "
+        "FROM c GROUP BY day), "
+        "xs AS (SELECT event_type, day, x, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY day) AS i FROM u), "
+        "nn AS (SELECT event_type, MAX(i) AS imax FROM xs "
+        "GROUP BY event_type), "
+        "r AS (SELECT a.event_type, a.i, a.x AS l, b2.x - a.x AS b "
+        "FROM xs a JOIN xs b2 ON a.event_type = b2.event_type "
+        "AND a.i = 1 AND b2.i = 2 "
+        f"UNION ALL SELECT x.event_type, x.i, {lstep}, {bstep} "
+        "FROM xs x JOIN r ON x.event_type = r.event_type "
+        "AND x.i = r.i + 1), "
+        "fin AS (SELECT r.event_type, r.l + r.b AS f FROM r "
+        "JOIN nn ON r.event_type = nn.event_type AND r.i = nn.imax), "
+        "base AS (SELECT event_type, f FROM fin "
+        "WHERE event_type <> 'TOTAL') "
+        "SELECT event_type, "
+        "CAST(f AS DOUBLE) / 100.0e0 AS base_forecast, "
+        "CAST(CAST(ROUND(CAST(f AS DOUBLE) "
+        "* (SELECT f FROM fin WHERE event_type = 'TOTAL') "
+        "/ (SELECT SUM(f) FROM base)) AS BIGINT) AS DOUBLE) / 100.0e0 "
+        "AS reconciled_forecast, "
+        + rnd("CAST(f AS DOUBLE) / (SELECT SUM(f) FROM base)", 6)
+        + " AS share FROM base"
+    )
+
+
+@query("events_forecast_reconcile", oracle=_fr_oracle())
+def events_forecast_reconcile(spark, sf_dir):
+    """Hierarchical forecast reconciliation (top-down proportional): Holt
+    one-step forecasts for every event type AND the total series, then
+    each type's forecast is rescaled so the hierarchy is coherent
+    (children sum to the parent — base forecasts never do, because each
+    smoothing ran independently). The aggregate-planning discipline on
+    top of events_holt_trend: capacity is provisioned off the TOTAL
+    forecast while per-type plans must add up to it. One daily
+    aggregate, a types+1-group snapped fold, and two scalar broadcasts;
+    forecasts stay integer cents so the reconciliation rounding is the
+    only non-integer step."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = materialize(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(
+                F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")
+            ).alias("x")
+        )
+    )
+    u = c.unionByName(
+        c.groupBy("day").agg(F.sum("x").alias("x")).select(
+            F.lit("TOTAL").alias("event_type"), "day", "x"
+        )
+    )
+    lstep = _HOLT_L.format(
+        x="e.x", l="acc.l", b="acc.b"
+    )
+    bstep = _HOLT_B.format(l1=lstep, l="acc.l", b="acc.b")
+    fold = (
+        "aggregate(slice(sort_array(xs), 2, size(xs)), "
+        "CAST(named_struct('l', sort_array(xs)[0].x, "
+        "'b', sort_array(xs)[1].x - sort_array(xs)[0].x) "
+        "AS STRUCT<l: BIGINT, b: BIGINT>), "
+        f"(acc, e) -> named_struct('l', {lstep}, 'b', {bstep}))"
+    )
+    fin = materialize(
+        u.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, x))").alias("xs"))
+        .filter(F.expr("size(xs) >= 2"))
+        .select(
+            "event_type", F.expr(fold + ".l + " + fold + ".b").alias("f")
+        )
+    )
+    tot = fin.filter(F.col("event_type") == "TOTAL").select(
+        F.col("f").alias("ft")
+    )
+    base = fin.filter(F.col("event_type") != "TOTAL")
+    sb = base.agg(F.sum("f").alias("sf"))
+    return (
+        base.join(F.broadcast(tot))
+        .join(F.broadcast(sb))
+        .select(
+            "event_type",
+            F.expr("CAST(f AS DOUBLE) / 100.0e0").alias("base_forecast"),
+            F.expr(
+                "CAST(CAST(ROUND(CAST(f AS DOUBLE) * ft / sf) AS BIGINT) "
+                "AS DOUBLE) / 100.0e0"
+            ).alias("reconciled_forecast"),
+            F.expr(rnd("CAST(f AS DOUBLE) / sf", 6)).alias("share"),
+        )
+    )
