@@ -149,6 +149,7 @@ _JVM_ONLY = [
     "events_seasonal_esd",
     "corpus_perplexity_bigram",
     "events_forecast_reconcile",
+    "embed_ood_distance",
 ]
 
 

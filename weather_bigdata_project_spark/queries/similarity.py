@@ -1530,3 +1530,109 @@ def embed_mmr_rerank(spark, sf_dir):
     cand.createOrReplaceTempView("mmr_cand")
     simsym.createOrReplaceTempView("mmr_sims")
     return spark.sql("WITH " + _mmr_tail("mmr_cand", "mmr_sims"))
+
+
+# --- out-of-distribution screening by centroid distance --------------------
+
+def _ood_tail(dd: str) -> str:
+    """Shared text over dd(vec_id, label, d_u): per-label lower-median +
+    MAD rank picks (total order, no float averaging), robust threshold
+    med + 3*1.4826*MAD evaluated once per label on exact integers, then
+    one counting pass."""
+    return (
+        f"mr AS (SELECT label, d_u AS med_u FROM ("
+        "SELECT label, d_u, ROW_NUMBER() OVER (PARTITION BY label "
+        "ORDER BY d_u, vec_id) AS rn, "
+        f"COUNT(*) OVER (PARTITION BY label) AS n FROM {dd}) t "
+        "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
+        f"dev AS (SELECT d.label, d.vec_id, d.d_u, "
+        f"ABS(d.d_u - m.med_u) AS du FROM {dd} d "
+        "JOIN mr m ON d.label = m.label), "
+        "md AS (SELECT label, du AS mad_u FROM ("
+        "SELECT label, du, ROW_NUMBER() OVER (PARTITION BY label "
+        "ORDER BY du, vec_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY label) AS n FROM dev) t "
+        "WHERE rn = CAST(floor((n + 1) / 2.0e0) AS BIGINT)), "
+        "thr AS (SELECT mr.label, mr.med_u, md.mad_u, "
+        "CAST(ROUND(mr.med_u + 4.4478e0 * md.mad_u) AS BIGINT) AS thr_u "
+        "FROM mr JOIN md ON mr.label = md.label) "
+        f"SELECT d.label, COUNT(*) AS n_vectors, "
+        "CAST(SUM(CASE WHEN d.d_u > t.thr_u THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_ood, "
+        "CAST(t.med_u AS DOUBLE) / 1.0e6 AS median_sqdist, "
+        "CAST(t.mad_u AS DOUBLE) / 1.0e6 AS mad_sqdist, "
+        "CAST(t.thr_u AS DOUBLE) / 1.0e6 AS threshold_sqdist "
+        f"FROM {dd} d JOIN thr t ON d.label = t.label "
+        "GROUP BY d.label, t.med_u, t.mad_u, t.thr_u"
+    )
+
+
+_OOD_ORACLE = (
+    "WITH ex AS (SELECT label, "
+    "unnest(generate_series(0, len(embedding) - 1)) AS dim, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1.0e6) AS BIGINT)"
+    " AS x_u FROM embeddings), "
+    "c AS (SELECT label, dim, SUM(x_u) AS s_u, COUNT(*) AS n "
+    "FROM ex GROUP BY label, dim), "
+    "v AS (SELECT vec_id, label, "
+    "unnest(generate_series(0, len(embedding) - 1)) AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "dd AS (SELECT v.vec_id, v.label, CAST(ROUND(SUM("
+    "(v.x - CAST(c.s_u AS DOUBLE) / (1.0e6 * c.n)) * "
+    "(v.x - CAST(c.s_u AS DOUBLE) / (1.0e6 * c.n))) * 1.0e6) AS BIGINT)"
+    " AS d_u FROM v JOIN c ON v.dim = c.dim AND v.label = c.label "
+    "GROUP BY v.vec_id, v.label), "
+    + _ood_tail("dd")
+)
+
+
+@query("embed_ood_distance", oracle=_OOD_ORACLE)
+def embed_ood_distance(spark, sf_dir):
+    """Out-of-distribution screen: per-label robust gate on squared
+    distance to the OWN label centroid (median + 3*1.4826*MAD) and the
+    count of vectors beyond it — the mislabeled/contaminated-embedding
+    detector run before trusting labels as an IVF router or training
+    signal. Same broadcast-centroid in-row distance as the silhouette
+    (zero corpus-side shuffles to score every vector); medians are
+    deterministic per-label rank picks over the integer micro-unit
+    distances. Completes the embedding-quality suite: norms
+    (embed_norm_stats), drift (embed_centroid_drift), cohesion
+    (embed_silhouette_labels), outliers (here)."""
+    emb = _emb(spark, sf_dir)
+    cent_long = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "label",
+            "dim",
+            F.expr(
+                "CAST(ROUND(CAST(xf AS DOUBLE) * 1.0e6) AS BIGINT)"
+            ).alias("x_u"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("x_u").alias("s_u"), F.count(F.lit(1)).alias("n"))
+    )
+    carr = cent_long.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, "
+            "CAST(s_u AS DOUBLE) / (1.0e6 * n) AS cd))), s -> s.cd)"
+        ).alias("carr")
+    )
+    cents = carr.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("label").alias("clabel"), F.col("carr"))
+            )
+        ).alias("cents")
+    )
+    dist = _L2U.format(a="embedding", b="c.carr")
+    dd = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "filter(transform(cents, c -> struct("
+            + dist
+            + " AS d_u, c.clabel AS clabel)), x -> x.clabel = label)[0].d_u"
+        ).alias("d_u"),
+    )
+    dd.createOrReplaceTempView("ood_dd")
+    return spark.sql("WITH " + _ood_tail("ood_dd"))
