@@ -150,6 +150,7 @@ _JVM_ONLY = [
     "corpus_perplexity_bigram",
     "events_forecast_reconcile",
     "embed_ood_distance",
+    "warehouse_scd2_apply",
 ]
 
 

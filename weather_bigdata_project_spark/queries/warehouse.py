@@ -1082,3 +1082,58 @@ def dq_fk_integrity(spark, sf_dir):
             o="fk_orders", c="fk_customer", l="fk_lineitem", p="fk_part"
         )
     )
+
+
+# --- incremental SCD2 apply (dimension maintenance as a query) -------------
+
+_SCD2A_SPLIT = "TIMESTAMP '1997-07-01 00:00:00'"
+
+#: value tier off exact cents — the tracked SCD2 attribute
+_SCD2A_TIER = (
+    "CASE WHEN {v} < 20000000 THEN 'LOW' "
+    "WHEN {v} < 50000000 THEN 'MED' ELSE 'HIGH' END"
+)
+
+_SCD2A_BODY = (
+    "pre AS (SELECT o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS v_c FROM {{o}} "
+    f"WHERE o_orderdate < {_SCD2A_SPLIT} GROUP BY o_custkey), "
+    "post AS (SELECT o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS v_c FROM {{o}} GROUP BY o_custkey), "
+    "m AS (SELECT post.o_custkey, pre.v_c AS v_pre, post.v_c AS v_post, "
+    "CASE WHEN pre.o_custkey IS NULL THEN NULL ELSE "
+    + _SCD2A_TIER.format(v="pre.v_c")
+    + " END AS tier_old, "
+    + _SCD2A_TIER.format(v="post.v_c")
+    + " AS tier_new "
+    "FROM post LEFT JOIN pre ON pre.o_custkey = post.o_custkey) "
+    "SELECT o_custkey, "
+    "CASE WHEN tier_old IS NULL THEN 'insert_new_key' "
+    "WHEN tier_new <> tier_old THEN 'close_and_open' "
+    "ELSE 'unchanged' END AS scd2_action, "
+    "tier_old, tier_new, "
+    + money("v_post")
+    + " AS current_value FROM m"
+)
+
+
+@query(
+    "warehouse_scd2_apply",
+    oracle="WITH " + _SCD2A_BODY.format(o="orders"),
+)
+def warehouse_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 dimension maintenance, expressed relationally:
+    given the dimension state BEFORE the split date (per-customer value
+    tier) and the post-batch state, classify every key into the MERGE
+    action a type-2 dimension load would take — close-and-open a new
+    version (tracked attribute changed), insert (first appearance), or
+    no-op. This is the decision layer that drives
+    sources/readers.upsert_parquet_lake's physical MERGE; both states
+    come from ONE scan each with exact-cents aggregates, and the apply
+    itself is a single left join at key cardinality — the classic
+    per-row lookup-loop formulation never appears. At 100 TB the same
+    plan holds with the dimension side bucketed on the key."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "scd2a_orders"
+    )
+    return spark.sql("WITH " + _SCD2A_BODY.format(o="scd2a_orders"))
