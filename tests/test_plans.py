@@ -151,6 +151,7 @@ _JVM_ONLY = [
     "events_forecast_reconcile",
     "embed_ood_distance",
     "warehouse_scd2_apply",
+    "dedup_containment",
 ]
 
 

@@ -1182,3 +1182,104 @@ def dedup_cluster_canonical_quality(spark, sf_dir):
 from ..registry import ORACLES as _OR  # noqa: E402
 
 _OR["dedup_cluster_canonical_quality"] = _canon_oracle()
+
+
+# --- containment (asymmetric Jaccard) near-dup -----------------------------
+
+_CONT_T = "0.8e0"  # containment threshold
+
+
+@query(
+    "dedup_containment",
+    oracle=(
+        "WITH " + T.SHINGLES_CTE + ", "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles "
+        "GROUP BY doc_id), "
+        "df AS (SELECT shingle, COUNT(*) AS doc_freq FROM shingles "
+        "GROUP BY shingle), "
+        "kept AS (SELECT s.doc_id, s.shingle FROM shingles s "
+        f"JOIN df USING (shingle) WHERE df.doc_freq <= {_DF_CAP}), "
+        "common AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+        "COUNT(*) AS c FROM kept a JOIN kept b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "orient AS (SELECT "
+        "CASE WHEN s1.n_sh < s2.n_sh OR (s1.n_sh = s2.n_sh "
+        "AND doc1 < doc2) THEN doc1 ELSE doc2 END AS doc_small, "
+        "CASE WHEN s1.n_sh < s2.n_sh OR (s1.n_sh = s2.n_sh "
+        "AND doc1 < doc2) THEN doc2 ELSE doc1 END AS doc_big, "
+        "LEAST(s1.n_sh, s2.n_sh) AS n_small, "
+        "GREATEST(s1.n_sh, s2.n_sh) AS n_big, c "
+        "FROM common JOIN sizes s1 ON s1.doc_id = doc1 "
+        "JOIN sizes s2 ON s2.doc_id = doc2) "
+        "SELECT doc_small, doc_big, "
+        "CAST(n_small AS BIGINT) AS n_small, "
+        "CAST(n_big AS BIGINT) AS n_big, "
+        + rnd("CAST(c AS DOUBLE) / n_small", 4) + " AS containment, "
+        + rnd("CAST(c AS DOUBLE) / (n_small + n_big - c)", 4)
+        + " AS jaccard FROM orient "
+        f"WHERE CAST(c AS DOUBLE) / n_small >= {_CONT_T} "
+        "ORDER BY containment DESC, doc_small, doc_big LIMIT 50"
+    ),
+)
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup detection: C(A,B) = |A∩B| / |A| with A the
+    smaller shingle set — the ASYMMETRIC similarity that catches a doc
+    wholly embedded in a larger one (boilerplate wrappers, quote pages,
+    chrome + content), which symmetric Jaccard scores low precisely
+    when the size gap is big. Same single-shuffle shingle machinery as
+    dedup_ngram_jaccard (grouped-list pair explode, df cap, sizes
+    riding through the expansion); orientation (small ⊂ big) resolves
+    from the carried sizes with a doc-id tie-break, and the top-50
+    rides a TakeOrdered heap. Jaccard is reported alongside to show
+    the divergence this operator exists for."""
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc_id AS doc1, x.n_sh AS n1, "
+        "y.doc_id AS doc2, y.n_sh AS n2))))"
+    )
+    small = (
+        "CASE WHEN n1 < n2 OR (n1 = n2 AND doc1 < doc2) "
+        "THEN {a} ELSE {b} END"
+    )
+    return (
+        sh.groupBy("sh")
+        .agg(
+            F.expr(
+                "sort_array(collect_set(struct(doc_id, n_sh)))"
+            ).alias("ds")
+        )
+        .filter(F.expr(f"size(ds) BETWEEN 2 AND {_DF_CAP}"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.doc1").alias("doc1"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.doc2").alias("doc2"),
+            F.col("p.n2").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.expr(small.format(a="doc1", b="doc2")).alias("doc_small"),
+            F.expr(small.format(a="doc2", b="doc1")).alias("doc_big"),
+            F.expr("CAST(LEAST(n1, n2) AS BIGINT)").alias("n_small"),
+            F.expr("CAST(GREATEST(n1, n2) AS BIGINT)").alias("n_big"),
+            "c",
+        )
+        .filter(F.expr(f"CAST(c AS DOUBLE) / n_small >= {_CONT_T}"))
+        .select(
+            "doc_small",
+            "doc_big",
+            "n_small",
+            "n_big",
+            F.expr(rnd("CAST(c AS DOUBLE) / n_small", 4)).alias(
+                "containment"
+            ),
+            F.expr(
+                rnd("CAST(c AS DOUBLE) / (n_small + n_big - c)", 4)
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("containment"), "doc_small", "doc_big")
+        .limit(50)
+    )
