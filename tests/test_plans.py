@@ -152,6 +152,7 @@ _JVM_ONLY = [
     "embed_ood_distance",
     "warehouse_scd2_apply",
     "dedup_containment",
+    "customer_migration_matrix",
 ]
 
 

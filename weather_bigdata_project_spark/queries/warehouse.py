@@ -1137,3 +1137,40 @@ def warehouse_scd2_apply(spark, sf_dir):
         "scd2a_orders"
     )
     return spark.sql("WITH " + _SCD2A_BODY.format(o="scd2a_orders"))
+
+
+# --- customer tier migration matrix ---------------------------------------
+
+_MIG_BODY = (
+    "pre AS (SELECT o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS v_c FROM {{o}} "
+    f"WHERE o_orderdate < {_SCD2A_SPLIT} GROUP BY o_custkey), "
+    "post AS (SELECT o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS v_c FROM {{o}} "
+    f"WHERE o_orderdate >= {_SCD2A_SPLIT} GROUP BY o_custkey), "
+    "m AS (SELECT "
+    "CASE WHEN pre.o_custkey IS NULL THEN 'NONE' ELSE "
+    + _SCD2A_TIER.format(v="pre.v_c") + " END AS tier_from, "
+    "CASE WHEN post.o_custkey IS NULL THEN 'NONE' ELSE "
+    + _SCD2A_TIER.format(v="post.v_c") + " END AS tier_to "
+    "FROM pre FULL OUTER JOIN post "
+    "ON pre.o_custkey = post.o_custkey) "
+    "SELECT tier_from, tier_to, COUNT(*) AS n_customers "
+    "FROM m GROUP BY tier_from, tier_to"
+)
+
+
+@query("customer_migration_matrix", oracle="WITH " + _MIG_BODY.format(o="orders"))
+def customer_migration_matrix(spark, sf_dir):
+    """Customer value-tier migration matrix between the two halves of
+    the order history: counts for every (tier H1 -> tier H2) cell,
+    with NONE capturing churn (active then silent) and acquisition
+    (silent then active). The cohort-movement report a retention team
+    reads weekly; where warehouse_scd2_apply classifies per-key MERGE
+    actions, this aggregates the same pre/post frames into the
+    dimension-cardinality flow matrix. One full-outer join at key
+    cardinality, exact-cents tiers, tiny output."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mig_orders"
+    )
+    return spark.sql("WITH " + _MIG_BODY.format(o="mig_orders"))
