@@ -153,6 +153,7 @@ _JVM_ONLY = [
     "warehouse_scd2_apply",
     "dedup_containment",
     "customer_migration_matrix",
+    "events_value_twap",
 ]
 
 

@@ -1590,3 +1590,62 @@ def events_forecast_reconcile(spark, sf_dir):
             F.expr(rnd("CAST(f AS DOUBLE) / sf", 6)).alias("share"),
         )
     )
+
+
+# --- time-weighted average over irregular samples --------------------------
+
+def _twap_sql(src: str, epoch: str) -> str:
+    """Shared text: per-type step-function integral of value over time.
+    Each observation holds its value until the next one (lead); the
+    integral sums cents x held-microseconds as exact DECIMAL(38,0)
+    (duration ~1e11 us x 1e4 cents per term kills int64 fast), and the
+    TWAP is one float division per type at the edge. `epoch` is the
+    engine's epoch-microseconds spelling (Spark timestampdiff /
+    DuckDB epoch_us) — the only dialect difference."""
+    return (
+        f"obs AS (SELECT event_type, {epoch} AS t_us, "
+        "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c "
+        f"FROM {src}), "
+        "held AS (SELECT event_type, v_c, "
+        "LEAD(t_us) OVER (PARTITION BY event_type "
+        "ORDER BY t_us, v_c) - t_us AS dur_us FROM obs), "
+        "s AS (SELECT event_type, "
+        "SUM(CAST(v_c * dur_us AS DECIMAL(38,0))) AS wsum, "
+        "SUM(CAST(dur_us AS DECIMAL(38,0))) AS tsum, "
+        "COUNT(dur_us) AS n_intervals FROM held "
+        "WHERE dur_us IS NOT NULL GROUP BY event_type) "
+        "SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals, "
+        + rnd("CAST(wsum AS DOUBLE) / (CAST(tsum AS DOUBLE) * 100.0e0)", 4)
+        + " AS twap, "
+        + rnd("CAST(tsum AS DOUBLE) / 8.64e10", 2)
+        + " AS span_days FROM s"
+    )
+
+
+@query(
+    "events_value_twap",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " , "
+        + _twap_sql("events_t", "epoch_us(ts)")
+    ),
+)
+def events_value_twap(spark, sf_dir):
+    """Time-weighted average value per event type — the correct mean for
+    IRREGULARLY sampled series (finance TWAP, IoT sensor state): each
+    observation's value is weighted by how long it was the latest one
+    (step-function integral via lead), so burst periods stop dominating
+    the way they do in the row-weighted mean (events_moment_stats shows
+    that one; the gap between the two numbers IS the sampling-bias
+    measurement). One window on the type partition, exact
+    cents x microseconds products in DECIMAL(38,0), one division per
+    type. The (t_us, v_c) tie-break makes duplicate-timestamp ordering
+    total, so zero-duration ties contribute nothing in both engines."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql(
+        "WITH "
+        + _twap_sql(
+            "ts_events",
+            "timestampdiff(MICROSECOND, "
+            "to_timestamp_ntz('1970-01-01 00:00:00'), ts)",
+        )
+    )
