@@ -154,6 +154,7 @@ _JVM_ONLY = [
     "dedup_containment",
     "customer_migration_matrix",
     "events_value_twap",
+    "ml_linreg_grouped_brands",
 ]
 
 

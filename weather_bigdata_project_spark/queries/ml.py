@@ -392,3 +392,58 @@ def ml_linreg_normal_eq(spark, sf_dir):
         "ols_lineitem"
     )
     return spark.sql(_ols_sql("ols_lineitem"))
+
+
+# --- grouped regression: one model per brand in a single pass --------------
+
+#: simple OLS of quantity on discount points, per part brand; exact
+#: integer sums (quantity <= 50, discount points <= 10 — headroom is
+#: trivial), closed-form slope/intercept/r2 as one float evaluation
+#: per GROUP. The "fit 10^4 models in one aggregate" pattern: model
+#: count scales with group cardinality, data passes stay at ONE.
+_GOLS_BODY = (
+    "u AS (SELECT p.p_brand AS brand, "
+    "CAST(l.l_quantity AS BIGINT) AS x, "
+    "CAST(ROUND(l.l_discount * 100.0e0) AS BIGINT) AS y "
+    "FROM {l} l JOIN {p} p ON l.l_partkey = p.p_partkey), "
+    "g AS (SELECT brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy "
+    "FROM u GROUP BY brand), "
+    "f AS (SELECT brand, n, "
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+    "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope, "
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+    "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+    "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2, "
+    "CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar "
+    "FROM g WHERE n > 1) "
+    "SELECT brand, CAST(n AS BIGINT) AS n_lines, "
+    + rnd("slope", 6) + " AS slope_disc_pt_per_qty, "
+    + rnd("ybar - slope * xbar", 6) + " AS intercept_disc_pt, "
+    + rnd("r2", 6) + " AS r2"
+    " FROM f"
+)
+
+
+@query(
+    "ml_linreg_grouped_brands",
+    oracle="WITH " + _GOLS_BODY.format(l="lineitem", p="part"),
+)
+def ml_linreg_grouped_brands(spark, sf_dir):
+    """Grouped regression — one OLS model PER BRAND from a single
+    aggregate pass: does discount depth track order quantity, and does
+    the relationship differ across brands? Five integer moment sums per
+    group (map-side combined), closed-form slope/intercept/r^2 per
+    group row. This is the scale pattern applyInPandas+sklearn gets
+    reached for prematurely: 25 brands or 10^6 SKUs cost the same ONE
+    shuffle, all JVM-side, vs a Python boundary per group. Broadcast
+    part dim onto the fact scan; nothing else touches fact
+    cardinality."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gols_lineitem"
+    )
+    tables.load(spark, sf_dir, "part").createOrReplaceTempView("gols_part")
+    return spark.sql(
+        "WITH " + _GOLS_BODY.format(l="gols_lineitem", p="gols_part")
+    )
