@@ -155,6 +155,7 @@ _JVM_ONLY = [
     "customer_migration_matrix",
     "events_value_twap",
     "ml_linreg_grouped_brands",
+    "corpus_shard_balance",
 ]
 
 

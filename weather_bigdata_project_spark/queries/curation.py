@@ -875,3 +875,75 @@ def corpus_perplexity_bigram(spark, sf_dir):
             "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
         ).alias("avg_logp"),
     )
+
+
+# --- training-shard assignment + balance audit -----------------------------
+
+_N_SHARDS = 16
+#: multiplicative integer hash -> shard id; stable under corpus growth
+#: and partition layout (same LCG family as corpus_split_assign)
+_SHARD_ID = f"((doc_id * 2654435761) % 1000003) % {_N_SHARDS}"
+
+
+@query(
+    "corpus_shard_balance",
+    oracle=(
+        "WITH a AS (SELECT " + _SHARD_ID + " AS shard, "
+        "n_chars, length(string_split(text, ' ')) AS n_tok "
+        "FROM documents), "
+        "s AS (SELECT shard, COUNT(*) AS n_docs, "
+        "SUM(CAST(n_tok AS BIGINT)) AS n_tokens, "
+        "SUM(CAST(n_chars AS BIGINT)) AS n_chars FROM a GROUP BY shard), "
+        "t AS (SELECT MAX(n_tokens) AS mx, MIN(n_tokens) AS mn FROM s) "
+        "SELECT shard, n_docs, n_tokens, n_chars, "
+        + rnd(
+            "CAST(n_tokens AS DOUBLE) * "
+            f"{_N_SHARDS}.0e0 / (SELECT SUM(n_tokens) FROM s)",
+            4,
+        )
+        + " AS load_factor, "
+        + rnd("(SELECT CAST(mx AS DOUBLE) / mn FROM t)", 4)
+        + " AS global_imbalance FROM s"
+    ),
+)
+def corpus_shard_balance(spark, sf_dir):
+    """Training-shard assignment + balance audit: every doc maps to one
+    of 16 shards by a stable integer hash (layout- and growth-
+    independent — re-running on an appended corpus never moves an old
+    doc), and the audit reports per-shard doc/token/byte loads, each
+    shard's load factor vs perfect balance, and the global max/min
+    imbalance ratio. This is the check run BEFORE a 1000-GPU job reads
+    the shards — a 1.5x token imbalance is a 1.5x straggler. Pure
+    narrow hash + one shard-cardinality aggregate; at 100 TB the same
+    audit costs one scan."""
+    d = T.docs(spark, sf_dir).selectExpr(
+        _SHARD_ID + " AS shard",
+        "n_chars",
+        "size(split(text, ' ')) AS n_tok",
+    )
+    s = T.materialize(
+        d.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("n_tokens"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("n_chars"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("tt"),
+        F.max("n_tokens").alias("mx"),
+        F.min("n_tokens").alias("mn"),
+    )
+    return s.join(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr(
+            rnd(
+                f"CAST(n_tokens AS DOUBLE) * {_N_SHARDS}.0e0 / tt", 4
+            )
+        ).alias("load_factor"),
+        F.expr(rnd("CAST(mx AS DOUBLE) / mn", 4)).alias(
+            "global_imbalance"
+        ),
+    )
