@@ -157,6 +157,7 @@ _JVM_ONLY = [
     "ml_linreg_grouped_brands",
     "corpus_shard_balance",
     "orders_prefix_sum_distributed",
+    "events_lateness_profile",
 ]
 
 

@@ -748,3 +748,64 @@ def events_power_analysis(spark, sf_dir):
         "WITH src AS (SELECT event_type, value, ts FROM pw_events), "
         + _power_sql("src")
     )
+
+
+# --- event-time lateness profile (watermark sizing) ------------------------
+
+def _late_sql(src: str, epoch_us: str) -> str:
+    """Shared text: lateness of each event vs the max event-time already
+    seen in arrival order (event_id = ingestion order), then exact
+    rank-pick percentiles per type. All integers; the only float is the
+    final us -> seconds display division."""
+    return (
+        f"a AS (SELECT event_type, event_id, {epoch_us} AS t_us "
+        f"FROM {src}), "
+        "r AS (SELECT event_type, event_id, "
+        "MAX(t_us) OVER (PARTITION BY event_type ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t_us "
+        "AS late_us FROM a), "
+        "k AS (SELECT event_type, late_us, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY late_us, event_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM r), "
+        "p AS (SELECT event_type, "
+        "MAX(n) AS n, "
+        "SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) "
+        "THEN late_us END) AS p50_us, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.95e0 * n) AS BIGINT) "
+        "THEN late_us END) AS p95_us, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.99e0 * n) AS BIGINT) "
+        "THEN late_us END) AS p99_us, "
+        "MAX(late_us) AS max_us FROM k GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n_events, "
+        "CAST(n_late AS BIGINT) AS n_late, "
+        "CAST(p50_us AS DOUBLE) / 1.0e6 AS p50_lateness_s, "
+        "CAST(p95_us AS DOUBLE) / 1.0e6 AS p95_lateness_s, "
+        "CAST(p99_us AS DOUBLE) / 1.0e6 AS p99_lateness_s, "
+        "CAST(max_us AS DOUBLE) / 1.0e6 AS max_lateness_s FROM p"
+    )
+
+
+@query(
+    "events_lateness_profile",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _late_sql("events_t", _EPOCH_US_DUCK)
+    ),
+)
+def events_lateness_profile(spark, sf_dir):
+    """Event-time lateness profile: for each event, how far behind the
+    max event-time already ingested (event_id = arrival order) it
+    arrived — the empirical distribution that SIZES a streaming
+    watermark (SURVEY §2.7 T4: the reference configures none; p99 here
+    is the `withWatermark` delay that would keep 99% of late data).
+    Running max is one window in arrival order; percentiles are exact
+    deterministic rank picks (ceil(q*n), total order with event_id
+    tie-break) — no approx sketches, because this profile is computed
+    once per topology change, not per micro-batch."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql(
+        "WITH " + _late_sql("pw_events", _EPOCH_US_SPARK)
+    )
