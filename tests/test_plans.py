@@ -158,6 +158,7 @@ _JVM_ONLY = [
     "corpus_shard_balance",
     "orders_prefix_sum_distributed",
     "events_lateness_profile",
+    "ml_decision_stump",
 ]
 
 

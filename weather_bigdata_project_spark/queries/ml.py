@@ -447,3 +447,64 @@ def ml_linreg_grouped_brands(spark, sf_dir):
     return spark.sql(
         "WITH " + _GOLS_BODY.format(l="gols_lineitem", p="gols_part")
     )
+
+
+# --- decision stump: exact histogram-based split finding -------------------
+
+def _stump_sql(src: str) -> str:
+    """Shared text: per-distinct-feature-value class counts (the
+    'histogram' — domain-bounded, 50 quantity values), cumulative
+    left/right counts per candidate split, and the split minimizing
+    weighted Gini impurity. Minimizing W is equivalent to maximizing
+    S = (posL^2+negL^2)/nL + (posR^2+negR^2)/nR, evaluated in DOUBLE
+    from exact integers with identical text — the same
+    histogram-then-scan shape distributed GBDT split finding
+    (LightGBM/XGBoost-style) runs per node at scale."""
+    return (
+        "h AS (SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n_x, "
+        "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p_x "
+        f"FROM {src} GROUP BY CAST(l_quantity AS BIGINT)), "
+        "cum AS (SELECT x, "
+        "SUM(n_x) OVER (ORDER BY x) AS nl, "
+        "SUM(p_x) OVER (ORDER BY x) AS pl, "
+        "(SELECT SUM(n_x) FROM h) AS n, "
+        "(SELECT SUM(p_x) FROM h) AS p FROM h), "
+        "cand AS (SELECT x AS threshold, nl, pl, n - nl AS nr, "
+        "p - pl AS pr, "
+        "(CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl))"
+        " / nl + "
+        "(CAST(p - pl AS DOUBLE) * (p - pl) + "
+        "CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))"
+        " / (n - nl) AS s, "
+        "1.0e0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n) "
+        "- (1.0e0 - CAST(p AS DOUBLE) / n) "
+        "* (1.0e0 - CAST(p AS DOUBLE) / n) AS gini_root, "
+        "CAST(n AS DOUBLE) AS nd FROM cum WHERE nl < n) "
+        "SELECT CAST(threshold AS BIGINT) AS split_quantity_le, "
+        "CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right, "
+        + rnd("CAST(pl AS DOUBLE) / nl", 6) + " AS pos_rate_left, "
+        + rnd("CAST(pr AS DOUBLE) / nr", 6) + " AS pos_rate_right, "
+        + rnd("gini_root - (1.0e0 - s / nd)", 6)
+        + " AS gini_decrease "
+        "FROM cand ORDER BY s DESC, threshold LIMIT 1"
+    )
+
+
+@query(
+    "ml_decision_stump",
+    oracle="WITH " + _stump_sql("lineitem"),
+)
+def ml_decision_stump(spark, sf_dir):
+    """Depth-1 decision tree (stump) learned exactly: the quantity
+    threshold best separating returned lineitems by Gini impurity.
+    ONE class-count histogram over the domain-bounded feature (the
+    single fact-cardinality aggregate), one cumulative window over its
+    50 rows, and an exact argmax over candidate splits — precisely the
+    histogram-based split search a distributed GBDT runs per tree node,
+    demonstrated as a first-class relational plan instead of a
+    black-box fit. Completes the supervised set: linear (OLS family),
+    logistic (GD), generative (Naive Bayes), tree (here)."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "stump_lineitem"
+    )
+    return spark.sql("WITH " + _stump_sql("stump_lineitem"))
