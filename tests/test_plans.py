@@ -159,6 +159,8 @@ _JVM_ONLY = [
     "orders_prefix_sum_distributed",
     "events_lateness_profile",
     "ml_decision_stump",
+    "ml_stump_holdout_eval",
+    "ml_auc_quantity_returns",
 ]
 
 

@@ -508,3 +508,115 @@ def ml_decision_stump(spark, sf_dir):
         "stump_lineitem"
     )
     return spark.sql("WITH " + _stump_sql("stump_lineitem"))
+
+
+# --- stump generalization: holdout accuracy vs majority baseline -----------
+
+#: deterministic 90/10 hash split on the line identity (LCG family)
+_STU_TRAIN = "((l_orderkey * 1103515245 + l_linenumber * 12345) % 1000) < 900"
+
+
+def _stump_eval_sql(src: str) -> str:
+    return (
+        "tr AS (SELECT * FROM " + src + " WHERE " + _STU_TRAIN + "), "
+        "te AS (SELECT * FROM " + src + " WHERE NOT (" + _STU_TRAIN + ")), "
+        "h AS (SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n_x, "
+        "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p_x "
+        "FROM tr GROUP BY CAST(l_quantity AS BIGINT)), "
+        "cum AS (SELECT x, SUM(n_x) OVER (ORDER BY x) AS nl, "
+        "SUM(p_x) OVER (ORDER BY x) AS pl, "
+        "(SELECT SUM(n_x) FROM h) AS n, (SELECT SUM(p_x) FROM h) AS p "
+        "FROM h), "
+        "best AS (SELECT x AS thr, "
+        "CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END AS cls_l, "
+        "CASE WHEN 2 * (p - pl) >= (n - nl) THEN 1 ELSE 0 END AS cls_r, "
+        "CASE WHEN 2 * p >= n THEN 1 ELSE 0 END AS cls_maj "
+        "FROM cum WHERE nl < n ORDER BY "
+        "(CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl))"
+        " / nl + "
+        "(CAST(p - pl AS DOUBLE) * (p - pl) + "
+        "CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))"
+        " / (n - nl) DESC, x LIMIT 1), "
+        "sc AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        "AS y, CASE WHEN CAST(l_quantity AS BIGINT) <= b.thr "
+        "THEN b.cls_l ELSE b.cls_r END AS yhat, b.cls_maj "
+        "FROM te CROSS JOIN best b) "
+        "SELECT COUNT(*) AS n_test, "
+        + rnd(
+            "CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*)",
+            6,
+        )
+        + " AS stump_accuracy, "
+        + rnd(
+            "CAST(SUM(CASE WHEN y = cls_maj THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*)",
+            6,
+        )
+        + " AS majority_accuracy FROM sc"
+    )
+
+
+@query(
+    "ml_stump_holdout_eval",
+    oracle="WITH " + _stump_eval_sql("lineitem"),
+)
+def ml_stump_holdout_eval(spark, sf_dir):
+    """Out-of-sample evaluation of the decision stump: train the split
+    on a deterministic 90% hash split, score the held-out 10%, report
+    accuracy against the majority-class baseline — the generalization
+    gate (events_markov_eval / events_holt_backtest discipline applied
+    to the tree primitive). On TPC-H's independent returnflag the lift
+    over majority is ~zero BY CONSTRUCTION, and that null result is
+    the point: the evaluation leg exists to catch exactly this before
+    a useless model ships. Train histogram + split scan as in
+    ml_decision_stump; scoring is one broadcast of the 1-row model."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "stump_lineitem"
+    )
+    return spark.sql("WITH " + _stump_eval_sql("stump_lineitem"))
+
+
+# --- exact AUC via the rank-sum identity -----------------------------------
+
+def _auc_sql(src: str) -> str:
+    """AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with tie-average
+    ranks — the Mann-Whitney identity, so the doubled-rank trick makes
+    every sum exact BIGINT (ties in the discrete score handled
+    correctly, each contributing 0.5)."""
+    return (
+        "vals AS (SELECT CAST(l_quantity AS BIGINT) AS v, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g "
+        f"FROM {src}), "
+        "agg AS (SELECT v, COUNT(*) AS c, SUM(g) AS c1 FROM vals "
+        "GROUP BY v), "
+        "rk AS (SELECT v, c, c1, COALESCE(SUM(c) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev "
+        "FROM agg), "
+        "s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
+        "CAST(SUM(c) - SUM(c1) AS BIGINT) AS n2, "
+        "CAST(SUM(c1 * (2 * cprev + c + 1)) AS BIGINT) AS r1_2 FROM rk) "
+        "SELECT n1 AS n_pos, n2 AS n_neg, "
+        + rnd(
+            "(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0e0) / "
+            "(CAST(n1 AS DOUBLE) * n2)",
+            6,
+        )
+        + " AS auc FROM s"
+    )
+
+
+@query("ml_auc_quantity_returns", oracle="WITH " + _auc_sql("lineitem"))
+def ml_auc_quantity_returns(spark, sf_dir):
+    """Exact AUC of quantity as a ranking score for returned lineitems —
+    the evaluation metric surface, computed via the Mann-Whitney
+    rank-sum identity rather than threshold sweeps: AUC == normalized U,
+    so the same doubled-rank contingency machinery as
+    events_mannwhitney_u gives the exact tie-corrected area in one
+    domain-bounded aggregate + one tiny window. AUC ~ 0.5 here is the
+    designed null (TPC-H returns are independent of quantity) — the
+    metric's job is to SAY so."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "auc_lineitem"
+    )
+    return spark.sql("WITH " + _auc_sql("auc_lineitem"))
