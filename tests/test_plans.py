@@ -161,6 +161,8 @@ _JVM_ONLY = [
     "ml_decision_stump",
     "ml_stump_holdout_eval",
     "ml_auc_quantity_returns",
+    "ml_precision_recall",
+    "ml_calibration_bins",
 ]
 
 

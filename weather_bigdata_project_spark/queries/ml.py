@@ -620,3 +620,109 @@ def ml_auc_quantity_returns(spark, sf_dir):
         "auc_lineitem"
     )
     return spark.sql("WITH " + _auc_sql("auc_lineitem"))
+
+
+# --- threshold metrics + calibration table --------------------------------
+
+_PR_THRESHOLD = 25
+
+
+@query(
+    "ml_precision_recall",
+    oracle=(
+        "WITH c AS (SELECT "
+        "SUM(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R' "
+        "THEN 1 ELSE 0 END) AS tp, "
+        "SUM(CASE WHEN l_quantity >= 25 AND l_returnflag <> 'R' "
+        "THEN 1 ELSE 0 END) AS fp, "
+        "SUM(CASE WHEN l_quantity < 25 AND l_returnflag = 'R' "
+        "THEN 1 ELSE 0 END) AS fn, "
+        "SUM(CASE WHEN l_quantity < 25 AND l_returnflag <> 'R' "
+        "THEN 1 ELSE 0 END) AS tn FROM lineitem) "
+        "SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+        "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
+        + rnd("CAST(tp AS DOUBLE) / (tp + fp)", 6) + " AS precision_at_t, "
+        + rnd("CAST(tp AS DOUBLE) / (tp + fn)", 6) + " AS recall_at_t, "
+        + rnd(
+            "2.0e0 * tp / (2.0e0 * tp + fp + fn)", 6
+        )
+        + " AS f1_at_t FROM c"
+    ),
+)
+def ml_precision_recall(spark, sf_dir):
+    """Confusion-matrix metrics at a fixed operating threshold
+    (quantity >= 25 predicting returns): TP/FP/FN/TN counts plus
+    precision/recall/F1 — one scan, one 4-counter aggregate, the
+    companion to the threshold-free AUC (ml_auc_quantity_returns).
+    The same four counters at k thresholds = the full PR curve with
+    one extra CASE per point, still one scan."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.expr(
+            "SUM(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R' "
+            "THEN 1 ELSE 0 END)"
+        ).alias("tp"),
+        F.expr(
+            "SUM(CASE WHEN l_quantity >= 25 AND l_returnflag <> 'R' "
+            "THEN 1 ELSE 0 END)"
+        ).alias("fp"),
+        F.expr(
+            "SUM(CASE WHEN l_quantity < 25 AND l_returnflag = 'R' "
+            "THEN 1 ELSE 0 END)"
+        ).alias("fn"),
+        F.expr(
+            "SUM(CASE WHEN l_quantity < 25 AND l_returnflag <> 'R' "
+            "THEN 1 ELSE 0 END)"
+        ).alias("tn"),
+    )
+    return c.selectExpr(
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(tn AS BIGINT) AS tn",
+        rnd("CAST(tp AS DOUBLE) / (tp + fp)", 6) + " AS precision_at_t",
+        rnd("CAST(tp AS DOUBLE) / (tp + fn)", 6) + " AS recall_at_t",
+        rnd("2.0e0 * tp / (2.0e0 * tp + fp + fn)", 6) + " AS f1_at_t",
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=(
+        "WITH b AS (SELECT "
+        "CAST(FLOOR((CAST(l_quantity AS BIGINT) - 1) / 5.0e0) AS BIGINT) AS bin, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y "
+        "FROM lineitem), "
+        "g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM b "
+        "GROUP BY bin), "
+        "t AS (SELECT CAST(SUM(pos) AS DOUBLE) / SUM(n) AS base FROM g) "
+        "SELECT bin, CAST(n AS BIGINT) AS n, "
+        + rnd("CAST(pos AS DOUBLE) / n", 6) + " AS observed_rate, "
+        + rnd("(SELECT base FROM t)", 6) + " AS base_rate, "
+        + rnd("CAST(pos AS DOUBLE) / n - (SELECT base FROM t)", 6)
+        + " AS lift FROM g"
+    ),
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability/calibration table: score bins (quantity in widths of
+    5) vs observed return rate and its lift over the base rate — the
+    table behind a calibration plot, and the binned dependence check
+    that explains WHY the AUC sits where it does. One hash aggregate
+    at bin cardinality; flat lifts on TPC-H are the designed null."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cal_lineitem"
+    )
+    return spark.sql(
+        "WITH b AS (SELECT "
+        "CAST(FLOOR((CAST(l_quantity AS BIGINT) - 1) / 5.0e0) AS BIGINT) AS bin, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y "
+        "FROM cal_lineitem), "
+        "g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM b "
+        "GROUP BY bin), "
+        "t AS (SELECT CAST(SUM(pos) AS DOUBLE) / SUM(n) AS base FROM g) "
+        "SELECT bin, CAST(n AS BIGINT) AS n, "
+        + rnd("CAST(pos AS DOUBLE) / n", 6) + " AS observed_rate, "
+        + rnd("(SELECT base FROM t)", 6) + " AS base_rate, "
+        + rnd("CAST(pos AS DOUBLE) / n - (SELECT base FROM t)", 6)
+        + " AS lift FROM g"
+    )
