@@ -163,6 +163,7 @@ _JVM_ONLY = [
     "ml_auc_quantity_returns",
     "ml_precision_recall",
     "ml_calibration_bins",
+    "events_seasonality_strength",
 ]
 
 

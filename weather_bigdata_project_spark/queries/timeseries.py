@@ -1649,3 +1649,59 @@ def events_value_twap(spark, sf_dir):
             "to_timestamp_ntz('1970-01-01 00:00:00'), ts)",
         )
     )
+
+
+# --- seasonal / trend strength (forecastability diagnostics) ---------------
+
+def _strength_sql(src: str, dow: str) -> str:
+    """Hyndman's strength measures off the shared STL core:
+    F_seasonal = max(0, 1 - Var(R)/Var(S+R)), F_trend = max(0,
+    1 - Var(R)/Var(T+R)). Components snap to integer micro-units per
+    day; the four variances are exact-integer moment sums over the day
+    frame with ONE float formula each."""
+    comp = (
+        "comp AS (SELECT CAST(ROUND((CAST(y AS DOUBLE) / 100.0e0 "
+        "- CAST(t7 AS DOUBLE) / 700.0e0 - s / 100.0e0) * 1.0e6) AS BIGINT)"
+        " AS r_u, "
+        "CAST(ROUND((CAST(t7 AS DOUBLE) / 700.0e0) * 1.0e6) AS BIGINT)"
+        " AS t_u, "
+        "CAST(ROUND((s / 100.0e0) * 1.0e6) AS BIGINT) AS s_u "
+        "FROM core JOIN seas USING (k))"
+    )
+    var = (
+        "(CAST(SUM(CAST({x} AS DECIMAL(38,0)) * {x}) AS DOUBLE) "
+        "- CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) "
+        "* CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) "
+        "/ (COUNT(*) - 1)"
+    )
+    vr = var.format(x="r_u")
+    vsr = var.format(x="(s_u + r_u)")
+    vtr = var.format(x="(t_u + r_u)")
+    return (
+        _stl_core(src, dow) + ", " + comp + ", "
+        "m AS (SELECT COUNT(*) AS n_days, "
+        f"{vr} AS v_r, {vsr} AS v_sr, {vtr} AS v_tr FROM comp) "
+        "SELECT CAST(n_days AS BIGINT) AS n_days, "
+        + rnd("GREATEST(0.0e0, 1.0e0 - v_r / v_sr)", 6)
+        + " AS seasonal_strength, "
+        + rnd("GREATEST(0.0e0, 1.0e0 - v_r / v_tr)", 6)
+        + " AS trend_strength FROM m"
+    )
+
+
+@query(
+    "events_seasonality_strength",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _strength_sql("events_t", "(isodow(d) - 1)")
+    ),
+)
+def events_seasonality_strength(spark, sf_dir):
+    """Hyndman's seasonal and trend strength of the daily revenue series
+    (0 = none, ->1 = dominant), computed from the shared STL core — the
+    one-number forecastability diagnostic that decides whether the
+    weekly model (events_dow_seasonality, Holt-Winters) is worth its
+    state or plain Holt suffices. Components snap to micro-units per
+    day; variances are exact DECIMAL moment sums over the day frame."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
+    return spark.sql("WITH " + _strength_sql("ts_events", "weekday(d)"))
