@@ -25,6 +25,17 @@ SENSITIVE = [
     "text_quality_score",
     "dedup_ngram_jaccard",
     "corpus_filter_pipeline",
+    # this session's double-heavy additions
+    "events_moment_stats",
+    "events_spearman_corr",
+    "lineitem_corr_matrix",
+    "ml_linreg_normal_eq",
+    "events_stl_decompose",
+    "events_holt_gridsearch",
+    "events_value_twap",
+    "geo_idw_interpolation",
+    "corpus_perplexity_bigram",
+    "events_seasonality_strength",
 ]
 
 
