@@ -164,6 +164,7 @@ _JVM_ONLY = [
     "ml_precision_recall",
     "ml_calibration_bins",
     "events_seasonality_strength",
+    "events_ab_sprt",
 ]
 
 

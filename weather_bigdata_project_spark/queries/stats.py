@@ -809,3 +809,72 @@ def events_lateness_profile(spark, sf_dir):
     return spark.sql(
         "WITH " + _late_sql("pw_events", _EPOCH_US_SPARK)
     )
+
+
+# --- sequential probability ratio test (SPRT) ------------------------------
+
+#: design hypotheses (fixed literals, chosen before the data): is the
+#: purchase share of events p0 = 10% (H0) or p1 = 12% (H1)?
+#: Wald boundaries for alpha = beta = 0.05: ln(19) ~ 2.944439.
+#: Because the per-observation log-LR increment takes only TWO values
+#: (y=1: ln(p1/p0), y=0: ln((1-p1)/(1-p0))), the entire sequential
+#: statistic is llr_t = n_pos_t * C1 + n_neg_t * C0 — prefix sums, no
+#: fold; increments snap to integer micro-nats.
+_SPRT_C1 = 182322  # round(1e6 * ln(0.12/0.10))
+_SPRT_C0 = -22473  # round(1e6 * ln(0.88/0.90))
+_SPRT_A = 2944439  # round(1e6 * ln((1-0.05)/0.05))
+
+
+def _sprt_sql(src: str) -> str:
+    return (
+        "obs AS (SELECT event_id, ts, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        f"FROM {src}), "
+        "cum AS (SELECT event_id, "
+        "ROW_NUMBER() OVER (ORDER BY ts, event_id) AS t, "
+        f"SUM(y * {_SPRT_C1} + (1 - y) * ({_SPRT_C0})) OVER "
+        "(ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS llr_u FROM obs), "
+        "hit AS (SELECT t, llr_u, "
+        "CASE WHEN llr_u >= " + str(_SPRT_A) + " THEN 'accept_h1' "
+        "ELSE 'accept_h0' END AS decision, "
+        "ROW_NUMBER() OVER (ORDER BY t) AS k FROM cum "
+        f"WHERE llr_u >= {_SPRT_A} OR llr_u <= -{_SPRT_A}), "
+        "tot AS (SELECT COUNT(*) AS n_total, "
+        "MAX(CASE WHEN t = (SELECT MAX(t) FROM cum) THEN llr_u END) "
+        "AS llr_final FROM cum) "
+        "SELECT COALESCE((SELECT decision FROM hit WHERE k = 1), "
+        "'continue') AS decision, "
+        "(SELECT CAST(t AS BIGINT) FROM hit WHERE k = 1) "
+        "AS n_at_decision, "
+        + rnd("(SELECT CAST(llr_u AS DOUBLE) FROM hit WHERE k = 1) "
+              "/ 1.0e6", 6)
+        + " AS llr_at_decision, "
+        "CAST(n_total AS BIGINT) AS n_total, "
+        + rnd("CAST(llr_final AS DOUBLE) / 1.0e6", 6)
+        + " AS llr_final FROM tot"
+    )
+
+
+@query(
+    "events_ab_sprt",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _sprt_sql("events_t")
+    ),
+)
+def events_ab_sprt(spark, sf_dir):
+    """Wald's sequential probability ratio test on the time-ordered
+    purchase share (H0: 10% vs H1: 12%, alpha=beta=0.05): the
+    FIRST observation where the running log-likelihood ratio crosses
+    +/- ln(19), the decision it implies, and how many observations that
+    cost vs the fixed-horizon test (events_ab_conversion_ztest /
+    events_power_analysis plan one; SPRT typically decides in half the
+    samples). The sequential fold degenerates to prefix sums because a
+    Bernoulli log-LR increment takes only two constant values — so the
+    whole test is one ordered window over exact micro-nat integers,
+    deterministic down to the crossing row."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql("WITH " + _sprt_sql("pw_events"))
