@@ -653,3 +653,48 @@ def test_lake_layout_doctor_gates_compaction(spark):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_webhook_sink_python_datasource_writer(spark, tmp_path):
+    """Custom Python DataSource WRITER: alerts delivered through the
+    two-phase protocol — staged per task, atomically published on
+    driver commit with a _SUCCESS marker; row-exact round trip."""
+    from weather_bigdata_project_spark.sources.webhook_sink import (
+        WebhookSinkDataSource,
+    )
+    from weather_bigdata_project_spark import weather_domain as wd
+
+    spark.dataSource.register(WebhookSinkDataSource)
+    alerts = wd.enriched_frame(spark, "/root/testdata/sf0.001").filter(
+        "alert_type <> 'NORMAL'"
+    ).select("city_name", "alert_type", "temperature")
+    out = str(tmp_path / "hook")
+    alerts.write.format("webhook_sink").option("path", out).mode(
+        "append"
+    ).save()
+    import json, os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.listdir(os.path.join(out, "_staging"))  # all published
+    rows = []
+    for fn in os.listdir(out):
+        if fn.endswith(".jsonl"):
+            with open(os.path.join(out, fn)) as f:
+                rows += [json.loads(line) for line in f]
+    def key(t):
+        return (t[0], t[1], t[2] is None, t[2] or 0)
+
+    want = sorted(
+        (
+            (r["city_name"], r["alert_type"], r["temperature"])
+            for r in alerts.collect()
+        ),
+        key=key,
+    )
+    got = sorted(
+        ((r["city_name"], r["alert_type"], r["temperature"]) for r in rows),
+        key=key,
+    )
+    assert got == want
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == len(want)
