@@ -27,6 +27,7 @@ import pandas as pd  # module-level: pandas_udf resolves string type
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..functions.exprs import rnd
 from ..operators import textops as T
 from ..registry import query
 from .curation import _CHUNK_WIN_ORACLE, _WIN_S, _WIN_W
@@ -143,4 +144,65 @@ def events_mapinarrow_value_cents(spark, sf_dir):
 
     return ev.mapInArrow(
         kernel, "event_id BIGINT, value_cents BIGINT"
+    )
+
+
+# --- grouped-aggregate pandas UDF: 10%-trimmed mean -----------------------
+
+_TRIM_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "r AS (SELECT event_type, "
+    "CAST(ROUND(value * 100.0e0) AS BIGINT) AS v_c, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY value, event_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events_t), "
+    "kept AS (SELECT event_type, v_c, n, "
+    "CAST(FLOOR(0.1e0 * n) AS BIGINT) AS k FROM r "
+    "WHERE rn > CAST(FLOOR(0.1e0 * n) AS BIGINT) "
+    "AND rn <= n - CAST(FLOOR(0.1e0 * n) AS BIGINT)) "
+    "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_total, "
+    "CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    + rnd("CAST(SUM(v_c) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+    + " AS trimmed_mean FROM kept GROUP BY event_type"
+)
+
+
+@query("events_trimmed_mean_pandas", oracle=_TRIM_ORACLE)
+def events_trimmed_mean_pandas(spark, sf_dir):
+    """GROUPED_AGG pandas UDF surface: per-type 10%-trimmed mean of
+    value computed by an Arrow-batched pandas aggregation (sort, drop
+    floor(0.1 n) from each tail, mean) — the fourth Python-boundary
+    shape next to scalar pandas UDF / mapInArrow / UDTF. The trimmed
+    SET is a deterministic multiset (value-order trim), so the DuckDB
+    oracle reproduces it exactly with rank windows and an exact-cents
+    mean; the pandas float mean differs from the exact mean by <1e-10
+    on 2-decimal values, absorbed by the rnd(4) snap. Scale note: the
+    whole group's values ship to Python per key — the JVM rank-window
+    twin in the oracle IS the production plan; this query pins the
+    escape hatch's semantics for the day a pandas-only estimator is
+    genuinely required."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values().reset_index(drop=True)
+        k = int(len(s) // 10)
+        kept = s.iloc[k : len(s) - k] if len(s) - 2 * k > 0 else s
+        return float(kept.mean())
+
+    ev = tables.load(spark, sf_dir, "events")
+    # a GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a second tiny
+    # aggregate joined on the group key
+    tm = ev.groupBy("event_type").agg(
+        trimmed_mean(F.col("value")).alias("tm_raw")
+    )
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    out = tm.join(F.broadcast(cnt), "event_type")
+    return out.selectExpr(
+        "event_type",
+        "CAST(n_total AS BIGINT) AS n_total",
+        "CAST(n_total - 2 * CAST(FLOOR(0.1e0 * n_total) AS BIGINT) "
+        "AS BIGINT) AS n_kept",
+        rnd("tm_raw", 4) + " AS trimmed_mean",
     )
