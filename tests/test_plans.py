@@ -165,6 +165,7 @@ _JVM_ONLY = [
     "ml_calibration_bins",
     "events_seasonality_strength",
     "events_ab_sprt",
+    "dq_daily_health_report",
 ]
 
 

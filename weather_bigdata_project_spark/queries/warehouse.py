@@ -1234,3 +1234,74 @@ def orders_prefix_sum_distributed(spark, sf_dir):
             ),
         )
     )
+
+
+# --- one-query operational health report -----------------------------------
+
+def _health_sql(ev: str, o: str, l: str) -> str:
+    """Tall (metric, value) report: each arm reads only what it needs;
+    UNION ALL keeps one job. The anomaly arm uses the exact-integer
+    deviation trick (dev = nd*x - sx) so the 3-sigma test is
+    engine-exact: dev^2 > 9 * Var_num where both sides are integer
+    products of the same moment sums."""
+    return (
+        f"d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM {ev} "
+        "GROUP BY CAST(ts AS DATE)), "
+        "m AS (SELECT COUNT(*) AS nd, SUM(x) AS sx, "
+        "SUM(x * x) AS sxx FROM d), "
+        "g AS (SELECT MAX(gap) AS max_gap FROM (SELECT "
+        "CAST(day - LAG(day) OVER (ORDER BY day) AS BIGINT) AS gap "
+        "FROM d) t), "
+        "anom AS (SELECT COUNT(*) AS n FROM d CROSS JOIN m "
+        "WHERE CAST(nd AS DOUBLE) * (nd * x - sx) * (nd * x - sx) "
+        "> 9.0e0 * (CAST(nd AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " * nd) "
+        f"SELECT 'events_rows' AS metric, "
+        f"CAST((SELECT COUNT(*) FROM {ev}) AS DOUBLE) AS value "
+        "UNION ALL SELECT 'events_days', "
+        "CAST((SELECT nd FROM m) AS DOUBLE) "
+        "UNION ALL SELECT 'events_max_day_gap', "
+        "CAST((SELECT max_gap FROM g) AS DOUBLE) "
+        "UNION ALL SELECT 'events_anomalous_days_3sigma', "
+        "CAST((SELECT n FROM anom) AS DOUBLE) "
+        "UNION ALL SELECT 'events_distinct_users', "
+        f"CAST((SELECT COUNT(DISTINCT user_id) FROM {ev}) AS DOUBLE) "
+        "UNION ALL SELECT 'orders_rows', "
+        f"CAST((SELECT COUNT(*) FROM {o}) AS DOUBLE) "
+        "UNION ALL SELECT 'lineitem_rows', "
+        f"CAST((SELECT COUNT(*) FROM {l}) AS DOUBLE) "
+        "UNION ALL SELECT 'lineitem_fk_orphans', "
+        f"CAST((SELECT COUNT(*) FROM {l} li LEFT JOIN {o} oo "
+        "ON li.l_orderkey = oo.o_orderkey "
+        "WHERE oo.o_orderkey IS NULL) AS DOUBLE)"
+    )
+
+
+@query(
+    "dq_daily_health_report",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _health_sql("events_t", "orders", "lineitem")
+    ),
+)
+def dq_daily_health_report(spark, sf_dir):
+    """The morning ops report as ONE query: volumes, calendar coverage
+    and the largest day gap, 3-sigma anomalous-day count (exact-integer
+    deviation test — no float variance), distinct users, and FK orphan
+    count, emitted tall (metric, value) so a dashboard or alert rule
+    consumes it without schema changes when arms are added. Each arm
+    reads only its pruned columns; the whole report is one job — the
+    consolidated replacement for the reference dashboard's pile of
+    independent pandas passes (ref:streamlit/app.py:183-206,357)."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "hr_events"
+    )
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hr_orders"
+    )
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "hr_lineitem"
+    )
+    return spark.sql(
+        "WITH " + _health_sql("hr_events", "hr_orders", "hr_lineitem")
+    )
