@@ -166,6 +166,7 @@ _JVM_ONLY = [
     "events_seasonality_strength",
     "events_ab_sprt",
     "dq_daily_health_report",
+    "text_bpe_train",
 ]
 
 

@@ -677,3 +677,125 @@ def text_rake_keywords(spark, sf_dir):
         "rake_docs"
     )
     return spark.sql(_RAKE_SPARK)
+
+
+# --- BPE-style pair-merge tokenizer training -------------------------------
+
+_BPE_ITERS = 3
+
+#: one merge application as a left-to-right fold over the token stream:
+#: if the accumulator ends at token w1 and the next token is w2, splice
+#: them into w1_w2, else append. Shared logic, engine-specific fold fn.
+_BPE_STEP = (
+    "CASE WHEN (acc = w1 OR {endswith}(acc, ' ' || w1)) AND x = w2 "
+    "THEN {concat3}(left(acc, length(acc) - length(w1)), w1, '_' || w2) "
+    "ELSE acc || ' ' || x END"
+)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB twin: per-iteration pair counts, deterministic
+    best pick, list_reduce merge fold."""
+    step = _BPE_STEP.format(endswith="ends_with", concat3="concat")
+    parts = ["seq0 AS (SELECT doc_id, text AS s FROM documents)"]
+    for k in range(1, _BPE_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f"bp{k} AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt "
+            "FROM (SELECT unnest(list_transform("
+            "range(1, len(string_split(s, ' '))), "
+            "i -> struct_pack(w1 := string_split(s, ' ')[i], "
+            "w2 := string_split(s, ' ')[i + 1]))) AS b "
+            f"FROM seq{p} WHERE len(string_split(s, ' ')) >= 2) "
+            "GROUP BY b.w1, b.w2)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT w1, w2, cnt FROM bp{k} "
+            "ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+        )
+        parts.append(
+            f"seq{k} AS (SELECT doc_id, list_reduce("
+            f"string_split(s, ' '), (acc, x) -> {step}) AS s "
+            f"FROM seq{p} CROSS JOIN best{k})"
+        )
+        parts.append(
+            f"t{k} AS (SELECT SUM(len(string_split(s, ' '))) AS n "
+            f"FROM seq{k})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, "
+        f"(SELECT w1 FROM best{k}) AS merge_w1, "
+        f"(SELECT w2 FROM best{k}) AS merge_w2, "
+        f"(SELECT CAST(cnt AS BIGINT) FROM best{k}) AS pair_count, "
+        f"(SELECT CAST(n AS BIGINT) FROM t{k}) AS corpus_tokens_after"
+        for k in range(1, _BPE_ITERS + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + finals
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark, sf_dir):
+    """BPE-style tokenizer TRAINING, three merge rounds: each round
+    counts adjacent token pairs across the corpus, adopts the most
+    frequent pair (count/lexicographic tie-break — fully deterministic)
+    as a new merged symbol, and rewrites every document with a
+    left-to-right non-overlapping merge fold — exactly the byte-pair-
+    encoding training loop, demonstrated at the token level (the
+    character-level variant is the same fold over split('')
+    sequences). Each round is ONE in-row pair explode + hash count +
+    1-row broadcast + in-row fold: no shuffles beyond the pair count,
+    and the corpus is rewritten in place per round the way a real
+    distributed BPE trainer streams its merge table. The oracle chains
+    the identical folds through DuckDB's list_reduce, so the learned
+    merge table and the post-merge corpus token counts are engine-
+    exact. Output: (iteration, merged pair, its count at selection
+    time, corpus tokens after the merge) — the start of the merges.txt
+    a tokenizer ships."""
+    step = _BPE_STEP.format(endswith="endswith", concat3="concat")
+    fold = (
+        "aggregate(slice(split(s, ' '), 2, size(split(s, ' '))), "
+        "element_at(split(s, ' '), 1), "
+        f"(acc, x) -> {step})"
+    )
+    seq = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("s")
+    )
+    rows = None
+    for k in range(1, _BPE_ITERS + 1):
+        a = seq.select(F.split("s", " ").alias("ts"))
+        pairs = (
+            a.filter(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(ts) - 2), "
+                        "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                    )
+                ).alias("b")
+            )
+            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = T.materialize(
+            pairs.orderBy(F.desc("cnt"), "w1", "w2").limit(1)
+        )
+        seq = T.materialize(
+            seq.crossJoin(F.broadcast(best.select("w1", "w2"))).selectExpr(
+                "doc_id", fold + " AS s"
+            )
+        )
+        tok_after = seq.select(
+            F.sum(F.size(F.split("s", " "))).alias("n")
+        )
+        row = (
+            best.crossJoin(F.broadcast(tok_after))
+            .select(
+                F.lit(k).alias("iteration"),
+                F.col("w1").alias("merge_w1"),
+                F.col("w2").alias("merge_w2"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+                F.col("n").cast("bigint").alias("corpus_tokens_after"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
