@@ -167,6 +167,7 @@ _JVM_ONLY = [
     "events_ab_sprt",
     "dq_daily_health_report",
     "text_bpe_train",
+    "corpus_training_assembly",
 ]
 
 

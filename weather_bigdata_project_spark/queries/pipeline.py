@@ -60,3 +60,84 @@ def corpus_filter_pipeline(spark, sf_dir):
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
         .select("doc_id", "n_tokens", "quality", "stop_ratio")
     )
+
+
+# --- the full training-data assembly: filter -> split -> pack --------------
+
+from ..functions.exprs import rnd  # noqa: E402
+from .curation import _SEQ_LEN, _SPLIT  # noqa: E402  (registered above)
+
+_ASM_TAIL = (
+    "g AS (SELECT split, source, COUNT(*) AS n_docs, "
+    "SUM(n_tokens) AS n_tokens FROM surv GROUP BY split, source), "
+    "p AS (SELECT split, source, n_docs, n_tokens, "
+    f"CAST(CEIL(CAST(n_tokens AS DOUBLE) / {_SEQ_LEN}.0e0) AS BIGINT) "
+    "AS n_sequences FROM g) "
+    "SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(n_sequences) AS BIGINT) AS n_sequences, "
+    + rnd(
+        f"CAST(SUM(n_tokens) AS DOUBLE) / ({_SEQ_LEN}.0e0 "
+        "* SUM(n_sequences))",
+        4,
+    )
+    + " AS fill_rate FROM p GROUP BY split"
+)
+
+
+@query(
+    "corpus_training_assembly",
+    oracle=(
+        "WITH surv AS (SELECT f.doc_id, f.n_tokens, "
+        + _SPLIT.replace("doc_id", "f.doc_id")
+        + " AS split, d.source FROM ("
+        + ORACLES["corpus_filter_pipeline"]
+        + ") f JOIN documents d ON d.doc_id = f.doc_id), "
+        + _ASM_TAIL
+    ),
+)
+def corpus_training_assembly(spark, sf_dir):
+    """The whole training-data assembly as one verified composition:
+    quality/language/dedup filtering (corpus_filter_pipeline) ->
+    deterministic LCG train/validation/test split -> per-(split,
+    source) greedy 512-token sequence packing, summarized per split as
+    docs / tokens / sequences / packing fill rate. This is the job
+    whose output feeds the GPUs; every stage is an already-oracle-
+    verified block, composition adds only doc_id joins and one
+    split-cardinality aggregate. Fill rate is the number a pretraining
+    lead actually asks for (wasted pad fraction = 1 - fill)."""
+    surv = (
+        QUERIES["corpus_filter_pipeline"](spark, sf_dir)
+        .select("doc_id", "n_tokens")
+        .join(
+            T.docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+        )
+        .select(
+            "doc_id", "n_tokens", F.expr(_SPLIT).alias("split"), "source"
+        )
+    )
+    g = surv.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    p = g.select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST(CEIL(CAST(n_tokens AS DOUBLE) / {_SEQ_LEN}.0e0) "
+            "AS BIGINT)"
+        ).alias("n_sequences"),
+    )
+    return p.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_sequences").cast("bigint").alias("n_sequences"),
+        F.expr(
+            rnd(
+                f"CAST(SUM(n_tokens) AS DOUBLE) / ({_SEQ_LEN}.0e0 "
+                "* SUM(n_sequences))",
+                4,
+            )
+        ).alias("fill_rate"),
+    )
