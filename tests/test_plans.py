@@ -168,6 +168,7 @@ _JVM_ONLY = [
     "dq_daily_health_report",
     "text_bpe_train",
     "corpus_training_assembly",
+    "text_bpe_holdout_compression",
 ]
 
 

@@ -799,3 +799,132 @@ def text_bpe_train(spark, sf_dir):
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# --- BPE merge-table generalization: holdout compression -------------------
+
+#: deterministic corpus halves by doc_id parity-of-hash
+_BPE_TRAIN_PRED = "((doc_id * 2654435761) % 1000) < 500"
+
+
+def _bpe_holdout_oracle() -> str:
+    """Train the 3 merges on half the corpus, apply them to BOTH halves,
+    report tokens before/after + compression per half. Generalizing
+    merges compress the held-out half nearly as well as the training
+    half; a gap is template overfit — the tokenizer-training twin of
+    the model backtests."""
+    step = _BPE_STEP.format(endswith="ends_with", concat3="concat")
+    parts = [
+        f"seq0 AS (SELECT doc_id, text AS s, {_BPE_TRAIN_PRED} AS is_train "
+        "FROM documents)"
+    ]
+    for k in range(1, _BPE_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f"bp{k} AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt "
+            "FROM (SELECT unnest(list_transform("
+            "range(1, len(string_split(s, ' '))), "
+            "i -> struct_pack(w1 := string_split(s, ' ')[i], "
+            "w2 := string_split(s, ' ')[i + 1]))) AS b "
+            f"FROM seq{p} WHERE is_train "
+            "AND len(string_split(s, ' ')) >= 2) GROUP BY b.w1, b.w2)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT w1, w2 FROM bp{k} "
+            "ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+        )
+        parts.append(
+            f"seq{k} AS (SELECT doc_id, is_train, list_reduce("
+            f"string_split(s, ' '), (acc, x) -> {step}) AS s "
+            f"FROM seq{p} CROSS JOIN best{k})"
+        )
+    last = f"seq{_BPE_ITERS}"
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CASE WHEN s0.is_train THEN 'train' ELSE 'holdout' END "
+        "AS half, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(string_split(s0.s, ' '))) AS BIGINT) "
+        "AS tokens_before, "
+        "CAST(SUM(len(string_split(sN.s, ' '))) AS BIGINT) "
+        "AS tokens_after, "
+        + rnd(
+            "1.0e0 - CAST(SUM(len(string_split(sN.s, ' '))) AS DOUBLE) "
+            "/ SUM(len(string_split(s0.s, ' ')))",
+            6,
+        )
+        + " AS compression "
+        f"FROM seq0 s0 JOIN {last} sN USING (doc_id) "
+        "GROUP BY s0.is_train"
+    )
+
+
+@query("text_bpe_holdout_compression", oracle=_bpe_holdout_oracle())
+def text_bpe_holdout_compression(spark, sf_dir):
+    """Does the learned merge table GENERALIZE? Train text_bpe_train's
+    three merges on a deterministic half of the corpus, apply them to
+    both halves, and compare compression (token reduction) on train vs
+    holdout — the tokenizer-training twin of events_holt_backtest's
+    out-of-sample discipline: merges that only compress the half they
+    were fit on are template artifacts, not language. Same per-round
+    plan as text_bpe_train with the pair counts restricted to the
+    training half; the rewrite still applies corpus-wide, exactly like
+    a production tokenizer trained on a sample and applied to
+    everything."""
+    step = _BPE_STEP.format(endswith="endswith", concat3="concat")
+    fold = (
+        "aggregate(slice(split(s, ' '), 2, size(split(s, ' '))), "
+        "element_at(split(s, ' '), 1), "
+        f"(acc, x) -> {step})"
+    )
+    seq = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("s"),
+        F.expr(_BPE_TRAIN_PRED).alias("is_train"),
+    )
+    base = seq.select(
+        "doc_id",
+        "is_train",
+        F.size(F.split("s", " ")).alias("n0"),
+    )
+    for _k in range(1, _BPE_ITERS + 1):
+        a = seq.filter("is_train").select(F.split("s", " ").alias("ts"))
+        best = T.materialize(
+            a.filter(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(ts) - 2), "
+                        "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                    )
+                ).alias("b")
+            )
+            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "w1", "w2")
+            .limit(1)
+            .select("w1", "w2")
+        )
+        seq = T.materialize(
+            seq.crossJoin(F.broadcast(best)).selectExpr(
+                "doc_id", "is_train", fold + " AS s"
+            )
+        )
+    after = seq.select("doc_id", F.size(F.split("s", " ")).alias("nN"))
+    return (
+        base.join(after, "doc_id")
+        .groupBy(
+            F.expr(
+                "CASE WHEN is_train THEN 'train' ELSE 'holdout' END"
+            ).alias("half")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n0").cast("bigint").alias("tokens_before"),
+            F.sum("nN").cast("bigint").alias("tokens_after"),
+            F.expr(
+                rnd(
+                    "1.0e0 - CAST(SUM(nN) AS DOUBLE) / SUM(n0)", 6
+                )
+            ).alias("compression"),
+        )
+    )
