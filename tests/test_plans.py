@@ -169,6 +169,7 @@ _JVM_ONLY = [
     "text_bpe_train",
     "corpus_training_assembly",
     "text_bpe_holdout_compression",
+    "lineitem_price_volume_mix",
 ]
 
 

@@ -1305,3 +1305,57 @@ def dq_daily_health_report(spark, sf_dir):
     return spark.sql(
         "WITH " + _health_sql("hr_events", "hr_orders", "hr_lineitem")
     )
+
+
+# --- price / volume / mix variance decomposition ---------------------------
+
+_PVM_SPLIT = "TIMESTAMP '1996-07-01 00:00:00'"
+
+_PVM_BODY = (
+    "h AS (SELECT p.p_brand AS brand, "
+    f"CASE WHEN l.l_shipdate < {_PVM_SPLIT} THEN 1 ELSE 2 END AS half, "
+    "CAST(l.l_quantity AS BIGINT) AS q, "
+    f"{cents('l.l_extendedprice')} AS r "
+    "FROM {l} l JOIN {p} p ON l.l_partkey = p.p_partkey), "
+    "g AS (SELECT brand, "
+    "SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS q1, "
+    "SUM(CASE WHEN half = 2 THEN q ELSE 0 END) AS q2, "
+    "SUM(CASE WHEN half = 1 THEN r ELSE 0 END) AS r1, "
+    "SUM(CASE WHEN half = 2 THEN r ELSE 0 END) AS r2 "
+    "FROM h GROUP BY brand), "
+    "t AS (SELECT CAST(SUM(r1) AS DOUBLE) / SUM(q1) AS pbar1 FROM g), "
+    "e AS (SELECT brand, q1, q2, r1, r2, "
+    "CAST(r1 AS DOUBLE) / q1 AS p1, CAST(r2 AS DOUBLE) / q2 AS p2, "
+    "(SELECT pbar1 FROM t) AS pbar1 FROM g WHERE q1 > 0 AND q2 > 0) "
+    "SELECT brand, CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2, "
+    + rnd("(CAST(r2 AS DOUBLE) - r1) / 100.0e0", 2)
+    + " AS delta_revenue, "
+    + rnd("(CAST(q2 AS DOUBLE) - q1) * pbar1 / 100.0e0", 2)
+    + " AS volume_effect, "
+    + rnd("(CAST(q2 AS DOUBLE) - q1) * (p1 - pbar1) / 100.0e0", 2)
+    + " AS mix_effect, "
+    + rnd("CAST(q2 AS DOUBLE) * (p2 - p1) / 100.0e0", 2)
+    + " AS price_effect FROM e"
+)
+
+
+@query(
+    "lineitem_price_volume_mix",
+    oracle="WITH " + _PVM_BODY.format(l="lineitem", p="part"),
+)
+def lineitem_price_volume_mix(spark, sf_dir):
+    """Classic FP&A variance decomposition per brand between the two
+    shipment halves: delta revenue split into volume (quantity change
+    at the period-1 AVERAGE price), mix (the brand's own price premium
+    vs that average, applied to the quantity change), and price (the
+    brand's unit-price move on period-2 volume) — the three sum to the
+    delta by construction. One fact scan with a broadcast dim, one
+    brand-cardinality aggregate; every input to the float effects is an
+    exact cents/quantity integer, snapped at the output edge."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pvm_lineitem"
+    )
+    tables.load(spark, sf_dir, "part").createOrReplaceTempView("pvm_part")
+    return spark.sql(
+        "WITH " + _PVM_BODY.format(l="pvm_lineitem", p="pvm_part")
+    )
