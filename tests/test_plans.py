@@ -170,6 +170,7 @@ _JVM_ONLY = [
     "corpus_training_assembly",
     "text_bpe_holdout_compression",
     "lineitem_price_volume_mix",
+    "events_dau_mau_stickiness",
 ]
 
 

@@ -1705,3 +1705,79 @@ def events_seasonality_strength(spark, sf_dir):
     day; variances are exact DECIMAL moment sums over the day frame."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("ts_events")
     return spark.sql("WITH " + _strength_sql("ts_events", "weekday(d)"))
+
+
+# --- DAU / WAU / MAU stickiness --------------------------------------------
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events_t), "
+        "b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du), "
+        "dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du "
+        "GROUP BY day), "
+        "w AS (SELECT x.day, COUNT(DISTINCT user_id) AS wau FROM "
+        "(SELECT user_id, CAST(unnest(generate_series("
+        "CAST(day AS TIMESTAMP), CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,"
+        " INTERVAL 1 DAY)) AS DATE) AS day FROM du) x CROSS JOIN b "
+        "WHERE x.day BETWEEN b.d0 AND b.d1 GROUP BY x.day), "
+        "m AS (SELECT x.day, COUNT(DISTINCT user_id) AS mau FROM "
+        "(SELECT user_id, CAST(unnest(generate_series("
+        "CAST(day AS TIMESTAMP), CAST(day AS TIMESTAMP) + INTERVAL 29 DAY,"
+        " INTERVAL 1 DAY)) AS DATE) AS day FROM du) x CROSS JOIN b "
+        "WHERE x.day BETWEEN b.d0 AND b.d1 GROUP BY x.day) "
+        "SELECT dau.day, dau.dau, w.wau, m.mau, "
+        + rnd("CAST(dau.dau AS DOUBLE) / m.mau", 6)
+        + " AS stickiness FROM dau JOIN w ON w.day = dau.day "
+        "JOIN m ON m.day = dau.day"
+    ),
+)
+def events_dau_mau_stickiness(spark, sf_dir):
+    """The product-analytics headline curve: per-day DAU, trailing-7-day
+    WAU, trailing-30-day MAU, and DAU/MAU stickiness (what fraction of
+    the monthly audience shows up on a given day). Sliding
+    COUNT(DISTINCT) cannot ride a window frame, so WAU/MAU reuse the
+    spine-explode rewrite (events_trailing_distinct_users): constant
+    fan-out over the already-distinct user x day frame, one hash-agg
+    per horizon, three day-cardinality joins. Early days carry partial
+    trailing windows by construction — the same convention every
+    dashboard uses."""
+    ev = tables.load(spark, sf_dir, "events")
+    du = materialize(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    b = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def trail(n, name):
+        return (
+            du.select(
+                "user_id",
+                F.explode(
+                    F.expr(
+                        f"sequence(day, date_add(day, {n - 1}), "
+                        "interval 1 day)"
+                    )
+                ).alias("day"),
+            )
+            .join(F.broadcast(b))
+            .filter(F.col("day").between(F.col("d0"), F.col("d1")))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    return (
+        dau.join(trail(7, "wau"), "day")
+        .join(trail(30, "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr(rnd("CAST(dau AS DOUBLE) / mau", 6)).alias(
+                "stickiness"
+            ),
+        )
+    )
