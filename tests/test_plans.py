@@ -171,6 +171,7 @@ _JVM_ONLY = [
     "text_bpe_holdout_compression",
     "lineitem_price_volume_mix",
     "events_dau_mau_stickiness",
+    "part_xyz_variability",
 ]
 
 

@@ -1359,3 +1359,50 @@ def lineitem_price_volume_mix(spark, sf_dir):
     return spark.sql(
         "WITH " + _PVM_BODY.format(l="pvm_lineitem", p="pvm_part")
     )
+
+
+# --- XYZ demand-variability classification ---------------------------------
+
+_XYZ_BODY = (
+    "wk AS (SELECT l_partkey AS pk, "
+    "CAST(date_trunc('week', l_shipdate) AS DATE) AS w, "
+    "SUM(CAST(l_quantity AS BIGINT)) AS q FROM {l} "
+    "GROUP BY l_partkey, CAST(date_trunc('week', l_shipdate) AS DATE)), "
+    "span AS (SELECT COUNT(DISTINCT w) AS nw FROM wk), "
+    "m AS (SELECT pk, SUM(q) AS sq, SUM(q * q) AS sqq FROM wk "
+    "GROUP BY pk), "
+    "cv AS (SELECT pk, "
+    "SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nw) "
+    "/ (nw - 1)) / (CAST(sq AS DOUBLE) / nw) AS cv "
+    "FROM m CROSS JOIN span), "
+    "cls AS (SELECT CASE WHEN cv < 0.5e0 THEN 'X' "
+    "WHEN cv < 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz_class, cv FROM cv) "
+    "SELECT xyz_class, COUNT(*) AS n_parts, "
+    + rnd(
+        "CAST(SUM(CAST(ROUND(cv * 1.0e6) AS BIGINT)) AS DOUBLE) "
+        "/ (1.0e6 * COUNT(*))",
+        4,
+    )
+    + " AS avg_cv FROM cls GROUP BY xyz_class"
+)
+
+
+@query(
+    "part_xyz_variability",
+    oracle="WITH " + _XYZ_BODY.format(l="lineitem"),
+)
+def part_xyz_variability(spark, sf_dir):
+    """XYZ demand-variability classification: each part's weekly-demand
+    coefficient of variation — ZERO-demand weeks included via the
+    global week count, which is what makes intermittent demand score
+    high — bucketed into X (steady, CV<0.5), Y (variable, <1), Z
+    (erratic). The planning twin of lineitem_abc_pareto: ABC ranks by
+    value, XYZ by forecastability, and the ABC x XYZ cross decides
+    stocking policy. One part x week aggregate, one part-cardinality
+    moment frame, a 1-row week-count broadcast; per-part CVs snap to
+    micro-units before the class average so the report is
+    partition-order-exact."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "xyz_lineitem"
+    )
+    return spark.sql("WITH " + _XYZ_BODY.format(l="xyz_lineitem"))
