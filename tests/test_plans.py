@@ -172,6 +172,7 @@ _JVM_ONLY = [
     "lineitem_price_volume_mix",
     "events_dau_mau_stickiness",
     "part_xyz_variability",
+    "events_croston_intermittent",
 ]
 
 

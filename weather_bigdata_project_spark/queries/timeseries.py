@@ -1781,3 +1781,97 @@ def events_dau_mau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Croston's method (intermittent demand) --------------------------------
+
+#: smoothing alpha = 0.1; state in integer 1e6-units, snapped per step
+_CR_Z = "CAST(ROUND(0.1e0 * ({q} * 1000000) + 0.9e0 * {z}) AS BIGINT)"
+_CR_P = "CAST(ROUND(0.1e0 * ({g} * 1000000) + 0.9e0 * {p}) AS BIGINT)"
+_CR_PARTS = 50  # deterministic study set: partkeys 1..50
+
+
+def _croston_oracle() -> str:
+    zstep = _CR_Z.format(q="x.q", z="r.z")
+    pstep = _CR_P.format(g="(x.day - r.day)", p="r.p")
+    return (
+        "WITH RECURSIVE occ AS (SELECT l_partkey AS pk, "
+        "CAST(l_shipdate AS DATE) AS day, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS q FROM lineitem "
+        f"WHERE l_partkey <= {_CR_PARTS} "
+        "GROUP BY l_partkey, CAST(l_shipdate AS DATE)), "
+        "xs AS (SELECT pk, day, q, ROW_NUMBER() OVER "
+        "(PARTITION BY pk ORDER BY day) AS i FROM occ), "
+        "nn AS (SELECT pk, MAX(i) AS imax FROM xs GROUP BY pk), "
+        # anchor at the second occurrence: z from occ1 demand smoothed
+        # with occ2, p from the first observed gap
+        "r AS (SELECT b.pk, b.day, b.i, "
+        + _CR_Z.format(q="b.q", z="(a.q * 1000000)")
+        + " AS z, (b.day - a.day) * 1000000 AS p "
+        "FROM xs a JOIN xs b ON a.pk = b.pk AND a.i = 1 AND b.i = 2 "
+        f"UNION ALL SELECT x.pk, x.day, x.i, {zstep}, {pstep} "
+        "FROM xs x JOIN r ON x.pk = r.pk AND x.i = r.i + 1) "
+        "SELECT r.pk AS partkey, CAST(nn.imax AS BIGINT) "
+        "AS n_demand_days, "
+        "CAST(r.z AS DOUBLE) / 1.0e6 AS smoothed_size, "
+        "CAST(r.p AS DOUBLE) / 1.0e6 AS smoothed_interval_days, "
+        + rnd("CAST(r.z AS DOUBLE) / r.p", 6)
+        + " AS croston_rate_per_day "
+        "FROM r JOIN nn ON r.pk = nn.pk AND r.i = nn.imax"
+    )
+
+
+@query("events_croston_intermittent", oracle=_croston_oracle())
+def events_croston_intermittent(spark, sf_dir):
+    """Croston's method on intermittent part demand (partkeys 1-50):
+    separate exponential smoothing of nonzero demand SIZE and of the
+    INTERVAL between demand days, forecast = size/interval per day —
+    the estimator that stays unbiased exactly where plain smoothing
+    collapses on sparse series (the XYZ 'Z' class this pairs with).
+    Per-part snapped two-state folds (1e6-unit integers, two-occurrence
+    anchor) over collected occurrence lists; the oracle is the
+    recursive-CTE twin, bit-equal per step like the Holt family."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") <= _CR_PARTS
+    )
+    occ = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    zstep = _CR_Z.format(q="e.q", z="acc.z")
+    pstep = _CR_P.format(g="datediff(e.day, acc.day)", p="acc.p")
+    anchor_z = _CR_Z.format(
+        q="sort_array(xs)[1].q", z="(sort_array(xs)[0].q * 1000000)"
+    )
+    fold = (
+        "aggregate(slice(sort_array(xs), 3, size(xs)), "
+        "CAST(named_struct("
+        "'day', sort_array(xs)[1].day, "
+        f"'z', {anchor_z}, "
+        "'p', CAST(datediff(sort_array(xs)[1].day, sort_array(xs)[0].day)"
+        " AS BIGINT) * 1000000) "
+        "AS STRUCT<day: DATE, z: BIGINT, p: BIGINT>), "
+        f"(acc, e) -> named_struct('day', e.day, 'z', {zstep}, "
+        f"'p', {pstep}))"
+    )
+    return (
+        occ.groupBy("pk")
+        .agg(F.expr("collect_list(struct(day, q))").alias("xs"))
+        .filter(F.expr("size(xs) >= 2"))
+        .select(
+            F.col("pk").alias("partkey"),
+            F.expr("CAST(size(xs) AS BIGINT)").alias("n_demand_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "partkey",
+            "n_demand_days",
+            F.expr("CAST(st.z AS DOUBLE) / 1.0e6").alias("smoothed_size"),
+            F.expr("CAST(st.p AS DOUBLE) / 1.0e6").alias(
+                "smoothed_interval_days"
+            ),
+            F.expr(rnd("CAST(st.z AS DOUBLE) / st.p", 6)).alias(
+                "croston_rate_per_day"
+            ),
+        )
+    )
