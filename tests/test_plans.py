@@ -173,6 +173,7 @@ _JVM_ONLY = [
     "events_dau_mau_stickiness",
     "part_xyz_variability",
     "events_croston_intermittent",
+    "weather_beaufort_distribution",
 ]
 
 

@@ -362,3 +362,59 @@ def weather_flatline_runs(spark, sf_dir):
             "run_len",
         )
     )
+
+
+# --- Beaufort wind-force climatology ---------------------------------------
+
+#: Beaufort breakpoints in km/h (classes 0-7+; the fixture's wind span
+#: tops out around 60 km/h so higher forces collapse into 7)
+_BEAUFORT = (
+    "CASE WHEN wind_speed_num < 2 THEN 0 WHEN wind_speed_num < 6 THEN 1 "
+    "WHEN wind_speed_num < 12 THEN 2 WHEN wind_speed_num < 20 THEN 3 "
+    "WHEN wind_speed_num < 29 THEN 4 WHEN wind_speed_num < 39 THEN 5 "
+    "WHEN wind_speed_num < 50 THEN 6 ELSE 7 END"
+)
+
+
+@query(
+    "weather_beaufort_distribution",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", "
+        "b AS (SELECT " + _BEAUFORT + " AS beaufort, temperature, "
+        "CASE WHEN alert_type <> 'NORMAL' THEN 1 ELSE 0 END AS alerted "
+        "FROM enriched WHERE wind_speed_num IS NOT NULL) "
+        "SELECT beaufort, COUNT(*) AS n_obs, "
+        "CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE) "
+        "/ COUNT(temperature) AS avg_temp, "
+        "CAST(SUM(alerted) AS BIGINT) AS n_alerted "
+        "FROM b GROUP BY beaufort"
+    ),
+)
+def weather_beaufort_distribution(spark, sf_dir):
+    """Beaufort wind-force climatology: observations bucketed into the
+    standard wind-force classes with per-class mean temperature and
+    alert counts — the domain aggregation (wind climatology) the
+    reference's dashboard never computes from the wind_speed it
+    faithfully casts (ref:weather_streaming.py:68). Pure narrow CASE
+    binning + one class-cardinality aggregate; the average rides the
+    exact integer temperature sum."""
+    e = wd.enriched_frame(spark, sf_dir)
+    return (
+        e.filter(F.col("wind_speed_num").isNotNull())
+        .select(
+            F.expr(_BEAUFORT).alias("beaufort"),
+            "temperature",
+            F.expr(
+                "CASE WHEN alert_type <> 'NORMAL' THEN 1 ELSE 0 END"
+            ).alias("alerted"),
+        )
+        .groupBy("beaufort")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr(
+                "CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE)"
+                " / COUNT(temperature)"
+            ).alias("avg_temp"),
+            F.sum("alerted").cast("bigint").alias("n_alerted"),
+        )
+    )
