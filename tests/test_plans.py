@@ -174,6 +174,7 @@ _JVM_ONLY = [
     "part_xyz_variability",
     "events_croston_intermittent",
     "weather_beaufort_distribution",
+    "events_retention_halflife",
 ]
 
 

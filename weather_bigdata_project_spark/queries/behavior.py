@@ -1342,3 +1342,83 @@ def events_pacf_daily(spark, sf_dir):
     one row, not an iterative solve."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("bh_events")
     return spark.sql("WITH " + _pacf_sql("bh_events"))
+
+
+# --- retention half-life (exponential decay fit) ---------------------------
+
+_RHL_K = 14  # offsets 1..K days
+
+
+def _rhl_sql(src: str, kspine: str, ddiff: str, dsub: str) -> str:
+    """Shared text: per-offset retention rate (active users at offset k
+    over users whose observation window covers k), snapped log, K-point
+    closed-form OLS of ln(R) on k, half-life = -ln 2 / slope. The fit
+    frame is K rows; everything upstream is user x day cardinality."""
+    return (
+        f"du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        f"FROM {src}), "
+        "fd AS (SELECT user_id, MIN(day) AS f FROM du GROUP BY user_id), "
+        "bx AS (SELECT MAX(day) AS d1 FROM du), "
+        "act AS (SELECT DISTINCT du.user_id, "
+        f"CAST({ddiff} AS BIGINT) AS k "
+        "FROM du JOIN fd ON du.user_id = fd.user_id), "
+        f"ks AS (SELECT k FROM {kspine}), "
+        "num AS (SELECT k, COUNT(*) AS n_act FROM act "
+        f"WHERE k BETWEEN 1 AND {_RHL_K} GROUP BY k), "
+        "den AS (SELECT ks.k, (SELECT COUNT(*) FROM fd CROSS JOIN bx "
+        f"WHERE fd.f <= {dsub}) AS n_elig FROM ks), "
+        "pts AS (SELECT den.k, num.n_act, den.n_elig, "
+        "CAST(ROUND(LN(CAST(num.n_act AS DOUBLE) / den.n_elig) * 1.0e6)"
+        " AS BIGINT) AS l_u FROM den JOIN num ON num.k = den.k "
+        "WHERE num.n_act > 0 AND den.n_elig > 0), "
+        "s AS (SELECT COUNT(*) AS n, SUM(k) AS sk, SUM(l_u) AS sl, "
+        "SUM(k * k) AS skk, SUM(k * l_u) AS skl, "
+        "SUM(l_u * l_u) AS sll FROM pts), "
+        "f AS (SELECT n, "
+        "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) / "
+        "(CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk) / 1.0e6 "
+        "AS slope, "
+        "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) * "
+        "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) / "
+        "((CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk) * "
+        "(CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl)) AS r2 "
+        "FROM s) "
+        "SELECT CAST(n AS BIGINT) AS n_points, "
+        + rnd("slope", 6) + " AS decay_per_day, "
+        + rnd("-0.6931471805599453e0 / slope", 2) + " AS halflife_days, "
+        + rnd("r2", 6) + " AS r2 FROM f"
+    )
+
+
+@query(
+    "events_retention_halflife",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _rhl_sql(
+            "events_t",
+            f"(SELECT unnest(generate_series(1, {_RHL_K})) AS k) t",
+            "date_diff('day', fd.f, du.day)",
+            "bx.d1 - CAST(ks.k AS INTEGER)",
+        )
+    ),
+)
+def events_retention_halflife(spark, sf_dir):
+    """Retention half-life: fit exponential decay to the day-k retention
+    curve (active users at offset k over users whose window covers k,
+    k = 1..14) by closed-form OLS on snapped log rates — one number
+    ('retention halves every N days') summarizing the whole matrix
+    events_cohort_retention reports, with r2 saying whether the
+    exponential story even fits. User x day reduction, a 14-row spine,
+    and a 6-scalar fit frame; logs snap to 1e-6 before the exact sums."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "bh_events"
+    )
+    return spark.sql(
+        "WITH "
+        + _rhl_sql(
+            "bh_events",
+            f"(SELECT explode(sequence(1, {_RHL_K})) AS k)",
+            "datediff(du.day, fd.f)",
+            "date_sub(bx.d1, CAST(ks.k AS INT))",
+        )
+    )
