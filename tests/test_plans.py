@@ -175,6 +175,8 @@ _JVM_ONLY = [
     "events_croston_intermittent",
     "weather_beaufort_distribution",
     "events_retention_halflife",
+    "orders_duplicate_screen",
+    "orders_psi_priority",
 ]
 
 

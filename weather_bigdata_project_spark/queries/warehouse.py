@@ -1406,3 +1406,80 @@ def part_xyz_variability(spark, sf_dir):
         "xyz_lineitem"
     )
     return spark.sql("WITH " + _XYZ_BODY.format(l="xyz_lineitem"))
+
+
+# --- duplicate-transaction forensic screen ---------------------------------
+
+@query(
+    "orders_duplicate_screen",
+    oracle=(
+        "SELECT o_custkey, o_orderdate, o_totalprice, "
+        "COUNT(*) AS n_dupes FROM orders "
+        "GROUP BY o_custkey, o_orderdate, o_totalprice "
+        "HAVING COUNT(*) > 1"
+    ),
+)
+def orders_duplicate_screen(spark, sf_dir):
+    """Duplicate-transaction screen: orders sharing (customer, date,
+    exact amount) — the double-charge / double-entry audit every AP
+    team runs, next to orders_benford_screen's fabrication test. One
+    hash aggregate with HAVING; near-empty output on healthy data is
+    the point (TPC-H's price spread makes exact-amount collisions
+    rare), and each hit is an investigation ticket. At scale the same
+    group-by keys are the natural bucketing for the follow-up
+    fuzzy-window pass (same customer, +/-1 day, amount within cents)."""
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_orderdate", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# --- population stability index (distribution drift) -----------------------
+
+_PSI_SPLIT = "TIMESTAMP '1996-07-01 00:00:00'"
+
+_PSI_BODY = (
+    "h AS (SELECT o_orderpriority AS cat, "
+    f"CASE WHEN o_orderdate < {_PSI_SPLIT} THEN 1 ELSE 2 END AS half "
+    "FROM {o}), "
+    "c AS (SELECT cat, "
+    "SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1, "
+    "SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2 "
+    "FROM h GROUP BY cat), "
+    "t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c), "
+    "e AS (SELECT cat, n1, n2, "
+    "CAST(n1 AS DOUBLE) / t1 AS p1, CAST(n2 AS DOUBLE) / t2 AS p2 "
+    "FROM c CROSS JOIN t WHERE n1 > 0 AND n2 > 0), "
+    "u AS (SELECT cat, n1, n2, p1, p2, "
+    "CAST(ROUND((p2 - p1) * LN(p2 / p1) * 1.0e9) AS BIGINT) AS psi_u "
+    "FROM e) "
+    "SELECT cat AS orderpriority, CAST(n1 AS BIGINT) AS n_h1, "
+    "CAST(n2 AS BIGINT) AS n_h2, "
+    + rnd("p1", 6) + " AS share_h1, "
+    + rnd("p2", 6) + " AS share_h2, "
+    + rnd("CAST(psi_u AS DOUBLE) / 1.0e9", 6) + " AS psi_term, "
+    + rnd(
+        "CAST((SELECT SUM(psi_u) FROM u) AS DOUBLE) / 1.0e9", 6
+    )
+    + " AS psi_total FROM u"
+)
+
+
+@query(
+    "orders_psi_priority",
+    oracle="WITH " + _PSI_BODY.format(o="orders"),
+)
+def orders_psi_priority(spark, sf_dir):
+    """Population stability index of the order-priority mix between the
+    two order-history halves: per-category PSI terms (nano-snapped
+    before the exact total) plus the headline PSI — THE drift gate ML
+    monitoring applies to every feature before trusting a model in
+    production (<0.1 stable, 0.1-0.25 drifting, >0.25 retrain). The
+    categorical sibling of corpus_source_divergence's KL: one scan,
+    one category-cardinality aggregate, a 1-row total broadcast."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "psi_orders"
+    )
+    return spark.sql("WITH " + _PSI_BODY.format(o="psi_orders"))
