@@ -177,6 +177,7 @@ _JVM_ONLY = [
     "events_retention_halflife",
     "orders_duplicate_screen",
     "orders_psi_priority",
+    "orders_fulfillment_latency",
 ]
 
 

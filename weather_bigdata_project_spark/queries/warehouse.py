@@ -1483,3 +1483,62 @@ def orders_psi_priority(spark, sf_dir):
         "psi_orders"
     )
     return spark.sql("WITH " + _PSI_BODY.format(o="psi_orders"))
+
+
+# --- fulfillment latency SLA percentiles -----------------------------------
+
+def _fl_sql(o: str, l: str, ddiff: str) -> str:
+    """Shared text modulo the datediff spelling: per-priority exact
+    rank-pick latency percentiles over integer day gaps."""
+    return (
+        f"lat AS (SELECT o.o_orderpriority AS prio, "
+        f"CAST({ddiff} AS BIGINT) AS days, l.l_orderkey, l.l_linenumber "
+        f"FROM {l} l JOIN {o} o ON l.l_orderkey = o.o_orderkey), "
+        "k AS (SELECT prio, days, ROW_NUMBER() OVER (PARTITION BY prio "
+        "ORDER BY days, l_orderkey, l_linenumber) AS rn, "
+        "COUNT(*) OVER (PARTITION BY prio) AS n, "
+        "SUM(days) OVER (PARTITION BY prio) AS sd FROM lat) "
+        "SELECT prio AS orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines, "
+        + rnd("CAST(MAX(sd) AS DOUBLE) / MAX(n)", 4) + " AS mean_days, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) "
+        "THEN days END) AS p50_days, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.9e0 * n) AS BIGINT) "
+        "THEN days END) AS p90_days, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.99e0 * n) AS BIGINT) "
+        "THEN days END) AS p99_days, "
+        "MAX(days) AS max_days FROM k GROUP BY prio"
+    )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle=(
+        "WITH "
+        + _fl_sql(
+            "orders", "lineitem",
+            "date_diff('day', o.o_orderdate, l.l_shipdate)",
+        )
+    ),
+)
+def orders_fulfillment_latency(spark, sf_dir):
+    """Order-fulfillment latency SLA: days from order to each line's
+    shipment, summarized per order priority as mean + exact
+    deterministic p50/p90/p99/max (rank picks with a total tie-break —
+    no approx sketches, because SLA attainment is a contractual number).
+    The one big-big join in the audit family: lineitem shuffles once on
+    the order key against the pruned orders side; the per-priority
+    window is the only other exchange. Whether URGENT orders actually
+    ship faster is precisely what this table answers."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fl_orders"
+    )
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fl_lineitem"
+    )
+    return spark.sql(
+        "WITH "
+        + _fl_sql(
+            "fl_orders", "fl_lineitem",
+            "datediff(l.l_shipdate, o.o_orderdate)",
+        )
+    )
