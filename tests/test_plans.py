@@ -178,6 +178,7 @@ _JVM_ONLY = [
     "orders_duplicate_screen",
     "orders_psi_priority",
     "orders_fulfillment_latency",
+    "customer_whale_curve",
 ]
 
 

@@ -1542,3 +1542,49 @@ def orders_fulfillment_latency(spark, sf_dir):
             "datediff(l.l_shipdate, o.o_orderdate)",
         )
     )
+
+
+# --- whale curve: revenue concentration by customer decile -----------------
+
+_WHALE_BODY = (
+    "cr AS (SELECT o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS r FROM {{o}} GROUP BY o_custkey), "
+    "rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) "
+    "AS rn, COUNT(*) OVER () AS n, SUM(r) OVER () AS tot FROM cr), "
+    # exact integer decile cut: decile d covers 10*rn in (n*(d-1), n*d]
+    "dd AS (SELECT CAST(CEIL(10.0e0 * rn / n) AS BIGINT) AS decile, "
+    "r, n, tot FROM rk), "
+    "g AS (SELECT decile, COUNT(*) AS n_customers, SUM(r) AS dr, "
+    "MAX(tot) AS tot FROM dd GROUP BY decile) "
+    "SELECT decile, CAST(n_customers AS BIGINT) AS n_customers, "
+    + money("dr") + " AS decile_revenue, "
+    + rnd("CAST(dr AS DOUBLE) / tot", 6) + " AS revenue_share, "
+    + rnd(
+        "CAST(SUM(dr) OVER (ORDER BY decile "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        " / tot",
+        6,
+    )
+    + " AS cumulative_share FROM g"
+)
+
+
+@query(
+    "customer_whale_curve",
+    oracle="WITH " + _WHALE_BODY.format(o="orders"),
+)
+def customer_whale_curve(spark, sf_dir):
+    """The whale curve: customers ranked by lifetime revenue, bucketed
+    into exact integer-cut deciles (ceil(10*rank/n) — no NTILE tie
+    ambiguity), with each decile's revenue share and the cumulative
+    share — the executive concentration chart behind 'the top 10% of
+    customers are X% of revenue'. One key aggregate, one
+    customer-cardinality rank window, a 10-row cumulative pass; revenue
+    rides exact cents end to end. Complements
+    supplier_concentration_hhi (index form) and
+    customer_balance_deciles (balance deciles) with the revenue-curve
+    form."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wh_orders"
+    )
+    return spark.sql("WITH " + _WHALE_BODY.format(o="wh_orders"))
