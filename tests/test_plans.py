@@ -179,6 +179,7 @@ _JVM_ONLY = [
     "orders_psi_priority",
     "orders_fulfillment_latency",
     "customer_whale_curve",
+    "events_markov_absorption",
 ]
 
 

@@ -1422,3 +1422,62 @@ def events_retention_halflife(spark, sf_dir):
             "date_sub(bx.d1, CAST(ks.k AS INT))",
         )
     )
+
+
+# --- Markov absorption: conversion probability within k steps ---------------
+
+def _absorb_sql(src: str) -> str:
+    """Shared text: row-normalized transition probabilities snapped to
+    integer nano-units, then the within-1/2/3-step purchase-absorption
+    recursion p_{k}(s) = T[s,P] + sum_{m != P} T[s,m] p_{k-1}(m),
+    each level re-snapped — exact integer arithmetic on a types^2
+    frame."""
+    return (
+        "pp AS (SELECT user_id, event_type AS to_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS from_type FROM {src}), "
+        "c AS (SELECT from_type AS s, to_type AS m, COUNT(*) AS n "
+        "FROM pp WHERE from_type IS NOT NULL GROUP BY from_type, to_type), "
+        "r AS (SELECT s, SUM(n) AS ns FROM c GROUP BY s), "
+        "t AS (SELECT c.s, c.m, CAST(ROUND(1.0e9 * c.n / r.ns) AS BIGINT)"
+        " AS tu FROM c JOIN r ON r.s = c.s), "
+        "p1 AS (SELECT s, COALESCE(MAX(CASE WHEN m = 'purchase' "
+        "THEN tu END), 0) AS p FROM t GROUP BY s), "
+        "p2 AS (SELECT t.s, MAX(pa.p) + CAST(ROUND(CAST(SUM("
+        "CASE WHEN t.m <> 'purchase' THEN t.tu * COALESCE(pb.p, 0) "
+        "ELSE 0 END) AS DOUBLE) / 1.0e9) AS BIGINT) AS p "
+        "FROM t JOIN p1 pa ON pa.s = t.s "
+        "LEFT JOIN p1 pb ON pb.s = t.m GROUP BY t.s), "
+        "p3 AS (SELECT t.s, MAX(pa.p) + CAST(ROUND(CAST(SUM("
+        "CASE WHEN t.m <> 'purchase' THEN t.tu * COALESCE(pb.p, 0) "
+        "ELSE 0 END) AS DOUBLE) / 1.0e9) AS BIGINT) AS p "
+        "FROM t JOIN p1 pa ON pa.s = t.s "
+        "LEFT JOIN p2 pb ON pb.s = t.m GROUP BY t.s) "
+        "SELECT p1.s AS from_type, "
+        "CAST(p1.p AS DOUBLE) / 1.0e9 AS p_convert_1step, "
+        "CAST(p2.p AS DOUBLE) / 1.0e9 AS p_convert_2steps, "
+        "CAST(p3.p AS DOUBLE) / 1.0e9 AS p_convert_3steps "
+        "FROM p1 JOIN p2 ON p2.s = p1.s JOIN p3 ON p3.s = p1.s"
+    )
+
+
+@query(
+    "events_markov_absorption",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _absorb_sql("events_t")
+    ),
+)
+def events_markov_absorption(spark, sf_dir):
+    """Purchase-absorption probability within 1/2/3 steps from each
+    event state, off the first-order transition model: the question the
+    transition matrix exists to answer ('how close is a user in state s
+    to converting'), computed by the truncated absorption recursion —
+    purchase treated as absorbing, each level one types^2 join-
+    aggregate on nano-snapped probabilities. Completes the Markov
+    family: counts (events_transition_matrix), out-of-sample validity
+    (events_markov_eval), absorption value (here); removal-effect
+    attribution is this recursion run |channels|+1 times."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "bh_events"
+    )
+    return spark.sql("WITH " + _absorb_sql("bh_events"))
