@@ -180,6 +180,7 @@ _JVM_ONLY = [
     "orders_fulfillment_latency",
     "customer_whale_curve",
     "events_markov_absorption",
+    "weather_city_correlation",
 ]
 
 

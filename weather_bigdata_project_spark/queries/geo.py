@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import weather_domain as wd
+from ..functions.exprs import rnd
 from ..operators.textops import materialize
 from ..registry import query
 
@@ -327,3 +328,52 @@ def geo_idw_interpolation(spark, sf_dir):
         "idw_enriched"
     )
     return spark.sql("WITH " + _idw_sql("idw_enriched"))
+
+
+# --- cross-city temperature correlation matrix -----------------------------
+
+def _citycorr_sql() -> str:
+    """Shared text from the enriched relation: per-(city, day) mean
+    temperature snapped to integer milli-degrees, self-join on day for
+    city pairs (a < b), exact-integer Pearson sums per pair. Cities x
+    days everywhere — the fact table is touched once."""
+    return (
+        "cd AS (SELECT city_name, CAST(timestamp_dt AS DATE) AS day, "
+        "CAST(ROUND(CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE) "
+        "* 1000.0e0 / COUNT(temperature)) AS BIGINT) AS t_mdeg "
+        "FROM enriched WHERE temperature IS NOT NULL "
+        "GROUP BY city_name, CAST(timestamp_dt AS DATE)), "
+        "pr AS (SELECT a.city_name AS city1, b.city_name AS city2, "
+        "a.t_mdeg AS x, b.t_mdeg AS y FROM cd a JOIN cd b "
+        "ON a.day = b.day AND a.city_name < b.city_name), "
+        "s AS (SELECT city1, city2, COUNT(*) AS n, SUM(x) AS sx, "
+        "SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy, "
+        "SUM(x * y) AS sxy FROM pr GROUP BY city1, city2) "
+        "SELECT city1, city2, CAST(n AS BIGINT) AS n_shared_days, "
+        + rnd(
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "(SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+            "SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))",
+            6,
+        )
+        + " AS temp_correlation FROM s WHERE n > 1"
+    )
+
+
+@query(
+    "weather_city_correlation",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", " + _citycorr_sql()
+    ),
+)
+def weather_city_correlation(spark, sf_dir):
+    """Which cities' temperatures move together: Pearson correlation of
+    daily mean temperature between every city pair over their shared
+    days — the teleconnection/similar-climate matrix a forecaster uses
+    to borrow strength across stations (and the input to clustering
+    stations for shared models). Day-grain reduction first, so the
+    pair self-join is cities x days, never observations; daily means
+    snap to milli-degrees and the correlation runs on exact integer
+    moment sums."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
+    return spark.sql("WITH " + _citycorr_sql())
