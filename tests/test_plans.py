@@ -181,6 +181,8 @@ _JVM_ONLY = [
     "customer_whale_curve",
     "events_markov_absorption",
     "weather_city_correlation",
+    "embed_dim_variance_spectrum",
+    "part_single_source_risk",
 ]
 
 

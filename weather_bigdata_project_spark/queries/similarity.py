@@ -1636,3 +1636,72 @@ def embed_ood_distance(spark, sf_dir):
     )
     dd.createOrReplaceTempView("ood_dd")
     return spark.sql("WITH " + _ood_tail("ood_dd"))
+
+
+# --- per-dimension variance spectrum ---------------------------------------
+
+_SPEC_ORACLE = (
+    "WITH ex AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1.0e6) AS BIGINT)"
+    " AS x_u FROM embeddings), "
+    "m AS (SELECT dim, COUNT(*) AS n, SUM(x_u) AS sx, "
+    "SUM(x_u * x_u) AS sxx FROM ex GROUP BY dim), "
+    "v AS (SELECT dim, (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx "
+    "/ n) / ((n - 1) * 1.0e12) AS var FROM m), "
+    "u AS (SELECT dim, CAST(ROUND(var * 1.0e9) AS BIGINT) AS v_u FROM v) "
+    "SELECT dim, CAST(v_u AS DOUBLE) / 1.0e9 AS variance, "
+    + rnd(
+        "CAST(v_u AS DOUBLE) / (SELECT SUM(v_u) FROM u)", 6
+    )
+    + " AS variance_share FROM u ORDER BY v_u DESC, dim LIMIT 8"
+)
+
+
+@query("embed_dim_variance_spectrum", oracle=_SPEC_ORACLE)
+def embed_dim_variance_spectrum(spark, sf_dir):
+    """Per-dimension variance spectrum of the embedding space: the
+    top-8 dimensions by exact-integer sample variance with their share
+    of total variance — the poor-man's eigenspectrum read before
+    paying for PCA (embed_power_iteration_pc1): a spectrum dominated
+    by a few raw dimensions means the space is axis-aligned
+    compressible and an 8x PQ/JL reduction is nearly free. One
+    posexplode + dims-cardinality aggregate; variances snap to
+    nano-units before the share division and the top-k heap."""
+    emb = _emb(spark, sf_dir)
+    m = (
+        emb.select(F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "dim",
+            F.expr(
+                "CAST(ROUND(CAST(xf AS DOUBLE) * 1.0e6) AS BIGINT)"
+            ).alias("x_u"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x_u").alias("sx"),
+            F.sum(F.expr("x_u * x_u")).alias("sxx"),
+        )
+    )
+    u = T.materialize(
+        m.select(
+            "dim",
+            F.expr(
+                "CAST(ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+                "* sx / n) / ((n - 1) * 1.0e12) * 1.0e9) AS BIGINT)"
+            ).alias("v_u"),
+        )
+    )
+    tot = u.agg(F.sum("v_u").alias("tv"))
+    return (
+        u.join(F.broadcast(tot))
+        .select(
+            "dim",
+            F.expr("CAST(v_u AS DOUBLE) / 1.0e9").alias("variance"),
+            F.expr(rnd("CAST(v_u AS DOUBLE) / tv", 6)).alias(
+                "variance_share"
+            ),
+        )
+        .orderBy(F.desc("variance"), "dim")
+        .limit(8)
+    )

@@ -1588,3 +1588,37 @@ def customer_whale_curve(spark, sf_dir):
         "wh_orders"
     )
     return spark.sql("WITH " + _WHALE_BODY.format(o="wh_orders"))
+
+
+# --- single-source supply risk ---------------------------------------------
+
+_SSRC_BODY = (
+    "ps AS (SELECT l_partkey AS pk, COUNT(DISTINCT l_suppkey) AS n_sup, "
+    f"SUM({cents('l_extendedprice')}) AS rev_c FROM {{l}} "
+    "GROUP BY l_partkey), "
+    "t AS (SELECT SUM(rev_c) AS tot FROM ps) "
+    "SELECT CASE WHEN n_sup = 1 THEN 'single_source' "
+    "WHEN n_sup = 2 THEN 'dual_source' ELSE 'multi_source' END "
+    "AS sourcing, COUNT(*) AS n_parts, "
+    + money("SUM(rev_c)") + " AS revenue, "
+    + rnd("CAST(SUM(rev_c) AS DOUBLE) / (SELECT tot FROM t)", 6)
+    + " AS revenue_share FROM ps GROUP BY 1"
+)
+
+
+@query(
+    "part_single_source_risk",
+    oracle="WITH " + _SSRC_BODY.format(l="lineitem"),
+)
+def part_single_source_risk(spark, sf_dir):
+    """Supply-chain concentration risk: parts bucketed by how many
+    distinct suppliers have actually shipped them (single / dual /
+    multi source), with the revenue riding on each bucket — the
+    single-source revenue share is the number a supply-risk review
+    leads with (one supplier failure strands that much flow). One
+    part-cardinality distinct-count aggregate with the exact-cents
+    revenue carried alongside."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ss_lineitem"
+    )
+    return spark.sql("WITH " + _SSRC_BODY.format(l="ss_lineitem"))
