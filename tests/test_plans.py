@@ -183,6 +183,7 @@ _JVM_ONLY = [
     "weather_city_correlation",
     "embed_dim_variance_spectrum",
     "part_single_source_risk",
+    "lineitem_psi_quantity",
 ]
 
 

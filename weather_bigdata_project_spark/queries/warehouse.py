@@ -1622,3 +1622,48 @@ def part_single_source_risk(spark, sf_dir):
         "ss_lineitem"
     )
     return spark.sql("WITH " + _SSRC_BODY.format(l="ss_lineitem"))
+
+
+# --- numeric-feature PSI (binned drift) ------------------------------------
+
+_NPSI_BODY = (
+    "h AS (SELECT CAST(FLOOR((CAST(l_quantity AS BIGINT) - 1) / 5.0e0) "
+    "AS BIGINT) AS bin, "
+    f"CASE WHEN l_shipdate < {_PSI_SPLIT} THEN 1 ELSE 2 END AS half "
+    "FROM {l}), "
+    "c AS (SELECT bin, "
+    "SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1, "
+    "SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2 "
+    "FROM h GROUP BY bin), "
+    "t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c), "
+    "e AS (SELECT bin, n1, n2, CAST(n1 AS DOUBLE) / t1 AS p1, "
+    "CAST(n2 AS DOUBLE) / t2 AS p2 FROM c CROSS JOIN t "
+    "WHERE n1 > 0 AND n2 > 0), "
+    "u AS (SELECT bin, n1, n2, p1, p2, "
+    "CAST(ROUND((p2 - p1) * LN(p2 / p1) * 1.0e9) AS BIGINT) AS psi_u "
+    "FROM e) "
+    "SELECT bin, CAST(n1 AS BIGINT) AS n_h1, CAST(n2 AS BIGINT) AS n_h2, "
+    + rnd("p1", 6) + " AS share_h1, "
+    + rnd("p2", 6) + " AS share_h2, "
+    + rnd("CAST(psi_u AS DOUBLE) / 1.0e9", 6) + " AS psi_term, "
+    + rnd("CAST((SELECT SUM(psi_u) FROM u) AS DOUBLE) / 1.0e9", 6)
+    + " AS psi_total FROM u"
+)
+
+
+@query(
+    "lineitem_psi_quantity",
+    oracle="WITH " + _NPSI_BODY.format(l="lineitem"),
+)
+def lineitem_psi_quantity(spark, sf_dir):
+    """Numeric-feature PSI: the quantity distribution binned into fixed
+    width-5 buckets (explicit FLOOR — the dialect-safe integer binning)
+    and compared between the two shipment halves, per-bin terms
+    nano-snapped before the exact headline total. With
+    orders_psi_priority this completes the drift-monitoring pair every
+    feature store runs nightly: categorical mix PSI + binned numeric
+    PSI, both one scan + one bin-cardinality aggregate."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "npsi_lineitem"
+    )
+    return spark.sql("WITH " + _NPSI_BODY.format(l="npsi_lineitem"))
