@@ -184,6 +184,7 @@ _JVM_ONLY = [
     "embed_dim_variance_spectrum",
     "part_single_source_risk",
     "lineitem_psi_quantity",
+    "events_interrupted_timeseries",
 ]
 
 

@@ -1875,3 +1875,76 @@ def events_croston_intermittent(spark, sf_dir):
             ),
         )
     )
+
+
+# --- interrupted time series (segmented regression) ------------------------
+
+def _its_sql(src: str) -> str:
+    """Shared text: daily totals indexed 1..n, break at the midpoint
+    index, exact-integer OLS moment sums per segment, closed-form
+    level/slope for each side and the discontinuity at the break —
+    the segmented-regression read of an intervention, with
+    events_changepoint_sse finding WHERE and this measuring WHAT
+    changed in trend terms."""
+    fit = (
+        "(CAST(n{s} AS DOUBLE) * sxy{s} - CAST(sx{s} AS DOUBLE) * sy{s})"
+        " / (CAST(n{s} AS DOUBLE) * sxx{s} - CAST(sx{s} AS DOUBLE)"
+        " * sx{s})"
+    )
+    mean = "(CAST(sy{s} AS DOUBLE) / n{s})"
+    xbar = "(CAST(sx{s} AS DOUBLE) / n{s})"
+    return (
+        "daily AS (SELECT CAST(ts AS DATE) AS d, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS y "
+        f"FROM {src} GROUP BY CAST(ts AS DATE)), "
+        "idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, y, "
+        "COUNT(*) OVER () AS n FROM daily), "
+        "seg AS (SELECT t, y, CASE WHEN 2 * t <= n THEN 1 ELSE 2 END "
+        "AS s, CAST(FLOOR(n / 2.0e0) AS BIGINT) AS t0 FROM idx), "
+        "m AS (SELECT MAX(t0) AS t0, "
+        "SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1, "
+        "SUM(CASE WHEN s = 1 THEN t ELSE 0 END) AS sx1, "
+        "SUM(CASE WHEN s = 1 THEN y ELSE 0 END) AS sy1, "
+        "SUM(CASE WHEN s = 1 THEN t * t ELSE 0 END) AS sxx1, "
+        "SUM(CASE WHEN s = 1 THEN t * y ELSE 0 END) AS sxy1, "
+        "SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS n2, "
+        "SUM(CASE WHEN s = 2 THEN t ELSE 0 END) AS sx2, "
+        "SUM(CASE WHEN s = 2 THEN y ELSE 0 END) AS sy2, "
+        "SUM(CASE WHEN s = 2 THEN t * t ELSE 0 END) AS sxx2, "
+        "SUM(CASE WHEN s = 2 THEN t * y ELSE 0 END) AS sxy2 FROM seg), "
+        "f AS (SELECT t0, "
+        + fit.format(s="1") + " AS b1, " + fit.format(s="2") + " AS b2, "
+        + mean.format(s="1") + " - " + fit.format(s="1") + " * "
+        + xbar.format(s="1") + " AS a1, "
+        + mean.format(s="2") + " - " + fit.format(s="2") + " * "
+        + xbar.format(s="2") + " AS a2 FROM m) "
+        "SELECT CAST(t0 AS BIGINT) AS break_day_index, "
+        + rnd("b1 / 100.0e0", 4) + " AS pre_slope_dollars_per_day, "
+        + rnd("b2 / 100.0e0", 4) + " AS post_slope_dollars_per_day, "
+        + rnd("(b2 - b1) / 100.0e0", 4) + " AS slope_change, "
+        + rnd(
+            "((a2 + b2 * (t0 + 1)) - (a1 + b1 * (t0 + 1))) / 100.0e0", 2
+        )
+        + " AS level_change_at_break FROM f"
+    )
+
+
+@query(
+    "events_interrupted_timeseries",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _its_sql("events_t")
+    ),
+)
+def events_interrupted_timeseries(spark, sf_dir):
+    """Interrupted time-series (segmented regression) around the series
+    midpoint: separate exact-sum OLS fits before and after the break,
+    reporting pre/post slopes, the slope change, and the level
+    discontinuity at the break evaluated from both fits — the
+    regression framing of an intervention that events_did_analysis
+    answers with a control group and events_changepoint_sse locates
+    from the data. One daily aggregate, one index window, a single
+    11-scalar moment row, closed forms."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ts_events"
+    )
+    return spark.sql("WITH " + _its_sql("ts_events"))
