@@ -185,6 +185,8 @@ _JVM_ONLY = [
     "part_single_source_risk",
     "lineitem_psi_quantity",
     "events_interrupted_timeseries",
+    "lineitem_revenue_waterfall",
+    "events_rate_shrinkage_eb",
 ]
 
 

@@ -878,3 +878,63 @@ def events_ab_sprt(spark, sf_dir):
         "pw_events"
     )
     return spark.sql("WITH " + _sprt_sql("pw_events"))
+
+
+# --- empirical-Bayes shrinkage of per-user conversion rates -----------------
+
+def _eb_sql(src: str) -> str:
+    """Shared text: per-user purchase counts, method-of-moments
+    beta-binomial prior from the exact count frame (one float solve on
+    exact integers, nano-snapped alpha/beta), then each user's
+    shrunken rate (k + a)/(n + a + b). Top-10 by shrunken rate — the
+    ranking that no longer crowns 1-for-1 users."""
+    return (
+        f"u AS (SELECT user_id, COUNT(*) AS n, "
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k "
+        f"FROM {src} GROUP BY user_id), "
+        # MoM on the per-user raw rates: mu, v from exact sums of
+        # nano-snapped per-user rates (one deterministic division each)
+        "r AS (SELECT CAST(ROUND(1.0e9 * k / n) AS BIGINT) AS p_u FROM u), "
+        "m AS (SELECT COUNT(*) AS c, SUM(p_u) AS sp, "
+        "SUM(p_u * p_u) AS spp FROM r), "
+        "pr AS (SELECT CAST(sp AS DOUBLE) / (c * 1.0e9) AS mu, "
+        "(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / c) "
+        "/ ((c - 1) * 1.0e18) AS v FROM m), "
+        "ab AS (SELECT CAST(ROUND(1.0e9 * (mu * (mu * (1.0e0 - mu) / v "
+        "- 1.0e0))) AS BIGINT) AS a_u, "
+        "CAST(ROUND(1.0e9 * ((1.0e0 - mu) * (mu * (1.0e0 - mu) / v "
+        "- 1.0e0))) AS BIGINT) AS b_u FROM pr) "
+        "SELECT user_id, CAST(n AS BIGINT) AS n_events, "
+        "CAST(k AS BIGINT) AS n_purchases, "
+        + rnd("CAST(k AS DOUBLE) / n", 6) + " AS raw_rate, "
+        + rnd(
+            "(CAST(k AS DOUBLE) + CAST((SELECT a_u FROM ab) AS DOUBLE)"
+            " / 1.0e9) / (CAST(n AS DOUBLE) "
+            "+ CAST((SELECT a_u FROM ab) AS DOUBLE) / 1.0e9 "
+            "+ CAST((SELECT b_u FROM ab) AS DOUBLE) / 1.0e9)",
+            6,
+        )
+        + " AS shrunken_rate FROM u "
+        "ORDER BY shrunken_rate DESC, user_id LIMIT 10"
+    )
+
+
+@query(
+    "events_rate_shrinkage_eb",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _eb_sql("events_t")
+    ),
+)
+def events_rate_shrinkage_eb(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-user purchase rates: a
+    beta-binomial prior fitted by method-of-moments from the corpus's
+    own rate distribution (nano-snapped alpha/beta), each user's rate
+    pulled toward it in proportion to their evidence — the estimator
+    that stops 1-for-1 users from topping conversion leaderboards,
+    and the additive-smoothing discipline every small-sample ranking
+    needs. One user-cardinality aggregate, a 3-scalar prior fit, a
+    broadcast-scalar rescore, a top-10 heap."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql("WITH " + _eb_sql("pw_events"))

@@ -1667,3 +1667,41 @@ def lineitem_psi_quantity(spark, sf_dir):
         "npsi_lineitem"
     )
     return spark.sql("WITH " + _NPSI_BODY.format(l="npsi_lineitem"))
+
+
+# --- revenue waterfall (gross -> discount -> net -> tax -> billed) ---------
+
+_WF_BODY = (
+    "u AS (SELECT "
+    f"{cents('l_extendedprice')} AS g_c, "
+    f"CAST(ROUND(l_extendedprice * l_discount * 100.0e0) AS BIGINT) "
+    "AS d_c, "
+    "CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * l_tax "
+    "* 100.0e0) AS BIGINT) AS t_c FROM {l}), "
+    "s AS (SELECT SUM(g_c) AS g, SUM(d_c) AS d, SUM(t_c) AS t "
+    "FROM u) "
+    "SELECT 1 AS step, 'gross_revenue' AS stage, "
+    + money("g") + " AS amount FROM s "
+    "UNION ALL SELECT 2, 'discounts_given', " + money("-d") + " FROM s "
+    "UNION ALL SELECT 3, 'net_revenue', " + money("(g - d)") + " FROM s "
+    "UNION ALL SELECT 4, 'tax_collected', " + money("t") + " FROM s "
+    "UNION ALL SELECT 5, 'total_billed', "
+    + money("(g - d + t)") + " FROM s"
+)
+
+
+@query(
+    "lineitem_revenue_waterfall",
+    oracle="WITH " + _WF_BODY.format(l="lineitem"),
+)
+def lineitem_revenue_waterfall(spark, sf_dir):
+    """The finance bridge: gross revenue -> discounts given -> net ->
+    tax collected -> total billed, as ordered waterfall rows (TPC-H
+    Q1's aggregates re-expressed as the chart finance actually draws).
+    Per-row discount/tax amounts snap to cents BEFORE the corpus sums,
+    so every stage is an exact BIGINT total and the bridge reconciles
+    to the cent; one scan, one 3-scalar aggregate, five literal rows."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "wf_lineitem"
+    )
+    return spark.sql("WITH " + _WF_BODY.format(l="wf_lineitem"))
