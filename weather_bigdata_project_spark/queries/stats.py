@@ -896,7 +896,7 @@ def _eb_sql(src: str) -> str:
         # nano-snapped per-user rates (one deterministic division each)
         "r AS (SELECT CAST(ROUND(1.0e9 * k / n) AS BIGINT) AS p_u FROM u), "
         "m AS (SELECT COUNT(*) AS c, SUM(p_u) AS sp, "
-        "SUM(p_u * p_u) AS spp FROM r), "
+        "SUM(CAST(p_u * p_u AS DECIMAL(38,0))) AS spp FROM r), "
         "pr AS (SELECT CAST(sp AS DOUBLE) / (c * 1.0e9) AS mu, "
         "(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / c) "
         "/ ((c - 1) * 1.0e18) AS v FROM m), "
