@@ -187,6 +187,7 @@ _JVM_ONLY = [
     "events_interrupted_timeseries",
     "lineitem_revenue_waterfall",
     "events_rate_shrinkage_eb",
+    "weather_gumbel_return_levels",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import weather_domain as wd
+from ..functions.exprs import rnd
 from ..registry import query
 
 
@@ -418,3 +419,54 @@ def weather_beaufort_distribution(spark, sf_dir):
             F.sum("alerted").cast("bigint").alias("n_alerted"),
         )
     )
+
+
+# --- extreme-value analysis: Gumbel return levels --------------------------
+
+def _gumbel_sql() -> str:
+    """Block-maxima extreme-value fit: daily maximum temperature, Gumbel
+    parameters by method of moments (beta = sqrt(6) s / pi, mu = xbar -
+    gamma beta), return level T = mu - beta ln(-ln(1 - 1/T)). Daily
+    maxima are exact integers, moments exact sums; the closed forms run
+    once on a single row with literal constants."""
+    lvl = "(mu - beta * LN(-LN(1.0e0 - 1.0e0 / {t}.0e0)))"
+    return (
+        "dm AS (SELECT CAST(timestamp_dt AS DATE) AS day, "
+        "MAX(CAST(temperature AS BIGINT)) AS mx FROM enriched "
+        "WHERE temperature IS NOT NULL "
+        "GROUP BY CAST(timestamp_dt AS DATE)), "
+        "m AS (SELECT COUNT(*) AS n, SUM(mx) AS sx, "
+        "SUM(mx * mx) AS sxx FROM dm), "
+        "p AS (SELECT n, CAST(sx AS DOUBLE) / n AS xbar, "
+        "SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
+        "/ (n - 1)) AS sdev FROM m), "
+        "g AS (SELECT n, xbar, sdev, "
+        "0.7796968012336761e0 * sdev AS beta FROM p), "
+        "f AS (SELECT n, beta, "
+        "xbar - 0.5772156649015329e0 * beta AS mu FROM g) "
+        "SELECT CAST(n AS BIGINT) AS n_days, "
+        + rnd("mu", 4) + " AS gumbel_mu, "
+        + rnd("beta", 4) + " AS gumbel_beta, "
+        + rnd(lvl.format(t=10), 2) + " AS return_level_10d, "
+        + rnd(lvl.format(t=50), 2) + " AS return_level_50d, "
+        + rnd(lvl.format(t=100), 2) + " AS return_level_100d FROM f"
+    )
+
+
+@query(
+    "weather_gumbel_return_levels",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", " + _gumbel_sql()
+    ),
+)
+def weather_gumbel_return_levels(spark, sf_dir):
+    """Extreme-value analysis of daily maximum temperature: Gumbel
+    distribution fitted to the block maxima by method of moments, and
+    the 10/50/100-day return levels — 'how hot a day should we plan
+    for once per N days', the question heat-infrastructure design
+    actually asks, which no mean/percentile of the raw stream answers
+    (extremes follow their own distribution). One day-grain max
+    aggregate, exact moment sums, closed forms with literal Gumbel
+    constants (sqrt(6)/pi, Euler-Mascheroni)."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
+    return spark.sql("WITH " + _gumbel_sql())
