@@ -188,6 +188,7 @@ _JVM_ONLY = [
     "lineitem_revenue_waterfall",
     "events_rate_shrinkage_eb",
     "weather_gumbel_return_levels",
+    "corpus_source_novelty",
 ]
 
 

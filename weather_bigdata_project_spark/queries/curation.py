@@ -947,3 +947,70 @@ def corpus_shard_balance(spark, sf_dir):
             "global_imbalance"
         ),
     )
+
+
+# --- source novelty: what each source uniquely contributes ------------------
+
+_NOV_ORACLE = (
+    "WITH sh AS (SELECT DISTINCT d.source, s.shingle FROM ("
+    "SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) < 3 "
+    "THEN [] ELSE list_transform(range(1, len(string_split(text, ' ')) "
+    "- 1), i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) "
+    "END) AS shingle FROM documents) s "
+    "JOIN documents d ON d.doc_id = s.doc_id), "
+    "df AS (SELECT shingle, COUNT(*) AS n_sources FROM sh "
+    "GROUP BY shingle), "
+    "j AS (SELECT sh.source, CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 "
+    "END AS uniq FROM sh JOIN df ON df.shingle = sh.shingle) "
+    "SELECT source, COUNT(*) AS n_distinct_shingles, "
+    "CAST(SUM(uniq) AS BIGINT) AS n_unique_to_source, "
+    + rnd("CAST(SUM(uniq) AS DOUBLE) / COUNT(*)", 6)
+    + " AS novelty_share FROM j GROUP BY source"
+)
+
+
+@query("corpus_source_novelty", oracle=_NOV_ORACLE)
+def corpus_source_novelty(spark, sf_dir):
+    """Source novelty: per source, how many of its distinct 3-gram
+    shingles appear in NO other source — the 'what does this crawl
+    actually add' number that prices a new source before ingesting it
+    (near-zero novelty = it re-crawls what you have; the flip side of
+    dedup_rate_by_source's overlap view). Distinct (source, shingle)
+    frame -> shingle source-frequency -> per-source unique share; all
+    counts exact, shuffles keyed on the shingle."""
+    docs = T.docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+                    "ELSE transform(sequence(0, size(split(text, ' ')) "
+                    "- 3), i -> concat_ws(' ', slice(split(text, ' '), "
+                    "i + 1, 3))) END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sh = T.materialize(sh)
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        sh.join(df, "shingle")
+        .select(
+            "source",
+            F.expr(
+                "CASE WHEN n_sources = 1 THEN 1 ELSE 0 END"
+            ).alias("uniq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+            F.sum("uniq").cast("bigint").alias("n_unique_to_source"),
+            F.expr(
+                rnd("CAST(SUM(uniq) AS DOUBLE) / COUNT(*)", 6)
+            ).alias("novelty_share"),
+        )
+    )
