@@ -189,6 +189,7 @@ _JVM_ONLY = [
     "events_rate_shrinkage_eb",
     "weather_gumbel_return_levels",
     "corpus_source_novelty",
+    "part_economic_order_quantity",
 ]
 
 

@@ -1705,3 +1705,57 @@ def lineitem_revenue_waterfall(spark, sf_dir):
         "wf_lineitem"
     )
     return spark.sql("WITH " + _WF_BODY.format(l="wf_lineitem"))
+
+
+# --- economic order quantity ------------------------------------------------
+
+_EOQ_S = 100.0  # ordering cost per order (literal design parameter)
+_EOQ_H = 2.0    # holding cost per unit per period
+
+
+@query(
+    "part_economic_order_quantity",
+    oracle=(
+        "WITH d AS (SELECT l_partkey AS pk, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS demand FROM lineitem "
+        "GROUP BY l_partkey) "
+        "SELECT pk AS partkey, CAST(demand AS BIGINT) AS total_demand, "
+        + rnd(
+            f"SQRT(2.0e0 * demand * {_EOQ_S}e0 / {_EOQ_H}e0)", 2
+        )
+        + " AS eoq_units, "
+        + rnd(
+            "CAST(demand AS DOUBLE) / "
+            f"SQRT(2.0e0 * demand * {_EOQ_S}e0 / {_EOQ_H}e0)",
+            2,
+        )
+        + " AS orders_per_period "
+        "FROM d ORDER BY demand DESC, pk LIMIT 20"
+    ),
+)
+def part_economic_order_quantity(spark, sf_dir):
+    """Economic order quantity per part (top-20 by demand): the classic
+    sqrt(2DS/H) batch size and implied order frequency from observed
+    demand, with ordering/holding costs as explicit literal design
+    parameters — the prescription step after ABC (value), XYZ
+    (variability) and Croston (intermittent rate) have described the
+    demand. One part-cardinality aggregate + a top-k heap; at catalog
+    scale S and H become columns from a cost dimension and the formula
+    is unchanged."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_demand")
+    )
+    eoq = f"SQRT(2.0e0 * total_demand * {_EOQ_S}e0 / {_EOQ_H}e0)"
+    return (
+        d.select(
+            "partkey",
+            "total_demand",
+            F.expr(rnd(eoq, 2)).alias("eoq_units"),
+            F.expr(
+                rnd(f"CAST(total_demand AS DOUBLE) / {eoq}", 2)
+            ).alias("orders_per_period"),
+        )
+        .orderBy(F.desc("total_demand"), "partkey")
+        .limit(20)
+    )
