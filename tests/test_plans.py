@@ -190,6 +190,7 @@ _JVM_ONLY = [
     "weather_gumbel_return_levels",
     "corpus_source_novelty",
     "part_economic_order_quantity",
+    "events_bass_diffusion",
 ]
 
 

@@ -1481,3 +1481,83 @@ def events_markov_absorption(spark, sf_dir):
         "bh_events"
     )
     return spark.sql("WITH " + _absorb_sql("bh_events"))
+
+
+# --- Bass diffusion model (product adoption) --------------------------------
+
+def _bass_sql(src: str) -> str:
+    """Shared text: daily new-adopter counts vs cumulative prior
+    adopters, the discrete-Bass regression y = a + b*X + c*X^2 solved
+    closed-form (Cramer) on exact DECIMAL gram sums, and the implied
+    market size as the quadratic's positive root. The adoption-curve
+    read of the user base: b > 0 means imitation (word-of-mouth)
+    drives growth; m_implied vs users-seen says how much headroom
+    remains."""
+    def det3(r1, r2, r3):
+        a, b, c = r1.split(",")
+        d, e, f = r2.split(",")
+        g, h, i = r3.split(",")
+        return (
+            f"(({a}) * (({e}) * ({i}) - ({f}) * ({h})) "
+            f"- ({b}) * (({d}) * ({i}) - ({f}) * ({g})) "
+            f"+ ({c}) * (({d}) * ({h}) - ({e}) * ({g})))"
+        )
+
+    det = det3("n,sx,sx2", "sx,sx2,sx3", "sx2,sx3,sx4")
+    da = det3("sy,sx,sx2", "sxy,sx2,sx3", "sx2y,sx3,sx4")
+    db = det3("n,sy,sx2", "sx,sxy,sx3", "sx2,sx2y,sx4")
+    dc = det3("n,sx,sy", "sx,sx2,sxy", "sx2,sx3,sx2y")
+    return (
+        "fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f "
+        f"FROM {src} GROUP BY user_id), "
+        "nd AS (SELECT f AS day, COUNT(*) AS y FROM fd GROUP BY f), "
+        "cx AS (SELECT day, y, COALESCE(SUM(y) OVER (ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x "
+        "FROM nd), "
+        "g AS (SELECT COUNT(*) AS nn, SUM(x) AS gsx, "
+        "SUM(CAST(x * x AS DECIMAL(38,0))) AS gsx2, "
+        "SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS gsx3, "
+        "SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS gsx4, "
+        "SUM(y) AS gsy, SUM(CAST(x * y AS DECIMAL(38,0))) AS gsxy, "
+        "SUM(CAST(x AS DECIMAL(38,0)) * x * y) AS gsx2y FROM cx), "
+        "gd AS (SELECT CAST(nn AS DOUBLE) AS n, "
+        "CAST(gsx AS DOUBLE) AS sx, CAST(gsx2 AS DOUBLE) AS sx2, "
+        "CAST(gsx3 AS DOUBLE) AS sx3, CAST(gsx4 AS DOUBLE) AS sx4, "
+        "CAST(gsy AS DOUBLE) AS sy, CAST(gsxy AS DOUBLE) AS sxy, "
+        "CAST(gsx2y AS DOUBLE) AS sx2y FROM g), "
+        # NULLIF: with one adoption day (tiny SFs) the system is
+        # singular — both engines then yield NULL coefficients
+        f"dd AS (SELECT gd.*, NULLIF({det}, 0.0e0) AS det FROM gd), "
+        f"co AS (SELECT n, {da} / det AS a, {db} / det AS b, "
+        f"{dc} / det AS c FROM dd) "
+        "SELECT CAST(n AS BIGINT) AS n_days, "
+        + rnd("a", 6) + " AS coef_a, "
+        + rnd("b", 6) + " AS coef_b, "
+        + rnd("c", 9) + " AS coef_c, "
+        + rnd(
+            "CASE WHEN c < 0.0e0 THEN (-b - SQRT(b * b - 4.0e0 * c * a))"
+            " / (2.0e0 * c) ELSE CAST(NULL AS DOUBLE) END",
+            2,
+        )
+        + " AS implied_market_size FROM co"
+    )
+
+
+@query(
+    "events_bass_diffusion",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", " + _bass_sql("events_t")
+    ),
+)
+def events_bass_diffusion(spark, sf_dir):
+    """Bass diffusion fit of user adoption: daily new adopters regressed
+    on cumulative prior adopters and its square (the discrete Bass
+    model y = a + bX + cX^2), closed-form Cramer solve on exact-decimal
+    gram sums, with the implied market size from the quadratic's root
+    when the curve opens downward — the growth-model read of the user
+    base (innovation a, imitation b, saturation m). One user-first-day
+    aggregate, one day-frame window, an 8-scalar fit row."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "bh_events"
+    )
+    return spark.sql("WITH " + _bass_sql("bh_events"))
