@@ -191,6 +191,7 @@ _JVM_ONLY = [
     "corpus_source_novelty",
     "part_economic_order_quantity",
     "events_bass_diffusion",
+    "embed_hubness_audit",
 ]
 
 

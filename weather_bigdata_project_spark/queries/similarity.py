@@ -1705,3 +1705,92 @@ def embed_dim_variance_spectrum(spark, sf_dir):
         .orderBy(F.desc("variance"), "dim")
         .limit(8)
     )
+
+
+# --- hubness audit (the high-dimensional ANN pathology) --------------------
+
+_HUB_N = 500  # deterministic sample: vec_id < 500
+_HUB_K = 5
+
+
+def _hub_tail(pairs: str, ids: str) -> str:
+    """Shared text over pairs(a, b, cos_u) and the id frame: per-query
+    top-k by snapped cosine, k-occurrence counts (zeros included via
+    the left join), exact-moment skewness of the k-occurrence
+    distribution."""
+    return (
+        f"rk AS (SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a "
+        f"ORDER BY cos_u DESC, b) AS r FROM {pairs}), "
+        f"occ AS (SELECT b, COUNT(*) AS k_occ FROM rk WHERE r <= {_HUB_K} "
+        "GROUP BY b), "
+        f"full_k AS (SELECT i.vec_id, COALESCE(occ.k_occ, 0) AS k "
+        f"FROM {ids} i LEFT JOIN occ ON occ.b = i.vec_id), "
+        "m AS (SELECT COUNT(*) AS n, SUM(k) AS s1, SUM(k * k) AS s2, "
+        "SUM(k * k * k) AS s3, MAX(k) AS mx, "
+        "SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS zeros FROM full_k), "
+        "d AS (SELECT n, mx, zeros, CAST(s1 AS DOUBLE) / n AS mu, "
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n AS v, "
+        "CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d, "
+        "CAST(s3 AS DOUBLE) AS s3d FROM m) "
+        "SELECT CAST(n AS BIGINT) AS n_vectors, "
+        "CAST(mx AS BIGINT) AS max_k_occurrence, "
+        "CAST(zeros AS BIGINT) AS n_antihubs, "
+        + rnd(
+            "((s3d - 3.0e0 * mu * s2d + 2.0e0 * n * mu * mu * mu) / n)"
+            " / (v * SQRT(v))",
+            6,
+        )
+        + " AS k_occurrence_skewness FROM d"
+    )
+
+
+_HUB_ORACLE = (
+    "WITH ids AS (SELECT vec_id, embedding FROM embeddings "
+    f"WHERE vec_id < {_HUB_N}), "
+    "z AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+    "CAST(unnest(a.embedding) AS DOUBLE) AS x, "
+    "CAST(unnest(b.embedding) AS DOUBLE) AS y "
+    "FROM ids a JOIN ids b ON a.vec_id <> b.vec_id), "
+    "dp AS (SELECT a, b, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+    "SUM(y * y) AS m2 FROM z GROUP BY a, b), "
+    "pairs AS (SELECT a, b, "
+    "CAST(ROUND(dot / (SQRT(n2) * SQRT(m2)) * 1.0e6) AS BIGINT)"
+    " AS cos_u FROM dp), "
+    + _hub_tail("pairs", "(SELECT vec_id FROM ids) ")
+)
+
+
+@query("embed_hubness_audit", oracle=_HUB_ORACLE)
+def embed_hubness_audit(spark, sf_dir):
+    """Hubness audit — the defining high-dimensional pathology for ANN:
+    on a deterministic 500-vector sample, each vector's k-occurrence
+    (how often it lands in other vectors' exact cosine top-5), reported
+    as max, anti-hub count (never retrieved), and the k-occurrence
+    skewness from exact integer moments. Rising skewness with dimension
+    means a few hubs dominate result lists and recall math degrades —
+    measured here BEFORE trusting IVF/LSH routes tuned on uniform
+    assumptions. The all-pairs step is sample^2 by construction (never
+    corpus^2); micro-snapped cosines make every top-5 deterministic."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _HUB_N)
+    ids = T.materialize(emb.select("vec_id", "embedding"))
+    a = ids.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = ids.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(ROUND("
+                + _DOT.format(a="ea", b="eb")
+                + " / (SQRT(" + _DOT.format(a="ea", b="ea")
+                + ") * SQRT(" + _DOT.format(a="eb", b="eb")
+                + ")) * 1.0e6) AS BIGINT)"
+            ).alias("cos_u"),
+        )
+    )
+    pairs.createOrReplaceTempView("hub_pairs")
+    ids.select("vec_id").createOrReplaceTempView("hub_ids")
+    return spark.sql(
+        "WITH " + _hub_tail("hub_pairs", "hub_ids")
+    )
