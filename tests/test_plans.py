@@ -192,6 +192,8 @@ _JVM_ONLY = [
     "part_economic_order_quantity",
     "events_bass_diffusion",
     "embed_hubness_audit",
+    "text_token_burstiness",
+    "events_attribution_window_sensitivity",
 ]
 
 

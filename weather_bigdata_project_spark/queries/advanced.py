@@ -1230,3 +1230,114 @@ def events_attribution_linear(spark, sf_dir):
             F.sum("credit_u").cast("bigint").alias("credit_u_total"),
         )
     )
+
+
+# --- attribution window sensitivity ----------------------------------------
+
+_AWS_WINDOWS = [10, 30, 60]  # minutes
+
+
+def _aws_oracle() -> str:
+    """Per-window linear-attribution credit totals per touch type —
+    three window widths in one statement, each arm the same distinct-
+    touch / micro-credit aggregation as events_attribution_linear."""
+    arms = []
+    for w in _AWS_WINDOWS:
+        arms.append(
+            f"(WITH tp AS (SELECT DISTINCT p.event_id AS pid, "
+            "c.event_type AS touch_type "
+            "FROM events_t p JOIN events_t c ON c.user_id = p.user_id "
+            "AND c.event_type <> 'purchase' "
+            f"AND c.ts >= p.ts - INTERVAL {w} MINUTE AND c.ts < p.ts "
+            "WHERE p.event_type = 'purchase'), "
+            "nt AS (SELECT pid, COUNT(*) AS n FROM tp GROUP BY pid), "
+            "cr AS (SELECT touch_type, "
+            "CAST(ROUND(1.0e6 / n) AS BIGINT) AS credit_u "
+            "FROM tp JOIN nt USING (pid)) "
+            f"SELECT {w} AS window_minutes, touch_type, "
+            "COUNT(*) AS n_conversions_touched, "
+            "CAST(SUM(credit_u) AS BIGINT) AS credit_u_total "
+            "FROM cr GROUP BY touch_type)"
+        )
+    return (
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        + " UNION ALL ".join(arms)
+    )
+
+
+@query("events_attribution_window_sensitivity", oracle=_aws_oracle())
+def events_attribution_window_sensitivity(spark, sf_dir):
+    """Attribution-window sensitivity matrix: linear credit totals per
+    touch type at 10 / 30 / 60-minute look-backs — the tuning table
+    that must be read BEFORE events_attribution_linear's single-window
+    number drives budget (credit that swings hard with the window is
+    an artifact of the window, not the channel; the self-evaluation
+    doctrine applied to attribution). Each arm reuses the bucketized
+    band join with the bucket width matched to its window, so no arm
+    ever pays a time-inequality NLJ."""
+    ev = tables.load(spark, sf_dir, "events")
+    out = None
+    for w in _AWS_WINDOWS:
+        band_s = w * 60
+        bucket = (
+            "CAST(FLOOR(timestampdiff(SECOND, "
+            f"to_timestamp_ntz('1970-01-01 00:00:00'), ts) / {band_s}) "
+            "AS BIGINT)"
+        )
+        touches = ev.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_type").alias("touch_type"),
+            F.expr(bucket).alias("c_bucket"),
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id", "user_id", "ts", F.expr(bucket).alias("pb")
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.explode(
+                    F.array(F.col("pb") - 1, F.col("pb"))
+                ).alias("probe_bucket"),
+            )
+        )
+        tp = (
+            purchases.join(
+                touches,
+                (F.col("user_id") == F.col("c_user"))
+                & (F.col("probe_bucket") == F.col("c_bucket"))
+                & (
+                    F.col("c_ts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {w} MINUTE")
+                )
+                & (F.col("c_ts") < F.col("ts")),
+            )
+            .select(F.col("event_id").alias("pid"), "touch_type")
+            .distinct()
+        )
+        nt = tp.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+        arm = (
+            tp.join(nt, "pid")
+            .select(
+                "touch_type",
+                F.expr("CAST(ROUND(1.0e6 / n) AS BIGINT)").alias(
+                    "credit_u"
+                ),
+            )
+            .groupBy("touch_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_conversions_touched"),
+                F.sum("credit_u").cast("bigint").alias("credit_u_total"),
+            )
+            .select(
+                F.lit(w).alias("window_minutes"),
+                "touch_type",
+                "n_conversions_touched",
+                "credit_u_total",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

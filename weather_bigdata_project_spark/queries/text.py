@@ -928,3 +928,52 @@ def text_bpe_holdout_compression(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+# --- token burstiness (Church-Gale) ----------------------------------------
+
+@query(
+    "text_token_burstiness",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "cf AS (SELECT tok, COUNT(*) AS cf, "
+        "COUNT(DISTINCT doc_id) AS df FROM toks WHERE tok <> '' "
+        "GROUP BY tok), "
+        "top AS (SELECT tok, cf, df FROM cf ORDER BY cf DESC, tok "
+        "LIMIT 30) "
+        "SELECT tok, CAST(cf AS BIGINT) AS corpus_freq, "
+        "CAST(df AS BIGINT) AS doc_freq, "
+        + rnd("CAST(cf AS DOUBLE) / df", 4)
+        + " AS burstiness FROM top"
+    ),
+)
+def text_token_burstiness(spark, sf_dir):
+    """Church-Gale burstiness of the 30 most frequent tokens: corpus
+    frequency over document frequency — a word that appears many times
+    in few documents (bursty, cf/df high) is topical; one spread thinly
+    everywhere is a function word, however frequent. The signal that
+    upgrades stopword lists and tf-idf floors from frequency-only
+    heuristics. One token-cardinality aggregate with an exact distinct
+    count, a top-30 heap, one snapped division per row."""
+    toks = T.docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("corpus_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("corpus_freq"), "tok")
+        .limit(30)
+        .select(
+            "tok",
+            F.col("corpus_freq").cast("bigint").alias("corpus_freq"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.expr(
+                rnd("CAST(corpus_freq AS DOUBLE) / doc_freq", 4)
+            ).alias("burstiness"),
+        )
+    )
