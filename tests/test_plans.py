@@ -194,6 +194,7 @@ _JVM_ONLY = [
     "embed_hubness_audit",
     "text_token_burstiness",
     "events_attribution_window_sensitivity",
+    "text_langid_kappa",
 ]
 
 

@@ -977,3 +977,76 @@ def text_token_burstiness(spark, sf_dir):
             ).alias("burstiness"),
         )
     )
+
+
+# --- Cohen's kappa for the language classifier -----------------------------
+
+def _kappa_tail() -> str:
+    """Shared text over j(lang, lang_pred): observed agreement, chance
+    agreement from exact integer marginals, chance-corrected kappa."""
+    return (
+        "t AS (SELECT COUNT(*) AS n, "
+        "SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS agree "
+        "FROM j), "
+        "rm AS (SELECT lang AS c, COUNT(*) AS nr FROM j GROUP BY lang), "
+        "cm AS (SELECT lang_pred AS c, COUNT(*) AS nc FROM j "
+        "GROUP BY lang_pred), "
+        "pe AS (SELECT SUM(CAST(rm.nr AS BIGINT) * cm.nc) AS pen "
+        "FROM rm JOIN cm ON rm.c = cm.c) "
+        "SELECT CAST(t.n AS BIGINT) AS n_docs, "
+        + rnd("CAST(t.agree AS DOUBLE) / t.n", 6) + " AS observed_po, "
+        + rnd(
+            "CAST(pe.pen AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)", 6
+        )
+        + " AS chance_pe, "
+        + rnd(
+            "(CAST(t.agree AS DOUBLE) / t.n - CAST(pe.pen AS DOUBLE) "
+            "/ (CAST(t.n AS DOUBLE) * t.n)) / (1.0e0 "
+            "- CAST(pe.pen AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))",
+            6,
+        )
+        + " AS cohens_kappa FROM t CROSS JOIN pe"
+    )
+
+
+@query(
+    "text_langid_kappa",
+    oracle=(
+        "WITH " + T.TOKS_CTE + ", "
+        f"p AS (SELECT doc_id, {_LANGID_PRED} AS lang_pred "
+        "FROM toks GROUP BY doc_id), "
+        "j AS (SELECT d.lang, p.lang_pred FROM documents d "
+        "JOIN p ON p.doc_id = d.doc_id), "
+        + _kappa_tail()
+    ),
+)
+def text_langid_kappa(spark, sf_dir):
+    """Cohen's kappa for the language heuristic against the labels:
+    chance-corrected agreement — raw accuracy flatters any classifier
+    on an imbalanced label mix (predicting the majority class scores
+    high by luck), kappa subtracts exactly that luck from the exact
+    integer marginals. The one-number companion to
+    text_langid_confusion's full matrix; same doc-cardinality frame,
+    marginals and the correction are category-sized aggregates."""
+    toks = T.tokens(spark, sf_dir)
+    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
+    p = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(stop).cast("double").alias("_ns"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_ns") / F.col("_nt") >= 0.05, "en")
+            .otherwise("unknown")
+            .alias("lang_pred"),
+        )
+    )
+    d = T.docs(spark, sf_dir).select("doc_id", "lang")
+    p.join(d, "doc_id").select("lang", "lang_pred").createOrReplaceTempView(
+        "kp_j"
+    )
+    return spark.sql(
+        "WITH j AS (SELECT lang, lang_pred FROM kp_j), " + _kappa_tail()
+    )
