@@ -195,6 +195,7 @@ _JVM_ONLY = [
     "text_token_burstiness",
     "events_attribution_window_sensitivity",
     "text_langid_kappa",
+    "events_feature_mi_screen",
 ]
 
 

@@ -938,3 +938,66 @@ def events_rate_shrinkage_eb(spark, sf_dir):
         "pw_events"
     )
     return spark.sql("WITH " + _eb_sql("pw_events"))
+
+
+# --- univariate feature screening by mutual information --------------------
+
+_MI_FEATURES = [
+    ("hour_of_day", "CAST(hour(ts) AS BIGINT)"),
+    ("day_of_week", "{dow}"),
+    ("value_band", "CAST(FLOOR(value / 100.0e0) AS BIGINT)"),
+]
+
+
+def _mi_sql(src: str, dow: str) -> str:
+    """Shared text modulo the dow spelling: for each candidate feature,
+    the (feature value x purchase flag) contingency table, per-cell MI
+    terms p(x,y) ln(p(x,y)/(p(x)p(y))) snapped to nano-nats, exact
+    per-feature sums, ranked. Every table is category x 2; the fact
+    scan is shared by the three arms through the UNION's common
+    source."""
+    arms = []
+    for name, expr in _MI_FEATURES:
+        e = expr.format(dow=dow)
+        arms.append(
+            f"(WITH c AS (SELECT {e} AS x, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, "
+            f"COUNT(*) AS n FROM {src} GROUP BY 1, 2), "
+            "t AS (SELECT SUM(n) AS tot FROM c), "
+            "rx AS (SELECT x, SUM(n) AS nx FROM c GROUP BY x), "
+            "ry AS (SELECT y, SUM(n) AS ny FROM c GROUP BY y), "
+            "u AS (SELECT CAST(ROUND(CAST(c.n AS DOUBLE) / tot * "
+            "LN(CAST(c.n AS DOUBLE) * tot / "
+            "(CAST(rx.nx AS DOUBLE) * ry.ny)) * 1.0e9) AS BIGINT) "
+            "AS mi_u FROM c JOIN rx ON rx.x = c.x "
+            "JOIN ry ON ry.y = c.y CROSS JOIN t) "
+            f"SELECT '{name}' AS feature, "
+            "(SELECT COUNT(*) FROM rx) AS n_categories, "
+            "CAST(SUM(mi_u) AS DOUBLE) / 1.0e9 AS mutual_information "
+            "FROM u)"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "events_feature_mi_screen",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        + _mi_sql("events_t", "(isodow(ts) - 1)")
+    ),
+)
+def events_feature_mi_screen(spark, sf_dir):
+    """Univariate feature screening by mutual information: how much
+    does each candidate feature (hour of day, day of week, value band)
+    tell you about purchase, in nats — the model-free ranking that
+    decides which features earn a slot before any model is fitted,
+    catching non-monotone dependence that correlation misses. Each
+    feature is one category x 2 contingency aggregate; MI terms snap
+    to nano-nats so per-feature totals are exact sums."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql(
+        "WITH src AS (SELECT * FROM pw_events) "
+        + _mi_sql("src", "weekday(ts)")
+    )
