@@ -196,6 +196,7 @@ _JVM_ONLY = [
     "events_attribution_window_sensitivity",
     "text_langid_kappa",
     "events_feature_mi_screen",
+    "weather_diurnal_range",
 ]
 
 

@@ -470,3 +470,55 @@ def weather_gumbel_return_levels(spark, sf_dir):
     constants (sqrt(6)/pi, Euler-Mascheroni)."""
     wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
     return spark.sql("WITH " + _gumbel_sql())
+
+
+# --- diurnal temperature range climatology ---------------------------------
+
+@query(
+    "weather_diurnal_range",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", "
+        "d AS (SELECT city_name, CAST(timestamp_dt AS DATE) AS day, "
+        "MAX(CAST(temperature AS BIGINT)) AS tmax, "
+        "MIN(CAST(temperature AS BIGINT)) AS tmin, "
+        "COUNT(temperature) AS n_obs FROM enriched "
+        "WHERE temperature IS NOT NULL "
+        "GROUP BY city_name, CAST(timestamp_dt AS DATE)), "
+        "r AS (SELECT city_name, tmax - tmin AS rng FROM d "
+        "WHERE n_obs >= 2) "
+        "SELECT city_name, COUNT(*) AS n_days, "
+        "CAST(SUM(rng) AS DOUBLE) / COUNT(*) AS mean_diurnal_range, "
+        "CAST(MAX(rng) AS BIGINT) AS max_diurnal_range "
+        "FROM r GROUP BY city_name"
+    ),
+)
+def weather_diurnal_range(spark, sf_dir):
+    """Diurnal temperature range climatology per city: the daily
+    max-minus-min spread, averaged and maxed over days with at least
+    two observations — continentality in one number (coastal cities
+    compress the range, inland ones stretch it), and the swing an HVAC
+    or agriculture planner sizes against. Day-grain min/max aggregate
+    then a city-cardinality reduce; ranges are exact integers so the
+    mean is an exact-sum division."""
+    e = wd.enriched_frame(spark, sf_dir)
+    d = (
+        e.filter(F.col("temperature").isNotNull())
+        .groupBy("city_name", F.to_date("timestamp_dt").alias("day"))
+        .agg(
+            F.max(F.col("temperature").cast("bigint")).alias("tmax"),
+            F.min(F.col("temperature").cast("bigint")).alias("tmin"),
+            F.count("temperature").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= 2)
+    )
+    return (
+        d.select("city_name", (F.col("tmax") - F.col("tmin")).alias("rng"))
+        .groupBy("city_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "CAST(SUM(rng) AS DOUBLE) / COUNT(*)"
+            ).alias("mean_diurnal_range"),
+            F.max("rng").cast("bigint").alias("max_diurnal_range"),
+        )
+    )
