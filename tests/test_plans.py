@@ -197,6 +197,7 @@ _JVM_ONLY = [
     "text_langid_kappa",
     "events_feature_mi_screen",
     "weather_diurnal_range",
+    "weather_wet_bulb_stats",
 ]
 
 

@@ -522,3 +522,68 @@ def weather_diurnal_range(spark, sf_dir):
             F.max("rng").cast("bigint").alias("max_diurnal_range"),
         )
     )
+
+
+# --- wet-bulb temperature (Stull approximation) ----------------------------
+
+#: Stull (2011) wet-bulb approximation from dry-bulb T (C) and RH (%):
+#: identical function set (ATAN/SQRT/POW) in both engines; inputs are
+#: exact integers so each row is one deterministic IEEE evaluation,
+#: snapped to centi-degrees before any aggregate.
+_WETBULB_U = (
+    "CAST(ROUND((CAST(temperature AS DOUBLE) * ATAN(0.151977e0 * "
+    "SQRT(CAST(humidity AS DOUBLE) + 8.313659e0)) "
+    "+ ATAN(CAST(temperature AS DOUBLE) + CAST(humidity AS DOUBLE)) "
+    "- ATAN(CAST(humidity AS DOUBLE) - 1.676331e0) "
+    "+ 0.00391838e0 * POW(CAST(humidity AS DOUBLE), 1.5e0) "
+    "* ATAN(0.023101e0 * CAST(humidity AS DOUBLE)) "
+    "- 4.686035e0) * 100.0e0) AS BIGINT)"
+)
+
+
+@query(
+    "weather_wet_bulb_stats",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", "
+        "w AS (SELECT city_name, " + _WETBULB_U + " AS wb_u "
+        "FROM enriched WHERE temperature IS NOT NULL "
+        "AND humidity IS NOT NULL) "
+        "SELECT city_name, COUNT(*) AS n_obs, "
+        "CAST(SUM(wb_u) AS DOUBLE) / (100.0e0 * COUNT(*)) "
+        "AS mean_wet_bulb, "
+        "CAST(MAX(wb_u) AS DOUBLE) / 100.0e0 AS max_wet_bulb, "
+        "CAST(SUM(CASE WHEN wb_u >= 3000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dangerous_obs FROM w GROUP BY city_name"
+    ),
+)
+def weather_wet_bulb_stats(spark, sf_dir):
+    """Wet-bulb temperature (Stull's 2011 one-equation approximation
+    from dry-bulb and relative humidity) per city: mean, max, and the
+    count of observations at or above the 30 C danger line where
+    evaporative cooling stops working — the heat-safety metric the
+    reference's heat index approximates more coarsely
+    (ref:weather_streaming.py:89-92), extending the derived-meteorology
+    family (dew point / heat index / wind chill). Per-row evaluation
+    snaps to centi-degrees so city aggregates ride exact integers."""
+    e = wd.enriched_frame(spark, sf_dir)
+    return (
+        e.filter(
+            F.col("temperature").isNotNull()
+            & F.col("humidity").isNotNull()
+        )
+        .select("city_name", F.expr(_WETBULB_U).alias("wb_u"))
+        .groupBy("city_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr(
+                "CAST(SUM(wb_u) AS DOUBLE) / (100.0e0 * COUNT(*))"
+            ).alias("mean_wet_bulb"),
+            F.expr("CAST(MAX(wb_u) AS DOUBLE) / 100.0e0").alias(
+                "max_wet_bulb"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN wb_u >= 3000 THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_dangerous_obs"),
+        )
+    )
