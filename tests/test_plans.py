@@ -198,6 +198,7 @@ _JVM_ONLY = [
     "events_feature_mi_screen",
     "weather_diurnal_range",
     "weather_wet_bulb_stats",
+    "basket_association_rules",
 ]
 
 

@@ -1341,3 +1341,67 @@ def events_attribution_window_sensitivity(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# --- association rules (support / confidence / lift) -----------------------
+
+_AR_MIN_W = 3
+_AR_TOP = 15
+
+_AR_TAIL = (
+    "bc AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand), "
+    "nt AS (SELECT COUNT(DISTINCT okey) AS n FROM ob), "
+    "dir AS (SELECT ba AS a, bb AS b, w FROM pairs "
+    "UNION ALL SELECT bb AS a, ba AS b, w FROM pairs), "
+    "rules AS (SELECT d.a, d.b, d.w, ca.nb AS na, cb.nb AS nbb "
+    "FROM dir d JOIN bc ca ON ca.brand = d.a "
+    "JOIN bc cb ON cb.brand = d.b "
+    f"WHERE d.w >= {_AR_MIN_W}) "
+    "SELECT a AS antecedent, b AS consequent, "
+    "CAST(w AS BIGINT) AS n_cooccur, "
+    + rnd("CAST(w AS DOUBLE) / (SELECT n FROM nt)", 6) + " AS support, "
+    + rnd("CAST(w AS DOUBLE) / na", 6) + " AS confidence, "
+    + rnd(
+        "CAST(w AS DOUBLE) * (SELECT n FROM nt) / "
+        "(CAST(na AS DOUBLE) * nbb)",
+        6,
+    )
+    + " AS lift FROM rules "
+    f"ORDER BY confidence DESC, antecedent, consequent LIMIT {_AR_TOP}"
+)
+
+
+@query(
+    "basket_association_rules",
+    oracle="WITH " + _PR_GRAPH + ", " + _AR_TAIL,
+)
+def basket_association_rules(spark, sf_dir):
+    """Association rules over order baskets: for every directed brand
+    pair above minimum co-occurrence, support / confidence / lift —
+    the rule form ('orders with A also contain B x% of the time')
+    that basket_brand_lift's symmetric lift matrix cannot express,
+    ranked by confidence on a top-k heap. Rides the shared
+    co-occurrence build (_brand_pairs: one fact scan, in-row basket
+    pair explode); everything after is brand-cardinality with exact
+    integer counts and snapped ratios."""
+    pairs = _brand_pairs(spark, sf_dir)
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from ..operators.textops import materialize as _mat
+
+    ob = _mat(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    pairs.createOrReplaceTempView("ar_pairs")
+    ob.createOrReplaceTempView("ar_ob")
+    return spark.sql(
+        "WITH pairs AS (SELECT * FROM ar_pairs), "
+        "ob AS (SELECT * FROM ar_ob), " + _AR_TAIL
+    )
