@@ -199,6 +199,7 @@ _JVM_ONLY = [
     "weather_diurnal_range",
     "weather_wet_bulb_stats",
     "basket_association_rules",
+    "part_price_dispersion",
 ]
 
 

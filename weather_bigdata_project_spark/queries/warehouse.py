@@ -1759,3 +1759,39 @@ def part_economic_order_quantity(spark, sf_dir):
         .orderBy(F.desc("total_demand"), "partkey")
         .limit(20)
     )
+
+
+# --- intra-part price dispersion -------------------------------------------
+
+_PD_BODY = (
+    "u AS (SELECT l_partkey AS pk, "
+    "CAST(ROUND(l_extendedprice / l_quantity * 1.0e6) AS BIGINT) AS p_u "
+    "FROM {l} WHERE l_quantity > 0.0e0), "
+    "m AS (SELECT pk, COUNT(*) AS n, SUM(p_u) AS sp, "
+    "SUM(CAST(p_u AS DECIMAL(38,0)) * p_u) AS spp FROM u GROUP BY pk), "
+    "cv AS (SELECT pk, n, CAST(sp AS DOUBLE) / (1.0e6 * n) AS mean_price, "
+    "SQRT((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n) / (n - 1))"
+    " / (CAST(sp AS DOUBLE) / n) AS cv FROM m WHERE n > 1) "
+    "SELECT pk AS partkey, CAST(n AS BIGINT) AS n_lines, "
+    + rnd("mean_price", 2) + " AS mean_unit_price, "
+    + rnd("cv", 6) + " AS price_cv FROM cv "
+    "ORDER BY cv DESC, partkey LIMIT 20"
+)
+
+
+@query(
+    "part_price_dispersion",
+    oracle="WITH " + _PD_BODY.format(l="lineitem"),
+)
+def part_price_dispersion(spark, sf_dir):
+    """Law-of-one-price audit: coefficient of variation of the realized
+    unit price (extendedprice/quantity) WITHIN each part, top-20 most
+    dispersed — high CV on the same SKU means discount leakage or
+    channel pricing drift, the first chart a pricing-discipline review
+    pulls. Unit prices snap to micro-units per row; squared sums ride
+    DECIMAL(38,0) (price^2 passes int64 at ~10 lines per part); one
+    part-cardinality aggregate + a top-k heap."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pd_lineitem"
+    )
+    return spark.sql("WITH " + _PD_BODY.format(l="pd_lineitem"))
