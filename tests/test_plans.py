@@ -200,6 +200,7 @@ _JVM_ONLY = [
     "weather_wet_bulb_stats",
     "basket_association_rules",
     "part_price_dispersion",
+    "events_peak_to_average",
 ]
 
 

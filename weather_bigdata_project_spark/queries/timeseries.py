@@ -1948,3 +1948,65 @@ def events_interrupted_timeseries(spark, sf_dir):
         "ts_events"
     )
     return spark.sql("WITH " + _its_sql("ts_events"))
+
+
+# --- peak-to-average load ratio --------------------------------------------
+
+@query(
+    "events_peak_to_average",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "hr AS (SELECT CAST(ts AS DATE) AS day, hour(ts) AS h, "
+        "COUNT(*) AS n FROM events_t GROUP BY 1, 2), "
+        "d AS (SELECT day, SUM(n) AS dn, MAX(n) AS peak_h FROM hr "
+        "GROUP BY day), "
+        "t AS (SELECT COUNT(*) AS n_days, SUM(dn) AS tot, "
+        "MAX(dn) AS peak_day FROM d), "
+        "hp AS (SELECT MAX(hn) AS peak_hour FROM "
+        "(SELECT SUM(n) AS hn FROM hr GROUP BY h) x) "
+        "SELECT CAST(t.n_days AS BIGINT) AS n_days, "
+        + rnd("CAST(t.tot AS DOUBLE) / t.n_days", 2)
+        + " AS avg_daily_events, "
+        "CAST(t.peak_day AS BIGINT) AS peak_day_events, "
+        + rnd("CAST(t.peak_day AS DOUBLE) * t.n_days / t.tot", 4)
+        + " AS day_peak_to_avg, "
+        + rnd(
+            "CAST((SELECT peak_hour FROM hp) AS DOUBLE) * 24.0e0 "
+            "* t.n_days / t.tot",
+            4,
+        )
+        + " AS hour_peak_to_avg FROM t"
+    ),
+)
+def events_peak_to_average(spark, sf_dir):
+    """Peak-to-average ratios at two grains: the busiest day vs the
+    average day and the busiest hour-of-day slot vs the average hour —
+    the two numbers capacity provisioning runs on (a PAR of 2 means
+    half the fleet idles off-peak; autoscaling ROI is exactly this
+    gap). One (day x hour) aggregate feeds both grains; every ratio is
+    exact integers into one snapped division."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ts_events"
+    )
+    return spark.sql(
+        "WITH hr AS (SELECT CAST(ts AS DATE) AS day, hour(ts) AS h, "
+        "COUNT(*) AS n FROM ts_events GROUP BY 1, 2), "
+        "d AS (SELECT day, SUM(n) AS dn, MAX(n) AS peak_h FROM hr "
+        "GROUP BY day), "
+        "t AS (SELECT COUNT(*) AS n_days, SUM(dn) AS tot, "
+        "MAX(dn) AS peak_day FROM d), "
+        "hp AS (SELECT MAX(hn) AS peak_hour FROM "
+        "(SELECT SUM(n) AS hn FROM hr GROUP BY h) x) "
+        "SELECT CAST(t.n_days AS BIGINT) AS n_days, "
+        + rnd("CAST(t.tot AS DOUBLE) / t.n_days", 2)
+        + " AS avg_daily_events, "
+        "CAST(t.peak_day AS BIGINT) AS peak_day_events, "
+        + rnd("CAST(t.peak_day AS DOUBLE) * t.n_days / t.tot", 4)
+        + " AS day_peak_to_avg, "
+        + rnd(
+            "CAST((SELECT peak_hour FROM hp) AS DOUBLE) * 24.0e0 "
+            "* t.n_days / t.tot",
+            4,
+        )
+        + " AS hour_peak_to_avg FROM t"
+    )
