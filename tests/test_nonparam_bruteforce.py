@@ -197,3 +197,33 @@ def test_rake_matches_bruteforce(spark, tmp_path_factory):
         assert ph in got, f"missing phrase {ph!r}"
         assert got[ph][0] == n
         assert got[ph][1] == pytest.approx(sc, abs=1e-9)
+
+
+def test_sprt_matches_bruteforce(spark, tiny_events_dir):
+    """SPRT crossing point vs a pure-Python scan of the same ordered
+    observations under the same snapped integer increments."""
+    d, _, _ = tiny_events_dir
+    out = QUERIES["events_ab_sprt"](spark, d).collect()[0]
+    rows = (
+        spark.read.parquet(f"{d}/events.parquet")
+        .selectExpr("ts", "event_id", "event_type")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    C1, C0, A = 182322, -22473, 2944439
+    llr, hit = 0, None
+    for i, r in enumerate(rows, 1):
+        llr += C1 if r["event_type"] == "purchase" else C0
+        if hit is None and (llr >= A or llr <= -A):
+            hit = (i, llr, "accept_h1" if llr >= A else "accept_h0")
+    assert out["n_total"] == len(rows)
+    assert out["llr_final"] == pytest.approx(llr / 1e6, abs=1e-6)
+    if hit is None:
+        assert out["decision"] == "continue"
+        assert out["n_at_decision"] is None
+    else:
+        assert out["decision"] == hit[2]
+        assert out["n_at_decision"] == hit[0]
+        assert out["llr_at_decision"] == pytest.approx(
+            hit[1] / 1e6, abs=1e-6
+        )

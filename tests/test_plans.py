@@ -201,6 +201,7 @@ _JVM_ONLY = [
     "basket_association_rules",
     "part_price_dispersion",
     "events_peak_to_average",
+    "orders_interorder_gamma_fit",
 ]
 
 

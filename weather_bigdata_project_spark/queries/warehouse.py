@@ -1795,3 +1795,52 @@ def part_price_dispersion(spark, sf_dir):
         "pd_lineitem"
     )
     return spark.sql("WITH " + _PD_BODY.format(l="pd_lineitem"))
+
+
+# --- gamma fit of inter-order times ----------------------------------------
+
+_GAMMA_BODY = (
+    "o2 AS (SELECT o_custkey, o_orderdate, "
+    "LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS prev FROM {o}), "
+    "g AS (SELECT CAST({ddiff} AS BIGINT) AS gap FROM o2 "
+    "WHERE prev IS NOT NULL AND {ddiff} > 0), "
+    "m AS (SELECT COUNT(*) AS n, SUM(gap) AS sg, "
+    "SUM(gap * gap) AS sgg FROM g), "
+    "p AS (SELECT n, CAST(sg AS DOUBLE) / n AS mu, "
+    "(CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / (n - 1) "
+    "AS v FROM m) "
+    "SELECT CAST(n AS BIGINT) AS n_gaps, "
+    + rnd("mu", 4) + " AS mean_gap_days, "
+    + rnd("mu * mu / v", 6) + " AS gamma_shape_k, "
+    + rnd("v / mu", 4) + " AS gamma_scale_theta, "
+    + rnd("SQRT(v) / mu", 6) + " AS gap_cv FROM p"
+)
+
+
+@query(
+    "orders_interorder_gamma_fit",
+    oracle=(
+        "WITH "
+        + _GAMMA_BODY.format(
+            o="orders", ddiff="date_diff('day', prev, o_orderdate)"
+        )
+    ),
+)
+def orders_interorder_gamma_fit(spark, sf_dir):
+    """Gamma fit of customer inter-order times by method of moments
+    (shape k = mu^2/var, scale theta = var/mu): k near 1 means
+    memoryless Poisson-like ordering; k > 1 means regular cadence
+    worth a replenishment-timing campaign; the CV says the same thing
+    distribution-free. The purchase-process analog of the weather
+    Gumbel fit — one lag window on the customer key, exact integer gap
+    moments, closed forms on one row."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gm_orders"
+    )
+    return spark.sql(
+        "WITH "
+        + _GAMMA_BODY.format(
+            o="gm_orders", ddiff="datediff(o_orderdate, prev)"
+        )
+    )
