@@ -36,6 +36,15 @@ PROBES = [
     "sql_table_fn_date_spine",   # CAST(ts AS DATE) + date sequence
     "sql_udf_dew_point",         # SQL UDF over try_cast battery
     "weather_collated_city_stats",  # collation + cast battery
+    # this session's timestamp-heavy additions
+    "events_value_twap",            # epoch-us lead durations
+    "events_lateness_profile",      # epoch-us running max
+    "events_dau_mau_stickiness",    # date sequences + distinct windows
+    "events_ab_sprt",               # (ts, id)-ordered prefix sums
+    "events_stl_decompose",         # CAST(ts AS DATE) + weekday
+    "events_attribution_linear",    # epoch bucketing band join
+    "orders_interorder_gamma_fit",  # datediff lag gaps
+    "events_interrupted_timeseries",  # daily indexing
 ]
 
 
