@@ -36,6 +36,12 @@ SENSITIVE = [
     "geo_idw_interpolation",
     "corpus_perplexity_bigram",
     "events_seasonality_strength",
+    "events_retention_halflife",
+    "events_rate_shrinkage_eb",
+    "events_feature_mi_screen",
+    "weather_gumbel_return_levels",
+    "events_bass_diffusion",
+    "part_price_dispersion",
 ]
 
 
