@@ -202,6 +202,7 @@ _JVM_ONLY = [
     "part_price_dispersion",
     "events_peak_to_average",
     "orders_interorder_gamma_fit",
+    "weather_comfort_transitions",
 ]
 
 

@@ -587,3 +587,53 @@ def weather_wet_bulb_stats(spark, sf_dir):
             ).alias("n_dangerous_obs"),
         )
     )
+
+
+# --- comfort-state transition matrix ---------------------------------------
+
+@query(
+    "weather_comfort_transitions",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", "
+        "p AS (SELECT city_name, comfort_level AS to_state, "
+        "LAG(comfort_level) OVER (PARTITION BY city_name "
+        "ORDER BY timestamp_dt, event_id) AS from_state FROM enriched "
+        "WHERE comfort_level IS NOT NULL), "
+        "c AS (SELECT from_state, to_state, COUNT(*) AS n FROM p "
+        "WHERE from_state IS NOT NULL GROUP BY from_state, to_state), "
+        "r AS (SELECT from_state, SUM(n) AS nf FROM c "
+        "GROUP BY from_state) "
+        "SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) "
+        "AS n_transitions, "
+        + rnd("CAST(c.n AS DOUBLE) / r.nf", 6)
+        + " AS p_transition FROM c JOIN r ON r.from_state = c.from_state"
+    ),
+)
+def weather_comfort_transitions(spark, sf_dir):
+    """Comfort-state transition matrix: per-city observation sequences
+    lagged into (from -> to) comfort-level transitions with
+    row-normalized probabilities — the Markov machinery
+    (events_transition_matrix) applied to the reference's own derived
+    classification (ref:weather_streaming.py:117-124): high diagonal
+    mass means comfort states persist and forecasting them is easy;
+    the off-diagonal structure says which discomfort a city slides
+    into. One lag window on the city partition, a states^2 aggregate,
+    exact counts into one snapped division."""
+    e = wd.enriched_frame(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("city_name").orderBy("timestamp_dt", "event_id")
+    p = e.filter(F.col("comfort_level").isNotNull()).select(
+        F.col("comfort_level").alias("to_state"),
+        F.lag("comfort_level").over(w).alias("from_state"),
+    )
+    c = p.filter(F.col("from_state").isNotNull()).groupBy(
+        "from_state", "to_state"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("from_state").agg(F.sum("n").alias("nf"))
+    return c.join(r, "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr(rnd("CAST(n AS DOUBLE) / nf", 6)).alias("p_transition"),
+    )
