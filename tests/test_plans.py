@@ -203,6 +203,7 @@ _JVM_ONLY = [
     "events_peak_to_average",
     "orders_interorder_gamma_fit",
     "weather_comfort_transitions",
+    "events_winsorized_mean",
 ]
 
 

@@ -1001,3 +1001,55 @@ def events_feature_mi_screen(spark, sf_dir):
         "WITH src AS (SELECT * FROM pw_events) "
         + _mi_sql("src", "weekday(ts)")
     )
+
+
+# --- winsorized statistics (JVM-exact robust mean) -------------------------
+
+def _wins_sql(src: str) -> str:
+    """Shared text: per-type p05/p95 caps as deterministic rank picks,
+    values clamped to the caps, exact-cents mean of the clamped
+    distribution — the robust mean that keeps sample size (unlike the
+    trim) while bounding tail influence."""
+    return (
+        f"v AS (SELECT event_type, event_id, "
+        "CAST(ROUND(value * 100.0e0) AS BIGINT) AS c FROM {src}), "
+        "k AS (SELECT event_type, c, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY c, event_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM v), "
+        "caps AS (SELECT event_type, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.05e0 * n) AS BIGINT) "
+        "THEN c END) AS lo, "
+        "MAX(CASE WHEN rn = CAST(CEIL(0.95e0 * n) AS BIGINT) "
+        "THEN c END) AS hi FROM k GROUP BY event_type), "
+        "w AS (SELECT v.event_type, "
+        "LEAST(GREATEST(v.c, caps.lo), caps.hi) AS wc, caps.lo, caps.hi "
+        "FROM v JOIN caps ON caps.event_type = v.event_type) "
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(MAX(lo) AS DOUBLE) / 100.0e0 AS cap_low, "
+        "CAST(MAX(hi) AS DOUBLE) / 100.0e0 AS cap_high, "
+        + rnd("CAST(SUM(wc) AS DOUBLE) / (100.0e0 * COUNT(*))", 4)
+        + " AS winsorized_mean FROM w GROUP BY event_type"
+    )
+
+
+@query(
+    "events_winsorized_mean",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _wins_sql("events_t").format(src="events_t")
+    ),
+)
+def events_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event type: p05/p95 caps picked by
+    deterministic ranks, values CLAMPED to the caps (not dropped), then
+    an exact-cents mean — the robust center that keeps every
+    observation's vote while bounding tail leverage, entirely JVM-side.
+    The pure-SQL sibling of events_trimmed_mean_pandas: same robust-
+    statistics goal, and the pair documents exactly what the Python
+    boundary costs when the JVM form exists."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "pw_events"
+    )
+    return spark.sql(
+        "WITH " + _wins_sql("pw_events").format(src="pw_events")
+    )
