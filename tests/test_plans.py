@@ -204,6 +204,7 @@ _JVM_ONLY = [
     "orders_interorder_gamma_fit",
     "weather_comfort_transitions",
     "events_winsorized_mean",
+    "events_duplicate_delivery",
 ]
 
 

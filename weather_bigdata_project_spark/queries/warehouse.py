@@ -1844,3 +1844,50 @@ def orders_interorder_gamma_fit(spark, sf_dir):
             o="gm_orders", ddiff="datediff(o_orderdate, prev)"
         )
     )
+
+
+# --- duplicate event-delivery audit ----------------------------------------
+
+@query(
+    "events_duplicate_delivery",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "g AS (SELECT user_id, ts, event_type, value, COUNT(*) AS n "
+        "FROM events_t GROUP BY user_id, ts, event_type, value), "
+        "t AS (SELECT COUNT(*) AS n_groups, "
+        "SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups, "
+        "SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_extra_rows, "
+        "SUM(n) AS n_rows, MAX(n) AS max_copies FROM g) "
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(n_dup_groups AS BIGINT) AS n_dup_groups, "
+        "CAST(n_extra_rows AS BIGINT) AS n_extra_rows, "
+        "CAST(max_copies AS BIGINT) AS max_copies, "
+        + rnd("CAST(n_extra_rows AS DOUBLE) / n_rows", 6)
+        + " AS duplicate_rate FROM t"
+    ),
+)
+def events_duplicate_delivery(spark, sf_dir):
+    """Duplicate-delivery audit on the event stream: rows identical in
+    (user, timestamp, type, value) but carrying different event_ids —
+    exactly what an at-least-once producer retry creates, and the
+    number that justifies dropDuplicatesWithinWatermark's state budget
+    on the streaming path (w/streaming/jobs.py deduped_stream). Zero
+    on the clean fixtures BY DESIGN — this gate proves absence after
+    every load, one content-keyed aggregate."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "dd_events"
+    )
+    return spark.sql(
+        "WITH g AS (SELECT user_id, ts, event_type, value, COUNT(*) AS n "
+        "FROM dd_events GROUP BY user_id, ts, event_type, value), "
+        "t AS (SELECT COUNT(*) AS n_groups, "
+        "SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups, "
+        "SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_extra_rows, "
+        "SUM(n) AS n_rows, MAX(n) AS max_copies FROM g) "
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(n_dup_groups AS BIGINT) AS n_dup_groups, "
+        "CAST(n_extra_rows AS BIGINT) AS n_extra_rows, "
+        "CAST(max_copies AS BIGINT) AS max_copies, "
+        + rnd("CAST(n_extra_rows AS DOUBLE) / n_rows", 6)
+        + " AS duplicate_rate FROM t"
+    )
