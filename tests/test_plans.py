@@ -205,6 +205,8 @@ _JVM_ONLY = [
     "weather_comfort_transitions",
     "events_winsorized_mean",
     "events_duplicate_delivery",
+    "customer_hhi_trend",
+    "text_lexical_richness",
 ]
 
 

@@ -1050,3 +1050,55 @@ def text_langid_kappa(spark, sf_dir):
     return spark.sql(
         "WITH j AS (SELECT lang, lang_pred FROM kp_j), " + _kappa_tail()
     )
+
+
+# --- lexical richness per source -------------------------------------------
+
+@query(
+    "text_lexical_richness",
+    oracle=(
+        "WITH tk AS (SELECT d.source, "
+        "unnest(string_split(d.text, ' ')) AS tok FROM documents d), "
+        "s AS (SELECT source, COUNT(*) AS n_tok, "
+        "COUNT(DISTINCT tok) AS n_types FROM tk WHERE tok <> '' "
+        "GROUP BY source) "
+        "SELECT source, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "CAST(n_types AS BIGINT) AS n_types, "
+        + rnd("CAST(n_types AS DOUBLE) / n_tok", 6) + " AS ttr, "
+        + rnd("CAST(n_types AS DOUBLE) / SQRT(CAST(n_tok AS DOUBLE))", 4)
+        + " AS guiraud_r FROM s"
+    ),
+)
+def text_lexical_richness(spark, sf_dir):
+    """Lexical richness per source: type-token ratio and Guiraud's R
+    (types over sqrt(tokens) — the size-corrected form, since raw TTR
+    mechanically falls with corpus size and comparing sources by it is
+    a classic mistake). Low richness flags templated/boilerplate-heavy
+    sources before they dilute a training mix; one token-cardinality
+    aggregate with an exact distinct count per source."""
+    tk = T.docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        tk.filter(F.col("tok") != "")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.expr(
+                rnd("CAST(n_types AS DOUBLE) / n_tokens", 6)
+            ).alias("ttr"),
+            F.expr(
+                rnd(
+                    "CAST(n_types AS DOUBLE) "
+                    "/ SQRT(CAST(n_tokens AS DOUBLE))",
+                    4,
+                )
+            ).alias("guiraud_r"),
+        )
+    )

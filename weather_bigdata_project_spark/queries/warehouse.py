@@ -1891,3 +1891,39 @@ def events_duplicate_delivery(spark, sf_dir):
         + rnd("CAST(n_extra_rows AS DOUBLE) / n_rows", 6)
         + " AS duplicate_rate FROM t"
     )
+
+
+# --- customer-concentration trend (HHI by year) ----------------------------
+
+_HHIT_BODY = (
+    "cy AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey, "
+    f"SUM({cents('o_totalprice')}) AS r FROM {{o}} "
+    "GROUP BY 1, o_custkey), "
+    "t AS (SELECT yr, SUM(r) AS tot, COUNT(*) AS n_cust FROM cy "
+    "GROUP BY yr), "
+    "u AS (SELECT cy.yr, "
+    "CAST(ROUND(POW(CAST(cy.r AS DOUBLE) / t.tot, 2.0e0) * 1.0e12) "
+    "AS BIGINT) AS s2_u FROM cy JOIN t ON t.yr = cy.yr) "
+    "SELECT u.yr AS order_year, CAST(MAX(t.n_cust) AS BIGINT) "
+    "AS n_customers, "
+    + rnd("CAST(SUM(u.s2_u) AS DOUBLE) / 1.0e12", 8)
+    + " AS hhi FROM u JOIN t ON t.yr = u.yr GROUP BY u.yr"
+)
+
+
+@query(
+    "customer_hhi_trend",
+    oracle="WITH " + _HHIT_BODY.format(o="orders"),
+)
+def customer_hhi_trend(spark, sf_dir):
+    """Customer revenue concentration over time: per-order-year
+    Herfindahl index of customer revenue shares (squared shares snapped
+    to pico-units before the exact sum) — a rising HHI means revenue is
+    concentrating into fewer accounts (key-account risk), the trend
+    view the static whale curve and per-nation HHI don't give. One
+    (year x customer) aggregate, year-cardinality totals broadcast
+    back."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ht_orders"
+    )
+    return spark.sql("WITH " + _HHIT_BODY.format(o="ht_orders"))
