@@ -207,6 +207,7 @@ _JVM_ONLY = [
     "events_duplicate_delivery",
     "customer_hhi_trend",
     "text_lexical_richness",
+    "embed_distance_concentration",
 ]
 
 

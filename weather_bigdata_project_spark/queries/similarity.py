@@ -1794,3 +1794,79 @@ def embed_hubness_audit(spark, sf_dir):
     return spark.sql(
         "WITH " + _hub_tail("hub_pairs", "hub_ids")
     )
+
+
+# --- distance concentration audit ------------------------------------------
+
+_DC_N = 500  # same deterministic sample as the hubness audit
+
+
+_DC_ORACLE = (
+    "WITH ids AS (SELECT vec_id, embedding FROM embeddings "
+    f"WHERE vec_id < {_DC_N}), "
+    "z AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+    "CAST(unnest(a.embedding) AS DOUBLE) AS x, "
+    "CAST(unnest(b.embedding) AS DOUBLE) AS y "
+    "FROM ids a JOIN ids b ON a.vec_id < b.vec_id), "
+    "dp AS (SELECT a, b, CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) "
+    "AS BIGINT) AS d_u FROM z GROUP BY a, b), "
+    "m AS (SELECT COUNT(*) AS n, SUM(d_u) AS s1, "
+    "SUM(CAST(d_u AS DECIMAL(38,0)) * d_u) AS s2, "
+    "MIN(d_u) AS mn, MAX(d_u) AS mx FROM dp) "
+    "SELECT CAST(n AS BIGINT) AS n_pairs, "
+    + rnd("CAST(s1 AS DOUBLE) / (1.0e6 * n)", 4) + " AS mean_sqdist, "
+    + rnd(
+        "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) "
+        "/ (n - 1)) / (CAST(s1 AS DOUBLE) / n)",
+        6,
+    )
+    + " AS dist_cv, "
+    + rnd("(CAST(mx AS DOUBLE) - mn) / mn", 6)
+    + " AS relative_contrast FROM m"
+)
+
+
+@query("embed_distance_concentration", oracle=_DC_ORACLE)
+def embed_distance_concentration(spark, sf_dir):
+    """Distance-concentration audit — the other classic high-dimension
+    pathology next to hubness: as dimension grows, pairwise distances
+    concentrate (CV of distances falls, relative contrast
+    (dmax-dmin)/dmin collapses) and nearest-neighbor distinctions stop
+    meaning anything. Measured on the same deterministic 500-vector
+    sample as embed_hubness_audit: micro-snapped squared L2 per pair,
+    exact DECIMAL moment sums, three closing ratios. If dist_cv is
+    tiny, no ANN index tuning will rescue retrieval — re-embed with a
+    better model instead; this number says so before that money is
+    spent."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _DC_N)
+    ids = T.materialize(emb.select("vec_id", "embedding"))
+    a = ids.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = ids.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sq = (
+        "aggregate(zip_with(ea, eb, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0e0, (acc, v) -> acc + v)"
+    )
+    dp = a.join(F.broadcast(b), F.col("a") < F.col("b")).select(
+        F.expr(f"CAST(ROUND({sq} * 1.0e6) AS BIGINT)").alias("d_u")
+    )
+    m = dp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_u").alias("s1"),
+        F.sum(F.expr("CAST(d_u AS DECIMAL(38,0)) * d_u")).alias("s2"),
+        F.min("d_u").alias("mn"),
+        F.max("d_u").alias("mx"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        rnd("CAST(s1 AS DOUBLE) / (1.0e6 * n)", 4) + " AS mean_sqdist",
+        rnd(
+            "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) "
+            "/ (n - 1)) / (CAST(s1 AS DOUBLE) / n)",
+            6,
+        )
+        + " AS dist_cv",
+        rnd("(CAST(mx AS DOUBLE) - mn) / mn", 6)
+        + " AS relative_contrast",
+    )
