@@ -17,99 +17,61 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Representative slice of every query family. KEEP THIS LIST SHORT
+# ENOUGH THAT THE FINAL JSON LINE STAYS UNDER ~1800 CHARS: the driver
+# captures only a bounded stdout tail and failed to parse round 1's
+# 93-query line (BENCH_r01.json: "parsed": null). A guard below refuses
+# to print an over-long line. The full 300+ suite is still runnable via
+# SPARK_GRAFT_QUERIES=all.
 HEADLINE = [
     "weather_enrich",
     "weather_city_stats",
     "weather_temp_histogram",
+    "weather_heatwave_runs",
     "tpch_q1_pricing_summary",
     "tpch_q3_order_revenue",
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_count_distribution",
+    "tpch_q18_large_volume_orders",
+    "tpch_q21_waiting_suppliers",
     "window_moving_avg_events",
     "events_hourly_window",
     "events_user_sessions",
+    "events_sliding_window",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_session_paths",
+    "events_anomaly_zscore",
+    "events_json_extract",
+    "events_user_features",
     "join_asof_purchase_last_click",
     "join_range_clicks_before_purchase",
-    "tpch_q18_large_volume_orders",
-    "tpch_q10_returned_revenue",
-    "tpch_q13_order_count_distribution",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_suppliers",
-    "events_moment_stats",
-    "events_pivot_daily_types",
-    "events_exact_percentiles",
-    "events_funnel_conversion",
-    "events_daily_gapfill",
-    "events_cohort_retention",
-    "events_sliding_window",
-    "scd2_customer_value_history",
     "join_point_in_time_customer_value",
+    "join_geo_nearest_station",
+    "join_session_overlap",
+    "scd2_customer_value_history",
     "profile_lineitem_columns",
-    "events_json_extract",
-    "text_fingerprint",
-    "text_repetition_metrics",
-    "contamination_ngram_overlap",
-    "corpus_token_budget",
+    "orders_rfm_segments",
+    "graph_triangle_brands",
+    "sql_recursive_brand_reach",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_band_tuning",
+    "dedup_prefix_filter_jaccard",
     "dedup_embedding_cosine",
-    "corpus_filter_pipeline",
+    "dedup_cluster_canonical_quality",
     "embed_knn_bruteforce",
     "embed_ivf_search",
-    "join_geo_nearest_station",
-    "events_anomaly_zscore",
-    "dedup_edit_distance",
     "embed_kmeans_assign",
+    "text_fingerprint",
     "text_bigram_pmi",
-    "corpus_source_divergence",
-    "events_value_ewma",
-    "graph_triangle_brands",
-    "events_variant_extract",
-    "sql_recursive_brand_reach",
-    "sql_lateral_topk_customers",
-    "corpus_perplexity_unigram",
-    "events_cusum_drift",
-    "events_holt_trend",
-    "orders_rfm_segments",
-    "events_trailing_distinct_users",
-    "events_session_paths",
-    "events_acf_daily",
-    "events_key_skew_profile",
-    "embed_silhouette_labels",
-    "dedup_minhash_estimate_error",
-    "events_interarrival_stats",
-    "embed_norm_stats",
-    "join_session_overlap",
-    "corpus_chunk_windows",
-    "dedup_prefix_filter_jaccard",
-    "events_user_features",
-    "orders_cohort_ltv",
-    "orders_backlog_sweepline",
-    "embed_centroid_drift",
-    "join_asof_nearest_click",
-    "events_holt_winters",
-    "events_bootstrap_ci",
-    "events_survival_km",
-    "events_markov_eval",
-    "dedup_minhash_band_tuning",
-    "corpus_split_leakage",
-    "events_periodogram",
-    "events_value_anova",
-    "orders_benford_screen",
-    "events_did_analysis",
-    "events_table_diff",
     "text_langid_confusion",
-    "part_price_index_laspeyres",
-    "orders_fiscal_445_revenue",
-    "events_holt_backtest",
-    "supplier_concentration_hhi",
-    "events_growth_accounting",
-    "nation_trade_balance",
-    "text_vocab_coverage_curve",
-    "weather_record_days",
-    "weather_heatwave_runs",
-    "weather_comfort_dwell",
-    "dedup_cluster_canonical_quality",
+    "contamination_ngram_overlap",
+    "corpus_filter_pipeline",
+    "corpus_split_leakage",
+    "corpus_token_budget",
 ]
 
 
@@ -128,6 +90,8 @@ def main() -> None:
             headline = sorted(
                 n for n in registry.QUERIES if n.startswith("tpch_")
             )
+        elif subset.strip() == "all":
+            headline = sorted(registry.QUERIES)
         else:
             headline = [n.strip() for n in subset.split(",") if n.strip()]
 
@@ -188,17 +152,21 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    if len(line) > 1800 and not subset:
+        # driver's bounded stdout-tail capture would truncate the line
+        # (round-1 failure mode) — drop per-query detail rather than
+        # emit an unparseable record; detail already went to stderr.
+        payload["queries"] = {"_omitted_n": len(times)}
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
 
 

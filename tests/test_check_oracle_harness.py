@@ -61,3 +61,32 @@ def test_canon_value_distinguishes_float_ulps():
     assert canon_value(None) == "\x00null"
     assert canon_value(True) == "true" and canon_value(1) == "1"
     assert math.isclose(x, 0.3)  # close is NOT equal — the gate is exact
+
+
+def test_no_oracle_emits_hugeint_or_decimal_columns():
+    """DuckDB widens SUM(BIGINT) to HUGEINT; the driver's Arrow/pandas
+    fetch turns HUGEINT into float64, so an all-integer column hashes
+    as 687.0 vs Spark's 687 and the gate fails on identical values
+    (round-1: weather_degree_days, weather_comfort_dwell). The registry
+    wraps affected oracles with CAST..AS BIGINT; this scan fails if a
+    new oracle reintroduces a HUGEINT/DECIMAL output column."""
+    sys.path.insert(0, "/root/repo")
+    from weather_bigdata_project_spark import registry
+
+    registry.load()
+    sf = "/root/testdata/sf0.001"
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in sorted(registry.ORACLES.items()):
+        rel = c.sql(sql)
+        for col, ty in zip(rel.columns, (str(t) for t in rel.types)):
+            if ty in ("HUGEINT", "UHUGEINT") or ty.startswith("DECIMAL"):
+                bad.append((name, col, ty))
+    c.close()
+    assert bad == [], f"oracles with driver-lossy output types: {bad}"

@@ -52,7 +52,6 @@ def tiny_events_dir(spark, tmp_path_factory):
     )
     d = tmp_path_factory.mktemp("tiny_events")
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
-    weekend = {v for _, t, _, _, v, _ in rows if t.startswith(("2024-01-06", "2024-01-07"))}
     wknd_vals = [v for _, t, _, _, v, _ in rows if t[:10] in ("2024-01-06", "2024-01-07")]
     wkdy_vals = [v for _, t, _, _, v, _ in rows if t[:10] not in ("2024-01-06", "2024-01-07")]
     return str(d), sorted(wknd_vals), sorted(wkdy_vals)
@@ -117,10 +116,6 @@ def test_theilsen_matches_bruteforce(spark, tiny_events_dir):
     import collections
 
     daily = collections.defaultdict(int)
-    for vals, days in [
-        (None, None),
-    ]:
-        pass
     # rebuild from fixture structure: read back via spark for fidelity
     rows = (
         spark.read.parquet(f"{d}/events.parquet")

@@ -752,9 +752,15 @@ def test_distributed_prefix_sum_row_path_stays_partitioned(spark):
         QUERIES["orders_prefix_sum_distributed"](spark, SF_SMOKE)
     )
     C.assert_no_python(plan)
-    assert "partitionBy=[b" in plan.replace("#", "").replace(
-        "L]", ""
-    ) or "PartitionSpec" in plan or "partition" in plan.lower()
+    # the row-cardinality running sum must be a Window PARTITIONED on
+    # the bucket column b with o_orderkey as the intra-bucket order —
+    # rendered by explain("formatted") as
+    #   windowspecdefinition(b#NL, o_orderkey#NL ASC ...)
+    import re
+
+    assert re.search(
+        r"windowspecdefinition\(b#\d+L?, o_orderkey#\d+L? ASC", plan
+    ), "row-path window is not partitioned by bucket"
     # the single-partition exchanges present must feed Window/Sort over
     # the bucket-aggregate frame, whose input is the hash aggregate —
     # cheap proxy: at most one SinglePartition exchange in the plan

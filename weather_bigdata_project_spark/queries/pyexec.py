@@ -175,8 +175,9 @@ def events_trimmed_mean_pandas(spark, sf_dir):
     shape next to scalar pandas UDF / mapInArrow / UDTF. The trimmed
     SET is a deterministic multiset (value-order trim), so the DuckDB
     oracle reproduces it exactly with rank windows and an exact-cents
-    mean; the pandas float mean differs from the exact mean by <1e-10
-    on 2-decimal values, absorbed by the rnd(4) snap. Scale note: the
+    mean; the UDF mean is computed from integer cents (exact int sum,
+    one double division) so both engines round the SAME exact value —
+    no float-noise flake at a rnd(4) boundary. Scale note: the
     whole group's values ship to Python per key — the JVM rank-window
     twin in the oracle IS the production plan; this query pins the
     escape hatch's semantics for the day a pandas-only estimator is
@@ -188,7 +189,11 @@ def events_trimmed_mean_pandas(spark, sf_dir):
         s = v.sort_values().reset_index(drop=True)
         k = int(len(s) // 10)
         kept = s.iloc[k : len(s) - k] if len(s) - 2 * k > 0 else s
-        return float(kept.mean())
+        # exact integer-cents sum, ONE double division — bit-identical
+        # to the oracle's CAST(SUM(v_c) AS DOUBLE)/(100*n), so the
+        # rnd(4) snap sees the same exact value in both engines
+        cents = int((kept * 100.0).round().astype("int64").sum())
+        return float(cents) / (100.0 * len(kept))
 
     ev = tables.load(spark, sf_dir, "events")
     # a GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates

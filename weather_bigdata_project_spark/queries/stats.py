@@ -1011,8 +1011,8 @@ def _wins_sql(src: str) -> str:
     distribution — the robust mean that keeps sample size (unlike the
     trim) while bounding tail influence."""
     return (
-        f"v AS (SELECT event_type, event_id, "
-        "CAST(ROUND(value * 100.0e0) AS BIGINT) AS c FROM {src}), "
+        "v AS (SELECT event_type, event_id, "
+        f"CAST(ROUND(value * 100.0e0) AS BIGINT) AS c FROM {src}), "
         "k AS (SELECT event_type, c, ROW_NUMBER() OVER "
         "(PARTITION BY event_type ORDER BY c, event_id) AS rn, "
         "COUNT(*) OVER (PARTITION BY event_type) AS n FROM v), "
@@ -1036,7 +1036,7 @@ def _wins_sql(src: str) -> str:
     "events_winsorized_mean",
     oracle=(
         "WITH " + tables.EVENTS_ORACLE_CTE + ", "
-        + _wins_sql("events_t").format(src="events_t")
+        + _wins_sql("events_t")
     ),
 )
 def events_winsorized_mean(spark, sf_dir):
@@ -1050,6 +1050,4 @@ def events_winsorized_mean(spark, sf_dir):
     tables.load(spark, sf_dir, "events").createOrReplaceTempView(
         "pw_events"
     )
-    return spark.sql(
-        "WITH " + _wins_sql("pw_events").format(src="pw_events")
-    )
+    return spark.sql("WITH " + _wins_sql("pw_events"))

@@ -20,6 +20,13 @@ the two-phase commit contract every exactly-once sink needs:
 That protocol — stage per task, publish on driver commit — is exactly
 what FileFormatWriter/Kafka-transactional sinks do internally; here it
 is spelled out in ~40 lines of Python and testable without a broker.
+
+LOCAL-MODE-ONLY staging: tasks stage to executor-LOCAL disk while
+`commit()` runs on the driver, so the `os.replace` publish only works
+when driver and executors share a filesystem (local[*], as here). On a
+real cluster the staging store must be shared — stage to the target
+object store / DFS path, or make `_deliver` (the swap point) POST the
+batch from the task and let commit() only record delivery receipts.
 """
 
 from __future__ import annotations
