@@ -37,6 +37,8 @@ _JVM_ONLY = [
     "join_geo_nearest_station",
     "geo_grid_cell_stats",
     "geo_radius_filter",
+    "geo_zorder_cells",
+    "part_skyline_frontier",
     "embed_kmeans_assign",
     "embed_kmeans_update",
     "embed_pq_encode",
@@ -765,3 +767,28 @@ def test_distributed_prefix_sum_row_path_stays_partitioned(spark):
     # the bucket-aggregate frame, whose input is the hash aggregate —
     # cheap proxy: at most one SinglePartition exchange in the plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_skyline_local_window_is_bucket_partitioned(spark):
+    """The 2-D skyline's per-price running max must be a Window
+    PARTITIONED by the price bucket; only the B-row bucket-max frame
+    may cross a single-partition exchange (same discipline as the
+    distributed prefix sum)."""
+    import re
+
+    plan = C.formatted_plan(QUERIES["part_skyline_frontier"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    assert re.search(
+        r"windowspecdefinition\(b#\d+L?, price#\d+ ASC", plan
+    ), "local skyline window is not partitioned by bucket"
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_zorder_cells_single_bounded_aggregate(spark):
+    """The Morton-cell rollup must be narrow arithmetic + ONE hash
+    aggregate: no window, no join, no Python — the 2x10 interleave
+    terms all fold into the scan-side projection."""
+    plan = C.formatted_plan(QUERIES["geo_zorder_cells"](spark, SF_SMOKE))
+    C.assert_no_python(plan)
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final x (agg levels)

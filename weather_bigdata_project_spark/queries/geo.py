@@ -377,3 +377,75 @@ def weather_city_correlation(spark, sf_dir):
     moment sums."""
     wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
     return spark.sql("WITH " + _citycorr_sql())
+
+
+# --- Z-order (Morton) spatial clustering key -------------------------------
+
+_ZBITS = 10  # 10 bits per axis -> 20-bit Morton code, 1024x1024 grid
+
+
+def _zquant(col: str, lo: float, hi: float) -> str:
+    """Quantize a coordinate to [0, 2^_ZBITS) — engine-neutral SQL."""
+    n = 1 << _ZBITS
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((({col}) - {lo}.0e0) / "
+        f"{hi - lo}.0e0 * {n}.0e0) AS BIGINT), 0), {n - 1})"
+    )
+
+
+def _morton(qlat: str, qlon: str) -> str:
+    """Bit-interleave two quantized axes into one Morton code using only
+    FLOOR/division/modulo/multiply-by-power-of-two — the portable subset
+    Spark SQL and DuckDB evaluate identically (no dialect-specific shift
+    operators). 2*_ZBITS unrolled terms of narrow integer arithmetic."""
+    terms = []
+    for i in range(_ZBITS):
+        p = 1 << i
+        terms.append(
+            f"((CAST(FLOOR(({qlat}) / {p}.0e0) AS BIGINT) % 2) "
+            f"* {2 * 4 ** i})"
+        )
+        terms.append(
+            f"((CAST(FLOOR(({qlon}) / {p}.0e0) AS BIGINT) % 2) "
+            f"* {4 ** i})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_CELL_SQL = (
+    "q AS (SELECT "
+    + _morton(_zquant("lat", -90, 90), _zquant("lon", -180, 180))
+    + " AS z, temperature FROM enriched), "
+    # top 5 interleaved levels = z div 4^5: a 32x32 coarse grid whose
+    # cells are CONTIGUOUS Morton ranges (the data-skipping property)
+    "c AS (SELECT CAST(FLOOR(z / 1024.0e0) AS BIGINT) AS zcell, z, "
+    "temperature FROM q) "
+    "SELECT zcell, COUNT(*) AS n_obs, "
+    "MIN(z) AS z_min, MAX(z) AS z_max, "
+    "SUM(CAST(temperature AS BIGINT)) AS sum_temp "
+    "FROM c GROUP BY zcell"
+)
+
+
+@query(
+    "geo_zorder_cells",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", " + _Z_CELL_SQL
+    ),
+)
+def geo_zorder_cells(spark, sf_dir):
+    """Z-ORDER (Morton) spatial clustering key: lat/lon quantized to a
+    1024x1024 grid and bit-interleaved into one BIGINT, aggregated to
+    the 32x32 coarse level with each cell's Morton RANGE (z_min/z_max).
+    This is the key Delta/Iceberg `OPTIMIZE ZORDER BY` sorts files by:
+    a 1-D sort on z gives 2-D locality, so parquet min/max stats on ONE
+    column skip row groups for any lat AND lon box predicate — the
+    100 TB answer to spatial filtering without a spatial index. The
+    code is 2x10 unrolled narrow integer terms (no UDF, no shuffle
+    before the bounded 1024-cell aggregate); z_min/z_max per cell being
+    tight, disjoint ranges is exactly the property that makes the
+    file-level skipping work, demonstrated here engine-identically.
+    Extends SURVEY §2's geo surface (the reference plots raw lat/lon,
+    ref:streamlit/app.py:243-245, but never computes with them)."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
+    return spark.sql("WITH " + _Z_CELL_SQL)

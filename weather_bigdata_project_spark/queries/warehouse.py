@@ -1927,3 +1927,75 @@ def customer_hhi_trend(spark, sf_dir):
         "ht_orders"
     )
     return spark.sql("WITH " + _HHIT_BODY.format(o="ht_orders"))
+
+
+# --- skyline (Pareto-dominance frontier) -----------------------------------
+
+_SKYLINE_ORACLE = (
+    "SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part a "
+    "WHERE NOT EXISTS (SELECT 1 FROM part b "
+    "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+    "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"
+)
+
+
+@query("part_skyline_frontier", oracle=_SKYLINE_ORACLE)
+def part_skyline_frontier(spark, sf_dir):
+    """SKYLINE query (Pareto-dominance frontier): every part for which
+    no other part is both cheaper-or-equal AND bigger-or-equal with at
+    least one strict improvement — the multi-objective shortlist
+    (minimize price, maximize size) that no single ORDER BY can
+    produce. The textbook formulation is the oracle's NOT EXISTS
+    anti-join: O(n^2) comparisons, catastrophic at 100 TB. The 2-D
+    skyline instead distributes as a TWO-PHASE sorted pass (same shape
+    as the distributed prefix sum): prices hash into fixed-width range
+    buckets; phase 1 is a PARTITIONED window per bucket (running
+    strict-predecessor max size over the per-price aggregate); phase 2
+    reduces each bucket to one max-size row — only that B-row frame
+    crosses a single-partition window, then broadcast-joins back. A
+    part survives iff it holds its price's max size AND beats every
+    strictly-cheaper price's best, in-bucket (phase-1 frame) and
+    across cheaper buckets (phase-2 frame; bucket width guarantees
+    every price there is strictly lower). The fact table is touched by
+    one scan and one broadcast probe — never a self-join, never a
+    table-sized single-partition sort. Equal (price, size) twins don't
+    dominate each other and all survive, identically in both engines
+    (exact parquet doubles compared, no arithmetic)."""
+    p = tables.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    per_price = p.groupBy("price").agg(
+        F.max("size").alias("mx"),
+        F.expr("CAST(FLOOR(price / 64.0e0) AS BIGINT)").alias("b"),
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_price.withColumn("run_lt", F.max("mx").over(w_local))
+    bucket_max = per_price.groupBy("b").agg(F.max("mx").alias("bmx"))
+    w_bucket = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_run = bucket_max.withColumn(
+        "brun_lt", F.max("bmx").over(w_bucket)
+    ).select("b", "brun_lt")
+    frontier_prices = local.join(F.broadcast(bucket_run), "b").select(
+        "price",
+        "mx",
+        F.greatest(
+            F.coalesce("run_lt", F.lit(-(1 << 62))),
+            F.coalesce("brun_lt", F.lit(-(1 << 62))),
+        ).alias("best_cheaper"),
+    )
+    return (
+        p.join(F.broadcast(frontier_prices), "price")
+        .filter(
+            (F.col("size") == F.col("mx"))
+            & (F.col("size") > F.col("best_cheaper"))
+        )
+        .select("p_partkey", "price", "size")
+    )
