@@ -2010,3 +2010,41 @@ def events_peak_to_average(spark, sf_dir):
         )
         + " AS hour_peak_to_avg FROM t"
     )
+
+
+# --- rolling median (robust trailing smoother) -----------------------------
+
+_RMED_BODY = (
+    "SELECT event_id, event_type, "
+    "{q}(CAST(ROUND(value * 100.0e0) AS BIGINT), 0.5e0) OVER ("
+    "PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0e0 "
+    "AS rolling_median FROM {src}"
+)
+
+
+@query(
+    "events_rolling_median",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + " "
+        + _RMED_BODY.format(q="quantile_cont", src="events_t")
+    ),
+)
+def events_rolling_median(spark, sf_dir):
+    """Trailing 7-reading MEDIAN of value per event type — the robust
+    smoother that ignores a spike the same window's moving AVERAGE
+    (window_moving_avg_events) chases; the pair is the classic
+    robust-vs-efficient trade, queryable side by side. A percentile
+    AGGREGATE over a moving row frame: one exchange on event_type,
+    O(frame) state per row, no self-join. The median runs on exact
+    integer cents (ties at .5 cents are exact halves in doubles), so
+    Spark's percentile() and DuckDB's quantile_cont() — both the
+    continuous/interpolating estimator — return bit-identical values;
+    (ts, event_id) makes the frame's row membership a total order in
+    both engines. At 100 TB this shuffles each type's rows once; a
+    skewed type salts into sub-partitions with a 6-row overlap stitch
+    (the documented sliding-window recipe)."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "rm_events"
+    )
+    return spark.sql(_RMED_BODY.format(q="percentile", src="rm_events"))

@@ -637,3 +637,60 @@ def weather_comfort_transitions(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_transitions"),
         F.expr(rnd("CAST(n AS DOUBLE) / nf", 6)).alias("p_transition"),
     )
+
+
+# --- pressure tendency (METAR-style 3-reading barometric trend) ------------
+
+_PT_CLASS = (
+    "CASE WHEN d3 IS NULL THEN 'unknown' "
+    "WHEN d3 <= -200 THEN 'falling_rapidly' "
+    "WHEN d3 < 0 THEN 'falling' "
+    "WHEN d3 = 0 THEN 'steady' "
+    "WHEN d3 < 200 THEN 'rising' "
+    "ELSE 'rising_rapidly' END"
+)
+
+_PT_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "t AS (SELECT city_name, "
+    "(pressure - LAG(pressure, 3) OVER (PARTITION BY city_name "
+    "ORDER BY timestamp_dt, event_id)) * 100 AS d3 FROM enriched), "
+    f"c AS (SELECT city_name, {_PT_CLASS} AS tendency, d3 FROM t) "
+    "SELECT city_name, tendency, COUNT(*) AS n_obs, "
+    "SUM(CASE WHEN d3 IS NULL THEN 0 ELSE d3 END) AS sum_d3_cpa "
+    "FROM c GROUP BY city_name, tendency"
+)
+
+
+@query("weather_pressure_tendency", oracle=_PT_ORACLE)
+def weather_pressure_tendency(spark, sf_dir):
+    """Barometric pressure tendency, the METAR/synoptic trend code the
+    reference's alert engine never derives: each reading's change over
+    the 3 PRIOR readings of its city (the '3-hour tendency' at this
+    feed's cadence), classified into the five falling/steady/rising
+    grades that front-of-house forecasting keys on (a rapid fall is
+    the storm-approach signal). One lag window per city (integer hPa,
+    scaled to exact centi-hPa) + one bounded hash-agg to (city x
+    grade) cells; incrementalizes under streaming as a 3-deep
+    per-city buffer. First three readings of a city classify
+    'unknown' rather than silently dropping (both engines)."""
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    w = Window.partitionBy("city_name").orderBy("timestamp_dt", "event_id")
+    t = e.select(
+        "city_name",
+        (
+            (F.col("pressure") - F.lag("pressure", 3).over(w)) * 100
+        ).alias("d3"),
+    )
+    return (
+        t.select("city_name", F.expr(_PT_CLASS).alias("tendency"), "d3")
+        .groupBy("city_name", "tendency")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.expr("CASE WHEN d3 IS NULL THEN 0 ELSE d3 END")).alias(
+                "sum_d3_cpa"
+            ),
+        )
+    )

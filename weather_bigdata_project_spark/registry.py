@@ -56,6 +56,8 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "events_user_entropy": ("n_events",),
     "events_value_anova": ("n_rows",),
     "geo_grid_cell_stats": ("sum_temp",),
+    "geo_zorder_cells": ("sum_temp",),
+    "weather_pressure_tendency": ("sum_d3_cpa",),
     "grouping_sets_lineitem": ("sum_qty",),
     "join_geo_nearest_station": ("sum_d_ukm",),
     "join_session_overlap": ("sid1", "sid2"),
