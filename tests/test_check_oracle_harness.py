@@ -4,12 +4,14 @@ that silently passes wrong results is worse than no gate."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 from check_oracle import canon_value, compare  # noqa: E402
 
@@ -70,11 +72,11 @@ def test_no_oracle_emits_hugeint_or_decimal_columns():
     (round-1: weather_degree_days, weather_comfort_dwell). The registry
     wraps affected oracles with CAST..AS BIGINT; this scan fails if a
     new oracle reintroduces a HUGEINT/DECIMAL output column."""
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
+    from tests.conftest import SF_SMOKE as sf
     from weather_bigdata_project_spark import registry
 
     registry.load()
-    sf = "/root/testdata/sf0.001"
     c = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
