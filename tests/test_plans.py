@@ -500,28 +500,49 @@ def test_funnel_two_aggregates_no_self_join(spark):
 
 def test_gapfill_spine_never_sees_fact_volume(spark):
     """After the pinned daily aggregate, the spine build + left join run
-    on calendar-days x types rows: one exchange in the visible plan, no
-    re-scan of events."""
+    on calendar-days x types rows. Under the default persist strategy the
+    fact scan is still VISIBLE in the plan (inside the cached relation's
+    recomputable lineage — that recoverability is the point, SCALE.md
+    materialization section) but executes once: both consumer branches
+    read InMemoryTableScan over one InMemoryRelation.
+
+    clearCache first: CacheManager substitutes ANY matching cached
+    subplan from earlier tests into this plan, which changes the
+    visible (not executed) exchange count — the assertion is about the
+    fresh-session plan shape. Safe under the persist strategy: dropped
+    frames recompute from lineage."""
+    spark.catalog.clearCache()
     plan = C.formatted_plan(QUERIES["events_daily_gapfill"](spark, SF_SMOKE))
     C.assert_no_python(plan)
-    assert plan.count("events.parquet") == 0   # pinned daily frame only
-    C.assert_max_shuffles(plan, 1)
+    assert plan.count("events.parquet") <= 1   # one cached daily build
+    assert "InMemoryRelation" in plan          # pinned, not re-derived
+    assert plan.count("InMemoryTableScan") >= 2  # spine AND join probe hit cache
+    # daily agg (runs once, cached) + spine min/max agg
+    C.assert_max_shuffles(plan, 2)
 
 
 def test_ffill_single_window_exchange(spark):
+    """One window exchange over the pinned daily frame; the daily agg's
+    own exchange is inside the cached (once-executed) lineage."""
+    spark.catalog.clearCache()  # see test_gapfill_spine_never_sees_fact_volume
     plan = C.formatted_plan(QUERIES["events_daily_value_ffill"](spark, SF_SMOKE))
     C.assert_no_python(plan)
-    C.assert_max_shuffles(plan, 1)
+    assert "InMemoryRelation" in plan
+    C.assert_max_shuffles(plan, 2)
 
 
 def test_cohort_retention_user_cardinality(spark):
     """All aggregates/joins run on the pinned distinct (user, day)
-    frame — no events re-scan, no cartesian."""
+    frame — the events scan appears once (inside the cached frame's
+    recomputable lineage) and every consumer branch reads the cache."""
+    spark.catalog.clearCache()  # see test_gapfill_spine_never_sees_fact_volume
     plan = C.formatted_plan(QUERIES["events_cohort_retention"](spark, SF_SMOKE))
     C.assert_no_python(plan)
     C.assert_no_cartesian(plan)
-    assert plan.count("events.parquet") == 0
-    C.assert_max_shuffles(plan, 3)
+    assert plan.count("events.parquet") <= 1
+    assert "InMemoryRelation" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    C.assert_max_shuffles(plan, 4)
 
 
 # --- warehouse.py -------------------------------------------------------------

@@ -195,13 +195,64 @@ def hashed_id_duck(col: str, mod: int = 1 << 40) -> str:
     return f"(CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) % {mod})"
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage + cache a frame that downstream logic reuses several
-    times (self-joins, dict + sizes + candidate verification). Without
-    this Catalyst re-derives the whole upstream chain per reference —
-    8 scans of the corpus in the MinHash plan. Lazy local checkpoint:
-    materializes on first action, lives in executor memory/disk."""
-    return df.localCheckpoint(eager=False)
+#: Reuse-materialization strategy, settable per deployment via
+#: SPARK_GRAFT_MATERIALIZE:
+#:   persist (default) — persist(MEMORY_AND_DISK). Lineage stays
+#:       RECOMPUTABLE: on a 1000-executor preemptible cluster a lost
+#:       executor just recomputes the lost blocks from the parquet
+#:       lineage, where a local checkpoint would abort the query
+#:       (its lineage is truncated, blocks unrecoverable). Same reuse:
+#:       the frame computes once and serves every downstream reference.
+#:   checkpoint — reliable checkpoint to SPARK_GRAFT_CHECKPOINT_DIR
+#:       (point it at the lake / HDFS in production): survives executor
+#:       loss AND cuts lineage — the right mode for very long dedup
+#:       chains where recompute-from-scratch is itself too expensive.
+#:   local — localCheckpoint (executor-storage, lineage cut): fastest
+#:       on a single box; opt-in for single-node benching only.
+_STRATEGY = __import__("os").environ.get("SPARK_GRAFT_MATERIALIZE", "persist")
+
+
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    import os
+    import tempfile
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            or tempfile.mkdtemp(prefix="spark-ckpt-")
+        )
+    return df.checkpoint(eager=False)
+
+
+def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
+    """Materialize a frame that downstream logic reuses several times
+    (self-joins, dict + sizes + candidate verification). Without this
+    Catalyst re-derives the whole upstream chain per reference — 8 scans
+    of the corpus in the MinHash plan. Strategy is pluggable (see
+    _STRATEGY above); the default keeps lineage recomputable so executor
+    loss never kills a query.
+
+    `cut_lineage=True` is for ITERATIVE callers (label propagation,
+    pagerank, BPE merge folds) whose loop state frame is reassigned each
+    round: there the logical plan itself must be truncated or analysis
+    cost grows with the iteration count. Under the default strategy this
+    uses the reliable checkpoint when a checkpoint dir is configured
+    (cluster mode) and localCheckpoint otherwise (single box)."""
+    if _STRATEGY == "local":
+        return df.localCheckpoint(eager=False)
+    if _STRATEGY == "checkpoint":
+        return _reliable_checkpoint(df)
+    if cut_lineage:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None or __import__("os").environ.get(
+            "SPARK_GRAFT_CHECKPOINT_DIR"
+        ):
+            return _reliable_checkpoint(df)
+        return df.localCheckpoint(eager=False)
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 #: (applicationId, sf_dir) -> materialized default shingle frame. The

@@ -630,10 +630,13 @@ def graph_pagerank_brands(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # re-referenced by every pagerank round: cut lineage so per-round
+    # plans embed a leaf, not the whole co-occurrence subtree
     edges = materialize(
         pairs.selectExpr("ba AS src", "bb AS dst", "w").unionAll(
             pairs.selectExpr("bb AS src", "ba AS dst", "w")
-        )
+        ),
+        cut_lineage=True,
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     nodes = outw.select(F.col("src").alias("brand"))
@@ -671,7 +674,8 @@ def graph_pagerank_brands(spark, sf_dir):
                     f"* 1.0e9 / {n} + {_PR_D_NUM}.0e0 / {_PR_D_DEN} "
                     "* CAST(COALESCE(su, 0) AS DOUBLE)) AS BIGINT)"
                 ).alias("ru"),
-            )
+            ),
+            cut_lineage=True,  # loop state: plan must not grow per round
         )
     return ranks.select(
         "brand", F.expr("CAST(ru AS DOUBLE) / 1.0e9").alias("pagerank")

@@ -514,12 +514,17 @@ def dedup_clusters(spark, sf_dir):
     pairs = T.materialize(
         dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     )
+    # edges is re-referenced by EVERY propagation round: cut its lineage
+    # so each round's plan embeds a leaf, not the whole MinHash subtree
+    # (persist alone keeps execution cached but re-analyzes the full
+    # logical subtree per round — measured ~1s extra over 20 rounds)
     edges = T.materialize(
         pairs.union(
             pairs.select(
                 F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
             )
-        )
+        ),
+        cut_lineage=True,
     )
     labels = (
         edges.select(F.col("doc1").alias("doc"))
@@ -539,7 +544,8 @@ def dedup_clusters(spark, sf_dir):
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
-            )
+            ),
+            cut_lineage=True,  # loop state: plan must not grow per round
         )
         changed = (
             new_labels.alias("n")

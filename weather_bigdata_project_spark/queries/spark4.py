@@ -153,8 +153,13 @@ def sql_recursive_brand_reach(spark, sf_dir):
 
     for t in ("lineitem", "part"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    # the recursive CTE re-resolves this view on every recursion step:
+    # the lineage must be CUT (a leaf plan), or each step re-analyzes —
+    # and can re-execute — the whole edge-build subtree (measured 2.8s
+    # -> 9.8s under plain persist at sf0.1)
     sym = materialize(
-        spark.sql(_EDGE_SQL.format(l="rcte_lineitem", p="rcte_part"))
+        spark.sql(_EDGE_SQL.format(l="rcte_lineitem", p="rcte_part")),
+        cut_lineage=True,
     )
     sym.createOrReplaceTempView("rcte_sym")
     return spark.sql(_REACH_SQL.format(e="rcte_sym"))

@@ -782,7 +782,8 @@ def text_bpe_train(spark, sf_dir):
         seq = T.materialize(
             seq.crossJoin(F.broadcast(best.select("w1", "w2"))).selectExpr(
                 "doc_id", fold + " AS s"
-            )
+            ),
+            cut_lineage=True,  # loop state: plan must not grow per round
         )
         tok_after = seq.select(
             F.sum(F.size(F.split("s", " "))).alias("n")
@@ -907,7 +908,8 @@ def text_bpe_holdout_compression(spark, sf_dir):
         seq = T.materialize(
             seq.crossJoin(F.broadcast(best)).selectExpr(
                 "doc_id", "is_train", fold + " AS s"
-            )
+            ),
+            cut_lineage=True,  # loop state: plan must not grow per round
         )
     after = seq.select("doc_id", F.size(F.split("s", " ")).alias("nN"))
     return (
