@@ -749,30 +749,12 @@ def corpus_split_leakage(spark, sf_dir):
     never by raw doc id. Pair machinery rides the shared docsig
     aggregate; the split map is a narrow expression joined at pair
     cardinality."""
-    from .dedup import _lsh_candidates, _minhash_docsig
+    from .dedup import _lsh_candidates, _minhash_docsig, _verified_pairs
 
     docsig = _minhash_docsig(spark, sf_dir)
-    cand = _lsh_candidates(docsig)
-    d1 = docsig.select(
-        F.col("doc_id").alias("doc1"),
-        F.col("n_sh").alias("n1"),
-        F.col("shs").alias("shs1"),
-    )
-    d2 = docsig.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("n_sh").alias("n2"),
-        F.col("shs").alias("shs2"),
-    )
+    cand = T.materialize(_lsh_candidates(docsig))
     pairs = (
-        cand.join(d1, "doc1")
-        .join(d2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size(F.array_intersect("shs1", "shs2")).alias("c"),
-            "n1",
-            "n2",
-        )
+        _verified_pairs(spark, sf_dir, cand)
         .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
         .select("doc1", "doc2")
     )
