@@ -49,7 +49,9 @@ def test_resize_geometry_and_stub(spark):
         assert t.thumb_w == int(round(r.width * scale))
         assert t.thumb_h == int(round(r.height * scale))
         assert max(t.thumb_w, t.thumb_h) <= 32
-        assert t.thumb_feature == [round(v * scale, 6) for v in r.feature]
+        # stub resample is a single IEEE multiply (bit-exact, which is
+        # what lets the DuckDB oracle hash-gate the full pipeline)
+        assert t.thumb_feature == [v * scale for v in r.feature]
 
 
 def test_frame_sampling_stride(spark):

@@ -99,10 +99,14 @@ def resize_media(decoded: DataFrame, thumb_w: int = 32, thumb_h: int = 32) -> Da
 
     @Fn.pandas_udf("array<double>")
     def _resample(feature: pd.Series, scale: pd.Series) -> pd.Series:
-        # STUB resample kernel — deterministic, vectorized per Arrow batch
+        # STUB resample kernel — deterministic, vectorized per Arrow
+        # batch. A single IEEE multiply per element: bit-exact in any
+        # engine, which is what lets the DuckDB oracle hash-check this
+        # Pandas-UDF pipeline end-to-end (no decimal rounding — Python
+        # round() is banker's, SQL ROUND is not).
         return pd.Series(
             [
-                [round(v * s, 6) for v in f] if f is not None else None
+                [v * s for v in f] if f is not None else None
                 for f, s in zip(feature, scale)
             ]
         )

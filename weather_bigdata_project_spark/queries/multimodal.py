@@ -1,5 +1,22 @@
 """Multimodal column queries (binary payload plumbing, SURVEY north-star
-extension)."""
+extension) — ALL oracle-gated as of round 3.
+
+The decode/phash/energy kernels are deterministic pure functions of the
+payload bytes (stubs for PIL/ffmpeg, operators/multimodal.py), so the
+DuckDB oracle reproduces them with byte arithmetic: `hex(encode(text))`
+exposes the payload, and byte i (0-based) is
+`CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT)`. That makes every query
+here hash-checked end to end THROUGH the Arrow/pandas boundary — the
+same correctness bar as the relational families — while the Spark side
+still exercises the real mapInPandas / pandas_udf plumbing a production
+decoder would use. When a real kernel replaces a stub, its oracle
+becomes a precomputed sidecar table instead of SQL; the gate shape is
+unchanged.
+
+Float discipline (see .claude/skills/verify): only scale-0 ROUND, only
+e0 double literals, and single IEEE ops (k/97, v*s) that are bit-equal
+across engines.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +25,41 @@ from pyspark.sql import functions as F
 from ..operators import multimodal as M
 from ..operators import textops as T
 from ..registry import query
+
+# --- shared oracle fragments ---------------------------------------------
+
+#: payload bytes as hex + length, per doc
+_B_CTE = (
+    "b AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+    "hex(encode(text)) AS hx FROM documents)"
+)
+
+#: sum of payload bytes [lo, hi) — DuckDB twin of Python sum(payload[lo:hi])
+def _bytesum(lo: str, hi: str) -> str:
+    return (
+        "coalesce(list_sum(list_transform(range(" + lo + ", " + hi + "), "
+        "j -> CAST('0x' || substr(hx, 2*j+1, 2) AS BIGINT))), 0)"
+    )
+
+
+#: checksum = sum(payload[:64]) — the decode stub's seed
+_CK_CTE = (
+    "ck AS (SELECT doc_id, n, "
+    + _bytesum("0", "least(64, n)")
+    + " AS checksum FROM b)"
+)
+
+#: decode-stub metadata twin (operators/multimodal.py _decode_stub)
+_META_SQL = (
+    "CAST(n AS BIGINT) AS byte_len, "
+    "CAST(16 + checksum % 64 AS INT) AS width, "
+    "CAST(16 + (checksum // 64) % 64 AS INT) AS height, "
+    "CAST(1 + n % 8 AS INT) AS n_frames"
+)
+
+#: feature[i] (0-based) = ((checksum + 31*i) % 97) / 97.0 — exact double
+def _feat(i: str) -> str:
+    return f"(CAST((checksum + ({i}) * 31) % 97 AS DOUBLE) / 97.0e0)"
 
 
 @query(
@@ -27,28 +79,84 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_features")  # no SQL oracle: Pandas-UDF pipeline
+@query(
+    "multimodal_decode_features",
+    oracle=(
+        "WITH " + _B_CTE + ", " + _CK_CTE + " "
+        "SELECT doc_id, " + _META_SQL + ", "
+        "CAST(fi AS INT) AS feat_idx, " + _feat("fi") + " AS feat "
+        "FROM ck CROSS JOIN range(0, 8) t(fi)"
+    ),
+)
 def multimodal_decode_features(spark, sf_dir):
-    """Arrow-batched decode/feature-extract via mapInPandas (decode kernel
-    stubbed — see operators/multimodal.py). Driver records rows-only; unit
-    tests assert the deterministic fake output shape and values."""
-    return M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
-
-
-@query("multimodal_resize")  # no SQL oracle: Pandas-UDF resample kernel
-def multimodal_resize(spark, sf_dir):
-    """Aspect-preserving resize: geometry JVM-side, resample as an
-    Arrow-vectorized pandas_udf (stubbed — operators/multimodal.py).
-    Unit tests pin the deterministic output."""
-    return M.resize_media(
-        M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+    """Arrow-batched decode/feature-extract via mapInPandas, hash-gated:
+    the kernel runs in Python per Arrow batch (the real decode plumbing)
+    and the oracle recomputes the deterministic stub with byte
+    arithmetic. Output is one row per (doc, feature index) — relational
+    scalars, because the driver's Arrow fetch mangles list columns."""
+    dec = M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+    return dec.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        F.posexplode("feature").alias("feat_idx", "feat"),
     )
 
 
-@query("multimodal_frame_sample")  # no SQL oracle: derives from decode stub
+@query(
+    "multimodal_resize",
+    oracle=(
+        "WITH " + _B_CTE + ", " + _CK_CTE + ", "
+        "g AS (SELECT doc_id, checksum, "
+        "CAST(16 + checksum % 64 AS INT) AS width, "
+        "CAST(16 + (checksum // 64) % 64 AS INT) AS height FROM ck), "
+        "s AS (SELECT *, least(CAST(32 AS DOUBLE) / width, "
+        "CAST(32 AS DOUBLE) / height) AS scale FROM g) "
+        "SELECT doc_id, width, height, "
+        "CAST(ROUND(width * scale) AS INT) AS thumb_w, "
+        "CAST(ROUND(height * scale) AS INT) AS thumb_h, "
+        "CAST(fi AS INT) AS feat_idx, "
+        + _feat("fi")
+        + " * scale AS thumb_feat "
+        "FROM s CROSS JOIN range(0, 8) t(fi)"
+    ),
+)
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize, hash-gated: geometry (scale factor,
+    output dims) is JVM-side column arithmetic; the resample kernel is
+    an Arrow-vectorized pandas_udf whose stub is one IEEE multiply per
+    element — bit-equal to the oracle's `feat * scale`."""
+    rz = M.resize_media(
+        M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
+    )
+    return rz.select(
+        "doc_id",
+        "width",
+        "height",
+        "thumb_w",
+        "thumb_h",
+        F.posexplode("thumb_feature").alias("feat_idx", "thumb_feat"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=(
+        "WITH " + _B_CTE + ", " + _CK_CTE + " "
+        "SELECT doc_id, CAST(1 + n % 8 AS INT) AS n_frames, "
+        "CAST(fi AS INT) AS frame_idx, "
+        + _feat("fi % 8")
+        + " AS frame_feature "
+        "FROM ck CROSS JOIN range(0, 8) t(fi) "
+        "WHERE fi < 1 + n % 8 AND fi % 2 = 0"
+    ),
+)
 def multimodal_frame_sample(spark, sf_dir):
-    """Stride-2 frame sampling: sequence+explode selects frame indices
-    JVM-side; only sampled frames would ever reach a real decoder."""
+    """Stride-2 frame sampling, hash-gated: sequence+explode selects
+    frame indices JVM-side; only sampled frames would ever reach a real
+    decoder (the skipped frames are never decoded — the 100 TB win)."""
     return M.sample_frames(
         M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir))), stride=2
     )
@@ -56,11 +164,22 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @query(
     "multimodal_feature_agg",
-    oracle=None,  # depends on the stubbed decode; checked by unit tests
+    oracle=(
+        "WITH " + _B_CTE + ", " + _CK_CTE + ", "
+        "f AS (SELECT CAST(1 + n % 8 AS INT) AS n_frames, "
+        + _feat("0")
+        + " AS f0 FROM ck) "
+        "SELECT n_frames, COUNT(*) AS n, "
+        "(CAST(SUM(CAST(ROUND(f0 * 1000000.0e0) AS BIGINT)) AS DOUBLE)"
+        " / (1000000.0e0 * COUNT(*))) AS avg_f0 "
+        "FROM f GROUP BY n_frames"
+    ),
 )
 def multimodal_feature_agg(spark, sf_dir):
     """Post-decode analytics: average first-feature per frame-count band —
-    the downstream consumer shape (features -> grouped stats)."""
+    the downstream consumer shape (features -> grouped stats). Cross-row
+    double sum micro-snapped to integer units so it is partition-order
+    invariant (exprs.cents discipline) and oracle-exact."""
     dec = M.decode_media(M.with_binary_payload(T.docs(spark, sf_dir)))
     return (
         dec.select(
@@ -77,13 +196,41 @@ def multimodal_feature_agg(spark, sf_dir):
     )
 
 
-@query("multimodal_phash_neardup")  # no SQL oracle: pandas_udf hash kernel
+#: phash-stub twin: bit i set iff (sum(payload[4i:4i+4]) + i) is odd;
+#: built as an UNSIGNED hugeint — the band extraction and XOR/bit_count
+#: below see the same 64 bits Spark's signed BIGINT carries
+_PH_CTE = (
+    "ph AS (SELECT doc_id, "
+    "list_sum(list_transform(range(0, 64), i -> "
+    "CASE WHEN (" + _bytesum("4*i", "least(4*i + 4, n)") + " + i) % 2 = 1 "
+    "THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END)) AS uph "
+    "FROM b)"
+)
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=(
+        "WITH " + _B_CTE + ", " + _PH_CTE + ", "
+        "bands AS (SELECT doc_id, uph, band, "
+        "CAST((uph >> CAST(16 * band AS INT)) & 65535 AS INT) AS band_bits "
+        "FROM ph CROSS JOIN range(0, 4) t(band)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc1, a.uph AS ph1, "
+        "b.doc_id AS doc2, b.uph AS ph2 "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) "
+        "SELECT doc1, doc2, "
+        "CAST(bit_count(xor(ph1, ph2)) AS INT) AS hamming "
+        "FROM cand WHERE bit_count(xor(ph1, ph2)) <= 6"
+    ),
+)
 def multimodal_phash_neardup(spark, sf_dir):
-    """Perceptual-hash near-dup pairs over the binary media column
-    (stub pHash kernel, real LSH-band plumbing — see
-    operators/multimodal.py phash_neardup_pairs). Driver records
-    rows-only; the banding/verify math is unit-tested in
-    tests/test_multimodal.py."""
+    """Perceptual-hash near-dup pairs over the binary media column,
+    hash-gated (stub pHash kernel, real LSH-band plumbing — see
+    operators/multimodal.py phash_neardup_pairs). The oracle rebuilds
+    the 64-bit signature as an unsigned HUGEINT with byte arithmetic —
+    band extraction and XOR/bit_count see exactly the bits Spark's
+    signed BIGINT carries."""
     b = M.with_binary_payload(T.docs(spark, sf_dir))
     return M.phash_neardup_pairs(b)
 
@@ -101,13 +248,12 @@ def multimodal_exact_dupes(spark, sf_dir):
     """Exact-bytes dedup over the opaque binary payload: group by the
     content hash, keep groups with >= 2 copies, elect the lowest doc_id
     canonical. This is byte-identical asset dedup (re-uploaded images,
-    mirrored audio) — the multimodal twin of dedup_exact, and the ONE
-    multimodal query that is fully oracle-checkable because hashing
-    needs no decode kernel. The payload is hashed once in-row (the scan
-    never ships bytes past the hash projection); the aggregate's keys
-    are digest-cardinality. At 100 TB run it as the first pass before
-    any perceptual near-dup (multimodal_phash_neardup) — exact dupes
-    are the cheap majority of waste."""
+    mirrored audio) — the multimodal twin of dedup_exact. The payload is
+    hashed once in-row (the scan never ships bytes past the hash
+    projection); the aggregate's keys are digest-cardinality. At 100 TB
+    run it as the first pass before any perceptual near-dup
+    (multimodal_phash_neardup) — exact dupes are the cheap majority of
+    waste."""
     b = M.with_binary_payload(T.docs(spark, sf_dir))
     return (
         b.groupBy("sha256_hex")
@@ -120,15 +266,40 @@ def multimodal_exact_dupes(spark, sf_dir):
     )
 
 
-@query("multimodal_audio_segments")  # no SQL oracle: pandas_udf kernel
+@query(
+    "multimodal_audio_segments",
+    oracle=(
+        "WITH " + _B_CTE + ", "
+        f"f AS (SELECT doc_id, CAST(n // {M.AUDIO_FRAME_BYTES} AS INT) "
+        f"AS n_frames, hx FROM b WHERE n // {M.AUDIO_FRAME_BYTES} > 0), "
+        "fr0 AS (SELECT doc_id, unnest(range(0, n_frames)) AS fi, hx "
+        "FROM f), "
+        "fr AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx, hx FROM fr0), "
+        "e AS (SELECT doc_id, frame_idx, "
+        "CAST("
+        + _bytesum(
+            f"{M.AUDIO_FRAME_BYTES}*frame_idx",
+            f"{M.AUDIO_FRAME_BYTES}*frame_idx + {M.AUDIO_FRAME_BYTES}",
+        )
+        + f" AS DOUBLE) / {M.AUDIO_FRAME_BYTES}.0e0 AS energy FROM fr), "
+        "v AS (SELECT *, frame_idx - CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY frame_idx) AS INT) AS island "
+        f"FROM e WHERE energy > {M.AUDIO_VAD_THRESHOLD}e0) "
+        f"SELECT doc_id, MIN(frame_idx) * {M.AUDIO_FRAME_MS} AS start_ms, "
+        f"(MIN(frame_idx) + COUNT(*)) * {M.AUDIO_FRAME_MS} AS end_ms, "
+        "CAST(COUNT(*) AS BIGINT) AS n_frames, "
+        "(CAST(SUM(CAST(ROUND(energy * 1.0e6) AS BIGINT)) AS DOUBLE)"
+        " / (1.0e6 * COUNT(*))) AS mean_energy "
+        "FROM v GROUP BY doc_id, island"
+    ),
+)
 def multimodal_audio_segments(spark, sf_dir):
-    """Audio VAD segmentation over the binary payload column: JVM-side
-    fixed-rate framing (20 ms / 640 B) and gaps-and-islands segment
-    merge around ONE Arrow-batched energy kernel (stubbed — see
-    operators/multimodal.py). The silence-trim pass an audio curation
-    pipeline runs before paying for ASR; driver records rows-only, the
-    deterministic kernel + segment assembly are unit-tested in
-    tests/test_multimodal.py."""
+    """Audio VAD segmentation over the binary payload column, hash-gated:
+    JVM-side fixed-rate framing (byte substring per frame) and
+    gaps-and-islands segment merge around ONE Arrow-batched energy
+    kernel (stub = mean byte value; frame size divides a power of two,
+    so sum/64 is binary-exact in both engines). The silence-trim pass an
+    audio curation pipeline runs before paying for ASR."""
     return M.audio_voiced_segments(
         M.with_binary_payload(T.docs(spark, sf_dir))
     )
