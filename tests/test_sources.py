@@ -698,3 +698,82 @@ def test_webhook_sink_python_datasource_writer(spark, tmp_path):
     assert got == want
     with open(os.path.join(out, "_SUCCESS")) as f:
         assert int(f.read()) == len(want)
+
+
+# --- Kafka endpoint contract (S1/S6) --------------------------------------
+# No broker exists in this container, so these pin the CONTRACT: the
+# format/option wiring against the reference's exact usage
+# (ref:spark-apps/weather_streaming.py:48-54) and the value<->rows
+# projections as a batch round-trip. A deployment with the kafka jar
+# gets the reference-equivalent stream by construction.
+
+
+def test_kafka_source_options_reference_parity():
+    opts = readers.kafka_source_options(
+        "weather-data", bootstrap="kafka:9092", starting_offsets="latest"
+    )
+    # exactly the reference's reader config (weather_streaming.py:48-54)
+    assert opts["kafka.bootstrap.servers"] == "kafka:9092"
+    assert opts["subscribe"] == "weather-data"
+    assert opts["startingOffsets"] == "latest"
+    # plus the one survival knob a 100 TB ingest needs
+    assert opts["failOnDataLoss"] == "false"
+    assert readers.KAFKA_FORMAT == "kafka"
+    # defaults: deterministic replay for tests/pipelines
+    d = readers.kafka_source_options("weather-data")
+    assert d["startingOffsets"] == "earliest"
+
+
+def test_kafka_sink_options_contract():
+    opts = readers.kafka_sink_options(
+        "weather-enriched", "kafka:9092", "/tmp/ckpt"
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "topic": "weather-enriched",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+
+
+def test_kafka_value_projection_roundtrip(spark):
+    """Producer projection (to_json(struct(*))) -> consumer projection
+    (cast + from_json + data.*) must be the identity on typed rows —
+    the two halves of the reference's wire format, proven against each
+    other batch-side. Also: malformed wire bytes coerce to nulls, never
+    crash (weather_streaming.py's posture)."""
+    schema = Ty.StructType(
+        [
+            Ty.StructField("city", Ty.StringType()),
+            Ty.StructField("temp", Ty.DoubleType()),
+            Ty.StructField("n", Ty.LongType()),
+        ]
+    )
+    rows = [("Tunis", 31.5, 3), ("Oslo", -2.25, 7), (None, None, None)]
+    df = spark.createDataFrame(rows, schema)
+    # wire value is BINARY on a real kafka topic — simulate the cast
+    wire = readers.kafka_value_encode(df).select(
+        F.encode(F.col("value"), "utf-8").alias("value")
+    )
+    back = readers.kafka_value_decode(wire, schema)
+    key = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    assert sorted(
+        ((r.city, r.temp, r.n) for r in back.collect()), key=key
+    ) == sorted(rows, key=key)
+    bad = spark.createDataFrame(
+        [("{not json",), ('{"city": 3}',)], "value string"
+    )
+    got = readers.kafka_value_decode(bad, schema).collect()
+    assert len(got) == 2  # no crash; unparseable -> nulls
+    assert all(r.temp is None and r.n is None for r in got)
+
+
+def test_kafka_stream_source_builds_unstarted(spark):
+    """The reader path up to .load() must compose without a broker: with
+    no kafka jar the failure is the DATA_SOURCE_NOT_FOUND lookup of
+    format 'kafka' AFTER options are applied — i.e. the wiring is the
+    only untested-by-broker remainder."""
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        readers.kafka_stream_source(spark, "weather-data")
+    assert "kafka" in str(ei.value).lower()

@@ -132,36 +132,93 @@ def write_parquet_sorted(
     w.parquet(path)
 
 
+#: Kafka endpoint contract (S1/S6). No broker is installable in this
+#: container, so the CONTRACT — format name, option wiring, and the
+#: value<->rows projections — is factored into pure pieces that
+#: tests/test_sources.py pins against the reference's exact usage
+#: (ref:spark-apps/weather_streaming.py:48-54 subscribe "weather-data"
+#: on kafka:9092, startingOffsets latest; NiFi PublishKafka feeds the
+#: same topic, ref:NiFi_Flow.json). The untestable remainder is two
+#: one-liners (.load() / .writeStream.format("kafka")).
+
+KAFKA_FORMAT = "kafka"
+
+
+def kafka_source_options(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """S1 option wiring (the reference used startingOffsets=latest —
+    tests and replayable pipelines want earliest, SURVEY §7 risk (f));
+    `failOnDataLoss=false` keeps a 100 TB ingest alive across topic
+    retention evictions instead of dying on the first aged-out offset."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_sink_options(
+    topic: str, bootstrap: str, checkpoint: str
+) -> dict[str, str]:
+    """S6 option wiring: exactly-once-per-checkpoint producer config
+    (idempotent delivery is the checkpoint's job — Kafka's sink is
+    at-least-once, consumers dedup on key)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def kafka_value_encode(df: DataFrame) -> DataFrame:
+    """Row -> wire: every column folded into one JSON `value` string —
+    the producer projection the reference's NiFi flow emits and the
+    sink publishes. Pure DataFrame transform, contract-tested batch-side
+    (round-trips through kafka_value_decode)."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.to_json(F.struct("*")).alias("value"))
+
+
+def kafka_value_decode(df: DataFrame, schema: Ty.StructType) -> DataFrame:
+    """Wire -> rows: cast the (binary) `value` to string, parse against
+    the declared schema, flatten (ref:spark-apps/weather_streaming.py:
+    59-61 `from_json(col("value").cast("string"), schema)` +
+    `select("data.*")`). Malformed payloads become all-null structs, not
+    stream crashes — the reference's coerce-don't-crash posture."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("data")
+    ).select("data.*")
+
+
 def kafka_stream_source(
     spark: SparkSession,
     topic: str,
     bootstrap: str = "localhost:9092",
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """S1: Kafka stream source (ref:spark-apps/weather_streaming.py:48-54;
-    the reference used startingOffsets=latest — tests need earliest for
-    determinism, SURVEY §7 risk (f)). Requires the kafka connector jar on
-    the cluster; in this container the file-source twin in streaming/jobs
-    stands in."""
+    """S1: Kafka stream source. Requires the kafka connector jar on the
+    cluster; in this container the file-source twin in streaming/jobs
+    stands in and the wiring above is contract-tested."""
     return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        spark.readStream.format(KAFKA_FORMAT)
+        .options(**kafka_source_options(topic, bootstrap, starting_offsets))
         .load()
     )
 
 
 def kafka_sink(df: DataFrame, topic: str, bootstrap: str, checkpoint: str):
     """S6: value-as-JSON Kafka producer sink."""
-    from pyspark.sql import functions as F
-
     return (
-        df.select(F.to_json(F.struct("*")).alias("value"))
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        kafka_value_encode(df)
+        .writeStream.format(KAFKA_FORMAT)
+        .options(**kafka_sink_options(topic, bootstrap, checkpoint))
     )
 
 
