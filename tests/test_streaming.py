@@ -990,3 +990,90 @@ def test_stream_stream_full_outer_interval_join(spark, tmp_path):
         .subtract(got.filter("event_id IS NOT NULL").select("event_id"))
     )
     assert missing.count() == 0
+
+
+def test_city_ewma_processor_logic_without_transport(spark):
+    """Drives the ACTUAL transformWithStateInPandas processor class
+    (jobs.CityEwma) through a duck-typed fake state handle — everything
+    except the protobuf transport the container lacks: state
+    init/get/update wiring, the concat + dropna + stable-sort batch
+    prep, and cross-batch state handoff. Final per-city state must be
+    bit-equal to the JVM `aggregate` fold on the same rows."""
+    import pandas as pd
+
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.streaming import jobs
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert name == "ewma" and "BIGINT" in schema
+            return self.states.setdefault(name, FakeValueState())
+
+    enr = wd.enrich(wd.cast_wire(wd.wire_frame(spark, SF_SMOKE))).select(
+        "city_name", "event_id", "temperature"
+    )
+    rows = enr.filter("temperature IS NOT NULL").orderBy("event_id").collect()
+    per_city: dict[str, list] = {}
+    for r in rows:
+        per_city.setdefault(r["city_name"], []).append(
+            (r["event_id"], r["temperature"])
+        )
+
+    fold = (
+        "aggregate(sort_array(collect_list(struct(event_id, temperature))), "
+        "CAST(NULL AS BIGINT), (s, e) -> CASE WHEN s IS NULL THEN "
+        "CAST(e.temperature AS BIGINT) * 1000000000 ELSE "
+        "CAST(ROUND(0.2e0 * (CAST(e.temperature AS BIGINT) * 1000000000) "
+        "+ 0.8e0 * s) AS BIGINT) END)"
+    )
+    want = {
+        r["city_name"]: (r["n"], r["s"])
+        for r in enr.filter("temperature IS NOT NULL")
+        .groupBy("city_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(fold).alias("s"))
+        .collect()
+    }
+
+    for city, series in per_city.items():
+        proc = jobs.CityEwma()
+        handle = FakeHandle()
+        proc.init(handle)
+        outs = []
+        # replay in 3 micro-batches, each delivered as 2 Arrow chunks,
+        # with a None temperature injected to exercise the dropna path
+        k = max(1, len(series) // 3)
+        for i in range(0, len(series), k):
+            chunk = series[i:i + k]
+            mid = len(chunk) // 2
+            batches = iter(
+                [
+                    pd.DataFrame(
+                        chunk[:mid] + [(10**9 + i, None)],
+                        columns=["event_id", "temperature"],
+                    ),
+                    pd.DataFrame(
+                        chunk[mid:], columns=["event_id", "temperature"]
+                    ),
+                ]
+            )
+            outs.extend(proc.handleInputRows((city,), batches, None))
+        proc.close()
+        n, s = handle.states["ewma"].v
+        assert (n, s) == want[city], city
+        last = outs[-1].iloc[0]
+        assert last["city_name"] == city
+        assert last["n_seen"] == want[city][0]
+        assert last["ewma_temp"] == want[city][1] / 1.0e9

@@ -598,6 +598,49 @@ def ewma_fold_py(temps, n: int = 0, s: int | None = None):
     return n, s
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+class CityEwma(_StatefulProcessor):
+    """The transformWithStateInPandas processor for
+    ewma_temperature_stream, at module scope so its batch/state logic is
+    unit-testable WITHOUT the protobuf transport (the Python state
+    client speaks protobuf to the JVM state server, absent in this
+    container): tests/test_streaming.py drives handleInputRows through a
+    duck-typed fake handle across batch boundaries and pins the result
+    to the JVM fold. The base class imports protobuf-free; only the
+    live transport needs it."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("ewma", "n BIGINT, s BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prev = self._st.get()
+        n, s = (prev[0], prev[1]) if prev is not None else (0, None)
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.dropna(subset=["temperature"]).sort_values(
+            "event_id", kind="mergesort"
+        )
+        n, s = ewma_fold_py(pdf["temperature"].tolist(), n, s)
+        self._st.update((n, s))
+        yield pd.DataFrame(
+            [
+                {
+                    "city_name": key[0],
+                    "n_seen": n,
+                    "ewma_temp": None if s is None else s / 1.0e9,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def ewma_temperature_stream(enriched: DataFrame) -> DataFrame:
     """Per-city streaming EWMA of temperature via Spark 4's
     transformWithStateInPandas — the modern typed-state successor to
@@ -616,38 +659,6 @@ def ewma_temperature_stream(enriched: DataFrame) -> DataFrame:
     and fold in event_id order, so replays of time-ordered partitions
     are deterministic. The sequential recursion is per-key — across
     cities it parallelizes exactly like the batch fold."""
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class CityEwma(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._st = handle.getValueState("ewma", "n BIGINT, s BIGINT")
-
-        def handleInputRows(self, key, rows, timer_values):
-            prev = self._st.get()
-            n, s = (prev[0], prev[1]) if prev is not None else (0, None)
-            pdf = pd.concat(list(rows), ignore_index=True)
-            pdf = pdf.dropna(subset=["temperature"]).sort_values(
-                "event_id", kind="mergesort"
-            )
-            n, s = ewma_fold_py(pdf["temperature"].tolist(), n, s)
-            self._st.update((n, s))
-            yield pd.DataFrame(
-                [
-                    {
-                        "city_name": key[0],
-                        "n_seen": n,
-                        "ewma_temp": None if s is None else s / 1.0e9,
-                    }
-                ]
-            )
-
-        def close(self) -> None:
-            pass
-
     return (
         enriched.select("city_name", "event_id", "temperature")
         .groupBy("city_name")
