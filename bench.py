@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_prefix_filter_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical_quality",
+    "embed_semdedup_prune",
     "embed_knn_bruteforce",
     "embed_ivf_search",
     "embed_kmeans_assign",
@@ -79,6 +80,8 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "corpus_split_leakage",
     "corpus_token_budget",
+    "multimodal_phash_neardup",
+    "multimodal_audio_segments",
 ]
 
 
@@ -167,7 +170,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(payload)
+    # compact separators: ~2 chars/entry headroom under the line guard
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # driver's bounded stdout-tail capture would truncate the line
         # (round-1 failure mode) — drop per-query detail rather than
@@ -175,7 +179,7 @@ def main() -> None:
         # Applied UNCONDITIONALLY (round-2 advisor: the subset escape
         # hatch reintroduced the exact failure it was meant to prevent).
         payload["queries"] = {"_omitted_n": len(times)}
-        line = json.dumps(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

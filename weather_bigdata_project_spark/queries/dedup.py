@@ -509,6 +509,110 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- SemDeDup-style semantic prune (cluster-then-pairwise) ----------------
+
+#: keep/drop cosine threshold in micro-units (0.40 — sized to the
+#: synthetic embeddings' similarity mass; production SemDeDup uses
+#: ~0.95+ on real embeddings)
+_SEMDEDUP_T_U = 400_000
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import _KM_ASSIGN_CTE
+
+    return (
+        "WITH " + _KM_ASSIGN_CTE + ", "
+        "m AS (SELECT a.vec_id, a.cluster, e.embedding "
+        "FROM a JOIN embeddings e USING (vec_id)), "
+        "p AS (SELECT x.vec_id AS v1, y.vec_id AS v2, x.cluster AS cl, "
+        "x.embedding AS e1, y.embedding AS e2 "
+        "FROM m x JOIN m y ON x.cluster = y.cluster "
+        "AND x.vec_id < y.vec_id), "
+        "zz AS (SELECT v1, v2, cl, CAST(unnest(e1) AS DOUBLE) AS x, "
+        "CAST(unnest(e2) AS DOUBLE) AS y FROM p), "
+        "c AS (SELECT v1, v2, cl, "
+        "CAST(ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) "
+        "* 1.0e6) AS BIGINT) AS cos_u FROM zz GROUP BY v1, v2, cl), "
+        "drp AS (SELECT DISTINCT v2 AS vec_id FROM c "
+        f"WHERE cos_u >= {_SEMDEDUP_T_U}) "
+        "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(COUNT(drp.vec_id) AS BIGINT) AS n_dropped, "
+        + rnd(
+            "CAST(COUNT(*) - COUNT(drp.vec_id) AS DOUBLE) / COUNT(*)", 4
+        )
+        + " AS keep_rate "
+        "FROM m LEFT JOIN drp USING (vec_id) GROUP BY cluster"
+    )
+
+
+@query("embed_semdedup_prune", oracle=_semdedup_oracle())
+def embed_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023's
+    cluster-then-prune recipe): assign every embedding to its nearest
+    of K centroids (the broadcast argmin shared with
+    embed_kmeans_assign), compute pairwise cosine ONLY within each
+    cluster, and drop any vector whose similarity to a smaller-id
+    cluster-mate exceeds the threshold (keep-lowest-id policy, the same
+    canonical election as the text dedup family). Output is the
+    per-cluster keep/drop summary a curation run reports.
+
+    Scale shape: clustering bounds the pair space at sum_k(n_k^2)
+    instead of n^2 — at 100 TB you size K so the biggest cell's pairs
+    fit the verification budget (SemDeDup uses K ~ sqrt(n) or larger;
+    skewed cells get re-split by a second k-means level). Cosines are
+    micro-snapped integers so the threshold decision is
+    engine-portable."""
+    from .. import tables
+    from .similarity import _DOT, _kmeans_best
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # per-vector norm computed ONCE here: the pair loop below would
+    # otherwise re-fold ||a|| and ||b|| for every pair — with P pairs
+    # that is 2P interpreted HOF folds instead of n (measured 8.8 s ->
+    # 3.9 s at sf0.1's 251k within-cluster pairs)
+    m = T.materialize(
+        _kmeans_best(emb)
+        .select(
+            "vec_id", F.col("best.seed_id").alias("cluster"), "embedding"
+        )
+        .withColumn(
+            "nrm",
+            F.expr(
+                "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
+            ),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cos_u = (
+        "CAST(ROUND("
+        + _DOT.format(a="a.embedding", b="b.embedding")
+        + " / (a.nrm * b.nrm) * 1.0e6) AS BIGINT)"
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.expr(f"{cos_u} >= {_SEMDEDUP_T_U}"))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("hit").alias("n_dropped"),
+            F.expr(
+                rnd(
+                    "CAST(COUNT(*) - COUNT(hit) AS DOUBLE) / COUNT(*)", 4
+                )
+            ).alias("keep_rate"),
+        )
+    )
+
+
 # --- near-dup clusters (connected components) -----------------------------
 
 
@@ -559,6 +663,12 @@ def dedup_clusters(spark, sf_dir):
         .distinct()
         .withColumn("label", F.col("doc"))
     )
+    # NOTE on pointer jumping: tried (label <- label's label per round,
+    # squaring propagation distance) and REVERTED — verified near-dup
+    # components are near-cliques (diameter 1-2), so min-label
+    # propagation already converges in ~2 rounds and the extra join +
+    # pinned frame per round cost more than they saved (measured 2.9 s
+    # -> 5.4 s at sf0.1). Worth re-adding only for long-chain graphs.
     for _ in range(20):  # hard cap; near-dup components are shallow
         # min label among self and neighbors
         neighbor_min = (
