@@ -95,6 +95,10 @@ QUERIES_TO_RUN = [
     "corpus_chunk_windows",
     "dedup_prefix_filter_jaccard",
     "dedup_minhash_band_tuning",
+    "dedup_band_tuning_sampled",
+    "embed_semdedup_prune",
+    "embed_pq_adc_search",
+    "embed_ivfpq_search",
     "dedup_graph_degree_profile",
     "corpus_split_leakage",
     "events_json_schema_profile",

@@ -692,6 +692,294 @@ def embed_pq_encode(spark, sf_dir):
     )
 
 
+# --- product-quantization ADC search --------------------------------------
+
+_PQ_ADC_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+zq AS (
+  SELECT s.seed_id,
+         unnest(generate_series(0, len(s.se) - 1)) AS dim,
+         CAST(unnest(s.se) AS DOUBLE) AS y,
+         CAST(unnest(q.qe) AS DOUBLE) AS qx
+  FROM s CROSS JOIN q
+),
+lut AS (
+  SELECT seed_id, dim // {_PQ_DSUB} AS sub,
+         CAST(ROUND(SUM((qx - y) * (qx - y)) * 1.0e6) AS BIGINT) AS l_u
+  FROM zq GROUP BY seed_id, dim // {_PQ_DSUB}
+),
+z AS (
+  SELECT e.vec_id, s.seed_id,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.se) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN s
+),
+d AS (
+  SELECT vec_id, seed_id, dim // {_PQ_DSUB} AS sub,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM z GROUP BY vec_id, seed_id, dim // {_PQ_DSUB}
+),
+best AS (
+  SELECT vec_id, sub, seed_id AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub ORDER BY d_u, seed_id) AS rk FROM d
+  ) WHERE rk = 1
+),
+adist AS (
+  SELECT b.vec_id, CAST(SUM(l.l_u) AS BIGINT) AS adist_u
+  FROM best b JOIN lut l ON l.sub = b.sub AND l.seed_id = b.code
+  WHERE b.vec_id <> 0 GROUP BY b.vec_id
+),
+ze AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS qx
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+ex AS (
+  SELECT vec_id,
+         CAST(ROUND(SUM((x - qx) * (x - qx)) * 1.0e6) AS BIGINT)
+           AS exact_d_u
+  FROM ze GROUP BY vec_id
+)
+SELECT a.vec_id, a.adist_u, ex.exact_d_u
+FROM adist a JOIN ex USING (vec_id)
+ORDER BY adist_u, vec_id LIMIT 10
+"""
+
+
+@query("embed_pq_adc_search", oracle=_PQ_ADC_ORACLE)
+def embed_pq_adc_search(spark, sf_dir):
+    """Asymmetric-distance PQ search (the query side of the PQ story —
+    embed_pq_encode is the index side): the query's 64-entry lookup
+    table ||q_s - c_{s,k}||^2 is computed ONCE in a one-row broadcast
+    frame (m x K snapped integers); every database vector then costs
+    its in-row code (the same argmin as encode) plus m integer LUT
+    lookups — no float math per vector pair, which is exactly why ADC
+    scans billions of codes cheaply at 100 TB (codes are 8 bytes/vector
+    vs 256 for floats; the LUT rides the task closure). Output: top-10
+    by approximate distance with the exact distance alongside, so the
+    compression error is visible row by row. All distances are
+    micro-snapped integers => engine-exact ordering."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("se"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sq8 = (
+        "CAST(ROUND(aggregate(zip_with("
+        "slice(qe, s * {d} + 1, {d}), slice(k.se, s * {d} + 1, {d}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0e0, (acc, v) -> acc + v) * 1.0e6) AS BIGINT)"
+    ).format(d=_PQ_DSUB)
+    # the one-row LUT frame: flatten is s-major, seeds sorted by
+    # seed_id, so entry index = s * K + code (0-based)
+    lutrow = seeds.join(q).select(
+        "qe",
+        F.expr(
+            f"flatten(transform(sequence(0, {_PQ_M} - 1), s -> "
+            f"transform(seeds, k -> {sq8})))"
+        ).alias("lut"),
+        "seeds",
+    )
+    adist = (
+        "aggregate(transform(" + _PQ_CODE_SPARK + ", (c, s) -> "
+        f"element_at(lut, CAST(s * {_KM_K} + c.seed_id + 1 AS INT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lutrow))
+        .select(
+            "vec_id",
+            F.expr(adist).alias("adist_u"),
+            F.expr(
+                _L2U.format(a="embedding", b="qe")
+            ).alias("exact_d_u"),
+        )
+        .orderBy("adist_u", "vec_id")
+        .limit(10)
+    )
+
+
+# --- IVF-PQ composed search (coarse route + compressed scan) --------------
+
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+zq AS (
+  SELECT s.seed_id,
+         unnest(generate_series(0, len(s.se) - 1)) AS dim,
+         CAST(unnest(s.se) AS DOUBLE) AS y,
+         CAST(unnest(q.qe) AS DOUBLE) AS qx
+  FROM s CROSS JOIN q
+),
+lut AS (
+  SELECT seed_id, dim // {_PQ_DSUB} AS sub,
+         CAST(ROUND(SUM((qx - y) * (qx - y)) * 1.0e6) AS BIGINT) AS l_u
+  FROM zq GROUP BY seed_id, dim // {_PQ_DSUB}
+),
+qcell AS (
+  SELECT seed_id,
+         CAST(ROUND(SUM((qx - y) * (qx - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM zq GROUP BY seed_id
+),
+probes AS (
+  SELECT seed_id FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY d_u, seed_id) AS rk FROM qcell
+  ) WHERE rk <= {_IVFPQ_NPROBE}
+),
+zv AS (
+  SELECT e.vec_id, s.seed_id,
+         unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(s.se) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN s
+),
+vfull AS (
+  SELECT vec_id, seed_id,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM zv GROUP BY vec_id, seed_id
+),
+assign AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d_u, seed_id) AS rk FROM vfull
+  ) WHERE rk = 1
+),
+vsub AS (
+  SELECT vec_id, seed_id, dim // {_PQ_DSUB} AS sub,
+         CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u
+  FROM zv GROUP BY vec_id, seed_id, dim // {_PQ_DSUB}
+),
+code AS (
+  SELECT vec_id, sub, seed_id AS c FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub ORDER BY d_u, seed_id) AS rk FROM vsub
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT a.vec_id, a.cell FROM assign a
+  JOIN probes p ON p.seed_id = a.cell WHERE a.vec_id <> 0
+),
+adist AS (
+  SELECT c0.vec_id, CAST(SUM(l.l_u) AS BIGINT) AS adist_u
+  FROM code c0 JOIN cand ON cand.vec_id = c0.vec_id
+  JOIN lut l ON l.sub = c0.sub AND l.seed_id = c0.c
+  GROUP BY c0.vec_id
+),
+ze AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS qx
+  FROM embeddings e CROSS JOIN q
+),
+ex AS (
+  SELECT vec_id,
+         CAST(ROUND(SUM((x - qx) * (x - qx)) * 1.0e6) AS BIGINT)
+           AS exact_d_u
+  FROM ze GROUP BY vec_id
+)
+SELECT cand.vec_id, CAST(cand.cell AS BIGINT) AS cell,
+       adist.adist_u, ex.exact_d_u
+FROM cand JOIN adist USING (vec_id) JOIN ex USING (vec_id)
+ORDER BY adist_u, vec_id LIMIT 10
+"""
+
+
+@query("embed_ivfpq_search", oracle=_IVFPQ_ORACLE)
+def embed_ivfpq_search(spark, sf_dir):
+    """The composed production ANN shape — IVF coarse routing over PQ
+    compressed scan: route the query to its nprobe=2 nearest k-means
+    cells, then ADC-scan ONLY vectors assigned to those cells (codes
+    in-row, the query's 64-entry LUT broadcast). This is the FAISS
+    IVFPQ layout re-expressed relationally: scanned fraction ~
+    nprobe/K of the corpus, per-scanned-vector cost m integer lookups.
+    At 100 TB the assignment is precomputed at ingest (a partition
+    column — cell pruning then happens at the SCAN via partition
+    elimination, not a filter); here it is derived in-query so the
+    whole path stays one self-contained, oracle-checked plan."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("se"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sq8 = (
+        "CAST(ROUND(aggregate(zip_with("
+        "slice(qe, s * {d} + 1, {d}), slice(k.se, s * {d} + 1, {d}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0e0, (acc, v) -> acc + v) * 1.0e6) AS BIGINT)"
+    ).format(d=_PQ_DSUB)
+    qfull = _L2U.format(a="qe", b="k.se")
+    lutrow = seeds.join(q).select(
+        "qe",
+        "seeds",
+        F.expr(
+            f"flatten(transform(sequence(0, {_PQ_M} - 1), s -> "
+            f"transform(seeds, k -> {sq8})))"
+        ).alias("lut"),
+        F.expr(
+            "slice(transform(sort_array(transform(seeds, k -> "
+            f"struct({qfull} AS d_u, k.seed_id AS seed_id))), "
+            f"x -> x.seed_id), 1, {_IVFPQ_NPROBE})"
+        ).alias("probes"),
+    )
+    cell_expr = (
+        "array_min(transform(seeds, k -> struct("
+        + _L2U.format(a="embedding", b="k.se")
+        + " AS d_u, k.seed_id AS seed_id))).seed_id"
+    )
+    adist = (
+        "aggregate(transform(" + _PQ_CODE_SPARK + ", (c, s) -> "
+        f"element_at(lut, CAST(s * {_KM_K} + c.seed_id + 1 AS INT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lutrow))
+        .withColumn("cell", F.expr(cell_expr).cast("bigint"))
+        .filter(F.expr("array_contains(probes, cell)"))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(adist).alias("adist_u"),
+            F.expr(_L2U.format(a="embedding", b="qe")).alias("exact_d_u"),
+        )
+        .orderBy("adist_u", "vec_id")
+        .limit(10)
+    )
+
+
 # --- power-iteration PC1 (iterative algorithm, oracle-exact) --------------
 
 _PI_ITERS = 4
