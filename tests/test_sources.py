@@ -777,3 +777,57 @@ def test_kafka_stream_source_builds_unstarted(spark):
     with pytest.raises(Exception) as ei:
         readers.kafka_stream_source(spark, "weather-data")
     assert "kafka" in str(ei.value).lower()
+
+
+def test_webhook_sink_task_delivery_idempotent(spark, tmp_path):
+    """Cluster-safe delivery mode (delivery=task): each task delivers
+    its batch immediately under a partition-derived IDEMPOTENCY KEY —
+    no driver/executor shared-filesystem assumption (the staged mode's
+    documented local-only limitation). Re-running the identical write
+    REPLACES each partition's batch under the same key instead of
+    duplicating it — the effectively-once contract a webhook endpoint
+    gets from an Idempotency-Key header."""
+    import json
+    import os
+
+    from weather_bigdata_project_spark import weather_domain as wd
+    from weather_bigdata_project_spark.sources.webhook_sink import (
+        WebhookSinkDataSource,
+    )
+
+    spark.dataSource.register(WebhookSinkDataSource)
+    alerts = (
+        wd.enriched_frame(spark, "/root/testdata/sf0.001")
+        .filter("alert_type <> 'NORMAL'")
+        .select("city_name", "alert_type", "temperature")
+    )
+    out = str(tmp_path / "hook_task")
+
+    def read_back():
+        rows = []
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".jsonl"):
+                assert fn.startswith("part-")  # idempotency-key naming
+                with open(os.path.join(out, fn)) as f:
+                    rows += [json.loads(line) for line in f]
+        return rows
+
+    w = alerts.write.format("webhook_sink").option("path", out).option(
+        "delivery", "task"
+    )
+    w.mode("append").save()
+    first = read_back()
+    n_files = len([f for f in os.listdir(out) if f.endswith(".jsonl")])
+    assert len(first) == alerts.count()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == len(first)
+    # simulated redelivery (retry/speculative re-run of every task):
+    # same keys -> same files replaced, not appended
+    w.mode("append").save()
+    second = read_back()
+    assert len(second) == len(first)
+    assert (
+        len([f for f in os.listdir(out) if f.endswith(".jsonl")])
+        == n_files
+    )
+    assert not os.path.isdir(os.path.join(out, "_staging"))

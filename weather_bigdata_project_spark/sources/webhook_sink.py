@@ -21,12 +21,24 @@ That protocol — stage per task, publish on driver commit — is exactly
 what FileFormatWriter/Kafka-transactional sinks do internally; here it
 is spelled out in ~40 lines of Python and testable without a broker.
 
-LOCAL-MODE-ONLY staging: tasks stage to executor-LOCAL disk while
-`commit()` runs on the driver, so the `os.replace` publish only works
-when driver and executors share a filesystem (local[*], as here). On a
-real cluster the staging store must be shared — stage to the target
-object store / DFS path, or make `_deliver` (the swap point) POST the
-batch from the task and let commit() only record delivery receipts.
+Two delivery modes (option `delivery`), because the right two-phase
+split depends on where the endpoint lives:
+
+- `staged` (default): tasks stage, the DRIVER publishes on commit —
+  exactly-once observable output, but staging store and driver must
+  share a filesystem (true in local[*]; on a cluster point `path` at a
+  shared DFS/object store or this mode silently publishes nothing —
+  the round-1 advisor finding, kept loudly documented).
+- `task`: each task DELIVERS its batch immediately (the HTTP-POST
+  shape — a webhook endpoint is reachable from executors, not from a
+  shared filesystem), keyed by an IDEMPOTENCY KEY derived from the
+  partition id, so retried/speculated tasks REPLACE their own batch
+  instead of duplicating it (the Idempotency-Key header pattern);
+  `commit()` only records receipts (_SUCCESS manifest). Semantics are
+  at-least-once delivery made effectively-once by the key — `abort()`
+  cannot un-POST, which is the true contract of any external-endpoint
+  sink and is documented rather than papered over. Cluster-safe: no
+  cross-process filesystem assumption at all.
 """
 
 from __future__ import annotations
@@ -50,12 +62,40 @@ class _Staged(WriterCommitMessage):
 
 
 class _WebhookWriter(DataSourceWriter):
-    def __init__(self, path: str):
+    def __init__(self, path: str, delivery: str = "staged"):
+        if delivery not in ("staged", "task"):
+            raise ValueError(f"unknown delivery mode: {delivery}")
         self._path = path
+        self._delivery = delivery
         self._stage = os.path.join(path, "_staging")
+
+    def _idempotency_key(self) -> str:
+        """Stable per-partition delivery key: a retried or speculated
+        task re-delivers UNDER THE SAME KEY, so the endpoint (here: the
+        target directory; in production: the webhook's Idempotency-Key
+        header) collapses duplicates instead of double-applying."""
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else uuid.uuid4().hex
+        return f"part-{pid}"
 
     # --- executor side ----------------------------------------------------
     def write(self, iterator):
+        if self._delivery == "task":
+            # deliver NOW, from the task (the only place a webhook
+            # endpoint is guaranteed reachable); atomic single-file
+            # replace stands in for the idempotent POST
+            key = self._idempotency_key()
+            tmp = os.path.join(self._path, f".{key}.{uuid.uuid4().hex}.tmp")
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            final = os.path.join(self._path, f"{key}.jsonl")
+            os.replace(tmp, final)  # idempotent: same key replaces
+            return _Staged(staged_path=final, n_rows=n)
         os.makedirs(self._stage, exist_ok=True)
         staged = os.path.join(self._stage, f"batch-{uuid.uuid4().hex}.jsonl")
         n = 0
@@ -71,16 +111,24 @@ class _WebhookWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            final = os.path.join(self._path, os.path.basename(m.staged_path))
-            os.replace(m.staged_path, final)  # atomic publish
+            if self._delivery == "staged":
+                final = os.path.join(
+                    self._path, os.path.basename(m.staged_path)
+                )
+                os.replace(m.staged_path, final)  # atomic publish
             total += m.n_rows
         with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
             f.write(str(total))
 
     def abort(self, messages):
         for m in messages or []:
-            if m is not None and os.path.exists(m.staged_path):
+            if m is None:
+                continue
+            if self._delivery == "staged" and os.path.exists(m.staged_path):
                 os.remove(m.staged_path)
+            # task mode: deliveries cannot be un-POSTed — receipts are
+            # simply not recorded (no _SUCCESS), and a rerun re-delivers
+            # under the same idempotency keys
 
 
 class WebhookSinkDataSource(DataSource):
@@ -99,4 +147,4 @@ class WebhookSinkDataSource(DataSource):
             for fn in os.listdir(path):
                 if fn.endswith(".jsonl") or fn == "_SUCCESS":
                     os.remove(os.path.join(path, fn))
-        return _WebhookWriter(path)
+        return _WebhookWriter(path, self.options.get("delivery", "staged"))
