@@ -996,3 +996,75 @@ def corpus_source_novelty(spark, sf_dir):
             ).alias("novelty_share"),
         )
     )
+
+
+# --- temperature-based mixture reweighting --------------------------------
+
+_MIX_TEMP_ORACLE = (
+    "WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s), "
+    "u AS (SELECT source, n_docs, n_tokens, tot, "
+    "CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE) / tot) * 1.0e9) AS BIGINT) "
+    "AS su FROM s CROSS JOIN t), "
+    "v AS (SELECT *, CAST(SUM(su) OVER () AS BIGINT) AS tot_su FROM u) "
+    "SELECT source, n_docs, n_tokens, "
+    + rnd("CAST(n_tokens AS DOUBLE) / tot", 6) + " AS raw_share, "
+    + rnd("CAST(su AS DOUBLE) / tot_su", 6) + " AS temp_share, "
+    + rnd(
+        "(CAST(su AS DOUBLE) / tot_su) * CAST(tot AS DOUBLE) / n_tokens",
+        4,
+    )
+    + " AS repeat_factor FROM v"
+)
+
+
+@query("corpus_mix_temperature", oracle=_MIX_TEMP_ORACLE)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-based source-mixture reweighting (tau = 0.5): the
+    sampling distribution q_s ∝ p_s^tau that multilingual/multi-source
+    pretraining uses to up-weight small sources without drowning large
+    ones (the alpha-sampling of XLM-R / mT5, the static version of
+    DoReMi-style reweighting). Output per source: raw token share,
+    temperature share, and the repeat factor (expected epochs over that
+    source when the mixture is sampled to the corpus's total token
+    budget) — repeat_factor > 1 flags sources that will be memorized
+    before the mixture finishes one pass of the big sources.
+
+    Engine-exactness: tau = 0.5 is computed as SQRT (a correctly
+    rounded IEEE op in both engines — general POW is not), and the
+    cross-source normalizer sums micro-snapped integers, so shares are
+    identical bit-for-bit. One aggregate at source cardinality; the two
+    1-row/source-cardinality frames broadcast — corpus is scanned
+    once."""
+    d = T.docs(spark, sf_dir).select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").cast("bigint").alias("tot"))
+    u = s.join(F.broadcast(t)).withColumn(
+        "su",
+        F.expr(
+            "CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE) / tot) * 1.0e9) "
+            "AS BIGINT)"
+        ),
+    )
+    tot_su = u.agg(F.sum("su").cast("bigint").alias("tot_su"))
+    return u.join(F.broadcast(tot_su)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(rnd("CAST(n_tokens AS DOUBLE) / tot", 6)).alias("raw_share"),
+        F.expr(rnd("CAST(su AS DOUBLE) / tot_su", 6)).alias("temp_share"),
+        F.expr(
+            rnd(
+                "(CAST(su AS DOUBLE) / tot_su) * CAST(tot AS DOUBLE) "
+                "/ n_tokens",
+                4,
+            )
+        ).alias("repeat_factor"),
+    )
