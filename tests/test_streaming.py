@@ -1077,3 +1077,60 @@ def test_city_ewma_processor_logic_without_transport(spark):
         assert last["city_name"] == city
         assert last["n_seen"] == want[city][0]
         assert last["ewma_temp"] == want[city][1] / 1.0e9
+
+
+def test_minhash_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: over a doc_id-ordered 3-file replay,
+    the drained (band-deduplicated) pair set must EQUAL the batch
+    dedup_minhash_lsh output — same shingle hashes, same band layout,
+    same exact verification, same rounded Jaccard. Also proves
+    cross-micro-batch state: pairs whose two docs arrive in different
+    triggers can only come from the carried bucket state."""
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    src = str(tmp_path / "docs_ordered")
+    docs = tables.load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.minhash_dedup_stream(stream)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mh_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in spark.table("mh_dedup").collect()
+    }
+    want = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in registry.QUERIES["dedup_minhash_lsh"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous: the corpus has near-dups
+    # cross-batch evidence: at least one pair spans two trigger files
+    bounds = [
+        r["doc_id"]
+        for r in spark.read.parquet(parts[0]).agg(
+            F.max("doc_id").alias("doc_id")
+        ).collect()
+    ]
+    assert any(d1 <= bounds[0] < d2 for d1, d2, _ in want)

@@ -746,6 +746,133 @@ def session_paths_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def minhash_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection — the ingest-time
+    twin of queries/dedup.dedup_minhash_lsh, for dropping near-copies
+    BEFORE they ever land in the lake (the training-data ingest shape:
+    a crawl stream deduped against everything already accepted).
+
+    Plan: shingling, 60-bit content hashing, all 16 minhashes, and the
+    4 band signatures are computed IN-ROW (array_min over the shingle
+    array — no shuffle at all before the stateful step; the batch twin
+    needs a groupBy only because its shingle frame is exploded). Each
+    doc then fans out to its 4 (band, band_sig) keys, and ONE
+    applyInPandasWithState group per bucket keeps the docs seen in that
+    bucket; an arriving doc exact-verifies (integer 3c >= n1+n2, the
+    rational form of J >= 0.5) against its bucket's priors and emits
+    verified pairs. Same hash params as the batch query, so over a
+    doc_id-ordered replay the drained, de-duplicated output EQUALS the
+    batch query's pairs (tests/test_streaming.py).
+
+    Scale design: state per bucket = the docs sharing one band
+    signature (near-dup cluster density, not corpus size); hot buckets
+    are exactly the template clusters dedup_graph_degree_profile
+    detects, and production bounds them with a per-bucket cap + TTL
+    (drop-oldest: a crawl dedup only needs recent-horizon priors).
+    Keys are 12-byte (band, sig-string) pairs; shingle arrays travel
+    once per doc per band."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.textops import hashed_id_spark
+    from ..queries.dedup import _BANDS, _HASH_PARAMS, _K, _P
+
+    rpb = _K // _BANDS
+    grams = (
+        "transform(sequence(1, size(toks) - 2), i -> "
+        + hashed_id_spark("concat_ws(' ', slice(toks, i, 3))")
+        + ")"
+    )
+    arr = (
+        f"CASE WHEN size(toks) < 3 THEN array() "
+        f"ELSE array_distinct({grams}) END"
+    )
+    # let-binding: hash the grams once (interpreted HOFs have no CSE)
+    sig = (
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.expr(f"transform(array({arr}), a -> a)[0]").alias("shs"),
+        )
+        .filter(F.expr("size(shs) > 0"))
+    )
+    mh = [
+        f"array_min(transform(shs, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in _HASH_PARAMS
+    ]
+    band_structs = ", ".join(
+        "struct({k} AS band, concat_ws(',', {sigs}) AS band_sig)".format(
+            k=k,
+            sigs=", ".join(
+                f"CAST({mh[k * rpb + r]} AS STRING)" for r in range(rpb)
+            ),
+        )
+        for k in range(_BANDS)
+    )
+    keyed = sig.select(
+        "doc_id",
+        "shs",
+        F.expr(f"explode(array({band_structs}))").alias("bk"),
+    ).select("doc_id", "shs", F.col("bk.band"), F.col("bk.band_sig"))
+
+    out_schema = "doc1 BIGINT, doc2 BIGINT, jaccard DOUBLE"
+    state_schema = "doc_ids ARRAY<BIGINT>, shs_list ARRAY<ARRAY<BIGINT>>"
+
+    def update(key, pdfs, state):
+        import math
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            ids, shss = state.get
+            prior = [
+                (int(i), frozenset(int(v) for v in s))
+                for i, s in zip(ids, shss)
+            ]
+        else:
+            prior = []
+        seen = {p[0] for p in prior}
+        rows = []
+        for doc_id, shs in zip(batch["doc_id"], batch["shs"]):
+            doc_id = int(doc_id)
+            if doc_id in seen:  # replayed input: state already has it
+                continue
+            cur = frozenset(int(v) for v in shs)
+            for pid, ps in prior:
+                c = len(cur & ps)
+                n1, n2 = len(ps), len(cur)
+                if 3 * c >= n1 + n2:  # J >= 0.5, exact integer form
+                    j = c / (n1 + n2 - c)
+                    rows.append(
+                        (
+                            min(pid, doc_id),
+                            max(pid, doc_id),
+                            math.floor(j * 1.0e4 + 0.5) / 1.0e4,
+                        )
+                    )
+            prior.append((doc_id, cur))
+            seen.add(doc_id)
+        state.update(
+            (
+                [p[0] for p in prior],
+                [sorted(p[1]) for p in prior],
+            )
+        )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc1", "doc2", "jaccard"]
+            )
+
+    return keyed.groupBy("band", "band_sig").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_compacting_lake_sink(
     df: DataFrame,
     path: str,
