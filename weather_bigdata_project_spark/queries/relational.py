@@ -673,6 +673,86 @@ def events_approx_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "events_approx_distinct_bounds",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "TRUE AS within_bound FROM events GROUP BY event_type"
+    ),
+)
+def events_approx_distinct_bounds(spark, sf_dir):
+    """HLL++ sketch error, ORACLE-GATED AS A PROPERTY: the sketch value
+    itself cannot hash-match across engines (each has its own sketch),
+    but the GUARANTEE can — |approx - exact| <= 3*rsd*exact (three
+    relative standard errors at rsd=0.02) is computed Spark-side as a
+    boolean and the oracle asserts it TRUE alongside the exact counts.
+    Any sketch regression past the bound fails the driver's hash gate
+    like an ordinary wrong answer. This is the gating pattern for every
+    approximate operator: gate the bound, ship the raw sketch query
+    (events_approx_distinct_users) alongside for the actual numbers."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr(
+            "abs(approx_count_distinct(user_id, 0.02e0) "
+            "- count(DISTINCT user_id)) "
+            "<= 0.06e0 * count(DISTINCT user_id)"
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "events_approx_percentile_bounds",
+    oracle=(
+        "WITH n AS (SELECT CAST(COUNT(value) AS BIGINT) AS n "
+        "FROM events) "
+        "SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS p, n, "
+        "TRUE AS within_bound FROM n"
+    ),
+)
+def events_approx_percentile_bounds(spark, sf_dir):
+    """Greenwald-Khanna approx_percentile error, ORACLE-GATED AS A
+    PROPERTY (same pattern as events_approx_distinct_bounds): at
+    accuracy A the returned value's true rank must lie within
+    eps*n = n/A of the target rank. The check computes rank(v_p) =
+    COUNT(value <= v_p) with ONE extra aggregate over the broadcast
+    sketch outputs (+-1 slack for boundary definitions) and gates the
+    boolean. At 100 TB this is how you trust a sketch: the exact-rank
+    audit runs on a sample or a scheduled slice, the bound is the
+    contract."""
+    ev = tables.load(spark, sf_dir, "events")
+    probs = [0.5, 0.9, 0.99]
+    acc = 1000
+    arr = ", ".join(f"{p}e0" for p in probs)
+    a = ev.agg(
+        F.expr(
+            f"approx_percentile(value, array({arr}), {acc})"
+        ).alias("ap"),
+        F.count("value").alias("n"),
+    )
+    one = a.select(
+        "n", F.posexplode("ap").alias("i", "v")
+    ).withColumn("p", F.expr(f"element_at(array({arr}), i + 1)"))
+    ranked = (
+        ev.crossJoin(F.broadcast(one))
+        .groupBy("p", "n", "v")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN value <= v THEN 1 ELSE 0 END")
+            ).alias("rk")
+        )
+    )
+    return ranked.select(
+        "p",
+        "n",
+        F.expr(
+            f"rk >= FLOOR((p - 1.0e0/{acc}) * n) - 1 AND "
+            f"rk <= CEIL((p + 1.0e0/{acc}) * n) + 1"
+        ).alias("within_bound"),
+    )
+
+
 # --- per-user session windows (SURVEY §2.7 T5's other half) ---------------
 @query(
     "events_user_sessions",
