@@ -1134,3 +1134,52 @@ def test_minhash_dedup_stream_equals_batch(spark, tmp_path):
         ).collect()
     ]
     assert any(d1 <= bounds[0] < d2 for d1, d2, _ in want)
+
+
+def test_phash_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming perceptual-hash dedup: drained over a doc_id-ordered
+    3-file replay of the binary-payload docs, the de-duplicated pair set
+    must EQUAL the batch multimodal_phash_neardup output — same Arrow
+    pandas_udf hash kernel, same 4x16-bit banding, same Hamming verify.
+    Pure-integer state; pairs spanning micro-batches prove carried
+    bucket state."""
+    import glob
+    import os
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.operators import multimodal as M
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    src = str(tmp_path / "docs_bin_ordered")
+    docs = tables.load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.phash_dedup_stream(M.with_binary_payload(stream))
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ph_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in spark.table("ph_dedup").collect()
+    }
+    want = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in registry.QUERIES["multimodal_phash_neardup"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

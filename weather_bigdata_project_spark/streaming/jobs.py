@@ -873,6 +873,90 @@ def minhash_dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def phash_dedup_stream(binary_docs: DataFrame) -> DataFrame:
+    """Streaming perceptual-hash near-dup detection over a binary media
+    stream — the ingest-time twin of
+    queries/multimodal.multimodal_phash_neardup, and the multimodal
+    counterpart of minhash_dedup_stream: drop re-encoded/near-identical
+    assets before they land in the lake.
+
+    The 64-bit pHash is computed by the SAME Arrow-batched pandas_udf
+    kernel as the batch query (operators/multimodal.phash_media) —
+    streaming DataFrames run vectorized Python identically; each hash
+    fans out to its 4 16-bit band keys and ONE applyInPandasWithState
+    group per (band, band_bits) bucket keeps the (doc_id, phash) pairs
+    seen there. An arrival verifies Hamming distance <= 6 against its
+    bucket's priors. State is PURE INTEGERS — ~16 bytes per doc per
+    band, the cheapest stateful dedup possible; at 100 TB the bucket
+    cap + TTL note from minhash_dedup_stream applies unchanged.
+
+    Over a doc_id-ordered replay the drained, de-duplicated output
+    EQUALS the batch query's pairs (tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.multimodal import phash_media
+
+    ph = phash_media(binary_docs)
+    keyed = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftrightunsigned(phash, {16 * b}) "
+                            "& 65535 AS INT)"
+                        ).alias("band_bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band"), F.col("bk.band_bits"))
+
+    out_schema = "doc1 BIGINT, doc2 BIGINT, hamming INT"
+    state_schema = "doc_ids ARRAY<BIGINT>, hashes ARRAY<BIGINT>"
+
+    def update(key, pdfs, state):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            ids, hs = state.get
+            prior = [(int(i), int(h)) for i, h in zip(ids, hs)]
+        else:
+            prior = []
+        seen = {p[0] for p in prior}
+        rows = []
+        for doc_id, ph_v in zip(batch["doc_id"], batch["phash"]):
+            doc_id, ph_v = int(doc_id), int(ph_v)
+            if doc_id in seen:  # replayed input
+                continue
+            for pid, pph in prior:
+                # two's-complement XOR popcount == Spark bit_count(^)
+                h = bin((ph_v ^ pph) & ((1 << 64) - 1)).count("1")
+                if h <= 6:
+                    rows.append(
+                        (min(pid, doc_id), max(pid, doc_id), h)
+                    )
+            prior.append((doc_id, ph_v))
+            seen.add(doc_id)
+        state.update(([p[0] for p in prior], [p[1] for p in prior]))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc1", "doc2", "hamming"]
+            )
+
+    return keyed.groupBy("band", "band_bits").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_compacting_lake_sink(
     df: DataFrame,
     path: str,
