@@ -1183,3 +1183,52 @@ def test_phash_dedup_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_embedding_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming embedding near-dup: drained over a vec_id-ordered
+    3-file replay, the emitted pair set must EQUAL the batch
+    embed_signbucket_neardup output — same in-row sign bucket, and the
+    kernel's left-to-right dot product is the same IEEE operation order
+    as the JVM fold, so the snapped cos_u matches bit-for-bit."""
+    import glob
+    import os
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    src = str(tmp_path / "emb_ordered")
+    emb = tables.load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.embedding_dedup_stream(stream)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("emb_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["vec1"], r["vec2"], r["cos_u"])
+        for r in spark.table("emb_dedup").collect()
+    }
+    want = {
+        (r["vec1"], r["vec2"], r["cos_u"])
+        for r in registry.QUERIES["embed_signbucket_neardup"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

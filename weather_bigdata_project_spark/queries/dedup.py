@@ -509,6 +509,78 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- thresholded sign-bucket embedding near-dup ---------------------------
+
+#: emit threshold for the thresholded variant (micro-units; 0.40 sized
+#: to the synthetic embeddings — production uses ~0.95 on real models)
+_SB_T_U = 400_000
+
+_SB_ORACLE = (
+    "WITH z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+    "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+    f"proj AS (SELECT vec_id, j, SUM(x * {_W_SQL}) AS dot "
+    f"FROM z CROSS JOIN (SELECT unnest(range(0, {_NPLANES})) AS j) "
+    "GROUP BY vec_id, j), "
+    "bk AS (SELECT vec_id, SUM(CASE WHEN dot > 0.0e0 THEN (1 << j) "
+    "ELSE 0 END) AS bucket FROM proj GROUP BY vec_id), "
+    "pairs AS (SELECT a.vec_id AS vec1, b2.vec_id AS vec2 FROM bk a "
+    "JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), "
+    "dd AS (SELECT p.vec1, p.vec2, SUM(xa.x * xb.x) AS dot, "
+    "SUM(xa.x * xa.x) AS n1, SUM(xb.x * xb.x) AS n2 "
+    "FROM pairs p JOIN z xa ON xa.vec_id = p.vec1 "
+    "JOIN z xb ON xb.vec_id = p.vec2 AND xb.d = xa.d "
+    "GROUP BY p.vec1, p.vec2) "
+    "SELECT vec1, vec2, "
+    "CAST(ROUND(dot / (SQRT(n1) * SQRT(n2)) * 1.0e6) AS BIGINT) AS cos_u "
+    "FROM dd WHERE CAST(ROUND(dot / (SQRT(n1) * SQRT(n2)) * 1.0e6) "
+    f"AS BIGINT) >= {_SB_T_U}"
+)
+
+
+@query("embed_signbucket_neardup", oracle=_SB_ORACLE)
+def embed_signbucket_neardup(spark, sf_dir):
+    """Thresholded sign-bucket embedding near-dup: ALL bucket-colliding
+    pairs with snapped cosine >= 0.40 — the set-returning sibling of
+    dedup_embedding_cosine's top-20 view, and the batch twin of the
+    streaming embedding_dedup_stream (a drained replay must equal this
+    set exactly). Per-vector norms computed once (the semdedup lesson);
+    cosine snapped to integer micro-units so the threshold decision is
+    engine-portable."""
+    from .. import tables
+    from .similarity import sign_bucket_sql
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    withb = T.materialize(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
+            F.expr(
+                "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
+            ).alias("nrm"),
+        )
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    cos_u = (
+        "CAST(ROUND("
+        + _DOT.format(a="a.embedding", b="b.embedding")
+        + " / (a.nrm * b.nrm) * 1.0e6) AS BIGINT)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.expr(cos_u).alias("cos_u"),
+        )
+        .filter(F.col("cos_u") >= _SB_T_U)
+    )
+
+
 # --- SemDeDup-style semantic prune (cluster-then-pairwise) ----------------
 
 #: keep/drop cosine threshold in micro-units (0.40 — sized to the

@@ -957,6 +957,91 @@ def phash_dedup_stream(binary_docs: DataFrame) -> DataFrame:
     )
 
 
+def embedding_dedup_stream(vectors: DataFrame) -> DataFrame:
+    """Streaming embedding near-dup detection — the third member of the
+    ingest-dedup family (text: minhash_dedup_stream; binary media:
+    phash_dedup_stream; vectors: this). The 8-plane sign-random-
+    projection bucket is computed IN-ROW by the same narrow SQL as the
+    batch query; one applyInPandasWithState group per bucket keeps the
+    (vec_id, embedding) pairs seen there and an arrival emits pairs
+    whose micro-snapped cosine clears the batch twin's threshold.
+
+    Exactness across the Python/JVM boundary: the kernel's dot product
+    iterates the arrays left-to-right, the same IEEE operation order as
+    the JVM aggregate(zip_with(...)) fold, so the snapped cos_u — and
+    therefore the emitted SET — is bit-equal to batch
+    embed_signbucket_neardup over a vec_id-ordered replay. One bucket
+    per vector (no bands), so no cross-key duplicates exist.
+
+    Scale: state per bucket = collision density; embeddings are the
+    heaviest state in the family (d floats/vector) — production keeps
+    PQ codes in state instead and re-fetches full vectors only for
+    ADC-passing candidates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..queries.dedup import _NPLANES, _SB_T_U
+    from ..queries.similarity import sign_bucket_sql
+
+    keyed = vectors.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
+    )
+
+    out_schema = "vec1 BIGINT, vec2 BIGINT, cos_u BIGINT"
+    state_schema = "vec_ids ARRAY<BIGINT>, embs ARRAY<ARRAY<DOUBLE>>"
+
+    def update(key, pdfs, state):
+        import math
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("vec_id", kind="mergesort")
+        if state.exists:
+            ids, embs = state.get
+            prior = [
+                (int(i), [float(x) for x in e])
+                for i, e in zip(ids, embs)
+            ]
+        else:
+            prior = []
+        seen = {p[0] for p in prior}
+
+        def dot(u, v):
+            acc = 0.0
+            for x, y in zip(u, v):  # left-to-right == the JVM fold
+                acc = acc + x * y
+            return acc
+
+        rows = []
+        for vec_id, emb in zip(batch["vec_id"], batch["embedding"]):
+            vec_id = int(vec_id)
+            if vec_id in seen:  # replayed input
+                continue
+            cur = [float(x) for x in emb]
+            ncur = math.sqrt(dot(cur, cur))
+            for pid, pe in prior:
+                npe = math.sqrt(dot(pe, pe))
+                c = dot(pe, cur) if pid < vec_id else dot(cur, pe)
+                cos_u = math.floor(c / (npe * ncur) * 1.0e6 + 0.5)
+                if cos_u >= _SB_T_U:
+                    rows.append(
+                        (min(pid, vec_id), max(pid, vec_id), int(cos_u))
+                    )
+            prior.append((vec_id, cur))
+            seen.add(vec_id)
+        state.update(([p[0] for p in prior], [p[1] for p in prior]))
+        if rows:
+            yield pd.DataFrame(rows, columns=["vec1", "vec2", "cos_u"])
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_compacting_lake_sink(
     df: DataFrame,
     path: str,
