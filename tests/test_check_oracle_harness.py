@@ -92,3 +92,34 @@ def test_no_oracle_emits_hugeint_or_decimal_columns():
                 bad.append((name, col, ty))
     c.close()
     assert bad == [], f"oracles with driver-lossy output types: {bad}"
+
+
+def test_bench_payload_respects_driver_line_budget():
+    """The driver captures a bounded stdout tail; round 1's bench line
+    overflowed it and parsed as null. Contract: for the CURRENT headline
+    list with worst-realistic per-query widths (xx.xxx seconds), the
+    compact-JSON line stays under 1800 chars — and the fallback path
+    emits a short parseable record when it would not."""
+    import json
+
+    sys.path.insert(0, _REPO)
+    import bench
+
+    times = {name: 99.999 for name in bench.HEADLINE}
+    payload = {
+        "metric": f"headline{len(times)}_suite_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": times,
+        "sf": 0.1,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= 1800, (
+        f"headline list grew past the driver line budget ({len(line)}); "
+        "trim the list or drop per-query precision"
+    )
+    # fallback record stays tiny and parseable
+    payload["queries"] = {"_omitted_n": len(times)}
+    fb = json.dumps(payload, separators=(",", ":"))
+    assert len(fb) < 300 and json.loads(fb)["n_queries"] == len(times)

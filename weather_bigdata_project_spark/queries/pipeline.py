@@ -141,3 +141,94 @@ def corpus_training_assembly(spark, sf_dir):
             )
         ).alias("fill_rate"),
     )
+
+
+# --- the dedup survivorship funnel ----------------------------------------
+
+
+def _funnel_oracle() -> str:
+    surv = ORACLES["dedup_exact_survivors"]
+    near = ORACLES["dedup_minhash_lsh"]
+    qual = ORACLES["text_quality_score"]
+    lang = ORACLES["text_language_id"]
+    s2 = f"(SELECT doc_id FROM ({surv}) _s)"
+    s3 = (
+        f"(SELECT doc_id FROM {s2} _e WHERE doc_id NOT IN "
+        f"(SELECT doc2 FROM ({near}) _n))"
+    )
+    s4 = (
+        f"(SELECT doc_id FROM {s3} _c WHERE doc_id IN "
+        f"(SELECT doc_id FROM ({qual}) _q WHERE quality >= 0.5e0) "
+        f"AND doc_id IN "
+        f"(SELECT doc_id FROM ({lang}) _l WHERE lang_pred = 'en'))"
+    )
+    frac = rnd("CAST(n AS DOUBLE) / raw_n", 6)
+    return (
+        "WITH raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw_n "
+        "FROM documents), "
+        "st AS ("
+        "SELECT 1 AS stage, 'raw' AS stage_name, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 2, 'exact_canonical', "
+        f"CAST(COUNT(*) AS BIGINT) FROM {s2} _a "
+        "UNION ALL SELECT 3, 'neardup_canonical', "
+        f"CAST(COUNT(*) AS BIGINT) FROM {s3} _b "
+        "UNION ALL SELECT 4, 'quality_lang', "
+        f"CAST(COUNT(*) AS BIGINT) FROM {s4} _c) "
+        "SELECT stage, stage_name, n AS n_docs, "
+        + frac
+        + " AS retained_frac FROM st CROSS JOIN raw"
+    )
+
+
+@query("corpus_dedup_funnel", oracle=_funnel_oracle())
+def corpus_dedup_funnel(spark, sf_dir):
+    """The survivorship funnel a curation run reports: document counts
+    and retained fraction after each pipeline stage — raw -> exact
+    canonical (one per byte-identical group) -> near-dup canonical
+    (keep-lowest-id against verified MinHash pairs) -> quality+language
+    gate. Each stage composes the ALREADY-VERIFIED blocks (same
+    keep-lowest-id policy as corpus_filter_pipeline); the oracle nests
+    their SQL. This one result is the headline number of a 100 TB
+    curation job ("we kept 43% of the crawl"), and stage deltas
+    localize where the data went."""
+    docs = T.docs(spark, sf_dir).select("doc_id")
+    s2 = QUERIES["dedup_exact_survivors"](spark, sf_dir)
+    near = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        F.col("doc2").alias("doc_id")
+    )
+    s3 = s2.join(near, "doc_id", "left_anti")
+    q = (
+        QUERIES["text_quality_score"](spark, sf_dir)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+    lang = (
+        QUERIES["text_language_id"](spark, sf_dir)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    s4 = s3.join(q, "doc_id", "left_semi").join(lang, "doc_id", "left_semi")
+    stages = [
+        (1, "raw", docs),
+        (2, "exact_canonical", s2),
+        (3, "neardup_canonical", s3),
+        (4, "quality_lang", s4),
+    ]
+    out = None
+    for k, name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(k).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n").cast("bigint").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("raw_n"))
+    return out.join(F.broadcast(raw)).select(
+        "stage",
+        "stage_name",
+        F.col("n_docs"),
+        F.expr(rnd("CAST(n_docs AS DOUBLE) / raw_n", 6)).alias(
+            "retained_frac"
+        ),
+    )
