@@ -1068,3 +1068,45 @@ def corpus_mix_temperature(spark, sf_dir):
             )
         ).alias("repeat_factor"),
     )
+
+
+# --- tokenizer fertility audit --------------------------------------------
+
+_FERTILITY_ORACLE = (
+    "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes, "
+    + rnd(
+        "CAST(SUM(octet_length(encode(text))) AS DOUBLE) "
+        "/ SUM(len(string_split(text, ' ')))",
+        4,
+    )
+    + " AS bytes_per_token FROM documents GROUP BY source, lang"
+)
+
+
+@query("text_token_fertility", oracle=_FERTILITY_ORACLE)
+def text_token_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per (source, lang): bytes per token —
+    the number that prices a tokenizer against a corpus slice (high
+    bytes/token = compressible text or a tokenizer mismatched to the
+    language; multilingual corpora routinely vary 2-3x across languages,
+    which silently reweights the EFFECTIVE training mixture away from
+    the document mixture). Run it next to corpus_mix_temperature: the
+    mixture you sample in documents is not the mixture the model sees
+    in tokens. One aggregate at (source, lang) cardinality; byte and
+    token counts are exact integers, the ratio snapped at the edge."""
+    d = T.docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_b"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_b").cast("bigint").alias("n_bytes"),
+        F.expr(
+            rnd("CAST(SUM(n_b) AS DOUBLE) / SUM(n_tok)", 4)
+        ).alias("bytes_per_token"),
+    )
