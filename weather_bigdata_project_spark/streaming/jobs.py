@@ -746,7 +746,9 @@ def session_paths_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_stream(docs: DataFrame) -> DataFrame:
+def minhash_dedup_stream(
+    docs: DataFrame, output_mode: str = "update"
+) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection — the ingest-time
     twin of queries/dedup.dedup_minhash_lsh, for dropping near-copies
     BEFORE they ever land in the lake (the training-data ingest shape:
@@ -867,8 +869,12 @@ def minhash_dedup_stream(docs: DataFrame) -> DataFrame:
                 rows, columns=["doc1", "doc2", "jaccard"]
             )
 
+    # emissions are final (a pair is emitted once, never revised), so
+    # BOTH update and append modes are semantically correct; append is
+    # what a checkpointed FILE sink requires (the restart-recovery test
+    # uses it — the memory sink cannot recover from a checkpoint)
     return keyed.groupBy("band", "band_sig").applyInPandasWithState(
-        update, out_schema, state_schema, "update",
+        update, out_schema, state_schema, output_mode,
         GroupStateTimeout.NoTimeout,
     )
 
