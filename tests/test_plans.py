@@ -210,6 +210,17 @@ _JVM_ONLY = [
     "customer_hhi_trend",
     "text_lexical_richness",
     "embed_distance_concentration",
+    # round-3 additions
+    "dedup_band_tuning_sampled",
+    "embed_semdedup_prune",
+    "embed_signbucket_neardup",
+    "embed_pq_adc_search",
+    "embed_ivfpq_search",
+    "corpus_mix_temperature",
+    "corpus_dedup_funnel",
+    "text_token_fertility",
+    "events_approx_distinct_bounds",
+    "events_approx_percentile_bounds",
 ]
 
 
