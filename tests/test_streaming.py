@@ -1317,3 +1317,51 @@ def test_minhash_dedup_stream_survives_restart(spark, tmp_path):
     n2 = spark.read.parquet(out).count()
     run()
     assert spark.read.parquet(out).count() == n2
+
+
+def test_minhash_dedup_stream_bucket_cap(spark, tmp_path):
+    """max_bucket bounds hot-bucket state deterministically: capped at 1
+    prior per bucket, each arrival can only pair with its bucket's
+    single newest predecessor — output must be a SUBSET of the uncapped
+    (== batch) pair set, smaller when clusters exceed the cap, and every
+    pair must involve consecutive members of its cluster (drop-oldest
+    keeps the newest)."""
+    import glob
+    import os
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    src = str(tmp_path / "docs_cap")
+    docs = tables.load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.minhash_dedup_stream(stream, max_bucket=1)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mh_capped")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in spark.table("mh_capped").collect()
+    }
+    want = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in registry.QUERIES["dedup_minhash_lsh"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got <= want          # never invents pairs
+    assert len(got) > 0         # still detects within the horizon
+    assert len(got) < len(want)  # the cap actually bit (clusters > 1+1)

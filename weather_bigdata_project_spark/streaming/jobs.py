@@ -747,7 +747,9 @@ def session_paths_stream(events: DataFrame) -> DataFrame:
 
 
 def minhash_dedup_stream(
-    docs: DataFrame, output_mode: str = "update"
+    docs: DataFrame,
+    output_mode: str = "update",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection — the ingest-time
     twin of queries/dedup.dedup_minhash_lsh, for dropping near-copies
@@ -769,10 +771,15 @@ def minhash_dedup_stream(
     Scale design: state per bucket = the docs sharing one band
     signature (near-dup cluster density, not corpus size); hot buckets
     are exactly the template clusters dedup_graph_degree_profile
-    detects, and production bounds them with a per-bucket cap + TTL
-    (drop-oldest: a crawl dedup only needs recent-horizon priors).
-    Keys are 12-byte (band, sig-string) pairs; shingle arrays travel
-    once per doc per band."""
+    detects. `max_bucket` bounds them: each bucket keeps only its
+    NEWEST max_bucket priors (drop-oldest — a crawl dedup only needs
+    recent-horizon priors, and inside a template cluster every member
+    matches every other, so detection quality degrades gracefully: a
+    new arrival still collides with the retained recent members).
+    Unset = exact batch parity; production sets it to the cap the
+    degree-profile audit recommends, plus a state TTL. Keys are
+    12-byte (band, sig-string) pairs; shingle arrays travel once per
+    doc per band."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -858,6 +865,9 @@ def minhash_dedup_stream(
                     )
             prior.append((doc_id, cur))
             seen.add(doc_id)
+        if max_bucket is not None and len(prior) > max_bucket:
+            # drop-oldest: arrival order == list order, deterministic
+            prior = prior[-max_bucket:]
         state.update(
             (
                 [p[0] for p in prior],
