@@ -162,37 +162,59 @@ def _funnel_oracle() -> str:
         f"AND doc_id IN "
         f"(SELECT doc_id FROM ({lang}) _l WHERE lang_pred = 'en'))"
     )
-    frac = rnd("CAST(n AS DOUBLE) / raw_n", 6)
+    stage = (
+        "SELECT {k} AS stage, '{name}' AS stage_name, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS tk "
+        "FROM tok {pred}"
+    )
     return (
-        "WITH raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw_n "
+        "WITH tok AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS t "
         "FROM documents), "
+        "raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw_n, "
+        "CAST(SUM(t) AS BIGINT) AS raw_t FROM tok), "
         "st AS ("
-        "SELECT 1 AS stage, 'raw' AS stage_name, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
-        "UNION ALL SELECT 2, 'exact_canonical', "
-        f"CAST(COUNT(*) AS BIGINT) FROM {s2} _a "
-        "UNION ALL SELECT 3, 'neardup_canonical', "
-        f"CAST(COUNT(*) AS BIGINT) FROM {s3} _b "
-        "UNION ALL SELECT 4, 'quality_lang', "
-        f"CAST(COUNT(*) AS BIGINT) FROM {s4} _c) "
-        "SELECT stage, stage_name, n AS n_docs, "
-        + frac
-        + " AS retained_frac FROM st CROSS JOIN raw"
+        + stage.format(k=1, name="raw", pred="")
+        + " UNION ALL "
+        + stage.format(
+            k=2, name="exact_canonical",
+            pred=f"WHERE doc_id IN {s2}",
+        )
+        + " UNION ALL "
+        + stage.format(
+            k=3, name="neardup_canonical",
+            pred=f"WHERE doc_id IN {s3}",
+        )
+        + " UNION ALL "
+        + stage.format(
+            k=4, name="quality_lang",
+            pred=f"WHERE doc_id IN {s4}",
+        )
+        + ") SELECT stage, stage_name, n AS n_docs, tk AS n_tokens, "
+        + rnd("CAST(n AS DOUBLE) / raw_n", 6)
+        + " AS retained_frac, "
+        + rnd("CAST(tk AS DOUBLE) / raw_t", 6)
+        + " AS token_retained_frac FROM st CROSS JOIN raw"
     )
 
 
 @query("corpus_dedup_funnel", oracle=_funnel_oracle())
 def corpus_dedup_funnel(spark, sf_dir):
-    """The survivorship funnel a curation run reports: document counts
-    and retained fraction after each pipeline stage — raw -> exact
-    canonical (one per byte-identical group) -> near-dup canonical
-    (keep-lowest-id against verified MinHash pairs) -> quality+language
-    gate. Each stage composes the ALREADY-VERIFIED blocks (same
-    keep-lowest-id policy as corpus_filter_pipeline); the oracle nests
-    their SQL. This one result is the headline number of a 100 TB
-    curation job ("we kept 43% of the crawl"), and stage deltas
-    localize where the data went."""
-    docs = T.docs(spark, sf_dir).select("doc_id")
+    """The survivorship funnel a curation run reports: document AND
+    token counts plus retained fractions after each pipeline stage —
+    raw -> exact canonical (one per byte-identical group) -> near-dup
+    canonical (keep-lowest-id against verified MinHash pairs) ->
+    quality+language gate. Token columns are the number the GPUs care
+    about (dedup preferentially removes boilerplate, so doc and token
+    retention DIVERGE — that divergence is itself a signal). Each stage
+    composes the ALREADY-VERIFIED blocks with the same keep-lowest-id
+    policy as corpus_filter_pipeline; the oracle nests their SQL. This
+    one result is the headline number of a 100 TB curation job ("we
+    kept 43% of docs, 47% of tokens"), and stage deltas localize where
+    the data went."""
+    tok = T.docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("t")
+    )
     s2 = QUERIES["dedup_exact_survivors"](spark, sf_dir)
     near = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
         F.col("doc2").alias("doc_id")
@@ -210,25 +232,39 @@ def corpus_dedup_funnel(spark, sf_dir):
     )
     s4 = s3.join(q, "doc_id", "left_semi").join(lang, "doc_id", "left_semi")
     stages = [
-        (1, "raw", docs),
+        (1, "raw", tok),
         (2, "exact_canonical", s2),
         (3, "neardup_canonical", s3),
         (4, "quality_lang", s4),
     ]
     out = None
     for k, name, frame in stages:
-        row = frame.agg(F.count(F.lit(1)).alias("n")).select(
+        counted = (
+            tok if name == "raw" else frame.join(tok, "doc_id")
+        )
+        row = counted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").cast("bigint").alias("tk"),
+        ).select(
             F.lit(k).alias("stage"),
             F.lit(name).alias("stage_name"),
             F.col("n").cast("bigint").alias("n_docs"),
+            F.col("tk").alias("n_tokens"),
         )
         out = row if out is None else out.unionByName(row)
-    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("raw_n"))
+    raw = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_n"),
+        F.sum("t").cast("bigint").alias("raw_t"),
+    )
     return out.join(F.broadcast(raw)).select(
         "stage",
         "stage_name",
-        F.col("n_docs"),
+        "n_docs",
+        "n_tokens",
         F.expr(rnd("CAST(n_docs AS DOUBLE) / raw_n", 6)).alias(
             "retained_frac"
+        ),
+        F.expr(rnd("CAST(n_tokens AS DOUBLE) / raw_t", 6)).alias(
+            "token_retained_frac"
         ),
     )
