@@ -221,6 +221,9 @@ _JVM_ONLY = [
     "text_token_fertility",
     "events_approx_distinct_bounds",
     "events_approx_percentile_bounds",
+    "corpus_dsir_importance",
+    "dedup_incremental_snapshot",
+    "corpus_global_shuffle",
 ]
 
 

@@ -1110,3 +1110,208 @@ def text_token_fertility(spark, sf_dir):
             rnd("CAST(SUM(n_b) AS DOUBLE) / SUM(n_tok)", 4)
         ).alias("bytes_per_token"),
     )
+
+
+# --- DSIR hashed-n-gram importance resampling ------------------------------
+
+#: hashed-feature bucket count. DSIR (Xie et al. 2023, "Data Selection
+#: for Language Models via Importance Resampling") hashes n-gram
+#: features into a fixed bucket space so the target/raw density models
+#: are FIXED-SIZE regardless of corpus scale; 4096 here (the paper uses
+#: 10k for unigram+bigram) keeps the model broadcast-trivial.
+_DSIR_B = 4096
+_DSIR_TGT = "src0"  # the "target domain" sources: what we want more of
+
+#: per-bucket log importance ratio ln(p_tgt/p_raw) with add-1 smoothing
+#: over buckets, snapped to 1e-5 integer units BEFORE the per-doc sum
+#: (libm-ulp doctrine: LN may differ in the last ulp between engines;
+#: snapping each bucket's contribution once makes every doc's total
+#: exact integer arithmetic).
+_DSIR_LR_U = (
+    "CAST(ROUND(("
+    f"LN((CAST(c_t AS DOUBLE) + 1.0e0) / (CAST(tt AS DOUBLE) + {_DSIR_B}.0e0))"
+    " - "
+    f"LN((CAST(c_r AS DOUBLE) + 1.0e0) / (CAST(tr AS DOUBLE) + {_DSIR_B}.0e0))"
+    ") * 1.0e5) AS BIGINT)"
+)
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, source, {T.hashed_id_duck('tok', _DSIR_B)} AS b FROM tok
+),
+bc AS (
+  SELECT b, COUNT(*) AS c_r,
+         SUM(CASE WHEN source = '{_DSIR_TGT}' THEN 1 ELSE 0 END) AS c_t
+  FROM tb GROUP BY b
+),
+tot AS (SELECT SUM(c_r) AS tr, SUM(c_t) AS tt FROM bc),
+lr AS (SELECT b, {_DSIR_LR_U} AS lr_u FROM bc CROSS JOIN tot)
+SELECT tb.doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(lr_u) AS DOUBLE) / (1.0e5 * COUNT(*)) AS dsir_logratio,
+       (SUM(lr_u) > 0) AS selected
+FROM tb JOIN lr USING (b)
+GROUP BY tb.doc_id
+"""
+
+
+@query("corpus_dsir_importance", oracle=_DSIR_ORACLE)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scoring (Xie et al. 2023): score every raw
+    document by how much more likely its hashed-unigram features are
+    under the TARGET domain's distribution (source = src0, standing in
+    for "looks like curated text") than under the raw pool's own
+    distribution. Tokens hash into a fixed 4096-bucket feature space;
+    both densities get add-1 smoothing; a doc's score is its mean
+    per-token log ratio and `selected` marks docs that lean target —
+    the importance-resampling gate used to pick pretraining data that
+    matches a high-quality reference corpus.
+
+    Scale shape: ONE pass over tokens builds both bucket histograms
+    simultaneously (c_r and the CASE-summed c_t in the same
+    bucket-cardinality hash-agg — no second scan for the target model);
+    the model is exactly 4096 rows, so scoring is a BROADCAST join onto
+    the token stream followed by one doc-cardinality agg. Nothing in
+    the plan grows with corpus size except the two linear passes; this
+    is why DSIR hashes features instead of keeping an open vocabulary.
+    Per-bucket log ratios snap to 1e-5 integer units before summing
+    (exact cross-engine totals); totals enter via a broadcast
+    single-row cross join, not a driver collect."""
+    tb = T.docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(T.hashed_id_spark("tok", _DSIR_B)).alias("b"),
+    )
+    tb = T.materialize(tb)
+    bc = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TGT, 1).otherwise(0)
+        ).alias("c_t"),
+    )
+    tot = bc.agg(
+        F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_LR_U).alias("lr_u")
+    )
+    return (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.expr(
+                "CAST(SUM(lr_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
+            ).alias("dsir_logratio"),
+            (F.sum("lr_u") > 0).alias("selected"),
+        )
+    )
+
+
+# --- incremental (cross-snapshot) exact dedup ------------------------------
+
+_SNAP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents
+),
+new AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+old AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+canon AS (
+  SELECT doc_id, source, n_chars, h FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS m FROM new
+  ) _w WHERE doc_id = m
+)
+SELECT c.doc_id, c.source, c.n_chars
+FROM canon c LEFT JOIN old o ON c.h = o.h
+WHERE o.h IS NULL
+"""
+
+
+@query("dedup_incremental_snapshot", oracle=_SNAP_ORACLE)
+def dedup_incremental_snapshot(spark, sf_dir):
+    """Incremental exact dedup of a NEW crawl snapshot against the
+    already-ingested corpus — the pattern every recurring web-crawl
+    pipeline runs (CommonCrawl-style: each monthly snapshot is mostly
+    pages you already have). Docs split deterministically into the
+    existing corpus (even doc_id) and the incoming snapshot (odd);
+    a new doc survives iff (a) it is the lowest-id copy of its content
+    hash WITHIN the snapshot and (b) its hash does not already exist in
+    the corpus. Keep-earliest across snapshots falls out for free: the
+    corpus side always wins.
+
+    Scale shape: the corpus side is reduced to DISTINCT 16-byte content
+    hashes before the join — O(corpus) bytes never move, only hashes;
+    the within-snapshot canonical pick is one hash-partitioned window
+    (same shuffle key as the anti-join, so AQE can reuse the exchange);
+    the anti-join streams the snapshot against the corpus-hash build
+    side. Incremental cost is O(snapshot + corpus-hashes), NOT
+    O(corpus) re-deduped from scratch — that asymmetry is the entire
+    point of incremental dedup at 100 TB."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    old = d.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    w = Window.partitionBy("h")
+    canon = (
+        new.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("m"))
+    )
+    return canon.join(old, "h", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# --- deterministic global training-order shuffle ---------------------------
+
+_SHUF_SHARDS = 8
+_SHUF_KEY_S = T.hashed_id_spark("concat('shuf1:', CAST(doc_id AS STRING))")
+_SHUF_KEY_D = T.hashed_id_duck("concat('shuf1:', CAST(doc_id AS STRING))")
+
+_SHUF_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, source, {_SHUF_KEY_D} AS skey FROM documents
+)
+SELECT doc_id, source, skey % {_SHUF_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY skey % {_SHUF_SHARDS} ORDER BY skey, doc_id
+       ) AS BIGINT) AS pos
+FROM k
+"""
+
+
+@query("corpus_global_shuffle", oracle=_SHUF_ORACLE)
+def corpus_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets
+    a seeded 60-bit content-hash key, a shard (key mod 8), and its
+    0/1-based position within the shard's key order — the epoch-0
+    example order a data loader consumes. Seeded hash ordering is how
+    training shuffles must be done at scale: reproducible across runs
+    and engines (no RNG state), stable per document (append-only
+    corpora extend the order without reshuffling history), and
+    changeable per epoch by bumping the seed string.
+
+    Scale shape: the key and shard are pure narrow expressions; the
+    only movement is ONE repartition-by-shard + sort-within-partition
+    (exactly `df.repartition("shard").sortWithinPartitions("skey")` on
+    the write path — no global total order is ever materialized). The
+    per-shard window parallelizes across shards; production shard
+    counts are in the thousands, so every core stays busy and each
+    shard's sort fits its executor."""
+    k = T.docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_SHUF_KEY_S).alias("skey")
+    ).withColumn("shard", F.col("skey") % _SHUF_SHARDS)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id",
+        "source",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
