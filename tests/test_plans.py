@@ -224,6 +224,7 @@ _JVM_ONLY = [
     "corpus_dsir_importance",
     "dedup_incremental_snapshot",
     "corpus_global_shuffle",
+    "dedup_chunk_scrub",
 ]
 
 

@@ -1543,3 +1543,113 @@ def dedup_containment(spark, sf_dir):
         .orderBy(F.desc("containment"), "doc_small", "doc_big")
         .limit(50)
     )
+
+
+# --- chunk-level scrub: REMOVE duplicated chunks, keep one global copy -----
+
+#: global first-occurrence key for a chunk occurrence. idx < 100000 for
+#: any realistic document (10-token chunks => 1M-token doc); BIGINT is
+#: safe to ~9e13 docs.
+_SCRUB_KEY = f"doc_id * 100000 + idx"
+
+_CHUNK_SCRUB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         array_to_string(ts[i * {_CHUNK_W} + 1 : i * {_CHUNK_W} + {_CHUNK_W}], ' ')
+           AS chunk
+  FROM d, unnest(range(0, CAST((len(ts) + {_CHUNK_W} - 1)
+    // {_CHUNK_W} AS INT))) AS u(i)
+),
+cf AS (
+  SELECT chunk, COUNT(*) AS c, MIN({_SCRUB_KEY}) AS first_key
+  FROM ch GROUP BY chunk
+),
+k AS (
+  SELECT ch.doc_id, ch.idx, ch.chunk,
+         (cf.c = 1 OR {_SCRUB_KEY} = cf.first_key) AS keep
+  FROM ch JOIN cf USING (chunk)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), '')
+         AS scrubbed_text
+FROM k
+GROUP BY doc_id
+HAVING SUM(CASE WHEN keep THEN 0 ELSE 1 END) > 0
+"""
+
+
+@query("dedup_chunk_scrub", oracle=_CHUNK_SCRUB_ORACLE)
+def dedup_chunk_scrub(spark, sf_dir):
+    """The corrective sibling of `dedup_chunk_level`: actually REMOVE
+    every duplicated 10-token chunk from the corpus, keeping exactly
+    one global copy (the occurrence with the lowest (doc_id, position)
+    — C4's "discard all but one of any three-sentence span occurring
+    more than once", made deterministic), and reassemble each affected
+    document's scrubbed text in original chunk order. Output = the
+    changed docs with before/after chunk counts and the cleaned text;
+    unchanged docs pass through untouched upstream, so the result is
+    exactly the patch set a curation job writes back.
+
+    Scale shape: chunking is a narrow in-row transform; the
+    chunk-frequency + first-occurrence aggregate is ONE map-combined
+    hash-agg (MIN and COUNT ride together), and the occurrence join is
+    the only other shuffle — at 100 TB both key on a 64-bit chunk hash
+    with text carried only on the occurrence side. Reassembly is a
+    per-doc collect_list bounded by document size, never by corpus
+    size. The first-occurrence key is a pure expression (doc_id *
+    100000 + idx), so keep/drop is decided inside the join row with no
+    window and no second pass."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    )
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(ts) + {_CHUNK_W} - 1)"
+                f" div {_CHUNK_W} AS INT) - 1), "
+                f"i -> array_join(slice(ts, i * {_CHUNK_W} + 1, "
+                f"{_CHUNK_W}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", F.col("idx").cast("bigint").alias("idx"), "chunk")
+    cf = ch.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.expr(_SCRUB_KEY)).alias("first_key"),
+    )
+    k = ch.join(cf, "chunk").select(
+        "doc_id",
+        "idx",
+        "chunk",
+        (
+            (F.col("c") == 1) | (F.expr(_SCRUB_KEY) == F.col("first_key"))
+        ).alias("keep"),
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("idx", "chunk")
+                            )
+                        )
+                    ),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )
