@@ -225,6 +225,7 @@ _JVM_ONLY = [
     "dedup_incremental_snapshot",
     "corpus_global_shuffle",
     "dedup_chunk_scrub",
+    "corpus_decontaminate",
 ]
 
 

@@ -1315,3 +1315,86 @@ def corpus_global_shuffle(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --- decontamination: the corrective gate over the contamination scan ------
+
+_DECON_T = "0.2e0"  # drop a training doc at >= 20% benchmark-shingle overlap
+
+_DECON_ORACLE = (
+    "WITH c AS (SELECT doc_id, hit_frac FROM ("
+    "{contam}) _c), "
+    f"t AS (SELECT doc_id, source, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok "
+    f"FROM documents WHERE source <> '{_BENCH_SOURCE}'), "
+    "j AS (SELECT t.source, t.n_tok, "
+    "COALESCE(c.hit_frac, 0.0e0) AS hf FROM t LEFT JOIN c USING (doc_id)) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    f"CAST(SUM(CASE WHEN hf >= {_DECON_T} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dropped, "
+    f"CAST(SUM(CASE WHEN hf < {_DECON_T} THEN n_tok ELSE 0 END) AS BIGINT) "
+    "AS n_tokens_kept, "
+    + rnd(
+        f"CAST(SUM(CASE WHEN hf >= {_DECON_T} THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / COUNT(*)",
+        6,
+    )
+    + " AS drop_frac FROM j GROUP BY source"
+)
+
+
+@query("corpus_decontaminate", oracle=None)  # bound just below
+def corpus_decontaminate(spark, sf_dir):
+    """The corrective gate over `contamination_ngram_overlap`: drop any
+    training document whose benchmark 3-gram overlap reaches 20%, and
+    report the per-source damage — docs kept/dropped, surviving token
+    mass, drop fraction. This is the decontamination report a
+    pretraining run records next to its data card (the threshold is the
+    one knob; emitting per-source fractions shows WHICH crawls carry
+    eval leakage). Composes the already-verified contamination scan —
+    its broadcast-probe shape is unchanged (the 100 TB training side
+    still never shuffles; the left join adds scores only for the
+    contaminated sliver) and the summary is one source-cardinality
+    agg."""
+    from ..registry import ORACLES, QUERIES
+
+    c = QUERIES["contamination_ngram_overlap"](spark, sf_dir).select(
+        "doc_id", "hit_frac"
+    )
+    t = T.docs(spark, sf_dir).filter(
+        F.col("source") != _BENCH_SOURCE
+    ).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    thr = float(_DECON_T.replace("e0", ""))
+    j = t.join(c, "doc_id", "left").select(
+        "source", "n_tok", F.coalesce("hit_frac", F.lit(0.0)).alias("hf")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hf") >= thr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("hf") < thr, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.expr(
+            rnd(
+                f"CAST(SUM(CASE WHEN hf >= {_DECON_T} THEN 1 ELSE 0 END) "
+                "AS DOUBLE) / COUNT(*)",
+                6,
+            )
+        ).alias("drop_frac"),
+    )
+
+
+# late-bind the oracle: contamination_ngram_overlap's SQL is registered
+# by the decorator above this function in the same module, so ORACLES
+# already holds it by the time this line runs at import.
+from ..registry import ORACLES as _OR  # noqa: E402
+
+_OR["corpus_decontaminate"] = _DECON_ORACLE.format(
+    contam=_OR["contamination_ngram_overlap"]
+)
