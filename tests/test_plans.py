@@ -226,6 +226,8 @@ _JVM_ONLY = [
     "corpus_global_shuffle",
     "dedup_chunk_scrub",
     "corpus_decontaminate",
+    "retrieval_rrf_fusion",
+    "corpus_cluster_split",
 ]
 
 

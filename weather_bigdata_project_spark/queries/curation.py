@@ -1398,3 +1398,113 @@ from ..registry import ORACLES as _OR  # noqa: E402
 _OR["corpus_decontaminate"] = _DECON_ORACLE.format(
     contam=_OR["contamination_ngram_overlap"]
 )
+
+
+# --- cluster-aware split: leakage-free by construction ---------------------
+
+def _cluster_split_oracle() -> str:
+    # dedup.py registers dedup_clusters before this module loads
+    # (registry.load order); force it for direct-import callers too.
+    from . import dedup as _dedup  # noqa: F401
+    from ..registry import ORACLES
+
+    return (
+        "WITH cl AS (SELECT doc_id, canonical_doc FROM ("
+        + ORACLES["dedup_clusters"]
+        + ")), "
+        "prs AS (SELECT doc1, doc2 FROM ("
+        + ORACLES["dedup_minhash_lsh"]
+        + ")), "
+        "m AS (SELECT d.doc_id, COALESCE(cl.canonical_doc, d.doc_id) "
+        "AS cluster_id FROM documents d LEFT JOIN cl USING (doc_id)), "
+        "s AS (SELECT doc_id, cluster_id, "
+        + _SPLIT.replace("doc_id", "cluster_id")
+        + " AS split FROM m), "
+        "px AS (SELECT a.split AS sa, b.split AS sb FROM prs p "
+        "JOIN s a ON a.doc_id = p.doc1 JOIN s b ON b.doc_id = p.doc2), "
+        "x AS (SELECT CAST(COALESCE(SUM(CASE WHEN sa <> sb THEN 1 "
+        "ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs FROM px), "
+        "w AS (SELECT sa AS split, COUNT(*) AS n_within_pairs FROM px "
+        "WHERE sa = sb GROUP BY sa) "
+        "SELECT s.split, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT s.cluster_id) AS n_clusters, "
+        "COALESCE(MAX(w.n_within_pairs), 0) AS n_within_pairs, "
+        "MAX(x.n_cross_pairs) AS n_cross_pairs "
+        "FROM s LEFT JOIN w ON w.split = s.split CROSS JOIN x "
+        "GROUP BY s.split"
+    )
+
+
+@query("corpus_cluster_split", oracle=_cluster_split_oracle())
+def corpus_cluster_split(spark, sf_dir):
+    """The fix corpus_split_leakage motivates, implemented: train/val/
+    test assignment by the LCG hash of the near-dup CLUSTER id (the
+    component's canonical doc from dedup_clusters; singletons are their
+    own cluster), so every near-duplicate lands in the SAME split and
+    cross-split evaluation leakage is zero BY CONSTRUCTION — this is
+    how The Pile / Dolma-class corpora split after dedup. The output
+    proves it: per-split doc/cluster counts, the near-dup pairs that
+    now live entirely inside each split, and the global cross-split
+    pair count, which must be 0 (compare corpus_split_leakage's
+    non-zero n_leaks under doc-id splitting on the same corpus).
+
+    Scale shape: rides the shared MinHash pair machinery + the
+    label-propagation core (pair-graph-sized, not corpus-sized); the
+    cluster map joins the corpus once (left join, near-dup sliver
+    only); split assignment stays a narrow expression, so writing the
+    three corpora remains a partition predicate with no global
+    coordination. The audit joins split labels at pair cardinality."""
+    from .dedup import _cc_labels, dedup_minhash_lsh
+
+    pairs = T.materialize(
+        dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    )
+    cl = _cc_labels(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("canon")
+    )
+    s = T.materialize(
+        T.docs(spark, sf_dir)
+        .select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canon", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split", F.expr(_SPLIT.replace("doc_id", "cluster_id"))
+        )
+    )
+    a = s.select(F.col("doc_id").alias("doc1"), F.col("split").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc2"), F.col("split").alias("sb"))
+    px = pairs.join(a, "doc1").join(b, "doc2")
+    x = px.agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN sa <> sb THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_cross_pairs")
+    )
+    w = (
+        px.filter("sa = sb")
+        .groupBy(F.col("sa").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_within_pairs"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(w, "split", "left")
+        .crossJoin(F.broadcast(x))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("n_within_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_within_pairs"),
+            "n_cross_pairs",
+        )
+    )

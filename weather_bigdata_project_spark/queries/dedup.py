@@ -718,6 +718,17 @@ def dedup_clusters(spark, sf_dir):
     pairs = T.materialize(
         dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     )
+    return _cc_labels(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("canonical_doc")
+    )
+
+
+def _cc_labels(pairs):
+    """Connected-components core over a materialized (doc1, doc2) pair
+    frame: (doc, label) with label = min doc_id of the component. Shared
+    by dedup_clusters and the cluster-aware split (corpus_cluster_split
+    in curation.py), so callers that already hold the pair frame don't
+    recompute the MinHash chain twice."""
     # edges is re-referenced by EVERY propagation round: cut its lineage
     # so each round's plan embeds a leaf, not the whole MinHash subtree
     # (persist alone keeps execution cached but re-analyzes the full
@@ -766,9 +777,7 @@ def dedup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("doc").alias("doc_id"), F.col("label").alias("canonical_doc")
-    )
+    return labels
 
 
 # --- SimHash --------------------------------------------------------------

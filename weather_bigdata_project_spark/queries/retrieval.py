@@ -56,37 +56,33 @@ _BM25_IDF_U = (
 )
 
 
-@query(
-    "text_bm25_search",
-    oracle=(
-        "WITH " + T.TOKS_CTE + ", "
-        "dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
-        "FROM documents), "
-        "tot AS (SELECT SUM(dl) AS sdl, COUNT(*) AS n FROM dl), "
-        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
-        f"WHERE tok IN {_BM25_TERMS_SQL} GROUP BY doc_id, tok), "
-        "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), "
-        "idf AS (SELECT tok, df, " + _BM25_IDF_U + " AS idf_u "
-        "FROM dfq, tot), "
-        "contrib AS (SELECT doc_id, " + _BM25_CONTRIB_U + " AS c_u "
-        "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), tot), "
-        "scored AS (SELECT doc_id, SUM(c_u) AS score_u FROM contrib "
-        "GROUP BY doc_id), "
-        "r AS (SELECT doc_id, score_u, ROW_NUMBER() OVER "
-        "(ORDER BY score_u DESC, doc_id) AS rnk FROM scored) "
-        "SELECT rnk, doc_id, "
-        "CAST(score_u AS DOUBLE) / 1.0e6 AS bm25 "
-        f"FROM r WHERE rnk <= {_BM25_TOP}"
-    ),
+#: CTE chain ending in `scored(doc_id, score_u)` — shared by the BM25
+#: top-10 oracle and the RRF fusion oracle (the SQL twin of
+#: _bm25_scored below).
+_BM25_SCORED_CTES = (
+    T.TOKS_CTE + ", "
+    "dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+    "FROM documents), "
+    "tot AS (SELECT SUM(dl) AS sdl, COUNT(*) AS n FROM dl), "
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+    f"WHERE tok IN {_BM25_TERMS_SQL} GROUP BY doc_id, tok), "
+    "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), "
+    "idf AS (SELECT tok, df, " + _BM25_IDF_U + " AS idf_u "
+    "FROM dfq, tot), "
+    "contrib AS (SELECT doc_id, " + _BM25_CONTRIB_U + " AS c_u "
+    "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), tot), "
+    "scored AS (SELECT doc_id, SUM(c_u) AS score_u FROM contrib "
+    "GROUP BY doc_id)"
 )
-def text_bm25_search(spark, sf_dir):
-    """BM25 top-10 for the fixed query {spark, join, stream} (k1=1.2,
-    b=0.75). Token stream is filtered to the 3 query terms before the
-    (doc, term) aggregate, so every shuffle after the scan carries
-    candidates only; df and the global (sdl, n) totals are 1-to-3-row
-    aggregates broadcast back (never a driver collect); contributions are
-    micro-unit integers so the cross-term SUM and the top-10 cut are
-    exact. Tie-break on doc_id => total order."""
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score_u): exact-integer BM25 scores for every candidate
+    doc of the fixed query — the shared core of text_bm25_search and
+    retrieval_rrf_fusion. Token stream is filtered to the query terms
+    before the (doc, term) aggregate, so every shuffle after the scan
+    carries candidates only; df and the global (sdl, n) totals are
+    1-to-3-row aggregates broadcast back."""
     docs = T.docs(spark, sf_dir)
     dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     tot = dl.agg(
@@ -108,7 +104,27 @@ def text_bm25_search(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.expr(_BM25_CONTRIB_U).alias("c_u"))
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+    return contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+
+
+@query(
+    "text_bm25_search",
+    oracle=(
+        "WITH " + _BM25_SCORED_CTES + ", "
+        "r AS (SELECT doc_id, score_u, ROW_NUMBER() OVER "
+        "(ORDER BY score_u DESC, doc_id) AS rnk FROM scored) "
+        "SELECT rnk, doc_id, "
+        "CAST(score_u AS DOUBLE) / 1.0e6 AS bm25 "
+        f"FROM r WHERE rnk <= {_BM25_TOP}"
+    ),
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the fixed query {spark, join, stream} (k1=1.2,
+    b=0.75). Scoring core shared with retrieval_rrf_fusion
+    (_bm25_scored); contributions are micro-unit integers so the
+    cross-term SUM and the top-10 cut are exact. Tie-break on doc_id =>
+    total order."""
+    scored = _bm25_scored(spark, sf_dir)
     # top-10 cut FIRST via orderBy+limit => TakeOrderedAndProject
     # (per-partition 10-row heaps, driver merges 10 rows) — the global
     # rank window then runs over a 10-row frame, never the candidate set.
@@ -171,4 +187,119 @@ def text_phrase_search(spark, sf_dir):
     ).select(left.doc_id)
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_occurrences")
+    )
+
+
+# --- reciprocal-rank fusion (hybrid retrieval) -----------------------------
+
+#: standard RRF constant (Cormack et al. 2009) and per-ranker pool depth
+_RRF_K = 60
+_RRF_POOL = 100
+_RRF_TOP = 10
+
+#: one ranker's RRF contribution in integer nano-units: 1e9/(k + rank)
+#: snapped once per (doc, ranker), so the two-ranker sum is exact
+#: integer arithmetic in both engines.
+def _rrf_term(rank_col: str) -> str:
+    return (
+        f"COALESCE(CAST(ROUND(1.0e9 / ({_RRF_K} + {rank_col})) "
+        "AS BIGINT), 0)"
+    )
+
+
+def _rrf_oracle() -> str:
+    # text.py registers text_quality_score before this module loads
+    # (registry.load order); force it for direct-import callers too.
+    from . import text as _text  # noqa: F401
+    from ..registry import ORACLES
+
+    return (
+        "WITH " + _BM25_SCORED_CTES + ", "
+        "q AS (SELECT doc_id, quality FROM ("
+        + ORACLES["text_quality_score"]
+        + ")), "
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score_u DESC, doc_id) AS r_lex FROM scored), "
+        f"lex100 AS (SELECT * FROM lex WHERE r_lex <= {_RRF_POOL}), "
+        "qq AS (SELECT s.doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY q.quality DESC, s.doc_id) AS r_q "
+        "FROM scored s JOIN q ON q.doc_id = s.doc_id), "
+        f"q100 AS (SELECT * FROM qq WHERE r_q <= {_RRF_POOL}), "
+        "f AS (SELECT COALESCE(lex100.doc_id, q100.doc_id) AS doc_id, "
+        "r_lex, r_q FROM lex100 FULL JOIN q100 "
+        "ON lex100.doc_id = q100.doc_id), "
+        "sc AS (SELECT doc_id, r_lex, r_q, "
+        + _rrf_term("r_lex") + " + " + _rrf_term("r_q") + " AS rrf_u "
+        "FROM f), "
+        "rr AS (SELECT *, ROW_NUMBER() OVER "
+        "(ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) "
+        "SELECT rnk, doc_id, r_lex AS lex_rank, r_q AS quality_rank, "
+        "CAST(rrf_u AS DOUBLE) / 1.0e9 AS rrf "
+        f"FROM rr WHERE rnk <= {_RRF_TOP}"
+    )
+
+
+@query("retrieval_rrf_fusion", oracle=_rrf_oracle())
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval by RECIPROCAL-RANK FUSION (Cormack et al. 2009,
+    the fusion every hybrid BM25+prior / BM25+vector stack uses): the
+    lexical BM25 ranking and a document-quality prior ranking are each
+    cut to a top-100 pool, fused by sum of 1/(60+rank), and the fused
+    top-10 returned with both source ranks (NULL = doc absent from that
+    ranker's pool — RRF's defining property is graceful handling of
+    partial overlap).
+
+    Scale shape: each ranker ends in a TakeOrdered top-100 heap (never
+    a global sort); the fusion's full-outer join and final rank run on
+    <= 200 rows. The quality prior joins candidate docs only (inner
+    join against the BM25 candidate set), so the prior's corpus-wide
+    aggregate is the only corpus-scale stage — in production that score
+    is precomputed at ingest. Contributions snap to integer nano-units
+    per (doc, ranker), so the fused ordering is bit-stable across
+    engines and partitionings."""
+    from pyspark.sql import Window
+
+    scored = T.materialize(_bm25_scored(spark, sf_dir))
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "quality"
+    )
+    lex100 = (
+        scored.orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_u"), F.asc("doc_id")))
+            .alias("r_lex"),
+        )
+    )
+    q100 = (
+        scored.join(q, "doc_id")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("quality"), F.asc("doc_id")))
+            .alias("r_q"),
+        )
+    )
+    fused = lex100.join(q100, "doc_id", "full").select(
+        "doc_id",
+        "r_lex",
+        "r_q",
+        F.expr(_rrf_term("r_lex") + " + " + _rrf_term("r_q")).alias(
+            "rrf_u"
+        ),
+    )
+    top = fused.orderBy(F.desc("rrf_u"), F.asc("doc_id")).limit(_RRF_TOP)
+    w = Window.orderBy(F.desc("rrf_u"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "doc_id",
+        F.col("r_lex").alias("lex_rank"),
+        F.col("r_q").alias("quality_rank"),
+        F.expr("CAST(rrf_u AS DOUBLE) / 1.0e9").alias("rrf"),
     )
