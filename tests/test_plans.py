@@ -228,6 +228,8 @@ _JVM_ONLY = [
     "corpus_decontaminate",
     "retrieval_rrf_fusion",
     "corpus_cluster_split",
+    "embed_sq8_quantize",
+    "dedup_duplicated_spans",
 ]
 
 

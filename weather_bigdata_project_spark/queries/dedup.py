@@ -1662,3 +1662,92 @@ def dedup_chunk_scrub(spark, sf_dir):
         )
         .filter(F.col("n_removed") > 0)
     )
+
+
+# --- duplicated-span profile (sliding-window exact substring dedup) --------
+
+_SPAN_W = 8  # window width in tokens, stride 1
+
+_SPAN_ORACLE = (
+    "WITH w AS (SELECT DISTINCT doc_id, wh FROM ("
+    "SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) "
+    f"< {_SPAN_W} THEN [] "
+    f"ELSE list_transform(range(1, len(string_split(text, ' ')) - "
+    f"{_SPAN_W - 2}), "
+    "i -> array_to_string(string_split(text, ' ')"
+    f"[i:i+{_SPAN_W - 1}], ' ')) END) AS wh FROM documents)), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id), "
+    "df AS (SELECT wh, COUNT(*) AS nd FROM w GROUP BY wh), "
+    "pd AS (SELECT w.doc_id, "
+    "CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_windows FROM w JOIN df USING (wh) GROUP BY w.doc_id) "
+    "SELECT pd.doc_id, sz.n_windows, pd.n_dup_windows, "
+    + rnd("CAST(pd.n_dup_windows AS DOUBLE) / sz.n_windows", 4)
+    + " AS dup_frac FROM pd JOIN sz USING (doc_id) "
+    "ORDER BY dup_frac DESC, pd.doc_id LIMIT 20"
+)
+
+
+@query("dedup_duplicated_spans", oracle=_SPAN_ORACLE)
+def dedup_duplicated_spans(spark, sf_dir):
+    """Sliding-window exact-substring duplication profile (the signal
+    behind Lee et al. 2021's 'Deduplicating Training Data Makes LMs
+    Better'): every 8-token window at stride 1, hashed; a window is
+    DUPLICATED if it appears in >= 2 distinct documents; per doc the
+    fraction of its windows that are duplicated elsewhere, top-20
+    offenders. Unlike dedup_chunk_level's fixed non-overlapping chunks,
+    stride-1 windows catch SHIFTED copies (quoted paragraphs, boiler-
+    plate with inserted prefixes) — the case chunk boundaries miss; the
+    scrub action for flagged docs is dedup_chunk_scrub.
+
+    Scale shape: the Spark-practice substitute for a suffix array —
+    windows build in-row (let-binding transform, per-doc dedup via
+    array_distinct, NO shuffle to form them), then ONE corpus-token-
+    sized hash-agg on the 60-bit window hash, one join back at window
+    cardinality, one doc-cardinality agg, and a top-20 heap. Window
+    hashes are md5-60bit content ids (hashed_id doctrine), so the
+    oracle's string windows count identically."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = (
+        f"transform(sequence(1, size(toks) - {_SPAN_W - 1}), "
+        "i -> "
+        + T.hashed_id_spark(f"concat_ws(' ', slice(toks, i, {_SPAN_W}))")
+        + ")"
+    )
+    arr = (
+        f"CASE WHEN size(toks) < {_SPAN_W} THEN array() "
+        f"ELSE array_distinct({grams}) END"
+    )
+    wrapped = (
+        f"transform(array({arr}), "
+        "a -> transform(a, x -> struct(size(a) AS n_w, x AS wh)))[0]"
+    )
+    win = d.select("doc_id", F.inline(F.expr(wrapped))).select(
+        "doc_id", "n_w", "wh"
+    )
+    win = T.materialize(win)
+    wf = win.groupBy("wh").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        win.join(wf, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_w").cast("bigint").alias("n_windows"),
+            F.sum(F.expr("CASE WHEN nd >= 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr(
+                rnd("CAST(n_dup_windows AS DOUBLE) / n_windows", 4)
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -2158,3 +2158,112 @@ def embed_distance_concentration(spark, sf_dir):
         rnd("(CAST(mx AS DOUBLE) - mn) / mn", 6)
         + " AS relative_contrast",
     )
+
+
+# --- int8 scalar quantization (SQ8) error audit ----------------------------
+
+_SQ_DIM = 64  # embedding dimensionality (matches _PQ_M * _PQ_DSUB)
+
+#: per-element quantized-reconstruction squared error in integer
+#: nano-units. `mn`/`mx`/`xd` are doubles; the code value is
+#: ROUND((x-mn)/(mx-mn)*255) kept as an integral DOUBLE so the identical
+#: expression TEXT runs on Spark and DuckDB (scale-0 ROUND ties-away
+#: matches in both engines; IEEE - / * are bit-deterministic, so the
+#: code and the reconstruction are identical doubles everywhere).
+def _sq8_term(xd: str, mn: str, mx: str) -> str:
+    qd = (
+        f"CASE WHEN {mx} > {mn} THEN "
+        f"ROUND(({xd} - {mn}) / ({mx} - {mn}) * 255.0e0) "
+        "ELSE 0.0e0 END"
+    )
+    rec = f"({mn} + (({qd}) / 255.0e0) * ({mx} - {mn}))"
+    return f"CAST(ROUND(({xd} - {rec}) * ({xd} - {rec}) * 1.0e9) AS BIGINT)"
+
+
+_SQ8_ORACLE = (
+    "WITH z AS (SELECT vec_id, label, "
+    "generate_subscripts(embedding, 1) AS d, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM z GROUP BY d), "
+    "e AS (SELECT vec_id, label, "
+    + _sq8_term("x", "mn", "mx")
+    + " AS e_u FROM z JOIN st USING (d)), "
+    "pv AS (SELECT vec_id, label, SUM(e_u) AS sse_u, COUNT(*) AS nd "
+    "FROM e GROUP BY vec_id, label), "
+    "pm AS (SELECT label, sse_u, nd, "
+    + rnd("CAST(sse_u AS DOUBLE) / (1.0e9 * nd)", 6)
+    + " AS v_mse FROM pv) "
+    "SELECT label, COUNT(*) AS n_vecs, "
+    + rnd(
+        "CAST(SUM(sse_u) AS DOUBLE) / (1.0e9 * CAST(SUM(nd) AS DOUBLE))",
+        6,
+    )
+    + " AS mse, MAX(v_mse) AS worst_vec_mse FROM pm GROUP BY label"
+)
+
+
+@query("embed_sq8_quantize", oracle=_SQ8_ORACLE)
+def embed_sq8_quantize(spark, sf_dir):
+    """INT8 scalar quantization (SQ8) error audit — the serving-side
+    compression every vector store offers (4x smaller than float32,
+    cheaper SIMD distance): per-DIMENSION min/max over the corpus
+    define a 256-level uniform grid; each component rounds to its code
+    and the audit reports per-label reconstruction MSE plus the worst
+    single vector. This is the go/no-go number before switching ANN
+    serving to int8 (compare against embed_pq_encode's 8-byte codes:
+    SQ8 trades 8x more space for much lower distortion).
+
+    Scale shape: the per-dim ranges are ONE map-side-combined aggregate
+    producing a single 2x64-value row (no explode — the n x 64 row
+    expansion the textbook build shuffles never exists); that row
+    broadcasts back and encode/error is a fully in-row fold, so the
+    only other exchange is the label-cardinality summary. Per-element
+    errors snap to integer nano-units (e_u), making every cross-row sum
+    exact; the oracle recomputes via the explode path — a genuinely
+    different plan that must agree bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    stats = emb.agg(
+        F.array(
+            *[
+                F.min(F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)"))
+                for i in range(1, _SQ_DIM + 1)
+            ]
+        ).alias("mns"),
+        F.array(
+            *[
+                F.max(F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)"))
+                for i in range(1, _SQ_DIM + 1)
+            ]
+        ).alias("mxs"),
+    )
+    term = _sq8_term(
+        "CAST(x AS DOUBLE)", "element_at(mns, i)", "element_at(mxs, i)"
+    )
+    sse = (
+        "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+        f"(x, i) -> {term}), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    pv = emb.crossJoin(F.broadcast(stats)).select(
+        "label",
+        F.expr(sse).alias("sse_u"),
+        F.size("embedding").cast("bigint").alias("nd"),
+    )
+    pm = pv.select(
+        "label",
+        "sse_u",
+        "nd",
+        F.expr(rnd("CAST(sse_u AS DOUBLE) / (1.0e9 * nd)", 6)).alias(
+            "v_mse"
+        ),
+    )
+    return pm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr(
+            rnd(
+                "CAST(SUM(sse_u) AS DOUBLE) / "
+                "(1.0e9 * CAST(SUM(nd) AS DOUBLE))",
+                6,
+            )
+        ).alias("mse"),
+        F.max("v_mse").alias("worst_vec_mse"),
+    )
