@@ -230,6 +230,7 @@ _JVM_ONLY = [
     "corpus_cluster_split",
     "embed_sq8_quantize",
     "dedup_duplicated_spans",
+    "embed_sq8_recall",
 ]
 
 

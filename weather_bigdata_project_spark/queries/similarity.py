@@ -2170,13 +2170,18 @@ _SQ_DIM = 64  # embedding dimensionality (matches _PQ_M * _PQ_DSUB)
 #: expression TEXT runs on Spark and DuckDB (scale-0 ROUND ties-away
 #: matches in both engines; IEEE - / * are bit-deterministic, so the
 #: code and the reconstruction are identical doubles everywhere).
-def _sq8_term(xd: str, mn: str, mx: str) -> str:
+def _sq8_rec(xd: str, mn: str, mx: str) -> str:
+    """Reconstruction of one quantized component, as a double."""
     qd = (
         f"CASE WHEN {mx} > {mn} THEN "
         f"ROUND(({xd} - {mn}) / ({mx} - {mn}) * 255.0e0) "
         "ELSE 0.0e0 END"
     )
-    rec = f"({mn} + (({qd}) / 255.0e0) * ({mx} - {mn}))"
+    return f"({mn} + (({qd}) / 255.0e0) * ({mx} - {mn}))"
+
+
+def _sq8_term(xd: str, mn: str, mx: str) -> str:
+    rec = _sq8_rec(xd, mn, mx)
     return f"CAST(ROUND(({xd} - {rec}) * ({xd} - {rec}) * 1.0e9) AS BIGINT)"
 
 
@@ -2266,4 +2271,127 @@ def embed_sq8_quantize(spark, sf_dir):
             )
         ).alias("mse"),
         F.max("v_mse").alias("worst_vec_mse"),
+    )
+
+
+# --- SQ8 retrieval-impact audit (recall vs exact top-10) -------------------
+
+#: quantized-then-snapped component in integer micro-units: the
+#: reconstruction double is IEEE-identical in both engines (see
+#: _sq8_rec), and snapping it to 1e-6 BEFORE any cross-component sum
+#: makes every dot product / norm below EXACT INTEGER arithmetic —
+#: order-insensitive, so the oracle may sum via unnest while Spark
+#: folds in-row.
+def _sq8_rec_u(xd: str, mn: str, mx: str) -> str:
+    return f"CAST(ROUND({_sq8_rec(xd, mn, mx)} * 1.0e6) AS BIGINT)"
+
+
+def _sq8_recall_oracle() -> str:
+    from ..registry import ORACLES
+
+    return (
+        "WITH z AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS d, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+        "st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM z GROUP BY d), "
+        "r AS (SELECT vec_id, z.d, "
+        + _sq8_rec_u("x", "mn", "mx")
+        + " AS ru FROM z JOIN st USING (d)), "
+        "qr AS (SELECT d, ru FROM r WHERE vec_id = 0), "
+        "q2 AS (SELECT SUM(ru * ru) AS q2_u FROM qr), "
+        "c AS (SELECT r.vec_id, SUM(r.ru * qr.ru) AS dot_u, "
+        "SUM(r.ru * r.ru) AS n2_u FROM r JOIN qr USING (d) "
+        "WHERE r.vec_id <> 0 GROUP BY r.vec_id), "
+        "sc AS (SELECT vec_id, CAST(ROUND(CAST(dot_u AS DOUBLE) / "
+        "(SQRT(CAST(n2_u AS DOUBLE)) * SQRT(CAST(q2_u AS DOUBLE))) "
+        "* 1.0e6) AS BIGINT) AS cos_u FROM c, q2), "
+        "sq10 AS (SELECT vec_id FROM sc ORDER BY cos_u DESC, vec_id "
+        "LIMIT 10), "
+        "ex10 AS (SELECT vec_id FROM ("
+        + ORACLES["embed_knn_bruteforce"]
+        + ")) "
+        "SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap, "
+        + rnd("CAST(COUNT(*) AS DOUBLE) / 10.0e0", 4)
+        + " AS recall FROM sq10 JOIN ex10 USING (vec_id)"
+    )
+
+
+@query("embed_sq8_recall", oracle=_sq8_recall_oracle())
+def embed_sq8_recall(spark, sf_dir):
+    """The OTHER half of the SQ8 go/no-go decision (embed_sq8_quantize
+    measures distortion; this measures what distortion DOES to
+    retrieval): cosine top-10 for query vec 0 computed entirely in the
+    quantized-reconstructed space, overlapped against the exact float
+    top-10 (embed_knn_bruteforce's frame, reused verbatim) — recall@10
+    of int8 serving. Ship SQ8 when this stays at 1.0; the PQ family's
+    ADC search is the fallback comparison when it doesn't.
+
+    Scale shape: the per-dim grid is the same ONE broadcast stats row;
+    reconstructed components snap to integer micro-units IN-ROW, so
+    every dot/norm is exact integer arithmetic (fold order cannot
+    matter — Spark folds in-row, the oracle sums an unnest, and both
+    are exact); corpus side never shuffles until the 10-row heap."""
+    emb = _emb(spark, sf_dir)
+    stats = emb.agg(
+        F.array(
+            *[
+                F.min(F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)"))
+                for i in range(1, _SQ_DIM + 1)
+            ]
+        ).alias("mns"),
+        F.array(
+            *[
+                F.max(F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)"))
+                for i in range(1, _SQ_DIM + 1)
+            ]
+        ).alias("mxs"),
+    )
+    ru_term = _sq8_rec_u(
+        "CAST(element_at(embedding, i) AS DOUBLE)",
+        "element_at(mns, i)",
+        "element_at(mxs, i)",
+    )
+    recs = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, size(embedding)), i -> {ru_term})"
+        ).alias("ru"),
+    )
+    q = recs.filter(F.col("vec_id") == 0).select(F.col("ru").alias("qu"))
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    sc = (
+        recs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(idot.format(a="ru", b="qu")).alias("dot_u"),
+            F.expr(idot.format(a="ru", b="ru")).alias("n2_u"),
+            F.expr(idot.format(a="qu", b="qu")).alias("q2_u"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(ROUND(CAST(dot_u AS DOUBLE) / "
+                "(SQRT(CAST(n2_u AS DOUBLE)) * SQRT(CAST(q2_u AS DOUBLE)))"
+                " * 1.0e6) AS BIGINT)"
+            ).alias("cos_u"),
+        )
+    )
+    sq10 = sc.orderBy(F.desc("cos_u"), F.asc("vec_id")).limit(10)
+    from ..registry import QUERIES
+
+    ex10 = QUERIES["embed_knn_bruteforce"](spark, sf_dir).select("vec_id")
+    return (
+        sq10.select("vec_id")
+        .join(ex10, "vec_id")
+        .agg(
+            F.lit(10).alias("k"),
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.expr(rnd("CAST(COUNT(1) AS DOUBLE) / 10.0e0", 4)).alias(
+                "recall"
+            ),
+        )
     )
