@@ -304,3 +304,123 @@ def test_holt_winters_fold_matches_jvm_on_random_series(spark, xs):
     got_s = list(row["st"][-1]["s"])
     assert got_steps == want_steps
     assert got_s == want_s
+
+
+# --- SQ8 quantize/reconstruct parity (similarity.py) -----------------------
+
+# floats with jagged decimals + degenerate ranges (mn == mx when the
+# list is constant) — the hazards of the SQ8 grid expression
+_sq_vals = st.lists(
+    st.integers(min_value=-5_000_000, max_value=5_000_000).map(
+        lambda i: i / 1_000_000.0
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(_sq_vals)
+def test_sq8_rec_parity_spark_duckdb(spark, xs):
+    """The SQ8 reconstruction expression (_sq8_rec: code = ROUND of the
+    255-level grid position, then de-quantize) must be bit-identical
+    between Spark and DuckDB for arbitrary doubles and the corpus
+    min/max — including the degenerate mx == mn branch. Both SQ8
+    queries stand on this expression being IEEE-identical text."""
+    import duckdb as _dd
+
+    from weather_bigdata_project_spark.queries.similarity import _sq8_rec
+
+    mn, mx = min(xs), max(xs)
+    expr = _sq8_rec("x", repr(mn) + "e0", repr(mx) + "e0")
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r[0] for r in df.selectExpr(f"{expr} AS r").collect()]
+    con = _dd.connect()
+    want = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS x)", [x]).fetchone()[0]
+        for x in xs
+    ]
+    assert got == want
+
+
+# --- sliding-window span builder vs naive (dedup_duplicated_spans) --------
+
+_span_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=20
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(_span_texts)
+def test_span_window_builder_matches_naive(spark, texts):
+    """dedup_duplicated_spans' in-row window build (array_distinct +
+    let-bound hash + per-doc count) must emit exactly the naive
+    explode->distinct window set for arbitrary corpora, including docs
+    shorter than the window (no rows) and all-repeat docs."""
+    import os as _os
+    import tempfile as _tf
+
+    from weather_bigdata_project_spark.queries.dedup import _SPAN_W
+
+    with _tf.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        df.write.mode("overwrite").parquet(
+            _os.path.join(tmp, "documents.parquet")
+        )
+        d = T.docs(spark, tmp).select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        grams = (
+            f"transform(sequence(1, size(toks) - {_SPAN_W - 1}), "
+            "i -> "
+            + T.hashed_id_spark(
+                f"concat_ws(' ', slice(toks, i, {_SPAN_W}))"
+            )
+            + ")"
+        )
+        arr = (
+            f"CASE WHEN size(toks) < {_SPAN_W} THEN array() "
+            f"ELSE array_distinct({grams}) END"
+        )
+        wrapped = (
+            f"transform(array({arr}), "
+            "a -> transform(a, x -> struct(size(a) AS n_w, x AS wh)))[0]"
+        )
+        got_rows = (
+            d.select("doc_id", F.inline(F.expr(wrapped)))
+            .select("doc_id", "n_w", "wh")
+            .collect()
+        )
+        got = {(r.doc_id, r.wh): r.n_w for r in got_rows}
+
+        naive_rows = (
+            T.docs(spark, tmp)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN size(split(text, ' ')) < {_SPAN_W} "
+                        "THEN array() ELSE transform("
+                        f"sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}), "
+                        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SPAN_W}))) END"
+                    )
+                ).alias("w"),
+            )
+            .distinct()
+            .select("doc_id", F.expr(T.hashed_id_spark("w")).alias("wh"))
+            .collect()
+        )
+        want = {(r.doc_id, r.wh) for r in naive_rows}
+        want_counts: dict[int, int] = {}
+        for r in naive_rows:
+            want_counts[r.doc_id] = want_counts.get(r.doc_id, 0) + 1
+
+        assert set(got) == want
+        for (doc_id, _), n_w in got.items():
+            assert n_w == want_counts[doc_id]
