@@ -131,6 +131,12 @@ QUERIES_TO_RUN = [
     "part_price_index_laspeyres",
     "orders_fiscal_445_revenue",
     "events_holt_backtest",
+    "corpus_decontaminate",
+    "retrieval_rrf_fusion",
+    "corpus_cluster_split",
+    "embed_sq8_quantize",
+    "embed_sq8_recall",
+    "dedup_duplicated_spans",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are
