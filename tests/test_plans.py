@@ -231,6 +231,9 @@ _JVM_ONLY = [
     "embed_sq8_quantize",
     "dedup_duplicated_spans",
     "embed_sq8_recall",
+    "weather_step_spike_qc",
+    "corpus_gopher_rules",
+    "embed_matryoshka_recall",
 ]
 
 

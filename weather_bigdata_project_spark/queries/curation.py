@@ -1508,3 +1508,113 @@ def corpus_cluster_split(spark, sf_dir):
             "n_cross_pairs",
         )
     )
+
+
+# --- Gopher rule battery with per-rule attribution -------------------------
+
+#: Gopher (Rae et al. 2021, A1.1) rule thresholds, scaled to the
+#: fixture corpus. Each rule is a pure narrow expression; the report
+#: attributes failures PER RULE so a curation run can see which rule
+#:  is responsible for dropped mass (the Dolma/RefinedWeb data-card
+#: table), which the single weighted quality score cannot.
+_GR_MIN_TOK, _GR_MAX_TOK = 50, 100_000
+_GR_MWL_LO, _GR_MWL_HI = "3.0e0", "10.0e0"
+_GR_MIN_STOP = 2
+_GR_TOPFRAC = "0.2e0"
+
+_GOPHER_ORACLE = (
+    "WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "base AS (SELECT doc_id, source, len(toks) AS n, "
+    "list_sum(list_transform(toks, t -> len(t))) AS sl, "
+    "len(list_filter(toks, t -> t IN " + T.STOPWORDS_SQL + ")) AS nstop "
+    "FROM sp), "
+    "per AS (SELECT doc_id, unnest(toks) AS tok FROM sp), "
+    "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM per GROUP BY 1, 2), "
+    "top AS (SELECT doc_id, MAX(c) AS best FROM cnt GROUP BY 1), "
+    "f AS (SELECT source, "
+    f"(n < {_GR_MIN_TOK} OR n > {_GR_MAX_TOK}) AS f_wc, "
+    f"(CAST(sl AS DOUBLE) / n < {_GR_MWL_LO} "
+    f"OR CAST(sl AS DOUBLE) / n > {_GR_MWL_HI}) AS f_wl, "
+    f"(nstop < {_GR_MIN_STOP}) AS f_sw, "
+    f"(CAST(best AS DOUBLE) / n > {_GR_TOPFRAC}) AS f_tt "
+    "FROM base JOIN top USING (doc_id)) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount, "
+    "CAST(SUM(CASE WHEN f_wl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen, "
+    "CAST(SUM(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword, "
+    "CAST(SUM(CASE WHEN f_tt THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_toptoken, "
+    "CAST(SUM(CASE WHEN f_wc OR f_wl OR f_sw OR f_tt THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_fail_any, "
+    + rnd(
+        "1.0e0 - CAST(SUM(CASE WHEN f_wc OR f_wl OR f_sw OR f_tt "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)",
+        4,
+    )
+    + " AS keep_rate FROM f GROUP BY source"
+)
+
+
+@query("corpus_gopher_rules", oracle=_GOPHER_ORACLE)
+def corpus_gopher_rules(spark, sf_dir):
+    """The Gopher rule battery WITH per-rule attribution: word-count
+    bounds, mean-word-length bounds, minimum stopword count, and
+    top-token-fraction cap, each counted separately per source plus the
+    any-rule drop count and keep rate — the per-rule data-card table
+    (Gopher A1.1 / Dolma / RefinedWeb) that says WHICH rule kills a
+    crawl's mass, which the single weighted text_quality_score cannot.
+    Every rule is a pure in-row expression (token array built once per
+    doc via let-binding; the top-token count is the sorted-run fold
+    shared with text_repetition_metrics) — ZERO shuffles before the
+    source-cardinality aggregate, so the battery scales embarrassingly
+    at 100 TB; the oracle recomputes the top-token leg via
+    explode+groupBy, a genuinely different plan."""
+    flags = (
+        "named_struct("
+        "'n', size(split(text, ' ')), "
+        "'sl', aggregate(transform(split(text, ' '), t -> "
+        "CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v), "
+        "'nstop', size(filter(split(text, ' '), t -> t IN "
+        + T.STOPWORDS_SQL
+        + ")), "
+        f"'best', {_TOP_TOKEN_COUNT_SPARK})"
+    )
+    wrapped = (
+        f"transform(array({flags}), m -> named_struct("
+        f"'f_wc', m.n < {_GR_MIN_TOK} OR m.n > {_GR_MAX_TOK}, "
+        f"'f_wl', CAST(m.sl AS DOUBLE) / m.n < {_GR_MWL_LO} "
+        f"OR CAST(m.sl AS DOUBLE) / m.n > {_GR_MWL_HI}, "
+        f"'f_sw', m.nstop < {_GR_MIN_STOP}, "
+        f"'f_tt', CAST(m.best AS DOUBLE) / m.n > {_GR_TOPFRAC}))"
+    )
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
+    f = d.select("source", F.inline(F.expr(wrapped)))
+    any_f = "f_wc OR f_wl OR f_sw OR f_tt"
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN f_wc THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_fail_wordcount"),
+        F.sum(F.expr("CASE WHEN f_wl THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_fail_wordlen"),
+        F.sum(F.expr("CASE WHEN f_sw THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_fail_stopword"),
+        F.sum(F.expr("CASE WHEN f_tt THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_fail_toptoken"),
+        F.sum(F.expr(f"CASE WHEN {any_f} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_fail_any"),
+        F.expr(
+            rnd(
+                f"1.0e0 - CAST(SUM(CASE WHEN {any_f} THEN 1 ELSE 0 END) "
+                "AS DOUBLE) / COUNT(*)",
+                4,
+            )
+        ).alias("keep_rate"),
+    )

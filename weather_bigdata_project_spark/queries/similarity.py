@@ -2395,3 +2395,94 @@ def embed_sq8_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Matryoshka-style dimension-truncation recall curve --------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    from ..registry import ORACLES
+
+    blocks = []
+    for k in _MRL_DIMS:
+        blocks.append(
+            f"SELECT {k} AS trunc_dims, "
+            "CAST(COUNT(*) AS BIGINT) AS n_overlap, "
+            + rnd("CAST(COUNT(*) AS DOUBLE) / 10.0e0", 4)
+            + " AS recall FROM ("
+            "SELECT vec_id FROM ("
+            "SELECT vec_id, "
+            + rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+            + " AS cosine FROM ("
+            "SELECT vec_id, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+            "SUM(y * y) AS q2 FROM ("
+            "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+            "CAST(unnest(qe) AS DOUBLE) AS y, "
+            "generate_subscripts(embedding, 1) AS d "
+            "FROM embeddings, (SELECT embedding AS qe FROM embeddings "
+            "WHERE vec_id = 0) WHERE vec_id <> 0"
+            f") WHERE d <= {k} GROUP BY vec_id)) "
+            "ORDER BY cosine DESC, vec_id LIMIT 10) t "
+            "JOIN (SELECT vec_id FROM ("
+            + ORACLES["embed_knn_bruteforce"]
+            + ")) e USING (vec_id)"
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@query("embed_matryoshka_recall", oracle=_mrl_oracle())
+def embed_matryoshka_recall(spark, sf_dir):
+    """Dimension-truncation recall curve (the Matryoshka/MRL serving
+    question, Kusupati et al. 2022): cosine top-10 for query vec 0
+    using only the first 8 / 16 / 32 dimensions, overlapped against the
+    full-64-dim exact top-10 — recall@10 per dimension budget. With
+    MRL-trained embeddings this curve stays near 1.0 and prices an
+    8x cheaper first-stage retrieval; with ordinary embeddings (these
+    fixtures) it QUANTIFIES how much a naive prefix truncation loses —
+    either answer is the number the serving decision needs, next to
+    SQ8 (precision budget) and PQ (code budget).
+
+    Scale shape: three narrow corpus passes (in-row folds over the
+    array PREFIX — `slice` never copies more than k elements), each
+    ending in a 10-row TakeOrdered heap; the exact baseline is
+    embed_knn_bruteforce's frame reused verbatim. No shuffle touches
+    the corpus at any budget."""
+    from ..registry import QUERIES
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    ex10 = QUERIES["embed_knn_bruteforce"](spark, sf_dir).select("vec_id")
+    out = None
+    for k in _MRL_DIMS:
+        dot = _DOT.format(
+            a=f"slice(embedding, 1, {k})", b=f"slice(qe, 1, {k})"
+        )
+        n2 = _DOT.format(
+            a=f"slice(embedding, 1, {k})", b=f"slice(embedding, 1, {k})"
+        )
+        q2 = _DOT.format(a=f"slice(qe, 1, {k})", b=f"slice(qe, 1, {k})")
+        top = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.expr(
+                    rnd(f"({dot}) / (SQRT({n2}) * SQRT({q2}))", 6)
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10)
+        )
+        m = top.select("vec_id").join(ex10, "vec_id").agg(
+            F.lit(k).alias("trunc_dims"),
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.expr(rnd("CAST(COUNT(1) AS DOUBLE) / 10.0e0", 4)).alias(
+                "recall"
+            ),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

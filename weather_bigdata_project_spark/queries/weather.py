@@ -694,3 +694,82 @@ def weather_pressure_tendency(spark, sf_dir):
             ),
         )
     )
+
+
+# --- WMO-style step / spike QC battery -------------------------------------
+
+#: step threshold in deg C between consecutive readings. WMO's guide
+#: uses ~3 K/min for synoptic stations; the fixture's wire cadence and
+#: pseudo-random temps make 30 the discriminative demo value.
+_QC_STEP_T = "30.0e0"
+
+_QC_ORACLE = (
+    f"WITH {wd.oracle_enriched_cte()}, "
+    "b AS (SELECT city_name, temperature AS t, timestamp_dt, event_id "
+    "FROM enriched WHERE temperature IS NOT NULL), "
+    "r AS (SELECT city_name, t, "
+    "LAG(t) OVER (PARTITION BY city_name "
+    "ORDER BY timestamp_dt, event_id) AS pv, "
+    "LEAD(t) OVER (PARTITION BY city_name "
+    "ORDER BY timestamp_dt, event_id) AS nx FROM b) "
+    "SELECT city_name, COUNT(*) AS n_obs, "
+    "CAST(SUM(CASE WHEN pv IS NOT NULL "
+    f"AND ABS(t - pv) > {_QC_STEP_T} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_steps, "
+    "CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL "
+    f"AND ABS(t - pv) > {_QC_STEP_T} AND ABS(t - nx) > {_QC_STEP_T} "
+    "AND (t - pv) * (t - nx) > 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_spikes, "
+    + rnd("MAX(CASE WHEN pv IS NOT NULL THEN ABS(t - pv) END)", 2)
+    + " AS max_abs_step FROM r GROUP BY city_name"
+)
+
+
+@query("weather_step_spike_qc", oracle=_QC_ORACLE)
+def weather_step_spike_qc(spark, sf_dir):
+    """WMO-style temporal-consistency QC battery per station: STEP test
+    (|delta| to the previous reading above threshold) and SPIKE test
+    (deviates the same direction from BOTH neighbors beyond threshold —
+    the single-point transmission glitch that a step test double-counts
+    and a range check passes), summarized per city with the worst step.
+    Completes the sensor-QC trio with weather_flatline_runs (the
+    persistence test) and the enrich stage's range-based anomaly flags:
+    range / step / spike / persistence are the four WMO Guide No. 8
+    temporal checks. One lag+lead window per city over the dirty-row-
+    filtered frame, one hash aggregate; at 100 TB partition-by-station
+    windows parallelize per station exactly like every other window in
+    the weather family."""
+    from pyspark.sql import Window
+
+    e = wd.enriched_frame(spark, sf_dir)
+    w = Window.partitionBy("city_name").orderBy("timestamp_dt", "event_id")
+    r = e.filter(F.col("temperature").isNotNull()).select(
+        "city_name",
+        F.col("temperature").alias("t"),
+        F.lag("temperature").over(w).alias("pv"),
+        F.lead("temperature").over(w).alias("nx"),
+    )
+    return r.groupBy("city_name").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pv IS NOT NULL "
+                f"AND ABS(t - pv) > {_QC_STEP_T} THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_steps"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pv IS NOT NULL AND nx IS NOT NULL "
+                f"AND ABS(t - pv) > {_QC_STEP_T} "
+                f"AND ABS(t - nx) > {_QC_STEP_T} "
+                "AND (t - pv) * (t - nx) > 0.0e0 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_spikes"),
+        F.expr(
+            rnd("MAX(CASE WHEN pv IS NOT NULL THEN ABS(t - pv) END)", 2)
+        ).alias("max_abs_step"),
+    )
