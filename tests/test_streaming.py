@@ -1365,3 +1365,83 @@ def test_minhash_dedup_stream_bucket_cap(spark, tmp_path):
     assert got <= want          # never invents pairs
     assert len(got) > 0         # still detects within the horizon
     assert len(got) < len(want)  # the cap actually bit (clusters > 1+1)
+
+
+def test_step_spike_qc_stream_equals_batch_twin(spark, tmp_path):
+    """Streaming step/spike QC drained over a time-ordered multi-batch
+    replay must equal the batch lag/lead judgment exactly — per-city
+    (prev, pending) state survives micro-batch boundaries, and the
+    emitted set is precisely the readings with a successor (the batch
+    twin's lead IS NOT NULL rows)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as Ty
+
+    src = str(tmp_path / "wire_ranged")
+    w = wd.wire_frame(spark, SF_SMOKE)
+    # four time-range files; pinned mtimes make the file source replay
+    # them in event-time order (same recipe as the transition test)
+    (
+        w.withColumn("_t", F.expr("CAST(timestamp AS BIGINT)"))
+        .repartitionByRange(4, "_t")
+        .drop("_t")
+        .write.mode("overwrite")
+        .json(src)
+    )
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    schema = Ty.StructType(
+        [Ty.StructField(n, Ty.StringType()) for n in wd.wire_wide_sql("é")]
+        + [Ty.StructField("event_id", Ty.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    st = jobs.step_spike_qc_stream(jobs.enriched_stream(stream))
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stepspike")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stepspike").select(
+        "city_name", "event_id", "temperature", "is_step", "is_spike"
+    )
+
+    e = wd.enriched_frame(spark, SF_SMOKE)
+    win = Window.partitionBy("city_name").orderBy("timestamp_dt", "event_id")
+    t = 30.0
+    r = (
+        e.filter(F.col("temperature").isNotNull())
+        .select(
+            "city_name",
+            "event_id",
+            F.col("temperature").alias("t"),
+            F.lag("temperature").over(win).alias("pv"),
+            F.lead("temperature").over(win).alias("nx"),
+        )
+        .filter(F.col("nx").isNotNull())
+    )
+    want = r.select(
+        "city_name",
+        "event_id",
+        F.col("t").alias("temperature"),
+        F.expr(f"pv IS NOT NULL AND ABS(t - pv) > {t}").alias("is_step"),
+        F.expr(
+            f"pv IS NOT NULL AND ABS(t - pv) > {t} AND ABS(t - nx) > {t} "
+            "AND (t - pv) * (t - nx) > 0"
+        ).alias("is_spike"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+    # flags must actually fire on this corpus (non-vacuous equivalence)
+    assert got.filter("is_step").count() > 0
+    shutil.rmtree(src, ignore_errors=True)

@@ -641,6 +641,108 @@ class CityEwma(_StatefulProcessor):
         pass
 
 
+def step_spike_qc_stream(
+    enriched: DataFrame, threshold: float = 30.0
+) -> DataFrame:
+    """Streaming WMO step/spike QC (applyInPandasWithState) — the
+    stateful twin of the batch `weather_step_spike_qc`. The batch op
+    judges each reading with lag AND lead; a stream cannot see `lead`,
+    so every reading is judged ONE ARRIVAL LATE: per-city state carries
+    (prev value already judged, the PENDING reading awaiting its
+    successor), and each arrival closes the pending one — the standard
+    delayed-emission trick for lookahead semantics in a stream. Emits
+    one row per reading that HAS a successor (the stream's last reading
+    per city stays pending forever, exactly the rows the batch twin's
+    `lead IS NOT NULL` filter keeps); a drained time-ordered replay
+    equals the batch lag/lead result bit-for-bit
+    (tests/test_streaming.py).
+
+    Scale design: state is two doubles + one id per city (key-bounded,
+    never stream length); batches arrive Arrow-vectorized and the
+    judge is a numpy shift pass, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "city_name STRING, event_id BIGINT, temperature DOUBLE, "
+        "is_step BOOLEAN, is_spike BOOLEAN"
+    )
+    state_schema = (
+        "have_prev BOOLEAN, prev DOUBLE, have_pend BOOLEAN, "
+        "pend DOUBLE, pend_id BIGINT"
+    )
+    cols = ["city_name", "event_id", "temperature", "is_step", "is_spike"]
+
+    def update(key, pdfs, state):
+        have_prev, prev, have_pend, pend, pend_id = (
+            state.get if state.exists else (False, 0.0, False, 0.0, 0)
+        )
+        parts = [p.dropna(subset=["temperature"]) for p in pdfs]
+        parts = [p for p in parts if len(p)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["timestamp_dt", "event_id"])
+            vals = pdf["temperature"].astype(float).to_numpy()
+            ids = pdf["event_id"].astype("int64").to_numpy()
+        else:
+            vals = np.empty(0)
+            ids = np.empty(0, dtype="int64")
+        pre_v, pre_i = [], []
+        if have_prev:
+            pre_v.append(prev)
+            pre_i.append(-1)  # already judged; id never emitted
+        if have_pend:
+            pre_v.append(pend)
+            pre_i.append(pend_id)
+        s = np.concatenate([np.asarray(pre_v, dtype=float), vals])
+        si = np.concatenate([np.asarray(pre_i, dtype="int64"), ids])
+        n = len(s)
+        start = 1 if have_prev else 0  # first not-yet-judged index
+        if n >= 2:
+            pv = np.concatenate([[np.nan], s[:-1]])
+            nx = np.concatenate([s[1:], [np.nan]])
+            with np.errstate(invalid="ignore"):
+                is_step = (~np.isnan(pv)) & (np.abs(s - pv) > threshold)
+                is_spike = (
+                    is_step
+                    & (~np.isnan(nx))
+                    & (np.abs(s - nx) > threshold)
+                    & ((s - pv) * (s - nx) > 0)
+                )
+            j = np.arange(n)
+            m = (j >= start) & (j <= n - 2)
+            if m.any():
+                yield pd.DataFrame(
+                    {
+                        "city_name": key[0],
+                        "event_id": si[m],
+                        "temperature": s[m],
+                        "is_step": is_step[m],
+                        "is_spike": is_spike[m],
+                    },
+                    columns=cols,
+                )
+        if n >= 2:
+            have_prev, prev = True, float(s[n - 2])
+        if n >= 1:
+            have_pend, pend, pend_id = True, float(s[n - 1]), int(si[n - 1])
+        state.update(
+            (have_prev, float(prev), have_pend, float(pend), int(pend_id))
+        )
+
+    return (
+        enriched.select("city_name", "event_id", "temperature", "timestamp_dt")
+        .groupBy("city_name")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def ewma_temperature_stream(enriched: DataFrame) -> DataFrame:
     """Per-city streaming EWMA of temperature via Spark 4's
     transformWithStateInPandas — the modern typed-state successor to
