@@ -234,6 +234,7 @@ _JVM_ONLY = [
     "weather_step_spike_qc",
     "corpus_gopher_rules",
     "embed_matryoshka_recall",
+    "retrieval_hybrid_morelikethis",
 ]
 
 

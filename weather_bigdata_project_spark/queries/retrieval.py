@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.exprs import rnd
 from ..operators import textops as T
 from ..registry import query
 
@@ -301,5 +302,153 @@ def retrieval_rrf_fusion(spark, sf_dir):
         "doc_id",
         F.col("r_lex").alias("lex_rank"),
         F.col("r_q").alias("quality_rank"),
+        F.expr("CAST(rrf_u AS DOUBLE) / 1.0e9").alias("rrf"),
+    )
+
+
+# --- hybrid lexical+semantic more-like-this retrieval ----------------------
+
+_MLT_Q = 0  # query document / embedding id (id-aligned sidecar layout)
+
+
+def _mlt_oracle() -> str:
+    return (
+        "WITH " + T.SHINGLES_CTE + ", "
+        "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
+        + " AS sh FROM shingles), "
+        f"q0 AS (SELECT sh FROM ids WHERE doc_id = {_MLT_Q}), "
+        "n0 AS (SELECT COUNT(*) AS n0 FROM q0), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ids GROUP BY doc_id), "
+        "c AS (SELECT i.doc_id, COUNT(*) AS c FROM ids i JOIN q0 "
+        f"USING (sh) WHERE i.doc_id <> {_MLT_Q} GROUP BY i.doc_id), "
+        "lexs AS (SELECT c.doc_id, "
+        + rnd("CAST(c AS DOUBLE) / (sz.n_sh + n0.n0 - c)", 6)
+        + " AS jac FROM c JOIN sz USING (doc_id) CROSS JOIN n0), "
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY jac DESC, doc_id) AS r_lex FROM lexs), "
+        f"lex100 AS (SELECT * FROM lex WHERE r_lex <= {_RRF_POOL}), "
+        "z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, "
+        f"(SELECT embedding AS qe FROM embeddings WHERE vec_id = {_MLT_Q}) "
+        f"WHERE vec_id <> {_MLT_Q}), "
+        "d AS (SELECT vec_id, SUM(x * y) AS dot, SUM(x * x) AS n2, "
+        "SUM(y * y) AS q2 FROM z GROUP BY vec_id), "
+        "vecs AS (SELECT vec_id AS doc_id, "
+        + rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+        + " AS cosine FROM d), "
+        "vec AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY cosine DESC, doc_id) AS r_vec FROM vecs), "
+        f"vec100 AS (SELECT * FROM vec WHERE r_vec <= {_RRF_POOL}), "
+        "f AS (SELECT COALESCE(lex100.doc_id, vec100.doc_id) AS doc_id, "
+        "r_lex, r_vec FROM lex100 FULL JOIN vec100 "
+        "ON lex100.doc_id = vec100.doc_id), "
+        "sc AS (SELECT doc_id, r_lex, r_vec, "
+        + _rrf_term("r_lex") + " + " + _rrf_term("r_vec") + " AS rrf_u "
+        "FROM f), "
+        "rr AS (SELECT *, ROW_NUMBER() OVER "
+        "(ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) "
+        "SELECT rnk, doc_id, r_lex AS lex_rank, r_vec AS vec_rank, "
+        "CAST(rrf_u AS DOUBLE) / 1.0e9 AS rrf "
+        f"FROM rr WHERE rnk <= {_RRF_TOP}"
+    )
+
+
+@query("retrieval_hybrid_morelikethis", oracle=_mlt_oracle())
+def retrieval_hybrid_morelikethis(spark, sf_dir):
+    """TRUE hybrid retrieval for one query document (doc 0, whose
+    embedding is vec 0 in the id-aligned sidecar — doc_embedding_join's
+    layout): the LEXICAL leg ranks docs by exact 3-gram-shingle Jaccard
+    to the query doc (Elasticsearch's more-like-this), the SEMANTIC leg
+    by embedding cosine (the kNN route), and reciprocal-rank fusion
+    merges the two top-100 pools — the BM25+vector hybrid every RAG
+    stack runs, with both source ranks reported (NULL = found by only
+    one modality, which is the whole point of running both).
+
+    Scale shape: the lexical leg broadcasts the query doc's shingle-id
+    set and probes the corpus shingle frame (candidate docs = docs
+    sharing >= 1 shingle — never all pairs); the semantic leg is the
+    broadcast-query cosine scan (IVF-routed at 100 TB, same fusion);
+    each leg ends in a top-100 TakeOrdered heap and the fusion runs on
+    <= 200 rows. RRF terms snap to integer nano-units, so the fused
+    order is bit-stable."""
+    from pyspark.sql import Window
+
+    from .. import tables
+
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
+    q0 = sh.filter(F.col("doc_id") == _MLT_Q).select("sh")
+    n0 = q0.agg(F.count(F.lit(1)).alias("n0"))
+    c = (
+        sh.filter(F.col("doc_id") != _MLT_Q)
+        .join(F.broadcast(q0), "sh")
+        .groupBy("doc_id")
+        .agg(F.first("n_sh").alias("n_sh"), F.count(F.lit(1)).alias("c"))
+    )
+    lex100 = (
+        c.crossJoin(F.broadcast(n0))
+        .select(
+            "doc_id",
+            F.expr(rnd("CAST(c AS DOUBLE) / (n_sh + n0 - c)", 6)).alias(
+                "jac"
+            ),
+        )
+        .orderBy(F.desc("jac"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("jac"), F.asc("doc_id")))
+            .alias("r_lex"),
+        )
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") == _MLT_Q).select(
+        F.col("embedding").alias("qe")
+    )
+    dot = (
+        "aggregate(zip_with(embedding, qe, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+    )
+    n2 = (
+        "aggregate(zip_with(embedding, embedding, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+    )
+    q2 = (
+        "aggregate(zip_with(qe, qe, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0e0, (acc, v) -> acc + v)"
+    )
+    vec100 = (
+        emb.filter(F.col("vec_id") != _MLT_Q)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(rnd(f"({dot}) / (SQRT({n2}) * SQRT({q2}))", 6)).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .alias("r_vec"),
+        )
+    )
+    fused = lex100.join(vec100, "doc_id", "full").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.expr(_rrf_term("r_lex") + " + " + _rrf_term("r_vec")).alias(
+            "rrf_u"
+        ),
+    )
+    top = fused.orderBy(F.desc("rrf_u"), F.asc("doc_id")).limit(_RRF_TOP)
+    w = Window.orderBy(F.desc("rrf_u"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "doc_id",
+        F.col("r_lex").alias("lex_rank"),
+        F.col("r_vec").alias("vec_rank"),
         F.expr("CAST(rrf_u AS DOUBLE) / 1.0e9").alias("rrf"),
     )
