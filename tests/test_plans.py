@@ -235,6 +235,8 @@ _JVM_ONLY = [
     "corpus_gopher_rules",
     "embed_matryoshka_recall",
     "retrieval_hybrid_morelikethis",
+    "events_ab_srm_check",
+    "events_cuped_adjustment",
 ]
 
 

@@ -1561,3 +1561,207 @@ def events_bass_diffusion(spark, sf_dir):
         "bh_events"
     )
     return spark.sql("WITH " + _bass_sql("bh_events"))
+
+
+# --- sample-ratio mismatch (SRM) check -------------------------------------
+
+#: chi-square vs the designed 50/50 split, 1 df: (n_a - n_b)^2 / n —
+#: exact integers in, one deterministic float out. 3.841459 = chi2(1)
+#: 95% critical value.
+_SRM_CHI = "CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b)"
+
+_SRM_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "u AS (SELECT DISTINCT user_id FROM events_t), "
+    "g AS (SELECT "
+    "COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a, "
+    "COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b FROM u) "
+    "SELECT n_a, n_b, "
+    + rnd("CAST(n_a + n_b AS DOUBLE) / 2.0e0", 1)
+    + " AS expected_each, "
+    + rnd(_SRM_CHI, 4)
+    + " AS chi2, "
+    f"CASE WHEN {_SRM_CHI} > 3.841459e0 THEN 1 ELSE 0 END AS srm_flag "
+    "FROM g"
+)
+
+
+@query("events_ab_srm_check", oracle=_SRM_ORACLE)
+def events_ab_srm_check(spark, sf_dir):
+    """Sample-ratio mismatch check — the gate every experimentation
+    platform runs BEFORE reading a test result (Kohavi's first
+    diagnostic): chi-square of the observed per-variant user counts
+    against the designed 50/50 split; a firing flag means assignment,
+    logging, or filtering is broken and the z-test below it is invalid
+    no matter how significant it looks. One distinct-user reduction and
+    one 2-cell conditional count — runs on the same per-user frame any
+    conversion metric needs anyway."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    g = u.agg(
+        F.expr("COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END)").alias("n_a"),
+        F.expr("COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END)").alias("n_b"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.expr(rnd("CAST(n_a + n_b AS DOUBLE) / 2.0e0", 1)).alias(
+            "expected_each"
+        ),
+        F.expr(rnd(_SRM_CHI, 4)).alias("chi2"),
+        F.expr(
+            f"CASE WHEN {_SRM_CHI} > 3.841459e0 THEN 1 ELSE 0 END"
+        ).alias("srm_flag"),
+    )
+
+
+# --- CUPED variance reduction ----------------------------------------------
+
+#: exact-integer moment shorthand: all second moments accumulate in
+#: DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the covariance algebra
+#: below runs on identical exact integers in both engines.
+_CUPED_THETA = (
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0e0 THEN NULL ELSE "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
+)
+
+_CUPED_RHO2 = (
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0e0 THEN NULL ELSE "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END"
+)
+
+_CUPED_EFFECT_RAW = (
+    "CAST(sy_b AS DOUBLE) / (100.0e0 * n_b) "
+    "- CAST(sy_a AS DOUBLE) / (100.0e0 * n_a)"
+)
+
+_CUPED_EFFECT_ADJ = (
+    "(" + _CUPED_EFFECT_RAW + ") - (" + _CUPED_THETA + ") * "
+    "(CAST(sx_b AS DOUBLE) / (100.0e0 * n_b) "
+    "- CAST(sx_a AS DOUBLE) / (100.0e0 * n_a))"
+)
+
+_CUPED_TAIL = (
+    "m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(xx) AS sxx, SUM(yy) AS syy, SUM(xy) AS sxy, "
+    "COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a, "
+    "COUNT(CASE WHEN grp = 1 THEN 1 END) AS n_b, "
+    "SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS sx_a, "
+    "SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS sx_b, "
+    "SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS sy_a, "
+    "SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS sy_b FROM uu) "
+    "SELECT CAST(n AS BIGINT) AS n_users, "
+    + rnd(_CUPED_THETA, 6)
+    + " AS theta, "
+    + rnd(_CUPED_RHO2, 6)
+    + " AS var_reduction, "
+    + rnd(_CUPED_EFFECT_RAW, 4)
+    + " AS effect_raw, "
+    + rnd(_CUPED_EFFECT_ADJ, 4)
+    + " AS effect_cuped FROM m"
+)
+
+_CUPED_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    "b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, "
+    "MAX(CAST(ts AS DATE)) AS d1 FROM events_t), "
+    "pu AS (SELECT user_id, user_id % 2 AS grp, "
+    "SUM(CASE WHEN CAST(ts AS DATE) < d0 + CAST(FLOOR("
+    "0.5e0 * datediff('day', d0, d1)) AS INTEGER) "
+    "THEN CAST(ROUND(value * 100.0e0) AS BIGINT) ELSE 0 END) AS x, "
+    "SUM(CASE WHEN CAST(ts AS DATE) >= d0 + CAST(FLOOR("
+    "0.5e0 * datediff('day', d0, d1)) AS INTEGER) "
+    "THEN CAST(ROUND(value * 100.0e0) AS BIGINT) ELSE 0 END) AS y "
+    "FROM events_t CROSS JOIN b GROUP BY user_id, user_id % 2), "
+    "uu AS (SELECT grp, x, y, x * x AS xx, y * y AS yy, x * y AS xy "
+    "FROM pu), "
+    + _CUPED_TAIL
+)
+
+
+@query("events_cuped_adjustment", oracle=_CUPED_ORACLE)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013 — the industry-
+    standard A/B sensitivity boost): each user's PRE-period spend is
+    the control covariate for their POST-period spend; theta =
+    cov(X,Y)/var(X) over users, the adjusted metric Y - theta*(X -
+    mean X) keeps the same expectation but sheds rho^2 of the variance
+    — var_reduction IS rho^2, reported next to the raw and
+    CUPED-adjusted treatment effects (user-parity assignment, the same
+    bucketing as the z-test). Pre/post cut at 50% of the observed date
+    span, leakage-safe like the DiD and backtest cuts.
+
+    Exactness: per-user pre/post cents fold in ONE conditional
+    aggregate; all second moments accumulate as DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB) exact integers, so theta / rho^2 / both effects
+    are single deterministic float evaluations on one moment row. Scale
+    shape: one user-cardinality reduction + one global moment
+    aggregate; nothing holds more than a row."""
+    ev = tables.load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    cut = (
+        "date_add(d0, CAST(FLOOR(0.5e0 * datediff(d1, d0)) AS INT))"
+    )
+    pu = (
+        ev.join(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN to_date(ts) < {cut} "
+                "THEN CAST(ROUND(value * 100.0e0) AS BIGINT) "
+                "ELSE 0 END)"
+            ).alias("x"),
+            F.expr(
+                f"SUM(CASE WHEN to_date(ts) >= {cut} "
+                "THEN CAST(ROUND(value * 100.0e0) AS BIGINT) "
+                "ELSE 0 END)"
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("grp"), "x", "y")
+    )
+    uu = pu.select(
+        "grp",
+        "x",
+        "y",
+        F.expr("CAST(x AS DECIMAL(38,0)) * x").alias("xx"),
+        F.expr("CAST(y AS DECIMAL(38,0)) * y").alias("yy"),
+        F.expr("CAST(x AS DECIMAL(38,0)) * y").alias("xy"),
+    )
+    m = uu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
+        F.expr("COUNT(CASE WHEN grp = 0 THEN 1 END)").alias("n_a"),
+        F.expr("COUNT(CASE WHEN grp = 1 THEN 1 END)").alias("n_b"),
+        F.expr("SUM(CASE WHEN grp = 0 THEN x ELSE 0 END)").alias("sx_a"),
+        F.expr("SUM(CASE WHEN grp = 1 THEN x ELSE 0 END)").alias("sx_b"),
+        F.expr("SUM(CASE WHEN grp = 0 THEN y ELSE 0 END)").alias("sy_a"),
+        F.expr("SUM(CASE WHEN grp = 1 THEN y ELSE 0 END)").alias("sy_b"),
+    )
+    return m.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_users"),
+        F.expr(rnd(_CUPED_THETA, 6)).alias("theta"),
+        F.expr(rnd(_CUPED_RHO2, 6)).alias("var_reduction"),
+        F.expr(rnd(_CUPED_EFFECT_RAW, 4)).alias("effect_raw"),
+        F.expr(rnd(_CUPED_EFFECT_ADJ, 4)).alias("effect_cuped"),
+    )
