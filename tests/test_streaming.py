@@ -1445,3 +1445,143 @@ def test_step_spike_qc_stream_equals_batch_twin(spark, tmp_path):
     # flags must actually fire on this corpus (non-vacuous equivalence)
     assert got.filter("is_step").count() > 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_heavy_hitters_stream_guarantee(spark, tmp_path):
+    """Misra-Gries frequent-items stream: after a multi-batch drain, the
+    per-bucket summaries must satisfy the sketch's guarantee against
+    exact counts — underestimate-only, error <= N_bucket/(k+1), and NO
+    false negatives among items above the bound (the reason the sketch
+    is usable at all). The estimate values themselves are
+    summary-merge-order dependent by nature, so the GUARANTEE is the
+    contract, exactly like the HLL bounds query."""
+    import glob
+    import os
+    import shutil
+
+    from weather_bigdata_project_spark import tables
+
+    K, B = 8, 4
+    src = str(tmp_path / "events_hh")
+    ev = tables.load(spark, SF_SMOKE, "events")
+    ev.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.heavy_hitters_stream(stream, k=K, buckets=B)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.table("hh").collect()
+    final_n = {}
+    for r in emitted:
+        final_n[r.bucket] = max(final_n.get(r.bucket, 0), r.n_processed)
+    summary = {
+        (r.bucket, r.item): r.est
+        for r in emitted
+        if r.n_processed == final_n[r.bucket]
+    }
+    assert summary, "stream emitted nothing"
+
+    true = {
+        (int(r.user_id) % B, int(r.user_id)): r.c
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_bucket = {}
+    for (b, _), c in true.items():
+        n_bucket[b] = n_bucket.get(b, 0) + c
+    assert sum(n_bucket.values()) == sum(final_n.values()) == ev.count()
+
+    for (b, item), est in summary.items():
+        t = true.get((b, item), 0)
+        assert 0 < est <= t, (b, item, est, t)
+        assert t - est <= n_bucket[b] / (K + 1), (b, item, est, t)
+    # completeness: every true heavy hitter above its bucket's bound
+    # must be present in that bucket's summary
+    for (b, item), t in true.items():
+        if t > n_bucket[b] / (K + 1):
+            assert (b, item) in summary, (b, item, t)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_heavy_hitters_stream_finds_hot_key(spark, tmp_path):
+    """Non-vacuous sketch audit: on a deliberately skewed stream (one
+    user is ~30% of all events), the hot key MUST survive every
+    summary-merge round and its estimate must sit within the
+    N_bucket/(k+1) band below its true count."""
+    import glob
+    import os
+    import shutil
+
+    K, B = 8, 4
+    src = str(tmp_path / "events_skew")
+    hot = spark.range(600).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT)) AS ts",
+        "CAST(7 AS BIGINT) AS user_id",
+        "'view' AS event_type",
+        "1.0e0 AS value",
+        "'{}' AS props",
+    )
+    cold = spark.range(600, 2000).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT)) AS ts",
+        "CAST(100 + id % 100 AS BIGINT) AS user_id",
+        "'view' AS event_type",
+        "1.0e0 AS value",
+        "'{}' AS props",
+    )
+    df = hot.unionByName(cold)
+    df.repartitionByRange(4, "ts", "event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.heavy_hitters_stream(stream, k=K, buckets=B)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_skew")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.table("hh_skew").collect()
+    final_n = {}
+    for r in emitted:
+        final_n[r.bucket] = max(final_n.get(r.bucket, 0), r.n_processed)
+    summary = {
+        (r.bucket, r.item): r.est
+        for r in emitted
+        if r.n_processed == final_n[r.bucket]
+    }
+    hot_bucket = 7 % B
+    n_b = final_n[hot_bucket]
+    true_hot = 600
+    # the hot key is a TRUE heavy hitter of its bucket: must be present
+    assert true_hot > n_b / (K + 1)
+    assert (hot_bucket, 7) in summary
+    est = summary[(hot_bucket, 7)]
+    assert 0 < est <= true_hot
+    assert true_hot - est <= n_b / (K + 1)
+    shutil.rmtree(src, ignore_errors=True)

@@ -641,6 +641,84 @@ class CityEwma(_StatefulProcessor):
         pass
 
 
+def heavy_hitters_stream(
+    events: DataFrame, k: int = 8, buckets: int = 4
+) -> DataFrame:
+    """Streaming frequent-items sketch: per-hash-bucket MISRA-GRIES
+    summaries of user_id occurrence counts, maintained across
+    micro-batches by SUMMARY MERGE (Agarwal et al., "Mergeable
+    Summaries": add the batch's exact counts as an error-free summary,
+    subtract the (k+1)-th largest count, drop non-positives) — the
+    bounded-state answer to "which keys dominate the stream" when the
+    key space is unbounded and exact counts would grow without limit.
+    State is <= k (item, est) pairs + one length counter per bucket;
+    bucketing by hash makes the sketch distributed (summaries merge at
+    read time, the same mergeability the update step uses).
+
+    GUARANTEE (what the test audits, since the estimate itself is not
+    unique across engines): after merging the B bucket summaries,
+    0 <= true(item) - est(item) <= N/(k+1) summed per bucket, and every
+    item with true > sum_b(N_b/(k+1)) IS present — underestimate-only,
+    bounded error, no false negatives among true heavy hitters. The
+    merge is order-insensitive WITHIN a batch (counts commute) and
+    deterministic across a time-ordered replay; retention ties break by
+    (count desc, item asc)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "bucket INT, item BIGINT, est BIGINT, n_processed BIGINT"
+    )
+    state_schema = (
+        "items ARRAY<BIGINT>, counts ARRAY<BIGINT>, n BIGINT"
+    )
+
+    def update(key, pdfs, state):
+        items, counts, n = (
+            state.get if state.exists else ([], [], 0)
+        )
+        summ = dict(zip(list(items), list(counts)))
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():
+                summ[int(item)] = summ.get(int(item), 0) + int(c)
+            if len(summ) > k:
+                # mergeable-summaries step: subtract the (k+1)-th
+                # largest count, keep positives (ties: count desc,
+                # item asc — deterministic retention)
+                ordered = sorted(
+                    summ.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                sub = ordered[k][1]
+                summ = {
+                    i: c - sub for i, c in ordered[:k] if c - sub > 0
+                }
+        state.update(
+            (list(summ.keys()), list(summ.values()), int(n))
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": int(key[0]),
+                "item": list(summ.keys()),
+                "est": list(summ.values()),
+                "n_processed": int(n),
+            }
+        )
+
+    keyed = events.select(
+        (F.col("user_id") % buckets).cast("int").alias("bucket"),
+        "user_id",
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def step_spike_qc_stream(
     enriched: DataFrame, threshold: float = 30.0
 ) -> DataFrame:
