@@ -237,6 +237,9 @@ _JVM_ONLY = [
     "retrieval_hybrid_morelikethis",
     "events_ab_srm_check",
     "events_cuped_adjustment",
+    "events_cms_frequency",
+    "events_cms_joinsize",
+    "lineitem_bloom_join_prune",
 ]
 
 

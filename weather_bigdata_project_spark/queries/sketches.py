@@ -1,0 +1,428 @@
+"""Frequency / membership sketches as first-class distributed operators:
+Count-Min frequency estimation, CMS inner-product join-size estimation,
+and Bloom-filter join pruning.
+
+These are the sketches a 100 TB engine actually runs *inside* queries
+(the reference's scale story is "count things over an unbounded Kafka
+stream", weather_streaming.py:55-145 — the streaming Misra-Gries twin
+lives in streaming/jobs.py; these are the BATCH sketch family):
+
+- Count-Min (Cormode & Muthukrishnan 2005): d x w counter grid, point
+  frequency = min over rows. Counters build with ONE map-side-combined
+  groupBy over (row, col) — d*w cells total regardless of input size —
+  and merge across partitions/executors by addition, which is why the
+  sketch works where an exact per-key count would shuffle the full key
+  universe.
+- CMS join-size estimation (the AMS-style inner product): |A join B on
+  key| = sum_key fA(key)*fB(key) is estimated by min_r sum_col
+  A[r,col]*B[r,col] — two tiny sketches meet instead of two fact
+  tables. This is how a cost-based optimizer sizes a join it has never
+  run.
+- Bloom-filter join pruning: build k-hash bitset over the selective
+  build side, pre-filter the probe side before the shuffle — exactly
+  what Spark's runtime bloom-filter injection
+  (spark.sql.optimizer.runtime.bloomFilter.enabled, live-tested in
+  tests/test_plans.py) does adaptively; spelled out here so the
+  mechanics (fill factor, measured-vs-theoretical FPR, rows saved) are
+  observable and oracle-gated.
+
+Every hash is the engine-portable md5 trick (operators/textops.py
+hashed_id_spark/hashed_id_duck — bit-equal in Spark and DuckDB), so all
+sketch OUTPUTS are deterministic and the driver hash-gates the actual
+estimates, not just a tolerance property (contrast
+events_approx_distinct_bounds, where HLL++ internals are
+engine-specific and only the guarantee can gate).
+
+All sketch frames are tiny by construction (d*w counters, m bits) and
+broadcast to the probe side — the big tables never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..operators.textops import hashed_id_duck, hashed_id_spark
+from ..registry import query
+
+# --- Count-Min geometry ---------------------------------------------------
+# w=32 is deliberately narrow so that the ~150 distinct users at sf0.01
+# genuinely collide and the estimates visibly OVER-count (CMS never
+# under-counts): the interesting regime, not the trivial no-collision
+# one. d=4 rows: per-key overestimate = min over 4 independent
+# collision sums.
+_D = 4
+_W = 32
+
+
+def _cms_col_spark(r: int, key_sql: str) -> str:
+    return hashed_id_spark(f"concat('cms{r}:', {key_sql})", _W)
+
+
+def _cms_col_duck(r: int, key_sql: str) -> str:
+    return hashed_id_duck(f"('cms{r}:' || {key_sql})", _W)
+
+
+def _cms_counters(df, key_sql: str):
+    """(r, col, cnt): the d x w Count-Min grid for one keyed input.
+    One narrow projection (d hash exprs per row, stacked in-row) then
+    ONE aggregate — partial counts combine map-side, the shuffle
+    carries at most d*w*partitions rows."""
+    stack_args = ", ".join(
+        f"{r}, {_cms_col_spark(r, key_sql)}" for r in range(_D)
+    )
+    return (
+        df.selectExpr(f"stack({_D}, {stack_args}) AS (r, col)")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_counters_duck(src: str, key_sql: str) -> str:
+    """DuckDB twin of _cms_counters as a FROM-able subquery string."""
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_col_duck(r, key_sql)} AS col FROM {src}"
+        for r in range(_D)
+    )
+    return (
+        f"(SELECT r, col, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM ({rows}) GROUP BY r, col)"
+    )
+
+
+_EV_KEY_SPARK = "CAST(user_id AS STRING)"
+_EV_KEY_DUCK = "CAST(user_id AS VARCHAR)"
+
+
+@query(
+    "events_cms_frequency",
+    oracle=(
+        "WITH counters AS (SELECT * FROM "
+        + _cms_counters_duck("events", _EV_KEY_DUCK)
+        + "), "
+        "tk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt "
+        "FROM events GROUP BY user_id), "
+        "probes AS ("
+        + " UNION ALL ".join(
+            f"SELECT user_id, true_cnt, {r} AS r, "
+            f"{_cms_col_duck(r, _EV_KEY_DUCK)} AS col FROM tk"
+            for r in range(_D)
+        )
+        + "), "
+        "est AS (SELECT p.user_id, p.true_cnt, MIN(c.cnt) AS est_cnt "
+        "FROM probes p JOIN counters c ON c.r = p.r AND c.col = p.col "
+        "GROUP BY p.user_id, p.true_cnt) "
+        "SELECT user_id, true_cnt, est_cnt, "
+        "est_cnt - true_cnt AS overest "
+        "FROM est ORDER BY true_cnt DESC, user_id LIMIT 25"
+    ),
+)
+def events_cms_frequency(spark, sf_dir):
+    """Count-Min point-frequency estimates for the 25 heaviest users,
+    hash-gated EXACTLY (both engines compute the identical md5-seeded
+    grid). est_cnt >= true_cnt always (CMS one-sided error); `overest`
+    is the realized collision mass, min'd over the 4 rows.
+
+    Scale shape: counters = one map-side-combined count into d*w=128
+    cells; probing joins the (key, r, col) triples against the
+    BROADCAST grid — the events table itself is read once and never
+    shuffled on user_id. At 100 TB the exact per-key `tk` side of this
+    audit runs on a sample or a scheduled slice; the sketch side is the
+    always-on path (its streaming sibling: the Misra-Gries heavy-hitter
+    job in streaming/jobs.py)."""
+    ev = tables.load(spark, sf_dir, "events")
+    counters = _cms_counters(ev, _EV_KEY_SPARK)
+    tk = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    stack_args = ", ".join(
+        f"{r}, {_cms_col_spark(r, _EV_KEY_SPARK)}" for r in range(_D)
+    )
+    probes = tk.selectExpr(
+        "user_id", "true_cnt", f"stack({_D}, {stack_args}) AS (r, col)"
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["r", "col"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overest"),
+        )
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(25)
+    )
+
+
+@query(
+    "events_cms_joinsize",
+    oracle=(
+        "WITH a AS (SELECT * FROM events WHERE event_type = 'click'), "
+        "b AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "ca AS (SELECT * FROM "
+        + _cms_counters_duck("a", _EV_KEY_DUCK)
+        + "), "
+        "cb AS (SELECT * FROM "
+        + _cms_counters_duck("b", _EV_KEY_DUCK)
+        + "), "
+        "per_row AS (SELECT ca.r, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) "
+        "AS est_r FROM ca JOIN cb ON cb.r = ca.r AND cb.col = ca.col "
+        "GROUP BY ca.r), "
+        "tr AS (SELECT CAST(SUM(x.c * y.c) AS BIGINT) AS true_pairs FROM "
+        "(SELECT user_id, COUNT(*) AS c FROM a GROUP BY user_id) x JOIN "
+        "(SELECT user_id, COUNT(*) AS c FROM b GROUP BY user_id) y "
+        "ON y.user_id = x.user_id) "
+        "SELECT true_pairs, (SELECT MIN(est_r) FROM per_row) AS est_pairs, "
+        "(SELECT MIN(est_r) FROM per_row) - true_pairs AS overest, "
+        + rnd(
+            "100.0e0 * ((SELECT MIN(est_r) FROM per_row) - true_pairs) "
+            "/ true_pairs",
+            2,
+        )
+        + " AS rel_err_pct FROM tr"
+    ),
+)
+def events_cms_joinsize(spark, sf_dir):
+    """Join-size estimation from two Count-Min sketches: |clicks join
+    purchases on user_id| = sum_u c_u*p_u, estimated as min_r of the
+    row-wise inner product sum_col A[r,col]*B[r,col] — also one-sided
+    (estimate >= truth, colliding keys add cross terms). Hash-gated
+    exactly alongside the true size and realized relative error.
+
+    This is the optimizer's question — "how big is this join?" —
+    answered by meeting two 128-cell grids instead of joining two fact
+    tables. At 100 TB each side's sketch builds in its own scan
+    (mergeable partials, no key shuffle) and the inner product is
+    driver-trivial; the exact `tr` twin here is the audit, computed
+    only because the test scale allows it."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    ca = _cms_counters(a, _EV_KEY_SPARK)
+    cb = _cms_counters(b, _EV_KEY_SPARK)
+    per_row = (
+        ca.alias("ca")
+        .join(
+            F.broadcast(cb.alias("cb")),
+            (F.col("cb.r") == F.col("ca.r"))
+            & (F.col("cb.col") == F.col("ca.col")),
+        )
+        .groupBy(F.col("ca.r").alias("r"))
+        .agg(
+            F.sum(F.col("ca.cnt") * F.col("cb.cnt"))
+            .cast("bigint")
+            .alias("est_r")
+        )
+    )
+    est = per_row.agg(F.min("est_r").alias("est_pairs"))
+    tr = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .alias("x")
+        .join(
+            b.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .alias("y"),
+            "user_id",
+        )
+        .agg(
+            F.sum(F.col("x.c") * F.col("y.c"))
+            .cast("bigint")
+            .alias("true_pairs")
+        )
+    )
+    return (
+        tr.crossJoin(F.broadcast(est))
+        .select(
+            "true_pairs",
+            "est_pairs",
+            (F.col("est_pairs") - F.col("true_pairs")).alias("overest"),
+            F.expr(
+                rnd(
+                    "100.0e0 * (est_pairs - true_pairs) / true_pairs", 2
+                )
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+# --- Bloom-filter join pruning --------------------------------------------
+_M_BITS = 2048
+_K_HASH = 3
+_PART_PRED = "p_size >= 48"  # ~6% of parts: the selective build side
+
+
+def _bloom_pos_spark(r: int, key_sql: str) -> str:
+    return hashed_id_spark(f"concat('bf{r}:', {key_sql})", _M_BITS)
+
+
+def _bloom_pos_duck(r: int, key_sql: str) -> str:
+    return hashed_id_duck(f"('bf{r}:' || {key_sql})", _M_BITS)
+
+
+@query(
+    "lineitem_bloom_join_prune",
+    oracle=(
+        "WITH build AS (SELECT p_partkey FROM part WHERE "
+        + _PART_PRED
+        + "), "
+        "bits AS (SELECT DISTINCT pos FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {_bloom_pos_duck(r, 'CAST(p_partkey AS VARCHAR)')} "
+            "AS pos FROM build"
+            for r in range(_K_HASH)
+        )
+        + ")), "
+        "probe AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM lineitem GROUP BY l_partkey), "
+        "pp AS ("
+        + " UNION ALL ".join(
+            f"SELECT l_partkey, "
+            f"{_bloom_pos_duck(r, 'CAST(l_partkey AS VARCHAR)')} AS pos "
+            "FROM probe"
+            for r in range(_K_HASH)
+        )
+        + "), "
+        "hits AS (SELECT pp.l_partkey, COUNT(*) AS k_hit FROM pp "
+        "JOIN bits ON bits.pos = pp.pos GROUP BY pp.l_partkey), "
+        f"passed AS (SELECT l_partkey FROM hits WHERE k_hit = {_K_HASH}), "
+        "lab AS (SELECT probe.l_partkey, probe.n_rows, "
+        "CASE WHEN passed.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS pass, "
+        "CASE WHEN build.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS member "
+        "FROM probe LEFT JOIN passed ON passed.l_partkey = probe.l_partkey "
+        "LEFT JOIN build ON build.p_partkey = probe.l_partkey) "
+        "SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build, "
+        "CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set, "
+        "CAST(COUNT(*) AS BIGINT) AS n_probe_keys, "
+        "CAST(SUM(pass) AS BIGINT) AS n_pass_keys, "
+        "CAST(SUM(member) AS BIGINT) AS n_member_keys, "
+        "CAST(SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_false_pos, "
+        "CAST(SUM(n_rows) AS BIGINT) AS rows_total, "
+        "CAST(SUM(pass * n_rows) AS BIGINT) AS rows_passed, "
+        "CAST(SUM(member * n_rows) AS BIGINT) AS rows_joinable, "
+        + rnd(
+            "100.0e0 * SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 "
+            "ELSE 0 END) / NULLIF(COUNT(*) - SUM(member), 0)",
+            4,
+        )
+        + " AS fpr_pct FROM lab"
+    ),
+)
+def lineitem_bloom_join_prune(spark, sf_dir):
+    """Bloom-filter pre-filter for the selective part(p_size>=48) join
+    lineitem: k=3 md5 hashes into m=2048 bits, probe passes iff all 3
+    bits are set. Reports the whole economics of the prune — bits set
+    (fill factor), keys/rows surviving, truly-joinable keys/rows, and
+    the measured false-positive rate — all hash-gated exactly.
+
+    Scale shape: the bitset is built from the ~6% build side (one
+    distinct over k*n positions, <= m rows) and BROADCAST; the probe
+    side reduces to per-key row counts (map-side combine), so lineitem
+    never shuffles on partkey and the rows_passed/rows_total ratio IS
+    the shuffle saved at the real join. Spark's adaptive runtime
+    bloom-filter injection (tests/test_plans.py) does this same prune
+    inside the optimizer; this operator makes the mechanics auditable.
+    """
+    part = tables.load(spark, sf_dir, "part")
+    li = tables.load(spark, sf_dir, "lineitem")
+    build = part.filter(F.expr(_PART_PRED)).select("p_partkey")
+    key_b = "CAST(p_partkey AS STRING)"
+    bits = (
+        build.selectExpr(
+            "stack("
+            + str(_K_HASH)
+            + ", "
+            + ", ".join(
+                f"{r}, {_bloom_pos_spark(r, key_b)}"
+                for r in range(_K_HASH)
+            )
+            + ") AS (r, pos)"
+        )
+        .select("pos")
+        .distinct()
+    )
+    probe = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    key_p = "CAST(l_partkey AS STRING)"
+    pp = probe.selectExpr(
+        "l_partkey",
+        "stack("
+        + str(_K_HASH)
+        + ", "
+        + ", ".join(
+            f"{r}, {_bloom_pos_spark(r, key_p)}" for r in range(_K_HASH)
+        )
+        + ") AS (r, pos)",
+    )
+    hits = (
+        pp.join(F.broadcast(bits), "pos")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    passed = hits.filter(F.col("k_hit") == _K_HASH).select(
+        "l_partkey", F.lit(1).alias("pass")
+    )
+    member = build.select(
+        F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("member")
+    )
+    lab = (
+        probe.join(F.broadcast(passed), "l_partkey", "left")
+        .join(F.broadcast(member), "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.coalesce("pass", F.lit(0)).alias("pass"),
+            F.coalesce("member", F.lit(0)).alias("member"),
+        )
+    )
+    n_build = build.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_build")
+    )
+    bits_set = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bits_set")
+    )
+    agg = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+        F.sum("pass").cast("bigint").alias("n_pass_keys"),
+        F.sum("member").cast("bigint").alias("n_member_keys"),
+        F.sum(
+            F.expr("CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.col("pass") * F.col("n_rows"))
+        .cast("bigint")
+        .alias("rows_passed"),
+        F.sum(F.col("member") * F.col("n_rows"))
+        .cast("bigint")
+        .alias("rows_joinable"),
+        F.expr(
+            rnd(
+                "100.0e0 * SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 "
+                "ELSE 0 END) / NULLIF(COUNT(*) - SUM(member), 0)",
+                4,
+            )
+        ).alias("fpr_pct"),
+    )
+    return (
+        n_build.crossJoin(F.broadcast(bits_set))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_build",
+            "bits_set",
+            "n_probe_keys",
+            "n_pass_keys",
+            "n_member_keys",
+            "n_false_pos",
+            "rows_total",
+            "rows_passed",
+            "rows_joinable",
+            "fpr_pct",
+        )
+    )
