@@ -240,6 +240,7 @@ _JVM_ONLY = [
     "events_cms_frequency",
     "events_cms_joinsize",
     "lineitem_bloom_join_prune",
+    "embed_nndescent_knn",
 ]
 
 

@@ -42,3 +42,18 @@ def test_bloom_no_false_negatives(spark):
     # prune must actually prune something at this selectivity)
     assert 0 < row.bits_set <= 3 * row.n_build
     assert row.n_pass_keys < row.n_probe_keys
+
+
+def test_nndescent_round_expands_and_improves(spark):
+    rows = QUERIES["embed_nndescent_knn"](spark, SF_SMOKE).collect()
+    assert rows, "empty audit sample"
+    # the descent candidate set strictly contains the init edges
+    assert all(r.n_cand >= r.n_init for r in rows)
+    # candidates evaluated stay far below the exact-graph n-1 per node
+    assert all(r.n_cand < 500 - 1 for r in rows)
+    # aggregate recall never degrades: every init edge remains a
+    # candidate in round 1, so the top-K can only gain truth hits
+    # (modulo rounded-cosine ties, which the tie-break pins)
+    assert sum(r.hits_r1 for r in rows) >= sum(r.hits_init for r in rows)
+    for r in rows:
+        assert 0 <= r.hits_init <= 5 and 0 <= r.hits_r1 <= 5
