@@ -46,16 +46,46 @@ _SUB = {
     ).format(**{k: ORACLES[v] for k, v in _SUB.items()}),
 )
 def corpus_filter_pipeline(spark, sf_dir):
-    q = QUERIES["text_quality_score"](spark, sf_dir)
-    lang = QUERIES["text_language_id"](spark, sf_dir)
+    # quality + language fused into ONE tokens aggregate: both blocks
+    # group the same exploded (doc_id, tok) frame, so running them as
+    # registered queries joined on doc_id pays the explode + hash-agg
+    # twice and adds a doc_id shuffle join. The fused frame computes
+    # all four statistics in a single pass — same expressions, same
+    # rounding, verified identical by the unchanged nested oracle
+    # (which still composes the two blocks' SQL).
+    from .text import _QUALITY_SQL
+
+    toks = T.tokens(spark, sf_dir)
+    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
+    fused = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                rnd("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)", 4)
+            ).alias("distinct_ratio"),
+            F.expr(
+                rnd("CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*)", 4)
+            ).alias("avg_tok_len"),
+            F.sum(stop).cast("double").alias("_nstop"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(_QUALITY_SQL).alias("quality"),
+            F.when(F.col("_nstop") / F.col("n_tokens") >= 0.05, "en")
+            .otherwise("unknown")
+            .alias("lang_pred"),
+            F.expr(rnd("_nstop / n_tokens", 4)).alias("stop_ratio"),
+        )
+    )
     survivors = QUERIES["dedup_exact_survivors"](spark, sf_dir)
     # no distinct: the left_anti probe neither multiplies nor cares
     neardup = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
         F.col("doc2").alias("doc_id")
     )
     return (
-        q.join(lang, "doc_id")
-        .join(survivors, "doc_id", "left_semi")
+        fused.join(survivors, "doc_id", "left_semi")
         .join(neardup, "doc_id", "left_anti")
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
         .select("doc_id", "n_tokens", "quality", "stop_ratio")
