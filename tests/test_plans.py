@@ -241,6 +241,7 @@ _JVM_ONLY = [
     "events_cms_joinsize",
     "lineitem_bloom_join_prune",
     "embed_nndescent_knn",
+    "embed_binary_quantize_recall",
 ]
 
 

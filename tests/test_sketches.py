@@ -57,3 +57,14 @@ def test_nndescent_round_expands_and_improves(spark):
     assert sum(r.hits_r1 for r in rows) >= sum(r.hits_init for r in rows)
     for r in rows:
         assert 0 <= r.hits_init <= 5 and 0 <= r.hits_r1 <= 5
+
+
+def test_binary_quantize_rerank_recovers_recall(spark):
+    rows = QUERIES["embed_binary_quantize_recall"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    # the rerank candidate pool (top-40 by Hamming) contains the top-10
+    # by Hamming, so exact reranking can only match or beat the raw
+    # code ranking in aggregate
+    assert sum(r.hits_rerank for r in rows) >= sum(r.hits_bq for r in rows)
+    for r in rows:
+        assert 0 <= r.hits_bq <= 10 and 0 <= r.hits_rerank <= 10
