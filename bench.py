@@ -40,7 +40,6 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q9_product_profit",
-    "tpch_q13_order_count_distribution",
     "tpch_q18_large_volume_orders",
     "tpch_q21_waiting_suppliers",
     "window_moving_avg_events",
@@ -50,7 +49,6 @@ HEADLINE = [
     "events_cohort_retention",
     "events_funnel_conversion",
     "events_session_paths",
-    "events_anomaly_zscore",
     "events_json_extract",
     "events_user_features",
     "join_asof_purchase_last_click",
@@ -71,15 +69,17 @@ HEADLINE = [
     "dedup_cluster_canonical_quality",
     "embed_semdedup_prune",
     "embed_knn_bruteforce",
-    "embed_ivf_search",
+    "embed_binary_quantize_recall",
     "embed_kmeans_assign",
+    "embed_ivf_search",
     "text_fingerprint",
-    "text_bigram_pmi",
     "text_langid_confusion",
     "contamination_ngram_overlap",
     "corpus_filter_pipeline",
     "corpus_split_leakage",
     "corpus_token_budget",
+    "events_cms_frequency",
+    "lineitem_bloom_join_prune",
     "multimodal_phash_neardup",
     "multimodal_audio_segments",
 ]
@@ -163,7 +163,11 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     payload = {
-        "metric": f"headline{len(times)}_suite_wall",
+        # "b" suffix: round-3 composition swap (4 family-redundant
+        # entries replaced by the sketch/ANN additions) — the suffix keeps
+        # the wall value non-comparable-by-name with the pre-swap suite;
+        # cross-round comparison stays per-query via the queries dict.
+        "metric": f"headline{len(times)}b_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(times),

@@ -2655,7 +2655,13 @@ def embed_nndescent_knn(spark, sf_dir):
     8-plane bucket catches ~5% per table), which is exactly what the
     audit is for. Norms compute ONCE per vector (nrm) and join back,
     so pair scoring is a single 64-dim fold, not three."""
-    emb = T.materialize(_emb(spark, sf_dir).select("vec_id", "embedding"))
+    emb = T.materialize(
+        T.spread_small_scan(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            spark,
+            f"{sf_dir}/embeddings.parquet",
+        )
+    )
     n = emb.count()
     n_b = max(1, min(_NND_MAXB, n // _NND_BSZ))
     nrm = T.materialize(
@@ -2703,6 +2709,7 @@ def embed_nndescent_knn(spark, sf_dir):
     bkt = T.materialize(
         emb.select(
             "vec_id",
+            "embedding",
             *[
                 (F.expr(sign_bucket_range_sql(8 * t, 8)) % n_b).alias(
                     f"b{t}"
@@ -2711,6 +2718,11 @@ def embed_nndescent_knn(spark, sf_dir):
             ],
         )
     )
+    # score bucket pairs IN-ROW off the self-join (both arrays are
+    # already present — no array re-join), then dedup the two tables'
+    # overlap with one (u, v) aggregate: max(dot) is a no-op on the
+    # duplicate (same pair, same dot) but folds the distinct + two
+    # join shuffles the id-only formulation needed into a single one
     p0 = None
     for t in range(_NND_TABLES):
         a = bkt.alias("a")
@@ -2720,14 +2732,23 @@ def embed_nndescent_knn(spark, sf_dir):
             (F.col(f"c.b{t}") == F.col(f"a.b{t}"))
             & (F.col("c.vec_id") != F.col("a.vec_id")),
         ).select(
-            F.col("a.vec_id").alias("u"), F.col("c.vec_id").alias("v")
+            F.col("a.vec_id").alias("u"),
+            F.col("c.vec_id").alias("v"),
+            F.expr(
+                _DOT.format(a="a.embedding", b="c.embedding")
+            ).alias("dot"),
         )
         p0 = pt if p0 is None else p0.unionByName(pt)
-    e0 = T.materialize(topk(with_dot(p0.distinct())))
+    e0 = T.materialize(
+        topk(p0.groupBy("u", "v").agg(F.max("dot").alias("dot")))
+    )
 
+    # no distinct here: a pair present in both directions duplicates a
+    # NoN join row, but `cand` dedups once at the end — one shuffle
+    # instead of two
     und = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     nn = (
         und.alias("g1")
         .join(und.alias("g2"), F.col("g2.u") == F.col("g1.v"))
