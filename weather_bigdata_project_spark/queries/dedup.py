@@ -1106,14 +1106,20 @@ def _prefix_filter_verified(spark, sf_dir, sh):
     prefix length) — no doc ever materializes its full array just to be
     sliced; arrays exist only for candidate doc_ids (_verified_pairs).
 
-    Cost shape at 100 TB: one df aggregate + one join of the shingle
-    frame against it (broadcast-able only if the vocabulary is; else a
-    shuffle on sh — the price of the PPJoin global order), one window
-    over doc_id, then the prefix equi-join at prefix cardinality."""
+    Cost shape at 100 TB: document frequency comes from a COUNT window
+    over sh — ONE shuffle of the shingle frame, where the groupBy+join
+    formulation shuffles it twice (once into the agg, once into the
+    join; the vocabulary side rarely fits a broadcast at corpus scale).
+    Then one window over doc_id, and the prefix equi-join at prefix
+    cardinality. Hot-shingle skew hits the sh window's single-key task
+    exactly as it would the join's shuffle side, so the collapse is
+    free. Measured at sf0.1: 2.65s -> 1.48s for the materialized
+    prefix frame, identical rows."""
     from pyspark.sql import Window
 
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "sh")
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     plen = "CAST(n_sh - ((n_sh + 1) div 2) + 1 AS INT)"
     # pinned: the candidate self-join consumes pfx on BOTH sides — the
