@@ -242,6 +242,7 @@ _JVM_ONLY = [
     "lineitem_bloom_join_prune",
     "embed_nndescent_knn",
     "embed_binary_quantize_recall",
+    "embed_semdedup_resplit",
 ]
 
 

@@ -685,6 +685,156 @@ def embed_semdedup_prune(spark, sf_dir):
     )
 
 
+# --- SemDeDup pair-space cap: second-level k-means re-split ---------------
+
+#: max members a cluster may hold before its pair space is re-split
+_RESPLIT_CAP = 64
+#: second-level seeds per oversized cluster (its S smallest vec_ids)
+_RESPLIT_S = 4
+
+
+def _resplit_oracle() -> str:
+    from .similarity import _KM_ASSIGN_CTE
+
+    pb = "CAST(sz.n * (sz.n - 1) / 2 AS BIGINT)"
+    return (
+        "WITH " + _KM_ASSIGN_CTE + ", "
+        "sz AS (SELECT cluster, COUNT(*) AS n FROM a GROUP BY cluster), "
+        "mem AS (SELECT a.vec_id, a.cluster, e.embedding "
+        "FROM a JOIN embeddings e USING (vec_id)), "
+        "s2 AS (SELECT cluster, vec_id AS seed2, embedding AS se2 FROM ("
+        "SELECT m.vec_id, m.cluster, m.embedding, "
+        "ROW_NUMBER() OVER (PARTITION BY m.cluster ORDER BY m.vec_id) "
+        "AS rk FROM mem m JOIN sz USING (cluster) "
+        f"WHERE sz.n > {_RESPLIT_CAP}) WHERE rk <= {_RESPLIT_S}), "
+        "zz AS (SELECT m.vec_id, m.cluster, s2.seed2, "
+        "CAST(unnest(m.embedding) AS DOUBLE) AS x, "
+        "CAST(unnest(s2.se2) AS DOUBLE) AS y "
+        "FROM mem m JOIN s2 ON s2.cluster = m.cluster), "
+        "dd AS (SELECT vec_id, cluster, seed2, "
+        "CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u "
+        "FROM zz GROUP BY vec_id, cluster, seed2), "
+        "asg2 AS (SELECT vec_id, cluster, seed2 AS sub FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY d_u, seed2) AS rk FROM dd) WHERE rk = 1), "
+        "cells AS (SELECT cluster, sub, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM asg2 GROUP BY cluster, sub), "
+        "agg2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "MAX(c) AS max_cell, "
+        "CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS pairs_after "
+        "FROM cells GROUP BY cluster) "
+        f"SELECT sz.cluster, sz.n AS n_members, sz.n > {_RESPLIT_CAP} "
+        "AS was_split, "
+        "COALESCE(agg2.n_cells, 1) AS n_cells, "
+        "COALESCE(agg2.max_cell, sz.n) AS max_cell, "
+        f"{pb} AS pairs_before, "
+        f"COALESCE(agg2.pairs_after, {pb}) AS pairs_after, "
+        f"CASE WHEN sz.n < 2 THEN NULL ELSE "
+        + rnd(
+            f"1.0e0 - CAST(COALESCE(agg2.pairs_after, {pb}) AS DOUBLE)"
+            f" / {pb}",
+            4,
+        )
+        + " END AS pair_reduction "
+        "FROM sz LEFT JOIN agg2 USING (cluster)"
+    )
+
+
+@query("embed_semdedup_resplit", oracle=_resplit_oracle())
+def embed_semdedup_resplit(spark, sf_dir):
+    """The SemDeDup scale guard embed_semdedup_prune's docstring
+    promises: clusters whose membership exceeds the pair budget
+    (> 64 members here) are RE-SPLIT by a second k-means level before
+    any pairwise cosine runs, because verification cost is
+    sum_k(n_k^2) and one skewed cell can dominate the whole job.
+    Second-level seeds are the cluster's own S=4 smallest vec_ids
+    (deterministic, no RNG); members re-assign to their nearest
+    sub-seed by the same micro-snapped squared-L2 argmin as level one.
+    Output is the audit you read before the expensive pass: per
+    top-level cluster, the cell count, hottest cell, and the pair-space
+    reduction the re-split bought.
+
+    Scale shape: BOTH levels are broadcast argmins — level-2 seed
+    vectors are S rows per oversized cluster, collected into one
+    per-cluster array and broadcast, so the corpus never shuffles
+    until the final K*S-key cell count. At 100 TB you recurse until
+    max_cell <= cap; each level costs one narrow pass + one tiny
+    aggregate. Cites SemDeDup (Abbas et al. 2023) and the re-split
+    refinement sketched in embed_semdedup_prune."""
+    from pyspark.sql import Window
+
+    from .. import tables
+    from .similarity import _L2U, _kmeans_best
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    asg = T.materialize(
+        _kmeans_best(emb).select(
+            "vec_id", F.col("best.seed_id").alias("cluster"), "embedding"
+        )
+    )
+    sz = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    split_members = asg.join(
+        F.broadcast(sz.filter(F.col("n") > _RESPLIT_CAP).select("cluster")),
+        "cluster",
+    )
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    seeds2 = (
+        split_members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RESPLIT_S)
+        .select(
+            "cluster",
+            F.struct(
+                F.col("vec_id").alias("seed2"),
+                F.col("embedding").alias("se2"),
+            ).alias("s"),
+        )
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds2"))
+    )
+    cells = (
+        split_members.join(F.broadcast(seeds2), "cluster")
+        .select(
+            "cluster",
+            F.expr(
+                "array_min(transform(seeds2, s -> struct("
+                + _L2U.format(a="embedding", b="s.se2")
+                + " AS d_u, s.seed2 AS seed2))).seed2"
+            ).alias("sub"),
+        )
+        .groupBy("cluster", "sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg2 = cells.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c").alias("max_cell"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("pairs_after"),
+    )
+    pb = "CAST(n * (n - 1) div 2 AS BIGINT)"
+    return (
+        sz.join(agg2, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n").alias("n_members"),
+            (F.col("n") > _RESPLIT_CAP).alias("was_split"),
+            F.coalesce("n_cells", F.lit(1).cast("long")).alias("n_cells"),
+            F.coalesce("max_cell", "n").alias("max_cell"),
+            F.expr(pb).alias("pairs_before"),
+            F.coalesce("pairs_after", F.expr(pb)).alias("pairs_after"),
+            F.expr(
+                "CASE WHEN n < 2 THEN NULL ELSE "
+                + rnd(
+                    "1.0e0 - CAST(COALESCE(pairs_after, "
+                    + pb
+                    + ") AS DOUBLE) / "
+                    + pb,
+                    4,
+                )
+                + " END"
+            ).alias("pair_reduction"),
+        )
+    )
+
+
 # --- near-dup clusters (connected components) -----------------------------
 
 
