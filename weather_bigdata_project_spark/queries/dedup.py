@@ -1284,30 +1284,46 @@ def _prefix_filter_verified(spark, sf_dir, sh):
     )
     a = pfx.alias("a")
     b = pfx.alias("b")
-    # POSITIONAL filter (the "PP" in PPJoin), lossless: J >= 0.5 needs
-    # common count c >= ceil((n1+n2)/3), and a match at ranks (i, j) in
-    # the global order bounds c <= min(n1-i, n2-j) + 1 (only tokens at or
-    # after the match can still be common). A true pair's FIRST common
-    # token always satisfies the bound, so keeping pairs where ANY
-    # matching token does loses nothing. Measured candidate pairs:
-    # sf0.01 758 -> 26 (25 true), sf0.1 310k -> 125k (256 true) — the
-    # residue is docs whose top-ranked rare shingles still collide; the
-    # next pruning level would be ppjoin's in-prefix overlap counting.
+    # POSITIONAL filter — ppjoin's in-prefix overlap counting, lossless:
+    # J >= 0.5 needs common count c >= ceil((n1+n2)/3). Aggregate the
+    # prefix matches per pair: o = in-prefix overlap, (pa, pb) = ranks
+    # of the LAST match (consistent across both docs — positions within
+    # each doc follow the same global order, so the max is one match).
+    # Any common token ranked after that match sits past pa in doc1 AND
+    # past pb in doc2, and any common token ranked before it is inside
+    # both prefixes (rank < pa <= plen1, rank < pb <= plen2) and hence
+    # already counted in o — so c <= o + min(n1-pa, n2-pb), and pairs
+    # failing o + min(n1-pa, n2-pb) >= ceil((n1+n2)/3) cannot qualify.
+    # Same shuffle as the plain distinct (one hash-agg on the pair key),
+    # strictly tighter for multi-match pairs, identical for single-match
+    # ones. Measured candidate pairs: per-match filter sf0.01 758 -> 26
+    # (25 true), sf0.1 310k -> 125024 (256 true); this aggregate filter
+    # cuts the sf0.1 residue further to 119899 — the floor is rank-1
+    # rare-shingle collisions, where both filters coincide.
     cand = (
         a.join(
             b,
             (F.col("a.psh") == F.col("b.psh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (2 * F.col("a.n") >= F.col("b.n"))
-            & (2 * F.col("b.n") >= F.col("a.n"))
-            & F.expr(
-                "3 * (least(a.n - a.rk, b.n - b.rk) + 1) >= a.n + b.n"
-            ),
+            & (2 * F.col("b.n") >= F.col("a.n")),
         )
         .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+            F.col("a.rk").alias("ra"),
+            F.col("b.rk").alias("rb"),
         )
-        .distinct()
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("o"),
+            F.max("ra").alias("pa"),
+            F.max("rb").alias("pb"),
+        )
+        .filter(F.expr("3 * (o + least(n1 - pa, n2 - pb)) >= n1 + n2"))
+        .select("doc1", "doc2")
     )
     return _verified_pairs(spark, sf_dir, T.materialize(cand), sh=sh)
 
