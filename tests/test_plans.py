@@ -243,6 +243,7 @@ _JVM_ONLY = [
     "embed_nndescent_knn",
     "embed_binary_quantize_recall",
     "embed_semdedup_resplit",
+    "embed_hard_negatives",
 ]
 
 

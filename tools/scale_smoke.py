@@ -137,6 +137,12 @@ QUERIES_TO_RUN = [
     "embed_sq8_quantize",
     "embed_sq8_recall",
     "dedup_duplicated_spans",
+    "events_cms_frequency",
+    "lineitem_bloom_join_prune",
+    "embed_binary_quantize_recall",
+    "embed_nndescent_knn",
+    "embed_semdedup_resplit",
+    "embed_hard_negatives",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are

@@ -73,6 +73,92 @@ def embed_knn_bruteforce(spark, sf_dir):
     )
 
 
+# --- hard-negative mining for contrastive training ------------------------
+
+_HN_Q = 10  # query vectors: vec_id 0..9
+_HN_K = 5  # hard negatives per query
+
+
+@query(
+    "embed_hard_negatives",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {_HN_Q}), "
+        "z AS (SELECT q.qid, q.qlab, e.vec_id, e.label, "
+        "CAST(unnest(e.embedding) AS DOUBLE) AS x, "
+        "CAST(unnest(q.qe) AS DOUBLE) AS y "
+        "FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlab), "
+        "d AS (SELECT qid, qlab, vec_id, label, SUM(x * y) AS dot, "
+        "SUM(x * x) AS n2, SUM(y * y) AS q2 "
+        "FROM z GROUP BY qid, qlab, vec_id, label), "
+        "c AS (SELECT qid, qlab, vec_id, label, "
+        + rnd("dot / (SQRT(n2) * SQRT(q2))", 6)
+        + " AS cosine FROM d), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY cosine DESC, vec_id) AS rank FROM c) "
+        "SELECT qid AS q_vec, rank, vec_id AS neg_vec, "
+        "qlab AS q_label, label AS neg_label, cosine "
+        f"FROM r WHERE rank <= {_HN_K}"
+    ),
+)
+def embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: for each
+    of the first 10 vectors (the 'anchors'), the top-5 most-similar
+    vectors whose LABEL DIFFERS — the near-miss impostors that make
+    InfoNCE/triplet batches informative (random negatives are trivially
+    separable; training signal comes from these). Label plays the role
+    of the supervision key (query-doc pair id, language, source).
+
+    Scale shape: anchors broadcast as one tiny frame (like every query
+    side in this family), the corpus pass is narrow with per-side norms
+    computed pre-join, and per-anchor top-k is a window over the
+    anchor key — at a billion vectors you first route through the IVF
+    lists (embed_ivf_search) and mine within probed cells, same
+    downstream shape. Cosines snap to 6 decimals before ranking so the
+    order is engine-portable."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr("SQRT(" + _DOT.format(a="embedding", b="embedding") + ")")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _HN_Q)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "label",
+            F.expr(
+                rnd(
+                    _DOT.format(a="embedding", b="qe") + " / (nrm * qnrm)",
+                    6,
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            F.col("qid").alias("q_vec"),
+            "rank",
+            F.col("vec_id").alias("neg_vec"),
+            "q_label",
+            F.col("label").alias("neg_label"),
+            "cosine",
+        )
+    )
+
+
 # --- LSH bucketing --------------------------------------------------------
 
 _NPLANES = 8
