@@ -244,6 +244,7 @@ _JVM_ONLY = [
     "embed_binary_quantize_recall",
     "embed_semdedup_resplit",
     "embed_hard_negatives",
+    "corpus_curriculum_order",
 ]
 
 

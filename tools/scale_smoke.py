@@ -143,6 +143,7 @@ QUERIES_TO_RUN = [
     "embed_nndescent_knn",
     "embed_semdedup_resplit",
     "embed_hard_negatives",
+    "corpus_curriculum_order",
 ]
 
 #: per-table (key column -> offset-base column source); offsets are

@@ -1317,6 +1317,80 @@ def corpus_global_shuffle(spark, sf_dir):
     )
 
 
+# --- curriculum ordering: quality-staged training order --------------------
+
+_CURR_BINS = 4
+_CURR_SHARDS = 4
+_CURR_KEY_S = T.hashed_id_spark("concat('curr1:', CAST(doc_id AS STRING))")
+_CURR_KEY_D = T.hashed_id_duck("concat('curr1:', CAST(doc_id AS STRING))")
+
+
+def _curriculum_oracle() -> str:
+    # text.py registers text_quality_score; force it first for
+    # direct-import callers (registry.load order already guarantees it)
+    from . import text as _text  # noqa: F401
+    from ..registry import ORACLES
+
+    return (
+        "WITH q AS (SELECT doc_id, quality FROM ("
+        + ORACLES["text_quality_score"]
+        + ")), "
+        f"k AS (SELECT doc_id, quality, LEAST({_CURR_BINS - 1}, "
+        f"CAST(FLOOR(quality * {_CURR_BINS}) AS INT)) AS q_bin, "
+        f"{_CURR_KEY_D} AS skey FROM q) "
+        f"SELECT doc_id, quality, q_bin, skey % {_CURR_SHARDS} AS shard, "
+        "CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY q_bin, skey % {_CURR_SHARDS} "
+        "ORDER BY skey, doc_id) AS BIGINT) AS pos "
+        "FROM k"
+    )
+
+
+@query("corpus_curriculum_order", oracle=_curriculum_oracle())
+def corpus_curriculum_order(spark, sf_dir):
+    """Curriculum training order: documents staged by QUALITY BIN
+    (fixed thresholds on the bounded text_quality_score — easy/low
+    first or hard/high first is the loader's choice, the bins are the
+    contract), hash-shuffled WITHIN each stage so no other signal leaks
+    into the order. Output is (doc_id, quality, q_bin, shard, pos): a
+    loader consumes bins in sequence, interleaving a stage's shards.
+    This is the curriculum/quality-staging step of a pretraining data
+    pipeline, the ordered sibling of corpus_global_shuffle's uniform
+    epoch order.
+
+    Scale shape: quality is one token-aggregate (the verified
+    text_quality_score block), bin and seeded shuffle key are narrow
+    expressions (fixed-width bins, NOT ntile — a global quantile rank
+    would be a single-partition window), and the only movement is a
+    repartition to (q_bin, shard) + sort-within-partition, exactly the
+    write-path shape of the global shuffle. Production shard counts in
+    the thousands keep every core busy; bumping the seed string
+    re-shuffles within stages per epoch without touching the stage
+    assignment."""
+    from ..registry import QUERIES
+
+    q = QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "quality"
+    )
+    k = q.select(
+        "doc_id",
+        "quality",
+        F.least(
+            F.lit(_CURR_BINS - 1),
+            F.floor(F.col("quality") * _CURR_BINS).cast("int"),
+        ).alias("q_bin"),
+        F.expr(_CURR_KEY_S).alias("skey"),
+    ).withColumn("shard", F.col("skey") % _CURR_SHARDS)
+    w = Window.partitionBy("q_bin", "shard").orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id",
+        "quality",
+        "q_bin",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 # --- decontamination: the corrective gate over the contamination scan ------
 
 _DECON_T = "0.2e0"  # drop a training doc at >= 20% benchmark-shingle overlap
