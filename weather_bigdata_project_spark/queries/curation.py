@@ -640,6 +640,84 @@ def corpus_perplexity_unigram(spark, sf_dir):
     )
 
 
+# --- CCNet-style perplexity buckets (head / middle / tail) -----------------
+
+_PPL_BUCKET_ORACLE = (
+    "WITH p AS (" + _PPL_ORACLE + "), "
+    "d AS (SELECT p.doc_id, p.avg_logp, doc.lang, "
+    "CAST(ROUND(p.avg_logp * 1.0e5) AS BIGINT) AS au "
+    "FROM p JOIN documents doc ON doc.doc_id = p.doc_id), "
+    "t AS (SELECT *, NTILE(3) OVER (PARTITION BY lang "
+    "ORDER BY avg_logp DESC, doc_id) AS b FROM d), "
+    "g AS (SELECT lang, b, COUNT(*) AS n_docs, SUM(au) AS sau FROM t "
+    "GROUP BY lang, b) "
+    "SELECT lang, CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+    "ELSE 'tail' END AS bucket, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(sau AS DOUBLE) / (1.0e5 * n_docs) AS mean_logp, "
+    + rnd(
+        "CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)",
+        6,
+    )
+    + " AS lang_share FROM g"
+)
+
+
+@query("corpus_perplexity_buckets", oracle=_PPL_BUCKET_ORACLE)
+def corpus_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, rank documents by language-model score and cut into
+    fluency terciles — 'head' trains as-is, 'middle' gets a second
+    look, 'tail' is dropped or heavily filtered. Bucketing within
+    language is the load-bearing detail: a global perplexity cut would
+    silently drop whole low-resource languages whose absolute
+    perplexity under a shared model runs higher. Built on
+    corpus_perplexity_unigram's scored frame; the tercile is one
+    NTILE window per language (both engines fill remainder into the
+    leading tiles) ordered by the exact-integer-derived score with a
+    doc_id tie-break, so the assignment is reproducible anywhere. At
+    100 TB the window partitions by lang — skewed toward English, so
+    ship it as a 2-pass percentile cut (approx thresholds broadcast,
+    then a narrow filter) if one language dominates a single task;
+    per-bucket means stay in exact 1e-5 integer units until the edge."""
+    scored = corpus_perplexity_unigram(spark, sf_dir).select(
+        "doc_id",
+        "avg_logp",
+        F.expr("CAST(ROUND(avg_logp * 1.0e5) AS BIGINT)").alias("au"),
+    )
+    d = scored.join(
+        T.docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    t = d.withColumn(
+        "b",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("avg_logp"), "doc_id"
+            )
+        ),
+    )
+    g = t.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("au").alias("sau")
+    )
+    return g.select(
+        "lang",
+        F.expr(
+            "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        ).alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sau AS DOUBLE) / (1.0e5 * n_docs)").alias(
+            "mean_logp"
+        ),
+        F.expr(
+            rnd(
+                "CAST(n_docs AS DOUBLE) / "
+                "SUM(n_docs) OVER (PARTITION BY lang)",
+                6,
+            )
+        ).alias("lang_share"),
+    )
+
+
 # --- sliding-window chunking ----------------------------------------------
 
 _WIN_W = 32   # window width in tokens

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import tables
+from ..functions.exprs import rnd
 from ..operators import multimodal as M
 from ..operators import textops as T
 from ..registry import query
@@ -302,4 +304,83 @@ def multimodal_audio_segments(spark, sf_dir):
     audio curation pipeline runs before paying for ASR."""
     return M.audio_voiced_segments(
         M.with_binary_payload(T.docs(spark, sf_dir))
+    )
+
+
+# --- image-text alignment filter (CLIP-score curation) --------------------
+
+#: keep threshold on the snapped alignment cosine — chosen where the
+#: synthetic score distribution (quartiles ~ +/-0.23) keeps ~28% of
+#: pairs, the shape of a production CLIP-score cut (LAION keeps ~30%
+#: at 0.28 on real CLIP logits)
+_ALIGN_T = 0.2
+
+#: left-fold dot/norm twins: Spark `aggregate` and DuckDB `list_reduce`
+#: both fold left-to-right in index order, so the float sums associate
+#: identically (the 0.0e0 init adds exactly nothing in IEEE)
+_ALIGN_ORACLE = (
+    "WITH " + _B_CTE + ", " + _CK_CTE + ", "
+    "f AS (SELECT doc_id, list_transform(range(0, 8), i -> "
+    + _feat("i")
+    + ") AS img FROM ck), "
+    "v AS (SELECT vec_id, list_transform(embedding[1:8], "
+    "x -> CAST(x AS DOUBLE)) AS t8 FROM embeddings), "
+    "j AS (SELECT d.doc_id, d.source, f.img, v.t8 FROM documents d "
+    "JOIN f ON f.doc_id = d.doc_id JOIN v ON v.vec_id = d.doc_id), "
+    "c AS (SELECT doc_id, source, "
+    + rnd(
+        "list_reduce(list_transform(range(1, 9), i -> img[i] * t8[i]), "
+        "(acc, x) -> acc + x) / "
+        "(SQRT(list_reduce(list_transform(img, x -> x * x), "
+        "(acc, x) -> acc + x)) * "
+        "SQRT(list_reduce(list_transform(t8, x -> x * x), "
+        "(acc, x) -> acc + x)))",
+        4,
+    )
+    + " AS align_cos FROM j) "
+    f"SELECT doc_id, source, align_cos, align_cos >= {_ALIGN_T}e0 AS keep "
+    "FROM c"
+)
+
+
+@query("multimodal_caption_align", oracle=_ALIGN_ORACLE)
+def multimodal_caption_align(spark, sf_dir):
+    """Image-text alignment filter — the CLIP-score curation cut (LAION
+    / DataComp style): every (image, caption) pair scored by the cosine
+    between the image's decoded feature vector and its caption's text
+    embedding; pairs below the threshold are mislabeled/decorative and
+    are dropped before multimodal training. Image side comes from the
+    Arrow-batched decode kernel (stub features, hash-gated by byte
+    arithmetic); text side is the id-aligned embedding sidecar truncated
+    to the image feature width (Matryoshka-style prefix truncation —
+    leading dims carry the shared space). Both joins are id equi-joins:
+    at 100 TB, media, captions, and vectors bucket by doc_id and the
+    whole filter runs shuffle-free with no crossJoin anywhere; the
+    cosine is a narrow 8-wide fold, and the keep decision happens on
+    the SNAPPED score in both engines so the boolean can never straddle
+    an ulp. Reference has no multimodal surface; this extends
+    multimodal_decode_features + doc_embedding_join into the standard
+    pair-curation operator."""
+    dec = M.decode_media(
+        M.with_binary_payload(T.docs(spark, sf_dir))
+    ).select("doc_id", F.col("feature").alias("img"))
+    txt = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.expr(
+            "transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))"
+        ).alias("t8"),
+    )
+    src = T.docs(spark, sf_dir).select("doc_id", "source")
+    j = src.join(dec, "doc_id").join(txt, src.doc_id == txt.vec_id)
+    cos = (
+        "aggregate(zip_with(img, t8, (x, y) -> x * y), 0.0e0, "
+        "(acc, v) -> acc + v) / "
+        "(SQRT(aggregate(img, 0.0e0, (acc, x) -> acc + x * x)) * "
+        "SQRT(aggregate(t8, 0.0e0, (acc, x) -> acc + x * x)))"
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        F.expr(rnd(cos, 4)).alias("align_cos"),
+        F.expr(f"{rnd(cos, 4)} >= {_ALIGN_T}e0").alias("keep"),
     )

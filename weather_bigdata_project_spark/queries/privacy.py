@@ -1,0 +1,154 @@
+"""Privacy / re-identification audits over the training-data tables.
+
+A curation pipeline that ships user-derived data into a training corpus
+owes the same pre-flight it owes dedup and contamination: how close is
+any row to being re-identifiable from its quasi-identifiers? These
+queries implement the standard k-anonymity audit (Sweeney 2002) and the
+generalization-lattice trade-off a release process actually walks —
+each level coarsens one quasi-identifier and buys anonymity with
+utility. Reference has no privacy surface (its PII handling is
+text-level, twinned by text_pii_redact); this family extends it with
+the record-level audit.
+
+Float discipline: bucket edges are single IEEE divisions + FLOOR,
+identical in both engines; all reported rates are exact-integer ratios
+divided once and snapped at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.exprs import rnd
+from ..registry import query
+
+#: a quasi-identifier group with fewer than K_T members is "at risk":
+#: an attacker who knows the quasi-identifiers narrows a target to
+#: under K_T candidate rows
+_K_T = 5
+
+#: the quasi-identifier set for the customer table: coarse geography,
+#: market segment, and account balance rounded to $1000 buckets — the
+#: classic (zip, birth-date, sex)-shaped triple for this schema
+_QI_BUCKET = "CAST(FLOOR(c_acctbal / 1000.0e0) AS BIGINT)"
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=(
+        "SELECT c_nationkey AS nation_key, c_mktsegment AS segment, "
+        f"{_QI_BUCKET} AS bal_kbucket, "
+        "CAST(COUNT(*) AS BIGINT) AS k, "
+        f"COUNT(*) < {_K_T} AS at_risk "
+        "FROM customer GROUP BY 1, 2, 3"
+    ),
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit: every quasi-identifier equivalence class in
+    the customer table with its size k. A class with k < 5 means those
+    customers are re-identifiable by anyone who knows (nation, segment,
+    approximate balance) — the rows a privacy review blocks from
+    release or generalizes further (privacy_generalization_tradeoff
+    walks that lattice). ONE hash aggregate at quasi-identifier
+    cardinality; at 100 TB the group count is bounded by the QI
+    domain (~10^4 here), so the result is always broadcast-sized
+    regardless of row count."""
+    c = tables.load(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_QI_BUCKET).alias("bal_kbucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.count(F.lit(1)) < _K_T).alias("at_risk"),
+    )
+
+
+#: the generalization lattice: level -> (description, needs_region,
+#: balance-bucket SQL or None). Each level strictly coarsens the
+#: previous — finer balance buckets, then coarser, then nation->region,
+#: then dropping balance entirely.
+_LATTICE = [
+    (0, "nation+segment+bal500", False, "FLOOR(c_acctbal / 500.0e0)"),
+    (1, "nation+segment+bal2000", False, "FLOOR(c_acctbal / 2000.0e0)"),
+    (2, "region+segment+bal2000", True, "FLOOR(c_acctbal / 2000.0e0)"),
+    (3, "region+segment", True, None),
+]
+
+
+def _lattice_oracle() -> str:
+    rows = []
+    for lvl, desc, use_region, bucket in _LATTICE:
+        geo = "n.n_regionkey" if use_region else "c.c_nationkey"
+        b = f"CAST({bucket} AS BIGINT)" if bucket else "CAST(0 AS BIGINT)"
+        rows.append(
+            f"SELECT {lvl} AS level, '{desc}' AS generalization, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(SUM(k) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN k < {_K_T} THEN k ELSE 0 END) AS BIGINT) "
+            "AS rows_at_risk, "
+            + rnd(
+                f"CAST(SUM(CASE WHEN k < {_K_T} THEN k ELSE 0 END) "
+                "AS DOUBLE) / SUM(k)",
+                6,
+            )
+            + " AS pct_at_risk, "
+            "CAST(MIN(k) AS BIGINT) AS min_k "
+            "FROM (SELECT COUNT(*) AS k FROM customer c "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            f"GROUP BY {geo}, c.c_mktsegment, {b})"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query("privacy_generalization_tradeoff", oracle=_lattice_oracle())
+def privacy_generalization_tradeoff(spark, sf_dir):
+    """The k-anonymity generalization lattice, measured: four
+    generalization levels of the customer quasi-identifiers (finer ->
+    coarser balance buckets, nation -> region, then dropping balance),
+    each with its group count, rows still at risk (in classes smaller
+    than k=5), and the at-risk fraction — the privacy/utility curve a
+    release process reads to pick the cheapest generalization that
+    clears its k threshold. Four QI-cardinality aggregates over one
+    broadcast nation join (25 rows); each level's group list is
+    QI-domain-bounded, so the whole lattice costs four map-side-combine
+    passes at 100 TB and the output is always a handful of rows."""
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    base = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    out = None
+    for lvl, desc, use_region, bucket in _LATTICE:
+        geo = F.col("n_regionkey") if use_region else F.col("c_nationkey")
+        b = (
+            F.expr(f"CAST({bucket} AS BIGINT)")
+            if bucket
+            else F.lit(0).cast("bigint")
+        )
+        grp = base.groupBy(
+            geo.alias("g"),
+            F.col("c_mktsegment").alias("s"),
+            b.alias("b"),
+        ).agg(F.count(F.lit(1)).alias("k"))
+        row = grp.agg(
+            F.lit(lvl).alias("level"),
+            F.lit(desc).alias("generalization"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.sum(F.expr(f"CASE WHEN k < {_K_T} THEN k ELSE 0 END"))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.expr(
+                rnd(
+                    f"CAST(SUM(CASE WHEN k < {_K_T} THEN k ELSE 0 END) "
+                    "AS DOUBLE) / SUM(k)",
+                    6,
+                )
+            ).alias("pct_at_risk"),
+            F.min("k").cast("bigint").alias("min_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

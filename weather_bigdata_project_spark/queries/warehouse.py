@@ -1999,3 +1999,129 @@ def part_skyline_frontier(spark, sf_dir):
         )
         .select("p_partkey", "price", "size")
     )
+
+
+# --- snapshot schema/distribution drift audit ------------------------------
+
+#: reference/current snapshot boundary (mid-range of the fixture month;
+#: in production this is yesterday's partition vs today's)
+_DRIFT_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+#: PSI >= 0.1 is the conventional "investigate" threshold
+_DRIFT_T = "0.1e0"
+
+
+def _psi_cte(src: str, tag: str) -> str:
+    """Population-stability-index CTE chain over an (is_ref, key) frame:
+    per-key ref/cur counts, Laplace-smoothed shares (+1 over observed
+    keys, so empty-side keys stay finite), and the PSI sum carried in
+    exact 1e-9 integer units (per-key LN snapped to 1e-5 units first —
+    the libm-ulp doctrine — so the cross-key sum is integer-exact in
+    both engines)."""
+    p = f"(CAST(r + 1 AS DOUBLE) / (tr + k))"
+    q = f"(CAST(c + 1 AS DOUBLE) / (tc + k))"
+    lnu = f"CAST(ROUND(LN({p} / {q}) * 1.0e5) AS BIGINT)"
+    contrib = (
+        f"CAST(ROUND((({p} - {q}) * (CAST({lnu} AS DOUBLE) / 1.0e5)) "
+        "* 1.0e9) AS BIGINT)"
+    )
+    return (
+        f"{tag}g AS (SELECT key, "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r, "
+        "SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c "
+        f"FROM {src} GROUP BY key), "
+        f"{tag}t AS (SELECT SUM(r) AS tr, SUM(c) AS tc, COUNT(*) AS k "
+        f"FROM {tag}g), "
+        f"{tag}p AS (SELECT SUM({contrib}) AS cu "
+        f"FROM {tag}g CROSS JOIN {tag}t)"
+    )
+
+
+def _drift_sql(e: str) -> str:
+    psi = rnd("CAST(cu AS DOUBLE) / 1.0e9", 6)
+    return (
+        f"WITH h AS (SELECT (ts < {_DRIFT_SPLIT}) AS is_ref, "
+        f"value, event_type, user_id FROM {e}), "
+        "s AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
+        "FROM h WHERE is_ref), "
+        "vb AS (SELECT is_ref, LEAST(9, GREATEST(0, "
+        "CAST(FLOOR((value - mn) / ((mx - mn) / 10.0e0)) AS INT))) "
+        "AS key FROM h CROSS JOIN s WHERE value IS NOT NULL), "
+        "cb AS (SELECT is_ref, event_type AS key FROM h "
+        "WHERE event_type IS NOT NULL), "
+        + _psi_cte("vb", "v")
+        + ", "
+        + _psi_cte("cb", "c")
+        + ", "
+        "n AS (SELECT "
+        "SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr, "
+        "SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc, "
+        "SUM(CASE WHEN is_ref AND value IS NULL THEN 1 ELSE 0 END) "
+        "AS vnull_r, "
+        "SUM(CASE WHEN (NOT is_ref) AND value IS NULL THEN 1 ELSE 0 END) "
+        "AS vnull_c, "
+        "SUM(CASE WHEN is_ref AND event_type IS NULL THEN 1 ELSE 0 END) "
+        "AS tnull_r, "
+        "SUM(CASE WHEN (NOT is_ref) AND event_type IS NULL "
+        "THEN 1 ELSE 0 END) AS tnull_c, "
+        "SUM(CASE WHEN is_ref AND user_id IS NULL THEN 1 ELSE 0 END) "
+        "AS unull_r, "
+        "SUM(CASE WHEN (NOT is_ref) AND user_id IS NULL "
+        "THEN 1 ELSE 0 END) AS unull_c, "
+        "COUNT(DISTINCT CASE WHEN is_ref THEN value END) AS vd_r, "
+        "COUNT(DISTINCT CASE WHEN NOT is_ref THEN value END) AS vd_c, "
+        "COUNT(DISTINCT CASE WHEN is_ref THEN event_type END) AS td_r, "
+        "COUNT(DISTINCT CASE WHEN NOT is_ref THEN event_type END) "
+        "AS td_c, "
+        "COUNT(DISTINCT CASE WHEN is_ref THEN user_id END) AS ud_r, "
+        "COUNT(DISTINCT CASE WHEN NOT is_ref THEN user_id END) AS ud_c "
+        "FROM h) "
+        "SELECT 'value' AS col, "
+        + rnd("CAST(vnull_r AS DOUBLE) / nr", 6)
+        + " AS null_rate_ref, "
+        + rnd("CAST(vnull_c AS DOUBLE) / nc", 6)
+        + " AS null_rate_cur, "
+        "CAST(vd_r AS BIGINT) AS n_distinct_ref, "
+        "CAST(vd_c AS BIGINT) AS n_distinct_cur, "
+        f"{psi} AS psi, {psi} >= {_DRIFT_T} AS drift "
+        "FROM n CROSS JOIN vp "
+        "UNION ALL "
+        "SELECT 'event_type' AS col, "
+        + rnd("CAST(tnull_r AS DOUBLE) / nr", 6)
+        + ", "
+        + rnd("CAST(tnull_c AS DOUBLE) / nc", 6)
+        + ", CAST(td_r AS BIGINT), CAST(td_c AS BIGINT), "
+        f"{psi}, {psi} >= {_DRIFT_T} "
+        "FROM n CROSS JOIN cp "
+        "UNION ALL "
+        "SELECT 'user_id' AS col, "
+        + rnd("CAST(unull_r AS DOUBLE) / nr", 6)
+        + ", "
+        + rnd("CAST(unull_c AS DOUBLE) / nc", 6)
+        + ", CAST(ud_r AS BIGINT), CAST(ud_c AS BIGINT), "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN) FROM n"
+    )
+
+
+@query("dq_schema_drift", oracle=_drift_sql("events"))
+def dq_schema_drift(spark, sf_dir):
+    """Snapshot-over-snapshot drift audit — the data-contract check a
+    pipeline runs before letting today's partition into the training
+    mix: for each monitored column, null rates and distinct counts in
+    the reference vs current half, plus the population stability index
+    (PSI) of the value distribution (10 equal-width bins anchored on
+    the REFERENCE half's range for numerics, observed categories for
+    strings; Laplace-smoothed so one-sided keys stay finite). PSI >=
+    0.1 flags the column for investigation, >= 0.25 in practice blocks
+    the load. One pass over the fact table feeds every CTE: the two
+    PSI aggregates are key-cardinality (bounded by 10 bins / the
+    category domain), the null/distinct scan is a single grouped
+    aggregate — nothing here exceeds broadcast size at 100 TB, and the
+    identical SQL text runs in both engines (the audit itself is
+    engine-portable, which is what you want from a contract check).
+    Per-key log terms snap to 1e-5 integer units before the cross-key
+    sum, so the PSI hashes bit-identically."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "drift_events"
+    )
+    return spark.sql(_drift_sql("drift_events"))

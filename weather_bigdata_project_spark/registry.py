@@ -160,6 +160,7 @@ def load() -> None:
     from .queries import geo  # noqa: F401
     from .queries import jsonops  # noqa: F401
     from .queries import multimodal  # noqa: F401
+    from .queries import privacy  # noqa: F401
     from .queries import sketches  # noqa: F401
     from .queries import spark4  # noqa: F401
     from .queries import pipeline  # noqa: F401  (composes the above)
