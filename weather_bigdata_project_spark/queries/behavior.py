@@ -1765,3 +1765,95 @@ def events_cuped_adjustment(spark, sf_dir):
         F.expr(rnd(_CUPED_EFFECT_RAW, 4)).alias("effect_raw"),
         F.expr(rnd(_CUPED_EFFECT_ADJ, 4)).alias("effect_cuped"),
     )
+
+
+# --- bot / non-organic traffic detection -----------------------------------
+
+#: fast-gap rule: share of inter-event gaps under 10 minutes at or
+#: above this marks burst automation (organic users here sit at
+#: median ~1.4%, max ~5%)
+_BOT_FAST_SHARE = "0.03e0"
+
+#: regularity rule: a gap coefficient-of-variation this low means
+#: metronomic scheduling — organic arrivals are near-exponential
+#: (CV ~ 1)
+_BOT_CV = "0.5e0"
+
+_BOT_SQL = (
+    "SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events, "
+    # share of sub-600s gaps: exact integer ratio, one division
+    + "{rnd_fast} AS fast_share, "
+    # CV of per-user gap seconds from exact integer moments:
+    # sqrt((n*ssq - s^2) / (n*(n-1))) / (s/n) — each double op single
+    + "{rnd_cv} AS gap_cv, "
+    "({rnd_fast} >= {tf} OR {rnd_cv} <= {tcv}) AS bot "
+    "FROM g GROUP BY user_id"
+)
+
+
+def _bot_select() -> str:
+    fast = (
+        "CAST(SUM(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / COUNT(*)"
+    )
+    # integer second gaps keep sums-of-squares in BIGINT range
+    # (~1e10 per gap, ~100 gaps per user)
+    var_num = (
+        "CAST(COUNT(*) * SUM(gap_s * gap_s) - SUM(gap_s) * SUM(gap_s) "
+        "AS DOUBLE)"
+    )
+    cv = (
+        f"SQRT({var_num} / (COUNT(*) * (COUNT(*) - 1))) / "
+        "(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*))"
+    )
+    return _BOT_SQL.format(
+        rnd_fast=rnd(fast, 6),
+        rnd_cv=rnd(cv, 6),
+        tf=_BOT_FAST_SHARE,
+        tcv=_BOT_CV,
+    )
+
+
+_BOT_ORACLE = (
+    "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+    f"r AS (SELECT user_id, {_EPOCH_US_DUCK} AS tus, event_id "
+    "FROM events_t), "
+    "d AS (SELECT user_id, tus - lag(tus) OVER "
+    "(PARTITION BY user_id ORDER BY tus, event_id) AS gap_us FROM r), "
+    "g AS (SELECT user_id, gap_us, gap_us // 1000000 AS gap_s "
+    "FROM d WHERE gap_us IS NOT NULL) "
+    + _bot_select()
+)
+
+
+@query("events_bot_detection", oracle=_BOT_ORACLE)
+def events_bot_detection(spark, sf_dir):
+    """Non-organic traffic screen — the bot filter an event corpus runs
+    before sessions/funnels/training mixes trust the counts: per user,
+    the share of super-human inter-event gaps (< 10 min) and the
+    coefficient of variation of gap lengths (metronomic scheduling has
+    CV << 1 where organic arrivals are near-exponential, CV ~ 1).
+    Either rule trips the bot flag; both rule inputs are exact-integer
+    moments of microsecond gaps (seconds for the squared sums so
+    BIGINT never overflows), snapped once at the edge so the flag can
+    never straddle an ulp. One window over (user_id, ts) and one
+    user-cardinality aggregate — the same shuffle key two queries
+    share at 100 TB; thresholds are data-calibrated literals, the
+    operator is the shape."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", F.expr(_EPOCH_US_SPARK).alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = (
+        ev.withColumn("gap_us", F.col("tus") - F.lag("tus").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "user_id",
+            "gap_us",
+            F.expr("gap_us div 1000000").alias("gap_s"),
+        )
+    )
+    g.createOrReplaceTempView("bot_gaps")
+    return spark.sql(
+        _bot_select().replace("FROM g GROUP BY", "FROM bot_gaps GROUP BY")
+    )

@@ -152,3 +152,50 @@ def privacy_generalization_tradeoff(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: an equivalence class needs at least L_T distinct sensitive values or
+#: an attacker who locates a target's class learns the sensitive value
+#: (near-)exactly — homogeneity attack (Machanavajjhala et al. 2007)
+_L_T = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=(
+        "SELECT c.c_nationkey AS nation_key, "
+        "c.c_mktsegment AS segment, "
+        f"{_QI_BUCKET} AS bal_kbucket, "
+        "CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS k, "
+        "CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l, "
+        "COUNT(DISTINCT o.o_orderpriority) = 1 AS homogeneous, "
+        f"COUNT(DISTINCT o.o_orderpriority) < {_L_T} AS at_risk "
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY 1, 2, 3"
+    ),
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit — the attack k-anonymity misses: a
+    quasi-identifier class can be large (k high) yet carry only ONE
+    sensitive value, so locating a target's class discloses the
+    sensitive attribute without re-identifying the row (homogeneity
+    attack). Per customer QI class (same QI set as
+    privacy_k_anonymity), the number of distinct sensitive values
+    (order priority standing in for the sensitive column) among its
+    members' orders: homogeneous classes and classes below l=3 are
+    flagged. One fact-to-dimension equi-join and one QI-cardinality
+    aggregate with two distinct counts — at 100 TB the join broadcasts
+    the customer QI projection and the output stays QI-domain-bounded."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    return j.groupBy(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_QI_BUCKET).alias("bal_kbucket"),
+    ).agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("k"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l"),
+        (F.countDistinct("o_orderpriority") == 1).alias("homogeneous"),
+        (F.countDistinct("o_orderpriority") < _L_T).alias("at_risk"),
+    )

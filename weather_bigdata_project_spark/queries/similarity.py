@@ -3095,3 +3095,178 @@ def embed_binary_quantize_recall(spark, sf_dir):
             )
         ).alias("recall_rerank"),
     )
+
+
+# --- k-means|| initialization (Bahmani et al. 2012) ------------------------
+
+_KMPP_L = 4          # oversampling factor per round
+_KMPP_R = 2          # sampling rounds (O(log n) in the paper; 2 here)
+_KMPP_K = 4          # final centers chosen from the candidate pool
+_KMPP_M = 1048576    # LCG modulus (2^20): u(x, r) uniform in [0, M)
+_KMPP_A = 2654435761  # Knuth multiplicative hash
+_KMPP_B = 40503
+
+
+def _kmpp_u(r: int) -> str:
+    """Deterministic per-(vector, round) uniform in [0, M): pure integer
+    arithmetic, identical in both engines (the Efraimidis/LCG doctrine
+    of corpus_weighted_sample)."""
+    return f"((vec_id * {_KMPP_A} + {r} * {_KMPP_B}) % {_KMPP_M})"
+
+
+def _kmpp_oracle() -> str:
+    """Unrolled k-means|| CTE chain: per round, exact micro-snapped
+    min-distance to the current candidate set, the exact-integer cost
+    phi, and the integer-product sampling rule
+    u * phi < M * l * d_u  (== P(pick) = min(1, l*d2/phi))."""
+    parts = [
+        "c0 AS (SELECT vec_id AS seed_id, embedding AS sv, 0 AS rnd "
+        "FROM embeddings WHERE vec_id = 0)"
+    ]
+    for r in range(1, _KMPP_R + 1):
+        p = r - 1
+        parts.append(
+            f"z{r} AS (SELECT e.vec_id, c.seed_id, "
+            "CAST(unnest(e.embedding) AS DOUBLE) AS x, "
+            "CAST(unnest(c.sv) AS DOUBLE) AS y "
+            f"FROM embeddings e CROSS JOIN c{p} c)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT vec_id, seed_id, "
+            "CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) "
+            f"AS d_u FROM z{r} GROUP BY vec_id, seed_id)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT vec_id, MIN(d_u) AS d_u FROM d{r} "
+            "GROUP BY vec_id)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT SUM(d_u) AS phi FROM m{r})"
+        )
+        parts.append(
+            f"n{r} AS (SELECT m.vec_id FROM m{r} m CROSS JOIN p{r} "
+            f"WHERE {_kmpp_u(r)} * phi < "
+            f"{_KMPP_M} * {_KMPP_L} * m.d_u)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT seed_id, sv, rnd FROM c{p} UNION ALL "
+            f"SELECT e.vec_id, e.embedding, {r} FROM embeddings e "
+            f"JOIN n{r} ON n{r}.vec_id = e.vec_id)"
+        )
+    last = f"c{_KMPP_R}"
+    fr = _KMPP_R + 1
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"zf AS (SELECT e.vec_id, c.seed_id, "
+        "CAST(unnest(e.embedding) AS DOUBLE) AS x, "
+        "CAST(unnest(c.sv) AS DOUBLE) AS y "
+        f"FROM embeddings e CROSS JOIN {last} c), "
+        "df AS (SELECT vec_id, seed_id, "
+        "CAST(ROUND(SUM((x - y) * (x - y)) * 1.0e6) AS BIGINT) AS d_u "
+        "FROM zf GROUP BY vec_id, seed_id), "
+        "af AS (SELECT vec_id, seed_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d_u, seed_id) AS rk FROM df), "
+        "wf AS (SELECT seed_id, COUNT(*) AS w FROM af WHERE rk = 1 "
+        "GROUP BY seed_id), "
+        f"o AS (SELECT c.seed_id, CAST(c.rnd AS INT) AS round_added, "
+        "CAST(COALESCE(wf.w, 0) AS BIGINT) AS weight "
+        f"FROM {last} c LEFT JOIN wf ON wf.seed_id = c.seed_id) "
+        "SELECT seed_id, round_added, weight, "
+        "ROW_NUMBER() OVER (ORDER BY weight DESC, seed_id) "
+        f"<= {_KMPP_K} AS chosen FROM o"
+    )
+
+
+@query("embed_kmeans_parallel_init", oracle=_kmpp_oracle())
+def embed_kmeans_parallel_init(spark, sf_dir):
+    """k-means|| initialization (Bahmani et al. 2012) — the reason this
+    operator family exists at 100 TB: k-means++ needs k strictly
+    sequential passes (each next center depends on all previous), so at
+    a billion vectors the INIT dominates the clustering. k-means||
+    replaces it with O(log n) rounds that each OVERSAMPLE l candidates
+    in parallel with probability l*d2(x,C)/phi, then reduce the ~l*R
+    candidate pool to k weighted centers. Each round here is one
+    broadcast-argmin narrow pass over the corpus (candidate vectors
+    collected + broadcast, min-distance via the micro-snapped in-row
+    fold) plus ONE scalar aggregate (phi) pulled to the driver — the
+    same driver-side aggregate-state pattern as the power iteration,
+    never row data. Sampling is the exact integer product rule
+    u * phi < M * l * d_u with a per-(vector, round) LCG uniform, so
+    the 'random' init is bit-reproducible in any engine and stable
+    under repartitioning; the final weighted top-k stands in for the
+    weighted recluster of the candidate pool (at k this small the
+    classic finish is a driver-side weighted k-means++ over ~10 rows).
+    BIGINT guard: u < 2^20 and phi at ~1e12 keep u*phi < 2^63; past
+    ~1e9 vectors move the rule to (u/M) * phi < l * d_u in DOUBLE on
+    the snapped integers, or DECIMAL(38,0).
+    Deliberately round-unrolled; candidates never exceed 1 + l*R."""
+    emb = _emb(spark, sf_dir)
+    cand: list[tuple[int, int]] = [(0, 0)]  # (vec_id, round_added)
+    for r in range(1, _KMPP_R + 1):
+        ids = [v for v, _ in cand]
+        seeds = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                F.struct(
+                    F.col("vec_id").alias("seed_id"),
+                    F.col("embedding").alias("sv"),
+                ).alias("s")
+            )
+            .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+        )
+        m = emb.join(F.broadcast(seeds)).select(
+            "vec_id",
+            F.expr(
+                "array_min(transform(seeds, s -> "
+                + _L2U.format(a="embedding", b="s.sv")
+                + "))"
+            ).alias("d_u"),
+        )
+        phi = m.agg(F.sum("d_u")).collect()[0][0]
+        picks = (
+            m.filter(
+                F.expr(
+                    f"{_kmpp_u(r)} * CAST({phi} AS BIGINT) < "
+                    f"{_KMPP_M} * {_KMPP_L} * d_u"
+                )
+            )
+            .select("vec_id")
+            .collect()
+        )
+        cand.extend((row[0], r) for row in picks)
+    ids = [v for v, _ in cand]
+    seeds = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("sv"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    near = emb.join(F.broadcast(seeds)).select(
+        F.expr(
+            "array_min(transform(seeds, s -> struct("
+            + _L2U.format(a="embedding", b="s.sv")
+            + " AS d_u, s.seed_id AS seed_id)))"
+        ).alias("best")
+    )
+    weights = near.groupBy(F.col("best.seed_id").alias("seed_id")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    cdf = spark.createDataFrame(cand, "seed_id: bigint, round_added: int")
+    out = cdf.join(weights, "seed_id", "left").select(
+        "seed_id",
+        "round_added",
+        F.coalesce("w", F.lit(0)).cast("bigint").alias("weight"),
+    )
+    from pyspark.sql import Window as _W
+
+    return out.withColumn(
+        "chosen",
+        F.row_number().over(
+            _W.orderBy(F.desc("weight"), "seed_id")
+        )
+        <= _KMPP_K,
+    )
