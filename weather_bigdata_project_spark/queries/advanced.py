@@ -1409,3 +1409,98 @@ def basket_association_rules(spark, sf_dir):
         "WITH pairs AS (SELECT * FROM ar_pairs), "
         "ob AS (SELECT * FROM ar_ob), " + _AR_TAIL
     )
+
+
+# --- Shapley-value attribution ---------------------------------------------
+
+def _fact(x: str) -> str:
+    """Exact factorial for 0..8 as an engine-neutral CASE (channel
+    counts past 8 make exact Shapley the wrong tool anyway — sample
+    permutations instead)."""
+    return (
+        f"CASE ({x}) WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+        "WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 "
+        "WHEN 7 THEN 5040 WHEN 8 THEN 40320 END"
+    )
+
+
+def _shapley_sql(src: str) -> str:
+    """Shared text: coalition = the SET of channels a user touched
+    before first purchase (bitmask over the sorted channel list),
+    v(S) = that coalition's observed conversion rate (nano-snapped),
+    and the exact Shapley sum decomposed over OBSERVED coalitions only:
+    n! * phi_c = sum_{U obs, c in U} (|U|-1)!(n-|U|)! v(U)
+               - sum_{S obs, c notin S} |S|!(n-|S|-1)! v(S)
+    (unobserved coalitions carry v = 0, so they cancel from both
+    terms — no 2^n enumeration ever happens)."""
+    bit = "CAST(ROUND(POWER(2.0e0, idx)) AS BIGINT)"
+    return (
+        "fp AS (SELECT user_id, MIN(CASE WHEN event_type = 'purchase' "
+        f"THEN ts END) AS pt FROM {src} GROUP BY user_id), "
+        "tc AS (SELECT DISTINCT e.user_id, e.event_type AS chn "
+        f"FROM {src} e JOIN fp ON fp.user_id = e.user_id "
+        "WHERE e.event_type <> 'purchase' "
+        "AND (fp.pt IS NULL OR e.ts < fp.pt)), "
+        "chan AS (SELECT chn, CAST(ROW_NUMBER() OVER (ORDER BY chn) - 1 "
+        "AS INT) AS idx FROM (SELECT DISTINCT chn FROM tc) z), "
+        "nch AS (SELECT COUNT(*) AS n FROM chan), "
+        "um AS (SELECT fp.user_id, "
+        "MAX(CASE WHEN fp.pt IS NULL THEN 0 ELSE 1 END) AS conv, "
+        f"COALESCE(SUM({bit}), 0) AS mask "
+        "FROM fp LEFT JOIN tc ON tc.user_id = fp.user_id "
+        "LEFT JOIN chan ON chan.chn = tc.chn GROUP BY fp.user_id), "
+        "co AS (SELECT mask, COUNT(*) AS nu, "
+        "CAST(ROUND(1.0e9 * SUM(conv) / COUNT(*)) AS BIGINT) AS vu "
+        "FROM um GROUP BY mask), "
+        "ph AS (SELECT ch.chn, SUM(CASE WHEN (co.mask & ch.bit) <> 0 "
+        "THEN " + _fact("bit_count(co.mask) - 1") + " * "
+        + _fact("n - bit_count(co.mask)")
+        + " * co.vu ELSE -" + _fact("bit_count(co.mask)") + " * "
+        + _fact("n - bit_count(co.mask) - 1")
+        + " * co.vu END) AS phi_u, MAX(n) AS n FROM co CROSS JOIN "
+        f"(SELECT chn, idx, {bit} AS bit FROM chan) ch "
+        "CROSS JOIN nch GROUP BY ch.chn), "
+        "tch AS (SELECT chn, COUNT(*) AS n_users FROM tc GROUP BY chn) "
+        "SELECT ph.chn AS channel, "
+        "CAST(tch.n_users AS BIGINT) AS n_users_touched, "
+        + rnd(
+            "CAST(phi_u AS DOUBLE) / (" + _fact("n") + " * 1.0e9)", 6
+        )
+        + " AS shapley_value, "
+        "CASE WHEN SUM(phi_u) OVER () = 0 THEN NULL ELSE "
+        + rnd("CAST(phi_u AS DOUBLE) / SUM(phi_u) OVER ()", 6)
+        + " END AS shapley_share "
+        "FROM ph JOIN tch ON tch.chn = ph.chn"
+    )
+
+
+@query(
+    "events_shapley_attribution",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _shapley_sql("events_t")
+    ),
+)
+def events_shapley_attribution(spark, sf_dir):
+    """Shapley-value multi-touch attribution (the cooperative-game
+    counterpart of the Markov removal effect, and the method ad
+    platforms actually shipped as 'data-driven attribution'): each
+    channel's credit is its average marginal contribution to the
+    conversion rate across all orderings of the channel coalition.
+    Characteristic function v(S) = observed conversion rate of users
+    whose pre-purchase touch set is exactly S; the exact Shapley sum
+    runs over OBSERVED coalitions only (unobserved S have v = 0 and
+    cancel), so the 2^n lattice never materializes — the whole
+    computation after the one touch-set aggregate is
+    (coalitions x channels) rows, broadcast-sized at any corpus scale.
+    Coalition membership is a bitmask over the deterministic sorted
+    channel order; conversion rates snap to nano-units and the
+    factorial weights are exact integers, so every engine agrees to
+    the bit. Compare with events_markov_attribution (path-model
+    credit) and events_attribution_linear (heuristic): disagreement
+    between the three is the signal that budget decisions need a
+    holdout experiment, not a better model."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "adv_events"
+    )
+    return spark.sql("WITH " + _shapley_sql("adv_events"))

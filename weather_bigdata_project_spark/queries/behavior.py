@@ -1857,3 +1857,105 @@ def events_bot_detection(spark, sf_dir):
     return spark.sql(
         _bot_select().replace("FROM g GROUP BY", "FROM bot_gaps GROUP BY")
     )
+
+
+# --- Markov removal-effect attribution -------------------------------------
+
+def _removal_sql(src: str) -> str:
+    """Shared text: the absorption recursion of _absorb_sql keyed by a
+    REMOVED channel (rm = '__none__' is the intact chain), a START
+    state from each user's first event, and the removal-effect summary.
+    Removal is non-renormalized (Anderl et al. 2014): the removed
+    node's outgoing mass is lost, paths through it convert nothing —
+    so p_removed <= p_full and the effect is a true path contribution.
+    Same nano-unit snapping discipline as _absorb_sql at every level."""
+    resnap = (
+        "CAST(ROUND(CAST(SUM(CASE WHEN t.m <> 'purchase' "
+        "AND t.m <> pa.rm THEN t.tu * COALESCE(pb.p, 0) ELSE 0 END) "
+        "AS DOUBLE) / 1.0e9) AS BIGINT)"
+    )
+
+    def level(k: int, prev: int) -> str:
+        return (
+            f"q{k} AS (SELECT pa.rm, t.s, CASE WHEN t.s = pa.rm THEN 0 "
+            f"ELSE MAX(pa.p) + {resnap} END AS p "
+            "FROM t JOIN q1 pa ON pa.s = t.s "
+            f"LEFT JOIN q{prev} pb ON pb.s = t.m AND pb.rm = pa.rm "
+            "GROUP BY pa.rm, t.s)"
+        )
+
+    return (
+        "pp AS (SELECT user_id, event_type AS to_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS from_type FROM {src}), "
+        "c AS (SELECT from_type AS s, to_type AS m, COUNT(*) AS n "
+        "FROM pp WHERE from_type IS NOT NULL GROUP BY from_type, "
+        "to_type), "
+        "r AS (SELECT s, SUM(n) AS ns FROM c GROUP BY s), "
+        "t AS (SELECT c.s, c.m, CAST(ROUND(1.0e9 * c.n / r.ns) "
+        "AS BIGINT) AS tu FROM c JOIN r ON r.s = c.s), "
+        "ch AS (SELECT DISTINCT event_type AS rm FROM "
+        f"{src} WHERE event_type <> 'purchase' "
+        "UNION ALL SELECT '__none__'), "
+        "q1 AS (SELECT ch.rm, t.s, COALESCE(MAX(CASE WHEN "
+        "t.m = 'purchase' AND t.s <> ch.rm THEN t.tu END), 0) AS p "
+        "FROM t CROSS JOIN ch GROUP BY ch.rm, t.s), "
+        + level(2, 1)
+        + ", "
+        + level(3, 2)
+        + ", "
+        "fe AS (SELECT event_type AS m FROM (SELECT event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS rn FROM {src}) z WHERE rn = 1), "
+        "s0 AS (SELECT m, CAST(ROUND(1.0e9 * COUNT(*) / "
+        "(SELECT COUNT(*) FROM fe)) AS BIGINT) AS su "
+        "FROM fe GROUP BY m), "
+        "cv AS (SELECT ch.rm, SUM(CASE WHEN s0.m = 'purchase' "
+        "THEN s0.su WHEN s0.m = ch.rm THEN 0 ELSE "
+        "CAST(ROUND(CAST(s0.su * COALESCE(q3.p, 0) AS DOUBLE) "
+        "/ 1.0e9) AS BIGINT) END) AS cu "
+        "FROM s0 CROSS JOIN ch "
+        "LEFT JOIN q3 ON q3.rm = ch.rm AND q3.s = s0.m "
+        "GROUP BY ch.rm), "
+        "fullc AS (SELECT cu AS fu FROM cv WHERE rm = '__none__') "
+        "SELECT c2.rm AS channel, "
+        "CAST(fu AS DOUBLE) / 1.0e9 AS p_convert_full, "
+        "CAST(c2.cu AS DOUBLE) / 1.0e9 AS p_convert_removed, "
+        "CASE WHEN fu = 0 THEN NULL ELSE "
+        + rnd("CAST(fu - c2.cu AS DOUBLE) / fu", 6)
+        + " END AS removal_effect, "
+        "CASE WHEN SUM(fu - c2.cu) OVER () = 0 THEN NULL ELSE "
+        + rnd(
+            "CAST(fu - c2.cu AS DOUBLE) / SUM(fu - c2.cu) OVER ()", 6
+        )
+        + " END AS attribution_share "
+        "FROM cv c2 CROSS JOIN fullc WHERE c2.rm <> '__none__'"
+    )
+
+
+@query(
+    "events_markov_attribution",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _removal_sql("events_t")
+    ),
+)
+def events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    multi-touch attribution model that replaced last-click/linear
+    heuristics: each channel's credit is how much the chain's
+    conversion probability DROPS when that channel's node is removed
+    (non-renormalized, so removal only destroys paths), normalized
+    across channels. Conversion is the truncated 3-step absorption
+    from a START state distributed as each user's first event — the
+    recursion of events_markov_absorption keyed by removed channel,
+    |channels|+1 variants sharing ONE transition frame. Everything
+    runs at (channels x types^2) cardinality after the single
+    window+aggregate pass that builds transitions — at 100 TB the
+    chain model is broadcast-sized and the attribution is free once
+    transitions exist. Nano-unit re-snapping at every recursion level
+    keeps all |channels|+1 chains bit-identical across engines."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "bh_events"
+    )
+    return spark.sql("WITH " + _removal_sql("bh_events"))
