@@ -1959,3 +1959,76 @@ def events_markov_attribution(spark, sf_dir):
         "bh_events"
     )
     return spark.sql("WITH " + _removal_sql("bh_events"))
+
+
+# --- behavioral predictability: Markov entropy rate ------------------------
+
+def _entropy_sql(src: str) -> str:
+    """Shared text: zeroth-order entropy of the event-type marginal vs
+    the first-order conditional entropy (plug-in entropy rate of the
+    transition chain), in bits. Per-term p*log2(p) snaps to 1e-9
+    integer units with the log itself snapped at 1e-5 first (libm-ulp
+    doctrine) — both entropies are exact integer sums divided once."""
+    lg = "CAST(ROUND(LOG2(pq) * 1.0e5) AS BIGINT)"
+    term = (
+        "CAST(ROUND((pq * (CAST(" + lg + " AS DOUBLE) / 1.0e5)) * 1.0e9)"
+        " AS BIGINT)"
+    )
+    return (
+        "pp AS (SELECT user_id, event_type AS to_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS from_type FROM {src}), "
+        "tot AS (SELECT COUNT(*) AS nt FROM pp), "
+        # marginal entropy H0 = -sum_m p(m) log2 p(m)
+        "mg AS (SELECT to_type, COUNT(*) AS n FROM pp GROUP BY to_type), "
+        "h0 AS (SELECT -SUM(t_u) AS h0_u, COUNT(*) AS n_states FROM ("
+        "SELECT (CAST(n AS DOUBLE) / nt) AS pq FROM mg CROSS JOIN tot"
+        f") z0 CROSS JOIN LATERAL (SELECT {term} AS t_u) lz), "
+        # conditional entropy H1 = -sum_s p(s) sum_m T[s,m] log2 T[s,m]
+        "c AS (SELECT from_type AS s, to_type AS m, COUNT(*) AS n "
+        "FROM pp WHERE from_type IS NOT NULL GROUP BY from_type, "
+        "to_type), "
+        "r AS (SELECT s, SUM(n) AS ns FROM c GROUP BY s), "
+        "rt AS (SELECT SUM(ns) AS nr FROM r), "
+        "rows_h AS (SELECT c.s, r.ns, "
+        "(CAST(c.n AS DOUBLE) / r.ns) AS pq "
+        "FROM c JOIN r ON r.s = c.s), "
+        f"hs AS (SELECT s, MAX(ns) AS ns, -SUM({term}) AS hrow_u "
+        "FROM rows_h GROUP BY s), "
+        "h1 AS (SELECT SUM(CAST(ROUND(CAST(hs.hrow_u AS DOUBLE) "
+        "* hs.ns / rt.nr) AS BIGINT)) AS h1_u "
+        "FROM hs CROSS JOIN rt) "
+        "SELECT CAST(n_states AS BIGINT) AS n_states, "
+        "CAST(h0_u AS DOUBLE) / 1.0e9 AS h0_bits, "
+        "CAST(h1_u AS DOUBLE) / 1.0e9 AS h1_bits, "
+        "CASE WHEN h0_u = 0 THEN NULL ELSE "
+        + rnd("1.0e0 - CAST(h1_u AS DOUBLE) / h0_u", 6)
+        + " END AS predictability_gain "
+        "FROM h0 CROSS JOIN h1"
+    )
+
+
+@query(
+    "events_entropy_rate",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        + _entropy_sql("events_t")
+    ),
+)
+def events_entropy_rate(spark, sf_dir):
+    """How predictable is user behavior? Zeroth-order entropy of the
+    event-type marginal vs the plug-in entropy rate of the first-order
+    chain (conditional entropy of next event given current — the
+    Song et al. 2010 'Limits of Predictability' measurement, here over
+    event streams): the gap is exactly the predictive value of knowing
+    the current state, and it upper-bounds what ANY first-order
+    personalization model can gain. Uses the same one-pass transition
+    aggregate as the Markov family; everything after it is
+    types-cardinality arithmetic with logs snapped to integer units,
+    so the entropies are exact in both engines. At 100 TB the only
+    row-scale work is the lag window — shared, shuffle-keyed on
+    user_id like every sequence query here."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "bh_events"
+    )
+    return spark.sql("WITH " + _entropy_sql("bh_events"))

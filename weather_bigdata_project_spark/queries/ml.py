@@ -726,3 +726,96 @@ def ml_calibration_bins(spark, sf_dir):
         + rnd("CAST(pos AS DOUBLE) / n - (SELECT base FROM t)", 6)
         + " AS lift FROM g"
     )
+
+
+# --- k-fold cross-validation -----------------------------------------------
+
+_KF_K = 5
+_KF_FOLD = f"((l_orderkey * 1103515245 + l_linenumber * 12345) % {_KF_K})"
+
+#: the stump's split score (weighted Gini numerator) — identical op
+#: order in both engines; shared by the per-fold ROW_NUMBER pick
+_KF_SCORE = (
+    "(CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl))"
+    " / nl + "
+    "(CAST(p - pl AS DOUBLE) * (p - pl) + "
+    "CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))"
+    " / (n - nl)"
+)
+
+
+def _kfold_sql(src: str) -> str:
+    acc = (
+        "CAST(ROUND(1.0e6 * SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) "
+        "/ COUNT(*)) AS BIGINT)"
+    )
+    macc = (
+        "CAST(ROUND(1.0e6 * SUM(CASE WHEN y = cls_maj THEN 1 ELSE 0 END)"
+        " / COUNT(*)) AS BIGINT)"
+    )
+    # CV mean/std on the micro-unit fold accuracies: exact integer
+    # moments, one sqrt + one division at the edge
+    std = (
+        "SQRT(CAST(COUNT(*) OVER () * SUM(au * au) OVER () "
+        "- SUM(au) OVER () * SUM(au) OVER () AS DOUBLE) "
+        "/ (COUNT(*) OVER () * (COUNT(*) OVER () - 1))) / 1.0e6"
+    )
+    return (
+        "b AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y, "
+        f"{_KF_FOLD} AS fold FROM {src}), "
+        "fl AS (SELECT DISTINCT fold AS tf FROM b), "
+        "h AS (SELECT fl.tf, x, COUNT(*) AS n_x, SUM(y) AS p_x "
+        "FROM b JOIN fl ON b.fold <> fl.tf GROUP BY fl.tf, x), "
+        "cum AS (SELECT tf, x, "
+        "SUM(n_x) OVER (PARTITION BY tf ORDER BY x) AS nl, "
+        "SUM(p_x) OVER (PARTITION BY tf ORDER BY x) AS pl, "
+        "SUM(n_x) OVER (PARTITION BY tf) AS n, "
+        "SUM(p_x) OVER (PARTITION BY tf) AS p FROM h), "
+        "rkd AS (SELECT tf, x AS thr, "
+        "CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END AS cls_l, "
+        "CASE WHEN 2 * (p - pl) >= (n - nl) THEN 1 ELSE 0 END AS cls_r, "
+        "CASE WHEN 2 * p >= n THEN 1 ELSE 0 END AS cls_maj, "
+        "ROW_NUMBER() OVER (PARTITION BY tf ORDER BY "
+        + _KF_SCORE
+        + " DESC, x) AS rk FROM cum WHERE nl < n), "
+        "best AS (SELECT tf, thr, cls_l, cls_r, cls_maj FROM rkd "
+        "WHERE rk = 1), "
+        "sc AS (SELECT b.fold, b.y, CASE WHEN b.x <= best.thr "
+        "THEN best.cls_l ELSE best.cls_r END AS yhat, best.cls_maj, "
+        "best.thr FROM b JOIN best ON best.tf = b.fold), "
+        "per AS (SELECT fold, MAX(thr) AS thr, "
+        "COUNT(*) AS n_test, "
+        f"{acc} AS au, {macc} AS mau FROM sc GROUP BY fold) "
+        "SELECT CAST(fold AS INT) AS fold, "
+        "CAST(n_test AS BIGINT) AS n_test, "
+        "CAST(thr AS BIGINT) AS split_quantity_le, "
+        "CAST(au AS DOUBLE) / 1.0e6 AS stump_accuracy, "
+        "CAST(mau AS DOUBLE) / 1.0e6 AS majority_accuracy, "
+        "CAST(SUM(au) OVER () AS DOUBLE) / (1.0e6 * COUNT(*) OVER ()) "
+        "AS cv_mean_accuracy, "
+        + rnd(std, 6)
+        + " AS cv_std_accuracy FROM per"
+    )
+
+
+@query("ml_kfold_cv", oracle="WITH " + _kfold_sql("lineitem"))
+def ml_kfold_cv(spark, sf_dir):
+    """k-fold cross-validation of the decision stump — the evaluation
+    discipline single-holdout scores lack: 5 deterministic hash folds
+    of lineitem, a stump trained on each fold's complement and scored
+    on the held fold, plus the cross-fold mean and std that say
+    whether ml_stump_holdout_eval's one number was luck. ALL folds
+    train from ONE shared (fold, threshold) histogram (the k training
+    histograms are the global histogram minus each fold's — realized
+    as one fold-keyed aggregate, never k scans); per-fold best-split
+    search is a ROW_NUMBER over the threshold grid, scoring is one
+    equi-join back to the rows. Fold accuracies snap to micro-units so
+    the CV moments are exact integer arithmetic — engine-identical,
+    like every number here. At 100 TB: histogram cardinality is
+    (folds x distinct thresholds), the only row-scale passes are the
+    histogram build and the scoring join, both map-side-combinable."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ml_lineitem_kf"
+    )
+    return spark.sql("WITH " + _kfold_sql("ml_lineitem_kf"))
