@@ -426,3 +426,124 @@ def lineitem_bloom_join_prune(spark, sf_dir):
             "fpr_pct",
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct/set-operation sketch ------------------
+# Bar-Yossef et al. 2002 / the theta-sketch family: keep the k smallest
+# uniform hashes of a set; the k-th minimum u_(k) estimates the distinct
+# count as (k-1)/u_(k), and because a KMV sketch of A UNION B is just the
+# k smallest of the two sketches' hashes pooled, the SAME tiny state
+# answers union, intersection and Jaccard questions across sets that
+# were sketched independently (HLL, by contrast, unions but cannot
+# intersect without inclusion-exclusion blowup).
+_KMV_K = 32
+_KMV_MOD = 1 << 30  # hash range; u = (h+1)/MOD in (0, 1]
+_KMV_HEAVY = 14  # "heavy user" threshold: >= 14 events of the type
+
+
+def _kmv_sql(src: str, h: str) -> str:
+    """Engine-shared KMV body (everything after WITH). `h` is the
+    engine's portable user-id hash expression (the only dialect
+    difference)."""
+    k, mod, hv = _KMV_K, _KMV_MOD, _KMV_HEAVY
+    est = (
+        "CASE WHEN n{s}_sk < {k} THEN CAST(n{s}_sk AS BIGINT) "
+        "ELSE CAST(ROUND(({k} - 1) * {mod}.0e0 / (k{s} + 1), 0) AS BIGINT) "
+        "END"
+    )
+    return (
+        f"cnts AS (SELECT user_id, event_type, COUNT(*) AS c FROM {src} "
+        "WHERE event_type IN ('click', 'purchase') "
+        "GROUP BY user_id, event_type), "
+        f"a AS (SELECT user_id FROM cnts WHERE event_type = 'click' "
+        f"AND c >= {hv}), "
+        f"b AS (SELECT user_id FROM cnts WHERE event_type = 'purchase' "
+        f"AND c >= {hv}), "
+        f"ha AS (SELECT DISTINCT {h} AS h FROM a), "
+        f"hb AS (SELECT DISTINCT {h} AS h FROM b), "
+        f"ska AS (SELECT h FROM ha ORDER BY h LIMIT {k}), "
+        f"skb AS (SELECT h FROM hb ORDER BY h LIMIT {k}), "
+        "sku AS (SELECT DISTINCT h FROM "
+        "(SELECT h FROM ska UNION ALL SELECT h FROM skb) pool "
+        f"ORDER BY h LIMIT {k}), "
+        "sa AS (SELECT COUNT(*) AS na_sk, MAX(h) AS ka FROM ska), "
+        "sb AS (SELECT COUNT(*) AS nb_sk, MAX(h) AS kb FROM skb), "
+        "su AS (SELECT COUNT(*) AS nu_sk, MAX(h) AS ku FROM sku), "
+        "bo AS (SELECT COUNT(*) AS n_both FROM sku "
+        "JOIN ska ON ska.h = sku.h JOIN skb ON skb.h = sku.h), "
+        "ta AS (SELECT COUNT(*) AS true_a FROM a), "
+        "tb AS (SELECT COUNT(*) AS true_b FROM b), "
+        "tu AS (SELECT COUNT(*) AS true_union FROM "
+        "(SELECT user_id FROM a UNION SELECT user_id FROM b) x), "
+        "ti AS (SELECT COUNT(*) AS true_inter FROM "
+        "(SELECT a.user_id FROM a JOIN b ON b.user_id = a.user_id) y) "
+        f"SELECT CAST({k} AS INT) AS k, "
+        "CAST(true_a AS BIGINT) AS true_a, "
+        + est.format(s="a", k=k, mod=mod)
+        + " AS est_a, "
+        "CAST(true_b AS BIGINT) AS true_b, "
+        + est.format(s="b", k=k, mod=mod)
+        + " AS est_b, "
+        "CAST(true_union AS BIGINT) AS true_union, "
+        + est.format(s="u", k=k, mod=mod)
+        + " AS est_union, "
+        "CAST(true_inter AS BIGINT) AS true_inter, "
+        "CAST(ROUND("
+        + est.format(s="u", k=k, mod=mod)
+        + " * n_both * 1.0e0 / nu_sk, 0) AS BIGINT) AS est_inter, "
+        + rnd("true_inter * 1.0e0 / true_union", 4)
+        + " AS jaccard_true, "
+        + rnd("n_both * 1.0e0 / nu_sk", 4)
+        + " AS jaccard_est "
+        "FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN bo "
+        "CROSS JOIN ta CROSS JOIN tb CROSS JOIN tu CROSS JOIN ti"
+    )
+
+
+@query(
+    "events_kmv_setops",
+    oracle=(
+        "WITH "
+        + _kmv_sql(
+            "events",
+            hashed_id_duck(
+                "('kmv:' || CAST(user_id AS VARCHAR))", _KMV_MOD
+            ),
+        )
+    ),
+)
+def events_kmv_setops(spark, sf_dir):
+    """KMV (k-minimum-values / theta-style) sketch over two user sets —
+    heavy clickers vs heavy purchasers (>= 14 events of the type) —
+    estimating |A|, |B|, |A u B|, |A n B| and Jaccard from two 32-hash
+    states, hash-gated EXACTLY against the true sets (both engines
+    compute the identical md5 hash order). Below k the sketch holds the
+    whole set and the CASE degrades to exact mode (sf0.001 exercises
+    exact mode, sf0.01+ the estimator mode — both paths driver-gated).
+
+    Why this sketch exists next to HLL (events_approx_distinct_*): KMV
+    states INTERSECT. The union sketch is the k smallest of the pooled
+    per-set sketches, the intersection estimate is the union estimate
+    scaled by the fraction of union-sketch hashes present in both input
+    sketches — so "how many users are in segment A and B?" is answered
+    by meeting two 32-row states sketched by jobs that never saw each
+    other, where exact distinct-intersection would shuffle both key
+    universes to one place.
+
+    Scale shape: the per-side k-smallest is TakeOrderedAndProject — a
+    per-partition top-k heap merged on one reducer with k rows per
+    partition in flight, never a global sort — and everything after the
+    sketches is constant-size (<= 3k rows). The exact truth CTEs are
+    the test-scale audit; at 100 TB only the sketch path runs."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "kmv_events"
+    )
+    return spark.sql(
+        "WITH "
+        + _kmv_sql(
+            "kmv_events",
+            hashed_id_spark(
+                "concat('kmv:', CAST(user_id AS STRING))", _KMV_MOD
+            ),
+        )
+    )
