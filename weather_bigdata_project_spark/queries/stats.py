@@ -1051,3 +1051,142 @@ def events_winsorized_mean(spark, sf_dir):
         "pw_events"
     )
     return spark.sql("WITH " + _wins_sql("pw_events"))
+
+
+# --- HBOS: histogram-based outlier score -----------------------------------
+_HBOS_B = 16  # equal-width bins per feature
+
+
+def _hbos_bin(x: str, mn: str, mx: str) -> str:
+    """Engine-shared equal-width bin index: FLOOR over the min-max
+    range, clamped so x == max lands in the last bin. All inputs are
+    exact parquet doubles and MIN/MAX are order-insensitive, so the
+    double arithmetic is bit-identical in both engines."""
+    b = _HBOS_B
+    return (
+        f"LEAST({b - 1}, GREATEST(0, CAST(FLOOR(({x} - {mn}) * {b}.0e0 "
+        f"/ ({mx} - {mn})) AS INT)))"
+    )
+
+
+@query(
+    "lineitem_hbos_outliers",
+    oracle=(
+        "WITH st AS (SELECT "
+        "MIN(l_quantity) AS qmn, MAX(l_quantity) AS qmx, "
+        "MIN(l_extendedprice) AS pmn, MAX(l_extendedprice) AS pmx, "
+        "MIN(l_discount) AS dmn, MAX(l_discount) AS dmx FROM lineitem), "
+        "b AS (SELECT l_orderkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, "
+        + _hbos_bin("l_quantity", "qmn", "qmx")
+        + " AS bq, "
+        + _hbos_bin("l_extendedprice", "pmn", "pmx")
+        + " AS bp, "
+        + _hbos_bin("l_discount", "dmn", "dmx")
+        + " AS bd FROM lineitem CROSS JOIN st), "
+        "h AS (SELECT 'q' AS f, bq AS bin, COUNT(*) AS c FROM b GROUP BY bq "
+        "UNION ALL SELECT 'p' AS f, bp AS bin, COUNT(*) AS c FROM b GROUP BY bp "
+        "UNION ALL SELECT 'd' AS f, bd AS bin, COUNT(*) AS c FROM b GROUP BY bd), "
+        "hm AS (SELECT f, MAX(c) AS mc FROM h GROUP BY f), "
+        "w AS (SELECT h.f, h.bin, hm.mc * 1.0e0 / h.c AS ratio "
+        "FROM h JOIN hm ON hm.f = h.f), "
+        "sc AS (SELECT b.l_orderkey, b.l_linenumber, b.l_quantity, "
+        "b.l_extendedprice, b.l_discount, bq, bp, bd, "
+        "LN(wq.ratio * wp.ratio * wd.ratio) AS raw FROM b "
+        "JOIN w wq ON wq.f = 'q' AND wq.bin = b.bq "
+        "JOIN w wp ON wp.f = 'p' AND wp.bin = b.bp "
+        "JOIN w wd ON wd.f = 'd' AND wd.bin = b.bd) "
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, bq, bp, bd, "
+        + rnd("raw", 6)
+        + " AS hbos_score FROM sc "
+        "ORDER BY hbos_score DESC, l_orderkey, l_linenumber LIMIT 20"
+    ),
+)
+def lineitem_hbos_outliers(spark, sf_dir):
+    """HBOS (Goldstein & Dengel 2012) — histogram-based outlier score,
+    the linear-time unsupervised anomaly detector: per feature, an
+    equal-width histogram; a row's score is sum_f log(max_height_f /
+    height_f(row)), i.e. rows sitting in jointly thin bins score high.
+    Features: quantity, extended price, discount. Top-20 outliers,
+    hash-gated (score snapped to 6 decimals; the log runs once on a
+    product of exact-integer count ratios, so both engines see the
+    identical double).
+
+    Scale shape (why HBOS and not kNN/LOF at 100 TB): the model state
+    is 3 x 16 integer counters built by ONE map-side-combined aggregate
+    over a stacked (feature, bin) projection; scoring is a second scan
+    with the counters attached as a single broadcast one-row frame of
+    maps — in-row lookups, ZERO joins and zero shuffles of the fact
+    table (the oracle spells the same semantics with joins). Distance-
+    based detectors need a neighbor search per row; HBOS needs two
+    narrow scans, which is why it is the standard first-pass screen on
+    corpus-scale feature tables. Assumes feature independence — scores
+    are a ranking heuristic, not calibrated probabilities (pair it with
+    events_anomaly_mad for the robust univariate view)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_quantity").alias("qmn"),
+        F.max("l_quantity").alias("qmx"),
+        F.min("l_extendedprice").alias("pmn"),
+        F.max("l_extendedprice").alias("pmx"),
+        F.min("l_discount").alias("dmn"),
+        F.max("l_discount").alias("dmx"),
+    )
+    binned = li.crossJoin(F.broadcast(st)).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        _hbos_bin("l_quantity", "qmn", "qmx") + " AS bq",
+        _hbos_bin("l_extendedprice", "pmn", "pmx") + " AS bp",
+        _hbos_bin("l_discount", "dmn", "dmx") + " AS bd",
+    )
+    hist = (
+        binned.selectExpr(
+            "stack(3, 'q', bq, 'p', bp, 'd', bd) AS (f, bin)"
+        )
+        .groupBy("f", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hmax = hist.groupBy("f").agg(F.max("c").alias("mc"))
+    w = hist.join(F.broadcast(hmax), "f").select(
+        "f", "bin", (F.col("mc") * F.lit(1.0) / F.col("c")).alias("ratio")
+    )
+    # one-row frame: map<feature, map<bin, ratio>> — the whole model
+    maps = (
+        w.groupBy("f")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bin", "ratio")))
+            ).alias("m")
+        )
+        .agg(
+            # no sort needed: keys are unique, map lookup is by key
+            F.map_from_entries(F.collect_list(F.struct("f", "m"))).alias(
+                "fm"
+            )
+        )
+    )
+    return (
+        binned.crossJoin(F.broadcast(maps))
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "bq",
+            "bp",
+            "bd",
+            rnd(
+                "LN(fm['q'][bq] * fm['p'][bp] * fm['d'][bd])", 6
+            )
+            + " AS hbos_score",
+        )
+        .orderBy(
+            F.desc("hbos_score"), "l_orderkey", "l_linenumber"
+        )
+        .limit(20)
+    )
