@@ -819,3 +819,79 @@ def ml_kfold_cv(spark, sf_dir):
         "ml_lineitem_kf"
     )
     return spark.sql("WITH " + _kfold_sql("ml_lineitem_kf"))
+
+
+# --- isotonic regression calibration (PAVA via minimax) ---------------------
+
+
+def _isotonic_sql(src: str) -> str:
+    """Engine-shared isotonic-calibration body. The isotonic fit uses
+    the minimax characterization of PAVA (Robertson/Wright/Dykstra):
+    g(i) = max_{j<=i} min_{k>=i} weightedMean(y over bins j..k) — an
+    exact closed form, so no sequential pool-adjacent loop exists to
+    disagree across engines. Interval means are ratios of exact BIGINT
+    prefix sums (deterministic doubles); only the output snaps."""
+    return (
+        "b AS (SELECT "
+        "CAST(FLOOR((CAST(l_quantity AS BIGINT) - 1) / 5.0e0) AS BIGINT) "
+        "AS bin, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y "
+        f"FROM {src}), "
+        "g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS pos FROM b GROUP BY bin), "
+        "c AS (SELECT bin, n, pos, "
+        "CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn, "
+        "CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos FROM g), "
+        # all O(B^2) interval means (B = 10 bins -> 55 rows)
+        "iv AS (SELECT j.bin AS jb, k.bin AS kb, "
+        "CAST(k.cpos - j.cpos + j.pos AS DOUBLE) "
+        "/ (k.cn - j.cn + j.n) AS m "
+        "FROM c j JOIN c k ON k.bin >= j.bin), "
+        # inner min over k >= i, then outer max over j <= i
+        "mn AS (SELECT c.bin, iv.jb, MIN(iv.m) AS m_j FROM c "
+        "JOIN iv ON iv.jb <= c.bin AND iv.kb >= c.bin "
+        "GROUP BY c.bin, iv.jb), "
+        "iso AS (SELECT bin, MAX(m_j) AS iso_raw FROM mn GROUP BY bin) "
+        "SELECT g.bin, g.n, g.pos, "
+        + rnd("CAST(g.pos AS DOUBLE) / g.n", 6)
+        + " AS observed_rate, "
+        + rnd("iso.iso_raw", 6)
+        + " AS isotonic_rate, "
+        "CASE WHEN "
+        + rnd("CAST(g.pos AS DOUBLE) / g.n", 6)
+        + " <> "
+        + rnd("iso.iso_raw", 6)
+        + " THEN 1 ELSE 0 END AS pooled "
+        "FROM g JOIN iso ON iso.bin = g.bin"
+    )
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle="WITH " + _isotonic_sql("lineitem"),
+)
+def ml_isotonic_calibration(spark, sf_dir):
+    """Isotonic-regression calibration of the quantity->return-rate
+    score (the production follow-up to ml_calibration_bins: Platt's
+    competitor that calibrates ANY monotone score without a parametric
+    form — what ad/ranking systems run nightly on billions of logged
+    scores). Per score bin: observed rate, the isotonic (monotone
+    non-decreasing, weighted-least-squares) fitted rate, and whether
+    PAVA pooled the bin with neighbors. On TPC-H's designed-null
+    dependence nearly everything pools toward the base rate — the fit
+    SHOWING that is the point (a calibrator that invents slope from
+    noise is broken).
+
+    PAVA is a sequential pool-adjacent loop — unusable as a
+    distributed primitive — so the fit uses the exact minimax closed
+    form g(i) = max_{j<=i} min_{k>=i} mean(y, bins j..k) over the
+    BINNED sufficient statistics: the corpus-sized input reduces to
+    B=10 (n, pos) pairs in ONE map-side-combined aggregate, and the
+    O(B^2)=55-row minimax lattice is broadcast-trivial. That two-level
+    shape (big scan -> tiny exact solve) is the same discipline as
+    ml_linreg_normal_eq and runs unchanged at 100 TB; calibration bins
+    in production are quantiles of the score, still O(B) state."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "iso_lineitem"
+    )
+    return spark.sql("WITH " + _isotonic_sql("iso_lineitem"))
