@@ -8,7 +8,11 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as entry  # noqa: E402
 from tools.check_oracle import compare, duck_connect  # noqa: E402

@@ -10,7 +10,10 @@ import tempfile
 from tests.conftest import SF_SMOKE
 from weather_bigdata_project_spark import weather_domain as wd
 
-sys.path.insert(0, "/root/repo")
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def test_run_pipeline_end_to_end(spark):
@@ -36,7 +39,7 @@ def test_dashboard_script_runs():
     out = subprocess.run(
         [
             sys.executable,
-            "/root/repo/scripts/run_dashboard.py",
+            os.path.join(_REPO_ROOT, "scripts", "run_dashboard.py"),
             "--panels",
             "weather_global_stats,weather_alert_counts",
             "--rows",

@@ -50,7 +50,11 @@ def test_nndescent_round_expands_and_improves(spark):
     # the descent candidate set strictly contains the init edges
     assert all(r.n_cand >= r.n_init for r in rows)
     # candidates evaluated stay far below the exact-graph n-1 per node
-    assert all(r.n_cand < 500 - 1 for r in rows)
+    # (bound derived from the fixture, not a hardcoded corpus size)
+    n_corpus = (
+        spark.read.parquet(SF_SMOKE + "/embeddings.parquet").count()
+    )
+    assert all(r.n_cand < n_corpus - 1 for r in rows)
     # aggregate recall never degrades: every init edge remains a
     # candidate in round 1, so the top-K can only gain truth hits
     # (modulo rounded-cosine ties, which the tie-break pins)

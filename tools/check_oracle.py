@@ -21,7 +21,10 @@ import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def canon_value(v):

@@ -1779,19 +1779,27 @@ _BOT_FAST_SHARE = "0.03e0"
 #: (CV ~ 1)
 _BOT_CV = "0.5e0"
 
+#: full per-user verdict table: the gap rules can only fire for users
+#: with >= 2 events (>= 1 gap for fast_share, >= 2 gaps for a finite
+#: CV), so the gap stats left-join back onto the distinct-user frame —
+#: single-event users appear with NULL rule inputs and bot = false
+#: instead of silently vanishing from the screen
 _BOT_SQL = (
-    "SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events, "
+    "uc AS (SELECT user_id, COUNT(*) AS ne FROM {ev} GROUP BY user_id), "
     # share of sub-600s gaps: exact integer ratio, one division
-    + "{rnd_fast} AS fast_share, "
     # CV of per-user gap seconds from exact integer moments:
     # sqrt((n*ssq - s^2) / (n*(n-1))) / (s/n) — each double op single
-    + "{rnd_cv} AS gap_cv, "
+    "gs AS (SELECT user_id, {rnd_fast} AS fast_share, "
+    "{rnd_cv} AS gap_cv, "
     "({rnd_fast} >= {tf} OR {rnd_cv} <= {tcv}) AS bot "
-    "FROM g GROUP BY user_id"
+    "FROM {g} GROUP BY user_id) "
+    "SELECT uc.user_id, CAST(uc.ne AS BIGINT) AS n_events, "
+    "gs.fast_share, gs.gap_cv, COALESCE(gs.bot, FALSE) AS bot "
+    "FROM uc LEFT JOIN gs ON gs.user_id = uc.user_id"
 )
 
 
-def _bot_select() -> str:
+def _bot_select(ev: str = "r", g: str = "g") -> str:
     fast = (
         "CAST(SUM(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END) "
         "AS DOUBLE) / COUNT(*)"
@@ -1807,6 +1815,8 @@ def _bot_select() -> str:
         "(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*))"
     )
     return _BOT_SQL.format(
+        ev=ev,
+        g=g,
         rnd_fast=rnd(fast, 6),
         rnd_cv=rnd(cv, 6),
         tf=_BOT_FAST_SHARE,
@@ -1821,7 +1831,7 @@ _BOT_ORACLE = (
     "d AS (SELECT user_id, tus - lag(tus) OVER "
     "(PARTITION BY user_id ORDER BY tus, event_id) AS gap_us FROM r), "
     "g AS (SELECT user_id, gap_us, gap_us // 1000000 AS gap_s "
-    "FROM d WHERE gap_us IS NOT NULL) "
+    "FROM d WHERE gap_us IS NOT NULL), "
     + _bot_select()
 )
 
@@ -1839,7 +1849,10 @@ def events_bot_detection(spark, sf_dir):
     never straddle an ulp. One window over (user_id, ts) and one
     user-cardinality aggregate — the same shuffle key two queries
     share at 100 TB; thresholds are data-calibrated literals, the
-    operator is the shape."""
+    operator is the shape. The output is a FULL per-user verdict
+    table: users with a single event (no gaps, so neither rule can
+    fire) are retained via a left join with NULL rule inputs and
+    bot = false, so downstream consumers see every user."""
     ev = tables.load(spark, sf_dir, "events").select(
         "user_id", F.expr(_EPOCH_US_SPARK).alias("tus"), "event_id"
     )
@@ -1853,10 +1866,9 @@ def events_bot_detection(spark, sf_dir):
             F.expr("gap_us div 1000000").alias("gap_s"),
         )
     )
+    ev.createOrReplaceTempView("bot_events")
     g.createOrReplaceTempView("bot_gaps")
-    return spark.sql(
-        _bot_select().replace("FROM g GROUP BY", "FROM bot_gaps GROUP BY")
-    )
+    return spark.sql("WITH " + _bot_select("bot_events", "bot_gaps"))
 
 
 # --- Markov removal-effect attribution -------------------------------------

@@ -531,7 +531,8 @@ def events_json_schema_profile(spark, sf_dir):
 # --- table diff / reconciliation ------------------------------------------
 
 #: deterministic LCG bucket for synthesizing "version B" of the table
-_DIFF_H = "((event_id * 1103515245 + 12345) % 100)"
+_DIFF_H = "(((event_id % 1048576) * 1103515245 + 12345) % 100)"
+# key reduced mod 2^20 before the LCG multiply: BIGINT-safe at any event_id
 
 _DIFF_ORACLE = (
     "WITH " + tables.EVENTS_ORACLE_CTE + ", "

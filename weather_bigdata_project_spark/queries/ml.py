@@ -513,7 +513,10 @@ def ml_decision_stump(spark, sf_dir):
 # --- stump generalization: holdout accuracy vs majority baseline -----------
 
 #: deterministic 90/10 hash split on the line identity (LCG family)
-_STU_TRAIN = "((l_orderkey * 1103515245 + l_linenumber * 12345) % 1000) < 900"
+_STU_TRAIN = (
+    "(((l_orderkey % 1048576) * 1103515245 + l_linenumber * 12345) "
+    "% 1000) < 900"
+)  # key reduced mod 2^20: product < 2^51, BIGINT-safe at any scale
 
 
 def _stump_eval_sql(src: str) -> str:
@@ -731,7 +734,11 @@ def ml_calibration_bins(spark, sf_dir):
 # --- k-fold cross-validation -----------------------------------------------
 
 _KF_K = 5
-_KF_FOLD = f"((l_orderkey * 1103515245 + l_linenumber * 12345) % {_KF_K})"
+#: key reduced mod 2^20 before the LCG multiply so the product stays
+#: < 2^51 — BIGINT-safe at ANY orderkey scale (the unreduced form
+#: overflows once l_orderkey > ~8.4e9, i.e. at ~100 TB; Spark would
+#: wrap silently while DuckDB raises)
+_KF_FOLD = f"(((l_orderkey % 1048576) * 1103515245 + l_linenumber * 12345) % {_KF_K})"
 
 #: the stump's split score (weighted Gini numerator) — identical op
 #: order in both engines; shared by the per-fold ROW_NUMBER pick

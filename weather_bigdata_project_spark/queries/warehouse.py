@@ -2039,13 +2039,23 @@ def _psi_cte(src: str, tag: str) -> str:
 
 def _drift_sql(e: str) -> str:
     psi = rnd("CAST(cu AS DOUBLE) / 1.0e9", 6)
+    # a constant-valued reference column has no usable bin width: NULLIF
+    # keeps the division from degenerating (all rows collapse to one
+    # NULL-key bucket instead of erroring), and the value row's PSI is
+    # forced NULL so the column reads as "unmeasurable", not "stable"
+    vpsi = (
+        "CASE WHEN (SELECT mx > mn FROM s) THEN "
+        + psi
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
     return (
         f"WITH h AS (SELECT (ts < {_DRIFT_SPLIT}) AS is_ref, "
         f"value, event_type, user_id FROM {e}), "
         "s AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
         "FROM h WHERE is_ref), "
         "vb AS (SELECT is_ref, LEAST(9, GREATEST(0, "
-        "CAST(FLOOR((value - mn) / ((mx - mn) / 10.0e0)) AS INT))) "
+        "CAST(FLOOR((value - mn) / (NULLIF(mx - mn, 0.0e0) / 10.0e0)) "
+        "AS INT))) "
         "AS key FROM h CROSS JOIN s WHERE value IS NOT NULL), "
         "cb AS (SELECT is_ref, event_type AS key FROM h "
         "WHERE event_type IS NOT NULL), "
@@ -2083,7 +2093,7 @@ def _drift_sql(e: str) -> str:
         + " AS null_rate_cur, "
         "CAST(vd_r AS BIGINT) AS n_distinct_ref, "
         "CAST(vd_c AS BIGINT) AS n_distinct_cur, "
-        f"{psi} AS psi, {psi} >= {_DRIFT_T} AS drift "
+        f"{vpsi} AS psi, {vpsi} >= {_DRIFT_T} AS drift "
         "FROM n CROSS JOIN vp "
         "UNION ALL "
         "SELECT 'event_type' AS col, "
