@@ -120,6 +120,73 @@ def test_dq_schema_drift_constant_reference_duckdb_agrees(spark):
     assert rows["event_type"][5] is not None
 
 
+# --- Shapley refuses wide channel sets ---------------------------------------
+
+def test_shapley_raises_beyond_factorial_table(spark, tmp_path):
+    """At >= 9 distinct non-purchase channels the exact factorial CASE
+    would NULL out and SUM would silently skip coalitions; the callable
+    must refuse loudly instead of returning poisoned credits."""
+    import pytest
+
+    rows = []
+    for u in range(6):
+        for c in range(10):
+            rows.append(
+                (
+                    u * 100 + c,
+                    f"2024-01-{c + 1:02d} 00:00:00",
+                    u,
+                    f"chan_{c}",
+                    1.0,
+                    "{}",
+                )
+            )
+        rows.append((u * 100 + 99, "2024-02-01 00:00:00", u,
+                     "purchase", 5.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    with pytest.raises(ValueError, match="factorial"):
+        QUERIES["events_shapley_attribution"](spark, str(tmp_path))
+
+
+def test_shapley_still_exact_at_eight_channels(spark):
+    """The guard must not reject the computable range: the fixture
+    corpus (< 9 channels) still returns credits that sum to ~the full
+    conversion-rate swing, none NULL."""
+    out = QUERIES["events_shapley_attribution"](spark, SF_SMOKE).collect()
+    assert out
+    assert all(r.shapley_value is not None for r in out)
+
+
+# --- binned Gini brackets the exact Gini -------------------------------------
+
+def test_gini_binned_brackets_exact(spark):
+    """The grouped trapezoid can only flatten the Lorenz curve:
+    gini_binned <= exact G <= gini_binned + error bound, and at 10k
+    bins over the fixture the bracket is tight."""
+    (exact,) = QUERIES["events_gini_concentration"](
+        spark, SF_SMOKE
+    ).collect()
+    (binned,) = QUERIES["events_gini_binned"](spark, SF_SMOKE).collect()
+    assert binned.n_users == exact.n_users
+    assert abs(binned.total_value - exact.total_value) < 1e-6
+    eps = 1e-9  # the two sides snap at different points; ulp slack
+    assert binned.gini_binned <= exact.gini + eps
+    assert exact.gini <= binned.gini_binned + binned.gini_error_bound + eps
+    # when every user lands in its own bin the cell area is exactly
+    # 1/n_users; the bound must stay at that structural floor's order,
+    # never blow up to O(1)
+    assert binned.gini_error_bound <= 2.0 / min(binned.n_users, 10000)
+    assert 0 < binned.n_bins_nonempty <= 10001
+
+
 # --- bot detection covers every user -----------------------------------------
 
 def test_bot_detection_full_user_frame(spark):

@@ -1499,8 +1499,27 @@ def events_shapley_attribution(spark, sf_dir):
     the bit. Compare with events_markov_attribution (path-model
     credit) and events_attribution_linear (heuristic): disagreement
     between the three is the signal that budget decisions need a
-    holdout experiment, not a better model."""
-    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
-        "adv_events"
+    holdout experiment, not a better model.
+
+    Guard: the exact factorial table covers n <= 8 channels (past that
+    the CASE would yield NULL and SUM would silently skip coalitions,
+    returning plausible-but-wrong credits). A cheap distinct-count over
+    the tiny channel domain runs first and raises loudly instead —
+    at >8 channels sample permutations, don't enumerate."""
+    ev = tables.load(spark, sf_dir, "events")
+    n_ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .count()
     )
+    if n_ch > 8:
+        raise ValueError(
+            f"events_shapley_attribution: {n_ch} distinct non-purchase "
+            "channels, but exact Shapley factorial weights are "
+            "tabulated (and BIGINT-safe) only to n = 8. Refusing to "
+            "return NULL-poisoned coalition credits — use sampled "
+            "permutations for wide channel sets."
+        )
+    ev.createOrReplaceTempView("adv_events")
     return spark.sql("WITH " + _shapley_sql("adv_events"))

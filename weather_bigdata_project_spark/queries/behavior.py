@@ -939,6 +939,91 @@ def events_gini_concentration(spark, sf_dir):
     )
 
 
+#: fixed bin budget for the binned Lorenz curve: the post-aggregate
+#: frame is <= this many rows regardless of user cardinality, so the
+#: cumulative window is a bounded single partition by construction
+_GINI_BINS = 10000
+
+
+def _gini_binned_sql(src: str, idiv: str) -> str:
+    """Shared text for the binned-Lorenz Gini; `idiv` is the engine's
+    integer-division token ('DIV' Spark, '//' DuckDB). All binning is
+    exact integer arithmetic on cents totals (ceil-width so the bin
+    index never exceeds _GINI_BINS); the only doubles are the per-bin
+    share products, each snapped to nano-units before the cross-bin
+    sum so both engines agree to the bit."""
+    b = _GINI_BINS
+    # per-bin Lorenz trapezoid term p_b*(L_{b-1}+L_b) and the cell-area
+    # error bound p_b*q_b, both snapped to 1e-9 integer units
+    tz = (
+        "CAST(ROUND(1.0e9 * (CAST(nb AS DOUBLE) / n) "
+        "* (CAST(cprev + cb AS DOUBLE) / tot)) AS BIGINT)"
+    )
+    eb = (
+        "CAST(ROUND(1.0e9 * (CAST(nb AS DOUBLE) / n) "
+        "* (CAST(sb AS DOUBLE) / tot)) AS BIGINT)"
+    )
+    return (
+        "u AS (SELECT user_id, "
+        "SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS v_c "
+        f"FROM {src} GROUP BY user_id), "
+        "s AS (SELECT MIN(v_c) AS mn, MAX(v_c) AS mx, "
+        "COUNT(*) AS n, SUM(v_c) AS tot FROM u), "
+        "w AS (SELECT mn, n, tot, "
+        f"GREATEST((mx - mn + {b - 1}) {idiv} {b}, 1) AS wd FROM s), "
+        "g AS (SELECT bin, COUNT(*) AS nb, SUM(v_c) AS sb FROM "
+        f"(SELECT u.v_c AS v_c, (u.v_c - w.mn) {idiv} w.wd AS bin "
+        "FROM u CROSS JOIN w) z GROUP BY bin), "
+        "c AS (SELECT bin, nb, sb, "
+        "SUM(sb) OVER (ORDER BY bin) AS cb, "
+        "SUM(sb) OVER (ORDER BY bin) - sb AS cprev FROM g), "
+        "t AS (SELECT MAX(w.n) AS n, MAX(w.tot) AS tot, "
+        f"SUM({tz}) AS tzu, SUM({eb}) AS ebu, "
+        "COUNT(*) AS nbins FROM c CROSS JOIN w) "
+        "SELECT CAST(n AS BIGINT) AS n_users, "
+        "CAST(tot AS DOUBLE) / 100.0e0 AS total_value, "
+        + rnd("1.0e0 - CAST(tzu AS DOUBLE) / 1.0e9", 6)
+        + " AS gini_binned, "
+        + rnd("CAST(ebu AS DOUBLE) / 1.0e9", 6)
+        + " AS gini_error_bound, "
+        "CAST(nbins AS BIGINT) AS n_bins_nonempty FROM t"
+    )
+
+
+@query(
+    "events_gini_binned",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "gini_src AS (SELECT user_id, value FROM events_t), "
+        + _gini_binned_sql("gini_src", "//")
+    ),
+)
+def events_gini_binned(spark, sf_dir):
+    """Scale path for events_gini_concentration: the binned-Lorenz Gini.
+    The exact query needs one global rank over the USER frame (fine at
+    millions of users, a single-task sort at billions); this variant
+    bins the per-user cents totals into <= 10k equal-width integer
+    bins, so after the same user-cardinality aggregate everything is
+    bin-cardinality: the cumulative-Lorenz window runs over a frame
+    bounded at 10k rows BY CONSTRUCTION, never over users. Gini from
+    the grouped trapezoid identity G = 1 - sum_b p_b (L_{b-1} + L_b);
+    treating a bin as homogeneous can only flatten the Lorenz curve,
+    so gini_binned <= exact G <= gini_binned + gini_error_bound, where
+    the reported bound sum_b p_b q_b is the total Lorenz cell area the
+    binning could hide (~1/n_bins for smooth distributions). Bin width
+    is exact ceil-division on cents (no float binning to straddle an
+    ulp); the per-bin share products are each snapped to nano-units
+    before the final sum, so the value hashes bit-identically across
+    engines and partition layouts."""
+    ev = tables.load(spark, sf_dir, "events")
+    ev.select("user_id", "value").createOrReplaceTempView(
+        "gini_src"
+    )
+    return spark.sql(
+        "WITH " + _gini_binned_sql("gini_src", "DIV")
+    )
+
+
 # --- A/B two-proportion z-test ------------------------------------------------
 
 #: pooled two-proportion z; NULL when the pooled rate is degenerate
