@@ -142,6 +142,25 @@ def main() -> None:
         # the timed window).
         spark.sparkContext._jvm.System.gc()
 
+    # Fixed-work calibration: a constant CPU-bound JVM loop (no I/O, no
+    # shuffle) whose wall time measures THIS BOX on THIS RUN. Cross-round
+    # bench comparisons divide by it to separate machine drift (this box
+    # swings ~40% between sessions) from code drift. Best-of-2, like the
+    # measured queries.
+    def calibration() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(12_800_000_000).selectExpr(
+                "sum(((id % 1048576) * 2654435761) % 1000003) AS s"
+            ).collect()
+            d = time.time() - t0
+            best = d if best is None else min(best, d)
+        return round(best, 3)
+
+    calibration_s = calibration()
+    print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0
@@ -171,6 +190,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(times),
+        "calibration_s": calibration_s,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

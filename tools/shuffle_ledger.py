@@ -1,0 +1,265 @@
+"""Shuffle-growth ledger: plan-level scale evidence for the headline suite.
+
+Wall-clock on a noisy box can't prove the 100x-scale claims; shuffle volume
+can. For every headline query this tool runs the full plan (noop sink, same
+as bench.py) at two scale factors and records, per query and per SF, from
+the Spark app-status store (stage-level task metrics, so side-jobs spawned
+by materialize()/localCheckpoint are counted too — the executed-plan tree
+alone misses them):
+
+- shuffle_write_bytes / shuffle_write_records (sum over the query's stages)
+- input_bytes / input_records (scan volume actually read — pruning proof)
+- peak_task_shuffle_write_bytes (largest single task of the heaviest stage:
+  the partition that must fit in one executor at scale)
+- skew = peak task bytes / avg task bytes of that stage
+
+and derives the growth exponent e in shuffle_bytes ~ SF^e between the two
+SFs (data volume scales ~linearly with SF, so e <= ~1.15 is linear growth,
+e ~ 2 is a pair-space blowup). tests/test_shuffle_ledger.py gates every
+query's exponent against the declared bounds below — a refactor that
+reintroduces a quadratic shuffle fails CI even when wall time looks fine.
+
+Usage:
+    python tools/shuffle_ledger.py                      # headline suite
+    python tools/shuffle_ledger.py --queries a,b,c
+    python tools/shuffle_ledger.py --sfs /root/testdata/sf0.01,/root/testdata/sf0.1
+Writes SHUFFLE_LEDGER.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+#: declared shuffle-bytes growth-exponent bounds (vs the default). A query
+#: whose shuffle volume is keyed on row/user/doc cardinality grows ~SF^1
+#: plus aggregation-state noise; 1.35 leaves room for fixed costs washing
+#: out between SFs without admitting anything superlinear. Queries listed
+#: here carry a documented superlinear-but-bounded pair space.
+DEFAULT_BOUND = 1.35
+BOUNDS = {
+    # within-cluster pairwise cosine: pair space sum(n_k^2); clusters grow
+    # with corpus so measured growth sits above linear by design. The
+    # 100 TB story is bounding n_k via embed_semdedup_resplit, not a
+    # linear pair count.
+    "embed_semdedup_prune": 1.75,
+    # audit query: lossless truth set over banded candidate pairs; the
+    # sampled twin (dedup_band_tuning_sampled) is the scale path.
+    "dedup_minhash_band_tuning": 1.75,
+    # candidate pairs from band buckets grow superlinearly on a fixture
+    # whose near-dup rate is constant-per-doc; verification is
+    # candidate-pruned so bytes track candidates, not corpus^2.
+    "dedup_minhash_lsh": 1.6,
+    "dedup_prefix_filter_jaccard": 1.6,
+    "dedup_ngram_jaccard": 1.6,
+    "dedup_embedding_cosine": 1.6,
+    "dedup_cluster_canonical_quality": 1.75,
+    "contamination_ngram_overlap": 1.6,
+    # brand co-occurrence pairs per order grow with order size mix
+    "graph_triangle_brands": 1.6,
+}
+
+#: below these floors at the SMALL SF the exponent is fixed-cost noise
+#: (empty-partition framing, tiny aggregate states); absolute growth is
+#: gated instead: big-SF bytes must stay under FLAT_CAP.
+BYTES_FLOOR = 64 * 1024
+FLAT_CAP = 64 * 1024 * 1024
+
+
+def _stage_map(store, jvm, gw):
+    """stageId -> metrics dict for every stage the status store retains."""
+    empty_statuses = jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    task_statuses = jvm.java.util.ArrayList()
+    out = {}
+    sl = store.stageList(empty_statuses, False, False, quantiles,
+                         task_statuses)
+    for i in range(sl.size()):
+        s = sl.apply(i)
+        out[(s.stageId(), s.attemptId())] = {
+            "swb": s.shuffleWriteBytes(),
+            "swr": s.shuffleWriteRecords(),
+            "ib": s.inputBytes(),
+            "ir": s.inputRecords(),
+            "tasks": s.numCompleteTasks(),
+        }
+    return out
+
+
+def _peak_task_swb(store, stage_id, attempt, n_tasks):
+    """Max single-task shuffle-write bytes for one stage."""
+    peak = 0
+    try:
+        tl = store.taskList(stage_id, attempt, max(1, n_tasks))
+        for i in range(tl.size()):
+            t = tl.apply(i)
+            tm = t.taskMetrics()
+            if tm.isDefined():
+                peak = max(
+                    peak, tm.get().shuffleWriteMetrics().bytesWritten()
+                )
+    except Exception:
+        pass
+    return peak
+
+
+def measure(spark, fn, sf_dir, store, jvm, gw):
+    """Run one query through the noop sink; return the stage-diff metrics."""
+    sc = spark.sparkContext
+    before = set(_stage_map(store, jvm, gw))
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = round(time.time() - t0, 3)
+    try:  # let the listener bus drain so the store sees every stage
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.3)
+    after = _stage_map(store, jvm, gw)
+    new = {k: v for k, v in after.items() if k not in before}
+    tot = {
+        "shuffle_write_bytes": sum(v["swb"] for v in new.values()),
+        "shuffle_write_records": sum(v["swr"] for v in new.values()),
+        "input_bytes": sum(v["ib"] for v in new.values()),
+        "input_records": sum(v["ir"] for v in new.values()),
+        "n_stages": len(new),
+        "wall_s": wall,
+    }
+    # true per-task peak on the heaviest shuffle-writing stage
+    heavy = max(new.items(), key=lambda kv: kv[1]["swb"], default=None)
+    if heavy and heavy[1]["swb"] > 0:
+        (sid, att), hv = heavy
+        peak = _peak_task_swb(store, sid, att, hv["tasks"])
+        tot["peak_task_shuffle_write_bytes"] = peak
+        avg = hv["swb"] / max(1, hv["tasks"])
+        tot["heavy_stage_skew"] = round(peak / avg, 2) if avg else None
+    else:
+        tot["peak_task_shuffle_write_bytes"] = 0
+        tot["heavy_stage_skew"] = None
+    return tot
+
+
+def exponent(small, big, sf_ratio):
+    if small >= BYTES_FLOOR:
+        return round(math.log(max(big, 1) / small) / math.log(sf_ratio), 3)
+    return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sfs",
+        default="/root/testdata/sf0.01,/root/testdata/sf0.1",
+        help="comma-separated small,big sf dirs",
+    )
+    ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--out", default=os.path.join(_REPO_ROOT, "SHUFFLE_LEDGER.json")
+    )
+    args = ap.parse_args()
+    small_dir, big_dir = [s.strip() for s in args.sfs.split(",")]
+
+    def sf_of(d):
+        return float(d.rstrip("/").rsplit("sf", 1)[-1])
+
+    sf_ratio = sf_of(big_dir) / sf_of(small_dir)
+
+    from bench import HEADLINE
+    from weather_bigdata_project_spark.session import get_spark
+    from weather_bigdata_project_spark import registry
+    from weather_bigdata_project_spark.operators import textops
+
+    registry.load()
+    names = (
+        [n.strip() for n in args.queries.split(",") if n.strip()]
+        if args.queries
+        else list(HEADLINE)
+    )
+
+    spark = get_spark("shuffle_ledger")
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm, gw = sc._jvm, sc._gateway
+
+    def clear():
+        spark.catalog.clearCache()
+        for rdd in list(sc._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        textops.clear_shingle_memo()
+        jvm.System.gc()
+
+    ledger = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        entry = {}
+        for tag, d in (("small", small_dir), ("big", big_dir)):
+            clear()
+            entry[tag] = measure(spark, fn, d, store, jvm, gw)
+        sb, bb = (
+            entry["small"]["shuffle_write_bytes"],
+            entry["big"]["shuffle_write_bytes"],
+        )
+        e_b = exponent(sb, bb, sf_ratio)
+        e_r = exponent(
+            entry["small"]["shuffle_write_records"],
+            entry["big"]["shuffle_write_records"],
+            sf_ratio,
+        ) if entry["small"]["shuffle_write_records"] >= 1000 else None
+        e_in = exponent(
+            entry["small"]["input_bytes"],
+            entry["big"]["input_bytes"],
+            sf_ratio,
+        )
+        bound = BOUNDS.get(name, DEFAULT_BOUND)
+        if e_b is not None:
+            ok = e_b <= bound
+            verdict = "ok" if ok else "EXCEEDED"
+        else:
+            ok = bb <= FLAT_CAP
+            verdict = "flat" if ok else "EXCEEDED"
+        entry.update(
+            {
+                "exponent_bytes": e_b,
+                "exponent_records": e_r,
+                "exponent_input_bytes": e_in,
+                "bound": bound,
+                "verdict": verdict,
+            }
+        )
+        ledger[name] = entry
+        print(
+            f"# {name}: small={sb} big={bb} e={e_b} "
+            f"bound={bound} {verdict} "
+            f"peak_task={entry['big']['peak_task_shuffle_write_bytes']}",
+            file=sys.stderr,
+        )
+
+    bad = [n for n, v in ledger.items() if v["verdict"] == "EXCEEDED"]
+    payload = {
+        "sf_small": sf_of(small_dir),
+        "sf_big": sf_of(big_dir),
+        "sf_ratio": sf_ratio,
+        "bytes_floor": BYTES_FLOOR,
+        "flat_cap": FLAT_CAP,
+        "n_queries": len(ledger),
+        "n_exceeded": len(bad),
+        "exceeded": bad,
+        "queries": ledger,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps({"ledger": args.out, "n": len(ledger),
+                      "exceeded": bad}))
+    spark.stop()
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,26 +179,89 @@ def _phash_stub(payload: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
-def phash_media(binary_df: DataFrame) -> DataFrame:
+#: orthonormal 32x32 DCT-II basis, built once per executor process and
+#: reused across Arrow batches (module-level lazy singleton)
+_DCT_BASIS = None
+
+
+def _dct_basis():
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n).reshape(-1, 1)
+        x = np.arange(n).reshape(1, -1)
+        m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT_BASIS = m
+    return _DCT_BASIS
+
+
+def _phash_dct_batch(contents) -> "pd.Series":
+    """REAL pHash math, batched over one Arrow batch: payload bytes ->
+    32x32 grayscale plane (tile/truncate to 1024 bytes — the only
+    stubbed step is this byte->pixel mapping, standing in for a PIL
+    decode the container can't run) -> 2-D DCT-II via two matmuls ->
+    top-left 8x8 low-frequency block -> median threshold (DC excluded
+    from the median, classic pHash) -> 64-bit signature. All numpy,
+    one (n, 32, 32) tensor per batch — no per-row Python loops beyond
+    the byte unpack."""
+    import numpy as np
+
+    n = len(contents)
+    planes = np.zeros((n, 32, 32), dtype=np.float64)
+    for i, c in enumerate(contents):
+        b = bytes(c) if c is not None else b""
+        if not b:
+            continue
+        reps = -(-1024 // len(b))
+        arr = np.frombuffer((b * reps)[:1024], dtype=np.uint8)
+        planes[i] = arr.reshape(32, 32).astype(np.float64)
+    m = _dct_basis()
+    coefs = np.einsum("ij,njk,lk->nil", m, planes, m)
+    low = coefs[:, :8, :8].reshape(n, 64)
+    med = np.median(low[:, 1:], axis=1, keepdims=True)
+    bits = (low > med).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    packed = (bits * weights).sum(axis=1, dtype=np.uint64)
+    return pd.Series(packed.astype(np.int64))
+
+
+def phash_media(binary_df: DataFrame, kernel: str = "stub") -> DataFrame:
     """(doc_id, phash BIGINT): Arrow-vectorized pandas_udf over the
     binary column — the only Python step; everything downstream
-    (banding, candidate join, Hamming verify) is JVM-side."""
+    (banding, candidate join, Hamming verify) is JVM-side.
+
+    kernel='stub' (default): deterministic byte-parity signature,
+    reproducible in DuckDB byte arithmetic — the oracle path.
+    kernel='dct': the real 32x32-DCT/median pHash math (numpy, batched)
+    behind the identical signature and output schema — proof the
+    plumbing runs a genuine kernel, not only the stub."""
     import pyspark.sql.functions as Fn
 
-    @Fn.pandas_udf("bigint")
-    def _ph(content: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _phash_stub(bytes(c) if c is not None else b"")
-                for c in content
-            ]
-        )
+    if kernel == "dct":
+
+        @Fn.pandas_udf("bigint")
+        def _ph(content: pd.Series) -> pd.Series:
+            return _phash_dct_batch(list(content))
+
+    else:
+
+        @Fn.pandas_udf("bigint")
+        def _ph(content: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _phash_stub(bytes(c) if c is not None else b"")
+                    for c in content
+                ]
+            )
 
     return binary_df.select("doc_id", _ph("content").alias("phash"))
 
 
 def phash_neardup_pairs(
-    binary_df: DataFrame, max_hamming: int = 6
+    binary_df: DataFrame, max_hamming: int = 6, kernel: str = "stub"
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over a binary media column:
     band the 64-bit signature into 4 x 16-bit keys (any pair within
@@ -210,7 +273,7 @@ def phash_neardup_pairs(
     At 100 TB: candidates are near-linear in dup density (never the
     O(n^2) pair space), the join keys are 12-byte ints, and the binary
     payloads are read ONCE by the hash kernel and never shuffled."""
-    ph = phash_media(binary_df)
+    ph = phash_media(binary_df, kernel=kernel)
     bands = ph.select(
         "doc_id",
         "phash",
