@@ -599,7 +599,15 @@ def test_transform_with_state_ewma(spark, tmp_path):
     The transformWithState Python client speaks protobuf to the JVM
     state server; this container ships pyspark without protobuf, so the
     test skips where the dependency is absent (the operator itself has
-    no import-time dependency)."""
+    no import-time dependency).
+
+    Vendoring attempt (round 4, 2026-08-15): `pip download protobuf`
+    returns nothing (no network egress), and no protobuf wheel/sdist
+    exists anywhere on the container filesystem (`find / -name
+    'protobuf*'`). A pure-python reimplementation of the generated
+    state-server messages is not a faithful test of the real
+    transport. Hard container block; the fold itself is covered by
+    the `ewma_fold_py` JVM-equivalence and state-handoff tests."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "
