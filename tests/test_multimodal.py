@@ -247,3 +247,28 @@ def test_phash_dct_neardup_pipeline(spark):
     got = {(r.doc1, r.doc2) for r in pairs.collect()}
     want = {(r.doc_id, r.doc_id + 1000000) for r in docs.collect()}
     assert want <= got  # every planted dup found (plus any true DCT ties)
+
+
+def test_audio_fft_kernel_matches_stub_and_runs(spark):
+    """The rfft kernel's DC/n equals the stub's byte mean (Parseval's
+    DC term IS the mean), so the full VAD pipeline must produce the
+    same segments through a genuine FFT execution path."""
+    import numpy as np
+
+    # driver-side identity on adversarial frames
+    frames = [bytes([7] * 64), bytes(range(64)), b"", bytes([255, 0] * 32)]
+    got = M._frame_energy_fft_batch(frames)
+    want = [M._frame_energy_stub(b) for b in frames]
+    assert np.allclose(list(got), want, atol=1e-9)
+
+    binary = M.with_binary_payload(T.docs(spark, SF_SMOKE).limit(15))
+    seg_stub = sorted(
+        map(tuple, M.audio_voiced_segments(binary).collect())
+    )
+    seg_fft = sorted(
+        map(tuple, M.audio_voiced_segments(binary, kernel="fft").collect())
+    )
+    assert len(seg_fft) == len(seg_stub)
+    for a, b in zip(seg_stub, seg_fft):
+        assert a[:4] == b[:4]  # doc_id, start_ms, end_ms, n_frames
+        assert abs(a[4] - b[4]) < 1e-6  # mean_energy within float noise

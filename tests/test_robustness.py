@@ -205,3 +205,32 @@ def test_bot_detection_full_user_frame(spark):
     for r in singles:
         assert r.fast_share is None and r.gap_cv is None
         assert r.bot is False
+
+
+# --- rendezvous sharding invariants ------------------------------------------
+
+def test_rendezvous_reshard_moves_only_to_new_shard(spark):
+    """The HRW property: adding a shard moves ~1/(N+1) of docs and every
+    moved doc lands ON the new shard — zero churn between survivors."""
+    rows = QUERIES["corpus_rendezvous_shards"](spark, SF_SMOKE).collect()
+    assert len(rows) == 17  # 16 old + the new shard
+    assert all(r.moved_elsewhere == 0 for r in rows)
+    (new_shard,) = [r for r in rows if r.shard == 16]
+    assert new_shard.n_docs_before == 0
+    assert new_shard.moved_out == 0
+    moved = sum(r.moved_out for r in rows)
+    assert new_shard.n_docs_after == moved
+    total = sum(r.n_docs_before for r in rows)
+    # churn concentrates around 1/17 (small corpus => loose band)
+    assert 0 < moved < 0.25 * total
+
+
+def test_t_closeness_bounds_and_triad_consistency(spark):
+    """t is a variational distance: 0 <= t <= 1; and a singleton class
+    (k = 1) must sit at its maximal distance 1 - q_max >= t of others
+    sharing its segment mix."""
+    rows = QUERIES["privacy_t_closeness"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_closeness <= 1.0
+        assert r.exceeds_t == (r.t_closeness > 0.3)

@@ -199,3 +199,73 @@ def privacy_l_diversity(spark, sf_dir):
         (F.countDistinct("o_orderpriority") == 1).alias("homogeneous"),
         (F.countDistinct("o_orderpriority") < _L_T).alias("at_risk"),
     )
+
+
+# --- t-closeness ------------------------------------------------------------
+
+#: variational-distance threshold: a QI class whose sensitive-attribute
+#: distribution sits further than this from the global distribution
+#: leaks attribute information even when k and l look healthy
+_T_T = 0.3
+
+#: snapped-integer form of the threshold comparison: sum of per-value
+#: |p - q| terms in 1e-9 units, compared against 2 * t * 1e9 exactly
+_T_T_UNITS = 600_000_000
+
+
+def _tclose_sql(cust: str) -> str:
+    """Shared text: per-QI-class variational distance between the
+    class's sensitive-attribute (market segment) distribution and the
+    global one. The class x segment grid is built by a cross join of
+    the two bounded domains then left-joined to observed cells, so
+    ABSENT segments contribute their full |0 - q_v| mass (dropping
+    them understates t — the classic implementation bug). Each |p - q|
+    snaps to 1e-9 integer units before the cross-value sum; the
+    threshold verdict compares exact integers."""
+    term = (
+        "CAST(ROUND(1.0e9 * ABS(CAST(COALESCE(c, 0) AS DOUBLE) / n "
+        "- CAST(g AS DOUBLE) / nt)) AS BIGINT)"
+    )
+    return (
+        f"q AS (SELECT c_nationkey AS nation_key, {_QI_BUCKET} "
+        f"AS bal_kbucket, c_mktsegment AS seg FROM {cust}), "
+        "cells AS (SELECT nation_key, bal_kbucket, seg, COUNT(*) AS c "
+        "FROM q GROUP BY 1, 2, 3), "
+        "cls AS (SELECT nation_key, bal_kbucket, COUNT(*) AS n "
+        "FROM q GROUP BY 1, 2), "
+        "gl AS (SELECT seg, COUNT(*) AS g FROM q GROUP BY seg), "
+        "tot AS (SELECT COUNT(*) AS nt FROM q), "
+        "grid AS (SELECT cls.nation_key, cls.bal_kbucket, cls.n, "
+        "gl.seg, gl.g FROM cls CROSS JOIN gl), "
+        "d AS (SELECT grid.nation_key, grid.bal_kbucket, grid.n, "
+        f"{term} AS t_u "
+        "FROM grid CROSS JOIN tot "
+        "LEFT JOIN cells ON cells.nation_key = grid.nation_key "
+        "AND cells.bal_kbucket = grid.bal_kbucket "
+        "AND cells.seg = grid.seg) "
+        "SELECT nation_key, bal_kbucket, CAST(MAX(n) AS BIGINT) AS k, "
+        + rnd("CAST(SUM(t_u) AS DOUBLE) / 2.0e9", 6)
+        + " AS t_closeness, "
+        f"SUM(t_u) > {_T_T_UNITS} AS exceeds_t "
+        "FROM d GROUP BY nation_key, bal_kbucket"
+    )
+
+
+@query("privacy_t_closeness", oracle="WITH " + _tclose_sql("customer"))
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007) — the third leg of the
+    release triad: k-anonymity bounds re-identification, l-diversity
+    bounds attribute certainty within a class, and t-closeness bounds
+    what the CLASS MEMBERSHIP ITSELF reveals, by requiring each
+    quasi-identifier class's sensitive-attribute distribution to stay
+    within variational distance t of the global distribution (a class
+    that is 95% one market segment leaks the segment even with l
+    healthy values present). Distance over the categorical domain is
+    0.5 * sum_v |p_v - q_v| with absent values contributing their full
+    global mass. Everything is QI-domain x segment-domain cardinality
+    after one fact-table aggregate — broadcast-sized at any row count,
+    like the rest of the privacy family."""
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tcl_customer"
+    )
+    return spark.sql("WITH " + _tclose_sql("tcl_customer"))
