@@ -272,3 +272,53 @@ def test_audio_fft_kernel_matches_stub_and_runs(spark):
     for a, b in zip(seg_stub, seg_fft):
         assert a[:4] == b[:4]  # doc_id, start_ms, end_ms, n_frames
         assert abs(a[4] - b[4]) < 1e-6  # mean_energy within float noise
+
+
+def test_ppm_decoder_real_image_roundtrip(spark):
+    """REAL decode path: synthesize genuine binary PPM (P6) images —
+    gradients, constants, a comment-bearing header — run them through
+    the same mapInPandas plumbing with kernel='ppm', and check the
+    parsed geometry and exact-integer channel statistics against the
+    known pixel planes. A corrupt payload must raise, not hash."""
+    import numpy as np
+    import pytest
+
+    imgs = {}
+    rng_dims = [(1, 8, 6), (2, 5, 5), (3, 16, 2)]
+    for doc_id, w, h in rng_dims:
+        px = np.arange(w * h * 3, dtype=np.int64) % 256
+        px = ((px * (doc_id * 37 + 11)) % 256).astype(np.uint8)
+        imgs[doc_id] = (w, h, px.tobytes())
+    # one image with a header comment (spec-allowed)
+    w, h = 4, 3
+    px = np.full(w * h * 3, 200, dtype=np.uint8).tobytes()
+    payload4 = (b"P6\n# synthetic test image\n4 3\n255\n" + px)
+    imgs[4] = (w, h, px)
+
+    rows = [
+        (d, bytearray(M.encode_ppm(w, h, p)))
+        for d, (w, h, p) in imgs.items()
+        if d != 4
+    ] + [(4, bytearray(payload4))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in M.decode_media(df, kernel="ppm").collect()}
+    assert set(got) == set(imgs)
+    for d, (w, h, p) in imgs.items():
+        r = got[d]
+        assert (r.width, r.height, r.n_frames) == (w, h, 1)
+        arr = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+        npx = w * h
+        sums = arr.sum(axis=(0, 1), dtype=np.int64)
+        assert r.feature[0] == float(sums[0]) / npx
+        assert r.feature[1] == float(sums[1]) / npx
+        assert r.feature[2] == float(sums[2]) / npx
+        gray = arr.astype(np.int64).sum(axis=2)
+        assert r.feature[4] == float(gray.min()) / 3.0
+        assert r.feature[5] == float(gray.max()) / 3.0
+        assert r.feature[6] == float(w) / h
+
+    # real decoders fail loudly on garbage
+    with pytest.raises(ValueError):
+        M._decode_ppm(b"not an image at all")
+    with pytest.raises(ValueError):
+        M._decode_ppm(M.encode_ppm(2, 2, bytes(12))[:-5])  # truncated

@@ -113,6 +113,9 @@ _JVM_ONLY = [
     "events_did_analysis",
     "events_ab_conversion_ztest",
     "events_gini_concentration",
+    "events_gini_binned",
+    "corpus_rendezvous_shards",
+    "privacy_t_closeness",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

@@ -80,6 +80,9 @@ QUERIES_TO_RUN = [
     "orders_yoy_priority_growth",
     "multimodal_phash_neardup",
     "events_cusum_drift",
+    "events_gini_binned",
+    "corpus_rendezvous_shards",
+    "privacy_t_closeness",
     "events_holt_trend",
     "events_dow_seasonality",
     "orders_rfm_segments",
