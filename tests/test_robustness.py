@@ -29,13 +29,25 @@ def test_fold_hashes_no_overflow_at_100tb_keys():
     evaluating each LCG fold/split/bucket hash on keys far beyond any
     SF — 1e13 orderkeys is ~100 TB of lineitem — proves the reduced
     form can never diverge between engines at scale."""
+    from weather_bigdata_project_spark.queries.curation import (
+        _SHARD_ID,
+        _SPLIT_H,
+    )
+    from weather_bigdata_project_spark.queries.text import _BPE_TRAIN_PRED
+
     con = duckdb.connect()
+    big_doc = "SELECT 9000000000000::BIGINT AS doc_id"
     for expr, binds in [
         (_KF_FOLD, "SELECT 9000000000000::BIGINT AS l_orderkey, "
                    "7::BIGINT AS l_linenumber"),
         (_STU_TRAIN, "SELECT 9000000000000::BIGINT AS l_orderkey, "
                      "7::BIGINT AS l_linenumber"),
         (_DIFF_H, "SELECT 9000000000000::BIGINT AS event_id"),
+        (_SPLIT_H, big_doc),
+        (_SHARD_ID, big_doc),
+        (_BPE_TRAIN_PRED, big_doc),
+        ("((tok_id % 1048576) * 2654435761) % 1048573",
+         "SELECT 9000000000000::BIGINT AS tok_id"),
     ]:
         got = con.execute(f"SELECT {expr} FROM ({binds})").fetchone()[0]
         assert got is not None

@@ -109,8 +109,9 @@ def weather_distinct_cities(spark, sf_dir):
 @query(
     "weather_temp_histogram",
     oracle=_oracle(
-        "SELECT LEAST(CAST(FLOOR((temperature - tmin) * 30.0e0 "
-        "/ (tmax - tmin)) AS INTEGER), 29) AS bin, COUNT(*) AS n "
+        "SELECT COALESCE(LEAST(CAST(FLOOR((temperature - tmin) * 30.0e0 "
+        "/ NULLIF(tmax - tmin, 0.0e0)) AS INTEGER), 29), 0) AS bin, "
+        "COUNT(*) AS n "
         "FROM enriched, (SELECT MIN(temperature) AS tmin, "
         "MAX(temperature) AS tmax FROM enriched) "
         "WHERE temperature IS NOT NULL GROUP BY bin"
@@ -128,13 +129,18 @@ def weather_temp_histogram(spark, sf_dir):
         df.filter(F.col("temperature").isNotNull())
         .crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor(
-                    (F.col("temperature") - F.col("tmin"))
-                    * F.lit(30.0)
-                    / (F.col("tmax") - F.col("tmin"))
-                ).cast("integer"),
-                F.lit(29),
+            # NULLIF keeps a degenerate (constant-temperature) corpus
+            # from dividing by zero; every row then lands in bin 0
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        (F.col("temperature") - F.col("tmin"))
+                        * F.lit(30.0)
+                        / F.expr("NULLIF(tmax - tmin, 0.0e0)")
+                    ).cast("integer"),
+                    F.lit(29),
+                ),
+                F.lit(0),
             ).alias("bin")
         )
         .groupBy("bin")

@@ -437,10 +437,12 @@ def text_pii_redact(spark, sf_dir):
 # --- deterministic train/validation/test split ---------------------------
 
 #: LCG hash bucket in [0, 1000): pure integer arithmetic, no engine
-#: hash function (Spark xxhash64 and DuckDB hash() disagree), no
-#: overflow at any realistic doc_id (doc_id * 1103515245 < 2^63 up to
-#: ~8.3e9 docs).
-_SPLIT_H = "((doc_id * 1103515245 + 12345) % 1000)"
+#: hash function (Spark xxhash64 and DuckDB hash() disagree). The key
+#: reduces mod 2^20 before the multiply so the product stays < 2^51 —
+#: BIGINT-safe at ANY corpus size (a 100 TB corpus exceeds the ~8.3e9
+#: docs where the unreduced product overflowed; Spark would wrap
+#: silently, DuckDB would raise).
+_SPLIT_H = "(((doc_id % 1048576) * 1103515245 + 12345) % 1000)"
 _SPLIT = (
     f"CASE WHEN {_SPLIT_H} < 900 THEN 'train' "
     f"WHEN {_SPLIT_H} < 950 THEN 'validation' ELSE 'test' END"
@@ -942,7 +944,9 @@ def corpus_perplexity_bigram(spark, sf_dir):
 _N_SHARDS = 16
 #: multiplicative integer hash -> shard id; stable under corpus growth
 #: and partition layout (same LCG family as corpus_split_assign)
-_SHARD_ID = f"((doc_id * 2654435761) % 1000003) % {_N_SHARDS}"
+_SHARD_ID = (  # key reduced mod 2^20: BIGINT-safe at any doc_id
+    f"(((doc_id % 1048576) * 2654435761) % 1000003) % {_N_SHARDS}"
+)
 
 
 @query(

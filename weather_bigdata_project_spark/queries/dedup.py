@@ -940,7 +940,7 @@ _SIMHASH_BITS = 16
     oracle=(
         "WITH " + T.TOKS_CTE + ", " + T.DICT_CTE + ", "
         f"bits(bit) AS (SELECT unnest(range(0, {_SIMHASH_BITS}))), "
-        "tokhash AS (SELECT doc_id, (tok_id * 2654435761) % 1048573 AS h "
+        "tokhash AS (SELECT doc_id, ((tok_id % 1048576) * 2654435761) % 1048573 AS h "
         "FROM toks JOIN dict USING (tok)), "
         "bitsum AS (SELECT doc_id, bit, "
         "SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
@@ -969,7 +969,8 @@ def dedup_simhash(spark, sf_dir):
     toks = T.tokens(spark, sf_dir)
     d = T.token_dict(spark, sf_dir, toks=toks)
     tokhash = toks.join(F.broadcast(d), "tok").select(
-        "doc_id", ((F.col("tok_id") * 2654435761) % 1048573).alias("h")
+        "doc_id",
+        F.expr("((tok_id % 1048576) * 2654435761) % 1048573").alias("h"),
     )
     bitsums = [
         F.sum(

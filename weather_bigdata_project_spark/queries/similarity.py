@@ -2191,11 +2191,11 @@ _DC_ORACLE = (
     + rnd("CAST(s1 AS DOUBLE) / (1.0e6 * n)", 4) + " AS mean_sqdist, "
     + rnd(
         "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) "
-        "/ (n - 1)) / (CAST(s1 AS DOUBLE) / n)",
+        "/ (n - 1)) / NULLIF(CAST(s1 AS DOUBLE) / n, 0.0e0)",
         6,
     )
     + " AS dist_cv, "
-    + rnd("(CAST(mx AS DOUBLE) - mn) / mn", 6)
+    + rnd("(CAST(mx AS DOUBLE) - mn) / NULLIF(CAST(mn AS DOUBLE), 0.0e0)", 6)
     + " AS relative_contrast FROM m"
 )
 
@@ -2237,11 +2237,11 @@ def embed_distance_concentration(spark, sf_dir):
         rnd("CAST(s1 AS DOUBLE) / (1.0e6 * n)", 4) + " AS mean_sqdist",
         rnd(
             "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) "
-            "/ (n - 1)) / (CAST(s1 AS DOUBLE) / n)",
+            "/ (n - 1)) / NULLIF(CAST(s1 AS DOUBLE) / n, 0.0e0)",
             6,
         )
         + " AS dist_cv",
-        rnd("(CAST(mx AS DOUBLE) - mn) / mn", 6)
+        rnd("(CAST(mx AS DOUBLE) - mn) / NULLIF(CAST(mn AS DOUBLE), 0.0e0)", 6)
         + " AS relative_contrast",
     )
 

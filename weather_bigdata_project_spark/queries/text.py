@@ -805,7 +805,8 @@ def text_bpe_train(spark, sf_dir):
 # --- BPE merge-table generalization: holdout compression -------------------
 
 #: deterministic corpus halves by doc_id parity-of-hash
-_BPE_TRAIN_PRED = "((doc_id * 2654435761) % 1000) < 500"
+# key reduced mod 2^20 before the multiply: BIGINT-safe at any doc_id
+_BPE_TRAIN_PRED = "(((doc_id % 1048576) * 2654435761) % 1000) < 500"
 
 
 def _bpe_holdout_oracle() -> str:
