@@ -107,3 +107,16 @@ def test_extractor_reports_real_shuffles(spark):
     assert got["input_bytes"] > 0
     assert got["n_stages"] >= 2
     assert got["peak_task_shuffle_write_bytes"] > 0
+
+
+def test_segment_exponents_recorded(ledger):
+    """3-point ledgers must carry per-segment exponents; the verdict
+    segment (largest SFs) must match exponent_bytes, so the gate always
+    reads the regime closest to scale, not the fixed-cost-dominated
+    small end."""
+    if len(ledger.get("sfs", [])) < 3:
+        pytest.skip("2-point ledger")
+    for name, ent in ledger["queries"].items():
+        segs = ent.get("exponent_bytes_segments")
+        assert segs is not None and len(segs) == len(ledger["sfs"]) - 1
+        assert segs[-1] == ent["exponent_bytes"]

@@ -2,7 +2,9 @@
 
 Wall-clock on a noisy box can't prove the 100x-scale claims; shuffle volume
 can. For every headline query this tool runs the full plan (noop sink, same
-as bench.py) at two scale factors and records, per query and per SF, from
+as bench.py) at each given scale factor (default three: sf0.001/0.01/0.1,
+yielding per-segment exponents that show whether growth is stable or still
+fixed-cost-dominated) and records, per query and per SF, from
 the Spark app-status store (stage-level task metrics, so side-jobs spawned
 by materialize()/localCheckpoint are counted too — the executed-plan tree
 alone misses them):
@@ -44,26 +46,36 @@ sys.path.insert(0, _REPO_ROOT)
 #: out between SFs without admitting anything superlinear. Queries listed
 #: here carry a documented superlinear-but-bounded pair space.
 DEFAULT_BOUND = 1.35
+# Bounds tightened to round-4 3-point measurements + ~0.15-0.3 margin
+# (was a uniform 1.6/1.75 design guess; measured last-segment exponents
+# came in at 0.85-1.32, so the gate now actually bites):
 BOUNDS = {
     # within-cluster pairwise cosine: pair space sum(n_k^2); clusters grow
-    # with corpus so measured growth sits above linear by design. The
-    # 100 TB story is bounding n_k via embed_semdedup_resplit, not a
-    # linear pair count.
+    # with corpus so growth can sit above linear by design. The 100 TB
+    # story is bounding n_k via embed_semdedup_resplit, not a linear
+    # pair count. (Shuffle below floor at the measured SFs — the bound
+    # guards the day it surfaces.)
     "embed_semdedup_prune": 1.75,
     # audit query: lossless truth set over banded candidate pairs; the
     # sampled twin (dedup_band_tuning_sampled) is the scale path.
-    "dedup_minhash_band_tuning": 1.75,
-    # candidate pairs from band buckets grow superlinearly on a fixture
-    # whose near-dup rate is constant-per-doc; verification is
-    # candidate-pruned so bytes track candidates, not corpus^2.
-    "dedup_minhash_lsh": 1.6,
-    "dedup_prefix_filter_jaccard": 1.6,
-    "dedup_ngram_jaccard": 1.6,
+    # Measured 0.99.
+    "dedup_minhash_band_tuning": 1.35,
+    # candidate pairs from band buckets can grow superlinearly with dup
+    # density; verification is candidate-pruned so bytes track
+    # candidates, not corpus^2. Measured 0.97-1.0.
+    "dedup_minhash_lsh": 1.3,
+    "dedup_prefix_filter_jaccard": 1.3,
+    # lossless pair audit: measured 1.317 — the one genuinely
+    # superlinear headline entry (pair frame ~ dup-density * corpus)
+    "dedup_ngram_jaccard": 1.5,
     "dedup_embedding_cosine": 1.6,
-    "dedup_cluster_canonical_quality": 1.75,
-    "contamination_ngram_overlap": 1.6,
-    # brand co-occurrence pairs per order grow with order size mix
-    "graph_triangle_brands": 1.6,
+    "dedup_cluster_canonical_quality": 1.35,
+    "contamination_ngram_overlap": 1.2,
+    # brand co-occurrence pairs per order grow with order size mix;
+    # measured 0.99
+    "graph_triangle_brands": 1.3,
+    # recursion frontier fans out before converging; measured 1.276
+    "sql_recursive_brand_reach": 1.45,
 }
 
 #: below these floors at the SMALL SF the exponent is fixed-cost noise
@@ -155,19 +167,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sfs",
-        default="/root/testdata/sf0.01,/root/testdata/sf0.1",
-        help="comma-separated small,big sf dirs",
+        default=(
+            "/root/testdata/sf0.001,/root/testdata/sf0.01,"
+            "/root/testdata/sf0.1"
+        ),
+        help="comma-separated sf dirs, ascending; >= 2. With 3+ points "
+        "the per-segment exponents expose whether growth is stable or "
+        "still fixed-cost-dominated; the verdict gates on the LARGEST "
+        "segment (closest to the scale regime).",
     )
     ap.add_argument("--queries", default=None)
     ap.add_argument(
         "--out", default=os.path.join(_REPO_ROOT, "SHUFFLE_LEDGER.json")
     )
     args = ap.parse_args()
-    small_dir, big_dir = [s.strip() for s in args.sfs.split(",")]
+    sf_dirs = [s.strip() for s in args.sfs.split(",") if s.strip()]
+    assert len(sf_dirs) >= 2, "need at least two sf dirs"
 
     def sf_of(d):
         return float(d.rstrip("/").rsplit("sf", 1)[-1])
 
+    small_dir, big_dir = sf_dirs[-2], sf_dirs[-1]
     sf_ratio = sf_of(big_dir) / sf_of(small_dir)
 
     from bench import HEADLINE
@@ -197,10 +217,29 @@ def main() -> None:
     ledger = {}
     for name in names:
         fn = registry.QUERIES[name]
-        entry = {}
-        for tag, d in (("small", small_dir), ("big", big_dir)):
+        points = {}
+        for d in sf_dirs:
             clear()
-            entry[tag] = measure(spark, fn, d, store, jvm, gw)
+            points[str(sf_of(d))] = measure(spark, fn, d, store, jvm, gw)
+        entry = {
+            "points": points,
+            # back-compat keys: the two LARGEST points drive the verdict
+            "small": points[str(sf_of(small_dir))],
+            "big": points[str(sf_of(big_dir))],
+        }
+        # per-segment exponents across all consecutive sf pairs: a
+        # stable sequence means measured growth, a falling one means
+        # fixed costs still washing out at the small end
+        segs = []
+        for lo, hi in zip(sf_dirs, sf_dirs[1:]):
+            segs.append(
+                exponent(
+                    points[str(sf_of(lo))]["shuffle_write_bytes"],
+                    points[str(sf_of(hi))]["shuffle_write_bytes"],
+                    sf_of(hi) / sf_of(lo),
+                )
+            )
+        entry["exponent_bytes_segments"] = segs
         sb, bb = (
             entry["small"]["shuffle_write_bytes"],
             entry["big"]["shuffle_write_bytes"],
@@ -242,6 +281,7 @@ def main() -> None:
 
     bad = [n for n, v in ledger.items() if v["verdict"] == "EXCEEDED"]
     payload = {
+        "sfs": [sf_of(d) for d in sf_dirs],
         "sf_small": sf_of(small_dir),
         "sf_big": sf_of(big_dir),
         "sf_ratio": sf_ratio,
