@@ -45,6 +45,10 @@ PROBES = [
     "events_attribution_linear",    # epoch bucketing band join
     "orders_interorder_gamma_fit",  # datediff lag gaps
     "events_interrupted_timeseries",  # daily indexing
+    # round-4 additions: integer binning / hashing under ANSI
+    "events_gini_binned",            # cents ROUND + ceil-div binning
+    "corpus_rendezvous_shards",      # GREATEST hash chains
+    "privacy_t_closeness",           # domain-grid ratios
 ]
 
 
