@@ -120,3 +120,14 @@ def test_segment_exponents_recorded(ledger):
         segs = ent.get("exponent_bytes_segments")
         assert segs is not None and len(segs) == len(ledger["sfs"]) - 1
         assert segs[-1] == ent["exponent_bytes"]
+
+
+def test_heavy_stage_skew_bounded(ledger):
+    """The heaviest stage's max-task/avg-task shuffle-write ratio is the
+    partition that outgrows its peers at scale. Salting/AQE keep the
+    measured suite <= 3; gate at 6 so noise can't flake but a genuinely
+    skewed key (ratio 10-100x) fails."""
+    for name, ent in ledger["queries"].items():
+        skew = ent["big"].get("heavy_stage_skew")
+        if skew is not None and ent["big"]["shuffle_write_bytes"] > BYTES_FLOOR:
+            assert skew <= 6.0, (name, skew)

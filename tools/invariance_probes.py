@@ -27,7 +27,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument(
-        "--probe", choices=["layout", "nocodegen"], default="layout"
+        "--probe", choices=["layout", "nocodegen", "ansi"], default="layout"
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -40,6 +40,16 @@ def main() -> None:
         def hostile_get_spark(name, cpus=None):
             s = orig_get_spark(name, cpus=3)
             s.conf.set("spark.sql.shuffle.partitions", "7")
+            return s
+    elif args.probe == "ansi":
+        # strictest-dialect probe: ANSI error semantics + a non-UTC
+        # session zone. Queries must self-tune (session.tune) — anything
+        # relying on silent-NULL casts, lenient overflow, or UTC-pinned
+        # timestamps fails here with an EXCEPTION row.
+        def hostile_get_spark(name, cpus=None):
+            s = orig_get_spark(name, cpus=8)
+            s.conf.set("spark.sql.ansi.enabled", "true")
+            s.conf.set("spark.sql.session.timeZone", "America/New_York")
             return s
     else:
         def hostile_get_spark(name, cpus=None):
