@@ -866,3 +866,17 @@ def test_zorder_cells_single_bounded_aggregate(spark):
     C.assert_no_python(plan)
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("HashAggregate") <= 4  # partial+final x (agg levels)
+
+
+def test_ppm_decode_is_arrow_only_and_shuffle_free(spark):
+    """The real-decoder query must cross into Python exactly once, as
+    an Arrow-batched MapInPandas (never row-at-a-time BatchEvalPython),
+    and its plan must contain no exchange at all — payload build,
+    decode, and stat projection are one narrow pipeline."""
+    plan = C.formatted_plan(
+        QUERIES["multimodal_ppm_decode_stats"](spark, SF_SMOKE)
+    )
+    # formatted plans list each node twice (tree + detail section)
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, "real decode must not shuffle payloads"

