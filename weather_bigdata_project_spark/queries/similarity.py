@@ -3270,3 +3270,97 @@ def embed_kmeans_parallel_init(spark, sf_dir):
         )
         <= _KMPP_K,
     )
+
+
+# --- cluster topic summary: what is in each slice of the training mix -------
+
+#: minimum in-cluster term count before a token can headline a topic —
+#: suppresses one-off tokens whose lift is huge but meaningless
+_TOPIC_MIN_C = 3
+_TOPIC_TOP = 3
+
+
+def _topic_tail(dt: str) -> str:
+    """Shared engine-neutral tail over a (cluster, doc_id, tok) frame:
+    per-cluster token counts, corpus token counts over the SAME embedded
+    subset, distinctiveness lift snapped to micro-units, and the top-3
+    tokens per cluster by (lift desc, tok) via a cluster-partitioned
+    row_number (WindowGroupLimit — per-partition top-k, never global)."""
+    lift_u = (
+        "CAST(ROUND(1.0e6 * (CAST(c AS DOUBLE) / n_c) "
+        "/ (CAST(gc AS DOUBLE) / nt)) AS BIGINT)"
+    )
+    return (
+        f"tc AS (SELECT cluster, tok, COUNT(*) AS c FROM {dt} "
+        "GROUP BY cluster, tok), "
+        "nc AS (SELECT cluster, SUM(c) AS n_c FROM tc GROUP BY cluster), "
+        f"g AS (SELECT tok, COUNT(*) AS gc FROM {dt} GROUP BY tok), "
+        "tot AS (SELECT SUM(gc) AS nt FROM g), "
+        "nd AS (SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs "
+        f"FROM {dt} GROUP BY cluster), "
+        "lf AS (SELECT tc.cluster, tc.tok, tc.c, "
+        + lift_u
+        + " AS l_u FROM tc JOIN nc USING (cluster) JOIN g USING (tok) "
+        f"CROSS JOIN tot WHERE tc.c >= {_TOPIC_MIN_C}), "
+        "r AS (SELECT cluster, tok, c, l_u, ROW_NUMBER() OVER ("
+        "PARTITION BY cluster ORDER BY l_u DESC, tok) AS rk FROM lf) "
+        "SELECT r.cluster AS cluster, CAST(nd.n_docs AS BIGINT) "
+        "AS n_docs, CAST(rk AS INT) AS rank, tok AS token, "
+        "CAST(c AS BIGINT) AS in_cluster_count, "
+        "CAST(l_u AS DOUBLE) / 1.0e6 AS lift "
+        f"FROM r JOIN nd ON nd.cluster = r.cluster WHERE rk <= {_TOPIC_TOP}"
+    )
+
+
+@query(
+    "corpus_cluster_topics",
+    oracle=(
+        "WITH " + _KM_ASSIGN_CTE + ", "
+        + "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "dt AS (SELECT a.cluster, t.doc_id, t.tok FROM toks t "
+        "JOIN a ON a.vec_id = t.doc_id), "
+        + _topic_tail("dt")
+    ),
+)
+def corpus_cluster_topics(spark, sf_dir):
+    """Training-mix topic report: every embedding k-means cluster
+    summarized by its 3 most DISTINCTIVE tokens — lift = in-cluster
+    term share over the corpus term share, the fastest human-readable
+    answer to 'what did semantic clustering actually put in each slice
+    of my mix'. Bridges the embedding and text families: deterministic
+    seeded argmin assignment (identical to embed_kmeans_assign, exact
+    micro-snapped L2), docs joined on the doc==vec identity, then an
+    all-aggregate tail — token-volume shuffle once, everything after at
+    (cluster x vocabulary) cardinality, top-k via a cluster-partitioned
+    WindowGroupLimit. The min-support floor (c >= 3) keeps one-off
+    tokens from headlining. At 100 TB the report costs one tokenize
+    pass over the embedded subset; the cluster count and vocabulary
+    bound every downstream frame."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("embedding").alias("se"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("seeds"))
+    )
+    a = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        F.expr(
+            "array_min(transform(seeds, s -> struct("
+            + _L2U.format(a="embedding", b="s.se")
+            + " AS d_u, s.seed_id AS seed_id))).seed_id"
+        ).alias("cluster"),
+    )
+    dt = (
+        T.tokens(spark, sf_dir)
+        .select("doc_id", "tok")
+        .join(a, F.col("doc_id") == F.col("vec_id"))
+        .select("cluster", "doc_id", "tok")
+    )
+    dt.createOrReplaceTempView("topic_dt")
+    return spark.sql("WITH " + _topic_tail("topic_dt"))
