@@ -49,6 +49,7 @@ PROBES = [
     "events_gini_binned",            # cents ROUND + ceil-div binning
     "corpus_rendezvous_shards",      # GREATEST hash chains
     "privacy_t_closeness",           # domain-grid ratios
+    "join_asof_tolerance",           # epoch-us staleness bound
 ]
 
 

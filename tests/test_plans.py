@@ -116,6 +116,8 @@ _JVM_ONLY = [
     "events_gini_binned",
     "corpus_rendezvous_shards",
     "privacy_t_closeness",
+    "corpus_cluster_topics",
+    "join_asof_tolerance",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",
@@ -316,6 +318,13 @@ def test_asof_join_single_shuffle(spark):
     C.assert_no_nested_loop(plan)
     C.assert_max_shuffles(plan, 1)
     C.assert_pushdown(plan, "event_type")  # side filters reach the scans
+    # the tolerance variant must not cost a second exchange: the bound
+    # is a post-carry projection, not a join condition
+    plan2 = C.formatted_plan(
+        QUERIES["join_asof_tolerance"](spark, SF_SMOKE)
+    )
+    C.assert_no_python(plan2)
+    C.assert_max_shuffles(plan2, 1)
 
 
 def test_band_join_compiles_to_hash_join(spark):

@@ -1523,3 +1523,104 @@ def events_shapley_attribution(spark, sf_dir):
         )
     ev.createOrReplaceTempView("adv_events")
     return spark.sql("WITH " + _shapley_sql("adv_events"))
+
+
+# --- as-of join with tolerance (pandas merge_asof tolerance=) --------------
+
+#: max staleness for an as-of match: 30 minutes, in microseconds
+_ASOF_TOL_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts), "
+        "m AS (SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS m_ts, c.click_value AS m_val "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts) "
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN m_ts IS NOT NULL AND "
+        f"epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US} "
+        "THEN m_ts END AS last_click_ts, "
+        "CASE WHEN m_ts IS NOT NULL AND "
+        f"epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US} "
+        "THEN m_val END AS click_value, "
+        "CAST(m_ts IS NOT NULL AND "
+        f"epoch_us(ts) - epoch_us(m_ts) > {_ASOF_TOL_US} "
+        "AS BOOLEAN) AS dropped_stale FROM m"
+    ),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """AS-OF join with a TOLERANCE bound (pandas merge_asof's
+    `tolerance=`): the last click at-or-before each purchase counts
+    only when it is at most 30 minutes old — a stale match is worse
+    than no match for attribution and feature freshness (a
+    point-in-time feature older than the tolerance is a leak of
+    staleness, not information). Same single-shuffle union+window plan
+    as join_asof_purchase_last_click; the tolerance is one epoch-us
+    comparison applied AFTER the carry, so the plan cost is identical
+    and the dropped_stale flag records which matches the bound
+    rejected (the audit column a pipeline alerts on when staleness
+    spikes). DuckDB oracle: native ASOF LEFT JOIN + the same
+    post-filter."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = (
+        "timestampdiff(MICROSECOND, to_timestamp_ntz("
+        "'1970-01-01 00:00:00'), ts) - "
+        "timestampdiff(MICROSECOND, to_timestamp_ntz("
+        "'1970-01-01 00:00:00'), m_ts)"
+    )
+    fresh = f"(m_ts IS NOT NULL AND {gap} <= {_ASOF_TOL_US})"
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "side",
+            F.last("click_ts", ignorenulls=True).over(w).alias("m_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("m_val"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(f"CASE WHEN {fresh} THEN m_ts END").alias(
+                "last_click_ts"
+            ),
+            F.expr(f"CASE WHEN {fresh} THEN m_val END").alias(
+                "click_value"
+            ),
+            F.expr(
+                f"CAST(m_ts IS NOT NULL AND {gap} > {_ASOF_TOL_US} "
+                "AS BOOLEAN)"
+            ).alias("dropped_stale"),
+        )
+    )
