@@ -50,6 +50,7 @@ PROBES = [
     "corpus_rendezvous_shards",      # GREATEST hash chains
     "privacy_t_closeness",           # domain-grid ratios
     "join_asof_tolerance",           # epoch-us staleness bound
+    "join_asof_strict_before",       # tie-exclusion ordering
 ]
 
 

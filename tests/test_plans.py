@@ -118,6 +118,7 @@ _JVM_ONLY = [
     "privacy_t_closeness",
     "corpus_cluster_topics",
     "join_asof_tolerance",
+    "join_asof_strict_before",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

@@ -246,3 +246,46 @@ def test_t_closeness_bounds_and_triad_consistency(spark):
     for r in rows:
         assert 0.0 <= r.t_closeness <= 1.0
         assert r.exceeds_t == (r.t_closeness > 0.3)
+
+
+# --- strict vs inclusive as-of tie semantics ----------------------------------
+
+def test_asof_strict_excludes_same_instant_matches(spark):
+    """allow_exact_matches=False semantics: a click at EXACTLY the
+    purchase timestamp matches the inclusive as-of but never the strict
+    one; otherwise the two variants agree."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click strictly before -> both variants match it
+        (1, base - dt.timedelta(minutes=5), 1, "click", 2.0, "{}"),
+        (2, base, 1, "purchase", 9.0, "{}"),
+        # user 2: click at the same instant -> inclusive only
+        (3, base, 2, "click", 4.0, "{}"),
+        (4, base, 2, "purchase", 9.0, "{}"),
+    ]
+    import tempfile, os
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        inc = {
+            r.user_id: r.click_value
+            for r in QUERIES["join_asof_purchase_last_click"](
+                spark, d
+            ).collect()
+        }
+        strict = {
+            r.user_id: r.click_value
+            for r in QUERIES["join_asof_strict_before"](
+                spark, d
+            ).collect()
+        }
+    assert inc[1] == 2.0 and strict[1] == 2.0
+    assert inc[2] == 4.0 and strict[2] is None

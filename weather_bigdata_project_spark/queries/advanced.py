@@ -1624,3 +1624,72 @@ def join_asof_tolerance(spark, sf_dir):
             ).alias("dropped_stale"),
         )
     )
+
+
+# --- strict as-of join (pandas merge_asof allow_exact_matches=False) -------
+
+@query(
+    "join_asof_strict_before",
+    oracle=(
+        "WITH " + tables.EVENTS_ORACLE_CTE + ", "
+        "p AS (SELECT event_id, user_id, ts FROM events_t "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(value) AS click_value "
+        "FROM events_t WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.ts AS last_click_ts, c.click_value "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts > c.ts"
+    ),
+)
+def join_asof_strict_before(spark, sf_dir):
+    """STRICT as-of join (pandas merge_asof allow_exact_matches=False;
+    DuckDB's ASOF with `>` instead of `>=`): the last click STRICTLY
+    before each purchase — the tie-exclusion matters whenever the
+    matched event could be a consequence of the probe event at the
+    same timestamp (same-instant click caused BY the purchase page is
+    not attribution, and a feature recorded at exactly the label time
+    is leakage in point-in-time training joins). Identical
+    single-shuffle union+window plan as join_asof_purchase_last_click
+    with ONE flipped bit: purchases sort BEFORE clicks at equal ts
+    (side 0 vs 1), so the carry can never see a same-instant click.
+    Same cost, different — and for ML joins, safer — semantics."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "side",
+            F.last("click_ts", ignorenulls=True)
+            .over(w)
+            .alias("last_click_ts"),
+            F.last("click_value", ignorenulls=True)
+            .over(w)
+            .alias("click_value"),
+        )
+        .filter(F.col("side") == 0)
+        .drop("side")
+    )
