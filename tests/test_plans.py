@@ -119,6 +119,7 @@ _JVM_ONLY = [
     "corpus_cluster_topics",
     "join_asof_tolerance",
     "join_asof_strict_before",
+    "corpus_stupid_backoff",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

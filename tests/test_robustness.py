@@ -289,3 +289,39 @@ def test_asof_strict_excludes_same_instant_matches(spark):
         }
     assert inc[1] == 2.0 and strict[1] == 2.0
     assert inc[2] == 4.0 and strict[2] is None
+
+
+# --- stupid backoff branch arithmetic ----------------------------------------
+
+def test_stupid_backoff_branch_hand_computed(spark, tmp_path):
+    """On a constructed corpus the seen-bigram and backoff branches must
+    match hand arithmetic: train = {'a b a b' x k docs}, scored doc =
+    'a b c' (a->b seen with P=1; b->c unseen, c unseen unigram)."""
+    import math
+
+    from weather_bigdata_project_spark.queries.curation import _SB_TRAIN
+
+    # find doc_ids landing in each split half deterministically
+    con_ids = {True: [], False: []}
+    i = 0
+    while len(con_ids[True]) < 3 or len(con_ids[False]) < 1:
+        h = (((i % 1048576) * 1103515245 + 54321) % 1000) < 700
+        con_ids[h].append(i)
+        i += 1
+    rows = [(d, "a b a b", "en", "s", 7) for d in con_ids[True][:3]]
+    rows.append((con_ids[False][0], "a b c", "en", "s", 5))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    (r,) = QUERIES["corpus_stupid_backoff"](spark, str(tmp_path)).collect()
+    assert r.doc_id == con_ids[False][0]
+    assert r.n_bigrams == 2 and r.n_backoff == 1
+    # train: tokens = 12 ('a','b' x6 each), vn = 2; bigrams: a->b c=6,
+    # b->a c=3; ctx a=6, b=3. Scored: (a,b) seen: ln(6/6)=0;
+    # (b,c) unseen, c unseen: ln(0.4 * (0+1)/(12+2))
+    lp1 = 0.0
+    lp2 = math.log(0.4 * 1.0 / 14.0)
+    want = (round(lp1 * 1e5) + round(lp2 * 1e5)) / (1e5 * 2)
+    assert abs(r.avg_logscore - want) < 1e-9

@@ -1854,3 +1854,128 @@ def corpus_rendezvous_shards(spark, sf_dir):
         "rdv_docs"
     )
     return spark.sql("WITH " + _rdv_sql("rdv_docs"))
+
+
+# --- Stupid Backoff LM scoring (Brants et al. 2007) -------------------------
+
+#: deterministic 70/30 train/score split on the doc hash (key reduced
+#: mod 2^20 — BIGINT-safe at any doc_id, same doctrine as _SPLIT_H)
+_SB_TRAIN = "(((doc_id % 1048576) * 1103515245 + 54321) % 1000) < 700"
+
+#: backoff penalty alpha = 0.4 (the paper's constant)
+#: seen bigram: ln(c_xy / c_ctx); unseen: ln(0.4 * (c_w2+1)/(N+vn))
+#: (add-one on the unigram leg keeps wholly-unseen words finite);
+#: snapped to 1e-5 integer units before any cross-row sum
+_SB_LP_U = (
+    "CAST(ROUND(CASE WHEN c_xy IS NOT NULL THEN "
+    "LN(CAST(c_xy AS DOUBLE) / c_ctx) "
+    "ELSE LN(0.4e0 * (CAST(COALESCE(c_w2, 0) AS DOUBLE) + 1.0e0) "
+    "/ (CAST(nt AS DOUBLE) + vn)) END * 1.0e5) AS BIGINT)"
+)
+
+_SB_ORACLE = (
+    "WITH tr AS (SELECT doc_id, text FROM documents WHERE "
+    + _SB_TRAIN + "), "
+    "sc AS (SELECT doc_id, text FROM documents WHERE NOT ("
+    + _SB_TRAIN + ") AND len(string_split(text, ' ')) >= 2), "
+    "bi_tr AS (SELECT unnest(list_transform("
+    "range(1, len(string_split(text, ' '))), "
+    "i -> struct_pack(w1 := string_split(text, ' ')[i], "
+    "w2 := string_split(text, ' ')[i + 1]))) AS b FROM tr "
+    "WHERE len(string_split(text, ' ')) >= 2), "
+    "bic AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_xy "
+    "FROM bi_tr GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, SUM(c_xy) AS c_ctx FROM bic GROUP BY w1), "
+    "ut AS (SELECT unnest(string_split(text, ' ')) AS tok FROM tr), "
+    "uni AS (SELECT tok, COUNT(*) AS c_w2 FROM ut GROUP BY tok), "
+    "tot AS (SELECT COUNT(*) AS nt, COUNT(DISTINCT tok) AS vn FROM ut), "
+    "bi_sc AS (SELECT doc_id, unnest(list_transform("
+    "range(1, len(string_split(text, ' '))), "
+    "i -> struct_pack(w1 := string_split(text, ' ')[i], "
+    "w2 := string_split(text, ' ')[i + 1]))) AS b FROM sc), "
+    "bits AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi_sc), "
+    "lp AS (SELECT bits.doc_id, "
+    "CASE WHEN c_xy IS NULL THEN 1 ELSE 0 END AS bo, "
+    + _SB_LP_U + " AS lp_u "
+    "FROM bits LEFT JOIN bic ON bic.w1 = bits.w1 AND bic.w2 = bits.w2 "
+    "LEFT JOIN ctx ON ctx.w1 = bits.w1 "
+    "LEFT JOIN uni ON uni.tok = bits.w2 CROSS JOIN tot) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(bo) AS BIGINT) AS n_backoff, "
+    "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*)) AS avg_logscore "
+    "FROM lp GROUP BY doc_id"
+)
+
+
+@query("corpus_stupid_backoff", oracle=_SB_ORACLE)
+def corpus_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff LM scoring (Brants et al. 2007, 'Large Language
+    Models in Machine Translation') — the smoothing-free scheme built
+    FOR web-scale corpora: score = bigram relative frequency when the
+    transition was seen in training, else alpha * unigram frequency
+    (alpha = 0.4, no normalization — cheaper than Kneser-Ney at
+    trillions of tokens and nearly as good for ranking). Unlike
+    corpus_perplexity_bigram (self-trained, every transition seen),
+    this trains on a deterministic 70% doc split and scores the held
+    30%, so backoff genuinely fires; n_backoff per doc is reported —
+    the 'how out-of-domain is this doc' signal a mix curator reads
+    next to the score. Model frames are vocabulary/bigram-type
+    cardinality; scoring is two dictionary left-joins onto the scored
+    half's bigram stream; each log term snaps to 1e-5 units so per-doc
+    sums are exact across engines and layouts."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("ts")
+    )
+    tr = d.filter(F.expr(_SB_TRAIN))
+    sc = d.filter(~F.expr(_SB_TRAIN)).filter(F.size("ts") >= 2)
+    bi = (
+        tr.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2), "
+                    "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bic = T.materialize(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    ctx = bic.groupBy("w1").agg(F.sum("c_xy").alias("c_ctx"))
+    ut = tr.select(F.explode("ts").alias("tok"))
+    uni = ut.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w2"))
+    tot = ut.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.countDistinct("tok").alias("vn"),
+    )
+    bits = sc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2), "
+                "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    lp = (
+        bits.join(bic, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, bits.w2 == uni.tok, "left")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c_xy IS NULL THEN 1 ELSE 0 END"
+            ).alias("bo"),
+            F.expr(_SB_LP_U).alias("lp_u"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("bo").cast("bigint").alias("n_backoff"),
+        F.expr(
+            "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
+        ).alias("avg_logscore"),
+    )
