@@ -120,6 +120,7 @@ _JVM_ONLY = [
     "join_asof_tolerance",
     "join_asof_strict_before",
     "corpus_stupid_backoff",
+    "privacy_contribution_bounding",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

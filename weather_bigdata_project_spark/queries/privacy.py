@@ -269,3 +269,57 @@ def privacy_t_closeness(spark, sf_dir):
         "tcl_customer"
     )
     return spark.sql("WITH " + _tclose_sql("tcl_customer"))
+
+
+# --- contribution bounding (DP-prep clipping audit) --------------------------
+
+#: per-user contribution cap per histogram bucket: the L1 sensitivity a
+#: differentially-private release of this histogram would add noise for
+_CB_CAP = 10
+
+
+def _cb_sql(src: str) -> str:
+    return (
+        "u AS (SELECT event_type, user_id, COUNT(*) AS c "
+        f"FROM {src} GROUP BY event_type, user_id) "
+        "SELECT event_type, "
+        "CAST(SUM(c) AS BIGINT) AS n_raw, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(MAX(c) AS BIGINT) AS max_user_contrib, "
+        f"CAST(SUM(LEAST(c, {_CB_CAP})) AS BIGINT) AS n_clipped, "
+        f"CAST(SUM(CASE WHEN c > {_CB_CAP} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_users_clipped, "
+        + rnd(
+            f"1.0e0 - CAST(SUM(LEAST(c, {_CB_CAP})) AS DOUBLE) / SUM(c)",
+            6,
+        )
+        + " AS clip_loss_rate "
+        "FROM u GROUP BY event_type"
+    )
+
+
+@query(
+    "privacy_contribution_bounding",
+    oracle="WITH " + tables.EVENTS_ORACLE_CTE + ", " + _cb_sql("events_t"),
+)
+def privacy_contribution_bounding(spark, sf_dir):
+    """Contribution-bounding audit — the step BEFORE any differentially
+    private histogram release: a DP count's noise scale is set by the
+    most any single user can move a bucket (its L1 sensitivity), so
+    heavy users must be clipped to a per-user cap first, and the audit
+    quantifies the price. Per event-type bucket: raw count, the actual
+    max single-user contribution (the unclipped sensitivity — on this
+    corpus far above the cap, which is exactly why clipping exists),
+    the count after clipping each user at 10, how many users the cap
+    touched, and the fraction of signal clipping discards (the
+    bias-vs-noise dial: raise the cap and the DP noise grows with it,
+    lower it and clip_loss_rate does). Two stacked hash aggregates,
+    (type x user) then type cardinality — broadcast-sized output at
+    any corpus scale, and the same shuffle key every per-user query
+    shares. Completes the privacy family's fourth release-pipeline
+    stage: k-anon / l-div / t-closeness audit the QUASI-identifiers,
+    this bounds the CONTRIBUTIONS."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "cb_events"
+    )
+    return spark.sql("WITH " + _cb_sql("cb_events"))
