@@ -121,6 +121,7 @@ _JVM_ONLY = [
     "join_asof_strict_before",
     "corpus_stupid_backoff",
     "privacy_contribution_bounding",
+    "corpus_source_overlap_matrix",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

@@ -1979,3 +1979,70 @@ def corpus_stupid_backoff(spark, sf_dir):
             "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
         ).alias("avg_logscore"),
     )
+
+
+# --- cross-source overlap matrix --------------------------------------------
+
+def _so_tail() -> str:
+    """Shared tail over an `ss` (source, shingle-type) frame: pairwise
+    shared-type counts, per-source totals, Jaccard — with the zero-
+    overlap pairs kept via a domain cross join (dropping them makes a
+    disjoint corpus look like a missing row, not a 0.0)."""
+    return (
+        "iv AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "COUNT(*) AS n_shared FROM ss a JOIN ss b "
+        "ON a.shingle = b.shingle AND a.source < b.source "
+        "GROUP BY a.source, b.source), "
+        "sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source), "
+        "pd AS (SELECT x.source AS source_a, x.n AS n_a, "
+        "y.source AS source_b, y.n AS n_b "
+        "FROM sz x CROSS JOIN sz y WHERE x.source < y.source) "
+        "SELECT pd.source_a, pd.source_b, "
+        "CAST(pd.n_a AS BIGINT) AS n_a, CAST(pd.n_b AS BIGINT) AS n_b, "
+        "CAST(COALESCE(iv.n_shared, 0) AS BIGINT) AS n_shared, "
+        + rnd(
+            "CAST(COALESCE(iv.n_shared, 0) AS DOUBLE) / "
+            "(pd.n_a + pd.n_b - COALESCE(iv.n_shared, 0))",
+            6,
+        )
+        + " AS jaccard "
+        "FROM pd LEFT JOIN iv ON iv.source_a = pd.source_a "
+        "AND iv.source_b = pd.source_b"
+    )
+
+
+@query(
+    "corpus_source_overlap_matrix",
+    oracle=(
+        "WITH " + T.SHINGLES_CTE + ", "
+        "ss AS (SELECT DISTINCT d.source, s.shingle "
+        "FROM shingles s JOIN documents d USING (doc_id)), "
+        + _so_tail()
+    ),
+)
+def corpus_source_overlap_matrix(spark, sf_dir):
+    """Cross-SOURCE contamination matrix: 3-gram shingle-type Jaccard
+    between every source pair — the audit that tells a mix curator
+    which feeds are re-crawls / mirrors of each other BEFORE their
+    duplicated mass double-counts in the training mix (dedup_rate_by_
+    source sees within-source dups; THIS sees the cross-feed kind,
+    which per-source pipelines silently miss). Distinct (source,
+    shingle-type) frame built once from the shared in-row shingle
+    hashes; the self-join key is the shingle type, so a shingle present
+    in k sources contributes k(k-1)/2 pairs with k bounded by the
+    SOURCE domain, never by corpus size — the matrix and every
+    aggregate after the distinct are source-squared-cardinality. Zero-
+    overlap pairs are kept as explicit 0.0 rows via the pair-domain
+    cross join. Oracle runs raw shingle strings; the engine runs 60-bit
+    content hashes — identical type counts either way."""
+    sh = T.doc_shingle_ids_shared(spark, sf_dir)
+    src = T.docs(spark, sf_dir).select("doc_id", "source")
+    ss = (
+        sh.join(src, "doc_id")
+        .select("source", F.col("sh").alias("shingle"))
+        .distinct()
+    )
+    ss.createOrReplaceTempView("so_ss")
+    return spark.sql(
+        "WITH ss AS (SELECT * FROM so_ss), " + _so_tail()
+    )
