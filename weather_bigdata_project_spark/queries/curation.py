@@ -1994,8 +1994,11 @@ def _so_tail() -> str:
         "ON a.shingle = b.shingle AND a.source < b.source "
         "GROUP BY a.source, b.source), "
         "sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source), "
-        "pd AS (SELECT x.source AS source_a, x.n AS n_a, "
-        "y.source AS source_b, y.n AS n_b "
+        # BROADCAST keeps the tiny source-domain pair build a
+        # BroadcastNestedLoopJoin, never a CartesianProduct (DuckDB
+        # reads the hint as a plain comment)
+        "pd AS (SELECT /*+ BROADCAST(y) */ x.source AS source_a, "
+        "x.n AS n_a, y.source AS source_b, y.n AS n_b "
         "FROM sz x CROSS JOIN sz y WHERE x.source < y.source) "
         "SELECT pd.source_a, pd.source_b, "
         "CAST(pd.n_a AS BIGINT) AS n_a, CAST(pd.n_b AS BIGINT) AS n_b, "
