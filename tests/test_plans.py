@@ -122,6 +122,7 @@ _JVM_ONLY = [
     "corpus_stupid_backoff",
     "privacy_contribution_bounding",
     "corpus_source_overlap_matrix",
+    "geo_idw_loocv",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

@@ -449,3 +449,75 @@ def geo_zorder_cells(spark, sf_dir):
     ref:streamlit/app.py:243-245, but never computes with them)."""
     wd.enriched_frame(spark, sf_dir).createOrReplaceTempView("enriched")
     return spark.sql("WITH " + _Z_CELL_SQL)
+
+
+# --- IDW leave-one-out cross-validation -------------------------------------
+
+def _idw_loocv_sql(src: str) -> str:
+    """Shared text: same station frame and snapped relative inverse-
+    square weights as _idw_sql, but each station is predicted from the
+    OTHERS (a <> b pair frame, stations^2 — dimension-bounded) and the
+    error against its own observed mean closes the loop. The final row
+    set is per-station plus exact milli-degree absolute errors."""
+    return (
+        f"obs AS (SELECT lat, lon, temperature, city_name FROM {src}), "
+        "st AS (SELECT city_name AS station_city, "
+        "CAST(SUM(CAST(ROUND(lat * 1.0e4) AS BIGINT)) AS DOUBLE) "
+        "/ (1.0e4 * COUNT(*)) AS s_lat, "
+        "CAST(SUM(CAST(ROUND(lon * 1.0e4) AS BIGINT)) AS DOUBLE) "
+        "/ (1.0e4 * COUNT(*)) AS s_lon, "
+        "CAST(ROUND(CAST(SUM(CAST(temperature AS BIGINT)) AS DOUBLE) "
+        "* 1000.0e0 / COUNT(temperature)) AS BIGINT) AS t_mdeg "
+        "FROM obs GROUP BY city_name), "
+        "d AS (SELECT a.station_city, a.t_mdeg AS t_true, "
+        "b.t_mdeg AS t_nbr, GREATEST("
+        + _hav_ukm("a.s_lat", "a.s_lon", "b.s_lat", "b.s_lon")
+        + ", 1) AS d_ukm "
+        "FROM st a JOIN st b ON a.station_city <> b.station_city), "
+        "dm AS (SELECT station_city, MIN(d_ukm) AS d_min "
+        "FROM d GROUP BY station_city), "
+        "wts AS (SELECT d.station_city, d.t_true, d.t_nbr, "
+        "CAST(ROUND(1.0e9 * (CAST(dm.d_min AS DOUBLE) / d.d_ukm) "
+        "* (CAST(dm.d_min AS DOUBLE) / d.d_ukm)) AS BIGINT) AS wu "
+        "FROM d JOIN dm ON d.station_city = dm.station_city), "
+        "pr AS (SELECT station_city, MAX(t_true) AS t_true_mdeg, "
+        "CAST(ROUND(CAST(SUM(wu * t_nbr) AS DOUBLE) / SUM(wu)) "
+        "AS BIGINT) AS t_pred_mdeg, "
+        "CAST(SUM(CASE WHEN wu > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_neighbors FROM wts GROUP BY station_city) "
+        "SELECT station_city, n_neighbors, "
+        "CAST(t_true_mdeg AS DOUBLE) / 1000.0e0 AS t_observed, "
+        "CAST(t_pred_mdeg AS DOUBLE) / 1000.0e0 AS t_predicted, "
+        "CAST(ABS(t_pred_mdeg - t_true_mdeg) AS DOUBLE) / 1000.0e0 "
+        "AS abs_error, "
+        "CAST(ROUND(CAST(SUM(ABS(t_pred_mdeg - t_true_mdeg)) OVER () "
+        "AS DOUBLE) / COUNT(*) OVER ()) AS DOUBLE) / 1000.0e0 "
+        "AS loocv_mae FROM pr"
+    )
+
+
+@query(
+    "geo_idw_loocv",
+    oracle=(
+        "WITH " + wd.oracle_enriched_cte() + ", "
+        + _idw_loocv_sql("enriched")
+    ),
+)
+def geo_idw_loocv(spark, sf_dir):
+    """Leave-one-out cross-validation of the IDW temperature field: hold
+    each station out, predict its mean from the OTHERS with the same
+    snapped relative inverse-square weights as geo_idw_interpolation,
+    and report per-station absolute error plus the pooled LOOCV MAE —
+    the number that tells you whether the interpolated map
+    (geo_idw_interpolation) can be trusted between stations, and which
+    station's neighborhood the model fails in (an isolated station
+    with a big error means 'add a sensor there', not 'the map is
+    fine'). The pair frame is stations^2 — dimension-bounded, never
+    event-bounded — and every cross-row sum is an exact BIGINT; the
+    fact table is touched exactly once for the station aggregate. The
+    global MAE window runs over the station frame (bounded by the
+    station domain)."""
+    wd.enriched_frame(spark, sf_dir).createOrReplaceTempView(
+        "idwcv_enriched"
+    )
+    return spark.sql("WITH " + _idw_loocv_sql("idwcv_enriched"))
