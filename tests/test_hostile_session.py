@@ -51,6 +51,7 @@ PROBES = [
     "privacy_t_closeness",           # domain-grid ratios
     "join_asof_tolerance",           # epoch-us staleness bound
     "join_asof_strict_before",       # tie-exclusion ordering
+    "events_snaive_mase_backtest",   # weekday split + rank windows
 ]
 
 

@@ -123,6 +123,7 @@ _JVM_ONLY = [
     "privacy_contribution_bounding",
     "corpus_source_overlap_matrix",
     "geo_idw_loocv",
+    "events_snaive_mase_backtest",
     "events_growth_accounting",
     "events_table_diff",
     "orders_benford_screen",

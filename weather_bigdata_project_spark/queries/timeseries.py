@@ -2048,3 +2048,84 @@ def events_rolling_median(spark, sf_dir):
         "rm_events"
     )
     return spark.sql(_RMED_BODY.format(q="percentile", src="rm_events"))
+
+
+# --- seasonal-naive backtest + MASE -----------------------------------------
+
+def _snaive_sql(src: str, dow: str) -> str:
+    """Shared text over a (event_type, day, v_c) daily frame: 80/20
+    rank split per type, seasonal-naive prediction (latest train value
+    on the same weekday), test MAE, in-sample naive-1 MAE, and MASE.
+    `dow` is the engine's 1-based day-of-week spelling (Spark
+    `dayofweek(day)`, DuckDB `dayofweek(day) + 1`). Every window is
+    per-type (calendar-bounded); all error sums are exact cents."""
+    return (
+        f"r AS (SELECT event_type, day, v_c, {dow} AS dw, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd "
+        f"FROM {src}), "
+        "tr AS (SELECT * FROM r "
+        "WHERE rk <= CAST(FLOOR(0.8e0 * nd) AS BIGINT)), "
+        "te AS (SELECT * FROM r "
+        "WHERE rk > CAST(FLOOR(0.8e0 * nd) AS BIGINT)), "
+        "sn AS (SELECT event_type, dw, v_c AS v_pred FROM ("
+        "SELECT event_type, dw, v_c, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type, dw ORDER BY day DESC) AS rr FROM tr) z "
+        "WHERE rr = 1), "
+        "nv AS (SELECT event_type, v_c - LAG(v_c) OVER ("
+        "PARTITION BY event_type ORDER BY day) AS dlt FROM tr), "
+        "nm AS (SELECT event_type, SUM(ABS(dlt)) AS s_abs, "
+        "COUNT(dlt) AS n_d FROM nv GROUP BY event_type), "
+        "tn AS (SELECT event_type, COUNT(*) AS n_train FROM tr "
+        "GROUP BY event_type), "
+        "ev AS (SELECT te.event_type, COUNT(*) AS n_test, "
+        "SUM(CASE WHEN sn.v_pred IS NULL THEN 1 ELSE 0 END) "
+        "AS n_unpredicted, "
+        "SUM(CASE WHEN sn.v_pred IS NOT NULL "
+        "THEN ABS(te.v_c - sn.v_pred) ELSE 0 END) AS s_err, "
+        "SUM(CASE WHEN sn.v_pred IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS n_pred "
+        "FROM te LEFT JOIN sn ON sn.event_type = te.event_type "
+        "AND sn.dw = te.dw GROUP BY te.event_type) "
+        "SELECT ev.event_type, "
+        "CAST(tn.n_train AS BIGINT) AS n_train, "
+        "CAST(ev.n_test AS BIGINT) AS n_test, "
+        "CAST(ev.n_unpredicted AS BIGINT) AS n_unpredicted, "
+        "CAST(ev.s_err AS DOUBLE) / "
+        "(100.0e0 * NULLIF(ev.n_pred, 0)) AS mae_snaive, "
+        "CAST(nm.s_abs AS DOUBLE) / "
+        "(100.0e0 * NULLIF(nm.n_d, 0)) AS mae_naive1_insample, "
+        + rnd(
+            "CAST(ev.s_err AS DOUBLE) * nm.n_d / "
+            "NULLIF(CAST(nm.s_abs AS DOUBLE) * ev.n_pred, 0.0e0)",
+            4,
+        )
+        + " AS mase "
+        "FROM ev JOIN tn ON tn.event_type = ev.event_type "
+        "JOIN nm ON nm.event_type = ev.event_type"
+    )
+
+
+@query(
+    "events_snaive_mase_backtest",
+    oracle=(
+        "WITH " + _DAILY_CTE + ", "
+        + _snaive_sql("c", "dayofweek(day) + 1")
+    ),
+)
+def events_snaive_mase_backtest(spark, sf_dir):
+    """Seasonal-naive backtest with MASE — the forecasting floor and
+    the scale-free metric (Hyndman & Koehler 2006) every fitted model
+    must beat: predict each held-out day's value by the latest TRAIN
+    value on the same weekday, and report the test MAE divided by the
+    in-sample naive-1 MAE (MASE < 1 = better than persistence;
+    events_holt_backtest's MAPE can't compare across types whose
+    scales differ — MASE can). 80/20 rank split per type, per-type
+    windows only (calendar-bounded), exact cents error sums, and test
+    weekdays never seen in training are counted (n_unpredicted)
+    rather than silently dropped. The Holt model earns its keep only
+    where its error beats this query's mae_snaive."""
+    _daily(spark, sf_dir).createOrReplaceTempView("snv_daily")
+    return spark.sql(
+        "WITH " + _snaive_sql("snv_daily", "dayofweek(day)")
+    )
