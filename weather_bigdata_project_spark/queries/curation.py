@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..operators import textops as T
 from ..registry import query
 
@@ -436,13 +436,13 @@ def text_pii_redact(spark, sf_dir):
 
 # --- deterministic train/validation/test split ---------------------------
 
-#: LCG hash bucket in [0, 1000): pure integer arithmetic, no engine
-#: hash function (Spark xxhash64 and DuckDB hash() disagree). The key
-#: reduces mod 2^20 before the multiply so the product stays < 2^51 —
-#: BIGINT-safe at ANY corpus size (a 100 TB corpus exceeds the ~8.3e9
-#: docs where the unreduced product overflowed; Spark would wrap
-#: silently, DuckDB would raise).
-_SPLIT_H = "(((doc_id % 1048576) * 1103515245 + 12345) % 1000)"
+#: hash bucket in [0, 1000): pure integer arithmetic, no engine hash
+#: function (Spark xxhash64 and DuckDB hash() disagree). Full-entropy
+#: two-prime quadratic mix (exprs.id_mix): BIGINT-safe at ANY corpus
+#: size AND free of the mod-2^20 periodicity the old reduced-key form
+#: had (ids congruent mod 2^20 no longer share a bucket by
+#: construction — round-4 ADVICE).
+_SPLIT_H = f"({id_mix('doc_id', 12345)} % 1000)"
 _SPLIT = (
     f"CASE WHEN {_SPLIT_H} < 900 THEN 'train' "
     f"WHEN {_SPLIT_H} < 950 THEN 'validation' ELSE 'test' END"
@@ -942,11 +942,10 @@ def corpus_perplexity_bigram(spark, sf_dir):
 # --- training-shard assignment + balance audit -----------------------------
 
 _N_SHARDS = 16
-#: multiplicative integer hash -> shard id; stable under corpus growth
-#: and partition layout (same LCG family as corpus_split_assign)
-_SHARD_ID = (  # key reduced mod 2^20: BIGINT-safe at any doc_id
-    f"(((doc_id % 1048576) * 2654435761) % 1000003) % {_N_SHARDS}"
-)
+#: full-entropy integer hash -> shard id; stable under corpus growth
+#: and partition layout (same id_mix family as corpus_split_assign,
+#: decorrelated by salt)
+_SHARD_ID = f"({id_mix('doc_id', 97)} % {_N_SHARDS})"
 
 
 @query(
@@ -1783,19 +1782,22 @@ _RDV_N = 16
 
 def _rdv_pick(n_shards: int) -> str:
     """argmax-by-hash over `n_shards` candidates as one GREATEST: each
-    shard's weight is an exact integer hash of (doc_id, shard), packed
+    shard's weight is an exact integer hash of (doc, shard), packed
     as weight*32+shard so the max carries its argmax (weights < 1e8,
     packed < 2^32 — BIGINT-safe; ties break deterministically toward
     the higher shard id in both engines). The (doc, shard) mix must be
     NONLINEAR in the shard index: an affine h(doc)+a*s makes the
     largest s win almost every rendezvous (measured 85% churn instead
     of 1/(N+1)), so the combined key is squared mod p before the final
-    multiply (measured: churn 5.5% ~ 1/17, per-shard load within
-    +-10%, zero cross-survivor moves on 20k keys). Keys reduce mod
-    2^20 first (k < 2^25, k*k < 2^50 — BIGINT-safe at any doc_id)."""
+    multiply (re-measured on the id_mix pre-key: churn 5.4% ~ 1/17,
+    per-shard load within +-10%, zero cross-survivor moves on 20k
+    keys). The doc key `d` is the full-entropy id_mix of doc_id
+    reduced mod 2^25 (see _rdv_sql's d0 CTE) — no mod-2^20
+    periodicity, and k = d*32+s < 2^30 keeps k*k < 2^60 BIGINT-safe
+    at any doc_id."""
     packs = []
     for s in range(n_shards):
-        k = f"((doc_id % 1048576) * 32 + {s})"
+        k = f"(d * 32 + {s})"
         k2 = f"(({k} * {k} + 12345) % 100000007)"
         packs.append(f"(({k2} * 1103515245) % 100000007) * 32 + {s}")
     return "GREATEST(" + ", ".join(packs) + ") % 32"
@@ -1804,8 +1806,10 @@ def _rdv_pick(n_shards: int) -> str:
 def _rdv_sql(src: str) -> str:
     n = _RDV_N
     return (
+        f"d0 AS (SELECT ({id_mix('doc_id')} % 33554432) AS d "
+        f"FROM {src}), "
         f"a AS (SELECT ({_rdv_pick(n)}) AS old_shard, "
-        f"({_rdv_pick(n + 1)}) AS new_shard FROM {src}), "
+        f"({_rdv_pick(n + 1)}) AS new_shard FROM d0), "
         "b AS (SELECT old_shard AS shard, COUNT(*) AS n_docs_before, "
         "SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END) "
         "AS moved_out, "
@@ -1858,9 +1862,10 @@ def corpus_rendezvous_shards(spark, sf_dir):
 
 # --- Stupid Backoff LM scoring (Brants et al. 2007) -------------------------
 
-#: deterministic 70/30 train/score split on the doc hash (key reduced
-#: mod 2^20 — BIGINT-safe at any doc_id, same doctrine as _SPLIT_H)
-_SB_TRAIN = "(((doc_id % 1048576) * 1103515245 + 54321) % 1000) < 700"
+#: deterministic 70/30 train/score split on the doc hash (full-entropy
+#: id_mix — BIGINT-safe at any doc_id, same doctrine as _SPLIT_H,
+#: decorrelated from it by salt)
+_SB_TRAIN = f"({id_mix('doc_id', 54321)} % 1000) < 700"
 
 #: backoff penalty alpha = 0.4 (the paper's constant)
 #: seen bigram: ln(c_xy / c_ctx); unseen: ln(0.4 * (c_w2+1)/(N+vn))

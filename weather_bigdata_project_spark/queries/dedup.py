@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..operators import textops as T
 from ..registry import query
 
@@ -934,13 +934,19 @@ def _cc_labels(pairs):
 
 _SIMHASH_BITS = 16
 
+#: token-id -> simhash feature hash (prime range so every one of the 16
+#: sampled bits is unbiased). Full-entropy id_mix — tok_id is a 60-bit
+#: content hash, so the old mod-2^20 reduction threw away 40 bits and
+#: made ids congruent mod 2^20 collide systematically.
+_TOK_H = f"({id_mix('tok_id')} % 1048573)"
+
 
 @query(
     "dedup_simhash",
     oracle=(
         "WITH " + T.TOKS_CTE + ", " + T.DICT_CTE + ", "
         f"bits(bit) AS (SELECT unnest(range(0, {_SIMHASH_BITS}))), "
-        "tokhash AS (SELECT doc_id, ((tok_id % 1048576) * 2654435761) % 1048573 AS h "
+        f"tokhash AS (SELECT doc_id, {_TOK_H} AS h "
         "FROM toks JOIN dict USING (tok)), "
         "bitsum AS (SELECT doc_id, bit, "
         "SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
@@ -970,7 +976,7 @@ def dedup_simhash(spark, sf_dir):
     d = T.token_dict(spark, sf_dir, toks=toks)
     tokhash = toks.join(F.broadcast(d), "tok").select(
         "doc_id",
-        F.expr("((tok_id % 1048576) * 2654435761) % 1048573").alias("h"),
+        F.expr(_TOK_H).alias("h"),
     )
     bitsums = [
         F.sum(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
 from .. import tables
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..registry import query
 
 
@@ -530,9 +530,9 @@ def events_json_schema_profile(spark, sf_dir):
 
 # --- table diff / reconciliation ------------------------------------------
 
-#: deterministic LCG bucket for synthesizing "version B" of the table
-_DIFF_H = "(((event_id % 1048576) * 1103515245 + 12345) % 100)"
-# key reduced mod 2^20 before the LCG multiply: BIGINT-safe at any event_id
+#: deterministic hash bucket for synthesizing "version B" of the table
+#: (full-entropy id_mix: BIGINT-safe at any event_id, no mod-2^20 period)
+_DIFF_H = f"({id_mix('event_id', 12345)} % 100)"
 
 _DIFF_ORACLE = (
     "WITH " + tables.EVENTS_ORACLE_CTE + ", "

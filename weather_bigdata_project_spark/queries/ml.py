@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..operators.textops import materialize
 from ..registry import query
 
@@ -512,11 +512,13 @@ def ml_decision_stump(spark, sf_dir):
 
 # --- stump generalization: holdout accuracy vs majority baseline -----------
 
-#: deterministic 90/10 hash split on the line identity (LCG family)
-_STU_TRAIN = (
-    "(((l_orderkey % 1048576) * 1103515245 + l_linenumber * 12345) "
-    "% 1000) < 900"
-)  # key reduced mod 2^20: product < 2^51, BIGINT-safe at any scale
+#: deterministic 90/10 hash split on the line identity: the
+#: (orderkey, linenumber) pair folds into one BIGINT key (linenumber
+#: is 1..7, the 2654435761 stride keeps distinct pairs distinct and
+#: adds < 1.9e10 — no overflow for any orderkey), then the
+#: full-entropy id_mix buckets it (no mod-2^20 periodicity)
+_LINE_KEY = "(l_orderkey + l_linenumber * 2654435761)"
+_STU_TRAIN = f"({id_mix(_LINE_KEY)} % 1000) < 900"
 
 
 def _stump_eval_sql(src: str) -> str:
@@ -734,11 +736,11 @@ def ml_calibration_bins(spark, sf_dir):
 # --- k-fold cross-validation -----------------------------------------------
 
 _KF_K = 5
-#: key reduced mod 2^20 before the LCG multiply so the product stays
-#: < 2^51 — BIGINT-safe at ANY orderkey scale (the unreduced form
-#: overflows once l_orderkey > ~8.4e9, i.e. at ~100 TB; Spark would
-#: wrap silently while DuckDB raises)
-_KF_FOLD = f"(((l_orderkey % 1048576) * 1103515245 + l_linenumber * 12345) % {_KF_K})"
+#: full-entropy id_mix over the folded line key — BIGINT-safe at ANY
+#: orderkey scale (all intermediates < 2^63; the pre-round-4 unreduced
+#: LCG overflowed past l_orderkey ~ 8.4e9: Spark would wrap silently
+#: while DuckDB raises) and free of the mod-2^20 assignment period
+_KF_FOLD = f"({id_mix(_LINE_KEY)} % {_KF_K})"
 
 #: the stump's split score (weighted Gini numerator) — identical op
 #: order in both engines; shared by the per-fold ROW_NUMBER pick

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..operators import textops as T
 from ..registry import query
 
@@ -804,9 +804,9 @@ def text_bpe_train(spark, sf_dir):
 
 # --- BPE merge-table generalization: holdout compression -------------------
 
-#: deterministic corpus halves by doc_id parity-of-hash
-# key reduced mod 2^20 before the multiply: BIGINT-safe at any doc_id
-_BPE_TRAIN_PRED = "(((doc_id % 1048576) * 2654435761) % 1000) < 500"
+#: deterministic corpus halves by doc_id hash (full-entropy id_mix:
+#: BIGINT-safe at any doc_id, no mod-2^20 periodicity)
+_BPE_TRAIN_PRED = f"({id_mix('doc_id', 24680)} % 1000) < 500"
 
 
 def _bpe_holdout_oracle() -> str:

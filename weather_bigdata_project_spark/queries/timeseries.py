@@ -2087,8 +2087,12 @@ def _snaive_sql(src: str, dow: str) -> str:
         "AS n_pred "
         "FROM te LEFT JOIN sn ON sn.event_type = te.event_type "
         "AND sn.dw = te.dw GROUP BY te.event_type) "
+        # LEFT JOINs from ev: a type whose train split is empty (e.g.
+        # nd = 1: floor(0.8*1) = 0 puts every row in test) has no tn/nm
+        # row — it must surface as n_train = 0 with NULL metrics, not
+        # vanish from the verdict table (round-4 ADVICE)
         "SELECT ev.event_type, "
-        "CAST(tn.n_train AS BIGINT) AS n_train, "
+        "CAST(COALESCE(tn.n_train, 0) AS BIGINT) AS n_train, "
         "CAST(ev.n_test AS BIGINT) AS n_test, "
         "CAST(ev.n_unpredicted AS BIGINT) AS n_unpredicted, "
         "CAST(ev.s_err AS DOUBLE) / "
@@ -2101,8 +2105,8 @@ def _snaive_sql(src: str, dow: str) -> str:
             4,
         )
         + " AS mase "
-        "FROM ev JOIN tn ON tn.event_type = ev.event_type "
-        "JOIN nm ON nm.event_type = ev.event_type"
+        "FROM ev LEFT JOIN tn ON tn.event_type = ev.event_type "
+        "LEFT JOIN nm ON nm.event_type = ev.event_type"
     )
 
 
