@@ -322,3 +322,104 @@ def test_ppm_decoder_real_image_roundtrip(spark):
         M._decode_ppm(b"not an image at all")
     with pytest.raises(ValueError):
         M._decode_ppm(M.encode_ppm(2, 2, bytes(12))[:-5])  # truncated
+
+
+def test_wav_decoder_real_container_roundtrip(spark):
+    """The RIFF/WAVE parser must walk real containers (including extra
+    chunks and word-aligned padding, which the fixed-offset shortcut a
+    fake parser would take gets wrong) and fail loudly on malformed
+    ones."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    def wav(data: bytes, extra: bytes = b"") -> bytes:
+        # genuine constructor, independent of the module's constant
+        # header: fmt chunk, optional extra chunk BEFORE data, data
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8
+        )
+        dat = b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            dat += b"\x00"  # word-align (RIFF spec)
+        body = b"WAVE" + fmt + extra + dat
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    data = bytes((i * 7) % 256 for i in range(33))  # odd length -> pad
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    sr, bits, n, mean, lo, hi, rms = M._decode_wav(wav(data, extra))
+    s = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    assert (sr, bits, n) == (8000, 8, 33)
+    assert mean == float(s.sum()) / 33
+    assert (lo, hi) == (float(s.min()), float(s.max()))
+    assert rms == (float((s * s).sum()) / 33) ** 0.5
+
+    for bad in (
+        b"RIFX" + wav(data)[4:],            # wrong magic
+        wav(data)[:16],                     # truncated
+        wav(data)[:4] + b"\xff\xff\xff\xff" + wav(data)[8:],  # bad size
+    ):
+        with pytest.raises(ValueError):
+            M._decode_wav(bad)
+    # 16-bit PCM is out of contract -> loud refusal, not garbage stats
+    fmt16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + fmt16 + b"data" + struct.pack("<I", 4) + bytes(4)
+    with pytest.raises(ValueError):
+        M._decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_y4m_demux_discovers_frames_and_colorspace(spark):
+    """The Y4M demux must derive the frame size from the colorspace tag
+    (C420 default per spec), discover the frame count by walking the
+    stream, tolerate FRAME-line parameters, and fail on truncation."""
+    import numpy as np
+    import pytest
+
+    w, h = 4, 2
+    f1 = bytes(range(w * h * 3))
+    f2 = bytes(reversed(range(w * h * 3)))
+    stream = (
+        f"YUV4MPEG2 W{w} H{h} F30000:1001 Ip A1:1 C444\n".encode()
+        + b"FRAME\n" + f1
+        + b"FRAME Xsomeparam\n" + f2  # params on the FRAME line are legal
+    )
+    gw, gh, frames = M._y4m_frames(stream)
+    assert (gw, gh, len(frames)) == (w, h, 2)
+    for got, raw in zip(frames, (f1, f2)):
+        y = np.frombuffer(raw[: w * h], dtype=np.uint8).astype(np.int64)
+        assert got == (
+            float(y.sum()) / (w * h), float(y.min()), float(y.max())
+        )
+
+    # C420 default: frame is w*h*3/2 bytes
+    s420 = f"YUV4MPEG2 W{w} H{h}\n".encode() + b"FRAME\n" + bytes(12)
+    assert len(M._y4m_frames(s420)[2]) == 1
+
+    for bad in (
+        b"NOTY4M W4 H2\nFRAME\n" + bytes(24),
+        f"YUV4MPEG2 W{w} H{h} C444\n".encode() + b"FRAME\n" + f1[:-1],
+        f"YUV4MPEG2 W{w} H{h} C444\n".encode() + b"BLAME\n" + f1,
+        b"YUV4MPEG2 C444\nFRAME\n",  # missing W/H
+    ):
+        with pytest.raises(ValueError):
+            M._y4m_frames(bad)
+
+
+def test_resize_ppm_is_exact_box_filter(spark):
+    """The real resize kernel's pooled values must equal the hand
+    box-filter over genuinely decoded pixels, through the full Spark
+    mapInPandas stage."""
+    import numpy as np
+
+    px = bytes((i * 13) % 256 for i in range(8 * 6 * 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_ppm(8, 6, px)))],
+        "doc_id long, content binary",
+    )
+    (r,) = M.resize_ppm(df).collect()
+    assert (r.width, r.height, r.thumb_w, r.thumb_h) == (8, 6, 4, 3)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(6, 8, 3)
+    gray = arr.astype(np.int64).sum(axis=2)
+    want = gray.reshape(3, 2, 4, 2).sum(axis=(1, 3)) / 12.0
+    assert list(r.embedding) == [float(v) for v in want.reshape(-1)]

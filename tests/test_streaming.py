@@ -607,7 +607,11 @@ def test_transform_with_state_ewma(spark, tmp_path):
     'protobuf*'`). A pure-python reimplementation of the generated
     state-server messages is not a faithful test of the real
     transport. Hard container block; the fold itself is covered by
-    the `ewma_fold_py` JVM-equivalence and state-handoff tests."""
+    the `ewma_fold_py` JVM-equivalence and state-handoff tests.
+
+    Re-attempted round 5 (2026-08-15): unchanged — `import
+    google.protobuf` still fails and `pip download protobuf` still
+    reports 'versions: none' (no egress). Block stands."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "

@@ -74,14 +74,12 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """REAL image decode: parse a binary PPM (P6) payload — magic,
-    whitespace/comment-tolerant header, maxval, then the raw RGB plane
-    via numpy. Feature vector (8 doubles, all single IEEE ops over
-    exact integer sums so it is deterministic): mean R, mean G, mean B,
-    mean gray, min gray, max gray, aspect ratio, fill ratio (pixels
-    present / declared). Raises ValueError on a non-PPM payload — a
-    real decoder fails loudly, it does not hash garbage."""
+def _parse_p6(payload: bytes):
+    """Parse a binary PPM (P6) payload into (width, height, pixel
+    ndarray): magic, whitespace/comment-tolerant header, maxval check,
+    then the raw RGB plane via numpy. Raises ValueError on a non-PPM
+    payload — a real decoder fails loudly, it does not hash garbage.
+    Shared by the decode-stats kernel and the real resize kernel."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
@@ -112,10 +110,20 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
     raw = payload[i:i + want]
     if len(raw) < want:
         raise ValueError("truncated PPM pixel plane")
-    px = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
-    sums = px.sum(axis=(0, 1), dtype=np.int64)  # exact per-channel
+    return width, height, np.frombuffer(raw, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL image decode: the P6 parser above + a feature vector
+    (8 doubles, all single IEEE ops over exact integer sums so it is
+    deterministic): mean R, mean G, mean B, mean gray, min gray,
+    max gray, aspect ratio, fill ratio (pixels present / declared)."""
+    width, height, px = _parse_p6(payload)
+    sums = px.sum(axis=(0, 1), dtype="int64")  # exact per-channel
     npx = width * height
-    gray = px.astype(np.int64).sum(axis=2)  # 3x gray, exact
+    gray = px.astype("int64").sum(axis=2)  # 3x gray, exact
     feature = [
         float(sums[0]) / npx,
         float(sums[1]) / npx,
@@ -165,19 +173,22 @@ def decode_media(binary_df: DataFrame, kernel: str = "stub") -> DataFrame:
 def resize_media(decoded: DataFrame, thumb_w: int = 32, thumb_h: int = 32) -> DataFrame:
     """Resize: aspect-preserving geometry (scale factor, output dims) is
     pure column arithmetic — stays JVM-side in whole-stage codegen. Only
-    the pixel resample crosses into Python, as an Arrow-vectorized scalar
-    pandas_udf over the feature vector (STUB: scales the features; a real
-    deployment swaps the lambda body for PIL `Image.resize` on the frame
-    payload — signature and batching identical)."""
+    the resample crosses into Python, as an Arrow-vectorized scalar
+    pandas_udf. This variant operates in FEATURE space (one IEEE
+    multiply per element — the deterministic oracle path for the
+    stub-decoded chain); the REAL pixel resample is `resize_ppm` below,
+    a genuine average-pool over decoded P6 pixels behind the same Arrow
+    batching, oracle-gated by byte arithmetic."""
     import pyspark.sql.functions as Fn
 
     @Fn.pandas_udf("array<double>")
     def _resample(feature: pd.Series, scale: pd.Series) -> pd.Series:
-        # STUB resample kernel — deterministic, vectorized per Arrow
+        # feature-space rescale — deterministic, vectorized per Arrow
         # batch. A single IEEE multiply per element: bit-exact in any
         # engine, which is what lets the DuckDB oracle hash-check this
         # Pandas-UDF pipeline end-to-end (no decimal rounding — Python
-        # round() is banker's, SQL ROUND is not).
+        # round() is banker's, SQL ROUND is not). Real pixel path:
+        # resize_ppm below.
         return pd.Series(
             [
                 [v * s for v in f] if f is not None else None
@@ -528,4 +539,249 @@ def audio_voiced_segments(
                 "CAST(e_u AS DOUBLE) / (1.0e6 * n_frames)"
             ).alias("mean_energy"),
         )
+    )
+
+
+# --- REAL pixel resize / block-mean embedding over decoded PPM -------------
+
+RESIZED_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("thumb_w", Ty.IntegerType()),
+        Ty.StructField("thumb_h", Ty.IntegerType()),
+        Ty.StructField("embedding", Ty.ArrayType(Ty.DoubleType())),
+    ]
+)
+
+
+def _resize_ppm_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL pixel resample, batched: parse each P6 payload with the
+    genuine netpbm decoder, then 2x average-pool the (3x-)gray plane —
+    an exact box-filter downscale whose output doubles ARE the image's
+    block-mean embedding (the standard cheap visual descriptor). Each
+    pooled value is an integer sum of 4 gray values (each itself
+    R+G+B, exact int64) divided once by 12.0 — a single IEEE division,
+    reproducible bit-for-bit by byte arithmetic in any engine. Dims
+    must be even (the synthesis fixes 8x6); a real deployment pads."""
+    import numpy as np
+
+    cols = [f.name for f in RESIZED_SCHEMA.fields]
+    for pdf in it:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            payload = bytes(content) if content is not None else b""
+            w, h, px = _parse_p6(payload)
+            if w % 2 or h % 2:
+                raise ValueError("resize kernel needs even dims")
+            gray = px.astype(np.int64).sum(axis=2)  # 3x gray, exact
+            pooled = (
+                gray.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+                / 12.0
+            )
+            rows.append(
+                (int(doc_id), w, h, w // 2, h // 2,
+                 [float(v) for v in pooled.reshape(-1)])
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def resize_ppm(binary_df: DataFrame) -> DataFrame:
+    """Distributed REAL resize/embed over P6 payloads: one Arrow-batched
+    mapInPandas stage (same plumbing as decode_media), emitting the
+    half-resolution block-mean embedding in row-major order. This is
+    the real-kernel replacement for the feature-space rescale in
+    resize_media — genuine decoded pixels in, genuine pooled pixels
+    out."""
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _resize_ppm_batch, schema=RESIZED_SCHEMA
+    )
+
+
+# --- REAL audio decode: RIFF/WAVE (PCM) -------------------------------------
+
+#: fixed synthesis geometry: 8 kHz / 8-bit / mono, 256-sample data chunk
+WAV_DATA_BYTES = 256
+WAV_SAMPLE_RATE = 8000
+#: the constant 44-byte canonical header those sizes imply (RIFF size =
+#: 44 + 256 - 8 = 292); hex so Spark can emit it as an X'..' literal
+WAV_HEADER_HEX = (
+    "524946462401000057415645666D7420100000000100010040"
+    "1F0000401F0000010008006461746100010000"
+)
+
+WAV_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("sample_rate", Ty.IntegerType()),
+        Ty.StructField("bits_per_sample", Ty.IntegerType()),
+        Ty.StructField("n_samples", Ty.LongType()),
+        Ty.StructField("mean_amp", Ty.DoubleType()),
+        Ty.StructField("min_amp", Ty.DoubleType()),
+        Ty.StructField("max_amp", Ty.DoubleType()),
+        Ty.StructField("rms_amp", Ty.DoubleType()),
+    ]
+)
+
+
+def _decode_wav(payload: bytes):
+    """REAL audio container decode: RIFF magic, WAVE form type, then the
+    spec's chunk walk (id + u32le size, word-aligned) collecting `fmt `
+    (PCM layout via struct) and `data` (the PCM plane). Validates
+    PCM/8-bit/mono and the declared RIFF size before touching samples —
+    a real decoder fails loudly on a malformed container. Stats are
+    exact integer sums with single IEEE divisions (and one SQRT), so a
+    byte-arithmetic oracle reproduces them bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size != len(payload) - 8:
+        raise ValueError("RIFF size field disagrees with payload length")
+    fmt, data, pos = None, None, 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned (RIFF spec)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 8 or channels != 1:
+        raise ValueError("only PCM 8-bit mono supported")
+    s = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    n = len(s)
+    return (
+        int(sample_rate),
+        int(bits),
+        n,
+        float(s.sum()) / n,
+        float(s.min()),
+        float(s.max()),
+        float((float((s * s).sum()) / n) ** 0.5),
+    )
+
+
+def decode_wav(binary_df: DataFrame) -> DataFrame:
+    """Distributed REAL WAV decode: Arrow-batched mapInPandas over the
+    binary column — same plumbing contract as decode_media."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAV_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                rows.append((int(doc_id),) + _decode_wav(payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=WAV_SCHEMA
+    )
+
+
+# --- REAL video container: YUV4MPEG2 (Y4M) frame splitting ------------------
+
+#: fixed synthesis geometry: 8x6 C444 (Y,U,V planes each 48 bytes ->
+#: 144 bytes/frame), 3 frames per clip
+Y4M_W, Y4M_H, Y4M_FRAMES = 8, 6, 3
+Y4M_HEADER = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\n"
+Y4M_FRAME_MARKER_HEX = "4652414D450A"  # b"FRAME\n"
+
+Y4M_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("n_frames", Ty.IntegerType()),
+        Ty.StructField("frame_idx", Ty.IntegerType()),
+        Ty.StructField("y_mean", Ty.DoubleType()),
+        Ty.StructField("y_min", Ty.DoubleType()),
+        Ty.StructField("y_max", Ty.DoubleType()),
+    ]
+)
+
+
+def _y4m_frames(payload: bytes):
+    """REAL video-container demux: parse the YUV4MPEG2 stream header
+    (space-separated W/H/C tags; colorspace defaults to C420 per spec),
+    then walk FRAME sections — each a 'FRAME[ params]\\n' line followed
+    by exactly one frame of planar YUV — yielding per-frame Y-plane
+    stats. The frame count is DISCOVERED by the walk, never assumed.
+    Raises on a malformed stream."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    c = "420"
+    for tag in payload[:nl].decode("ascii").split(" ")[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            c = tag[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W or H")
+    if c.startswith("444"):
+        frame_bytes = w * h * 3
+    elif c.startswith("422"):
+        frame_bytes = w * h * 2
+    elif c.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    else:
+        raise ValueError(f"unsupported colorspace C{c}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        data = payload[fnl + 1:fnl + 1 + frame_bytes]
+        if len(data) < frame_bytes:
+            raise ValueError("truncated frame")
+        y = np.frombuffer(data[:w * h], dtype=np.uint8).astype(np.int64)
+        frames.append(
+            (
+                float(y.sum()) / (w * h),
+                float(y.min()),
+                float(y.max()),
+            )
+        )
+        pos = fnl + 1 + frame_bytes
+    return w, h, frames
+
+
+def split_y4m_frames(binary_df: DataFrame) -> DataFrame:
+    """Distributed REAL frame splitting: Arrow-batched mapInPandas over
+    Y4M payloads, one output row per demuxed frame. The per-frame-row
+    shape is what a real pipeline feeds the sampled-decode stage
+    (sample_frames) — here the demux itself is the genuine kernel."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in Y4M_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                w, h, frames = _y4m_frames(payload)
+                for idx, (ym, yl, yh) in enumerate(frames):
+                    rows.append(
+                        (int(doc_id), w, h, len(frames), idx, ym, yl, yh)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=Y4M_SCHEMA
     )

@@ -486,3 +486,208 @@ def multimodal_ppm_decode_stats(spark, sf_dir):
         F.expr("element_at(feature, 5)").alias("gray_min"),
         F.expr("element_at(feature, 6)").alias("gray_max"),
     )
+
+
+# --- shared byte-tiling synthesis (PPM/WAV/Y4M payload builders) ------------
+
+def _tile_spark(n: int) -> str:
+    """text tiled to exactly `n` utf-8 bytes, Spark side (same
+    char-op construction as _PPM_PIX: substring first bounds the
+    repeat blowup, the byte view comes from encode afterward)."""
+    return (
+        f"substring(encode(repeat(substring(text, 1, {n}), {n}), "
+        f"'utf-8'), 1, {n})"
+    )
+
+
+def _tile_duck(n: int) -> str:
+    """DuckDB twin: same char ops; extraction below only reads byte
+    positions < n, so blob truncation is implicit."""
+    return f"encode(repeat(substring(text, 1, {n}), {n}))"
+
+
+def _byte(j: str) -> str:
+    """byte j (0-based) of the hex'd payload, DuckDB side."""
+    return f"CAST('0x' || substr(hx, 2*({j})+1, 2) AS BIGINT)"
+
+
+# --- REAL audio decoder, oracle-gated: RIFF/WAVE synthesis + parse ----------
+
+def _wav_oracle() -> str:
+    n = M.WAV_DATA_BYTES
+    vals = f"list_transform(range(0, {n}), j -> {_byte('j')})"
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(n)}) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        f"s AS (SELECT doc_id, {vals} AS v FROM px) "
+        "SELECT doc_id, "
+        f"CAST({M.WAV_SAMPLE_RATE} AS INT) AS sample_rate, "
+        "CAST(8 AS INT) AS bits_per_sample, "
+        f"CAST({n} AS BIGINT) AS n_samples, "
+        f"CAST(list_sum(v) AS DOUBLE) / {n}.0e0 AS mean_amp, "
+        "CAST(list_min(v) AS DOUBLE) AS min_amp, "
+        "CAST(list_max(v) AS DOUBLE) AS max_amp, "
+        "SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) "
+        f"/ {n}.0e0) AS rms_amp "
+        "FROM s"
+    )
+
+
+@query("multimodal_wav_decode_stats", oracle=_wav_oracle())
+def multimodal_wav_decode_stats(spark, sf_dir):
+    """REAL audio-container decode, oracle-gated end to end — the audio
+    mirror of multimodal_ppm_decode_stats: every doc's bytes become a
+    spec-valid RIFF/WAVE file JVM-side (the constant 44-byte canonical
+    header as a binary literal + the doc's utf-8 bytes tiled to a
+    256-sample 8-bit-mono PCM data chunk — pure codegen binary ops,
+    no Python), and the payload is decoded by the GENUINE RIFF parser
+    (operators/multimodal._decode_wav: magic + declared-size check,
+    word-aligned chunk walk, struct-unpacked fmt, PCM validation)
+    inside the same Arrow-batched mapInPandas stage a production
+    decoder uses. The DuckDB oracle never sees the parser — it
+    recomputes sample statistics from raw bytes — so a hash match
+    proves the decoder walks the container correctly (a mis-read size
+    field or fmt offset shifts every sample and fails the gate). All
+    stats are exact integer sums with single IEEE divisions (+ one
+    correctly-rounded SQRT for the RMS). Scan-dominated at any scale:
+    payloads built in-row, decoded once, never shuffled."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.expr(f"X'{M.WAV_HEADER_HEX}'"),
+                F.expr(_tile_spark(M.WAV_DATA_BYTES)),
+            ).alias("content"),
+        )
+    )
+    return M.decode_wav(d)
+
+
+# --- REAL video container, oracle-gated: Y4M synthesis + frame demux --------
+
+def _y4m_oracle() -> str:
+    w, h, nf = M.Y4M_W, M.Y4M_H, M.Y4M_FRAMES
+    fb = w * h * 3  # C444 frame bytes
+    ypix = w * h
+    ybytes = (
+        f"list_transform(range(0, {ypix}), j -> "
+        + _byte(f"f * {fb} + j")
+        + ")"
+    )
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(fb * nf)}) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        f"fr AS (SELECT doc_id, hx, unnest(range(0, {nf})) AS f FROM px), "
+        f"y AS (SELECT doc_id, f, {ybytes} AS v FROM fr) "
+        "SELECT doc_id, "
+        f"CAST({w} AS INT) AS width, CAST({h} AS INT) AS height, "
+        f"CAST({nf} AS INT) AS n_frames, CAST(f AS INT) AS frame_idx, "
+        f"CAST(list_sum(v) AS DOUBLE) / {ypix}.0e0 AS y_mean, "
+        "CAST(list_min(v) AS DOUBLE) AS y_min, "
+        "CAST(list_max(v) AS DOUBLE) AS y_max "
+        "FROM y"
+    )
+
+
+@query("multimodal_y4m_frame_stats", oracle=_y4m_oracle())
+def multimodal_y4m_frame_stats(spark, sf_dir):
+    """REAL video-container frame demux, oracle-gated — the video
+    mirror of the PPM/WAV gates, retiring the stride-stub as the only
+    video path: every doc's bytes become a spec-valid YUV4MPEG2 stream
+    JVM-side (ASCII stream header, then 3 x ('FRAME\\n' marker + one
+    8x6 C444 planar frame tiled from the doc's utf-8 bytes) — pure
+    codegen binary concat), and the stream is demuxed by the GENUINE
+    Y4M parser (operators/multimodal._y4m_frames: tagged header parse
+    with the spec's C420 default, per-frame marker walk, colorspace-
+    derived frame size; the frame count is DISCOVERED by the walk,
+    never assumed) in one Arrow-batched mapInPandas stage, emitting
+    per-frame Y-plane stats. The DuckDB oracle recomputes them from
+    raw bytes without the parser, so a hash match proves the demux
+    slices frame boundaries exactly (an off-by-one on the marker line
+    shifts every Y byte and fails the gate)."""
+    fb = M.Y4M_W * M.Y4M_H * 3
+    marker = F.expr(f"X'{M.Y4M_FRAME_MARKER_HEX}'")
+    tiled = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.expr(_tile_spark(fb * M.Y4M_FRAMES)).alias("pix"),
+        )
+    )
+    d = tiled.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit(M.Y4M_HEADER), "utf-8"),
+            *[
+                p
+                for f in range(M.Y4M_FRAMES)
+                for p in (
+                    marker,
+                    F.expr(f"substring(pix, {f * fb + 1}, {fb})"),
+                )
+            ],
+        ).alias("content"),
+    )
+    return M.split_y4m_frames(d)
+
+
+# --- REAL pixel resize / block-mean embedding, oracle-gated -----------------
+
+def _ppm_resize_oracle() -> str:
+    terms = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            idx = f"((2*(pos // 4) + {dy})*{_PPM_W} + 2*(pos % 4) + {dx})"
+            for c in range(3):
+                terms.append(_byte(f"3*{idx} + {c}"))
+    pooled = "CAST(" + " + ".join(terms) + " AS DOUBLE) / 12.0e0"
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_PPM_PIX_DUCK}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        f"CAST({_PPM_W} AS INT) AS width, CAST({_PPM_H} AS INT) AS height, "
+        f"CAST({_PPM_W // 2} AS INT) AS thumb_w, "
+        f"CAST({_PPM_H // 2} AS INT) AS thumb_h, "
+        f"CAST(pos AS INT) AS pos, {pooled} AS pooled_gray "
+        "FROM px CROSS JOIN range(0, 12) t(pos)"
+    )
+
+
+@query("multimodal_ppm_resize_embed", oracle=_ppm_resize_oracle())
+def multimodal_ppm_resize_embed(spark, sf_dir):
+    """REAL pixel resize AND block-mean feature embedding in one
+    oracle-gated kernel — this retires the last feature-space stub
+    ('scales the features'): the P6 payloads built for the decode gate
+    are parsed by the genuine netpbm decoder, and the kernel 2x
+    average-pools the gray plane (operators/multimodal._resize_ppm_
+    batch) — an exact box-filter downscale whose 12 pooled doubles are
+    simultaneously the half-resolution thumbnail and the image's
+    block-mean embedding (the standard cheap visual descriptor). Every
+    pooled value is an integer sum of 4 exact gray values divided once
+    by 12.0, so the DuckDB oracle reproduces the resample from raw
+    bytes without ever seeing the decoder or the pooling code. One
+    Arrow stage, nothing shuffles; at 100 TB the embedding rides the
+    same single pass as decode."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.encode(F.lit(_PPM_HEADER), "utf-8"),
+                F.expr(_PPM_PIX),
+            ).alias("content"),
+        )
+    )
+    rz = M.resize_ppm(d)
+    return rz.select(
+        "doc_id",
+        "width",
+        "height",
+        "thumb_w",
+        "thumb_h",
+        F.posexplode("embedding").alias("pos", "pooled_gray"),
+    )
