@@ -85,6 +85,69 @@ HEADLINE = [
 ]
 
 
+def normalized_vs_prev(
+    times: dict[str, float], calibration_s: float, sf=None
+) -> dict | None:
+    """Machine-drift-corrected comparison with the newest committed
+    BENCH_r*.json: per-query wall ratio divided by the calibration
+    ratio (this box swings ~40% between sessions; the fixed-work
+    calibration loop measures that swing, so a NORMALIZED ratio > 1.3
+    is code drift, not box drift). Returns a compact summary block for
+    the bench line — previous round id, calibration ratio, median
+    normalized ratio, regression count, and the worst 3 offenders —
+    and prints the full per-query detail to stderr. None when no
+    comparable previous record exists (missing file, no calibration,
+    no per-query dict, or an sf/suite mismatch)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not cands:
+        return None
+    try:
+        with open(cands[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # driver records may nest the parsed line under "parsed"
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    pq = prev.get("queries")
+    pcal = prev.get("calibration_s")
+    if not isinstance(pq, dict) or not pcal or not calibration_s:
+        return None
+    if sf is not None and prev.get("sf") not in (None, sf):
+        return None  # different data scale: ratios would be meaningless
+    common = [n for n in times if isinstance(pq.get(n), (int, float))
+              and pq[n] > 0]
+    if len(common) < 5:
+        return None
+    cal_ratio = calibration_s / pcal
+    ratios = {
+        n: round((times[n] / pq[n]) / cal_ratio, 3) for n in common
+    }
+    for n in sorted(ratios, key=ratios.get):
+        print(f"# norm {n}: {ratios[n]:.3f}", file=sys.stderr)
+    ordered = sorted(ratios.values())
+    regressed = {n: r for n, r in ratios.items() if r > 1.3}
+    worst = dict(
+        sorted(regressed.items(), key=lambda kv: -kv[1])[:3]
+    )
+    tag = re.search(r"(r\d+)", os.path.basename(cands[-1])).group(1)
+    return {
+        "prev": tag,
+        "cal_ratio": round(cal_ratio, 3),
+        "n_common": len(common),
+        "median_norm_ratio": round(ordered[len(ordered) // 2], 3),
+        "n_regressed": len(regressed),
+        "regressed": worst,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # optional focused run: SPARK_GRAFT_QUERIES="tpch_q1_...,tpch_q3_..."
@@ -194,8 +257,17 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    norm = normalized_vs_prev(times, calibration_s, payload["sf"])
+    if norm:
+        payload["normalized_vs_prev"] = norm
     # compact separators: ~2 chars/entry headroom under the line guard
     line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800 and norm:
+        # shed the per-name regression detail first (stderr has it)
+        payload["normalized_vs_prev"] = {
+            k: v for k, v in norm.items() if k != "regressed"
+        }
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # driver's bounded stdout-tail capture would truncate the line
         # (round-1 failure mode) — drop per-query detail rather than

@@ -1597,3 +1597,68 @@ def test_heavy_hitters_stream_finds_hot_key(spark, tmp_path):
     assert 0 < est <= true_hot
     assert true_hot - est <= n_b / (K + 1)
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_contamination_stream_equals_batch(spark, tmp_path):
+    """Streaming contamination audit: over a 3-micro-batch replay of the
+    TRAINING docs (benchmark side static), the drained output must
+    EQUAL the batch contamination_ngram_overlap rows bit-for-bit —
+    same shingle hashes, same counts, same rounded hit_frac. The
+    operator is state-free, so equality must hold for ANY batch split;
+    three triggers prove the audit runs at ingest."""
+    from pyspark.sql import functions as F
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.queries.curation import _BENCH_SOURCE
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    train = docs.filter(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == _BENCH_SOURCE).select("text")
+
+    src = str(tmp_path / "train_docs")
+    train.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.contamination_stream(stream, bench)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("contam_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    batches = {
+        r[0]
+        for r in spark.sql(
+            "SELECT DISTINCT doc_id FROM contam_stream"
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["n_sh"], r["n_hits"], r["hit_frac"])
+        for r in spark.table("contam_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_sh"], r["n_hits"], r["hit_frac"])
+        for r in registry.QUERIES["contamination_ngram_overlap"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and got  # bit-equal, and non-trivial
+    assert batches == {r[0] for r in got}  # every contaminated doc once

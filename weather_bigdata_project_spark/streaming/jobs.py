@@ -1279,3 +1279,82 @@ def start_compacting_lake_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def contamination_stream(
+    train_docs: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """Streaming benchmark-contamination audit — the ingest-time twin of
+    queries/curation.contamination_ngram_overlap, proving the
+    pre-training hygiene check can run ON THE CRAWL STREAM instead of
+    as a post-hoc corpus pass: every arriving training doc is scored
+    against the static benchmark shingle set before it lands.
+
+    Plan is completely STATE-FREE (no watermark, no state store, no
+    foreachBatch): the doc's distinct 3-gram shingle hashes are built
+    IN-ROW (same let-bound array_distinct/60-bit-hash construction as
+    the batch operator textops.doc_shingle_ids, so values are
+    bit-equal), the benchmark set is ONE static row holding its
+    distinct-shingle array (benchmarks are fixed-size by construction;
+    the corpus grows), joined stream-static on a constant key — a
+    broadcast of kilobytes — and the per-doc overlap is
+    size(array_intersect(...)) in the same projection. Each output row
+    depends only on its input row + the static side, so the drained
+    replay across ANY micro-batch split equals the batch query exactly
+    (tests/test_streaming.py::test_contamination_stream_equals_batch).
+    At 100 TB ingest this is the cheapest possible shape: the training
+    stream never shuffles, stores no state, and emits only the
+    contaminated sliver."""
+    from ..functions.exprs import rnd
+    from ..operators.textops import hashed_id_spark
+
+    grams = (
+        "transform(sequence(1, size(toks) - 2), i -> "
+        + hashed_id_spark("concat_ws(' ', slice(toks, i, 3))")
+        + ")"
+    )
+    arr = (
+        f"CASE WHEN size(toks) < 3 THEN array() "
+        f"ELSE array_distinct({grams}) END"
+    )
+    bench_row = (
+        bench_docs.select(F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            # let-binding: hash the grams once (interpreted HOFs, no CSE)
+            F.explode(
+                F.expr(f"transform(array({arr}), a -> a)[0]")
+            ).alias("sh")
+        )
+        .distinct()
+        .agg(F.collect_set("sh").alias("bench_shs"))
+        .withColumn("k", F.lit(1))
+    )
+    shingled = (
+        train_docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.expr(f"transform(array({arr}), a -> a)[0]").alias("shs"),
+        )
+        .withColumn("k", F.lit(1))
+    )
+    return (
+        shingled.join(F.broadcast(bench_row), "k")
+        .select(
+            "doc_id",
+            F.expr("size(shs)").alias("n_sh"),
+            F.expr("size(array_intersect(shs, bench_shs))").alias(
+                "n_hits"
+            ),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hits",
+            F.expr(rnd("CAST(n_hits AS DOUBLE) / n_sh", 4)).alias(
+                "hit_frac"
+            ),
+        )
+    )
