@@ -1363,11 +1363,21 @@ _TUNE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band), b*r = 16
 
 
 def _tune_oracle() -> str:
-    # shared truth set: ALL pairs with exact J >= 0.5 (the prefix-filter
-    # oracle's enumeration), counted once
+    # Shared truth set: ALL pairs with exact J >= 0.5, enumerated by an
+    # ALL-PAIRS shingle join (the prefix-filter oracle's enumeration).
+    # It must NOT reuse _MH_CTE's `common` — that CTE counts shared
+    # shingles over the BANDED CANDIDATES only, so the "truth" would
+    # silently inherit the banding's recall loss. The driver fixture hid
+    # this (4x4 banding recall happened to be 100% there); the skewed
+    # fixture fuzz exposed it (perturbed near-dup copies hovering at
+    # J ~ 0.5 that no band catches: oracle truth 1453 vs the real 1888).
     parts = [
         _MH_CTE + ", "
-        "tru AS (SELECT doc1, doc2 FROM common "
+        "ap AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+        "COUNT(*) AS c FROM shingles a "
+        "JOIN shingles b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "tru AS (SELECT doc1, doc2 FROM ap "
         "JOIN sizes s1 ON s1.doc_id = doc1 "
         "JOIN sizes s2 ON s2.doc_id = doc2 "
         f"WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= {_PF_T}e0), "

@@ -354,18 +354,23 @@ _OLS_B0 = _det3("sy,s1,s2", "s1y,s11,s12", "s2y,s12,s22")
 _OLS_B1 = _det3("n,sy,s2", "s1,s1y,s12", "s2,s2y,s22")
 _OLS_B2 = _det3("n,s1,sy", "s1,s11,s1y", "s2,s12,s2y")
 
+#: NULLIF on the determinant and the R^2 denominator: a constant
+#: regressor (or constant y) makes the normal equations singular — the
+#: fit is undefined and must come back NULL in every engine (ANSI Spark
+#: would otherwise THROW on the bare division; caught by the skewed
+#: fixture fuzz, constant l_quantity).
 _OLS_TAIL = (
     "beta AS (SELECT n, sy, s1y, s2y, syy, "
-    f"{_OLS_B0} / {_OLS_DET} AS b0, "
-    f"{_OLS_B1} / {_OLS_DET} AS b1, "
-    f"{_OLS_B2} / {_OLS_DET} AS b2 FROM gd) "
+    f"{_OLS_B0} / NULLIF({_OLS_DET}, 0.0e0) AS b0, "
+    f"{_OLS_B1} / NULLIF({_OLS_DET}, 0.0e0) AS b1, "
+    f"{_OLS_B2} / NULLIF({_OLS_DET}, 0.0e0) AS b2 FROM gd) "
     "SELECT CAST(n AS BIGINT) AS n, "
     + rnd("b0 / 100.0e0", 4) + " AS intercept_dollars, "
     + rnd("b1 / 100.0e0", 4) + " AS beta_per_qty_dollars, "
     + rnd("b2 / 100.0e0", 4) + " AS beta_per_disc_pt_dollars, "
     + rnd(
         "1.0e0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) "
-        "/ (syy - sy * sy / n)",
+        "/ NULLIF(syy - sy * sy / n, 0.0e0)",
         6,
     )
     + " AS r2 FROM beta"
@@ -409,13 +414,16 @@ _GOLS_BODY = (
     "g AS (SELECT brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
     "SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy "
     "FROM u GROUP BY brand), "
+    # NULLIF: a brand whose x (or y) is constant has an undefined
+    # slope/r2 — NULL in every engine, never an ANSI throw (skew fuzz)
     "f AS (SELECT brand, n, "
     "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
-    "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope, "
+    "NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0e0) "
+    "AS slope, "
     "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
     "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
-    "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
-    "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2, "
+    "NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+    "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0e0) AS r2, "
     "CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar "
     "FROM g WHERE n > 1) "
     "SELECT brand, CAST(n AS BIGINT) AS n_lines, "
@@ -644,12 +652,17 @@ _PR_THRESHOLD = 25
         "THEN 1 ELSE 0 END) AS fn, "
         "SUM(CASE WHEN l_quantity < 25 AND l_returnflag <> 'R' "
         "THEN 1 ELSE 0 END) AS tn FROM lineitem) "
+        # NULLIF: an empty predicted-positive (or actual-positive) set
+        # makes the metric undefined — NULL in every engine, never an
+        # ANSI throw (skew fuzz: constant quantity below the threshold)
         "SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
         "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
-        + rnd("CAST(tp AS DOUBLE) / (tp + fp)", 6) + " AS precision_at_t, "
-        + rnd("CAST(tp AS DOUBLE) / (tp + fn)", 6) + " AS recall_at_t, "
+        + rnd("CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)", 6)
+        + " AS precision_at_t, "
+        + rnd("CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)", 6)
+        + " AS recall_at_t, "
         + rnd(
-            "2.0e0 * tp / (2.0e0 * tp + fp + fn)", 6
+            "2.0e0 * tp / NULLIF(2.0e0 * tp + fp + fn, 0.0e0)", 6
         )
         + " AS f1_at_t FROM c"
     ),
@@ -685,9 +698,12 @@ def ml_precision_recall(spark, sf_dir):
         "CAST(fp AS BIGINT) AS fp",
         "CAST(fn AS BIGINT) AS fn",
         "CAST(tn AS BIGINT) AS tn",
-        rnd("CAST(tp AS DOUBLE) / (tp + fp)", 6) + " AS precision_at_t",
-        rnd("CAST(tp AS DOUBLE) / (tp + fn)", 6) + " AS recall_at_t",
-        rnd("2.0e0 * tp / (2.0e0 * tp + fp + fn)", 6) + " AS f1_at_t",
+        rnd("CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)", 6)
+        + " AS precision_at_t",
+        rnd("CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)", 6)
+        + " AS recall_at_t",
+        rnd("2.0e0 * tp / NULLIF(2.0e0 * tp + fp + fn, 0.0e0)", 6)
+        + " AS f1_at_t",
     )
 
 

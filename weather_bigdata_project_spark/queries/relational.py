@@ -734,21 +734,31 @@ def events_approx_percentile_bounds(spark, sf_dir):
     one = a.select(
         "n", F.posexplode("ap").alias("i", "v")
     ).withColumn("p", F.expr(f"element_at(array({arr}), i + 1)"))
+    # A value with TIES occupies a RANGE of ranks [count(<v)+1,
+    # count(<=v)]; the GK guarantee is that SOME rank in that range is
+    # within eps*n of the target, so the check is interval
+    # INTERSECTION, not a point test on count(<=v) — on a corpus where
+    # one value carries most of the mass (skewed fixture fuzz), the
+    # point test wrongly fails the median even though the returned
+    # value is exactly right.
     ranked = (
         ev.crossJoin(F.broadcast(one))
         .groupBy("p", "n", "v")
         .agg(
             F.sum(
+                F.expr("CASE WHEN value < v THEN 1 ELSE 0 END")
+            ).alias("rk_lo"),
+            F.sum(
                 F.expr("CASE WHEN value <= v THEN 1 ELSE 0 END")
-            ).alias("rk")
+            ).alias("rk_hi"),
         )
     )
     return ranked.select(
         "p",
         "n",
         F.expr(
-            f"rk >= FLOOR((p - 1.0e0/{acc}) * n) - 1 AND "
-            f"rk <= CEIL((p + 1.0e0/{acc}) * n) + 1"
+            f"rk_hi >= FLOOR((p - 1.0e0/{acc}) * n) - 1 AND "
+            f"rk_lo + 1 <= CEIL((p + 1.0e0/{acc}) * n) + 1"
         ).alias("within_bound"),
     )
 

@@ -45,13 +45,22 @@ _EPOCH_US_DUCK = "epoch_us(ts)"
 #: derived statistics from the exact sums (identical text both engines;
 #: every input is an exact integer scalar, so the float math is one
 #: deterministic IEEE evaluation per group)
+#: Degenerate-input guards (caught by the skewed fixture fuzz): a
+#: single-row group makes (n-1) zero and a CONSTANT column makes a
+#:  variance term zero — under ANSI Spark a bare division then throws
+#: where the default session and DuckDB return NULL. NULLIF pins all
+#: three behaviors to NULL (undefined statistic, reported as such).
+#: GREATEST(.., 0) inside each sqrt: the variance terms are
+#: mathematically >= 0 but the double products can cancel to a tiny
+#: negative at extreme magnitudes, and DuckDB's SQRT(-eps) RAISES
+#: while Spark returns NaN.
 _DERIVED = [
     ("mean_value", rnd("CAST(sx AS DOUBLE) / (100.0e0 * n)", 4)),
     (
         "var_value",  # sample variance in units^2
         rnd(
             "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
-            "/ ((n - 1) * 10000.0e0)",
+            "/ NULLIF((n - 1) * 10000.0e0, 0.0e0)",
             4,
         ),
     ),
@@ -59,7 +68,7 @@ _DERIVED = [
         "covar_value_hour",  # sample covariance(value_units, hour)
         rnd(
             "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) "
-            "/ ((n - 1) * 100.0e0)",
+            "/ NULLIF((n - 1) * 100.0e0, 0.0e0)",
             4,
         ),
     ),
@@ -67,8 +76,11 @@ _DERIVED = [
         "corr_value_hour",  # Pearson r (scale factors cancel)
         rnd(
             "(CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy) / "
-            "(sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx) * "
-            "sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy))",
+            "NULLIF("
+            "sqrt(GREATEST(CAST(sxx AS DOUBLE) * n "
+            "- CAST(sx AS DOUBLE) * sx, 0.0e0)) * "
+            "sqrt(GREATEST(CAST(syy AS DOUBLE) * n "
+            "- CAST(sy AS DOUBLE) * sy, 0.0e0)), 0.0e0)",
             6,
         ),
     ),
@@ -649,11 +661,16 @@ def _cm_doubles() -> str:
 
 
 def _cm_corr(a: str, b: str) -> str:
+    # NULLIF + GREATEST: a constant column zeroes its variance term —
+    # the correlation is undefined (NULL in the default session and
+    # DuckDB; ANSI Spark would THROW on the bare division, and DuckDB
+    # RAISES on sqrt of the tiny negative a double cancellation can
+    # leave). Caught by the skewed fixture fuzz (constant l_quantity).
     sxy = f"s_{a}{b}"
     return rnd(
         f"(n * {sxy} - s_{a} * s_{b}) / "
-        f"(sqrt(n * s_{a}{a} - s_{a} * s_{a}) * "
-        f"sqrt(n * s_{b}{b} - s_{b} * s_{b}))",
+        f"NULLIF(sqrt(GREATEST(n * s_{a}{a} - s_{a} * s_{a}, 0.0e0)) * "
+        f"sqrt(GREATEST(n * s_{b}{b} - s_{b} * s_{b}, 0.0e0)), 0.0e0)",
         6,
     )
 
@@ -1061,11 +1078,15 @@ def _hbos_bin(x: str, mn: str, mx: str) -> str:
     """Engine-shared equal-width bin index: FLOOR over the min-max
     range, clamped so x == max lands in the last bin. All inputs are
     exact parquet doubles and MIN/MAX are order-insensitive, so the
-    double arithmetic is bit-identical in both engines."""
+    double arithmetic is bit-identical in both engines. The explicit
+    CASE on mx > mn puts a CONSTANT feature entirely in bin 0 (one
+    degenerate histogram bar) instead of dividing by zero — ANSI Spark
+    throws on the bare division; caught by the skewed fixture fuzz."""
     b = _HBOS_B
     return (
+        f"CASE WHEN {mx} > {mn} THEN "
         f"LEAST({b - 1}, GREATEST(0, CAST(FLOOR(({x} - {mn}) * {b}.0e0 "
-        f"/ ({mx} - {mn})) AS INT)))"
+        f"/ ({mx} - {mn})) AS INT))) ELSE 0 END"
     )
 
 

@@ -1323,7 +1323,11 @@ _PVM_BODY = (
     "SUM(CASE WHEN half = 1 THEN r ELSE 0 END) AS r1, "
     "SUM(CASE WHEN half = 2 THEN r ELSE 0 END) AS r2 "
     "FROM h GROUP BY brand), "
-    "t AS (SELECT CAST(SUM(r1) AS DOUBLE) / SUM(q1) AS pbar1 FROM g), "
+    # NULLIF: a corpus whose shipments all land in one half has no
+    # period-1 average price — rows are filtered by q1>0/q2>0 anyway,
+    # but ANSI Spark would throw on the bare global division (skew fuzz)
+    "t AS (SELECT CAST(SUM(r1) AS DOUBLE) / NULLIF(SUM(q1), 0) "
+    "AS pbar1 FROM g), "
     "e AS (SELECT brand, q1, q2, r1, r2, "
     "CAST(r1 AS DOUBLE) / q1 AS p1, CAST(r2 AS DOUBLE) / q2 AS p2, "
     "(SELECT pbar1 FROM t) AS pbar1 FROM g WHERE q1 > 0 AND q2 > 0) "
