@@ -3,17 +3,19 @@
 Every green in CORRECTNESS_r*.json rides the driver's single synthetic
 fixture seed (seed=42, TESTDATA.md). This tool regenerates the complete
 star schema (FIXTURES.md §B shapes and value domains) under new seeds —
-plus one deliberately SKEWED variant (heavy-tailed users, a dominant
-source/type, near-constant columns, dense dup/similarity mass, empty-ish
-and single-token documents) — and re-runs the full Spark-vs-DuckDB
-oracle sweep against each. The comparison is differential (both engines
+plus a deliberately SKEWED variant (heavy-tailed users, a dominant
+source/type, near-constant columns, dense dup/similarity mass,
+single-token documents) and a SPARSE variant (whole categories absent:
+no purchases, no benchmark source, no returns, one lang, sub-shingle
+docs) — and re-runs the full Spark-vs-DuckDB oracle sweep against
+each. The comparison is differential (both engines
 read the SAME generated parquet), so any fresh seed is a valid probe:
 what it catches is data-dependent engine divergence (float paths,
 overflow, degenerate ranges, empty groups) that one lucky seed can hide.
 
 Usage:
     python3 tools/fixture_fuzz.py [--out /tmp/spark_graft_fuzz]
-        [--seeds 7 101] [--no-skew] [--write-md] [names...]
+        [--seeds 7 101] [--no-skew] [--no-sparse] [--write-md] [names...]
 
 Writes per-variant results and, with --write-md, the FUZZ.md summary.
 """
@@ -80,11 +82,20 @@ def _ts_us(base: np.datetime64, offsets_us) -> "np.ndarray":
 
 
 def gen_tables(
-    seed: int, out_dir: str, skew: bool = False, scale: float = 1.0
+    seed: int,
+    out_dir: str,
+    skew: bool = False,
+    sparse: bool = False,
+    scale: float = 1.0,
 ) -> None:
     """Generate all 10 star-schema parquets (FIXTURES.md §B schemas,
     pyarrow physical types matching the driver fixture) under `seed`.
     skew=True stresses the shapes single-seed greens never see.
+    sparse=True removes whole categories the fixture always has —
+    no 'purchase' events (funnels/attribution/as-of), no 'src0' docs
+    (an EMPTY contamination benchmark), no 'R' returnflags (zero
+    positives for every classifier metric), a single lang, and docs
+    too short to shingle — probing empty-group/empty-join paths.
     scale multiplies the fact-table row counts (1.0 = the driver's
     sf0.01 gate shape; documents/embeddings stay 500 at every driver
     sf, so they do not scale)."""
@@ -188,6 +199,10 @@ def gen_tables(
             rng.random(nli) < 0.3, 11, rng.integers(0, npart, nli)
         )
         rf = np.where(rng.random(nli) < 0.99, "N", "R")
+    elif sparse:
+        qty = rng.integers(1, 51, nli).astype(np.float64)
+        pk = rng.integers(0, npart, nli)
+        rf = np.array(["A", "N"])[rng.integers(0, 2, nli)]  # never 'R'
     else:
         qty = rng.integers(1, 51, nli).astype(np.float64)
         pk = rng.integers(0, npart, nli)
@@ -229,6 +244,16 @@ def gen_tables(
         etype = rng.choice(5, size=nev, p=tprob)
         value = np.round(rng.uniform(0.0, 330.0, nev), 2)
         value = np.where(etype == 3, 5.0, value)  # near-constant type
+    elif sparse:
+        # no 'purchase' events at all, and only 3 users: funnels,
+        # attribution, and purchase-anchored as-of joins see an empty
+        # anchor set; per-user frames see tiny groups
+        off = np.sort(
+            rng.integers(0, 30 * 86_400_000_000, nev, dtype=np.int64)
+        )
+        user = rng.integers(0, 3, nev)
+        etype = rng.choice([0, 1, 2, 3], size=nev)  # no index 4
+        value = np.round(rng.uniform(0.0, 330.0, nev), 2)
     else:
         off = np.sort(
             rng.integers(0, 30 * 86_400_000_000, nev, dtype=np.int64)
@@ -278,6 +303,19 @@ def gen_tables(
         src = np.where(  # one dominant source: 60%
             rng.random(ndoc) < 0.6, 4, rng.integers(0, 20, ndoc)
         )
+    elif sparse:
+        # NO src0 (empty contamination benchmark), one lang everywhere,
+        # and a fifth of the docs are 1-2 tokens (below the 3-gram
+        # shingle floor: empty shingle sets everywhere they flow)
+        for i in range(ndoc):
+            k = int(rng.integers(10, 100))
+            if rng.random() < 0.2:
+                k = int(rng.integers(1, 3))
+            texts.append(" ".join(
+                VOCAB[t] for t in rng.integers(0, len(VOCAB), k)
+            ))
+        lang = np.zeros(ndoc, dtype=np.int64)
+        src = rng.integers(1, 20, ndoc)  # never 0 -> no 'src0'
     else:
         for k in rng.integers(10, 100, ndoc):
             texts.append(" ".join(
@@ -358,6 +396,7 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/spark_graft_fuzz")
     ap.add_argument("--seeds", nargs="*", type=int, default=[7, 101])
     ap.add_argument("--no-skew", action="store_true")
+    ap.add_argument("--no-sparse", action="store_true")
     ap.add_argument("--skew-seed", type=int, default=13)
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("names", nargs="*")
@@ -369,19 +408,26 @@ def main() -> None:
     spark = get_spark("fixture-fuzz", cpus=8)
     names = args.names or list(entrymod.queries())
 
-    variants = [(f"seed{s}", s, False) for s in args.seeds]
+    variants = [(f"seed{s}", s, {}) for s in args.seeds]
     if not args.no_skew:
-        variants.append((f"skew{args.skew_seed}", args.skew_seed, True))
+        variants.append(
+            (f"skew{args.skew_seed}", args.skew_seed, {"skew": True})
+        )
+    if not args.no_sparse:
+        variants.append(
+            (f"sparse{args.skew_seed}", args.skew_seed, {"sparse": True})
+        )
 
     results = []
-    for tag, seed, skew in variants:
+    for tag, seed, kw in variants:
         d = os.path.join(args.out, tag)
-        print(f"== generating {tag} (seed={seed}, skew={skew}) -> {d}",
+        print(f"== generating {tag} (seed={seed}, {kw}) -> {d}",
               flush=True)
-        gen_tables(seed, d, skew=skew)
+        gen_tables(seed, d, **kw)
         t0 = time.time()
         r = sweep(spark, d, names)
-        r.update(tag=tag, seed=seed, skew=skew,
+        profile = next(iter(kw), "fresh") if kw else "fresh"
+        r.update(tag=tag, seed=seed, profile=profile,
                  n_queries=len(names), secs=round(time.time() - t0, 1))
         print(f"== {tag}: {r['ok']} ok, {r['fail']} fail, "
               f"{r['weak']} weak in {r['secs']}s", flush=True)
@@ -397,18 +443,20 @@ def main() -> None:
             "# FUZZ — differential fixture fuzz results",
             "",
             "Full oracle sweep (Spark vs DuckDB on the SAME generated",
-            "parquet) re-run on fresh fixture seeds + one skewed variant",
+            "parquet) re-run on fresh fixture seeds + a skewed and a",
+            "sparse (absent-category) variant",
             "(`tools/fixture_fuzz.py`; shapes per FIXTURES.md §B at the",
             "driver's sf0.01 gate scale). A green here means every",
             "oracle-gated query agrees with DuckDB on data the engine",
             "has never seen — distribution-level proof, not single-seed.",
             "",
-            "| variant | seed | skew | queries | ok | fail | weak | secs |",
+            "| variant | seed | profile | queries | ok | fail | weak "
+            "| secs |",
             "|---|---|---|---|---|---|---|---|",
         ]
         for r in results:
             lines.append(
-                f"| {r['tag']} | {r['seed']} | {r['skew']} | "
+                f"| {r['tag']} | {r['seed']} | {r['profile']} | "
                 f"{r['n_queries']} | {r['ok']} | {r['fail']} | "
                 f"{r['weak']} | {r['secs']} |"
             )

@@ -1459,18 +1459,25 @@ def _rhl_sql(src: str, kspine: str, ddiff: str, dsub: str) -> str:
         "s AS (SELECT COUNT(*) AS n, SUM(k) AS sk, SUM(l_u) AS sl, "
         "SUM(k * k) AS skk, SUM(k * l_u) AS skl, "
         "SUM(l_u * l_u) AS sll FROM pts), "
+        # NULLIF guards (sparse fixture fuzz): <= 1 fit point zeroes
+        # the OLS denominator, perfectly flat retention zeroes the
+        # slope (half-life undefined/infinite), and a constant ln(R)
+        # zeroes the r2 denominator — all must surface as NULL, never
+        # an ANSI throw
         "f AS (SELECT n, "
         "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) / "
-        "(CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk) / 1.0e6 "
-        "AS slope, "
+        "NULLIF(CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk, "
+        "0.0e0) / 1.0e6 AS slope, "
         "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) * "
         "(CAST(n AS DOUBLE) * skl - CAST(sk AS DOUBLE) * sl) / "
-        "((CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk) * "
-        "(CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl)) AS r2 "
+        "NULLIF((CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk) * "
+        "(CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl), 0.0e0) "
+        "AS r2 "
         "FROM s) "
         "SELECT CAST(n AS BIGINT) AS n_points, "
         + rnd("slope", 6) + " AS decay_per_day, "
-        + rnd("-0.6931471805599453e0 / slope", 2) + " AS halflife_days, "
+        + rnd("-0.6931471805599453e0 / NULLIF(slope, 0.0e0)", 2)
+        + " AS halflife_days, "
         + rnd("r2", 6) + " AS r2 FROM f"
     )
 

@@ -609,10 +609,13 @@ def _auc_sql(src: str) -> str:
         "s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
         "CAST(SUM(c) - SUM(c1) AS BIGINT) AS n2, "
         "CAST(SUM(c1 * (2 * cprev + c + 1)) AS BIGINT) AS r1_2 FROM rk) "
+        # NULLIF: AUC is undefined with zero positives or zero
+        # negatives — NULL in every engine, never an ANSI throw
+        # (sparse fixture fuzz: a corpus with no 'R' returnflags)
         "SELECT n1 AS n_pos, n2 AS n_neg, "
         + rnd(
             "(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0e0) / "
-            "(CAST(n1 AS DOUBLE) * n2)",
+            "NULLIF(CAST(n1 AS DOUBLE) * n2, 0.0e0)",
             6,
         )
         + " AS auc FROM s"

@@ -914,13 +914,18 @@ def _eb_sql(src: str) -> str:
         "r AS (SELECT CAST(ROUND(1.0e9 * k / n) AS BIGINT) AS p_u FROM u), "
         "m AS (SELECT COUNT(*) AS c, SUM(p_u) AS sp, "
         "SUM(CAST(p_u * p_u AS DECIMAL(38,0))) AS spp FROM r), "
+        # NULLIF guards (sparse fixture fuzz): a single user zeroes
+        # (c-1); ZERO rate heterogeneity (e.g. a corpus with no
+        # purchases at all: every p_u = 0, v = 0) leaves the
+        # method-of-moments prior undefined — alpha/beta and every
+        # shrunken rate surface as NULL instead of an ANSI throw
         "pr AS (SELECT CAST(sp AS DOUBLE) / (c * 1.0e9) AS mu, "
         "(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / c) "
-        "/ ((c - 1) * 1.0e18) AS v FROM m), "
-        "ab AS (SELECT CAST(ROUND(1.0e9 * (mu * (mu * (1.0e0 - mu) / v "
-        "- 1.0e0))) AS BIGINT) AS a_u, "
-        "CAST(ROUND(1.0e9 * ((1.0e0 - mu) * (mu * (1.0e0 - mu) / v "
-        "- 1.0e0))) AS BIGINT) AS b_u FROM pr) "
+        "/ NULLIF((c - 1) * 1.0e18, 0.0e0) AS v FROM m), "
+        "ab AS (SELECT CAST(ROUND(1.0e9 * (mu * (mu * (1.0e0 - mu) "
+        "/ NULLIF(v, 0.0e0) - 1.0e0))) AS BIGINT) AS a_u, "
+        "CAST(ROUND(1.0e9 * ((1.0e0 - mu) * (mu * (1.0e0 - mu) "
+        "/ NULLIF(v, 0.0e0) - 1.0e0))) AS BIGINT) AS b_u FROM pr) "
         "SELECT user_id, CAST(n AS BIGINT) AS n_events, "
         "CAST(k AS BIGINT) AS n_purchases, "
         + rnd("CAST(k AS DOUBLE) / n", 6) + " AS raw_rate, "
