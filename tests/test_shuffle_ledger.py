@@ -22,6 +22,7 @@ from tools.shuffle_ledger import (
     BOUNDS,
     BYTES_FLOOR,
     DEFAULT_BOUND,
+    EXTENDED,
     FLAT_CAP,
     measure,
 )
@@ -49,6 +50,14 @@ def ledger():
 def test_ledger_covers_headline(ledger):
     missing = [n for n in HEADLINE if n not in ledger["queries"]]
     assert not missing, f"headline queries missing from ledger: {missing}"
+
+
+def test_ledger_covers_extended_suite(ledger):
+    """Round-5 extension: the 30 shuffle-heaviest non-headline queries
+    are gated too — the ledger must keep covering them (>= 80 total)."""
+    missing = [n for n in EXTENDED if n not in ledger["queries"]]
+    assert not missing, f"extended queries missing from ledger: {missing}"
+    assert ledger["n_queries"] >= 80
 
 
 def test_no_query_exceeds_declared_exponent(ledger):

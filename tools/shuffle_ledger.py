@@ -76,6 +76,13 @@ BOUNDS = {
     "graph_triangle_brands": 1.3,
     # recursion frontier fans out before converging; measured 1.276
     "sql_recursive_brand_reach": 1.45,
+    # round-5 EXTENDED entries near the default line:
+    # containment pairs grow with dup density like the other lossless
+    # pair audits; measured 1.317
+    "dedup_containment": 1.5,
+    # power-iteration edge frame fans out with the brand graph's
+    # densification before converging; measured 1.271
+    "graph_pagerank_brands": 1.45,
 }
 
 #: Round-5 ledger extension beyond bench.py's 51-query headline suite:

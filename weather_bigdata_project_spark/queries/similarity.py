@@ -2020,12 +2020,14 @@ _SPEC_ORACLE = (
     " AS x_u FROM embeddings), "
     "m AS (SELECT dim, COUNT(*) AS n, SUM(x_u) AS sx, "
     "SUM(x_u * x_u) AS sxx FROM ex GROUP BY dim), "
+    # NULLIF guards: a 1-vector corpus zeroes (n-1); an all-constant
+    # space zeroes total variance (share undefined) — NULL, not a throw
     "v AS (SELECT dim, (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx "
-    "/ n) / ((n - 1) * 1.0e12) AS var FROM m), "
+    "/ n) / NULLIF((n - 1) * 1.0e12, 0.0e0) AS var FROM m), "
     "u AS (SELECT dim, CAST(ROUND(var * 1.0e9) AS BIGINT) AS v_u FROM v) "
     "SELECT dim, CAST(v_u AS DOUBLE) / 1.0e9 AS variance, "
     + rnd(
-        "CAST(v_u AS DOUBLE) / (SELECT SUM(v_u) FROM u)", 6
+        "CAST(v_u AS DOUBLE) / NULLIF((SELECT SUM(v_u) FROM u), 0)", 6
     )
     + " AS variance_share FROM u ORDER BY v_u DESC, dim LIMIT 8"
 )
@@ -2062,7 +2064,8 @@ def embed_dim_variance_spectrum(spark, sf_dir):
             "dim",
             F.expr(
                 "CAST(ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
-                "* sx / n) / ((n - 1) * 1.0e12) * 1.0e9) AS BIGINT)"
+                "* sx / n) / NULLIF((n - 1) * 1.0e12, 0.0e0) * 1.0e9) "
+                "AS BIGINT)"
             ).alias("v_u"),
         )
     )

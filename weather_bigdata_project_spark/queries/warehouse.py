@@ -1375,9 +1375,11 @@ _XYZ_BODY = (
     "span AS (SELECT COUNT(DISTINCT w) AS nw FROM wk), "
     "m AS (SELECT pk, SUM(q) AS sq, SUM(q * q) AS sqq FROM wk "
     "GROUP BY pk), "
+    # NULLIF/GREATEST: a one-week corpus zeroes (nw-1) — CV undefined
+    # (NULL falls to the ELSE class below in both engines)
     "cv AS (SELECT pk, "
-    "SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nw) "
-    "/ (nw - 1)) / (CAST(sq AS DOUBLE) / nw) AS cv "
+    "SQRT(GREATEST((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nw)"
+    " / NULLIF(nw - 1, 0), 0.0e0)) / (CAST(sq AS DOUBLE) / nw) AS cv "
     "FROM m CROSS JOIN span), "
     "cls AS (SELECT CASE WHEN cv < 0.5e0 THEN 'X' "
     "WHEN cv < 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz_class, cv FROM cv) "
@@ -1773,9 +1775,12 @@ _PD_BODY = (
     "FROM {l} WHERE l_quantity > 0.0e0), "
     "m AS (SELECT pk, COUNT(*) AS n, SUM(p_u) AS sp, "
     "SUM(CAST(p_u AS DECIMAL(38,0)) * p_u) AS spp FROM u GROUP BY pk), "
+    # GREATEST inside SQRT (DuckDB raises on the tiny negative a double
+    # cancellation can leave) + NULLIF on the zero-mean edge
     "cv AS (SELECT pk, n, CAST(sp AS DOUBLE) / (1.0e6 * n) AS mean_price, "
-    "SQRT((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n) / (n - 1))"
-    " / (CAST(sp AS DOUBLE) / n) AS cv FROM m WHERE n > 1) "
+    "SQRT(GREATEST((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n)"
+    " / (n - 1), 0.0e0))"
+    " / NULLIF(CAST(sp AS DOUBLE) / n, 0.0e0) AS cv FROM m WHERE n > 1) "
     "SELECT pk AS partkey, CAST(n AS BIGINT) AS n_lines, "
     + rnd("mean_price", 2) + " AS mean_unit_price, "
     + rnd("cv", 6) + " AS price_cv FROM cv "
@@ -1811,14 +1816,18 @@ _GAMMA_BODY = (
     "WHERE prev IS NOT NULL AND {ddiff} > 0), "
     "m AS (SELECT COUNT(*) AS n, SUM(gap) AS sg, "
     "SUM(gap * gap) AS sgg FROM g), "
-    "p AS (SELECT n, CAST(sg AS DOUBLE) / n AS mu, "
-    "(CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / (n - 1) "
-    "AS v FROM m) "
+    # NULLIF guards: a 0/1-gap corpus zeroes (n-1); identical gaps zero
+    # the variance (shape undefined) — NULL, never an ANSI throw; the
+    # GREATEST inside SQRT absorbs double-cancellation negatives
+    "p AS (SELECT n, CAST(sg AS DOUBLE) / NULLIF(n, 0) AS mu, "
+    "(CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / NULLIF(n, 0)) "
+    "/ NULLIF(n - 1, 0) AS v FROM m) "
     "SELECT CAST(n AS BIGINT) AS n_gaps, "
     + rnd("mu", 4) + " AS mean_gap_days, "
-    + rnd("mu * mu / v", 6) + " AS gamma_shape_k, "
-    + rnd("v / mu", 4) + " AS gamma_scale_theta, "
-    + rnd("SQRT(v) / mu", 6) + " AS gap_cv FROM p"
+    + rnd("mu * mu / NULLIF(v, 0.0e0)", 6) + " AS gamma_shape_k, "
+    + rnd("v / NULLIF(mu, 0.0e0)", 4) + " AS gamma_scale_theta, "
+    + rnd("SQRT(GREATEST(v, 0.0e0)) / NULLIF(mu, 0.0e0)", 6)
+    + " AS gap_cv FROM p"
 )
 
 

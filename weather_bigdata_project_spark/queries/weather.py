@@ -437,9 +437,12 @@ def _gumbel_sql() -> str:
         "GROUP BY CAST(timestamp_dt AS DATE)), "
         "m AS (SELECT COUNT(*) AS n, SUM(mx) AS sx, "
         "SUM(mx * mx) AS sxx FROM dm), "
-        "p AS (SELECT n, CAST(sx AS DOUBLE) / n AS xbar, "
-        "SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
-        "/ (n - 1)) AS sdev FROM m), "
+        # NULLIF/GREATEST: a one-day corpus zeroes (n-1) (fit
+        # undefined -> NULL); SQRT absorbs cancellation negatives
+        "p AS (SELECT n, CAST(sx AS DOUBLE) / NULLIF(n, 0) AS xbar, "
+        "SQRT(GREATEST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+        "* sx / NULLIF(n, 0)) "
+        "/ NULLIF(n - 1, 0), 0.0e0)) AS sdev FROM m), "
         "g AS (SELECT n, xbar, sdev, "
         "0.7796968012336761e0 * sdev AS beta FROM p), "
         "f AS (SELECT n, beta, "
