@@ -133,6 +133,7 @@ def normalized_vs_prev(
     for n in sorted(ratios, key=ratios.get):
         print(f"# norm {n}: {ratios[n]:.3f}", file=sys.stderr)
     ordered = sorted(ratios.values())
+    raw = sorted(times[n] / pq[n] for n in common)
     regressed = {n: r for n, r in ratios.items() if r > 1.3}
     worst = dict(
         sorted(regressed.items(), key=lambda kv: -kv[1])[:3]
@@ -142,7 +143,13 @@ def normalized_vs_prev(
         "prev": tag,
         "cal_ratio": round(cal_ratio, 3),
         "n_common": len(common),
+        # read BOTH medians: the calibration loop itself carries
+        # run-to-run noise (measured +-20% across same-day runs), so a
+        # median_norm_ratio far from median_raw_ratio means the
+        # NORMALIZER moved, not the queries — trust the flag list only
+        # when the two medians roughly agree
         "median_norm_ratio": round(ordered[len(ordered) // 2], 3),
+        "median_raw_ratio": round(raw[len(raw) // 2], 3),
         "n_regressed": len(regressed),
         "regressed": worst,
     }
@@ -208,11 +215,12 @@ def main() -> None:
     # Fixed-work calibration: a constant CPU-bound JVM loop (no I/O, no
     # shuffle) whose wall time measures THIS BOX on THIS RUN. Cross-round
     # bench comparisons divide by it to separate machine drift (this box
-    # swings ~40% between sessions) from code drift. Best-of-2, like the
-    # measured queries.
+    # swings ~40% between sessions) from code drift. Best-of-3 (the
+    # loop itself swings ~20% between same-day runs; consumers should
+    # also compare median_norm_ratio vs median_raw_ratio).
     def calibration() -> float:
         best = None
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: the loop itself swings ~20%
             t0 = time.time()
             spark.range(12_800_000_000).selectExpr(
                 "sum(((id % 1048576) * 2654435761) % 1000003) AS s"
