@@ -63,6 +63,24 @@ def test_fresh_seed_slice_is_oracle_green(spark, tmp_path):
     assert _sweep(spark, d) == []
 
 
+def test_tiny_variant_slice_is_oracle_green(spark, tmp_path):
+    """The n=1/empty-sketch hammer: single-digit groups, 12-doc/12-vec
+    corpora. The slice pins the two defects this profile found (the
+    KM absorbing zero and the empty-KMV ratios) plus a cross-family
+    sample."""
+    d = str(tmp_path / "t29")
+    gen_tables(29, d, tiny=True)
+    con = duck_connect(d)
+    bad = []
+    for name in SLICE + ["events_survival_km", "events_kmv_setops"]:
+        problems = compare(
+            name, QUERIES[name](spark, d), ORACLES[name], con
+        )
+        if problems:
+            bad.append((name, problems[:2]))
+    assert bad == []
+
+
 def test_skewed_variant_slice_is_oracle_green(spark, tmp_path):
     """The hostile shape: heavy-tailed users, dominant source/type,
     near-constant measures, dup mass, single-token docs."""

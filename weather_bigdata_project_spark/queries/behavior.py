@@ -611,10 +611,24 @@ def events_user_features(spark, sf_dir):
 
 #: ln of the per-day survival factor (n-d)/n, snapped to integer 1e-6
 #: units: the factors multiply across days, so the log-domain cumulative
-#: SUM of snapped integers is exact and order-free; one exp at the edge
+#: SUM of snapped integers is exact and order-free; one exp at the edge.
+#: The n_at_risk = d_events day (factor exactly 0) MUST be guarded
+#: inside the term, not just at the output: DuckDB's LN(0) RAISES and
+#: Spark's returns NULL — which SUM() then SKIPS, so every later day's
+#: survival would silently resume above the absorbing zero (tiny
+#: fixture fuzz). The term contributes 0 here and the cumulative
+#: zero-seen flag below pins the curve to 0 from that day on.
 _KM_TERM_U = (
+    "CASE WHEN n_at_risk > d_events THEN "
     "CAST(ROUND(LN(CAST(n_at_risk - d_events AS DOUBLE) / n_at_risk) "
-    "* 1.0e6) AS BIGINT)"
+    "* 1.0e6) AS BIGINT) ELSE 0 END"
+)
+
+#: 1 from the first day everyone remaining converts (survival's
+#: absorbing zero), cumulative over the curve
+_KM_ZERO_SEEN = (
+    "MAX(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END) OVER ("
+    "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 )
 
 _KM_ORACLE = (
@@ -639,7 +653,7 @@ _KM_ORACLE = (
     "CAST(n_at_risk AS BIGINT) AS n_at_risk, "
     "CAST(d_events AS BIGINT) AS d_events, "
     "CAST(c_censored AS BIGINT) AS c_censored, "
-    "CASE WHEN n_at_risk = d_events THEN 0.0e0 ELSE "
+    "CASE WHEN " + _KM_ZERO_SEEN + " = 1 THEN 0.0e0 ELSE "
     + rnd(
         "EXP(CAST(SUM(" + _KM_TERM_U + ") OVER ("
         "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
@@ -661,8 +675,11 @@ def events_survival_km(spark, sf_dir):
     viewing user (conditional-min aggregate), then to the day-indexed
     risk table; the KM product rides the log domain as snapped integer
     terms under a running window over ~10^2 calendar rows. The
-    n_at_risk = d_events boundary (everyone remaining converts) pins
-    survival to exact 0 in both engines rather than exp(ln(0))."""
+    n_at_risk = d_events boundary (everyone remaining converts) is an
+    ABSORBING zero: the guarded log term + cumulative zero-seen flag
+    pin survival to exact 0 from that day on in both engines, rather
+    than exp(ln(0)) (DuckDB raises; Spark's NULL would be skipped by
+    SUM and the curve would wrongly resume)."""
     ev = tables.load(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.expr(
@@ -711,7 +728,7 @@ def events_survival_km(spark, sf_dir):
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         F.col("d_events").cast("bigint").alias("d_events"),
         F.col("c_censored").cast("bigint").alias("c_censored"),
-        F.when(F.col("n_at_risk") == F.col("d_events"), F.lit(0.0))
+        F.when(F.expr(_KM_ZERO_SEEN) == 1, F.lit(0.0))
         .otherwise(
             F.expr(
                 rnd(

@@ -488,12 +488,16 @@ def _kmv_sql(src: str, h: str) -> str:
         + est.format(s="u", k=k, mod=mod)
         + " AS est_union, "
         "CAST(true_inter AS BIGINT) AS true_inter, "
+        # NULLIF (tiny fixture fuzz): a corpus with no heavy users has
+        # EMPTY sketches and sets — every ratio is undefined (NULL in
+        # both engines), never an ANSI throw
         "CAST(ROUND("
         + est.format(s="u", k=k, mod=mod)
-        + " * n_both * 1.0e0 / nu_sk, 0) AS BIGINT) AS est_inter, "
-        + rnd("true_inter * 1.0e0 / true_union", 4)
+        + " * n_both * 1.0e0 / NULLIF(nu_sk, 0), 0) AS BIGINT) "
+        "AS est_inter, "
+        + rnd("true_inter * 1.0e0 / NULLIF(true_union, 0)", 4)
         + " AS jaccard_true, "
-        + rnd("n_both * 1.0e0 / nu_sk", 4)
+        + rnd("n_both * 1.0e0 / NULLIF(nu_sk, 0)", 4)
         + " AS jaccard_est "
         "FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN bo "
         "CROSS JOIN ta CROSS JOIN tb CROSS JOIN tu CROSS JOIN ti"
