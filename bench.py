@@ -268,13 +268,31 @@ def main() -> None:
     norm = normalized_vs_prev(times, calibration_s, payload["sf"])
     if norm:
         payload["normalized_vs_prev"] = norm
-    # compact separators: ~2 chars/entry headroom under the line guard
+    # compact separators: ~2 chars/entry headroom under the line guard.
+    # Shed order matters: the per-query dict is the driver's
+    # cross-round comparison substrate and goes LAST — the normalized
+    # block (derived, also on stderr) sheds first, detail then whole.
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800 and norm:
         # shed the per-name regression detail first (stderr has it)
         payload["normalized_vs_prev"] = {
             k: v for k, v in norm.items() if k != "regressed"
         }
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        # per-query times at 2 decimals: ~1 char per entry, keeps BOTH
+        # the cross-round dict and the normalized summary on the line
+        payload["queries"] = {n: round(t, 2) for n, t in times.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800 and norm:
+        payload["normalized_vs_prev"] = {
+            k: norm[k]
+            for k in ("prev", "cal_ratio", "median_norm_ratio",
+                      "n_regressed")
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800 and norm:
+        del payload["normalized_vs_prev"]
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # driver's bounded stdout-tail capture would truncate the line
