@@ -2054,3 +2054,81 @@ def corpus_source_overlap_matrix(spark, sf_dir):
     return spark.sql(
         "WITH ss AS (SELECT * FROM so_ss), " + _so_tail()
     )
+
+
+# --- UniMax budget waterfilling across sources ------------------------------
+
+#: epoch cap (max repeats of any source) and the budget as a multiple
+#: of the corpus's one-epoch token count: budget = 2 epochs' worth,
+#: caps = 4 epochs per source, so the waterfill is always active and
+#: small sources saturate their cap while large ones share the rest
+_UMX_EPOCH_CAP = 4
+_UMX_BUDGET_EPOCHS = 2
+
+
+def _unimax_sql(src: str, ntok: str) -> str:
+    """Shared text: per-source token counts, caps = EPOCH_CAP * n_tok,
+    budget B = BUDGET_EPOCHS * total, then the exact waterfilling
+    solution of  maximize uniformity s.t. sum(alloc) = B,
+    alloc_s <= cap_s:  sources sorted ascending by cap; the water level
+    L comes from the FIRST source whose cap cannot be fully granted
+    (cap_i * (k-i+1) + pcap_{i-1} > B  =>  L = (B - pcap_{i-1})/(k-i+1));
+    sources below the level keep their cap, the rest get L. One
+    source-cardinality window (the global sort is dimension-bounded —
+    sources, not documents), everything else scalar."""
+    c, be = _UMX_EPOCH_CAP, _UMX_BUDGET_EPOCHS
+    water = "(SELECT water FROM lv)"
+    return (
+        f"tok AS (SELECT source, SUM({ntok}) AS n_tok FROM {src} "
+        "GROUP BY source), "
+        f"kb AS (SELECT COUNT(*) AS k, {be} * SUM(n_tok) AS b FROM tok), "
+        f"s AS (SELECT source, n_tok, {c} * n_tok AS cap, "
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {c} * n_tok, source) "
+        "AS BIGINT) AS i, "
+        f"SUM({c} * n_tok) OVER (ORDER BY {c} * n_tok, source "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcap "
+        "FROM tok), "
+        "lv AS (SELECT CAST(b - (pcap - cap) AS DOUBLE) / (k - i + 1) "
+        "AS water FROM s CROSS JOIN kb "
+        "WHERE cap * (k - i + 1) + (pcap - cap) > b "
+        "ORDER BY i LIMIT 1), "
+        "a AS (SELECT source, n_tok, cap, "
+        f"CASE WHEN {water} IS NULL OR CAST(cap AS DOUBLE) <= {water} "
+        f"THEN CAST(cap AS DOUBLE) ELSE {water} END AS alloc FROM s) "
+        "SELECT source, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "CAST(cap AS BIGINT) AS cap_tokens, "
+        + rnd("alloc", 2) + " AS alloc_tokens, "
+        + rnd("alloc / n_tok", 4) + " AS epochs, "
+        f"CAST({water} IS NULL OR CAST(cap AS DOUBLE) <= {water} "
+        "AS BOOLEAN) AS cap_bound FROM a"
+    )
+
+
+@query(
+    "corpus_unimax_weights",
+    oracle=(
+        "WITH "
+        + _unimax_sql("documents", "len(string_split(text, ' '))")
+    ),
+)
+def corpus_unimax_weights(spark, sf_dir):
+    """UniMax-style sampling budget across sources (Chung et al. 2023,
+    'UniMax: Fairer and More Effective Language Sampling'): allocate a
+    token budget as UNIFORMLY as possible across sources subject to a
+    per-source epoch cap — small sources saturate at cap_s =
+    EPOCH_CAP * n_s (never over-repeated past the cap), large sources
+    share the remainder equally at the water level. This is the
+    closed-form waterfill, computed exactly: one source-cardinality
+    aggregate, one sort-window over the SOURCE dimension (bounded —
+    20 here, maybe 10^3 in production, never document cardinality),
+    prefix sums, and the first-violator water level; per-source output
+    is the allocation, realized epochs, and whether the cap binds.
+    Complements corpus_token_budget (which documents to take per
+    source) with HOW MUCH to take from each source — together they are
+    the mixing recipe's two halves. At 100 TB the token counts ride
+    any existing corpus pass; the waterfill itself is dimension-sized
+    arithmetic."""
+    T.docs(spark, sf_dir).createOrReplaceTempView("umx_docs")
+    return spark.sql(
+        "WITH " + _unimax_sql("umx_docs", "size(split(text, ' '))")
+    )
