@@ -2132,3 +2132,65 @@ def corpus_unimax_weights(spark, sf_dir):
     return spark.sql(
         "WITH " + _unimax_sql("umx_docs", "size(split(text, ' '))")
     )
+
+
+# --- temperature-based sampling weights (mC4/mT5 standard) ------------------
+
+#: alpha = 0.3: the mT5 paper's production setting (upsamples tails)
+_TSAMP_ALPHA = "0.3e0"
+
+#: micro-snapped weight numerator n_s^alpha: POWER may differ in the
+#: last ulp between the JVM and libm, so the numerator snaps to 1e-6
+#: units BEFORE the cross-source normalization (the same discipline as
+#: the LN terms in the KL/perplexity queries)
+_TSAMP_WN_U = (
+    "CAST(ROUND(POWER(CAST(n_tok AS DOUBLE), "
+    + _TSAMP_ALPHA
+    + ") * 1.0e6) AS BIGINT)"
+)
+
+
+def _tsamp_sql(src: str, ntok: str) -> str:
+    return (
+        f"tok AS (SELECT source, SUM({ntok}) AS n_tok FROM {src} "
+        "GROUP BY source), "
+        f"w AS (SELECT source, n_tok, {_TSAMP_WN_U} AS wn_u FROM tok), "
+        "t AS (SELECT SUM(wn_u) AS tw, SUM(n_tok) AS tt FROM w) "
+        "SELECT source, CAST(n_tok AS BIGINT) AS n_tokens, "
+        + rnd("CAST(n_tok AS DOUBLE) / tt", 6)
+        + " AS natural_share, "
+        + rnd("CAST(wn_u AS DOUBLE) / tw", 6)
+        + " AS sampled_share, "
+        + rnd("(CAST(wn_u AS DOUBLE) / tw) / (CAST(n_tok AS DOUBLE) / tt)", 4)
+        + " AS upsampling_factor, "
+        "CAST(CAST(wn_u AS DOUBLE) / tw > CAST(n_tok AS DOUBLE) / tt "
+        "AS BOOLEAN) AS upsampled FROM w CROSS JOIN t"
+    )
+
+
+@query(
+    "corpus_temperature_sampling",
+    oracle=(
+        "WITH "
+        + _tsamp_sql("documents", "len(string_split(text, ' '))")
+    ),
+)
+def corpus_temperature_sampling(spark, sf_dir):
+    """Temperature-based source sampling weights — the mC4/mT5 mixing
+    standard (Raffel et al. 2020 / Xue et al. 2021): sample source s
+    with probability proportional to n_s^alpha (alpha = 0.3), which
+    flattens the natural distribution so long-tail sources are seen
+    more than their raw share without the hard per-source cap UniMax
+    imposes. Output per source: natural vs sampled share, the
+    upsampling factor, and the direction flag — read next to
+    corpus_unimax_weights, these are the two canonical answers to 'how
+    much of each source', and the disagreement between them (UniMax
+    caps what temperature over-repeats) is the published motivation
+    for UniMax. One source-cardinality aggregate + a 2-scalar
+    broadcast; the POWER numerator micro-snaps before normalization so
+    both engines divide identical integers. At 100 TB the counts ride
+    any existing corpus pass."""
+    T.docs(spark, sf_dir).createOrReplaceTempView("tsamp_docs")
+    return spark.sql(
+        "WITH " + _tsamp_sql("tsamp_docs", "size(split(text, ' '))")
+    )
