@@ -424,3 +424,55 @@ def test_span_window_builder_matches_naive(spark, texts):
         assert set(got) == want
         for (doc_id, _), n_w in got.items():
             assert n_w == want_counts[doc_id]
+
+
+# --- id_mix: cross-engine equality + range over the full key domain ---------
+
+_keys = st.lists(
+    st.integers(min_value=0, max_value=2**63 - 1),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(keys=_keys, salt=st.sampled_from([0, 97, 12345, 54321, 24680]))
+@settings(**_SETTINGS)
+def test_id_mix_spark_duckdb_bit_equal(spark, keys, salt):
+    """id_mix must evaluate to the SAME integer in Spark and DuckDB for
+    any nonnegative BIGINT key (including 2^63-1) and every salt in
+    use — the property every split/shard/fold assignment rides. Also
+    pins the output range (< p1 + p2) and the pure-Python reference
+    from the docstring, so a refactor can't silently change buckets."""
+    from weather_bigdata_project_spark.functions.exprs import (
+        ID_MIX_P1,
+        ID_MIX_P2,
+        id_mix,
+    )
+
+    expr = id_mix("k", salt)
+    got_spark = {
+        r.k: r.h
+        for r in spark.createDataFrame(
+            [(k,) for k in keys], "k long"
+        ).selectExpr("k", f"{expr} AS h").collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT k, {expr} AS h FROM (SELECT unnest(?::BIGINT[]) "
+            "AS k)",
+            [keys],
+        ).fetchall()
+    )
+
+    def ref(k):
+        out = 0
+        for p, a in ((ID_MIX_P1, 48271), (ID_MIX_P2, 69621)):
+            t = ((k % p) + salt) * a % p
+            out += (t * (t + 3)) % p
+        return out
+
+    for k in keys:
+        assert got_spark[k] == got_duck[k] == ref(k)
+        assert 0 <= got_spark[k] < ID_MIX_P1 + ID_MIX_P2

@@ -14,6 +14,7 @@ import duckdb
 
 from weather_bigdata_project_spark.queries.ml import _KF_FOLD, _STU_TRAIN
 from weather_bigdata_project_spark.queries.jsonops import _DIFF_H
+from weather_bigdata_project_spark.queries.stats import _BOOT_U
 from weather_bigdata_project_spark.queries.warehouse import _drift_sql
 from weather_bigdata_project_spark.registry import QUERIES, load
 
@@ -51,9 +52,13 @@ def test_fold_hashes_no_overflow_at_100tb_keys():
             (_SHARD_ID, big_doc),
             (_BPE_TRAIN_PRED, big_doc),
             (_TOK_H, f"SELECT {big}::BIGINT AS tok_id"),
+            (_BOOT_U, f"SELECT {big}::BIGINT AS event_id, "
+                      "50::BIGINT AS b"),
         ]:
-            if big == 2**63 - 1 and "l_orderkey" in binds:
-                continue  # the line-key fold adds ~1.9e10 by contract
+            if big == 2**63 - 1 and (
+                "l_orderkey" in binds or " AS b" in binds
+            ):
+                continue  # these folds add a bounded stride by contract
             got = con.execute(
                 f"SELECT {expr} FROM ({binds})"
             ).fetchone()[0]

@@ -28,7 +28,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.exprs import rnd
+from ..functions.exprs import id_mix, rnd
 from ..registry import query
 
 #: value in exact integer cents; hour-of-day as the second variable
@@ -273,14 +273,15 @@ def events_type_dow_chisq(spark, sf_dir):
 
 _BOOT_B = 50
 
-#: deterministic per-(row, replicate) uniform in [0, 1e6): pure-integer
-#: LCG (no engine hash function — Spark xxhash64 and DuckDB hash()
-#: disagree); event_id folds mod 1000003 first so every product stays
-#: far from int64 overflow at any corpus size
-_BOOT_U = (
-    "(((event_id % 1000003) * 1103515245 + b * 999331 + 12345) "
-    "% 1000000)"
-)
+#: deterministic per-(row, replicate) uniform in [0, 1e6): the
+#: full-entropy id_mix of the folded (event_id, replicate) key (no
+#: engine hash function — Spark xxhash64 and DuckDB hash() disagree).
+#: The 999331 stride keeps distinct (row, b) pairs distinct (b <= 50
+#: adds < 5e7 — no overflow at any event_id) and id_mix removes the
+#: old reduced-LCG periodicity: rows congruent mod the fold no longer
+#: share their entire weight vector. Appears 8x inside _BOOT_W's CASE;
+#: both engines' common-subexpression elimination evaluates it once.
+_BOOT_U = f"({id_mix('(event_id + b * 999331)')} % 1000000)"
 
 #: Poisson(1) inverse CDF over the integer uniform: cumulative
 #: probabilities scaled to 1e6 and floored — the Poisson bootstrap's
