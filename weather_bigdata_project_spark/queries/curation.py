@@ -2066,7 +2066,21 @@ _UMX_EPOCH_CAP = 4
 _UMX_BUDGET_EPOCHS = 2
 
 
-def _unimax_sql(src: str, ntok: str) -> str:
+def _tok_counts(spark, sf_dir):
+    """Materialized per-source token counts: the corpus tokenize+sum is
+    the only fact-cardinality work in the mixing queries, and their
+    tok CTE is referenced twice — Spark re-inlines CTEs, so without
+    the lineage cut the 100 TB corpus would be SCANNED AND TOKENIZED
+    TWICE (observed as two parquet scans in the plan). One pass, then
+    a source-cardinality frame feeds the arithmetic."""
+    return T.materialize(
+        T.docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.expr("SUM(size(split(text, ' ')))").alias("n_tok"))
+    )
+
+
+def _unimax_sql(tok_src: str) -> str:
     """Shared text: per-source token counts, caps = EPOCH_CAP * n_tok,
     budget B = BUDGET_EPOCHS * total, then the exact waterfilling
     solution of  maximize uniformity s.t. sum(alloc) = B,
@@ -2079,8 +2093,7 @@ def _unimax_sql(src: str, ntok: str) -> str:
     c, be = _UMX_EPOCH_CAP, _UMX_BUDGET_EPOCHS
     water = "(SELECT water FROM lv)"
     return (
-        f"tok AS (SELECT source, SUM({ntok}) AS n_tok FROM {src} "
-        "GROUP BY source), "
+        f"tok AS (SELECT source, n_tok FROM {tok_src}), "
         f"kb AS (SELECT COUNT(*) AS k, {be} * SUM(n_tok) AS b FROM tok), "
         f"s AS (SELECT source, n_tok, {c} * n_tok AS cap, "
         f"CAST(ROW_NUMBER() OVER (ORDER BY {c} * n_tok, source) "
@@ -2108,7 +2121,10 @@ def _unimax_sql(src: str, ntok: str) -> str:
     "corpus_unimax_weights",
     oracle=(
         "WITH "
-        + _unimax_sql("documents", "len(string_split(text, ' '))")
+        + _unimax_sql(
+            "(SELECT source, SUM(len(string_split(text, ' '))) "
+            "AS n_tok FROM documents GROUP BY source) tokq"
+        )
     ),
 )
 def corpus_unimax_weights(spark, sf_dir):
@@ -2128,10 +2144,8 @@ def corpus_unimax_weights(spark, sf_dir):
     the mixing recipe's two halves. At 100 TB the token counts ride
     any existing corpus pass; the waterfill itself is dimension-sized
     arithmetic."""
-    T.docs(spark, sf_dir).createOrReplaceTempView("umx_docs")
-    return spark.sql(
-        "WITH " + _unimax_sql("umx_docs", "size(split(text, ' '))")
-    )
+    _tok_counts(spark, sf_dir).createOrReplaceTempView("umx_tok")
+    return spark.sql("WITH " + _unimax_sql("umx_tok"))
 
 
 # --- temperature-based sampling weights (mC4/mT5 standard) ------------------
@@ -2150,10 +2164,9 @@ _TSAMP_WN_U = (
 )
 
 
-def _tsamp_sql(src: str, ntok: str) -> str:
+def _tsamp_sql(tok_src: str) -> str:
     return (
-        f"tok AS (SELECT source, SUM({ntok}) AS n_tok FROM {src} "
-        "GROUP BY source), "
+        f"tok AS (SELECT source, n_tok FROM {tok_src}), "
         f"w AS (SELECT source, n_tok, {_TSAMP_WN_U} AS wn_u FROM tok), "
         "t AS (SELECT SUM(wn_u) AS tw, SUM(n_tok) AS tt FROM w) "
         "SELECT source, CAST(n_tok AS BIGINT) AS n_tokens, "
@@ -2172,7 +2185,10 @@ def _tsamp_sql(src: str, ntok: str) -> str:
     "corpus_temperature_sampling",
     oracle=(
         "WITH "
-        + _tsamp_sql("documents", "len(string_split(text, ' '))")
+        + _tsamp_sql(
+            "(SELECT source, SUM(len(string_split(text, ' '))) "
+            "AS n_tok FROM documents GROUP BY source) tokq"
+        )
     ),
 )
 def corpus_temperature_sampling(spark, sf_dir):
@@ -2190,7 +2206,5 @@ def corpus_temperature_sampling(spark, sf_dir):
     broadcast; the POWER numerator micro-snaps before normalization so
     both engines divide identical integers. At 100 TB the counts ride
     any existing corpus pass."""
-    T.docs(spark, sf_dir).createOrReplaceTempView("tsamp_docs")
-    return spark.sql(
-        "WITH " + _tsamp_sql("tsamp_docs", "size(split(text, ' '))")
-    )
+    _tok_counts(spark, sf_dir).createOrReplaceTempView("tsamp_tok")
+    return spark.sql("WITH " + _tsamp_sql("tsamp_tok"))
