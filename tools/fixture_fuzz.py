@@ -454,6 +454,15 @@ def main() -> None:
     ap.add_argument("--no-tiny", action="store_true")
     ap.add_argument("--skew-seed", type=int, default=13)
     ap.add_argument("--tiny-seed", type=int, default=29)
+    ap.add_argument(
+        "--quick",
+        action="store_true",
+        help="~2-minute pre-commit ritual: one fresh seed + skew + "
+        "sparse + tiny at 1/10 scale over a cross-family sample "
+        "(or the given names). The full run stays the per-round "
+        "record; this is the cheap habit that catches a degenerate-"
+        "input regression before it is committed.",
+    )
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -463,6 +472,31 @@ def main() -> None:
 
     spark = get_spark("fixture-fuzz", cpus=8)
     names = args.names or list(entrymod.queries())
+    scale = 1.0
+    if args.quick:
+        scale = 0.1
+        args.seeds = args.seeds[:1]
+        args.write_md = False  # never let a sample overwrite FUZZ.md
+        if not args.names:
+            # cross-family sample incl. the families past fuzz rounds
+            # caught defects in (stats/ml/dedup/sketch/behavior)
+            names = [
+                "weather_city_stats", "tpch_q1_pricing_summary",
+                "events_moment_stats", "lineitem_corr_matrix",
+                "ml_linreg_grouped_brands", "ml_precision_recall",
+                "ml_auc_quantity_returns", "events_retention_halflife",
+                "events_rate_shrinkage_eb", "events_survival_km",
+                "events_kmv_setops", "events_approx_percentile_bounds",
+                "dedup_minhash_band_tuning", "dedup_ngram_jaccard",
+                "embed_knn_bruteforce", "text_token_stats",
+                "corpus_split_assign", "corpus_unimax_weights",
+                "corpus_temperature_sampling", "join_asof_purchase_last_click",
+                "window_lag_delta_events", "multimodal_ppm_decode_stats",
+                "events_bootstrap_ci", "lineitem_hbos_outliers",
+                "lineitem_price_volume_mix", "part_xyz_variability",
+                "orders_interorder_gamma_fit", "weather_gumbel_return_levels",
+                "embed_dim_variance_spectrum", "part_price_dispersion",
+            ]
 
     variants = [(f"seed{s}", s, {}) for s in args.seeds]
     if not args.no_skew:
@@ -483,7 +517,7 @@ def main() -> None:
         d = os.path.join(args.out, tag)
         print(f"== generating {tag} (seed={seed}, {kw}) -> {d}",
               flush=True)
-        gen_tables(seed, d, **kw)
+        gen_tables(seed, d, scale=scale, **kw)
         t0 = time.time()
         r = sweep(spark, d, names)
         profile = next(iter(kw), "fresh") if kw else "fresh"
