@@ -527,7 +527,11 @@ def main() -> None:
               f"{r['weak']} weak in {r['secs']}s", flush=True)
         results.append(r)
 
-    out_json = os.path.join(_REPO_ROOT, "FUZZ_results.json")
+    # quick runs report to stdout only — the committed record files
+    # belong to the full per-round run
+    out_json = os.path.join(
+        "/tmp" if args.quick else _REPO_ROOT, "FUZZ_results.json"
+    )
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_json}")
