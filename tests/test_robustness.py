@@ -444,3 +444,68 @@ def test_stupid_backoff_branch_hand_computed(spark, tmp_path):
     lp2 = math.log(0.4 * 1.0 / 14.0)
     want = (round(lp1 * 1e5) + round(lp2 * 1e5)) / (1e5 * 2)
     assert abs(r.avg_logscore - want) < 1e-9
+
+
+# --- unicode-hostile documents through the byte-level paths ------------------
+
+def test_unicode_documents_keep_oracle_parity(spark, tmp_path):
+    """CJK / emoji / combining-accent / RTL text through the paths that
+    mix CHARACTER ops with BYTE ops: the multimodal payload tiling
+    (substring-then-encode ordering is what keeps multibyte text
+    consistent across engines), token stats, shingle hashing, and the
+    hash split. Oracle parity must hold bit-for-bit."""
+    import shutil
+
+    from tools.check_oracle import compare, duck_connect
+    from weather_bigdata_project_spark.registry import ORACLES
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet",
+                    str(tmp_path / f"{t}.parquet"))
+    texts = [
+        "the 快速 key データ sort 表 scan merge",
+        "naïve café jalapeño 🌶️ crème brûlée",
+        "שלום עולם مرحبا بالعالم spark data",
+        "étude café à la carte",
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕊𝕡𝕒𝕣𝕜 🚀 🎯 ✨",
+        "普通的中文文本没有空格但这里有 分词 标记",
+        "мир труд май данные поток",
+        "a",
+        "🎉",
+    ]
+    # single-file parquet (pyarrow): the DuckDB side of the comparison
+    # reads the same path, and Spark's directory-style write is not a
+    # file DuckDB's read_parquet accepts
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+            "lang": ["zh", "fr", "ar", "fr", "en", "zh", "ru", "en",
+                     "en"],
+            "source": [f"src{i % 3}" for i in range(len(texts))],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    con = duck_connect(str(tmp_path))
+    bad = []
+    for name in [
+        "multimodal_ppm_decode_stats",
+        "multimodal_wav_decode_stats",
+        "multimodal_y4m_frame_stats",
+        "multimodal_ppm_resize_embed",
+        "text_token_stats",
+        "dedup_ngram_jaccard",
+        "corpus_split_assign",
+    ]:
+        problems = compare(
+            name, QUERIES[name](spark, str(tmp_path)), ORACLES[name], con
+        )
+        if problems:
+            bad.append((name, problems[:2]))
+    assert bad == []
