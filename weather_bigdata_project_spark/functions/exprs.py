@@ -12,9 +12,17 @@ from __future__ import annotations
 
 
 def rnd(expr: str, k: int) -> str:
-    """ROUND(expr, k) with bit-identical Spark/DuckDB behavior."""
+    """ROUND(expr, k) with bit-identical Spark/DuckDB behavior.
+
+    The trailing `+ 0.0e0` normalizes the SIGN OF ZERO: a tiny negative
+    input rounds to -0.0 in DuckDB (its ROUND keeps the sign bit) but
+    to +0.0 in Spark (BigDecimal has no negative zero), and the two
+    print differently ('-0.0' vs '0.0') in the driver's canonical hash.
+    IEEE -0.0 + 0.0 = +0.0 while every other value (and NULL) passes
+    through unchanged. Found by the fixture fuzz (seed 404: one z-score
+    in (-0.0005, 0) out of ~600 rows across six prior variants)."""
     scale = f"1e{k}"
-    return f"(CAST(ROUND(({expr}) * {scale}) AS DOUBLE) / {scale})"
+    return f"(CAST(ROUND(({expr}) * {scale}) AS DOUBLE) / {scale} + 0.0e0)"
 
 
 def cents(col: str) -> str:

@@ -123,9 +123,10 @@ def events_moment_stats(spark, sf_dir):
 
 
 def _rnd_col(col: Column, k: int) -> Column:
-    """Column-form twin of exprs.rnd: scale, ROUND at 0, unscale."""
+    """Column-form twin of exprs.rnd: scale, ROUND at 0, unscale,
+    normalize the sign of zero (see exprs.rnd)."""
     scale = float(10**k)
-    return F.round(col * scale).cast("double") / scale
+    return F.round(col * scale).cast("double") / scale + F.lit(0.0)
 
 
 # --- distribution-rank windows ----------------------------------------------
