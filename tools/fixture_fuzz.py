@@ -78,8 +78,15 @@ _DEFECTS_MD = """
 ## Defects the fuzz found (fixed in round 5)
 
 The first skew/sparse/tiny sweeps were NOT green — the program earned
-its keep by surfacing 15 real defects the driver's single seed (42)
+its keep by surfacing 16 real defects the driver's single seed (42)
 never exercised, each fixed and re-swept to green:
+
+- **A signed zero (1)**: fresh seed 404 produced one z-score in
+  (-0.0005, 0) that rounded to -0.0 in DuckDB (its ROUND keeps the
+  sign bit) and +0.0 in Spark — a 1-row hash mismatch the six prior
+  green variants never sampled. `exprs.rnd` now appends `+ 0.0e0`
+  (IEEE -0.0 + 0.0 = +0.0), fixing the class for every snapped output
+  in the registry; a hypothesis property pins repr-level agreement.
 
 - **ANSI-throwing divisions on degenerate statistics (11)**: constant
   measure columns / single-row groups / one-sided splits / empty
