@@ -78,9 +78,14 @@ _DEFECTS_MD = """
 ## Defects the fuzz found (fixed in round 5)
 
 The first skew/sparse/tiny sweeps were NOT green — the program earned
-its keep by surfacing 16 real defects the driver's single seed (42)
+its keep by surfacing 17 real defects the driver's single seed (42)
 never exercised, each fixed and re-swept to green:
 
+- **A non-IEEE square root (1)**: the WAV kernel's rms used Python's
+  `** 0.5` (libm pow — NOT correctly rounded), which disagrees with
+  IEEE sqrt (= DuckDB's SQRT) by one ulp on some inputs; fresh seeds
+  505 and 606 each found one such payload among 500. The kernel now
+  uses math.sqrt.
 - **A signed zero (1)**: fresh seed 404 produced one z-score in
   (-0.0005, 0) that rounded to -0.0 in DuckDB (its ROUND keeps the
   sign bit) and +0.0 in Spark — a 1-row hash mismatch the six prior
