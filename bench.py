@@ -17,6 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: best-of-N reps for the fixed-work calibration loop; recorded in the
+#: payload so normalized_vs_prev can detect a cross-round policy change
+#: (best-of-2 through round 5, best-of-3 since round 6 — best-of-3 is
+#: systematically lower, which biases exactly one comparison)
+CAL_REPS = 3
+
 # Representative slice of every query family. KEEP THIS LIST SHORT
 # ENOUGH THAT THE FINAL JSON LINE STAYS UNDER ~1800 CHARS: the driver
 # captures only a bounded stdout tail and failed to parse round 1's
@@ -127,6 +133,14 @@ def normalized_vs_prev(
     if len(common) < 5:
         return None
     cal_ratio = calibration_s / pcal
+    # Calibration-policy guard (round-5 ADVICE): the calibration moved
+    # from best-of-2 (rounds <= 5) to best-of-3 in round 6. Best-of-3
+    # is systematically lower, so dividing by an old best-of-2 number
+    # biases cal_ratio low and every normalized ratio high for exactly
+    # one cross-round comparison. The payload now records cal_reps;
+    # when the previous record carries none (pre-round-6) or a
+    # different value, flag the mismatch instead of silently comparing.
+    cal_policy_mismatch = prev.get("cal_reps") != CAL_REPS
     ratios = {
         n: round((times[n] / pq[n]) / cal_ratio, 3) for n in common
     }
@@ -152,6 +166,9 @@ def normalized_vs_prev(
         "median_raw_ratio": round(raw[len(raw) // 2], 3),
         "n_regressed": len(regressed),
         "regressed": worst,
+        **(
+            {"cal_policy_mismatch": True} if cal_policy_mismatch else {}
+        ),
     }
 
 
@@ -220,7 +237,7 @@ def main() -> None:
     # also compare median_norm_ratio vs median_raw_ratio).
     def calibration() -> float:
         best = None
-        for _ in range(3):  # best-of-3: the loop itself swings ~20%
+        for _ in range(CAL_REPS):  # best-of-N: the loop swings ~20%
             t0 = time.time()
             spark.range(12_800_000_000).selectExpr(
                 "sum(((id % 1048576) * 2654435761) % 1000003) AS s"
@@ -262,6 +279,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(times),
         "calibration_s": calibration_s,
+        "cal_reps": CAL_REPS,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

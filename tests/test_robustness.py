@@ -75,9 +75,7 @@ def test_id_mix_no_short_periodicity():
     con = duckdb.connect()
     h = id_mix("k")
     rows = con.execute(
-        f"SELECT ({h}) % 1000 AS b, "
-        f"COUNT(*) FILTER (WHERE ({h}) % 1000 = "
-        "(SELECT 0)) AS _unused "
+        f"SELECT ({h}) % 1000 AS b "
         "FROM (SELECT unnest(range(0, 100000))::BIGINT AS k) GROUP BY b"
     ).fetchall()
     assert len(rows) == 1000  # every bucket reachable on sequential ids
@@ -90,6 +88,38 @@ def test_id_mix_no_short_periodicity():
     ).fetchone()
     # expectation 50 (= n/1000); the old reduced form scored 50,000
     assert coll < 200
+
+
+def test_id_mix_negative_keys_nonnegative_and_engine_identical(spark):
+    """The round-5 ADVICE item: both engines' % keeps the dividend's
+    sign, so an unnormalized id_mix on a negative key went negative and
+    collapsed every downstream % n_buckets CASE to its fallback arm.
+    The normalized residues must (a) keep the hash nonnegative for all
+    keys including +/-(2^63 - 1), (b) be an identity for nonnegative
+    keys (existing bucketings unchanged), and (c) agree byte-for-byte
+    between Spark and DuckDB on negative keys."""
+    from weather_bigdata_project_spark.functions.exprs import id_mix
+
+    h = id_mix("k")
+    keys = [-(2**63 - 1), -2654435761, -1048576, -7, -1,
+            0, 1, 7, 1048576, 2**63 - 1]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT ({h}) % 1000 FROM (SELECT ?::BIGINT AS k)", [k]
+        ).fetchone()[0]
+        for k in keys
+    ]
+    assert all(b >= 0 for b in duck)
+    got = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .selectExpr("k", f"({h}) % 1000 AS b")
+        .collect()
+    }
+    assert [got[k] for k in keys] == duck
+    # negative keys spread across buckets, not collapsed to one value
+    assert len({b for k, b in zip(keys, duck) if k < 0}) > 1
 
 
 def test_fold_hash_parity_spark_duckdb_huge_keys(spark):

@@ -44,16 +44,26 @@ ID_MIX_P2 = 2147483629
 
 
 def id_mix(key: str, salt: int = 0) -> str:
-    """Full-entropy deterministic integer hash of a nonnegative BIGINT
-    expression, as a Spark/DuckDB-identical SQL snippet (only ``%``,
-    ``*``, ``+`` — same precedence and sign semantics in both engines).
+    """Full-entropy deterministic integer hash of a BIGINT expression,
+    as a Spark/DuckDB-identical SQL snippet (only ``%``, ``*``, ``+`` —
+    same precedence and sign semantics in both engines).
+
+    Negative keys are handled: both engines' ``%`` keeps the dividend's
+    sign, so a raw ``k % p`` on a negative key would go negative and
+    every downstream ``% n_buckets`` with it (collapsing e.g. a
+    train/validation/test CASE to its fallback arm). Each per-prime
+    residue is therefore normalized ``((k % p) + p) % p`` into
+    ``[0, p)`` — an identity for nonnegative keys (so all existing
+    bucketings are byte-identical) and the mathematically-correct
+    residue for negative ones, keeping the output and every downstream
+    modulus nonnegative for EVERY BIGINT key.
 
     Replaces the old ``(key % 2^20) * LCG`` reduction, which was
     BIGINT-safe but gave every assignment a 1,048,576-key periodicity
     (ids congruent mod 2^20 always shared a bucket). Here the key is
     reduced mod TWO distinct primes p1, p2 < 2^31; the residue pair is
-    injective for keys < p1*p2 ~ 4.6e18 (the whole positive BIGINT
-    range), so no short period exists. Each residue is scrambled by a
+    injective over any key window of length p1*p2 ~ 4.6e18 (wider than
+    the positive BIGINT range), so no short period exists. Each residue is scrambled by a
     multiply mod p followed by a QUADRATIC step t*(t+3) mod p — the
     nonlinearity matters: the sum of two purely linear maps is
     piecewise-linear and visits only ~1/4 of buckets on sequential
@@ -61,12 +71,14 @@ def id_mix(key: str, salt: int = 0) -> str:
     200k sequential ids) and fully decorrelated at stride 2^20
     (same-bucket rate 0.00106 ~ 1/1000, offset distribution uniform).
 
-    Overflow audit (both engines evaluate in BIGINT):
-    residue r < 2^31; (r + salt) * 69621 < 2^48 for salt < 2^31;
-    t < 2^31; t * (t + 3) <= (p1-1) * (p1+2) = 4.61e18 < 2^63;
-    final sum < p1 + p2 < 2^33. Safe for EVERY nonnegative BIGINT key
-    including 2^63 - 1 (the salt joins AFTER the per-prime reduction
-    precisely so it can never push the key itself past the range).
+    Overflow audit (both engines evaluate in BIGINT): raw ``k % p`` is
+    in (-p, p), so ``(k % p) + p`` is in (0, 2p) < 2^32 and the second
+    ``% p`` lands in [0, p); normalized residue r < 2^31;
+    (r + salt) * 69621 < 2^48 for salt < 2^31; t < 2^31;
+    t * (t + 3) <= (p1-1) * (p1+2) = 4.61e18 < 2^63; final sum
+    < p1 + p2 < 2^33. Safe for EVERY BIGINT key including +/-(2^63 - 1)
+    (the salt joins AFTER the per-prime reduction precisely so it can
+    never push the key itself past the range).
 
     ``salt`` shifts both residues before their scrambles, so different
     salts give independently scrambled bucketings (measured agreement
@@ -76,8 +88,11 @@ def id_mix(key: str, salt: int = 0) -> str:
     assert 0 <= salt < ID_MIX_P2, "salt must be a small literal"
     k = f"({key})"
     s = f" + {salt}" if salt else ""
-    t1 = f"((({k} % {ID_MIX_P1}){s}) * 48271 % {ID_MIX_P1})"
-    t2 = f"((({k} % {ID_MIX_P2}){s}) * 69621 % {ID_MIX_P2})"
+    # ((k % p) + p) % p: true nonnegative residue (identity for k >= 0)
+    r1 = f"(({k} % {ID_MIX_P1} + {ID_MIX_P1}) % {ID_MIX_P1})"
+    r2 = f"(({k} % {ID_MIX_P2} + {ID_MIX_P2}) % {ID_MIX_P2})"
+    t1 = f"(({r1}{s}) * 48271 % {ID_MIX_P1})"
+    t2 = f"(({r2}{s}) * 69621 % {ID_MIX_P2})"
     return (
         f"(({t1} * ({t1} + 3)) % {ID_MIX_P1} + "
         f"({t2} * ({t2} + 3)) % {ID_MIX_P2})"

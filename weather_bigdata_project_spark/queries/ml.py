@@ -522,9 +522,15 @@ def ml_decision_stump(spark, sf_dir):
 
 #: deterministic 90/10 hash split on the line identity: the
 #: (orderkey, linenumber) pair folds into one BIGINT key (linenumber
-#: is 1..7, the 2654435761 stride keeps distinct pairs distinct and
-#: adds < 1.9e10 — no overflow for any orderkey), then the
-#: full-entropy id_mix buckets it (no mod-2^20 periodicity)
+#: is 1..7; distinct pairs can collide only when orderkeys differ by
+#: an exact multiple of the 2654435761 stride — measure-zero for a
+#: hash split, and harmless: a collision merely co-assigns two lines
+#: to the same fold), then the full-entropy id_mix buckets it (no
+#: mod-2^20 periodicity). Key-range contract: the fold adds at most
+#: 7 * 2654435761 < 1.9e10, so it overflows only for
+#: orderkey > 2^63 - 1 - 1.9e10 (TPC-H orderkeys are < 6e9 at any
+#: SF; test_robustness skips that extreme corner by the same
+#: contract).
 _LINE_KEY = "(l_orderkey + l_linenumber * 2654435761)"
 _STU_TRAIN = f"({id_mix(_LINE_KEY)} % 1000) < 900"
 
