@@ -611,7 +611,13 @@ def test_transform_with_state_ewma(spark, tmp_path):
 
     Re-attempted round 5 (2026-08-15): unchanged — `import
     google.protobuf` still fails and `pip download protobuf` still
-    reports 'versions: none' (no egress). Block stands."""
+    reports 'versions: none' (no egress). Block stands.
+
+    Re-attempted round 6 (2026-08-15): unchanged — `import
+    google.protobuf` fails, `pip download protobuf` dies on DNS
+    (Name or service not known), and the only filesystem hits are
+    typeshed stubs and pyspark's own from-protobuf SQL shims, neither
+    a runtime google.protobuf. Block stands."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "
@@ -1662,3 +1668,78 @@ def test_contamination_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and got  # bit-equal, and non-trivial
     assert batches == {r[0] for r in got}  # every contaminated doc once
+
+
+def test_gopher_filter_stream_equals_batch(spark, tmp_path):
+    """Streaming Gopher filter: over a 3-micro-batch replay of the doc
+    corpus, the drained per-doc rule verdicts must EQUAL the batch
+    labeling bit-for-bit — same four flags, same keep decision, every
+    doc exactly once. The operator is state-free (the same in-row
+    gopher_flags_sql expression as corpus_gopher_rules), so equality
+    must hold for ANY batch split; three triggers prove quality
+    filtering runs at ingest. The stream's per-source drop counts must
+    also reproduce the committed batch battery's n_fail_any."""
+    from pyspark.sql import functions as F
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.queries.curation import (
+        gopher_flags_sql,
+    )
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "crawl_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.gopher_filter_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = ("doc_id", "source", "f_wc", "f_wl", "f_sw", "f_tt", "keep")
+    got = {
+        tuple(r[k] for k in key)
+        for r in spark.table("gopher_stream").collect()
+    }
+    want = {
+        tuple(r[k] for k in key)
+        for r in docs.select(
+            "doc_id", "source", F.inline(F.expr(gopher_flags_sql()))
+        )
+        .withColumn("keep", F.expr("NOT (f_wc OR f_wl OR f_sw OR f_tt)"))
+        .collect()
+    }
+    assert got == want and got  # bit-equal labeling, non-trivial
+    assert len(got) == docs.count()  # every doc labeled exactly once
+    # drop counts reproduce the oracle-gated batch battery
+    drops = {
+        (r["source"], r["n_fail_any"])
+        for r in registry.QUERIES["corpus_gopher_rules"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    stream_drops = {
+        (s, sum(1 for row in got if row[1] == s and not row[6]))
+        for s in {row[1] for row in got}
+    }
+    assert stream_drops == drops

@@ -1710,6 +1710,35 @@ _GOPHER_ORACLE = (
 )
 
 
+def gopher_flags_sql() -> str:
+    """Per-doc Gopher rule flags as ONE in-row Spark SQL expression —
+    an array of a single struct (f_wc, f_wl, f_sw, f_tt) meant for
+    F.inline, with the token array let-bound so it is built once per
+    doc. Shared verbatim by the batch battery (corpus_gopher_rules)
+    and the ingest-time stream (streaming.jobs.gopher_filter_stream),
+    which is what makes their keep/drop decisions bit-equal by
+    construction."""
+    flags = (
+        "named_struct("
+        "'n', size(split(text, ' ')), "
+        "'sl', aggregate(transform(split(text, ' '), t -> "
+        "CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v), "
+        "'nstop', size(filter(split(text, ' '), t -> t IN "
+        + T.STOPWORDS_SQL
+        + ")), "
+        f"'best', {_TOP_TOKEN_COUNT_SPARK})"
+    )
+    return (
+        f"transform(array({flags}), m -> named_struct("
+        f"'f_wc', m.n < {_GR_MIN_TOK} OR m.n > {_GR_MAX_TOK}, "
+        f"'f_wl', CAST(m.sl AS DOUBLE) / m.n < {_GR_MWL_LO} "
+        f"OR CAST(m.sl AS DOUBLE) / m.n > {_GR_MWL_HI}, "
+        f"'f_sw', m.nstop < {_GR_MIN_STOP}, "
+        f"'f_tt', CAST(m.best AS DOUBLE) / m.n > {_GR_TOPFRAC}))"
+    )
+
+
 @query("corpus_gopher_rules", oracle=_GOPHER_ORACLE)
 def corpus_gopher_rules(spark, sf_dir):
     """The Gopher rule battery WITH per-rule attribution: word-count
@@ -1724,25 +1753,7 @@ def corpus_gopher_rules(spark, sf_dir):
     source-cardinality aggregate, so the battery scales embarrassingly
     at 100 TB; the oracle recomputes the top-token leg via
     explode+groupBy, a genuinely different plan."""
-    flags = (
-        "named_struct("
-        "'n', size(split(text, ' ')), "
-        "'sl', aggregate(transform(split(text, ' '), t -> "
-        "CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), "
-        "(acc, v) -> acc + v), "
-        "'nstop', size(filter(split(text, ' '), t -> t IN "
-        + T.STOPWORDS_SQL
-        + ")), "
-        f"'best', {_TOP_TOKEN_COUNT_SPARK})"
-    )
-    wrapped = (
-        f"transform(array({flags}), m -> named_struct("
-        f"'f_wc', m.n < {_GR_MIN_TOK} OR m.n > {_GR_MAX_TOK}, "
-        f"'f_wl', CAST(m.sl AS DOUBLE) / m.n < {_GR_MWL_LO} "
-        f"OR CAST(m.sl AS DOUBLE) / m.n > {_GR_MWL_HI}, "
-        f"'f_sw', m.nstop < {_GR_MIN_STOP}, "
-        f"'f_tt', CAST(m.best AS DOUBLE) / m.n > {_GR_TOPFRAC}))"
-    )
+    wrapped = gopher_flags_sql()
     d = T.spread_small_scan(
         T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
     )

@@ -1358,3 +1358,35 @@ def contamination_stream(
             ),
         )
     )
+
+
+def gopher_filter_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming Gopher quality filter — the ingest-time twin of
+    queries/curation.corpus_gopher_rules, completing the
+    filter-at-ingest trio next to dedup-at-ingest
+    (minhash_neardup_stream) and contamination-at-ingest
+    (contamination_stream): every arriving crawl doc gets its per-rule
+    verdict (word-count bounds, mean-word-length bounds, minimum
+    stopword count, top-token-fraction cap) BEFORE it lands, so the
+    lake only ever stores labeled — or only kept — documents.
+
+    Plan is completely STATE-FREE: the four rules are the exact same
+    in-row expression the batch battery inlines
+    (curation.gopher_flags_sql — token array let-bound, built once per
+    doc; the top-token count is the sorted-run fold, no explode), so
+    each output row depends only on its input row and the drained
+    replay across ANY micro-batch split equals the batch labeling
+    bit-for-bit (tests/test_streaming.py::
+    test_gopher_filter_stream_equals_batch). At 100 TB ingest this is
+    the cheapest possible shape: narrow projection, zero shuffle, zero
+    state, and the downstream sink can partition on `keep` to split
+    kept mass from the reject audit trail in one pass."""
+    from ..queries.curation import gopher_flags_sql
+
+    return doc_stream.select(
+        "doc_id",
+        "source",
+        F.inline(F.expr(gopher_flags_sql())),
+    ).withColumn(
+        "keep", F.expr("NOT (f_wc OR f_wl OR f_sw OR f_tt)")
+    )
