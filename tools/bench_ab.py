@@ -1,0 +1,171 @@
+"""In-session interleaved A/B for cross-round bench regressions.
+
+Round-5 verdict, task 3: BENCH_r05 showed 11 queries >1.3x normalized
+vs BENCH_r04, all on per-query code git-diff-identical between rounds —
+attributed to session drift (this box swings ~40% between sessions and
+the fixed-work calibration only partially divides that out). Drift vs
+code must be settled by measurement, not faith: the confound is
+BETWEEN-session machine state, so run both code versions in ONE
+session, strictly interleaved A/B/A/B..., and compare per-query bests.
+
+Arms are git trees: A = the round-4 record commit (checked out into a
+worktree), B = the current HEAD. Each rep spawns a fresh worker
+process pinned to one tree (sys.path isolation — two versions of the
+package cannot share one interpreter), builds the SAME tuned session
+the bench uses, warms at sf0.001, runs the fixed-work calibration
+loop, then best-of-2 per query at sf0.1 with the bench's session
+hygiene. Process-level interleaving inside one hour is exactly the
+control the verdict asked for: any slow-box phase hits both arms.
+
+Verdict rule per query (written to BENCH_AB.md): with per-arm best
+wall w_A, w_B and per-arm best calibration c_A, c_B,
+ratio = (w_B / w_A) / (c_B / c_A); ratio > 1.15 -> `code`,
+ratio < 1.15 -> `drift` (the r4->r5 flags were >1.3; an effect that
+survives interleaving at even half that size would be real).
+
+Usage:
+    python3 tools/bench_ab.py --ref 63e2eff [--reps 3] [names...]
+    python3 tools/bench_ab.py --worker <tree> <sf_dir> <names...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: the 11 queries BENCH_r05 flagged >1.3x normalized vs BENCH_r04
+REGRESSED_R5 = [
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "text_langid_confusion",
+    "window_moving_avg_events",
+    "events_cohort_retention",
+    "graph_triangle_brands",
+    "lineitem_bloom_join_prune",
+    "events_sliding_window",
+    "join_asof_purchase_last_click",
+    "events_user_sessions",
+    "weather_enrich",
+]
+
+
+def worker(tree: str, sf_dir: str, names: list[str]) -> None:
+    """Run one arm: import the package from `tree`, measure, print one
+    JSON line {calibration_s, queries:{name: best_of_2}}."""
+    sys.path.insert(0, tree)
+    from weather_bigdata_project_spark import registry
+    from weather_bigdata_project_spark.session import get_spark
+
+    registry.load()
+    spark = get_spark("bench-ab")
+    spark.range(1000).count()
+    warm = "/root/testdata/sf0.001"
+    for n in names:
+        registry.QUERIES[n](spark, warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def clear() -> None:
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
+        try:
+            from weather_bigdata_project_spark.operators import textops
+
+            textops.clear_shingle_memo()
+        except (ImportError, AttributeError):
+            pass  # the r4 tree predates the memo helper
+        spark.sparkContext._jvm.System.gc()
+
+    cal = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(12_800_000_000).selectExpr(
+            "sum(((id % 1048576) * 2654435761) % 1000003) AS s"
+        ).collect()
+        d = time.time() - t0
+        cal = d if cal is None else min(cal, d)
+
+    times: dict[str, float] = {}
+    for n in names:
+        best = None
+        for _ in range(2):
+            clear()
+            t0 = time.time()
+            registry.QUERIES[n](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            d = time.time() - t0
+            best = d if best is None else min(best, d)
+        times[n] = round(best, 3)
+    print(json.dumps({"calibration_s": round(cal, 3), "queries": times}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default="63e2eff",
+                    help="git ref for arm A (round-4 record commit)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--worker", nargs="+", metavar="ARG",
+                    help="(internal) tree sf_dir names...")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.worker[0], args.worker[1], args.worker[2:])
+        return
+
+    names = args.names or REGRESSED_R5
+    tree_a = "/tmp/bench_ab_r4tree"
+    if not os.path.isdir(tree_a):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", tree_a, args.ref],
+            cwd=_REPO_ROOT, check=True,
+        )
+    arms = {"A": tree_a, "B": _REPO_ROOT}
+    runs: dict[str, list[dict]] = {"A": [], "B": []}
+    for rep in range(args.reps):
+        for arm in ("A", "B"):  # strict interleave A B A B A B
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 arms[arm], args.sf_dir, *names],
+                capture_output=True, text=True, check=True,
+                cwd=arms[arm],
+            )
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            runs[arm].append(rec)
+            print(f"== rep {rep} arm {arm}: cal {rec['calibration_s']}"
+                  f" total {round(sum(rec['queries'].values()), 2)}",
+                  flush=True)
+
+    cal = {a: min(r["calibration_s"] for r in runs[a]) for a in runs}
+    cal_ratio = cal["B"] / cal["A"]
+    rows = []
+    for n in names:
+        w = {a: min(r["queries"][n] for r in runs[a]) for a in runs}
+        ratio = (w["B"] / w["A"]) / cal_ratio
+        rows.append((n, w["A"], w["B"], round(ratio, 3),
+                     "code" if ratio > 1.15 else "drift"))
+    payload = {
+        "ref_a": args.ref, "reps": args.reps, "cal_a": cal["A"],
+        "cal_b": cal["B"], "cal_ratio": round(cal_ratio, 3),
+        "rows": rows,
+    }
+    print(json.dumps(payload, indent=1))
+    with open(os.path.join(_REPO_ROOT, "BENCH_AB.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print("wrote BENCH_AB.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -475,6 +475,24 @@ def main() -> None:
         "record; this is the cheap habit that catches a degenerate-"
         "input regression before it is committed.",
     )
+    ap.add_argument(
+        "--scale",
+        type=float,
+        default=1.0,
+        help="fixture size multiplier vs the driver's sf0.01 gate "
+        "shape (10.0 ~ sf0.1-shape); skew is scale-dependent — heavy "
+        "keys get heavier — so the per-round record includes one "
+        "skew variant at scale 10",
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's rows into the existing committed "
+        "FUZZ_results.json (replacing same-tag rows) instead of "
+        "overwriting it, and regenerate FUZZ.md from the MERGED set — "
+        "how the scale-10 skew row joins the per-round scale-1 record "
+        "without a second file",
+    )
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -484,7 +502,7 @@ def main() -> None:
 
     spark = get_spark("fixture-fuzz", cpus=8)
     names = args.names or list(entrymod.queries())
-    scale = 1.0
+    scale = args.scale
     if args.quick:
         scale = 0.1
         args.seeds = args.seeds[:1]
@@ -526,6 +544,8 @@ def main() -> None:
 
     results = []
     for tag, seed, kw in variants:
+        if scale != 1.0 and not args.quick:
+            tag = f"{tag}x{scale:g}"  # scale is part of the identity
         d = os.path.join(args.out, tag)
         print(f"== generating {tag} (seed={seed}, {kw}) -> {d}",
               flush=True)
@@ -533,6 +553,7 @@ def main() -> None:
         t0 = time.time()
         r = sweep(spark, d, names)
         profile = next(iter(kw), "fresh") if kw else "fresh"
+        r.update(scale=scale)
         r.update(tag=tag, seed=seed, profile=profile,
                  n_queries=len(names), secs=round(time.time() - t0, 1))
         print(f"== {tag}: {r['ok']} ok, {r['fail']} fail, "
@@ -544,6 +565,16 @@ def main() -> None:
     out_json = os.path.join(
         "/tmp" if args.quick else _REPO_ROOT, "FUZZ_results.json"
     )
+    if args.merge and not args.quick and os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = []
+        mine = {r["tag"] for r in results}
+        results = [
+            r for r in prev if r.get("tag") not in mine
+        ] + results
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_json}")
@@ -560,13 +591,14 @@ def main() -> None:
             "oracle-gated query agrees with DuckDB on data the engine",
             "has never seen — distribution-level proof, not single-seed.",
             "",
-            "| variant | seed | profile | queries | ok | fail | weak "
-            "| secs |",
-            "|---|---|---|---|---|---|---|---|",
+            "| variant | seed | profile | scale | queries | ok | fail "
+            "| weak | secs |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for r in results:
             lines.append(
                 f"| {r['tag']} | {r['seed']} | {r['profile']} | "
+                f"{r.get('scale', 1.0):g} | "
                 f"{r['n_queries']} | {r['ok']} | {r['fail']} | "
                 f"{r['weak']} | {r['secs']} |"
             )

@@ -225,6 +225,15 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(_REPO_ROOT, "SHUFFLE_LEDGER.json")
     )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update only the named queries inside the existing --out "
+        "ledger instead of rewriting it — how the sf1 fourth point "
+        "lands on the 10 shuffle-heaviest entries without re-measuring "
+        "all 81. Each entry records its own 'sfs' series; the global "
+        "'sfs' stays the base run's.",
+    )
     args = ap.parse_args()
     sf_dirs = [s.strip() for s in args.sfs.split(",") if s.strip()]
     assert len(sf_dirs) >= 2, "need at least two sf dirs"
@@ -268,6 +277,10 @@ def main() -> None:
             points[str(sf_of(d))] = measure(spark, fn, d, store, jvm, gw)
         entry = {
             "points": points,
+            # per-entry series: with --merge, entries can carry MORE
+            # points than the base run (the sf1 extension); consumers
+            # and tests read this, falling back to the global "sfs"
+            "sfs": [sf_of(d) for d in sf_dirs],
             # back-compat keys: the two LARGEST points drive the verdict
             "small": points[str(sf_of(small_dir))],
             "big": points[str(sf_of(big_dir))],
@@ -323,6 +336,26 @@ def main() -> None:
             f"peak_task={entry['big']['peak_task_shuffle_write_bytes']}",
             file=sys.stderr,
         )
+
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            base = json.load(f)
+        merged = dict(base["queries"])
+        merged.update(ledger)
+        bad = [n for n, v in merged.items() if v["verdict"] == "EXCEEDED"]
+        payload = {
+            **{k: v for k, v in base.items() if k != "queries"},
+            "n_queries": len(merged),
+            "n_exceeded": len(bad),
+            "exceeded": bad,
+            "queries": merged,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(json.dumps({"ledger": args.out, "n": len(merged),
+                          "merged": sorted(ledger), "exceeded": bad}))
+        spark.stop()
+        sys.exit(1 if bad else 0)
 
     bad = [n for n, v in ledger.items() if v["verdict"] == "EXCEEDED"]
     payload = {
