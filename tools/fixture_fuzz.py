@@ -144,6 +144,7 @@ def gen_tables(
     sparse: bool = False,
     tiny: bool = False,
     scale: float = 1.0,
+    scale_docs: bool = False,
 ) -> None:
     """Generate all 10 star-schema parquets (FIXTURES.md §B schemas,
     pyarrow physical types matching the driver fixture) under `seed`.
@@ -154,8 +155,14 @@ def gen_tables(
     positives for every classifier metric), a single lang, and docs
     too short to shingle — probing empty-group/empty-join paths.
     scale multiplies the fact-table row counts (1.0 = the driver's
-    sf0.01 gate shape; documents/embeddings stay 500 at every driver
-    sf, so they do not scale)."""
+    sf0.01 gate shape). documents/embeddings sit on a 500-row floor in
+    the driver fixture (sf0.001 == sf0.01 == 500) and only grow above
+    it — docs x10 and embeddings x4 per sf decade (sf0.1: 5000/2000) —
+    so by default they stay at the gate size (right for oracle
+    fuzzing: every tuning constant keeps its meaning). scale_docs=True
+    applies the driver's above-floor growth law instead, which is what
+    the shuffle-ledger scale points need (a dedup query on 500 docs at
+    'sf1' measures nothing)."""
     import pyarrow as pa
 
     rng = np.random.default_rng(seed)
@@ -163,6 +170,13 @@ def gen_tables(
     COUNTS = dict(globals()["COUNTS"])
     for k in ("customer", "supplier", "part", "orders", "events"):
         COUNTS[k] = max(20, int(COUNTS[k] * scale))
+    if scale_docs and scale > 1.0:
+        # driver growth law above the 500 floor: docs ~ scale,
+        # embeddings ~ scale^0.6 (500 -> 2000 at scale 10, measured)
+        COUNTS["documents"] = int(COUNTS["documents"] * scale)
+        COUNTS["embeddings"] = int(
+            COUNTS["embeddings"] * scale ** 0.602
+        )
     if tiny:
         # minimal-cardinality hammer: single-digit group sizes, n=1
         # groups, and documents/embeddings far below every tuning
@@ -485,6 +499,13 @@ def main() -> None:
         "skew variant at scale 10",
     )
     ap.add_argument(
+        "--scale-docs",
+        action="store_true",
+        help="apply the driver's above-floor documents/embeddings "
+        "growth law at scale > 1 (docs ~ scale, embeddings ~ "
+        "scale^0.6) instead of pinning them at the 500-row gate size",
+    )
+    ap.add_argument(
         "--merge",
         action="store_true",
         help="merge this run's rows into the existing committed "
@@ -549,7 +570,8 @@ def main() -> None:
         d = os.path.join(args.out, tag)
         print(f"== generating {tag} (seed={seed}, {kw}) -> {d}",
               flush=True)
-        gen_tables(seed, d, scale=scale, **kw)
+        gen_tables(seed, d, scale=scale,
+                   scale_docs=args.scale_docs, **kw)
         t0 = time.time()
         r = sweep(spark, d, names)
         profile = next(iter(kw), "fresh") if kw else "fresh"

@@ -106,7 +106,18 @@ _JACCARD_PAIRS_SQL = (
 def dedup_ngram_jaccard(spark, sf_dir):
     """Top-50 most-similar document pairs by 3-gram Jaccard. Candidate
     generation is the shingle equi-join (never n^2); doc-frequency cap
-    drops hot shingles before the join."""
+    drops hot shingles before the join.
+
+    Scale contract (measured, 4-point ledger to sf1-shape): candidate
+    volume is sum_s min(df_s, cap)^2 — under a bounded/templated
+    shingle vocabulary doc lists DENSIFY with corpus growth until the
+    df cap saturates (measured shuffle exponent 1.711 on the
+    sf0.1->sf1 decade), after which growth is linear in shingle
+    groups. This lossless ALL-pairs top-k audit is therefore a
+    gate/sample-scale tool; at 100 TB run the thresholded lossless
+    twin dedup_prefix_filter_jaccard (J>=0.5, exponent 1.006 on the
+    same four points) or the banded MinHash family, exactly as the
+    band-tuning audit routes to its sampled twin."""
     # Candidate generation WITHOUT a self-join: one groupBy(shingle)
     # gathers the (sorted, distinct) doc list per shingle; pair expansion
     # is a narrow higher-order-function explode. vs. the classic
@@ -1689,7 +1700,13 @@ def dedup_containment(spark, sf_dir):
     riding through the expansion); orientation (small ⊂ big) resolves
     from the carried sizes with a doc-id tie-break, and the top-50
     rides a TakeOrdered heap. Jaccard is reported alongside to show
-    the divergence this operator exists for."""
+    the divergence this operator exists for.
+
+    Scale contract: shares dedup_ngram_jaccard's candidate space and
+    its measured cap-saturation transition (shuffle exponent 1.712 on
+    the 4-point ledger's sf0.1->sf1 decade, linear after the df cap
+    binds) — at 100 TB route thresholded containment through the
+    prefix-filter/banded machinery the same way."""
     sh = T.doc_shingle_ids_shared(spark, sf_dir)
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
