@@ -609,7 +609,10 @@ def main() -> None:
             "parquet) re-run on fresh fixture seeds + a skewed and a",
             "sparse (absent-category) variant",
             "(`tools/fixture_fuzz.py`; shapes per FIXTURES.md §B at the",
-            "driver's sf0.01 gate scale). A green here means every",
+            "driver's sf0.01 gate scale unless the scale column says",
+            "otherwise — skew is scale-dependent, so the record keeps",
+            "one skew row at scale 10 ~ sf0.1-shape with the driver's",
+            "doc growth law). A green here means every",
             "oracle-gated query agrees with DuckDB on data the engine",
             "has never seen — distribution-level proof, not single-seed.",
             "",
