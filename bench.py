@@ -306,7 +306,8 @@ def main() -> None:
         payload["normalized_vs_prev"] = {
             k: norm[k]
             for k in ("prev", "cal_ratio", "median_norm_ratio",
-                      "n_regressed")
+                      "n_regressed", "cal_policy_mismatch")
+            if k in norm
         }
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800 and norm:
