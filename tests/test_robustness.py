@@ -90,6 +90,43 @@ def test_id_mix_no_short_periodicity():
     assert coll < 200
 
 
+def test_lag_delta_signed_zero_and_tie_parity(spark):
+    """Round-6 defect, found by the sf1-shape sweep at 1M events: the
+    lag delta used raw ROUND(x, 2) — DuckDB keeps the sign bit
+    (ROUND(-0.004, 2) = -0.0, canonical '-0.0') where Spark's
+    BigDecimal round prints '0.0', and the engines diverge at .xx5
+    boundaries. The shared _LAG_DELTA spelling (exprs.rnd) must make a
+    tiny negative delta print '0.0' in BOTH engines and agree on a
+    .xx5 tie."""
+    from weather_bigdata_project_spark.queries.relational import (
+        _LAG_DELTA,
+    )
+
+    rows = [
+        (1, 7, 0.0, 10.004),  # -> None (first)
+        (2, 7, 1.0, 10.000),  # delta -0.004 -> the -0.0 trap
+        (3, 7, 2.0, 10.005),  # delta +0.005 -> the .xx5 tie
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, value double"
+    ).selectExpr("event_id", f"{_LAG_DELTA} AS delta")
+    got = {r["event_id"]: r["delta"] for r in sdf.collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT event_id, " + _LAG_DELTA + " AS delta FROM ("
+            "SELECT * FROM (VALUES (1, 7, 0.0, 10.004), "
+            "(2, 7, 1.0, 10.000), (3, 7, 2.0, 10.005)) "
+            "AS t(event_id, user_id, ts, value))"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[1] is None
+    # the -0.0 trap: equal AND prints without the sign bit both sides
+    assert got[2] == 0.0 and repr(got[2]) == repr(want[2]) == "0.0"
+    assert got[3] == want[3] == 0.01  # ties-away, both engines
+
+
 def test_id_mix_negative_keys_nonnegative_and_engine_identical(spark):
     """The round-5 ADVICE item: both engines' % keeps the dividend's
     sign, so an unnormalized id_mix on a negative key went negative and

@@ -75,6 +75,21 @@ EPOCH_2024 = np.datetime64("2024-01-01")
 #: defect history the fuzz program earned (kept in the generated
 #: FUZZ.md so the distribution-level claim stays traceable)
 _DEFECTS_MD = """
+## Defect the scale program found (fixed in round 6)
+
+- **The last raw `ROUND(x, 2)` (1)**: `window_lag_delta_events` — both
+  sides — predated the rnd() doctrine and stayed green through 15 fuzz
+  variants and the full sf0.1 sweep because a lag delta in
+  (-0.005, 0) needs near-equal ADJACENT values, which 10k-100k-event
+  fixtures never produced. The budgeted sf1-shape sweep
+  (`tools/oracle_sweep_budgeted.py`, 1M events) surfaced it on its
+  first run: DuckDB ROUND keeps the sign bit ('-0.0') where Spark's
+  BigDecimal round does not, plus the latent .xx5 divergence. Both
+  sides now share one `exprs.rnd` spelling (`_LAG_DELTA`);
+  `test_lag_delta_signed_zero_and_tie_parity` pins the -0.0 and tie
+  cases cross-engine. Lesson recorded: every scale decade is ALSO a
+  correctness probe — density makes rare float states reachable.
+
 ## Defects the fuzz found (fixed in round 5)
 
 The first skew/sparse/tiny sweeps were NOT green — the program earned

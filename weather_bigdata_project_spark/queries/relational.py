@@ -491,23 +491,34 @@ def window_moving_avg_events(spark, sf_dir):
     )
 
 
+#: the ONE shared snapping spelling for the lag delta — raw ROUND(x, 2)
+#: here was the last k>0 ROUND in the registry and a latent double
+#: defect the round-6 sf1-shape sweep surfaced at 1M events: DuckDB
+#: ROUND keeps the sign bit (a -0.004 delta prints '-0.0' where
+#: Spark's BigDecimal round prints '0.0') and the two engines diverge
+#: at .xx5 boundaries (shortest-decimal vs binary rounding). exprs.rnd
+#: snaps at scale 0 (ties-away in both engines) and normalizes the
+#: zero sign.
+_LAG_DELTA = rnd(
+    "value - LAG(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id)",
+    2,
+)
+
+
 @query(
     "window_lag_delta_events",
     oracle=(
         "WITH " + tables.EVENTS_ORACLE_CTE + " "
         "SELECT event_id, user_id, "
-        "ROUND(value - LAG(value) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id), 2) AS delta "
+        f"{_LAG_DELTA} AS delta "
         "FROM events_t"
     ),
 )
 def window_lag_delta_events(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    return ev.selectExpr(
+        "event_id", "user_id", f"{_LAG_DELTA} AS delta"
     )
 
 
