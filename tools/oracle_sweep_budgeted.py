@@ -41,13 +41,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", required=True)
     ap.add_argument("--budget", type=float, default=420.0)
+    ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from weather_bigdata_project_spark.session import get_spark
 
-    spark = get_spark("oracle-sweep-budgeted", cpus=8)
+    spark = get_spark("oracle-sweep-budgeted", cpus=args.cpus)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
