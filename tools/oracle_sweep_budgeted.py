@@ -59,20 +59,35 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         fired = threading.Event()
+        done = threading.Event()
 
         def watchdog() -> None:
-            fired.set()
-            try:
-                con.interrupt()
-            except Exception:  # noqa: BLE001
-                pass
-            try:
-                spark.sparkContext.cancelAllJobs()
-            except Exception:  # noqa: BLE001
-                pass
+            # a single cancelAllJobs can land BETWEEN the many short
+            # jobs an iterative driver-loop query submits (label
+            # propagation, k-means rounds) and cancel nothing — so
+            # keep interrupting every few seconds until the main
+            # thread reports the query finished
+            if not done.wait(args.budget):
+                fired.set()
+                while not done.wait(5):
+                    try:
+                        con.interrupt()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    try:
+                        spark.sparkContext.cancelAllJobs()
+                    except Exception:  # noqa: BLE001
+                        pass
 
-        timer = threading.Timer(args.budget, watchdog)
-        timer.start()
+        wd = threading.Thread(target=watchdog, daemon=True)
+        wd.start()
+
+        class _TimerShim:
+            @staticmethod
+            def cancel() -> None:
+                done.set()
+
+        timer = _TimerShim()
         try:
             sdf = qs[name](spark, args.sf)
             if name not in oracles:
