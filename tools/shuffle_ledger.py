@@ -349,6 +349,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    def scream(bad, entries):
+        """A red verdict must be impossible to miss: print each
+        offending series in full and exit nonzero (round-6 landed an
+        EXCEEDED entry silently; the commit ritual now runs the ledger
+        tests after any regen, and this makes the regen itself shout)."""
+        for n in bad:
+            e = entries[n]
+            print(
+                f"\n!!! EXCEEDED: {n} — exponent_bytes "
+                f"{e['exponent_bytes']} > bound {e['bound']}\n"
+                f"    sfs={e['sfs']} segments="
+                f"{e['exponent_bytes_segments']}\n"
+                f"    bytes="
+                f"{[e['points'][str(s)]['shuffle_write_bytes'] for s in e['sfs']]}\n"
+                "    DO NOT COMMIT this ledger red — fix the plan or "
+                "declare a justified per-query bound first "
+                "(tests/test_shuffle_ledger.py gates it).",
+                file=sys.stderr,
+            )
+
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             base = json.load(f)
@@ -366,6 +386,7 @@ def main() -> None:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(json.dumps({"ledger": args.out, "n": len(merged),
                           "merged": sorted(ledger), "exceeded": bad}))
+        scream(bad, merged)
         spark.stop()
         sys.exit(1 if bad else 0)
 
@@ -386,6 +407,7 @@ def main() -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps({"ledger": args.out, "n": len(ledger),
                       "exceeded": bad}))
+    scream(bad, ledger)
     spark.stop()
     if bad:
         sys.exit(1)

@@ -62,8 +62,9 @@ def id_mix(key: str, salt: int = 0) -> str:
     BIGINT-safe but gave every assignment a 1,048,576-key periodicity
     (ids congruent mod 2^20 always shared a bucket). Here the key is
     reduced mod TWO distinct primes p1, p2 < 2^31; the residue pair is
-    injective over any key window of length p1*p2 ~ 4.6e18 (wider than
-    the positive BIGINT range), so no short period exists. Each residue is scrambled by a
+    injective on any key window of length p1*p2 ~ 4.6e18 (half the
+    positive BIGINT range — keys exactly p1*p2 apart collide, the only
+    repeat), so no short period exists. Each residue is scrambled by a
     multiply mod p followed by a QUADRATIC step t*(t+3) mod p — the
     nonlinearity matters: the sum of two purely linear maps is
     piecewise-linear and visits only ~1/4 of buckets on sequential
