@@ -13,7 +13,11 @@ import pytest
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
-from check_oracle import canon_value, compare  # noqa: E402
+from check_oracle import (  # noqa: E402
+    canon_value,
+    compare,
+    compare_streaming,
+)
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +54,52 @@ def test_compare_catches_schema_mismatch(spark, con):
     sdf = spark.createDataFrame([(1,)], "wrong_name long")
     problems = compare("t", sdf, "SELECT 1 AS id", con)
     assert any("schema" in p for p in problems)
+
+
+def test_streaming_compare_matches_collect_semantics(spark, con):
+    """The maxResultSize fallback (compare_streaming) must reach the
+    same verdicts as the collect path on every mismatch class — it is
+    the gate for any result too large to collect, so a weaker fold
+    here would silently un-gate exactly the biggest outputs."""
+    sdf = spark.createDataFrame([(2, "b"), (1, "a")], "id long, s string")
+    # identical multiset, different row/column order -> clean
+    assert compare_streaming(
+        sdf, "SELECT 'a' AS s, 1 AS id UNION ALL SELECT 'b', 2", con
+    ) == []
+    # single value flipped -> digest mismatch at equal counts
+    got = compare_streaming(
+        sdf, "SELECT 'a' AS s, 1 AS id UNION ALL SELECT 'X', 2", con
+    )
+    assert any("digest mismatch" in p for p in got)
+    # row dropped -> rowcount
+    got = compare_streaming(sdf, "SELECT 'a' AS s, 1 AS id", con)
+    assert any("rowcount" in p for p in got)
+    # column renamed -> schema
+    got = compare_streaming(
+        sdf, "SELECT 'a' AS wrong, 1 AS id UNION ALL SELECT 'b', 2", con
+    )
+    assert any("schema" in p for p in got)
+
+
+def test_streaming_compare_handles_nulls_floats_and_dupes(spark, con):
+    """Digest folding must respect multiset semantics (duplicate rows
+    counted, not set-collapsed) and the same canonicalization corners
+    as the collect path (nulls, float repr)."""
+    sdf = spark.createDataFrame(
+        [(None, 0.1), (None, 0.1), (3, 2.5)], "id long, v double"
+    )
+    ok = (
+        "SELECT * FROM (VALUES (NULL, 0.1), (NULL, 0.1), (3, 2.5)) "
+        "t(id, v)"
+    )
+    assert compare_streaming(sdf, ok, con) == []
+    # collapsing the duplicate must fail on count
+    got = compare_streaming(
+        sdf,
+        "SELECT * FROM (VALUES (NULL, 0.1), (3, 2.5)) t(id, v)",
+        con,
+    )
+    assert any("rowcount" in p for p in got)
 
 
 def test_canon_value_distinguishes_float_ulps():

@@ -40,6 +40,8 @@ CROSSJOIN_ALLOWED = {
         "1-row bounds aggregate broadcast back",
     "queries/curation.py:corpus_cluster_split":
         "1-row totals aggregate",
+    "queries/curation.py:corpus_cluster_split_sampled":
+        "1-row totals aggregate (sampled twin)",
     "queries/curation.py:corpus_dsir_importance":
         "1-row corpus-stats aggregate",
     "queries/ml.py:ml_naive_bayes_langid":
@@ -66,8 +68,9 @@ CROSSJOIN_ALLOWED = {
         "broadcast probe set",
     "queries/similarity.py:embed_mmr_rerank":
         "broadcast shortlist (fixed k)",
-    "queries/similarity.py:embed_nndescent_knn":
-        "broadcast hash-sampled probe set (bounded)",
+    "queries/similarity.py:_nndescent_graph":
+        "broadcast hash-sampled probe set (bounded); shared core of "
+        "embed_nndescent_knn and its sampled twin",
     "queries/similarity.py:embed_sq8_quantize":
         "1-row min/max frame",
     "queries/similarity.py:embed_sq8_recall":

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import decimal
+import hashlib
 import math
 import sys
 import time
@@ -57,6 +58,63 @@ def canon_rows(cols, rows):
     return sorted(cols), out
 
 
+def _multiset_fold(cols, rows_iter):
+    """Order-insensitive digest of a row stream: (count, sum of 128-bit
+    blake2b digests of each canonical row). Multiset equality via a
+    commutative fold, so neither side ever has to hold (or sort) the
+    full result — the fix for >1 GiB results tripping
+    spark.driver.maxResultSize inside the COMPARISON harness (the
+    round-6 sf1-shape sweep failed dedup_simhash this way with zero
+    values actually differing)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    n = 0
+    acc = 0
+    for r in rows_iter:
+        key = "\x01".join(canon_value(r[i]) for i in order)
+        h = hashlib.blake2b(key.encode(), digest_size=16).digest()
+        acc = (acc + int.from_bytes(h, "big")) & ((1 << 160) - 1)
+        n += 1
+    return n, acc
+
+
+def _duck_chunks(res):
+    while True:
+        chunk = res.fetchmany(65536)
+        if not chunk:
+            return
+        yield from chunk
+
+
+def compare_streaming(sdf, sql, con):
+    """Bounded-memory compare: identical canonicalization to compare(),
+    but folded incrementally — Spark rows arrive one partition at a
+    time via toLocalIterator (each partition, not the whole result,
+    must fit under maxResultSize) and DuckDB rows in fetchmany chunks.
+    No first-diff row dump (the result is too big to sort); count +
+    128-bit multiset digest decide."""
+    scols = sdf.columns
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(
+            f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
+        )
+        return problems
+    sn, sh = _multiset_fold(
+        scols, (tuple(r) for r in sdf.toLocalIterator())
+    )
+    on, oh = _multiset_fold(ocols, _duck_chunks(res))
+    if sn != on:
+        problems.append(f"rowcount mismatch: spark={sn} oracle={on}")
+    elif sh != oh:
+        problems.append(
+            f"multiset digest mismatch over {sn} rows "
+            "(result too large for a first-diff dump; both counts equal)"
+        )
+    return problems
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in [
@@ -72,7 +130,15 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare(name, sdf, sql, con):
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        # collect tripping the driver result cap is a harness limit,
+        # not a wrongness signal — re-run the compare as a streamed
+        # multiset-digest fold instead of failing the query
+        if "maxResultSize" not in str(e):
+            raise
+        return compare_streaming(sdf, sql, con)
     res = con.execute(sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

@@ -195,6 +195,24 @@ def hashed_id_duck(col: str, mod: int = 1 << 40) -> str:
     return f"(CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) % {mod})"
 
 
+def sampled_table_duck(sql: str, table: str, pred: str) -> str:
+    """Rewrite every scan of `table` inside an oracle to a filtered
+    subquery — the sampled-twin pattern: a deliberately-lossless audit
+    oracle whose cost is superlinear in corpus size gets a twin that
+    applies a deterministic content/key-hash predicate at EVERY scan of
+    the base table, so the twin's oracle stays checkable at any scale
+    while exercising the identical machinery. Handles the three
+    reference forms the registry's oracles use: `FROM t d` (aliased),
+    `JOIN t e` (aliased join), and bare `FROM t` (re-aliased to the
+    table name so qualified column references keep resolving)."""
+    sub = f"(SELECT * FROM {table} WHERE {pred})"
+    return (
+        sql.replace(f"FROM {table} d ", f"FROM {sub} d ")
+        .replace(f"JOIN {table} e ", f"JOIN {sub} e ")
+        .replace(f"FROM {table}", f"FROM {sub} {table}")
+    )
+
+
 #: Reuse-materialization strategy, settable per deployment via
 #: SPARK_GRAFT_MATERIALIZE:
 #:   persist (default) — persist(MEMORY_AND_DISK). Lineage stays

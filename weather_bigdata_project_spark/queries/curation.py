@@ -1665,6 +1665,95 @@ def corpus_cluster_split(spark, sf_dir):
     )
 
 
+def _cluster_split_sampled_oracle() -> str:
+    from .dedup import _sampled_docs_pred_duck
+
+    return T.sampled_table_duck(
+        _cluster_split_oracle(), "documents", _sampled_docs_pred_duck()
+    )
+
+
+@query("corpus_cluster_split_sampled", oracle=_cluster_split_sampled_oracle())
+def corpus_cluster_split_sampled(spark, sf_dir):
+    """Cluster-aware splitting audited on the deterministic
+    content-hash sample (md5(text) % 4 == 0, ~25%) — the at-scale twin
+    of corpus_cluster_split, whose lossless oracle (recursive-CTE
+    clustering over the full pair graph) outgrew the sf1-shape sweep
+    budget while the Spark side stayed in bounds. The invariant under
+    audit — n_cross_pairs == 0 BY CONSTRUCTION — holds on any
+    hash-closed subset exactly as on the corpus (every near-dup pair of
+    sampled docs is itself sampled or absent), so the sample proves the
+    same property the full audit proves, at a pair-graph cost
+    ~1/16th. Same machinery end-to-end: sampled shingles, banded
+    candidates, candidate-only verification, label propagation, LCG
+    split of the cluster id."""
+    from .dedup import (
+        _cc_labels,
+        _lsh_candidates,
+        _minhash_docsig,
+        _sampled_docs,
+        _verified_pairs,
+    )
+
+    smp = _sampled_docs(spark, sf_dir)
+    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir, frame=smp))
+    docsig = _minhash_docsig(spark, sf_dir, sh=sh)
+    cand = T.materialize(_lsh_candidates(docsig))
+    pairs = T.materialize(
+        _verified_pairs(spark, sf_dir, cand, sh=sh)
+        .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
+        .select("doc1", "doc2")
+    )
+    cl = _cc_labels(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("canon")
+    )
+    s = T.materialize(
+        smp.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canon", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split", F.expr(_SPLIT.replace("doc_id", "cluster_id"))
+        )
+    )
+    a = s.select(F.col("doc_id").alias("doc1"), F.col("split").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc2"), F.col("split").alias("sb"))
+    px = pairs.join(a, "doc1").join(b, "doc2")
+    x = px.agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN sa <> sb THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_cross_pairs")
+    )
+    w = (
+        px.filter("sa = sb")
+        .groupBy(F.col("sa").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_within_pairs"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(w, "split", "left")
+        .crossJoin(F.broadcast(x))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("n_within_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_within_pairs"),
+            "n_cross_pairs",
+        )
+    )
+
+
 # --- Gopher rule battery with per-rule attribution -------------------------
 
 #: Gopher (Rae et al. 2021, A1.1) rule thresholds, scaled to the

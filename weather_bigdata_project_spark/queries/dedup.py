@@ -1585,6 +1585,71 @@ def dedup_graph_degree_profile(spark, sf_dir):
     )
 
 
+def _sampled_docs_pred_duck() -> str:
+    return T.hashed_id_duck("text") + f" % {_SAMPLE_MOD} = 0"
+
+
+def _sampled_docs(spark, sf_dir):
+    """The deterministic content-hash corpus sample (md5(text) % 4 == 0,
+    ~25%) every `_sampled` audit twin runs on — stable across
+    re-ingests, reproducible in any engine, applied at the scan."""
+    return T.docs(spark, sf_dir).filter(
+        F.expr(T.hashed_id_spark("text") + f" % {_SAMPLE_MOD} = 0")
+    )
+
+
+@query(
+    "dedup_graph_degree_profile_sampled",
+    oracle=T.sampled_table_duck(
+        _DEG_ORACLE, "documents", _sampled_docs_pred_duck()
+    ),
+)
+def dedup_graph_degree_profile_sampled(spark, sf_dir):
+    """The near-dup graph degree profile on the deterministic
+    content-hash sample (md5(text) % 4 == 0, ~25%) — the audit you run
+    at corpus scale, where the full profile's lossless truth-set oracle
+    is an all-pairs enumeration (its DuckDB audit timed out at the
+    sf1-shape sweep's budget while the Spark side stayed in bounds).
+    Degree-distribution SHAPE (template clusters, heavy verification
+    tails) is what transfers from sample to corpus; absolute pair
+    counts scale ~quadratically in the sample rate inside dup clusters,
+    linearly outside. Same machinery as the full profile — sampled
+    shingle frame, banded candidates, candidate-only verification
+    arrays — so this twin also re-verifies the scale path itself."""
+    smp = _sampled_docs(spark, sf_dir)
+    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir, frame=smp))
+    docsig = _minhash_docsig(spark, sf_dir, sh=sh)
+    cand = T.materialize(_lsh_candidates(docsig))
+    pairs = (
+        _verified_pairs(spark, sf_dir, cand, sh=sh)
+        .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
+        .select("doc1", "doc2")
+    )
+    deg = T.materialize(
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tot = smp.agg(F.count(F.lit(1)).alias("n_docs"))
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_dirty"),
+        F.max("degree").alias("max_degree"),
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs_at_degree"))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(summary))
+        .select(
+            "degree",
+            "n_docs_at_degree",
+            (F.col("n_docs") - F.col("n_dirty")).alias("n_clean_docs"),
+            "max_degree",
+        )
+    )
+
+
 # --- quality-aware canonical selection ------------------------------------
 
 

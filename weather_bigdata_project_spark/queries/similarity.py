@@ -2751,6 +2751,15 @@ def embed_nndescent_knn(spark, sf_dir):
             f"{sf_dir}/embeddings.parquet",
         )
     )
+    return _nndescent_graph(spark, emb)
+
+
+def _nndescent_graph(spark, emb):
+    """Core of embed_nndescent_knn over an arbitrary materialized
+    (vec_id, embedding) frame — shared by the full query and the
+    sampled at-scale twin (every size-dependent knob, including the
+    init bucket count B = n/10, derives from the frame's own count, so
+    the twin is the SAME algorithm at sample cardinality)."""
     n = emb.count()
     n_b = max(1, min(_NND_MAXB, n // _NND_BSZ))
     nrm = T.materialize(
@@ -2899,6 +2908,50 @@ def embed_nndescent_knn(spark, sf_dir):
             rnd(f"CAST(COALESCE(hits_r1, 0) AS DOUBLE) / {_NND_K}.0e0", 4)
         ).alias("recall_r1"),
     )
+
+
+#: corpus-sample modulus for the nndescent at-scale twin (~1/4 kept)
+_NND_CS = 4
+
+
+def _nnd_sampled_oracle() -> str:
+    from ..registry import ORACLES
+
+    pred = (
+        T.hashed_id_duck("('cs:' || CAST(vec_id AS VARCHAR))", _NND_CS)
+        + " = 0"
+    )
+    return T.sampled_table_duck(
+        ORACLES["embed_nndescent_knn"], "embeddings", pred
+    )
+
+
+@query("embed_nndescent_knn_sampled", oracle=_nnd_sampled_oracle())
+def embed_nndescent_knn_sampled(spark, sf_dir):
+    """NN-descent round + exact-recall audit on a deterministic
+    1-in-4 key-hash sample of the embedding corpus — the at-scale twin
+    of embed_nndescent_knn, whose oracle's exact kNN truth set outgrew
+    the sf1-shape sweep budget (the Spark side stayed in bounds; the
+    DuckDB audit is what times out at 8k vectors). A 1/4 sample of the
+    sf1-shape corpus is exactly the cardinality the full audit already
+    passes at sf0.1, so this twin keeps the differential proof alive at
+    every scale decade: recall-gain SHAPE (init vs round-1) transfers
+    from sample to corpus because every knob — bucket count B = n/10,
+    graph degree K, audit sample rate — derives from the frame's own
+    count. Salted 'cs:' key hash, disjoint from the 'smp:' audit
+    sample, so the two samplings stay independent."""
+    base = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.expr(
+            T.hashed_id_spark(
+                "concat('cs:', CAST(vec_id AS STRING))", _NND_CS
+            )
+        )
+        == 0
+    )
+    emb = T.materialize(
+        T.spread_small_scan(base, spark, f"{sf_dir}/embeddings.parquet")
+    )
+    return _nndescent_graph(spark, emb)
 
 
 # --- binary quantization (sign codes + Hamming shortlist + rerank) --------
