@@ -38,6 +38,8 @@ COLLECT_ALLOWED = {
 CROSSJOIN_ALLOWED = {
     "queries/analytics.py:weather_temp_histogram":
         "1-row bounds aggregate broadcast back",
+    "queries/advanced.py:basket_association_rules":
+        "1-row basket-total aggregate broadcast",
     "queries/curation.py:corpus_cluster_split":
         "1-row totals aggregate",
     "queries/curation.py:corpus_cluster_split_sampled":

@@ -13,10 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import datetime as dt
-import decimal
 import hashlib
-import math
 import sys
 import time
 
@@ -28,28 +25,43 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
 
-def canon_value(v):
-    if v is None:
-        return "\x00null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return repr(float(v))
-    if isinstance(v, int):
+def _canon_factory():
+    """Build canon_value as a CLOSURE (non-importable qualname) so
+    cloudpickle ships it BY VALUE to executors — the streaming compare
+    folds digests worker-side, and a module-level function pickled by
+    reference dies there with ModuleNotFoundError when this file was
+    imported under a path the workers don't have."""
+    import datetime as dt
+    import decimal
+    import math
+
+    def canon_value(v):
+        if v is None:
+            return "\x00null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(v)
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, dt.datetime):
+            return v.isoformat(sep=" ", timespec="microseconds")
+        if isinstance(v, dt.date):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canon_value(x) for x in v) + "]"
         return str(v)
-    if isinstance(v, dt.datetime):
-        return v.isoformat(sep=" ", timespec="microseconds")
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+
+    return canon_value
+
+
+canon_value = _canon_factory()
 
 
 def canon_rows(cols, rows):
@@ -85,13 +97,39 @@ def _duck_chunks(res):
         yield from chunk
 
 
+def _spark_multiset_fold(sdf):
+    """The Spark side of the streaming compare folds ON THE EXECUTORS:
+    each partition reduces to a 2-tuple (count, digest-sum), so the
+    driver receives bytes proportional to the partition COUNT, never
+    the result — toLocalIterator was not enough (Spark accounts its
+    cumulative task results against maxResultSize too, which re-failed
+    the 1 GiB case this path exists for). Canonicalization runs the
+    same canon_value in the worker Python, so float repr semantics are
+    identical to the collect path."""
+    cols = sorted(sdf.columns)
+
+    def part_fold(rows):
+        n = 0
+        acc = 0
+        for r in rows:
+            key = "\x01".join(canon_value(v) for v in r)
+            h = hashlib.blake2b(key.encode(), digest_size=16).digest()
+            acc = (acc + int.from_bytes(h, "big")) & ((1 << 160) - 1)
+            n += 1
+        yield (n, acc.to_bytes(20, "big"))
+
+    parts = sdf.select(*cols).rdd.mapPartitions(part_fold).collect()
+    n = sum(p[0] for p in parts)
+    acc = sum(int.from_bytes(p[1], "big") for p in parts) & ((1 << 160) - 1)
+    return n, acc
+
+
 def compare_streaming(sdf, sql, con):
     """Bounded-memory compare: identical canonicalization to compare(),
-    but folded incrementally — Spark rows arrive one partition at a
-    time via toLocalIterator (each partition, not the whole result,
-    must fit under maxResultSize) and DuckDB rows in fetchmany chunks.
-    No first-diff row dump (the result is too big to sort); count +
-    128-bit multiset digest decide."""
+    but folded incrementally — Spark partitions reduce to (count,
+    digest) pairs on the executors and DuckDB rows stream through
+    fetchmany chunks. No first-diff row dump (the result is too big to
+    sort); count + 128-bit multiset digest decide."""
     scols = sdf.columns
     res = con.execute(sql)
     ocols = [d[0] for d in res.description]
@@ -101,9 +139,7 @@ def compare_streaming(sdf, sql, con):
             f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
         )
         return problems
-    sn, sh = _multiset_fold(
-        scols, (tuple(r) for r in sdf.toLocalIterator())
-    )
+    sn, sh = _spark_multiset_fold(sdf)
     on, oh = _multiset_fold(ocols, _duck_chunks(res))
     if sn != on:
         problems.append(f"rowcount mismatch: spark={sn} oracle={on}")

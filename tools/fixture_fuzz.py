@@ -145,7 +145,16 @@ Five more near-miss divisions were hardened proactively
 def _write(out_dir: str, name: str, table) -> None:
     import pyarrow.parquet as pq
 
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # Bound row groups so big fixtures stay SPLITTABLE: pyarrow's 1M-row
+    # default gave the 6M-row sf1-shape lineitem just 6 row groups, so a
+    # 32-thread scan left most tasks empty and the shuffle-ledger's
+    # heavy-stage skew read ~5 (peak/avg over mostly-empty map tasks) —
+    # a file-layout artifact, not key skew. 64+ groups per big table
+    # keeps the scan-parallelism shape of a real many-file lake.
+    rg = min(1 << 20, max(8192, table.num_rows // 64))
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rg
+    )
 
 
 def _ts_us(base: np.datetime64, offsets_us) -> "np.ndarray":

@@ -1098,25 +1098,39 @@ _LP_TAIL = (
 )
 
 
-def _brand_pairs(spark, sf_dir):
-    """Weighted brand co-occurrence pairs (ba < bb) from order baskets —
-    the same fact-side build as graph_triangle_brands: broadcast part
-    dim join, per-order brand set, IN-ROW pair explode (baskets are
-    small), one hash-agg. This is the only fact-cardinality work in the
-    graph family."""
-    from ..operators.textops import materialize
-
+def _order_brands(spark, sf_dir):
+    """(okey, brand) DISTINCT — the one fact-cardinality frame of the
+    basket/graph family: lineitem x broadcast part dim, projected to
+    the order/brand pair. Unmaterialized by design; callers that read
+    it more than once (basket_association_rules needs both the pair
+    build and per-brand counts) materialize it themselves so the fact
+    scan + distinct exchange run ONCE instead of per consumer."""
     li = tables.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sets = (
+    return (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
         .distinct()
-        .groupBy("okey")
+    )
+
+
+def _brand_pairs(spark, sf_dir, ob=None):
+    """Weighted brand co-occurrence pairs (ba < bb) from order baskets —
+    the same fact-side build as graph_triangle_brands: broadcast part
+    dim join, per-order brand set, IN-ROW pair explode (baskets are
+    small), one hash-agg. This is the only fact-cardinality work in the
+    graph family. `ob` overrides the (okey, brand) frame so callers
+    that also consume it directly share one scan."""
+    from ..operators.textops import materialize
+
+    if ob is None:
+        ob = _order_brands(spark, sf_dir)
+    sets = (
+        ob.groupBy("okey")
         .agg(F.expr("sort_array(collect_set(brand))").alias("bs"))
     )
     pair_expr = (
@@ -1387,27 +1401,56 @@ def basket_association_rules(spark, sf_dir):
     ranked by confidence on a top-k heap. Rides the shared
     co-occurrence build (_brand_pairs: one fact scan, in-row basket
     pair explode); everything after is brand-cardinality with exact
-    integer counts and snapped ratios."""
-    pairs = _brand_pairs(spark, sf_dir)
-    li = tables.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    integer counts and snapped ratios. The (okey, brand) frame is
+    materialized ONCE and feeds the pair build, the per-brand counts,
+    and the basket total; the total and the brand counts ride BROADCAST
+    joins, not scalar subqueries — before round 7 this query ran the
+    fact scan + distinct exchange twice, and each scalar `(SELECT n
+    FROM nt)` re-scanned the fact table again (3 extra full scans in
+    the ledger profile, a 100-TB disqualifier)."""
     from ..operators.textops import materialize as _mat
 
-    ob = _mat(
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
+    ob = _mat(_order_brands(spark, sf_dir))
+    pairs = _brand_pairs(spark, sf_dir, ob=ob)
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
+    nt = ob.agg(F.countDistinct("okey").alias("n"))
+    dirdf = pairs.select(
+        F.col("ba").alias("a"), F.col("bb").alias("b"), "w"
+    ).unionByName(
+        pairs.select(F.col("bb").alias("a"), F.col("ba").alias("b"), "w")
     )
-    pairs.createOrReplaceTempView("ar_pairs")
-    ob.createOrReplaceTempView("ar_ob")
-    return spark.sql(
-        "WITH pairs AS (SELECT * FROM ar_pairs), "
-        "ob AS (SELECT * FROM ar_ob), " + _AR_TAIL
+    rules = (
+        dirdf.filter(F.col("w") >= _AR_MIN_W)
+        .join(
+            F.broadcast(
+                bc.select(F.col("brand").alias("a"), F.col("nb").alias("na"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                bc.select(F.col("brand").alias("b"), F.col("nb").alias("nbb"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(nt))
+    )
+    return (
+        rules.select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("w").cast("bigint").alias("n_cooccur"),
+            F.expr(rnd("CAST(w AS DOUBLE) / n", 6)).alias("support"),
+            F.expr(rnd("CAST(w AS DOUBLE) / na", 6)).alias("confidence"),
+            F.expr(
+                rnd(
+                    "CAST(w AS DOUBLE) * n / (CAST(na AS DOUBLE) * nbb)",
+                    6,
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .limit(_AR_TOP)
     )
 
 
