@@ -617,7 +617,12 @@ def test_transform_with_state_ewma(spark, tmp_path):
     google.protobuf` fails, `pip download protobuf` dies on DNS
     (Name or service not known), and the only filesystem hits are
     typeshed stubs and pyspark's own from-protobuf SQL shims, neither
-    a runtime google.protobuf. Block stands."""
+    a runtime google.protobuf. Block stands.
+
+    Re-attempted round 7 (2026-08-15): unchanged — same DNS failure,
+    and a sweep of the miniconda tree (envs/, pkgs/, any
+    descriptor_pb2.py) confirms no conda-packaged protobuf runtime
+    exists either. Block stands."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "
