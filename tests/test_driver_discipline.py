@@ -73,6 +73,8 @@ CROSSJOIN_ALLOWED = {
     "queries/similarity.py:_nndescent_graph":
         "broadcast hash-sampled probe set (bounded); shared core of "
         "embed_nndescent_knn and its sampled twin",
+    "queries/warehouse.py:part_single_source_risk":
+        "1-row revenue-total aggregate broadcast",
     "queries/similarity.py:embed_sq8_quantize":
         "1-row min/max frame",
     "queries/similarity.py:embed_sq8_recall":

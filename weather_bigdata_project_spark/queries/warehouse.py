@@ -1647,11 +1647,43 @@ def part_single_source_risk(spark, sf_dir):
     single-source revenue share is the number a supply-risk review
     leads with (one supplier failure strands that much flow). One
     part-cardinality distinct-count aggregate with the exact-cents
-    revenue carried alongside."""
-    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "ss_lineitem"
+    revenue carried alongside — MATERIALIZED, with the grand total on a
+    broadcast 1-row frame: the previous shared-SQL form computed the
+    total via a scalar subquery, which Spark executes as a separate
+    job that recomputed the whole fact aggregate (two full lineitem
+    scans per run, measured in the round-7 stage diagnostics)."""
+    from ..operators.textops import materialize as _mat
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    ps = _mat(
+        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.countDistinct("l_suppkey").alias("n_sup"),
+            F.expr(f"SUM({cents('l_extendedprice')})").alias("rev_c"),
+        )
     )
-    return spark.sql("WITH " + _SSRC_BODY.format(l="ss_lineitem"))
+    tot = ps.agg(F.sum("rev_c").alias("tot"))
+    return (
+        ps.groupBy(
+            F.expr(
+                "CASE WHEN n_sup = 1 THEN 'single_source' "
+                "WHEN n_sup = 2 THEN 'dual_source' "
+                "ELSE 'multi_source' END"
+            ).alias("sourcing")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").alias("rev_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "sourcing",
+            "n_parts",
+            F.expr(money("rev_sum")).alias("revenue"),
+            F.expr(
+                rnd("CAST(rev_sum AS DOUBLE) / tot", 6)
+            ).alias("revenue_share"),
+        )
+    )
 
 
 # --- numeric-feature PSI (binned drift) ------------------------------------
