@@ -75,6 +75,8 @@ CROSSJOIN_ALLOWED = {
         "embed_nndescent_knn and its sampled twin",
     "queries/warehouse.py:part_single_source_risk":
         "1-row revenue-total aggregate broadcast",
+    "queries/warehouse.py:part_xyz_variability":
+        "1-row week-count aggregate broadcast",
     "queries/similarity.py:embed_sq8_quantize":
         "1-row min/max frame",
     "queries/similarity.py:embed_sq8_recall":

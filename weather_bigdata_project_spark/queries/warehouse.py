@@ -567,14 +567,18 @@ def orders_backlog_sweepline(spark, sf_dir):
     one date-cardinality aggregate, and a running window over calendar
     days (single task, ~10^4 rows at any fact scale — same argument as
     events_acf_daily). Deltas are exact integers, so the cumulative is
-    exact."""
+    exact. The interval frame is MATERIALIZED: both union branches read
+    it, and without the persist Spark recomputed the fact join once per
+    branch (measured 2x input records in the ledger)."""
+    from ..operators.textops import materialize as _mat
+
     o = tables.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
     li = tables.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
     )
-    iv = (
+    iv = _mat(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.max("l_shipdate").alias("d_close"))
@@ -1407,11 +1411,56 @@ def part_xyz_variability(spark, sf_dir):
     stocking policy. One part x week aggregate, one part-cardinality
     moment frame, a 1-row week-count broadcast; per-part CVs snap to
     micro-units before the class average so the report is
-    partition-order-exact."""
-    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "xyz_lineitem"
+    partition-order-exact. The week frame is MATERIALIZED and feeds
+    both the week-count and the moments — in the shared-SQL form Spark
+    inlined the twice-referenced CTE and scanned lineitem twice
+    (measured 2x input records in the ledger; DuckDB materializes
+    multi-referenced CTEs, Spark does not)."""
+    from ..operators.textops import materialize as _mat
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    wk = _mat(
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.expr(
+                "CAST(date_trunc('week', l_shipdate) AS DATE)"
+            ).alias("w"),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("qq"),
+        )
+        .groupBy("pk", "w")
+        .agg(F.sum("qq").alias("q"))
     )
-    return spark.sql("WITH " + _XYZ_BODY.format(l="xyz_lineitem"))
+    span = wk.agg(F.countDistinct("w").alias("nw"))
+    m = wk.groupBy("pk").agg(
+        F.expr("SUM(q)").alias("sq"), F.expr("SUM(q * q)").alias("sqq")
+    )
+    cv = m.crossJoin(F.broadcast(span)).select(
+        F.expr(
+            "SQRT(GREATEST((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) "
+            "* sq / nw) / NULLIF(nw - 1, 0), 0.0e0)) "
+            "/ (CAST(sq AS DOUBLE) / nw)"
+        ).alias("cv")
+    )
+    return (
+        cv.select(
+            F.expr(
+                "CASE WHEN cv < 0.5e0 THEN 'X' "
+                "WHEN cv < 1.0e0 THEN 'Y' ELSE 'Z' END"
+            ).alias("xyz_class"),
+            "cv",
+        )
+        .groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                rnd(
+                    "CAST(SUM(CAST(ROUND(cv * 1.0e6) AS BIGINT)) "
+                    "AS DOUBLE) / (1.0e6 * COUNT(*))",
+                    4,
+                )
+            ).alias("avg_cv"),
+        )
+    )
 
 
 # --- duplicate-transaction forensic screen ---------------------------------
