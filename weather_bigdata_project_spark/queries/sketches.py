@@ -250,17 +250,30 @@ def events_cms_joinsize(spark, sf_dir):
 
 
 # --- Bloom-filter join pruning --------------------------------------------
-_M_BITS = 2048
+#: bits per BUILD key — the bloom is SIZED TO THE BUILD SIDE
+#: (m = max(floor, 16 * n_build)), not a fixed constant: the round-7
+#: 4-point ledger caught the original fixed m=2048 saturating a decade
+#: up (12k build keys x 3 hashes -> every bit set -> zero pruning ->
+#: shuffle records x176 for x10 data). 16 bits/key at k=3 holds FPR
+#: ~0.5% at ANY corpus size; both engines derive m from the same
+#: integer expression, so the report stays hash-gated exactly.
+_BITS_PER_KEY = 16
+_M_FLOOR = 2048  # tiny-fixture floor so degenerate builds stay sane
 _K_HASH = 3
 _PART_PRED = "p_size >= 48"  # ~6% of parts: the selective build side
 
+#: m as a shared integer SQL snippet over the 1-row n_build frame
+_M_SQL = f"GREATEST({_M_FLOOR}, {_BITS_PER_KEY} * n_build)"
+
 
 def _bloom_pos_spark(r: int, key_sql: str) -> str:
-    return hashed_id_spark(f"concat('bf{r}:', {key_sql})", _M_BITS)
+    h = hashed_id_spark("concat('bf" + str(r) + ":', " + key_sql + ")")
+    return f"({h} % {_M_SQL})"
 
 
 def _bloom_pos_duck(r: int, key_sql: str) -> str:
-    return hashed_id_duck(f"('bf{r}:' || {key_sql})", _M_BITS)
+    h = hashed_id_duck("('bf" + str(r) + ":' || " + key_sql + ")")
+    return f"({h} % {_M_SQL})"
 
 
 @query(
@@ -269,10 +282,11 @@ def _bloom_pos_duck(r: int, key_sql: str) -> str:
         "WITH build AS (SELECT p_partkey FROM part WHERE "
         + _PART_PRED
         + "), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build FROM build), "
         "bits AS (SELECT DISTINCT pos FROM ("
         + " UNION ALL ".join(
             f"SELECT {_bloom_pos_duck(r, 'CAST(p_partkey AS VARCHAR)')} "
-            "AS pos FROM build"
+            "AS pos FROM build CROSS JOIN nb"
             for r in range(_K_HASH)
         )
         + ")), "
@@ -282,7 +296,7 @@ def _bloom_pos_duck(r: int, key_sql: str) -> str:
         + " UNION ALL ".join(
             f"SELECT l_partkey, "
             f"{_bloom_pos_duck(r, 'CAST(l_partkey AS VARCHAR)')} AS pos "
-            "FROM probe"
+            "FROM probe CROSS JOIN nb"
             for r in range(_K_HASH)
         )
         + "), "
@@ -314,10 +328,16 @@ def _bloom_pos_duck(r: int, key_sql: str) -> str:
 )
 def lineitem_bloom_join_prune(spark, sf_dir):
     """Bloom-filter pre-filter for the selective part(p_size>=48) join
-    lineitem: k=3 md5 hashes into m=2048 bits, probe passes iff all 3
-    bits are set. Reports the whole economics of the prune — bits set
-    (fill factor), keys/rows surviving, truly-joinable keys/rows, and
-    the measured false-positive rate — all hash-gated exactly.
+    lineitem: k=3 md5 hashes into m = max(2048, 16 * n_build) bits —
+    SIZED TO THE BUILD SIDE, because the round-7 4-point ledger caught
+    the original fixed m=2048 saturating a decade up (every bit set,
+    zero pruning, probe shuffle x176 for x10 data). A probe passes iff
+    all 3 bits are set. Reports the whole economics of the prune —
+    bits set (fill factor), keys/rows surviving, truly-joinable
+    keys/rows, and the measured false-positive rate (~0.5% at 16
+    bits/key for ANY corpus size) — all hash-gated exactly; both
+    engines derive m from the same integer expression over the 1-row
+    build count.
 
     Scale shape: the bitset is built from the ~6% build side (one
     distinct over k*n positions, <= m rows) and BROADCAST; the probe
@@ -330,9 +350,11 @@ def lineitem_bloom_join_prune(spark, sf_dir):
     part = tables.load(spark, sf_dir, "part")
     li = tables.load(spark, sf_dir, "lineitem")
     build = part.filter(F.expr(_PART_PRED)).select("p_partkey")
+    nb = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
     key_b = "CAST(p_partkey AS STRING)"
     bits = (
-        build.selectExpr(
+        build.crossJoin(F.broadcast(nb))
+        .selectExpr(
             "stack("
             + str(_K_HASH)
             + ", "
@@ -349,7 +371,7 @@ def lineitem_bloom_join_prune(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows")
     )
     key_p = "CAST(l_partkey AS STRING)"
-    pp = probe.selectExpr(
+    pp = probe.crossJoin(F.broadcast(nb)).selectExpr(
         "l_partkey",
         "stack("
         + str(_K_HASH)
@@ -380,9 +402,7 @@ def lineitem_bloom_join_prune(spark, sf_dir):
             F.coalesce("member", F.lit(0)).alias("member"),
         )
     )
-    n_build = build.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_build")
-    )
+    n_build = nb
     bits_set = bits.agg(
         F.count(F.lit(1)).cast("bigint").alias("bits_set")
     )
