@@ -178,6 +178,12 @@ EXTENDED = [
     "weather_comfort_transitions",
     "weather_step_spike_qc",
     "dedup_band_tuning_sampled",
+    # round-7: the three new sampled scale twins (the declared 100-TB
+    # audit paths for the sf1-shape oracle timeouts) are gated too —
+    # measured 4-point exponents 0.65-0.97, skew <= 1.27
+    "dedup_graph_degree_profile_sampled",
+    "corpus_cluster_split_sampled",
+    "embed_nndescent_knn_sampled",
 ]
 
 #: below these floors at the SMALL SF the exponent is fixed-cost noise
@@ -451,7 +457,7 @@ def main() -> None:
         ledger[name] = entry
         print(
             f"# {name}: small={sb} big={bb} e={e_b} "
-            f"bound={bound} {verdict} "
+            f"bound={bound} {entry['verdict']} "
             f"peak_task={entry['big']['peak_task_shuffle_write_bytes']}",
             file=sys.stderr,
         )
