@@ -1619,8 +1619,11 @@ def embed_ivf_nprobe_matrix(spark, sf_dir):
     serves production traffic. The centroid route table and the exact
     top-5 truth set compute ONCE (materialized); each config adds only
     a probed-list scan + per-query top-5 heap + a K-row join against
-    the truth set."""
-    emb = _emb(spark, sf_dir)
+    the truth set. The corpus frame itself is MATERIALIZED too — the
+    truth set, the route table, and each config's probe all read it,
+    and unpersisted those reads each re-scanned parquet (12 scans in
+    the round-7 audit)."""
+    emb = T.materialize(_emb(spark, sf_dir))
     q = emb.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -3255,8 +3258,13 @@ def embed_kmeans_parallel_init(spark, sf_dir):
     BIGINT guard: u < 2^20 and phi at ~1e12 keep u*phi < 2^63; past
     ~1e9 vectors move the rule to (u/M) * phi < l * d_u in DOUBLE on
     the snapped integers, or DECIMAL(38,0).
-    Deliberately round-unrolled; candidates never exceed 1 + l*R."""
-    emb = _emb(spark, sf_dir)
+    Deliberately round-unrolled; candidates never exceed 1 + l*R.
+    The corpus frame is MATERIALIZED: every round makes a narrow pass
+    over it, and unpersisted those O(log n) passes each re-read
+    parquet (the round-7 scan audit measured 10 scans) — at a billion
+    vectors the difference between cached rounds and re-scans IS the
+    init cost."""
+    emb = T.materialize(_emb(spark, sf_dir))
     cand: list[tuple[int, int]] = [(0, 0)]  # (vec_id, round_added)
     for r in range(1, _KMPP_R + 1):
         ids = [v for v, _ in cand]

@@ -707,13 +707,36 @@ def lineitem_corr_matrix(spark, sf_dir):
     step before any model fit. ONE scan and ONE map-combined aggregate
     produce the full gram matrix (4 first moments + 10 second moments as
     exact DECIMAL(38,0) sums); the 6 correlations are float formulas
-    over that single 15-scalar row, emitted long-form. At 100 TB this is
-    the optimal shape: no per-pair rescans, no Python, no shuffle beyond
-    the one partial+final aggregate."""
+    over that single 15-scalar row, emitted long-form via an IN-ROW
+    stack() — NOT the oracle's 6-arm UNION, which Spark inlines into
+    six copies of the aggregate (the round-7 scan audit measured 6
+    lineitem scans for one matrix; DuckDB materializes the shared CTE,
+    Spark does not). At 100 TB this is the optimal shape: ONE scan, one
+    partial+final aggregate, and a 1-row unpivot."""
     tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "cm_lineitem"
     )
-    return spark.sql(_cm_sql("cm_lineitem"))
+    sd = spark.sql(
+        "WITH "
+        + _CM_UNITS.format(src="cm_lineitem")
+        + ", "
+        + _cm_sums()
+        + ", "
+        + _cm_doubles()
+        + " SELECT * FROM sd"
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CM_VARS)
+        for b in _CM_VARS[i + 1 :]
+    ]
+    args = ", ".join(
+        f"'{_CM_NAMES[a]}', '{_CM_NAMES[b]}', {_cm_corr(a, b)}"
+        for a, b in pairs
+    )
+    return sd.selectExpr(
+        f"stack({len(pairs)}, {args}) AS (x, y, corr)"
+    )
 
 
 # --- A/B test power analysis (sample-size calculator) ----------------------
@@ -1017,13 +1040,50 @@ def events_feature_mi_screen(spark, sf_dir):
     decides which features earn a slot before any model is fitted,
     catching non-monotone dependence that correlation misses. Each
     feature is one category x 2 contingency aggregate; MI terms snap
-    to nano-nats so per-feature totals are exact sums."""
+    to nano-nats so per-feature totals are exact sums. The Spark plan
+    builds ALL THREE contingency tables from ONE fact scan (in-row
+    stack of the feature exprs -> one map-combined (feature, x, y)
+    aggregate, materialized ~tens of rows) and derives the marginals /
+    MI terms from that tiny frame — the oracle's per-arm CTE form,
+    inlined by Spark, re-scanned events once per CTE reference (the
+    round-7 scan audit measured 9 scans for 3 features)."""
+    from ..operators.textops import materialize as _mat
+
     tables.load(spark, sf_dir, "events").createOrReplaceTempView(
         "pw_events"
     )
+    feats = ", ".join(
+        f"'{name}', CAST({expr.format(dow='weekday(ts)')} AS BIGINT)"
+        for name, expr in _MI_FEATURES
+    )
+    c = _mat(
+        spark.sql(
+            "SELECT feature, x, y, COUNT(*) AS n FROM ("
+            f"SELECT stack({len(_MI_FEATURES)}, {feats}) AS (feature, x), "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM pw_events) GROUP BY feature, x, y"
+        )
+    )
+    c.createOrReplaceTempView("mi_contingency")
     return spark.sql(
-        "WITH src AS (SELECT * FROM pw_events) "
-        + _mi_sql("src", "weekday(ts)")
+        "WITH c AS (SELECT * FROM mi_contingency), "
+        "t AS (SELECT feature, SUM(n) AS tot FROM c GROUP BY feature), "
+        "rx AS (SELECT feature, x, SUM(n) AS nx FROM c "
+        "GROUP BY feature, x), "
+        "ry AS (SELECT feature, y, SUM(n) AS ny FROM c "
+        "GROUP BY feature, y), "
+        "nc AS (SELECT feature, COUNT(*) AS n_categories FROM rx "
+        "GROUP BY feature), "
+        "u AS (SELECT c.feature, "
+        "CAST(ROUND(CAST(c.n AS DOUBLE) / tot * "
+        "LN(CAST(c.n AS DOUBLE) * tot / "
+        "(CAST(rx.nx AS DOUBLE) * ry.ny)) * 1.0e9) AS BIGINT) "
+        "AS mi_u FROM c JOIN rx ON rx.feature = c.feature "
+        "AND rx.x = c.x JOIN ry ON ry.feature = c.feature "
+        "AND ry.y = c.y JOIN t ON t.feature = c.feature) "
+        "SELECT u.feature, MAX(nc.n_categories) AS n_categories, "
+        "CAST(SUM(mi_u) AS DOUBLE) / 1.0e9 AS mutual_information "
+        "FROM u JOIN nc ON nc.feature = u.feature GROUP BY u.feature"
     )
 
 

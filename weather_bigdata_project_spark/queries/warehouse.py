@@ -2156,6 +2156,19 @@ def _psi_cte(src: str, tag: str) -> str:
 
 
 def _drift_sql(e: str) -> str:
+    return (
+        f"WITH h AS (SELECT (ts < {_DRIFT_SPLIT}) AS is_ref, "
+        f"value, event_type, user_id FROM {e}), "
+        + _drift_tail_sql()
+    )
+
+
+def _drift_tail_sql() -> str:
+    """Everything downstream of the h projection — shared by the
+    oracle (DuckDB materializes the multi-referenced h CTE itself) and
+    the Spark side (which materializes h as a persisted frame first:
+    inlined, the five h references re-scanned the fact table once each
+    — 7 scans measured in the round-7 audit)."""
     psi = rnd("CAST(cu AS DOUBLE) / 1.0e9", 6)
     # a constant-valued reference column has no usable bin width: NULLIF
     # keeps the division from degenerating (all rows collapse to one
@@ -2167,8 +2180,6 @@ def _drift_sql(e: str) -> str:
         + " ELSE CAST(NULL AS DOUBLE) END"
     )
     return (
-        f"WITH h AS (SELECT (ts < {_DRIFT_SPLIT}) AS is_ref, "
-        f"value, event_type, user_id FROM {e}), "
         "s AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
         "FROM h WHERE is_ref), "
         "vb AS (SELECT is_ref, LEAST(9, GREATEST(0, "
@@ -2248,8 +2259,23 @@ def dq_schema_drift(spark, sf_dir):
     identical SQL text runs in both engines (the audit itself is
     engine-portable, which is what you want from a contract check).
     Per-key log terms snap to 1e-5 integer units before the cross-key
-    sum, so the PSI hashes bit-identically."""
+    sum, so the PSI hashes bit-identically. The Spark side MATERIALIZES
+    the 4-column fact projection once: the tail's five references to it
+    (range stats, value bins, category frame, null/distinct aggregate,
+    user frame) would otherwise each inline to their own fact scan —
+    the round-7 audit measured 7 scans per run."""
+    from ..operators.textops import materialize as _mat
+
     tables.load(spark, sf_dir, "events").createOrReplaceTempView(
         "drift_events"
     )
-    return spark.sql(_drift_sql("drift_events"))
+    h = _mat(
+        spark.sql(
+            f"SELECT (ts < {_DRIFT_SPLIT}) AS is_ref, "
+            "value, event_type, user_id FROM drift_events"
+        )
+    )
+    h.createOrReplaceTempView("drift_h")
+    return spark.sql(
+        "WITH h AS (SELECT * FROM drift_h), " + _drift_tail_sql()
+    )
