@@ -256,7 +256,13 @@ def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     round: there the logical plan itself must be truncated or analysis
     cost grows with the iteration count. Under the default strategy this
     uses the reliable checkpoint when a checkpoint dir is configured
-    (cluster mode) and localCheckpoint otherwise (single box)."""
+    (cluster mode) and localCheckpoint otherwise (single box). The
+    single-box localCheckpoint is EAGER: a lazy one defers every
+    round's materialization to the final action, where the per-round
+    sub-DAGs re-derive to the source once each (the round-7 scan audit
+    measured one parquet scan per BPE merge round); eager per-round
+    checkpoints are the MLlib iterative pattern — round k reads round
+    k-1's blocks, the source is scanned once."""
     if _STRATEGY == "local":
         return df.localCheckpoint(eager=False)
     if _STRATEGY == "checkpoint":
@@ -267,7 +273,7 @@ def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
             "SPARK_GRAFT_CHECKPOINT_DIR"
         ):
             return _reliable_checkpoint(df)
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=True)
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1292,8 +1292,13 @@ def events_attribution_window_sensitivity(spark, sf_dir):
     an artifact of the window, not the channel; the self-evaluation
     doctrine applied to attribution). Each arm reuses the bucketized
     band join with the bucket width matched to its window, so no arm
-    ever pays a time-inequality NLJ."""
-    ev = tables.load(spark, sf_dir, "events")
+    ever pays a time-inequality NLJ. The fact frame is MATERIALIZED:
+    three window arms each read it twice (touch side + purchase side),
+    and unpersisted that was six parquet scans per run (round-7 scan
+    audit)."""
+    from ..operators.textops import materialize as _mat
+
+    ev = _mat(tables.load(spark, sf_dir, "events"))
     out = None
     for w in _AWS_WINDOWS:
         band_s = w * 60

@@ -1990,6 +1990,58 @@ def _removal_sql(src: str) -> str:
     node's outgoing mass is lost, paths through it convert nothing —
     so p_removed <= p_full and the effect is a true path contribution.
     Same nano-unit snapping discipline as _absorb_sql at every level."""
+    return (
+        _RM_T_CTES.format(src=src)
+        + ", ch AS ("
+        + _RM_CH_SELECT.format(src=src)
+        + "), fe AS ("
+        + _RM_FE_SELECT.format(src=src)
+        + "), s0 AS ("
+        + _RM_S0_SELECT
+        + "), "
+        + _removal_tail_sql()
+    )
+
+
+#: transition-frame CTEs: one window + one aggregate over the fact —
+#: the ONLY fact-cardinality work in the removal model
+_RM_T_CTES = (
+    "pp AS (SELECT user_id, event_type AS to_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS from_type FROM {src}), "
+    "c AS (SELECT from_type AS s, to_type AS m, COUNT(*) AS n "
+    "FROM pp WHERE from_type IS NOT NULL GROUP BY from_type, "
+    "to_type), "
+    "r AS (SELECT s, SUM(n) AS ns FROM c GROUP BY s), "
+    "t AS (SELECT c.s, c.m, CAST(ROUND(1.0e9 * c.n / r.ns) "
+    "AS BIGINT) AS tu FROM c JOIN r ON r.s = c.s)"
+)
+
+_RM_CH_SELECT = (
+    "SELECT DISTINCT event_type AS rm FROM "
+    "{src} WHERE event_type <> 'purchase' "
+    "UNION ALL SELECT '__none__'"
+)
+
+_RM_FE_SELECT = (
+    "SELECT event_type AS m FROM (SELECT event_type, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS rn FROM {src}) z WHERE rn = 1"
+)
+
+_RM_S0_SELECT = (
+    "SELECT m, CAST(ROUND(1.0e9 * COUNT(*) / "
+    "(SELECT COUNT(*) FROM fe)) AS BIGINT) AS su "
+    "FROM fe GROUP BY m"
+)
+
+
+def _removal_tail_sql() -> str:
+    """The recursion + summary over the t / ch / s0 frames — shared by
+    the oracle (DuckDB materializes the multi-referenced CTEs itself)
+    and the Spark side, which pre-materializes those three tiny frames:
+    inlined, every level's t reference re-derived the fact window (the
+    round-7 scan audit measured 6 events scans per run)."""
     resnap = (
         "CAST(ROUND(CAST(SUM(CASE WHEN t.m <> 'purchase' "
         "AND t.m <> pa.rm THEN t.tu * COALESCE(pb.p, 0) ELSE 0 END) "
@@ -2006,18 +2058,6 @@ def _removal_sql(src: str) -> str:
         )
 
     return (
-        "pp AS (SELECT user_id, event_type AS to_type, "
-        "LAG(event_type) OVER (PARTITION BY user_id "
-        f"ORDER BY ts, event_id) AS from_type FROM {src}), "
-        "c AS (SELECT from_type AS s, to_type AS m, COUNT(*) AS n "
-        "FROM pp WHERE from_type IS NOT NULL GROUP BY from_type, "
-        "to_type), "
-        "r AS (SELECT s, SUM(n) AS ns FROM c GROUP BY s), "
-        "t AS (SELECT c.s, c.m, CAST(ROUND(1.0e9 * c.n / r.ns) "
-        "AS BIGINT) AS tu FROM c JOIN r ON r.s = c.s), "
-        "ch AS (SELECT DISTINCT event_type AS rm FROM "
-        f"{src} WHERE event_type <> 'purchase' "
-        "UNION ALL SELECT '__none__'), "
         "q1 AS (SELECT ch.rm, t.s, COALESCE(MAX(CASE WHEN "
         "t.m = 'purchase' AND t.s <> ch.rm THEN t.tu END), 0) AS p "
         "FROM t CROSS JOIN ch GROUP BY ch.rm, t.s), "
@@ -2025,12 +2065,6 @@ def _removal_sql(src: str) -> str:
         + ", "
         + level(3, 2)
         + ", "
-        "fe AS (SELECT event_type AS m FROM (SELECT event_type, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        f"ORDER BY ts, event_id) AS rn FROM {src}) z WHERE rn = 1), "
-        "s0 AS (SELECT m, CAST(ROUND(1.0e9 * COUNT(*) / "
-        "(SELECT COUNT(*) FROM fe)) AS BIGINT) AS su "
-        "FROM fe GROUP BY m), "
         "cv AS (SELECT ch.rm, SUM(CASE WHEN s0.m = 'purchase' "
         "THEN s0.su WHEN s0.m = ch.rm THEN 0 ELSE "
         "CAST(ROUND(CAST(s0.su * COALESCE(q3.p, 0) AS DOUBLE) "
@@ -2075,11 +2109,36 @@ def events_markov_attribution(spark, sf_dir):
     window+aggregate pass that builds transitions — at 100 TB the
     chain model is broadcast-sized and the attribution is free once
     transitions exist. Nano-unit re-snapping at every recursion level
-    keeps all |channels|+1 chains bit-identical across engines."""
+    keeps all |channels|+1 chains bit-identical across engines. The
+    Spark side MATERIALIZES the three tiny frames the recursion reads
+    (transitions t, channel list ch, start distribution s0) — inlined
+    as CTEs, every recursion level's t reference re-derived the fact
+    window (6 events scans measured in the round-7 audit)."""
+    from ..operators.textops import materialize as _mat
+
     tables.load(spark, sf_dir, "events").createOrReplaceTempView(
         "bh_events"
     )
-    return spark.sql("WITH " + _removal_sql("bh_events"))
+    t = _mat(
+        spark.sql(
+            "WITH " + _RM_T_CTES.format(src="bh_events")
+            + " SELECT * FROM t"
+        )
+    )
+    ch = _mat(spark.sql(_RM_CH_SELECT.format(src="bh_events")))
+    fe = _mat(spark.sql(_RM_FE_SELECT.format(src="bh_events")))
+    fe.createOrReplaceTempView("rm_fe")
+    s0 = _mat(
+        spark.sql("WITH fe AS (SELECT * FROM rm_fe) " + _RM_S0_SELECT)
+    )
+    t.createOrReplaceTempView("rm_t")
+    ch.createOrReplaceTempView("rm_ch")
+    s0.createOrReplaceTempView("rm_s0")
+    return spark.sql(
+        "WITH t AS (SELECT * FROM rm_t), "
+        "ch AS (SELECT * FROM rm_ch), "
+        "s0 AS (SELECT * FROM rm_s0), " + _removal_tail_sql()
+    )
 
 
 # --- behavioral predictability: Markov entropy rate ------------------------

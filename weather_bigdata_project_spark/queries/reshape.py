@@ -322,20 +322,26 @@ def events_funnel_strict(spark, sf_dir):
     are user-keyed (the same single shuffle key end-to-end, so AQE
     reuses the partitioning). At 100 TB stage frames shrink
     monotonically — the funnel property itself bounds the work."""
+    # each stage frame is read twice (the next stage's join AND the
+    # final count), so unpersisted the chain cascade-recomputed its
+    # predecessors — 5 fact scans measured in the round-7 audit; the
+    # frames are user-cardinality, so persisting them is the cheap side
+    from ..operators.textops import materialize as _mat
+
     ev = tables.load(spark, sf_dir, "events")
-    v = (
+    v = _mat(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_v"))
     )
-    c = (
+    c = _mat(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_v"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_c"))
     )
-    p = (
+    p = _mat(
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_c"))

@@ -1154,8 +1154,12 @@ def embed_power_iteration_pc1(spark, sf_dir):
     dot is a left fold — so all four iterations, and hence the final
     loadings, are bit-identical to the unrolled SQL oracle. Unlike
     embed_label_pca (grouped-map numpy, rows-only check) this scales to
-    corpora no single executor can hold and is oracle-gated."""
-    emb = _emb(spark, sf_dir)
+    corpora no single executor can hold and is oracle-gated. The corpus
+    frame is MATERIALIZED: the count, the mean pass, and every
+    iteration read it, and unpersisted each pass re-scanned parquet
+    (6 scans in the round-7 audit) — cached rounds are the whole point
+    of the matrix-free formulation."""
+    emb = T.materialize(_emb(spark, sf_dir))
     n = emb.count()
     rows = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")

@@ -757,8 +757,13 @@ def text_bpe_train(spark, sf_dir):
         "element_at(split(s, ' '), 1), "
         f"(acc, x) -> {step})"
     )
-    seq = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("s")
+    # materialized like every later round's state: round 1's pair count
+    # AND its merge both read this frame, and unpersisted each read
+    # re-scanned the corpus parquet (round-7 scan audit)
+    seq = T.materialize(
+        tables.load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("s")
+        )
     )
     rows = None
     for k in range(1, _BPE_ITERS + 1):

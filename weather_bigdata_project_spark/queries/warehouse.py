@@ -1782,7 +1782,7 @@ def lineitem_psi_quantity(spark, sf_dir):
 
 # --- revenue waterfall (gross -> discount -> net -> tax -> billed) ---------
 
-_WF_BODY = (
+_WF_SUMS = (
     "u AS (SELECT "
     f"{cents('l_extendedprice')} AS g_c, "
     f"CAST(ROUND(l_extendedprice * l_discount * 100.0e0) AS BIGINT) "
@@ -1790,7 +1790,11 @@ _WF_BODY = (
     "CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * l_tax "
     "* 100.0e0) AS BIGINT) AS t_c FROM {l}), "
     "s AS (SELECT SUM(g_c) AS g, SUM(d_c) AS d, SUM(t_c) AS t "
-    "FROM u) "
+    "FROM u)"
+)
+
+_WF_BODY = (
+    _WF_SUMS + " "
     "SELECT 1 AS step, 'gross_revenue' AS stage, "
     + money("g") + " AS amount FROM s "
     "UNION ALL SELECT 2, 'discounts_given', " + money("-d") + " FROM s "
@@ -1811,11 +1815,24 @@ def lineitem_revenue_waterfall(spark, sf_dir):
     Q1's aggregates re-expressed as the chart finance actually draws).
     Per-row discount/tax amounts snap to cents BEFORE the corpus sums,
     so every stage is an exact BIGINT total and the bridge reconciles
-    to the cent; one scan, one 3-scalar aggregate, five literal rows."""
+    to the cent; one scan, one 3-scalar aggregate, five rows via an
+    IN-ROW stack — the oracle's 5-arm UNION, inlined by Spark, re-ran
+    the scan+aggregate once per stage (round-7 scan audit)."""
     tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "wf_lineitem"
     )
-    return spark.sql("WITH " + _WF_BODY.format(l="wf_lineitem"))
+    s = spark.sql(
+        "WITH " + _WF_SUMS.format(l="wf_lineitem") + " SELECT * FROM s"
+    )
+    return s.selectExpr(
+        "stack(5, "
+        "1, 'gross_revenue', " + money("g") + ", "
+        "2, 'discounts_given', " + money("-d") + ", "
+        "3, 'net_revenue', " + money("(g - d)") + ", "
+        "4, 'tax_collected', " + money("t") + ", "
+        "5, 'total_billed', " + money("(g - d + t)")
+        + ") AS (step, stage, amount)"
+    )
 
 
 # --- economic order quantity ------------------------------------------------
