@@ -1472,7 +1472,9 @@ def _fact(x: str) -> str:
     )
 
 
-def _shapley_sql(src: str, nch_expr: str = "COUNT(*)") -> str:
+def _shapley_sql(
+    src: str, nch_expr: str = "COUNT(*)", g_rel: str | None = None
+) -> str:
     """Shared text: coalition = the SET of channels a user touched
     before first purchase (bitmask over the sorted channel list),
     v(S) = that coalition's observed conversion rate (nano-snapped),
@@ -1486,15 +1488,37 @@ def _shapley_sql(src: str, nch_expr: str = "COUNT(*)") -> str:
     caller passes an assert_true-wrapped form so the >8-channel guard
     rides this existing aggregate LAZILY (no eager job at
     DataFrame-construction time — round-4 ADVICE) while the DuckDB
-    oracle keeps the plain count."""
+    oracle keeps the plain count.
+
+    `g_rel` names a pre-materialized (user_id, event_type, mt) frame
+    of per-(user, type) FIRST timestamps: `fp` is then a re-aggregate
+    of it and `tc` the 'first touch of chn strictly before the first
+    purchase' filter — exactly the original from-source semantics
+    (∃ event of type t with ts < pt ⇔ MIN(ts of t) < pt) off ONE fact
+    scan. Without it, Spark's CTE inlining re-derived fp/tc per
+    reference: 4x events parquet scans (round-7 scan audit)."""
     bit = "CAST(ROUND(POWER(2.0e0, idx)) AS BIGINT)"
+    if g_rel:
+        prefix = (
+            "fp AS (SELECT user_id, MIN(CASE WHEN event_type = "
+            f"'purchase' THEN mt END) AS pt FROM {g_rel} "
+            "GROUP BY user_id), "
+            f"tc AS (SELECT g.user_id, g.event_type AS chn FROM {g_rel} g "
+            "JOIN fp ON fp.user_id = g.user_id "
+            "WHERE g.event_type <> 'purchase' "
+            "AND (fp.pt IS NULL OR g.mt < fp.pt)), "
+        )
+    else:
+        prefix = (
+            "fp AS (SELECT user_id, MIN(CASE WHEN event_type = 'purchase' "
+            f"THEN ts END) AS pt FROM {src} GROUP BY user_id), "
+            "tc AS (SELECT DISTINCT e.user_id, e.event_type AS chn "
+            f"FROM {src} e JOIN fp ON fp.user_id = e.user_id "
+            "WHERE e.event_type <> 'purchase' "
+            "AND (fp.pt IS NULL OR e.ts < fp.pt)), "
+        )
     return (
-        "fp AS (SELECT user_id, MIN(CASE WHEN event_type = 'purchase' "
-        f"THEN ts END) AS pt FROM {src} GROUP BY user_id), "
-        "tc AS (SELECT DISTINCT e.user_id, e.event_type AS chn "
-        f"FROM {src} e JOIN fp ON fp.user_id = e.user_id "
-        "WHERE e.event_type <> 'purchase' "
-        "AND (fp.pt IS NULL OR e.ts < fp.pt)), "
+        prefix +
         "chan AS (SELECT chn, CAST(ROW_NUMBER() OVER (ORDER BY chn) - 1 "
         "AS INT) AS idx FROM (SELECT DISTINCT chn FROM tc) z), "
         f"nch AS (SELECT {nch_expr} AS n FROM chan), "
@@ -1563,9 +1587,21 @@ def events_shapley_attribution(spark, sf_dir):
     jobs, scans, or plan stages (construction stays plan-only like
     every other registry query; the round-4 eager distinct().count()
     polluted bench/ledger measurements) — at >8 channels sample
-    permutations, don't enumerate."""
+    permutations, don't enumerate.
+
+    Single scan: events reduces ONCE to the materialized per-(user,
+    type) first-timestamp frame `g`; fp and tc both re-aggregate it
+    ('touched chn before first purchase' ⇔ MIN(ts of chn) < pt — the
+    original from-source semantics exactly), so the four CTE reference
+    chains re-read the persisted reduction instead of re-deriving the
+    fact scan (4x events reads, round-7 scan audit)."""
+    from ..operators.textops import materialize as _mat
+
     ev = tables.load(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("adv_events")
+    g = _mat(
+        ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("mt"))
+    )
+    g.createOrReplaceTempView("adv_shapley_g")
     guarded_n = (
         "CASE WHEN COUNT(*) <= 8 THEN COUNT(*) ELSE "
         "CAST(assert_true(COUNT(*) <= 8, CONCAT("
@@ -1576,7 +1612,10 @@ def events_shapley_attribution(spark, sf_dir):
         "sampled permutations for wide channel sets.')) AS BIGINT) END"
     )
     return spark.sql(
-        "WITH " + _shapley_sql("adv_events", nch_expr=guarded_n)
+        "WITH "
+        + _shapley_sql(
+            "adv_shapley_g", nch_expr=guarded_n, g_rel="adv_shapley_g"
+        )
     )
 
 

@@ -1451,15 +1451,35 @@ def events_pacf_daily(spark, sf_dir):
 _RHL_K = 14  # offsets 1..K days
 
 
-def _rhl_sql(src: str, kspine: str, ddiff: str, dsub: str) -> str:
+def _rhl_sql(
+    src: str,
+    kspine: str,
+    ddiff: str,
+    dsub: str,
+    du_rel: str | None = None,
+) -> str:
     """Shared text: per-offset retention rate (active users at offset k
     over users whose observation window covers k), snapped log, K-point
     closed-form OLS of ln(R) on k, half-life = -ln 2 / slope. The fit
-    frame is K rows; everything upstream is user x day cardinality."""
+    frame is K rows; everything upstream is user x day cardinality.
+
+    `du_rel` names a PRE-MATERIALIZED (user_id, day) distinct frame:
+    the Spark caller persists it because fd / bx / act reference du
+    four ways and Spark's CTE inlining re-derives the events scan per
+    reference (4x parquet reads measured in the round-7 scan audit);
+    the DuckDB oracle keeps the from-source form (it materializes
+    CTEs natively)."""
+    du = (
+        f"du AS (SELECT user_id, day FROM {du_rel}), "
+        if du_rel
+        else (
+            f"du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            f"FROM {src}), "
+        )
+    )
     return (
-        f"du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
-        f"FROM {src}), "
-        "fd AS (SELECT user_id, MIN(day) AS f FROM du GROUP BY user_id), "
+        du
+        + "fd AS (SELECT user_id, MIN(day) AS f FROM du GROUP BY user_id), "
         "bx AS (SELECT MAX(day) AS d1 FROM du), "
         "act AS (SELECT DISTINCT du.user_id, "
         f"CAST({ddiff} AS BIGINT) AS k "
@@ -1518,17 +1538,27 @@ def events_retention_halflife(spark, sf_dir):
     ('retention halves every N days') summarizing the whole matrix
     events_cohort_retention reports, with r2 saying whether the
     exponential story even fits. User x day reduction, a 14-row spine,
-    and a 6-scalar fit frame; logs snap to 1e-6 before the exact sums."""
-    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
-        "bh_events"
+    and a 6-scalar fit frame; logs snap to 1e-6 before the exact sums.
+    The (user_id, day) distinct frame is materialized so the fact table
+    is scanned ONCE — fd / bx / act reference it four ways and CTE
+    inlining otherwise re-derives the scan per reference."""
+    from ..operators.textops import materialize as _mat
+
+    ev = tables.load(spark, sf_dir, "events")
+    du = _mat(
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
     )
+    du.createOrReplaceTempView("rhl_du")
     return spark.sql(
         "WITH "
         + _rhl_sql(
-            "bh_events",
+            "rhl_du",
             f"(SELECT explode(sequence(1, {_RHL_K})) AS k)",
             "datediff(du.day, fd.f)",
             "date_sub(bx.d1, CAST(ks.k AS INT))",
+            du_rel="rhl_du",
         )
     )
 

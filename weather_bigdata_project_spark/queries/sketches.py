@@ -79,6 +79,22 @@ def _cms_counters(df, key_sql: str):
     )
 
 
+def _cms_counters_weighted(df, key_sql: str):
+    """The same d x w grid built from a PRE-AGGREGATED (key, c) frame:
+    cell count = SUM(c) over the keys hashing to the cell — identical
+    to counting raw rows, because every one of a key's c rows lands in
+    the same cell. Lets one per-key reduction feed both the sketch and
+    an exact-truth audit without re-scanning the fact table."""
+    stack_args = ", ".join(
+        f"{r}, {_cms_col_spark(r, key_sql)}" for r in range(_D)
+    )
+    return (
+        df.selectExpr("c", f"stack({_D}, {stack_args}) AS (r, col)")
+        .groupBy("r", "col")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+
+
 def _cms_counters_duck(src: str, key_sql: str) -> str:
     """DuckDB twin of _cms_counters as a FROM-able subquery string."""
     rows = " UNION ALL ".join(
@@ -197,12 +213,28 @@ def events_cms_joinsize(spark, sf_dir):
     tables. At 100 TB each side's sketch builds in its own scan
     (mergeable partials, no key shuffle) and the inner product is
     driver-trivial; the exact `tr` twin here is the audit, computed
-    only because the test scale allows it."""
+    only because the test scale allows it.
+
+    Single scan: both sides' sketches AND both sides' exact per-key
+    counts derive from ONE materialized (user_id, event_type, c)
+    reduction — the weighted grid (SUM(c) per cell) is identical to
+    counting raw rows, since a key's rows all hash to the same cell.
+    The previous form derived each of the four branches from the raw
+    table (4x events parquet scans, round-7 scan audit)."""
+    from ..operators.textops import materialize as _mat
+
     ev = tables.load(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click")
-    b = ev.filter(F.col("event_type") == "purchase")
-    ca = _cms_counters(a, _EV_KEY_SPARK)
-    cb = _cms_counters(b, _EV_KEY_SPARK)
+    uc = _mat(
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ua = uc.filter(F.col("event_type") == "click").select("user_id", "c")
+    ub = uc.filter(F.col("event_type") == "purchase").select(
+        "user_id", "c"
+    )
+    ca = _cms_counters_weighted(ua, _EV_KEY_SPARK)
+    cb = _cms_counters_weighted(ub, _EV_KEY_SPARK)
     per_row = (
         ca.alias("ca")
         .join(
@@ -219,15 +251,8 @@ def events_cms_joinsize(spark, sf_dir):
     )
     est = per_row.agg(F.min("est_r").alias("est_pairs"))
     tr = (
-        a.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .alias("x")
-        .join(
-            b.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .alias("y"),
-            "user_id",
-        )
+        ua.alias("x")
+        .join(ub.alias("y"), "user_id")
         .agg(
             F.sum(F.col("x.c") * F.col("y.c"))
             .cast("bigint")
@@ -461,21 +486,34 @@ _KMV_MOD = 1 << 30  # hash range; u = (h+1)/MOD in (0, 1]
 _KMV_HEAVY = 14  # "heavy user" threshold: >= 14 events of the type
 
 
-def _kmv_sql(src: str, h: str) -> str:
+def _kmv_sql(src: str, h: str, pre_reduced: bool = False) -> str:
     """Engine-shared KMV body (everything after WITH). `h` is the
     engine's portable user-id hash expression (the only dialect
-    difference)."""
+    difference). With `pre_reduced`, `src` is already the
+    (user_id, event_type, c) per-user-type count frame — the Spark
+    caller materializes it so the eight downstream CTE references
+    (sketch + exact-truth branches) re-read the persisted reduction
+    instead of re-deriving it: Spark inlines multi-referenced CTEs,
+    and the round-7 scan audit measured FOUR full parquet scans of
+    events per run under the shared-text form."""
     k, mod, hv = _KMV_K, _KMV_MOD, _KMV_HEAVY
     est = (
         "CASE WHEN n{s}_sk < {k} THEN CAST(n{s}_sk AS BIGINT) "
         "ELSE CAST(ROUND(({k} - 1) * {mod}.0e0 / (k{s} + 1), 0) AS BIGINT) "
         "END"
     )
+    cnts = (
+        f"cnts AS (SELECT user_id, event_type, c FROM {src}), "
+        if pre_reduced
+        else (
+            f"cnts AS (SELECT user_id, event_type, COUNT(*) AS c FROM {src} "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY user_id, event_type), "
+        )
+    )
     return (
-        f"cnts AS (SELECT user_id, event_type, COUNT(*) AS c FROM {src} "
-        "WHERE event_type IN ('click', 'purchase') "
-        "GROUP BY user_id, event_type), "
-        f"a AS (SELECT user_id FROM cnts WHERE event_type = 'click' "
+        cnts
+        + f"a AS (SELECT user_id FROM cnts WHERE event_type = 'click' "
         f"AND c >= {hv}), "
         f"b AS (SELECT user_id FROM cnts WHERE event_type = 'purchase' "
         f"AND c >= {hv}), "
@@ -558,16 +596,28 @@ def events_kmv_setops(spark, sf_dir):
     per-partition top-k heap merged on one reducer with k rows per
     partition in flight, never a global sort — and everything after the
     sketches is constant-size (<= 3k rows). The exact truth CTEs are
-    the test-scale audit; at 100 TB only the sketch path runs."""
-    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
-        "kmv_events"
+    the test-scale audit; at 100 TB only the sketch path runs. The
+    (user_id, event_type, c) reduction is materialized so the fact
+    table is scanned ONCE: the sketch and truth branches reference it
+    eight times, and Spark's CTE inlining otherwise re-derives the
+    whole scan per reference (4x events reads measured in the round-7
+    scan audit)."""
+    from ..operators.textops import materialize as _mat
+
+    ev = tables.load(spark, sf_dir, "events")
+    cnts = _mat(
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    cnts.createOrReplaceTempView("kmv_cnts")
     return spark.sql(
         "WITH "
         + _kmv_sql(
-            "kmv_events",
+            "kmv_cnts",
             hashed_id_spark(
                 "concat('kmv:', CAST(user_id AS STRING))", _KMV_MOD
             ),
+            pre_reduced=True,
         )
     )
