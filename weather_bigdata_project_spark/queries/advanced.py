@@ -1016,34 +1016,72 @@ def join_asof_nearest_click(spark, sf_dir):
     """As-of join with direction = NEAREST (pandas merge_asof's third
     mode, completing backward / forward / nearest): each purchase pairs
     with whichever click is closest in time, either side, ties to
-    backward. Composes the two verified single-shuffle union+window
-    plans (join_asof_purchase_last_click, ..._next_click) and joins
-    them on the unique purchase event_id — both inputs are already
-    purchase-cardinality, so the combine step is an equi join on a
-    unique key, AQE-broadcastable. The tie-break and distance compute
-    on exact integer epoch microseconds; dt_s snaps at the edge."""
+    backward.
+
+    Fused single-scan plan: ONE scan of events (clicks + purchases
+    kept by one IN filter, row shape chosen in-row by CASE — no union,
+    no second scan), ONE shuffle on user_id, and BOTH directions
+    resolved by two window passes over the same partitioning — the
+    backward pass is the
+    join_asof_purchase_last_click ordering (clicks before purchases at
+    equal ts, value ascending, last(ignorenulls) over the preceding
+    frame) and the forward pass the ..._next_click ordering (purchases
+    before clicks at equal ts via the flipped side bit, value
+    descending, first(ignorenulls) over the following frame). Catalyst
+    reuses the exchange and inserts only a second partition-local sort,
+    so the whole operator is one scan + one exchange + two sorts — the
+    previous composition of the two standalone as-of queries joined on
+    event_id scanned events four times and shuffled three (round-7
+    scan audit). The tie-break and distance compute on exact integer
+    epoch microseconds; dt_s snaps at the edge."""
     eus = (
         "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
         "{c})"
     )
-    back = join_asof_purchase_last_click(spark, sf_dir).select(
-        "event_id",
+    ev = tables.load(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "ts",
-        F.col("last_click_ts").alias("bts"),
-        F.col("click_value").alias("bval"),
+        # backward: clicks first at equal ts; forward: purchases first
+        F.when(is_click, 0).otherwise(1).alias("bside"),
+        F.when(is_click, 1).otherwise(0).alias("fside"),
+        F.when(~is_click, F.col("event_id")).alias("event_id"),
+        F.when(is_click, F.col("ts")).alias("click_ts"),
+        F.when(is_click, F.col("value")).alias("click_value"),
     )
-    fwd = join_asof_purchase_next_click(spark, sf_dir).select(
-        "event_id",
-        F.col("next_click_ts").alias("fts"),
-        F.col("click_value").alias("fval"),
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "bside", "click_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "fside", F.desc("click_value"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = (
+        u
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "bside",
+            F.last("click_ts", ignorenulls=True).over(wb).alias("bts"),
+            F.last("click_value", ignorenulls=True).over(wb).alias("bval"),
+            F.first("click_ts", ignorenulls=True).over(wf).alias("fts"),
+            F.first("click_value", ignorenulls=True)
+            .over(wf)
+            .alias("fval"),
+        )
+        .filter(F.col("bside") == 1)
+        .drop("bside")
     )
     pick_back = (
         "(fts IS NULL OR (bts IS NOT NULL AND "
         f"{eus.format(c='ts')} - {eus.format(c='bts')} <= "
         f"{eus.format(c='fts')} - {eus.format(c='ts')}))"
     )
-    j = back.join(fwd, "event_id")
     return j.select(
         "event_id",
         "user_id",

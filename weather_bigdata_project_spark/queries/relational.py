@@ -919,12 +919,23 @@ def sql_join_null_semantics(spark, sf_dir):
     (BroadcastNestedLoopJoin), and both engines agree on the empty
     result. One query pins all nine behaviors so a join-rewrite
     regression (e.g. anti-join -> NOT IN) cannot silently change NULL
-    handling."""
-    ev = tables.load(spark, sf_dir, "events").selectExpr(
-        "event_id",
-        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid",
+    handling.
+
+    The nine probes necessarily run as nine scalar-subquery jobs (each
+    is a DIFFERENT join shape — that is the query's point), so both
+    projected inputs are materialized: the parquet is read once and
+    the probes re-read the persisted two-column frames (the previous
+    form re-scanned events once per probe — 7.6x parquet reads,
+    round-7 scan audit)."""
+    from ..operators.textops import materialize as _mat
+
+    ev = _mat(
+        tables.load(spark, sf_dir, "events").selectExpr(
+            "event_id",
+            "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid",
+        )
     )
-    cu = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    cu = _mat(tables.load(spark, sf_dir, "customer").select("c_custkey"))
     ev.createOrReplaceTempView("njs_e")
     cu.createOrReplaceTempView("njs_c")
     return spark.sql(
