@@ -80,28 +80,43 @@ _BM25_SCORED_CTES = (
 def _bm25_scored(spark, sf_dir):
     """(doc_id, score_u): exact-integer BM25 scores for every candidate
     doc of the fixed query — the shared core of text_bm25_search and
-    retrieval_rrf_fusion. Token stream is filtered to the query terms
-    before the (doc, term) aggregate, so every shuffle after the scan
-    carries candidates only; df and the global (sdl, n) totals are
-    1-to-3-row aggregates broadcast back."""
-    docs = T.docs(spark, sf_dir)
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    tot = dl.agg(
-        F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("n")
+    retrieval_rrf_fusion.
+
+    Single scan: document length AND the per-term frequencies are pure
+    in-row array folds (size of the filtered split ==
+    explode-filter-count, for a fixed 3-term query), so ONE narrow
+    doc-cardinality frame carries everything; it is materialized
+    because the totals, the candidate stack, and the length join
+    reference it three ways (the previous explode+aggregate form
+    re-derived the corpus scan per reference — 4-6x documents parquet
+    reads across the two callers, round-7 scan audit). Everything
+    after the scan carries candidate-docs x query-terms rows; df and
+    the global (sdl, n) totals are 1-to-3-row broadcast aggregates."""
+    b = T.materialize(
+        T.docs(spark, sf_dir).selectExpr(
+            "doc_id",
+            "size(split(text, ' ')) AS dl",
+            *(
+                "CAST(size(filter(split(text, ' '), t -> t = "
+                f"'{w}')) AS BIGINT) AS tf{i}"
+                for i, w in enumerate(_BM25_TERMS)
+            ),
+        )
     )
-    tf = (
-        T.tokens(spark, sf_dir)
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tot = b.agg(F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("n"))
+    stack_args = ", ".join(
+        f"'{w}', tf{i}" for i, w in enumerate(_BM25_TERMS)
     )
+    tf = b.selectExpr(
+        "doc_id", f"stack({len(_BM25_TERMS)}, {stack_args}) AS (tok, tf)"
+    ).filter(F.col("tf") > 0)
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = dfq.crossJoin(F.broadcast(tot)).select(
         "tok", "df", F.expr(_BM25_IDF_U).alias("idf_u")
     )
     contrib = (
         tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
+        .join(b.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.expr(_BM25_CONTRIB_U).alias("c_u"))
     )

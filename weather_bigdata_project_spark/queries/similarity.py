@@ -2006,14 +2006,21 @@ def embed_ood_distance(spark, sf_dir):
         ).alias("cents")
     )
     dist = _L2U.format(a="embedding", b="c.carr")
-    dd = emb.join(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        F.expr(
-            "filter(transform(cents, c -> struct("
-            + dist
-            + " AS d_u, c.clabel AS clabel)), x -> x.clabel = label)[0].d_u"
-        ).alias("d_u"),
+    # materialized: the rank-pick tail references dd several ways
+    # (median, MAD, gate counts) and re-derivation would repeat the
+    # centroid build + corpus scan per reference (4x embeddings reads,
+    # round-7 scan audit)
+    dd = T.materialize(
+        emb.join(F.broadcast(cents)).select(
+            "vec_id",
+            "label",
+            F.expr(
+                "filter(transform(cents, c -> struct("
+                + dist
+                + " AS d_u, c.clabel AS clabel)), x -> x.clabel = label)"
+                "[0].d_u"
+            ).alias("d_u"),
+        )
     )
     dd.createOrReplaceTempView("ood_dd")
     return spark.sql("WITH " + _ood_tail("ood_dd"))
@@ -2447,11 +2454,17 @@ def embed_sq8_recall(spark, sf_dir):
         "element_at(mns, i)",
         "element_at(mxs, i)",
     )
-    recs = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id",
-        F.expr(
-            f"transform(sequence(1, size(embedding)), i -> {ru_term})"
-        ).alias("ru"),
+    # materialized: the query row and the corpus scoring pass both
+    # reference this frame, and CTE-style re-derivation would re-scan
+    # the embeddings parquet (and recompute the stats row) per
+    # reference — 5x reads in the round-7 scan audit
+    recs = T.materialize(
+        emb.crossJoin(F.broadcast(stats)).select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(1, size(embedding)), i -> {ru_term})"
+            ).alias("ru"),
+        )
     )
     q = recs.filter(F.col("vec_id") == 0).select(F.col("ru").alias("qu"))
     idot = (
@@ -2540,11 +2553,14 @@ def embed_matryoshka_recall(spark, sf_dir):
     either answer is the number the serving decision needs, next to
     SQ8 (precision budget) and PQ (code budget).
 
-    Scale shape: three narrow corpus passes (in-row folds over the
-    array PREFIX — `slice` never copies more than k elements), each
-    ending in a 10-row TakeOrdered heap; the exact baseline is
-    embed_knn_bruteforce's frame reused verbatim. No shuffle touches
-    the corpus at any budget."""
+    Scale shape: ONE narrow corpus pass computes all three prefix
+    cosines in-row (in-row folds over the array PREFIX — `slice`
+    never copies more than k elements), the scored 4-column frame is
+    materialized, and each budget's 10-row TakeOrdered heap reads the
+    persisted frame (the previous per-budget loop re-scanned the
+    corpus parquet once per budget — 5x embeddings reads, round-7
+    scan audit); the exact baseline is embed_knn_bruteforce's frame
+    reused verbatim. No shuffle touches the corpus at any budget."""
     from ..registry import QUERIES
 
     emb = _emb(spark, sf_dir)
@@ -2552,8 +2568,8 @@ def embed_matryoshka_recall(spark, sf_dir):
         F.col("embedding").alias("qe")
     )
     ex10 = QUERIES["embed_knn_bruteforce"](spark, sf_dir).select("vec_id")
-    out = None
-    for k in _MRL_DIMS:
+
+    def _cos(k: int) -> str:
         dot = _DOT.format(
             a=f"slice(embedding, 1, {k})", b=f"slice(qe, 1, {k})"
         )
@@ -2561,15 +2577,20 @@ def embed_matryoshka_recall(spark, sf_dir):
             a=f"slice(embedding, 1, {k})", b=f"slice(embedding, 1, {k})"
         )
         q2 = _DOT.format(a=f"slice(qe, 1, {k})", b=f"slice(qe, 1, {k})")
+        return rnd(f"({dot}) / (SQRT({n2}) * SQRT({q2}))", 6)
+
+    scored = T.materialize(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            *(F.expr(_cos(k)).alias(f"cos{k}") for k in _MRL_DIMS),
+        )
+    )
+    out = None
+    for k in _MRL_DIMS:
         top = (
-            emb.filter(F.col("vec_id") != 0)
-            .crossJoin(F.broadcast(q))
-            .select(
-                "vec_id",
-                F.expr(
-                    rnd(f"({dot}) / (SQRT({n2}) * SQRT({q2}))", 6)
-                ).alias("cosine"),
-            )
+            scored.select("vec_id", F.col(f"cos{k}").alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(10)
         )

@@ -1035,26 +1035,29 @@ def text_langid_kappa(spark, sf_dir):
     high by luck), kappa subtracts exactly that luck from the exact
     integer marginals. The one-number companion to
     text_langid_confusion's full matrix; same doc-cardinality frame,
-    marginals and the correction are category-sized aggregates."""
-    toks = T.tokens(spark, sf_dir)
-    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
-    p = (
-        toks.groupBy("doc_id")
-        .agg(
-            F.sum(stop).cast("double").alias("_ns"),
-            F.count(F.lit(1)).alias("_nt"),
-        )
-        .select(
-            "doc_id",
-            F.when(F.col("_ns") / F.col("_nt") >= 0.05, "en")
-            .otherwise("unknown")
-            .alias("lang_pred"),
+    marginals and the correction are category-sized aggregates.
+
+    Single scan: the per-doc stopword ratio is a pure in-row array
+    fold (size of the filtered split over size of the split —
+    identical to the explode + groupBy count, since split('') = ['']
+    keeps the denominator nonzero exactly like posexplode does), so
+    the prediction rides the SAME row as the label with no explode,
+    no shuffle, and no self-join; the 2-column (lang, lang_pred)
+    frame is materialized because the kappa tail references it three
+    ways (the previous explode+join form re-derived the corpus scan
+    per reference — 5x documents reads, round-7 scan audit)."""
+    from ..operators.textops import materialize as _mat
+
+    sw = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    j = _mat(
+        T.docs(spark, sf_dir).selectExpr(
+            "lang",
+            "CASE WHEN CAST(size(filter(split(text, ' '), "
+            f"t -> t IN ({sw}))) AS DOUBLE) / size(split(text, ' ')) "
+            ">= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred",
         )
     )
-    d = T.docs(spark, sf_dir).select("doc_id", "lang")
-    p.join(d, "doc_id").select("lang", "lang_pred").createOrReplaceTempView(
-        "kp_j"
-    )
+    j.createOrReplaceTempView("kp_j")
     return spark.sql(
         "WITH j AS (SELECT lang, lang_pred FROM kp_j), " + _kappa_tail()
     )
