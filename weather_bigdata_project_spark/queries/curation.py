@@ -2027,9 +2027,16 @@ def corpus_stupid_backoff(spark, sf_dir):
     next to the score. Model frames are vocabulary/bigram-type
     cardinality; scoring is two dictionary left-joins onto the scored
     half's bigram stream; each log term snaps to 1e-5 units so per-doc
-    sums are exact across engines and layouts."""
-    d = T.docs(spark, sf_dir).select(
-        "doc_id", "text", F.split(F.col("text"), " ").alias("ts")
+    sums are exact across engines and layouts.
+
+    The tokenized frame is materialized: the train half feeds both the
+    bigram and the unigram model builds and the score half reads it
+    too, so without persistence the corpus parquet is scanned once per
+    branch (3x, round-7 scan audit)."""
+    d = T.materialize(
+        T.docs(spark, sf_dir).select(
+            "doc_id", F.split(F.col("text"), " ").alias("ts")
+        )
     )
     tr = d.filter(F.expr(_SB_TRAIN))
     sc = d.filter(~F.expr(_SB_TRAIN)).filter(F.size("ts") >= 2)

@@ -34,31 +34,29 @@ _SUB = {
 }
 
 
-@query(
-    "corpus_filter_pipeline",
-    oracle=(
-        "SELECT q.doc_id, q.n_tokens, q.quality, l.stop_ratio "
-        "FROM ({quality}) q "
-        "JOIN ({lang}) l USING (doc_id) "
-        "JOIN ({survivors}) s USING (doc_id) "
-        "WHERE q.quality >= 0.5e0 AND l.lang_pred = 'en' "
-        "AND q.doc_id NOT IN (SELECT doc2 FROM ({neardup}))"
-    ).format(**{k: ORACLES[v] for k, v in _SUB.items()}),
-)
-def corpus_filter_pipeline(spark, sf_dir):
-    # quality + language fused into ONE tokens aggregate: both blocks
-    # group the same exploded (doc_id, tok) frame, so running them as
-    # registered queries joined on doc_id pays the explode + hash-agg
-    # twice and adds a doc_id shuffle join. The fused frame computes
-    # all four statistics in a single pass — same expressions, same
-    # rounding, verified identical by the unchanged nested oracle
-    # (which still composes the two blocks' SQL).
+def _fused_quality_lang(spark, sf_dir):
+    """quality + language fused into ONE tokens aggregate, with
+    `source` carried through the per-doc grouping for free (doc_id is
+    unique, so grouping by (doc_id, source) is the same partition):
+    both blocks group the same exploded (doc_id, tok) frame, so running
+    them as registered queries joined on doc_id pays the explode +
+    hash-agg twice and adds a doc_id shuffle join. The fused frame
+    computes all the statistics in a single pass — same expressions,
+    same rounding as the registered blocks, verified identical by the
+    callers' nested oracles (which still compose the blocks' SQL).
+    Shared by corpus_filter_pipeline / corpus_training_assembly /
+    corpus_dedup_funnel so each pays ONE corpus scan for the whole
+    quality/language/token-count surface."""
     from .text import _QUALITY_SQL
 
-    toks = T.tokens(spark, sf_dir)
+    toks = T.docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
     stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
-    fused = (
-        toks.groupBy("doc_id")
+    return (
+        toks.groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.expr(
@@ -71,6 +69,7 @@ def corpus_filter_pipeline(spark, sf_dir):
         )
         .select(
             "doc_id",
+            "source",
             "n_tokens",
             F.expr(_QUALITY_SQL).alias("quality"),
             F.when(F.col("_nstop") / F.col("n_tokens") >= 0.05, "en")
@@ -79,6 +78,34 @@ def corpus_filter_pipeline(spark, sf_dir):
             F.expr(rnd("_nstop / n_tokens", 4)).alias("stop_ratio"),
         )
     )
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=(
+        "SELECT q.doc_id, q.n_tokens, q.quality, l.stop_ratio "
+        "FROM ({quality}) q "
+        "JOIN ({lang}) l USING (doc_id) "
+        "JOIN ({survivors}) s USING (doc_id) "
+        "WHERE q.quality >= 0.5e0 AND l.lang_pred = 'en' "
+        "AND q.doc_id NOT IN (SELECT doc2 FROM ({neardup}))"
+    ).format(**{k: ORACLES[v] for k, v in _SUB.items()}),
+)
+def corpus_filter_pipeline(spark, sf_dir):
+    """See module docstring; quality/language/token stats come from the
+    shared one-scan fused frame (_fused_quality_lang)."""
+    return _filtered_corpus(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality", "stop_ratio"
+    )
+
+
+def _filtered_corpus(spark, sf_dir):
+    """The surviving-document frame (doc_id, source, n_tokens, quality,
+    stop_ratio, ...) behind corpus_filter_pipeline, kept wide so
+    corpus_training_assembly can read `source` without a second
+    documents join (the round-7 scan audit charged that join as an
+    extra corpus scan)."""
+    fused = _fused_quality_lang(spark, sf_dir)
     survivors = QUERIES["dedup_exact_survivors"](spark, sf_dir)
     # no distinct: the left_anti probe neither multiplies nor cares
     neardup = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
@@ -88,7 +115,6 @@ def corpus_filter_pipeline(spark, sf_dir):
         fused.join(survivors, "doc_id", "left_semi")
         .join(neardup, "doc_id", "left_anti")
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
-        .select("doc_id", "n_tokens", "quality", "stop_ratio")
     )
 
 
@@ -135,16 +161,11 @@ def corpus_training_assembly(spark, sf_dir):
     whose output feeds the GPUs; every stage is an already-oracle-
     verified block, composition adds only doc_id joins and one
     split-cardinality aggregate. Fill rate is the number a pretraining
-    lead actually asks for (wasted pad fraction = 1 - fill)."""
-    surv = (
-        QUERIES["corpus_filter_pipeline"](spark, sf_dir)
-        .select("doc_id", "n_tokens")
-        .join(
-            T.docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-        )
-        .select(
-            "doc_id", "n_tokens", F.expr(_SPLIT).alias("split"), "source"
-        )
+    lead actually asks for (wasted pad fraction = 1 - fill). `source`
+    rides the shared filtered frame, so no second documents join (and
+    no second corpus scan) exists."""
+    surv = _filtered_corpus(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.expr(_SPLIT).alias("split"), "source"
     )
     g = surv.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -241,25 +262,29 @@ def corpus_dedup_funnel(spark, sf_dir):
     policy as corpus_filter_pipeline; the oracle nests their SQL. This
     one result is the headline number of a 100 TB curation job ("we
     kept 43% of docs, 47% of tokens"), and stage deltas localize where
-    the data went."""
-    tok = T.docs(spark, sf_dir).select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("t")
+    the data went.
+
+    Single-scan shape: token counts, the quality gate, and the
+    language gate all read the ONE materialized fused tokens aggregate
+    (_fused_quality_lang — n_tokens == size(split), the same count the
+    raw-stage column needs), and the cumulative stage frames are
+    materialized too: tok is referenced by all four stage counts plus
+    the raw totals, and stage k's survivor set is the base of stage
+    k+1's — without persistence each reference re-derives its whole
+    upstream chain (s4 re-runs s3 re-runs s2), which the round-7 scan
+    audit measured as SIX documents parquet scans per run (the
+    quality/language blocks' separate explodes were two of them)."""
+    fused = T.materialize(_fused_quality_lang(spark, sf_dir))
+    tok = fused.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("t")
     )
-    s2 = QUERIES["dedup_exact_survivors"](spark, sf_dir)
+    s2 = T.materialize(QUERIES["dedup_exact_survivors"](spark, sf_dir))
     near = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
         F.col("doc2").alias("doc_id")
     )
-    s3 = s2.join(near, "doc_id", "left_anti")
-    q = (
-        QUERIES["text_quality_score"](spark, sf_dir)
-        .filter(F.col("quality") >= 0.5)
-        .select("doc_id")
-    )
-    lang = (
-        QUERIES["text_language_id"](spark, sf_dir)
-        .filter(F.col("lang_pred") == "en")
-        .select("doc_id")
-    )
+    s3 = T.materialize(s2.join(near, "doc_id", "left_anti"))
+    q = fused.filter(F.col("quality") >= 0.5).select("doc_id")
+    lang = fused.filter(F.col("lang_pred") == "en").select("doc_id")
     s4 = s3.join(q, "doc_id", "left_semi").join(lang, "doc_id", "left_semi")
     stages = [
         (1, "raw", tok),
