@@ -432,11 +432,26 @@ def sql_subquery_battery(spark, sf_dir):
     asserts no Python and no cartesian blowup survives. The NOT IN
     count is 0 by three-valued logic (a NULL in the subquery makes the
     predicate UNKNOWN for every row) — kept deliberately as the
-    regression canary for null-aware anti-join semantics."""
-    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
-        "subq_customer"
-    )
-    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
-        "subq_orders"
-    )
+    regression canary for null-aware anti-join semantics.
+
+    The five probes necessarily run as five scalar-subquery jobs (each
+    pins a DIFFERENT decorrelation shape), so both inputs are
+    materialized: each parquet is read once and the probes re-read the
+    persisted frames (the from-source form re-scanned customer+orders
+    per probe — 4x, round-7 scan audit). The persisted frames are
+    PROJECTED to the battery's columns first — persisting a bare table
+    load would let the session cache substitute other queries' scans
+    of the same table and silently defeat their filter pushdown."""
+    from ..operators.textops import materialize as _mat
+
+    _mat(
+        tables.load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+    ).createOrReplaceTempView("subq_customer")
+    _mat(
+        tables.load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderkey"
+        )
+    ).createOrReplaceTempView("subq_orders")
     return spark.sql(_SUBQ_BODY.format(c="subq_customer", o="subq_orders"))
