@@ -46,6 +46,8 @@ CROSSJOIN_ALLOWED = {
         "1-row totals aggregate (sampled twin)",
     "queries/curation.py:corpus_dsir_importance":
         "1-row corpus-stats aggregate",
+    "queries/curation.py:corpus_kneser_ney":
+        "1-row bigram-types x vocab-size scalar frame",
     "queries/ml.py:ml_naive_bayes_langid":
         "class-prior / vocab-size single-row frames",
     "queries/relational.py:events_approx_percentile_bounds":

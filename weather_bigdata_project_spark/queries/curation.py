@@ -2093,6 +2093,149 @@ def corpus_stupid_backoff(spark, sf_dir):
     )
 
 
+# --- interpolated Kneser-Ney LM scoring (Kneser & Ney 1995) ------------------
+
+#: absolute discount D = 0.75 (the standard fixed-discount choice)
+#: smoothed continuation probability: distinct-LEFT-CONTEXT count of w2
+#: over the number of bigram TYPES — "how many contexts has this word
+#: completed", the quantity that separates 'Francisco' (frequent but
+#: only after 'San') from genuinely productive words — with an add-one
+#: over (types + vocab) so wholly-unseen words stay finite, mirroring
+#: stupid backoff's add-one unigram leg. Identical text both engines.
+_KN_PCONT = (
+    "(CAST(COALESCE(nb, 0) AS DOUBLE) + 1.0e0) / "
+    "NULLIF(CAST(ntypes AS DOUBLE) + vn, 0.0e0)"
+)
+
+#: interpolated KN: discounted bigram MLE plus the context's reserved
+#: mass (D * distinct-continuations / context count) spread by P_cont;
+#: an UNSEEN context (not one bigram in training) falls back to P_cont
+#: alone. Positive for every input (nf >= 1 whenever c_ctx exists), so
+#: LN is total; snapped to 1e-5 integer units before any cross-row sum.
+_KN_P = (
+    "CASE WHEN c_ctx IS NOT NULL THEN "
+    "GREATEST(CAST(COALESCE(c_xy, 0) AS DOUBLE) - 0.75e0, 0.0e0) / c_ctx "
+    f"+ (0.75e0 * nf / c_ctx) * ({_KN_PCONT}) "
+    f"ELSE ({_KN_PCONT}) END"
+)
+
+_KN_LP_U = f"CAST(ROUND(LN({_KN_P}) * 1.0e5) AS BIGINT)"
+
+_KN_ORACLE = (
+    "WITH tr AS (SELECT doc_id, text FROM documents WHERE "
+    + _SB_TRAIN + "), "
+    "sc AS (SELECT doc_id, text FROM documents WHERE NOT ("
+    + _SB_TRAIN + ") AND len(string_split(text, ' ')) >= 2), "
+    "bi_tr AS (SELECT unnest(list_transform("
+    "range(1, len(string_split(text, ' '))), "
+    "i -> struct_pack(w1 := string_split(text, ' ')[i], "
+    "w2 := string_split(text, ' ')[i + 1]))) AS b FROM tr "
+    "WHERE len(string_split(text, ' ')) >= 2), "
+    "bic AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_xy "
+    "FROM bi_tr GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, SUM(c_xy) AS c_ctx, COUNT(*) AS nf "
+    "FROM bic GROUP BY w1), "
+    "cont AS (SELECT w2, COUNT(*) AS nb FROM bic GROUP BY w2), "
+    "tt AS (SELECT COUNT(*) AS ntypes FROM bic), "
+    "ut AS (SELECT unnest(string_split(text, ' ')) AS tok FROM tr), "
+    "vt AS (SELECT COUNT(DISTINCT tok) AS vn FROM ut), "
+    "bi_sc AS (SELECT doc_id, unnest(list_transform("
+    "range(1, len(string_split(text, ' '))), "
+    "i -> struct_pack(w1 := string_split(text, ' ')[i], "
+    "w2 := string_split(text, ' ')[i + 1]))) AS b FROM sc), "
+    "bits AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi_sc), "
+    "lp AS (SELECT bits.doc_id, "
+    "CASE WHEN c_xy IS NULL THEN 1 ELSE 0 END AS bo, "
+    + _KN_LP_U + " AS lp_u "
+    "FROM bits LEFT JOIN bic ON bic.w1 = bits.w1 AND bic.w2 = bits.w2 "
+    "LEFT JOIN ctx ON ctx.w1 = bits.w1 "
+    "LEFT JOIN cont ON cont.w2 = bits.w2 CROSS JOIN tt CROSS JOIN vt) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(bo) AS BIGINT) AS n_unseen, "
+    "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*)) AS avg_logscore "
+    "FROM lp GROUP BY doc_id"
+)
+
+
+@query("corpus_kneser_ney", oracle=_KN_ORACLE)
+def corpus_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing Chen & Goodman 1999 crowned and every KenLM-filtered
+    pipeline — CCNet, Gopher, LLaMA — actually runs): absolute
+    discount D = 0.75 off each seen bigram, the reserved mass spread by
+    the CONTINUATION probability — how many distinct contexts a word
+    completes, over the bigram-type count — which is the detail that
+    separates 'Francisco' (frequent, but only ever after 'San') from
+    genuinely productive words. Unigram-frequency backoff
+    (corpus_stupid_backoff) overrates exactly those burst words; KN is
+    the principled fix, and disagreement between the two scores on the
+    SAME held-out split is the signal a perplexity-filter threshold
+    needs re-examination. Completes the LM-scoring trio: add-one
+    (corpus_perplexity_bigram, self-trained), Stupid Backoff (cheap,
+    web-scale), Kneser-Ney (the quality reference).
+
+    Same 70/30 deterministic split and single-scan shape as
+    corpus_stupid_backoff: the tokenized frame is materialized (train
+    feeds the bigram, continuation, AND vocabulary aggregates; score
+    reads it too), every model frame is bigram-type/vocabulary
+    cardinality, scoring is dictionary left-joins onto the held half's
+    bigram stream, and the per-bigram log snaps to 1e-5 integer units
+    so per-doc sums are exact across engines and layouts. An unseen
+    CONTEXT falls back to pure continuation probability; an unseen
+    word survives via the add-one over (types + vocab) — both engines
+    evaluate the identical expression text."""
+    d = T.materialize(
+        T.docs(spark, sf_dir).select(
+            "doc_id", F.split(F.col("text"), " ").alias("ts")
+        )
+    )
+    tr = d.filter(F.expr(_SB_TRAIN))
+    sc = d.filter(~F.expr(_SB_TRAIN)).filter(F.size("ts") >= 2)
+    bigram = (
+        "transform(sequence(0, size(ts) - 2), "
+        "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+    )
+    bi = (
+        tr.filter(F.size("ts") >= 2)
+        .select(F.explode(F.expr(bigram)).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    bic = T.materialize(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    ctx = bic.groupBy("w1").agg(
+        F.sum("c_xy").alias("c_ctx"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = bic.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    tt = bic.agg(F.count(F.lit(1)).alias("ntypes"))
+    vt = tr.select(F.explode("ts").alias("tok")).agg(
+        F.countDistinct("tok").alias("vn")
+    )
+    bits = sc.select(
+        "doc_id", F.explode(F.expr(bigram)).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    lp = (
+        bits.join(bic, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, bits.w2 == cont.w2, "left")
+        .join(F.broadcast(tt.crossJoin(vt)))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN c_xy IS NULL THEN 1 ELSE 0 END").alias(
+                "bo"
+            ),
+            F.expr(_KN_LP_U).alias("lp_u"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("bo").cast("bigint").alias("n_unseen"),
+        F.expr(
+            "CAST(SUM(lp_u) AS DOUBLE) / (1.0e5 * COUNT(*))"
+        ).alias("avg_logscore"),
+    )
+
+
 # --- cross-source overlap matrix --------------------------------------------
 
 def _so_tail() -> str:
