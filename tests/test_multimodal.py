@@ -410,6 +410,41 @@ def test_y4m_demux_discovers_frames_and_colorspace(spark):
             M._y4m_frames(bad)
 
 
+def test_y4m_shot_boundaries_hand_computed(spark):
+    """Shot-boundary kernel vs a hand-built 4-frame clip: frame 1
+    repeats frame 0 (static — no cut), frame 2 flips every Y byte by
+    the maximum (cut), frame 3 nudges one pixel by 1 (below any sane
+    threshold — no cut). Exact integer mads, shot ids 1,1,2,2; frame
+    0's mad is NULL and never a boundary."""
+    w, h = M.Y4M_W, M.Y4M_H
+    ypix, fb = w * h, w * h * 3
+    y0 = bytes((7,) * ypix)
+    y2 = bytes((255 - 7,) * ypix)
+    y3 = bytes((255 - 7,) * (ypix - 1) + (255 - 8,))
+    uv = bytes(2 * ypix)
+    frames = [y0 + uv, y0 + uv, y2 + uv, y3 + uv]
+    assert all(len(f) == fb for f in frames)
+    stream = M.Y4M_HEADER.encode() + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "doc_id long, content binary"
+    )
+    rows = {
+        r.frame_idx: r
+        for r in M.split_y4m_shots(df).collect()
+    }
+    assert len(rows) == 4
+    assert rows[0].mad_sum is None and not rows[0].is_boundary
+    assert rows[0].shot_id == 1
+    assert rows[1].mad_sum == 0 and not rows[1].is_boundary
+    assert rows[1].shot_id == 1
+    assert rows[2].mad_sum == (255 - 14) * ypix
+    assert rows[2].is_boundary and rows[2].shot_id == 2
+    assert rows[3].mad_sum == 1 and not rows[3].is_boundary
+    assert rows[3].shot_id == 2
+
+
 def test_resize_ppm_is_exact_box_filter(spark):
     """The real resize kernel's pooled values must equal the hand
     box-filter over genuinely decoded pixels, through the full Spark

@@ -607,6 +607,14 @@ def multimodal_y4m_frame_stats(spark, sf_dir):
     raw bytes without the parser, so a hash match proves the demux
     slices frame boundaries exactly (an off-by-one on the marker line
     shifts every Y byte and fails the gate)."""
+    return M.split_y4m_frames(_y4m_streams(spark, sf_dir))
+
+
+def _y4m_streams(spark, sf_dir):
+    """(doc_id, content): every doc's bytes as a spec-valid YUV4MPEG2
+    stream — ASCII header, then Y4M_FRAMES x ('FRAME\\n' + one C444
+    planar frame tiled from the doc's utf-8 bytes); pure codegen binary
+    concat shared by the frame-stats and shot-boundary gates."""
     fb = M.Y4M_W * M.Y4M_H * 3
     marker = F.expr(f"X'{M.Y4M_FRAME_MARKER_HEX}'")
     tiled = (
@@ -617,7 +625,7 @@ def multimodal_y4m_frame_stats(spark, sf_dir):
             F.expr(_tile_spark(fb * M.Y4M_FRAMES)).alias("pix"),
         )
     )
-    d = tiled.select(
+    return tiled.select(
         "doc_id",
         F.concat(
             F.encode(F.lit(M.Y4M_HEADER), "utf-8"),
@@ -631,7 +639,55 @@ def multimodal_y4m_frame_stats(spark, sf_dir):
             ],
         ).alias("content"),
     )
-    return M.split_y4m_frames(d)
+
+
+def _y4m_shots_oracle() -> str:
+    w, h, nf = M.Y4M_W, M.Y4M_H, M.Y4M_FRAMES
+    fb, ypix = w * h * 3, w * h
+    diff = (
+        f"list_transform(range(0, {ypix}), j -> abs("
+        + _byte(f"f * {fb} + j")
+        + " - "
+        + _byte(f"(f - 1) * {fb} + j")
+        + "))"
+    )
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(fb * nf)}) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        f"fr AS (SELECT doc_id, hx, unnest(range(0, {nf})) AS f FROM px), "
+        "m AS (SELECT doc_id, CAST(f AS INT) AS frame_idx, "
+        "CASE WHEN f = 0 THEN NULL ELSE "
+        f"CAST(list_sum({diff}) AS BIGINT) END AS mad_sum FROM fr), "
+        "b AS (SELECT doc_id, frame_idx, mad_sum, "
+        f"COALESCE(mad_sum >= {M.Y4M_SHOT_THRESH * ypix}, FALSE) "
+        "AS is_boundary FROM m) "
+        "SELECT doc_id, frame_idx, mad_sum, is_boundary, "
+        "CAST(1 + SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY doc_id ORDER BY frame_idx) AS INT) "
+        "AS shot_id FROM b"
+    )
+
+
+@query("multimodal_shot_boundaries", oracle=_y4m_shots_oracle())
+def multimodal_shot_boundaries(spark, sf_dir):
+    """Shot-boundary (scene-cut) detection over the Y4M clips — the
+    pass a video curation pipeline runs BEFORE frame sampling, because
+    sampling N frames inside one static shot wastes the clip's
+    diversity while one frame per shot captures it (the shot-aware
+    sampling every video-LLM data recipe uses). Detector: the classic
+    pixel-domain cut score — sum of absolute Y-plane differences
+    between consecutive frames, an EXACT INTEGER — thresholded at
+    Y4M_SHOT_THRESH per pixel (28 splits this synthetic corpus near
+    50/50; the threshold is a named constant, the decision structure
+    is the operator), with shots numbered by the running boundary
+    count. The Spark side demuxes with the GENUINE container walker
+    in one Arrow-batched mapInPandas stage (frames are sequential
+    inside their clip's row, so the running shot id costs no window
+    and payload bytes never shuffle); the DuckDB oracle recomputes
+    every difference from raw bytes without the parser, so a hash
+    match proves the demux, the integer cut score, and the shot
+    numbering all agree to the bit."""
+    return M.split_y4m_shots(_y4m_streams(spark, sf_dir))
 
 
 # --- REAL pixel resize / block-mean embedding, oracle-gated -----------------
