@@ -622,7 +622,21 @@ def test_transform_with_state_ewma(spark, tmp_path):
     Re-attempted round 7 (2026-08-15): unchanged — same DNS failure,
     and a sweep of the miniconda tree (envs/, pkgs/, any
     descriptor_pb2.py) confirms no conda-packaged protobuf runtime
-    exists either. Block stands."""
+    exists either. Block stands.
+
+    UNBLOCKED round 8 (2026-08-16): google-cloud-sdk's appengine
+    platform tree ships a vendored pure-python google.protobuf 6.32
+    (/usr/lib/google-cloud-sdk/platform/google_appengine — absent from
+    every earlier round's filesystem sweep). conftest._arrange_protobuf
+    appends it to sys.path and PYTHONPATH before the JVM launches (the
+    state-server driver worker inherits it) and sets protobuf's
+    OFFICIAL version-check escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK: pyspark's gencode is
+    6.33, one minor ahead of the 6.32 runtime; the StateMessage
+    protocol is plain proto3, wire-compatible). The REAL transport now
+    runs end-to-end — RocksDB provider, protobuf state server, typed
+    ValueState across batches — and this test passes; the importorskip
+    stays as the graceful gate for containers without the sdk."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "
