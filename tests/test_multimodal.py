@@ -445,6 +445,67 @@ def test_y4m_shot_boundaries_hand_computed(spark):
     assert rows[3].shot_id == 2
 
 
+def test_jpeg_codec_battery(spark):
+    """The real baseline-JPEG codec: flat-block losslessness (the
+    oracle-gated property), general round-trip within the quantization
+    error bound, an AC-coefficient path (non-flat blocks force (run,
+    size) symbols and ZRL handling), DC prediction across blocks, and
+    loud refusals of everything outside the baseline-gray contract."""
+    import numpy as np
+    import pytest
+
+    # flat blocks: exactly lossless (DC quant step 8, module note)
+    base = (np.arange(12, dtype=np.uint8).reshape(3, 4) * 19 + 3)
+    flat = np.repeat(base, 8, axis=0).repeat(8, axis=1)
+    s = M.encode_jpeg_gray(32, 24, flat.tobytes())
+    w, h, img = M.decode_jpeg_gray(s)
+    assert (w, h) == (32, 24) and (img == flat).all()
+
+    # general content: error bounded by half the worst quant step
+    # (q_AC = 16 -> per-coefficient error <= 8; empirical max is far
+    # lower, assert a safe envelope)
+    rng = np.random.default_rng(7)
+    r = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    _, _, img2 = M.decode_jpeg_gray(M.encode_jpeg_gray(32, 24, r.tobytes()))
+    assert int(np.abs(img2.astype(int) - r.astype(int)).max()) <= 64
+
+    # a single 8x8 block with one AC coefficient: decode must equal the
+    # independent numpy reconstruction of the dequantized spectrum
+    m = M._dct_mat()
+    grad = np.tile(np.arange(8, dtype=np.uint8) * 30, (8, 1))
+    s3 = M.encode_jpeg_gray(8, 8, grad.tobytes())
+    _, _, img3 = M.decode_jpeg_gray(s3)
+    coef = m @ (grad.astype(float) - 128.0) @ m.T
+    q = np.array(M.JPEG_QTABLE, dtype=np.int64)[
+        np.argsort(np.array(M.JPEG_ZIGZAG))
+    ].reshape(8, 8)
+    ref = np.clip(
+        np.rint(m.T @ (np.rint(coef / q) * q) @ m) + 128.0, 0, 255
+    ).astype(np.uint8)
+    assert (img3 == ref).all()
+
+    # loud refusals: truncation, progressive SOF2, color, bad magic
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(s[:-4])  # EOI gone
+    prog = s.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(prog)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(b"\x89PNG" + s[4:])
+    # 3-component SOF: rebuild the SOF payload by hand
+    i = s.find(b"\xff\xc0")
+    seglen = int.from_bytes(s[i + 2:i + 4], "big")
+    color_sof = (
+        s[:i]
+        + b"\xff\xc0" + (8 + 9).to_bytes(2, "big")
+        + bytes([8]) + (24).to_bytes(2, "big") + (32).to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + s[i + 2 + seglen:]
+    )
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(color_sof)
+
+
 def test_resize_ppm_is_exact_box_filter(spark):
     """The real resize kernel's pooled values must equal the hand
     box-filter over genuinely decoded pixels, through the full Spark

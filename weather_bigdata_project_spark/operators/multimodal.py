@@ -861,3 +861,412 @@ def split_y4m_frames(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         _batches, schema=Y4M_SCHEMA
     )
+
+
+# --- REAL image codec, oracle-gated: baseline JPEG (ITU T.81) ----------------
+#
+# The container has no PIL/libturbojpeg binding, but nothing about
+# baseline JPEG needs one: the full pipeline — Huffman entropy coding,
+# DC prediction, byte stuffing, dequantization, 2-D IDCT, level shift —
+# is implemented here in numpy, with a matching encoder so tests and
+# queries can synthesize genuine streams. The oracle trick that makes
+# the ENTROPY+TRANSFORM chain hash-gateable (JPEG is lossy in general,
+# so no SQL twin could reproduce arbitrary decodes): images whose every
+# 8x8 block is CONSTANT, quantized with DC step 8, round-trip
+# LOSSLESSLY — FDCT of a flat block of value b is the single DC
+# coefficient 8*(b-128), which /8 quantizes to the exact integer b-128,
+# and the DC-only IDCT returns (b-128)+128 = b at every pixel, no
+# rounding anywhere. A DuckDB oracle can therefore predict every
+# decoded byte by pure byte arithmetic while the Spark side runs the
+# REAL decoder: a bug in the Huffman tables, the DC predictor, byte
+# unstuffing, dequant, or IDCT normalization changes the decoded value
+# and fails the driver hash.
+
+#: quantization table: DC step 8 (the lossless-flat-block choice
+#: documented above); AC steps 16 (exercised by the round-trip tests,
+#: not the flat-block oracle path, where every AC is 0)
+JPEG_QTABLE = [8] + [16] * 63
+
+#: zig-zag order (ITU T.81 Figure A.6): zigzag[k] = raster index of the
+#: k-th coefficient in transmission order
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: canonical Huffman tables (any spec-valid DHT works — the decoder
+#: reads whatever the stream declares; these are deliberately simple):
+#: DC: 12 category symbols, all 4-bit codes. AC: EOB + ZRL + (run 0-3,
+#: size 1-10), all 6-bit codes.
+JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _dct_mat():
+    import numpy as np
+
+    n = 8
+    k = np.arange(n)
+    mat = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    mat *= np.sqrt(2.0 / n)
+    mat[0, :] = np.sqrt(1.0 / n)
+    return mat  # orthonormal: X = M s M^T, s = M^T X M
+
+
+def _huff_codes(bits, vals):
+    """Canonical JPEG Huffman code assignment (ITU T.81 Annex C):
+    {symbol: (code, length)}."""
+    codes, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL baseline JPEG encoder, single-component (grayscale), no
+    subsampling: level shift, orthonormal FDCT, quantization by
+    JPEG_QTABLE, zig-zag, DC prediction, (run, size) AC run-length
+    coding with ZRL/EOB, canonical Huffman, byte stuffing. Dimensions
+    must be multiples of 8 (no edge replication — synthesis controls
+    the geometry)."""
+    import numpy as np
+
+    assert width % 8 == 0 and height % 8 == 0
+    assert len(pixels) == width * height
+    m = _dct_mat()
+    q = np.array(JPEG_QTABLE, dtype=np.int64)[
+        np.argsort(np.array(JPEG_ZIGZAG))
+    ].reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    dcc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    acc_ = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            s = img[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coef = m @ s @ m.T
+            zq = np.rint(coef / q).astype(np.int64)
+            zz = zq.reshape(-1)[JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _category(diff)
+            w.put(*dcc[cat])
+            if cat:
+                v = diff if diff > 0 else diff + (1 << cat) - 1
+                w.put(v, cat)
+            run = 0
+            last_nz = max(
+                (k for k in range(1, 64) if zz[k] != 0), default=0
+            )
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        w.put(*acc_[0xF0])  # ZRL
+                        run = 0
+                    continue
+                size = _category(v)
+                sym = (run << 4) | size
+                if sym not in acc_:
+                    raise ValueError(
+                        f"coefficient needs AC symbol {sym:#x} outside "
+                        "the declared table"
+                    )
+                w.put(*acc_[sym])
+                w.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                w.put(*acc_[0x00])  # EOB
+    body = w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+            2, "big"
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(JPEG_QTABLE))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # unstuff
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader, table):
+    """table: {(code, length): symbol} walked one bit at a time."""
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline JPEG decoder, single-component grayscale: marker
+    walk (DQT/DHT/SOF0/SOS read from the STREAM, never assumed),
+    canonical Huffman decode with byte unstuffing, DC prediction,
+    dequantization, orthonormal 2-D IDCT, level shift, clamp. Returns
+    (width, height, uint8 ndarray). Fails loudly on anything outside
+    the baseline single-component contract (progressive SOF2, color,
+    subsampling, restart intervals, truncation) — a real decoder does
+    not hash garbage."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    qsel = 0
+    entropy = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment header")
+        seglen = int.from_bytes(payload[pos:pos + 2], "big")
+        seg = payload[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    seg[i + 1:i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (c, ln): sym for sym, (c, ln) in codes.items()
+                }
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise ValueError("only single-component (gray) supported")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            qsel = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0xF
+            entropy = payload[pos + seglen:]
+            # entropy runs to EOI; find the trailing FF D9
+            eoi = entropy.rfind(b"\xff\xd9")
+            if eoi < 0:
+                raise ValueError("no EOI after scan")
+            entropy = entropy[:eoi]
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or entropy is None:
+        raise ValueError("missing SOF or SOS")
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be block-aligned here")
+    q = qt[qsel]
+    dct = huff[(0, dc_sel)]
+    act = huff[(1, ac_sel)]
+    m = _dct_mat()
+    inv_zz = np.argsort(np.array(JPEG_ZIGZAG))
+    reader = _BitReader(entropy)
+    img = np.zeros((height, width), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _huff_decode(reader, dct)
+            diff = _extend(reader.bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            coef = (zz * q)[inv_zz].reshape(8, 8).astype(np.float64)
+            blk = m.T @ coef @ m
+            img[by:by + 8, bx:bx + 8] = np.clip(
+                np.rint(blk) + 128.0, 0, 255
+            ).astype(np.uint8)
+    return width, height, img
+
+
+#: flat-block oracle-path geometry: 32x24 gray = 4x3 blocks, 12 tiled
+#: doc bytes per image
+JPEG_BW, JPEG_BH = 4, 3
+
+JPEG_BLOCKS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("block_idx", Ty.IntegerType()),
+        Ty.StructField("val", Ty.IntegerType()),
+    ]
+)
+
+
+def jpeg_roundtrip_blocks(binary_df: DataFrame) -> DataFrame:
+    """Encode each doc's 12 tiled bytes as a REAL 32x24 flat-block
+    baseline JPEG, decode it back with the REAL decoder, and emit each
+    block's decoded value — one Arrow-batched mapInPandas stage, both
+    codec halves executing genuinely per row. With DC quant step 8 the
+    flat-block pipeline is exactly lossless (module docstring), so the
+    DuckDB oracle predicts every output from the raw tiled bytes; any
+    defect in Huffman coding, DC prediction, byte (un)stuffing,
+    dequant, or IDCT normalization changes a value and fails the
+    hash."""
+    import numpy as np
+
+    w, h = JPEG_BW * 8, JPEG_BH * 8
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in JPEG_BLOCKS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blk = bytes(content) if content is not None else b""
+                if len(blk) < JPEG_BW * JPEG_BH:
+                    raise ValueError("payload too short to tile blocks")
+                pix = np.repeat(
+                    np.frombuffer(
+                        blk[: JPEG_BW * JPEG_BH], dtype=np.uint8
+                    ).reshape(JPEG_BH, JPEG_BW),
+                    8,
+                    axis=0,
+                ).repeat(8, axis=1)
+                stream = encode_jpeg_gray(w, h, pix.tobytes())
+                gw, gh, img = decode_jpeg_gray(stream)
+                for r in range(JPEG_BH):
+                    for c in range(JPEG_BW):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                gw,
+                                gh,
+                                r * JPEG_BW + c,
+                                int(img[r * 8, c * 8]),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=JPEG_BLOCKS_SCHEMA
+    )

@@ -747,3 +747,48 @@ def multimodal_ppm_resize_embed(spark, sf_dir):
         "thumb_h",
         F.posexplode("embedding").alias("pos", "pooled_gray"),
     )
+
+
+# --- REAL image codec, oracle-gated: baseline JPEG round-trip ----------------
+
+def _jpeg_oracle() -> str:
+    nblk = M.JPEG_BW * M.JPEG_BH
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(nblk)}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        f"CAST({M.JPEG_BW * 8} AS INT) AS width, "
+        f"CAST({M.JPEG_BH * 8} AS INT) AS height, "
+        "CAST(j AS INT) AS block_idx, "
+        f"CAST({_byte('j')} AS INT) AS val "
+        f"FROM px CROSS JOIN range(0, {nblk}) t(j)"
+    )
+
+
+@query("multimodal_jpeg_roundtrip", oracle=_jpeg_oracle())
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline-JPEG codec inside the correctness gate, retiring
+    'JPEG needs PIL' as this container's last image-format stub excuse:
+    each doc's 12 tiled bytes become a 32x24 flat-8x8-block grayscale
+    image, ENCODED as a genuine ITU T.81 baseline JPEG (orthonormal
+    FDCT, quantization, zig-zag, DC prediction, run-length + canonical
+    Huffman entropy coding, byte stuffing) and DECODED back by the real
+    marker-walking decoder (tables read from the stream, never assumed)
+    in one Arrow-batched mapInPandas stage. With DC quant step 8 the
+    flat-block pipeline is exactly lossless (operators/multimodal
+    module note), so the DuckDB oracle predicts every decoded block
+    value from the raw tiled bytes WITHOUT running any codec — a defect
+    in the Huffman tables, the DC predictor, byte (un)stuffing,
+    dequantization, or IDCT normalization changes a value and fails
+    the driver hash. The general (non-flat) paths — AC coefficients,
+    ZRL, quantization error bounds, loud refusal of progressive/color/
+    subsampled streams — are pinned by the unit battery in
+    tests/test_multimodal.py. Payload bytes never shuffle; at corpus
+    scale this stage is the same shape as a production decode."""
+    nblk = M.JPEG_BW * M.JPEG_BH
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(nblk)).alias("content"))
+    )
+    return M.jpeg_roundtrip_blocks(d)
