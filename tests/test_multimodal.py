@@ -506,6 +506,62 @@ def test_jpeg_codec_battery(spark):
         M.decode_jpeg_gray(color_sof)
 
 
+def test_png_codec_battery(spark):
+    """The real PNG codec: exact round-trip through all five scanline
+    filters, CRC verification, and loud refusals of corrupt/unsupported
+    streams."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    s = M.encode_png_gray(8, 8, pix.tobytes())
+    w, h, img = M.decode_png_gray(s)
+    assert (w, h) == (8, 8) and (img == pix).all()
+
+    # gradient + constant images stress Sub/Up/Average/Paeth branches
+    for arr in (
+        np.tile(np.arange(8, dtype=np.uint8) * 31, (8, 1)),
+        np.full((8, 8), 200, dtype=np.uint8),
+        np.arange(64, dtype=np.uint8).reshape(8, 8) * 4,
+    ):
+        _, _, got = M.decode_png_gray(
+            M.encode_png_gray(8, 8, arr.tobytes())
+        )
+        assert (got == arr).all()
+
+    # corrupt one IDAT byte -> the chunk CRC must catch it loudly
+    idat_at = s.find(b"IDAT")
+    bad = bytearray(s)
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png_gray(bytes(bad))
+
+    with pytest.raises(ValueError):
+        M.decode_png_gray(b"\x89PNJ" + s[4:])  # bad signature
+    with pytest.raises(ValueError):
+        M.decode_png_gray(s[:-13])  # IEND gone
+
+    # 16-bit / color / interlaced IHDRs must be refused (rebuild the
+    # IHDR chunk with a patched field + fresh CRC)
+    import zlib as _z
+
+    def patch_ihdr(byte_idx, value):
+        body = bytearray(s[16:16 + 13])
+        body[byte_idx] = value
+        chunk = (
+            (13).to_bytes(4, "big") + b"IHDR" + bytes(body)
+            + (_z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF).to_bytes(
+                4, "big"
+            )
+        )
+        return s[:8] + chunk + s[8 + 25:]
+
+    for idx, val in ((8, 16), (9, 2), (12, 1)):
+        with pytest.raises(ValueError):
+            M.decode_png_gray(patch_ihdr(idx, val))
+
+
 def test_resize_ppm_is_exact_box_filter(spark):
     """The real resize kernel's pooled values must equal the hand
     box-filter over genuinely decoded pixels, through the full Spark

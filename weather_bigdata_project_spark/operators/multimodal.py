@@ -1270,3 +1270,205 @@ def jpeg_roundtrip_blocks(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         _batches, schema=JPEG_BLOCKS_SCHEMA
     )
+
+
+# --- REAL image codec, oracle-gated: PNG (RFC 2083) --------------------------
+#
+# PNG completes the image-format triad next to PPM (raw) and baseline
+# JPEG (lossy transform coding): chunked container with CRC-32
+# integrity, DEFLATE compression (python's built-in zlib — no external
+# dependency), and the five per-scanline prediction filters. Unlike
+# JPEG, EVERY PNG path is lossless, so the oracle needs no special
+# geometry: the encoder below filters scanline r with filter r % 5
+# (None, Sub, Up, Average, Paeth — all five exercised on every image)
+# and a correct decoder must invert all of them plus the zlib stream
+# and the chunk CRCs to reproduce the original bytes exactly.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + tag
+        + payload
+        + (zlib.crc32(tag + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL PNG encoder, 8-bit grayscale, non-interlaced: scanline r is
+    filtered with type r % 5, so every image exercises None, Sub, Up,
+    Average, and Paeth; the filtered stream is DEFLATE-compressed and
+    wrapped in CRC'd IHDR/IDAT/IEND chunks."""
+    import zlib
+
+    assert len(pixels) == width * height
+    out = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width:(r + 1) * width]
+        ft = r % 5
+        out.append(ft)
+        for x in range(width):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                v = row[x] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        prev = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # 8-bit gray, deflate, adaptive, none
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes):
+    """REAL PNG decoder, 8-bit grayscale: signature check, chunk walk
+    with CRC-32 verification on every chunk, IHDR contract enforcement
+    (8-bit gray, non-interlaced), multi-IDAT concatenation, zlib
+    inflate, and per-scanline unfiltering of all five filter types.
+    Returns (width, height, uint8 ndarray); fails loudly on anything
+    outside the contract — corrupt CRC, color/16-bit/interlaced images,
+    truncated or oversized pixel streams."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    idat = bytearray()
+    ended = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated chunk body")
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color, comp, filt, interlace = body[8:13]
+            if (bit_depth, color) != (8, 0):
+                raise ValueError("only 8-bit grayscale supported")
+            if comp or filt:
+                raise ValueError("unknown compression/filter method")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if width is None or not ended:
+        raise ValueError("missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("pixel stream length mismatch")
+    img = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        line = raw[r * (width + 1):(r + 1) * (width + 1)]
+        ft, data = line[0], line[1:]
+        if ft > 4:
+            raise ValueError(f"invalid filter type {ft}")
+        row = np.zeros(width, dtype=np.int64)
+        for x in range(width):
+            a = int(row[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ft == 0:
+                v = data[x]
+            elif ft == 1:
+                v = data[x] + a
+            elif ft == 2:
+                v = data[x] + b
+            elif ft == 3:
+                v = data[x] + (a + b) // 2
+            else:
+                v = data[x] + _paeth(a, b, c)
+            row[x] = v & 0xFF
+        img[r] = row.astype(np.uint8)
+        prev = row
+    return width, height, img
+
+
+#: oracle-path geometry: 8x8 gray, 64 tiled doc bytes per image —
+#: 8 scanlines exercise every filter type at least once (r % 5)
+PNG_W, PNG_H = 8, 8
+
+PNG_PIXELS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("pos", Ty.IntegerType()),
+        Ty.StructField("val", Ty.IntegerType()),
+    ]
+)
+
+
+def png_roundtrip_pixels(binary_df: DataFrame) -> DataFrame:
+    """Encode each doc's 64 tiled bytes as a REAL 8x8 grayscale PNG
+    (every scanline filter type exercised), decode it back, and emit
+    every pixel — one Arrow-batched mapInPandas stage. PNG is lossless,
+    so the DuckDB oracle predicts each output from the raw tiled bytes;
+    any defect in chunk CRCs, the zlib stream, or any of the five
+    filter reconstructions changes a pixel and fails the hash."""
+    import numpy as np  # noqa: F401  (decoder dependency, imported lazily)
+
+    n = PNG_W * PNG_H
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PNG_PIXELS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pix = bytes(content) if content is not None else b""
+                if len(pix) < n:
+                    raise ValueError("payload too short to tile pixels")
+                stream = encode_png_gray(PNG_W, PNG_H, pix[:n])
+                gw, gh, img = decode_png_gray(stream)
+                flat = img.reshape(-1)
+                for p in range(n):
+                    rows.append(
+                        (int(doc_id), gw, gh, p, int(flat[p]))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=PNG_PIXELS_SCHEMA
+    )

@@ -792,3 +792,44 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(nblk)).alias("content"))
     )
     return M.jpeg_roundtrip_blocks(d)
+
+
+# --- REAL image codec, oracle-gated: PNG round-trip --------------------------
+
+def _png_oracle() -> str:
+    n = M.PNG_W * M.PNG_H
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(n)}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        f"CAST({M.PNG_W} AS INT) AS width, "
+        f"CAST({M.PNG_H} AS INT) AS height, "
+        "CAST(p AS INT) AS pos, "
+        f"CAST({_byte('p')} AS INT) AS val "
+        f"FROM px CROSS JOIN range(0, {n}) t(p)"
+    )
+
+
+@query("multimodal_png_roundtrip", oracle=_png_oracle())
+def multimodal_png_roundtrip(spark, sf_dir):
+    """REAL PNG codec inside the correctness gate, completing the
+    image-format triad (PPM raw / JPEG lossy transform / PNG lossless
+    compressed): each doc's 64 tiled bytes become an 8x8 grayscale PNG
+    — CRC'd chunks, DEFLATE via the built-in zlib, and scanline r
+    filtered with type r % 5 so EVERY image exercises None, Sub, Up,
+    Average, and Paeth — then the real chunk-walking decoder (CRC
+    verification on every chunk, IHDR contract enforcement, inflate,
+    all five filter reconstructions) recovers every pixel, in one
+    Arrow-batched mapInPandas stage. PNG is lossless, so the DuckDB
+    oracle predicts each pixel from the raw tiled bytes without
+    touching a codec: a defect in any filter's inverse, the zlib
+    plumbing, or the CRC/chunk walk changes a value and fails the
+    driver hash. Corrupt-CRC / interlaced / 16-bit / color refusals
+    are pinned by the unit battery. Payload bytes never shuffle."""
+    n = M.PNG_W * M.PNG_H
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
+    )
+    return M.png_roundtrip_pixels(d)
