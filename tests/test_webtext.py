@@ -1,0 +1,105 @@
+"""Unit battery for the web-ingest kernels (operators/webtext.py):
+HTML extraction state machine and WARC record walk — hand-built
+streams, every trap and every loud-failure path."""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_bigdata_project_spark.operators import webtext as W
+
+
+def test_html_extractor_traps():
+    html = (
+        '<!DOCTYPE html><html> <head><title>Doc 7</title> '
+        "<style>p{color:red}</style> "
+        '<script type="text/javascript">var x = "<p>not text</p>";'
+        "</script> </head> <body> <!-- meta --> "
+        '<h1 class="t" title="a>b">Q&amp;A &lt;notes&gt;</h1> '
+        "<p>hello world</p> <p>&#36;end&nbsp;of&nbsp;doc</p> "
+        "</body></html>"
+    )
+    text, tags, blocks, comments = W.extract_html_text(html)
+    # head/title dropped, script string content dropped, the quoted
+    # 'a>b' attribute did not truncate its tag, entities decoded,
+    # whitespace collapsed
+    assert text == "Q&A <notes> hello world $end of doc"
+    assert (tags, blocks, comments) == (20, 2, 1)
+
+    # numeric hex entity + unknown entity passes through verbatim
+    t, *_ = W.extract_html_text("<body>&#x41;&bogus; &amp;</body>")
+    assert t == "&#x41;&bogus; &".replace("&#x41;", "A")
+
+    # nested markup-lookalike inside style is dropped too
+    t, _, b, _ = W.extract_html_text(
+        "<body>a<style>q{content:'<b>x</b>'}</style>z</body>"
+    )
+    assert t == "az" and b == 1
+
+    for bad in (
+        "<body><!-- unterminated",
+        "<body><p unterminated",
+        "<body><!DOCTYPE broken",
+    ):
+        with pytest.raises(ValueError):
+            W.extract_html_text(bad)
+
+
+def _mk_response(text: str) -> bytes:
+    body = text.encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return (
+        b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(http)).encode()
+        + b"\r\n\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+
+
+def test_warc_walk_and_failures():
+    info = b"software: x/1\r\n"
+    rec0 = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(info)).encode()
+        + b"\r\n\r\n"
+        + info
+        + b"\r\n\r\n"
+    )
+    stream = rec0 + _mk_response("alpha beta") + _mk_response("x")
+    got = list(W.parse_warc(stream))
+    assert [g[0] for g in got] == ["warcinfo", "response", "response"]
+    assert got[1][2:] == (200, 10, "alpha beta")
+    assert got[2][2:] == (200, 1, "x")
+    # a record whose BODY contains WARC-lookalike text must not desync
+    # the walk: Content-Length slicing, not pattern matching, finds the
+    # record boundary
+    tricky = _mk_response("WARC/1.1\r\nContent-Length: 999\r\n\r\n")
+    assert len(list(W.parse_warc(tricky + _mk_response("tail")))) == 2
+
+    with pytest.raises(ValueError):
+        list(W.parse_warc(b"WARC/1.1\r\nContent-Length: 5\r\n\r\nab"))
+    with pytest.raises(ValueError):
+        list(W.parse_warc(b"NOTWARC\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+    with pytest.raises(ValueError):
+        list(W.parse_warc(b"WARC/1.1\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n"))
+    # missing record separator after the block
+    bad = _mk_response("q")[:-4] + b"XXXX"
+    with pytest.raises(ValueError):
+        list(W.parse_warc(bad))
+    # truncated HTTP body inside an otherwise well-formed record
+    body_lie = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nshort"
+    )
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(body_lie)).encode()
+        + b"\r\n\r\n"
+        + body_lie
+        + b"\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        list(W.parse_warc(rec))

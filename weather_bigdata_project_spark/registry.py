@@ -163,6 +163,7 @@ def load() -> None:
     from .queries import privacy  # noqa: F401
     from .queries import sketches  # noqa: F401
     from .queries import spark4  # noqa: F401
+    from .queries import webingest  # noqa: F401
     from .queries import pipeline  # noqa: F401  (composes the above)
 
     _hash_order()
