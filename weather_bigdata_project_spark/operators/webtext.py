@@ -270,3 +270,53 @@ def warc_records(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "content").mapInPandas(
         _batches, schema=WARC_SCHEMA
     )
+
+
+# --- composed crawl front door: WARC -> HTML -> text stats -------------------
+
+CRAWL_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("n_records", Ty.IntegerType()),
+        Ty.StructField("content_length", Ty.LongType()),
+        Ty.StructField("n_tags", Ty.IntegerType()),
+        Ty.StructField("n_tokens", Ty.LongType()),
+        Ty.StructField("n_chars", Ty.LongType()),
+    ]
+)
+
+
+def crawl_extract_stats(df: DataFrame) -> DataFrame:
+    """The composed crawl front door in ONE Arrow-batched stage: walk
+    the WARC stream (real parser), take the response record's HTTP body
+    — an HTML page — run the real extractor over it, and emit the
+    token/char stats of the recovered text. This is the stage-0+1
+    chain of a crawl-derived corpus build executed end to end; each
+    payload is parsed and extracted exactly once and never shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CRAWL_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                recs = list(parse_warc(payload))
+                resp = next(r for r in recs if r[0] == "response")
+                text, tags, _blocks, _comments = extract_html_text(
+                    resp[4] or ""
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(recs),
+                        resp[1],
+                        tags,
+                        len(text.split(" ")) if text else 0,
+                        len(text),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(
+        _batches, schema=CRAWL_SCHEMA
+    )

@@ -82,20 +82,22 @@ def corpus_html_extract(spark, sf_dir):
     d = (
         T.docs(spark, sf_dir)
         .filter(F.length("text") >= 1)
-        .select(
-            "doc_id",
-            F.concat(
-                F.lit(_HTML_PREFIX),
-                F.col("doc_id").cast("string"),
-                F.lit(_HTML_MID),
-                F.col("lang"),
-                F.lit(_HTML_H1),
-                F.col("text"),
-                F.lit(_HTML_SUFFIX),
-            ).alias("html"),
-        )
+        .select("doc_id", _html_col().alias("html"))
     )
     return W.html_extract(d)
+
+
+def _html_col():
+    """The synthesized page as a Column over the documents row."""
+    return F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("lang"),
+        F.lit(_HTML_H1),
+        F.col("text"),
+        F.lit(_HTML_SUFFIX),
+    )
 
 
 # --- WARC record walk ------------------------------------------------------
@@ -150,12 +152,23 @@ def corpus_warc_records(spark, sf_dir):
     slicing changes a value and fails the driver hash. Payload bytes
     never shuffle; at crawl scale this stage maps over WARC files
     exactly as written."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", _warc_wrap(F.col("text")).alias("content"))
+    )
+    return W.warc_records(d)
+
+
+def _warc_wrap(body):
+    """Two-record WARC stream (warcinfo + HTTP response carrying
+    `body`) as a binary Column over the documents row."""
     crlf = "\r\n"
     http = F.concat(
         F.lit(_HTTP_PRE),
-        F.octet_length("text").cast("string"),
+        F.octet_length(body).cast("string"),
         F.lit(crlf + crlf),
-        F.col("text"),
+        body,
     )
     rec0 = F.lit(
         "WARC/1.1" + crlf + "WARC-Type: warcinfo" + crlf
@@ -172,12 +185,53 @@ def corpus_warc_records(spark, sf_dir):
         http,
         F.lit(crlf + crlf),
     )
+    return F.encode(F.concat(rec0, rec1), "utf-8")
+
+
+# --- the composed crawl front door -----------------------------------------
+
+
+def _crawl_oracle() -> str:
+    # octet length of the synthesized page, closed-form from the row
+    html_len = (
+        f"{len(_HTML_PREFIX.encode())} + "
+        "length(CAST(doc_id AS VARCHAR)) + "
+        f"{len(_HTML_MID.encode())} + octet_length(encode(lang)) + "
+        f"{len(_HTML_H1.encode())} + octet_length(encode(text)) + "
+        f"{len(_HTML_SUFFIX.encode())}"
+    )
+    clen = (
+        f"{len(_HTTP_PRE)} + "
+        f"length(CAST(({html_len}) AS VARCHAR)) + 4 + ({html_len})"
+    )
+    return (
+        "SELECT doc_id, CAST(2 AS INT) AS n_records, "
+        f"CAST({clen} AS BIGINT) AS content_length, "
+        "CAST(20 AS INT) AS n_tags, "
+        "CAST(5 + len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(24 + length(text) AS BIGINT) AS n_chars "
+        "FROM documents WHERE length(text) >= 1"
+    )
+
+
+@query("corpus_crawl_extract_stats", oracle=_crawl_oracle())
+def corpus_crawl_extract_stats(spark, sf_dir):
+    """The crawl front door COMPOSED, end to end: each doc's text is
+    wrapped in the trap-laden HTML page, the page is wrapped in a
+    genuine HTTP/1.1 response inside a two-record WARC stream, and ONE
+    Arrow-batched stage walks it all back — real WARC record slicing,
+    real HTTP parse, real HTML extraction — emitting the recovered
+    text's token and character counts. This is stage 0+1 of a
+    C4/CCNet-class corpus build as a single verified operator; the
+    oracle predicts every output closed-form from the original row
+    (the response record's Content-Length is a two-level length
+    recursion over the page's byte length; token count is the text's
+    plus the page banner's 5), so an off-by-one in ANY of the three
+    parsers shifts a value and fails the driver hash. Payloads are
+    built and parsed in-row and never shuffle."""
     d = (
         T.docs(spark, sf_dir)
         .filter(F.length("text") >= 1)
-        .select(
-            "doc_id",
-            F.encode(F.concat(rec0, rec1), "utf-8").alias("content"),
-        )
+        .select("doc_id", _warc_wrap(_html_col()).alias("content"))
     )
-    return W.warc_records(d)
+    return W.crawl_extract_stats(d)
