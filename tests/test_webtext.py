@@ -103,3 +103,87 @@ def test_warc_walk_and_failures():
     )
     with pytest.raises(ValueError):
         list(W.parse_warc(rec))
+
+
+def test_dechunk_and_failures():
+    ch = b"5\r\nhello\r\n6;ext=q\r\n world\r\n0\r\n\r\n"
+    assert W._dechunk(ch) == b"hello world"
+    # hex sizes, both cases
+    assert W._dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+    assert W._dechunk(b"a\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+    for bad in (
+        b"5\r\nhello\r\n0\r\n",          # missing terminator CRLF
+        b"5\r\nhello\r\n0\r\n\r\nX",     # garbage after terminator
+        b"5\r\nhell",                    # truncated chunk data
+        b"5\r\nhelloXX0\r\n\r\n",        # missing CRLF after data
+        b"zz\r\nhello\r\n0\r\n\r\n",     # bad hex size
+        b"5",                            # truncated size line
+    ):
+        with pytest.raises(ValueError):
+            W._dechunk(bad)
+
+
+def test_chunked_response_in_warc():
+    ch = b"3\r\nabc\r\n2\r\nde\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + ch
+    )
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    got = list(W.parse_warc(rec))
+    assert got == [("response", len(http), 200, 5, "abcde")]
+
+
+def test_gzip_member_roundtrip_and_failures():
+    info = b"software: x/1\r\n"
+    rec0 = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(info)).encode() + b"\r\n\r\n" + info + b"\r\n\r\n"
+    )
+    stream = rec0 + _mk_response("héllo wörld")
+    spans = list(W.record_spans(stream))
+    assert spans == [(0, len(rec0)), (len(rec0), len(stream))]
+    wire = b"".join(
+        W.gzip_member(stream[s:e], f"rec{i}.warc")
+        for i, (s, e) in enumerate(spans)
+    )
+    members = list(W.split_gzip_members(wire))
+    assert [m[0] for m in members] == ["rec0.warc", "rec1.warc"]
+    assert [m[2] for m in members] == [len(rec0), len(stream) - len(rec0)]
+    assert b"".join(m[1] for m in members) == stream
+    # every optional FLG field is honored: synthesize FEXTRA + FCOMMENT
+    # + FHCRC around a raw-deflate body
+    import zlib
+
+    data = b"payload bytes"
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    defl = co.compress(data) + co.flush()
+    hdr = (
+        b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x10])
+        + (0).to_bytes(4, "little") + b"\x00\xff"
+        + (4).to_bytes(2, "little") + b"XTRA"   # FEXTRA
+        + b"a comment\x00"                        # FCOMMENT
+        + b"\x00\x00"                             # FHCRC (unverified)
+    )
+    tail = (zlib.crc32(data)).to_bytes(4, "little") + (
+        len(data)
+    ).to_bytes(4, "little")
+    got = list(W.split_gzip_members(hdr + defl + tail))
+    assert got == [(None, data, len(data))]
+
+    member = W.gzip_member(data, "f")
+    for bad in (
+        b"XX" + member[2:],                        # bad magic
+        member[:3] + b"\xe0" + member[4:],         # reserved FLG bits
+        member[:-1],                               # truncated trailer
+        member[:-8] + b"\x00\x00\x00\x00" + member[-4:],  # bad CRC
+        member[:-4] + b"\xff\x00\x00\x00",         # bad ISIZE
+    ):
+        with pytest.raises(ValueError):
+            list(W.split_gzip_members(bad))
+    # truncated deflate stream: cut mid-body
+    cut = member[: len(member) - 12]
+    with pytest.raises(ValueError):
+        list(W.split_gzip_members(cut))
