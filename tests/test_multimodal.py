@@ -579,3 +579,55 @@ def test_resize_ppm_is_exact_box_filter(spark):
     gray = arr.astype(np.int64).sum(axis=2)
     want = gray.reshape(3, 2, 4, 2).sum(axis=(1, 3)) / 12.0
     assert list(r.embedding) == [float(v) for v in want.reshape(-1)]
+
+
+def test_mjpeg_avi_battery(spark):
+    """The MJPEG-in-AVI container chain: mux/demux identity over real
+    JPEG frames, word-alignment of odd-length chunks, and loud
+    refusals of every structural lie the walker guards against."""
+    import numpy as np
+    import pytest
+
+    frames = []
+    for f in range(M.MJPEG_FRAMES):
+        base = (np.arange(12, dtype=np.uint8).reshape(3, 4) + f * 11)
+        pix = np.repeat(base, 8, axis=0).repeat(8, axis=1)
+        frames.append(M.encode_jpeg_gray(32, 24, pix.tobytes()))
+    avi = M.encode_avi_mjpeg(frames, 32, 24)
+    w, h, back = M.parse_avi_mjpeg(avi)
+    assert (w, h) == (32, 24) and back == frames
+    # odd-length frames force the pad path; the recovered bytes must
+    # be the unpadded originals
+    assert any(len(f) & 1 for f in frames)
+
+    import struct
+
+    def patched(pat, rep):
+        assert pat in avi
+        return avi.replace(pat, rep, 1)
+
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(b"XXXX" + avi[4:])          # bad magic
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(avi[:-2])                    # size field lie
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(patched(b"AVI ", b"WAVE"))   # wrong form
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(patched(b"MJPG", b"H264"))   # wrong handler
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(patched(b"vids", b"auds"))   # wrong type
+    # avih frame-count lie: dwTotalFrames is at avih payload offset 16
+    i = avi.find(b"avih") + 8 + 16
+    lied = avi[:i] + struct.pack("<I", 99) + avi[i + 4:]
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(lied)
+    # idx1 offset lie: bump the first entry's offset
+    j = avi.rfind(b"idx1") + 8 + 8
+    lied2 = avi[:j] + struct.pack("<I", 12345) + avi[j + 12:]
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(lied2)
+    # a frame chunk that is not a JPEG stream
+    k = avi.find(b"00dc", avi.find(b"movi")) + 8
+    lied3 = avi[:k] + b"\x00\x00" + avi[k + 2:]
+    with pytest.raises(ValueError):
+        M.parse_avi_mjpeg(lied3)

@@ -1472,3 +1472,286 @@ def png_roundtrip_pixels(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         _batches, schema=PNG_PIXELS_SCHEMA
     )
+
+
+# --- REAL video container, oracle-gated: MJPEG-in-AVI (RIFF) -----------------
+#
+# Motion-JPEG in an AVI container is the simplest REAL compressed-video
+# format: every frame is an independent baseline JPEG inside a RIFF
+# chunk tree ('RIFF/AVI ' -> LIST hdrl (avih, LIST strl (strh MJPG,
+# strf BITMAPINFOHEADER)) -> LIST movi ('00dc' frame chunks,
+# word-aligned) -> idx1 index). The WAV decoder already proved the RIFF
+# chunk walk and the JPEG codec the per-frame entropy/transform chain;
+# this composes the two into an end-to-end compressed-video decode with
+# no new dependency — retiring most of the "compressed video needs
+# pyav" caveat (what still needs a real codec library is inter-frame
+# prediction, H.264-class). Flat-8x8-block frames round-trip losslessly
+# through the JPEG path (module note above encode_jpeg_gray), so a
+# DuckDB oracle predicts every decoded block of every frame by byte
+# arithmetic while the Spark side runs the genuine container walk and
+# entropy decode.
+
+MJPEG_FRAMES = 3
+MJPEG_FPS = 10
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    # the size field counts the UNPADDED payload; the pad byte that
+    # word-aligns the next chunk is outside it (RIFF spec)
+    pad = b"\x00" if len(payload) & 1 else b""
+    return tag + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def _riff_list(form: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", form + payload)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = MJPEG_FPS
+) -> bytes:
+    """REAL AVI (RIFF) writer for an MJPEG video stream: avih + strh
+    ('vids'/'MJPG') + strf (BITMAPINFOHEADER, biCompression='MJPG'),
+    the movi list with one word-aligned '00dc' chunk per JPEG frame,
+    and the idx1 index whose offsets use the from-'movi'-fourcc
+    convention (first chunk at offset 4)."""
+    import struct
+
+    n = len(frames)
+    maxbuf = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        maxbuf * fps,      # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # AVIF_HASINDEX
+        n,                 # dwTotalFrames
+        0, 1,              # dwInitialFrames, dwStreams
+        maxbuf,            # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,        # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sI2HI5I2I4H",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,        # flags, priority, language, initialFrames
+        1, fps,            # dwScale / dwRate = frame period
+        0, n,              # dwStart, dwLength (frames)
+        maxbuf, 0xFFFFFFFF, 0,  # bufSize, quality, sampleSize
+        0, 0, width, height,    # rcFrame
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I",
+        40, width, height, 1, 24,
+        0x47504A4D,        # biCompression 'MJPG' (LE fourcc)
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_payload = b""
+    index = []
+    for f in frames:
+        index.append((4 + len(movi_payload), len(f)))
+        movi_payload += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", movi_payload)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<3I", 0x10, off, sz)
+            for off, sz in index
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _riff_walk(payload: bytes, pos: int, end: int):
+    """Yield (tag, form|None, data_start, data_len) for each chunk in
+    [pos, end); LIST chunks report their form and their PAYLOAD span so
+    callers can recurse. Enforces word alignment and bounds."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated RIFF chunk header")
+        tag = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        data = pos + 8
+        if data + sz > end:
+            raise ValueError(f"RIFF chunk {tag!r} overruns its parent")
+        if tag == b"LIST":
+            if sz < 4:
+                raise ValueError("LIST chunk too short for a form")
+            yield tag, payload[data:data + 4], data + 4, sz - 4
+        else:
+            yield tag, None, data, sz
+        pos = data + sz + (sz & 1)
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """REAL AVI walker: verify the RIFF envelope and 'AVI ' form, parse
+    avih (frame count, geometry, single stream), check the stream
+    headers declare 'vids'/'MJPG' with a matching BITMAPINFOHEADER,
+    collect the movi '00dc' frame chunks (word-aligned), and verify
+    every idx1 entry points at the chunk it indexes. Returns (width,
+    height, [jpeg_frame_bytes]). Fails loudly on any structural lie —
+    a size field that disagrees, a frame count mismatch, an index
+    entry pointing elsewhere, or a frame that is not a JPEG stream."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if int.from_bytes(payload[4:8], "little") != len(payload) - 8:
+        raise ValueError("RIFF size field disagrees with payload length")
+    if payload[8:12] != b"AVI ":
+        raise ValueError("RIFF form is not 'AVI '")
+
+    width = height = total = None
+    frames: list[bytes] = []
+    index: list[tuple[int, int]] = []
+    movi_chunks: list[tuple[int, int]] = []
+    for tag, form, start, sz in _riff_walk(payload, 12, len(payload)):
+        if tag == b"LIST" and form == b"hdrl":
+            saw_stream = False
+            for t2, f2, s2, z2 in _riff_walk(payload, start, start + sz):
+                if t2 == b"avih":
+                    if z2 < 40:
+                        raise ValueError("avih too short")
+                    fields = struct.unpack("<10I", payload[s2:s2 + 40])
+                    total = fields[4]
+                    if fields[6] != 1:
+                        raise ValueError("expected exactly one stream")
+                    width, height = fields[8], fields[9]
+                elif t2 == b"LIST" and f2 == b"strl":
+                    for t3, _f3, s3, z3 in _riff_walk(
+                        payload, s2, s2 + z2
+                    ):
+                        if t3 == b"strh":
+                            fcc_type = payload[s3:s3 + 4]
+                            handler = payload[s3 + 4:s3 + 8]
+                            if fcc_type != b"vids":
+                                raise ValueError(
+                                    f"stream type {fcc_type!r} != vids"
+                                )
+                            if handler != b"MJPG":
+                                raise ValueError(
+                                    f"handler {handler!r} != MJPG"
+                                )
+                            saw_stream = True
+                        elif t3 == b"strf":
+                            if z3 < 40:
+                                raise ValueError("strf too short")
+                            bi = struct.unpack(
+                                "<I2i2HI", payload[s3:s3 + 20]
+                            )
+                            if bi[5] != 0x47504A4D:
+                                raise ValueError(
+                                    "biCompression is not 'MJPG'"
+                                )
+                            if (bi[1], bi[2]) != (width, height):
+                                raise ValueError(
+                                    "strf geometry disagrees with avih"
+                                )
+            if not saw_stream:
+                raise ValueError("hdrl carries no vids stream header")
+        elif tag == b"LIST" and form == b"movi":
+            movi_data = start  # offset 4 in idx1 convention = start
+            for t2, _f2, s2, z2 in _riff_walk(payload, start, start + sz):
+                if t2 != b"00dc":
+                    raise ValueError(f"unexpected movi chunk {t2!r}")
+                frame = payload[s2:s2 + z2]
+                if frame[:2] != b"\xff\xd8":
+                    raise ValueError("frame chunk is not a JPEG stream")
+                frames.append(frame)
+                movi_chunks.append((s2 - 8 - (movi_data - 4), z2))
+        elif tag == b"idx1":
+            if sz % 16:
+                raise ValueError("idx1 size not a multiple of 16")
+            for k in range(sz // 16):
+                e = start + 16 * k
+                fcc = payload[e:e + 4]
+                if fcc != b"00dc":
+                    raise ValueError(f"idx1 entry fourcc {fcc!r}")
+                _flags, off, esz = struct.unpack(
+                    "<3I", payload[e + 4:e + 16]
+                )
+                index.append((off, esz))
+    if total is None:
+        raise ValueError("missing avih header")
+    if len(frames) != total:
+        raise ValueError(
+            f"avih declares {total} frames, movi holds {len(frames)}"
+        )
+    if index != movi_chunks:
+        raise ValueError("idx1 disagrees with the movi chunk layout")
+    return width, height, frames
+
+
+MJPEG_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("frame_idx", Ty.IntegerType()),
+        Ty.StructField("n_frames", Ty.IntegerType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("block_idx", Ty.IntegerType()),
+        Ty.StructField("val", Ty.IntegerType()),
+    ]
+)
+
+
+def mjpeg_avi_roundtrip(binary_df: DataFrame) -> DataFrame:
+    """Encode MJPEG_FRAMES flat-block frames from each doc's tiled
+    bytes as REAL baseline JPEGs, mux them into a REAL AVI container,
+    demux + decode it all back, and emit every frame's decoded block
+    values — one Arrow-batched stage running the full compressed-video
+    chain (container walk, index verification, per-frame entropy
+    decode) genuinely per row."""
+    import numpy as np
+
+    nblk = JPEG_BW * JPEG_BH
+    w, h = JPEG_BW * 8, JPEG_BH * 8
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MJPEG_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blk = bytes(content) if content is not None else b""
+                if len(blk) < MJPEG_FRAMES * nblk:
+                    raise ValueError("payload too short to tile frames")
+                jpegs = []
+                for f in range(MJPEG_FRAMES):
+                    pix = np.repeat(
+                        np.frombuffer(
+                            blk[f * nblk:(f + 1) * nblk], dtype=np.uint8
+                        ).reshape(JPEG_BH, JPEG_BW),
+                        8,
+                        axis=0,
+                    ).repeat(8, axis=1)
+                    jpegs.append(encode_jpeg_gray(w, h, pix.tobytes()))
+                avi = encode_avi_mjpeg(jpegs, w, h)
+                gw, gh, back = parse_avi_mjpeg(avi)
+                for fi, stream in enumerate(back):
+                    dw, dh, img = decode_jpeg_gray(stream)
+                    if (dw, dh) != (gw, gh):
+                        raise ValueError(
+                            "frame geometry disagrees with container"
+                        )
+                    for r in range(JPEG_BH):
+                        for c in range(JPEG_BW):
+                            rows.append(
+                                (
+                                    int(doc_id), fi, len(back), gw, gh,
+                                    r * JPEG_BW + c,
+                                    int(img[r * 8, c * 8]),
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=MJPEG_SCHEMA
+    )

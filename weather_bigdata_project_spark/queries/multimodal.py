@@ -833,3 +833,52 @@ def multimodal_png_roundtrip(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
     )
     return M.png_roundtrip_pixels(d)
+
+
+# --- REAL video container: MJPEG-in-AVI demux + decode ----------------------
+
+def _mjpeg_oracle() -> str:
+    nblk = M.JPEG_BW * M.JPEG_BH
+    n = M.MJPEG_FRAMES * nblk
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(n)}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        "CAST(f AS INT) AS frame_idx, "
+        f"CAST({M.MJPEG_FRAMES} AS INT) AS n_frames, "
+        f"CAST({M.JPEG_BW * 8} AS INT) AS width, "
+        f"CAST({M.JPEG_BH * 8} AS INT) AS height, "
+        "CAST(j AS INT) AS block_idx, "
+        f"CAST({_byte(f'f*{nblk}+j')} AS INT) AS val "
+        f"FROM px CROSS JOIN range(0, {M.MJPEG_FRAMES}) t(f) "
+        f"CROSS JOIN range(0, {nblk}) u(j)"
+    )
+
+
+@query("multimodal_mjpeg_avi_frames", oracle=_mjpeg_oracle())
+def multimodal_mjpeg_avi_frames(spark, sf_dir):
+    """REAL compressed video, end to end — the in-tree baseline-JPEG
+    codec composed with a REAL AVI (RIFF) container: each doc's 36
+    tiled bytes become three 32x24 flat-block frames, each ENCODED as
+    a genuine baseline JPEG, MUXED into a spec-shaped AVI (avih, strh
+    'vids'/'MJPG', strf BITMAPINFOHEADER, word-aligned '00dc' movi
+    chunks — the 329-byte frames are odd, so the pad path runs on
+    every row — and an idx1 index), then DEMUXED by the real walker
+    (RIFF envelope + size checks, stream-header validation, idx1
+    verified entry-by-entry against the actual chunk layout) and each
+    frame entropy-DECODED back. Flat blocks with DC step 8 round-trip
+    losslessly (operators/multimodal module note), so the DuckDB
+    oracle predicts every decoded block of every frame from the raw
+    tiled bytes without touching a codec: a defect anywhere in the
+    container writer, the chunk walk, the index bookkeeping, or the
+    JPEG chain changes a value and fails the driver hash. This retires
+    the 'compressed video needs pyav' caveat for intra-frame codecs
+    (inter-frame H.264-class prediction still does). One Arrow-batched
+    stage; payloads never shuffle."""
+    n = M.MJPEG_FRAMES * M.JPEG_BW * M.JPEG_BH
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
+    )
+    return M.mjpeg_avi_roundtrip(d)
