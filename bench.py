@@ -250,24 +250,34 @@ def main() -> None:
     print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_REPS: best-of-N per query (N=2 default — the round-7
+    # A/B found half the suite is sub-second, where single-run walls
+    # sit below the box's drift floor; builder-local records use this
+    # to start cross-round comparisons from a stabler statistic). The
+    # FIRST run's wall is recorded too (queries_raw) so a reader can
+    # see both the raw and the damped number side by side.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
     times: dict[str, float] = {}
+    raws: dict[str, float] = {}
     total = 0.0
     for name in headline:
         fn = registry.QUERIES[name]
-        # best of 2 measured runs: reports steady-state throughput, damps
-        # GC/compilation jitter (both runs execute the full plan —
+        # best of N measured runs: reports steady-state throughput, damps
+        # GC/compilation jitter (every run executes the full plan —
         # clearing per RUN also drops the shared-shingle memo, so no
         # run measures another run's cached frames)
         dt = None
-        for _ in range(2):
+        for r in range(reps):
             clear_session_state()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             d = round(time.time() - t0, 3)
+            if r == 0:
+                raws[name] = d
             dt = d if dt is None else min(dt, d)
         times[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (raw {raws[name]:.3f}s)", file=sys.stderr)
 
     payload = {
         # "b" suffix: round-3 composition swap (4 family-redundant
@@ -281,16 +291,31 @@ def main() -> None:
         "calibration_s": calibration_s,
         "cal_reps": CAL_REPS,
         "queries": times,
+        "reps": reps,
+        "queries_raw": raws,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     norm = normalized_vs_prev(times, calibration_s, payload["sf"])
     if norm:
         payload["normalized_vs_prev"] = norm
+    # builder-local records: dump the FULL payload (nothing shed by the
+    # stdout line guard below — both walls, all normalized detail) to a
+    # file, so BENCH_local_r*.json carries best-of-N alongside raw even
+    # when the driver line can't
+    out_path = os.environ.get("SPARK_GRAFT_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
     # compact separators: ~2 chars/entry headroom under the line guard.
     # Shed order matters: the per-query dict is the driver's
-    # cross-round comparison substrate and goes LAST — the normalized
-    # block (derived, also on stderr) sheds first, detail then whole.
+    # cross-round comparison substrate and goes LAST — the raw
+    # first-run dict (a builder-local statistic, also on stderr) sheds
+    # before anything else, then the normalized block, detail then
+    # whole.
     line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        del payload["queries_raw"]
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800 and norm:
         # shed the per-name regression detail first (stderr has it)
         payload["normalized_vs_prev"] = {
