@@ -1813,3 +1813,60 @@ def test_protobuf_discovery_contract():
             "version-check escape hatch unset: protobuf 6.32 runtime "
             "refuses pyspark's 6.33 gencode at import time"
         )
+
+
+def test_crawl_extract_stream_equals_batch(spark, tmp_path):
+    """Streaming crawl front door: over a 3-micro-batch replay of the
+    doc corpus, the drained WARC->HTTP->HTML extraction stats must
+    EQUAL the batch corpus_crawl_extract_stats result bit-for-bit —
+    every doc exactly once, same record counts, same recovered token
+    and char stats. The operator is state-free (same synthesis
+    expressions, same Arrow stage), so equality must hold for ANY
+    batch split; three triggers prove the parsers run at ingest."""
+    import glob
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    src = str(tmp_path / "crawl_captures")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.crawl_extract_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = (
+        "doc_id", "n_records", "content_length", "n_tags",
+        "n_tokens", "n_chars",
+    )
+    got = {
+        tuple(r[k] for k in key)
+        for r in spark.table("crawl_stream").collect()
+    }
+    want = {
+        tuple(r[k] for k in key)
+        for r in registry.QUERIES["corpus_crawl_extract_stats"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and got
+    assert len(got) == docs.filter("length(text) >= 1").count()

@@ -1390,3 +1390,33 @@ def gopher_filter_stream(doc_stream: DataFrame) -> DataFrame:
     ).withColumn(
         "keep", F.expr("NOT (f_wc OR f_wl OR f_sw OR f_tt)")
     )
+
+
+def crawl_extract_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming crawl front door — the at-ingest twin of
+    queries/webingest.corpus_crawl_extract_stats, extending the
+    at-ingest family (dedup, contamination, Gopher) back to stage 0:
+    every arriving capture is WARC-walked, HTTP-parsed, and
+    HTML-extracted BEFORE it lands, so the lake stores recovered text
+    stats (and, in a production layout, the text itself) instead of
+    raw crawl bytes — the shape a 100-TB crawl ingest actually wants,
+    since WARC payloads parsed at ingest never need a second pass.
+
+    The plan is completely STATE-FREE: the wire payload is synthesized
+    in-row by the same codegen expressions the batch query uses
+    (webingest._warc_wrap over _html_col) and parsed back by the same
+    single Arrow-batched mapInPandas stage (operators/webtext.
+    crawl_extract_stats — real WARC record slicing, real HTTP parse,
+    real HTML extraction), so each output row depends only on its
+    input row and a drained replay across ANY micro-batch split equals
+    the batch result bit-for-bit (tests/test_streaming.py::
+    test_crawl_extract_stream_equals_batch). Zero shuffle, zero state;
+    payload bytes live and die inside their ingest task."""
+    from ..operators import webtext
+    from ..queries.webingest import _html_col, _warc_wrap
+
+    d = (
+        doc_stream.filter(F.length("text") >= 1)
+        .select("doc_id", _warc_wrap(_html_col()).alias("content"))
+    )
+    return webtext.crawl_extract_stats(d)
