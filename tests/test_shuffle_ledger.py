@@ -97,13 +97,24 @@ def test_transition_verdicts_are_earned(ledger):
         bound = BOUNDS.get(name, DEFAULT_BOUND)
         segs = ent.get("exponent_bytes_segments") or []
         assert ent["exponent_bytes"] is not None
-        assert ent["exponent_bytes"] > bound, (name, "not a transition")
-        for s in segs[:-1]:
-            assert s is None or s <= bound, (name, segs)
-        big = ent["big"]
-        assert big["input_records"] > 0, name
-        ratio = big["shuffle_write_records"] / big["input_records"]
-        assert ratio <= LINEAR_RECORDS_K, (name, ratio)
+        if ent["exponent_bytes"] > bound:
+            # one-point-post-flip shape: the flip sits on the LAST
+            # segment, so the new regime is not yet measured — every
+            # earlier segment must be in bound and the records ratio
+            # must stay linear
+            for s in segs[:-1]:
+                assert s is None or s <= bound, (name, segs)
+            big = ent["big"]
+            assert big["input_records"] > 0, name
+            ratio = big["shuffle_write_records"] / big["input_records"]
+            assert ratio <= LINEAR_RECORDS_K, (name, ratio)
+        else:
+            # measured-post-flip shape (the round-8 fifth point): an
+            # earlier segment crossed the bound — the flip — and the
+            # LAST segment measures the new regime back within it
+            assert any(
+                s is not None and s > bound for s in segs[:-1]
+            ), (name, segs, "in-bound last segment but no flip seen")
 
 
 def test_ledger_not_trivially_empty(ledger):
@@ -184,13 +195,41 @@ def test_sf1_fourth_point_on_heaviest(ledger):
         pytest.skip("sf1 extension not yet merged into this ledger")
     assert len(four) >= 10
     for name, ent in four.items():
-        assert ent["sfs"][-1] == 1.0, name
+        # round-8: the five transition queries carry a FIFTH point at
+        # sf3-shape on top of the sf1 fourth
+        assert ent["sfs"][-1] in (1.0, 3.0), name
+        assert 1.0 in ent["sfs"], name
         assert ent["verdict"] in ("ok", "flat", "transition"), (
             name,
             ent["verdict"],
         )
         bound = BOUNDS.get(name, DEFAULT_BOUND)
         assert classify(ent, bound) == ent["verdict"], name
+
+
+def test_transition_queries_measure_the_post_flip_regime(ledger):
+    """Round-8: the five queries whose round-7 'transition' verdicts
+    rested on the records-ratio argument now carry a FIFTH ledger
+    point at sf3-shape, so the post-broadcast-flip slope is MEASURED:
+    the last (sf1 -> sf3) segment exponent must be within the
+    declared bound — the linear-again claim as a number, not an
+    argument."""
+    five = [
+        "tpch_q3_order_revenue",
+        "tpch_q18_large_volume_orders",
+        "join_session_overlap",
+        "orders_rfm_segments",
+        "lineitem_bloom_join_prune",
+    ]
+    for name in five:
+        ent = ledger["queries"][name]
+        if ent["sfs"][-1] != 3.0:
+            pytest.skip(f"{name}: sf3 fifth point not merged yet")
+        bound = BOUNDS.get(name, DEFAULT_BOUND)
+        segs = ent["exponent_bytes_segments"]
+        assert len(segs) == 4, (name, segs)
+        assert segs[-1] is not None and segs[-1] <= bound, (name, segs)
+        assert ent["verdict"] == "transition", (name, ent["verdict"])
 
 
 def test_heavy_stage_skew_bounded(ledger):

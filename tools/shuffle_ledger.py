@@ -129,9 +129,16 @@ def classify(entry: dict, bound: float) -> str:
     big = entry["big"]
     if e_b is None:
         return "flat" if big["shuffle_write_bytes"] <= FLAT_CAP else "EXCEEDED"
-    if e_b <= bound:
-        return "ok"
     segs = entry.get("exponent_bytes_segments") or []
+    if e_b <= bound:
+        # the last segment is in bound but an EARLIER one crossed it:
+        # a broadcast->shuffle flip whose post-flip slope is now
+        # MEASURED (the round-8 fifth point) — keep the transition
+        # label so the series reads as what it is, a regime change
+        # with a measured linear tail, not a clean linear history
+        if any(s is not None and s > bound for s in segs[:-1]):
+            return "transition"
+        return "ok"
     earlier_ok = all(s is None or s <= bound for s in segs[:-1])
     rec_linear = (
         big.get("input_records", 0) > 0

@@ -391,12 +391,20 @@ def join_session_overlap(spark, sf_dir):
     Each session interval explodes into its covered 1-hour buckets
     (fan-out = interval length / bucket width — human-session-bounded);
     candidates equi-join on the bucket (hash join, never a nested
-    loop), dedupe (two intervals meet in every shared bucket), then the
-    EXACT overlap condition re-checks and measures. The oracle runs
-    DuckDB's native inequality join over the same intervals. Top-20 is
-    a total order (duration desc, then both keys). At 100 TB the bucket
-    width is the knob: ~median interval length keeps fan-out ~2 while
-    the equi-join stays balanced."""
+    loop), and each pair is kept only in the ONE bucket containing its
+    overlap start (an instant inside both intervals, so both sides
+    cover that bucket) — the standard first-bucket dedup, which makes
+    every qualifying pair appear exactly once WITHOUT a distinct.
+    Then the EXACT overlap condition re-checks and measures. The
+    oracle runs DuckDB's native inequality join over the same
+    intervals. Top-20 is a total order (duration desc, then both
+    keys) that compiles to TakeOrderedAndProject, so the pair stream
+    — the only superlinear cardinality in the plan, concurrency pairs
+    being inherently quadratic in concurrent-user density — is
+    consumed map-side and NEVER shuffles (the round-8 fifth ledger
+    point caught the old distinct shuffling it at e=1.4). At 100 TB
+    the bucket width is the knob: ~median interval length keeps
+    fan-out ~2 while the equi-join stays balanced."""
     iv = materialize(_session_intervals(spark, sf_dir))
     bucketed = iv.select(
         "user_id",
@@ -411,27 +419,28 @@ def join_session_overlap(spark, sf_dir):
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("user1"),
-            F.col("a.sid").alias("sid1"),
-            F.col("b.user_id").alias("user2"),
-            F.col("b.sid").alias("sid2"),
-            F.col("a.s_start").alias("st1"),
-            F.col("a.s_end").alias("en1"),
-            F.col("b.s_start").alias("st2"),
-            F.col("b.s_end").alias("en2"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).select(
+        F.col("a.user_id").alias("user1"),
+        F.col("a.sid").alias("sid1"),
+        F.col("b.user_id").alias("user2"),
+        F.col("b.sid").alias("sid2"),
+        F.col("a.s_start").alias("st1"),
+        F.col("a.s_end").alias("en1"),
+        F.col("b.s_start").alias("st2"),
+        F.col("b.s_end").alias("en2"),
+        F.col("a.bkt").alias("bkt"),
     )
     ov = "LEAST(en1, en2) - GREATEST(st1, st2)"
     return (
-        pairs.filter(F.expr(f"{ov} > 0"))
+        pairs.filter(
+            F.expr(
+                f"{ov} > 0 AND bkt = GREATEST(st1, st2) div {_IV_W}"
+            )
+        )
         .select(
             "user1",
             "sid1",
