@@ -20,6 +20,26 @@ Reading the ratio honestly:
 - Iterative algorithms legitimately make multiple passes; the question
   is whether the passes read cache (good) or parquet (bad).
 
+Adjudication (round-8): cache-vs-parquet is no longer a footnote but a
+MEASURED per-query verdict. Hadoop's global FileSystem statistics count
+every byte physically read through the 'file' scheme — parquet scans
+and disk-checkpoint reads, but NOT cache-block or shuffle reads — so
+each entry records fs_bytes (the query's physical-read delta) next to
+parquet_bytes (the on-disk size of the tables it loaded), and every
+flagged entry gets a `kind`:
+  cache   fs_ratio <= 1.1 — at most one physical pass over the inputs;
+          all status-store re-reads are in-memory (fine at any scale)
+  mixed   1.1 < fs_ratio <= 1.5 — some extra physical I/O (a pruned
+          second scan, a footer walk), bounded well under a full pass
+  parquet fs_ratio > 1.5 — the query physically read more than 1.5x
+          its inputs' on-disk bytes: a genuine re-scan, fix the plan
+Column pruning makes fs_ratio < 1 the healthy norm, so `parquet` is an
+underestimate-proof verdict: nothing reading every input byte exactly
+once can trip it, and a true double full scan cannot hide below it.
+The gate n_parquet_rescans == 0 (tool exits nonzero otherwise) is
+enforced against the committed record by tests/test_scan_audit.py,
+which re-derives every kind from the tool's own adjudicate().
+
 Usage:
     python3 tools/scan_audit.py [--sf /root/testdata/sf0.01]
         [--flag 1.9] [--stages name] [names...]
@@ -40,6 +60,39 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+#: fs_ratio bounds of the cache / mixed / parquet verdicts (module
+#: docstring); shared with tests/test_scan_audit.py via adjudicate()
+CACHE_BOUND = 1.1
+PARQUET_BOUND = 1.5
+
+
+def adjudicate(entry: dict, flag: float = 1.9) -> str | None:
+    """The committed record's `kind` re-derived from its own numbers —
+    None for unflagged entries, else cache|mixed|parquet per the
+    fs_ratio bounds in the module docstring."""
+    ratio = entry.get("ratio")
+    if ratio is None or ratio < flag:
+        return None
+    fs_ratio = entry.get("fs_ratio")
+    if fs_ratio is None:
+        return "unmeasured"
+    if fs_ratio <= CACHE_BOUND:
+        return "cache"
+    if fs_ratio <= PARQUET_BOUND:
+        return "mixed"
+    return "parquet"
+
+
+def _disk_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files
+        )
+    return total
 
 
 def main() -> None:
@@ -72,12 +125,19 @@ def main() -> None:
         ).fetchone()[0]
         for t in TABLES
     }
+    disk = {
+        t: _disk_bytes(os.path.join(args.sf, f"{t}.parquet"))
+        for t in TABLES
+    }
 
     registry.load()
     spark = get_spark("scan-audit", cpus=16)
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm, gw = sc._jvm, sc._gateway
+    # physical 'file'-scheme reads (parquet scans, disk checkpoints —
+    # not cache blocks, not shuffle): the cache-vs-parquet discriminator
+    fs_stats = jvm.org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics().get("file")
 
     loaded: set[str] = set()
     orig_load = tables.load
@@ -95,21 +155,24 @@ def main() -> None:
         textops.clear_shingle_memo()
         loaded.clear()
         before = set(_stage_map(store, jvm, gw))
+        fs_before = fs_stats.getLong("bytesRead")
         registry.QUERIES[name](spark, args.sf).write.format(
             "noop"
         ).mode("overwrite").save()
         sc._jsc.sc().listenerBus().waitUntilEmpty()
+        fs_delta = fs_stats.getLong("bytesRead") - fs_before
         return {
             k: v
             for k, v in _stage_map(store, jvm, gw).items()
             if k not in before
-        }
+        }, fs_delta
 
     if args.stages:
-        new = run(args.stages)
+        new, fs_delta = run(args.stages)
         for (sid, _a), v in sorted(new.items()):
             if v["ir"] > 0:
                 print(f"stage {sid}: ir={v['ir']:,} ib={v['ib']:,}")
+        print(f"fs bytesRead delta: {fs_delta:,}")
         spark.stop()
         return
 
@@ -117,14 +180,21 @@ def main() -> None:
     out = []
     for i, n in enumerate(names):
         try:
-            new = run(n)
+            new, fs_delta = run(n)
             ir = sum(v["ir"] for v in new.values())
             exp = sum(rows[t] for t in loaded)
             ratio = round(ir / exp, 2) if exp else None
-            out.append(
-                {"query": n, "input_records": ir, "expected": exp,
-                 "ratio": ratio, "tables": sorted(loaded)}
-            )
+            pq = sum(disk[t] for t in loaded)
+            entry = {
+                "query": n, "input_records": ir, "expected": exp,
+                "ratio": ratio, "tables": sorted(loaded),
+                "fs_bytes": fs_delta, "parquet_bytes": pq,
+                "fs_ratio": round(fs_delta / pq, 2) if pq else None,
+            }
+            kind = adjudicate(entry, args.flag)
+            if kind:
+                entry["kind"] = kind
+            out.append(entry)
         except Exception as e:  # noqa: BLE001
             out.append({"query": n, "err": f"{type(e).__name__}: {e}"})
         if (i + 1) % 50 == 0:
@@ -138,11 +208,31 @@ def main() -> None:
     )
     for o in flagged:
         print(
-            f"{o['ratio']:>6}x  {o['query']}  "
+            f"{o['ratio']:>6}x  {o.get('kind'):>7}  {o['query']}  "
             f"({o['input_records']:,} vs {o['expected']:,} "
-            f"{'+'.join(o['tables'])})"
+            f"{'+'.join(o['tables'])}; fs {o['fs_ratio']}x)"
         )
-    print(f"total {len(out)}, flagged >= {args.flag}: {len(flagged)}")
+    rescans = [o for o in flagged if o.get("kind") == "parquet"]
+    print(
+        json.dumps(
+            {
+                "total": len(out),
+                "flagged": len(flagged),
+                "kinds": {
+                    k: sum(1 for o in flagged if o.get("kind") == k)
+                    for k in ("cache", "mixed", "parquet")
+                },
+                "n_parquet_rescans": len(rescans),
+            }
+        )
+    )
+    if rescans:
+        for o in rescans:
+            print(
+                f"PARQUET RESCAN: {o['query']} fs_ratio={o['fs_ratio']}",
+                file=sys.stderr,
+            )
+        sys.exit(1)
     spark.stop()
 
 
