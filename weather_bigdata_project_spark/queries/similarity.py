@@ -2554,20 +2554,21 @@ def embed_matryoshka_recall(spark, sf_dir):
     SQ8 (precision budget) and PQ (code budget).
 
     Scale shape: ONE narrow corpus pass computes all three prefix
-    cosines in-row (in-row folds over the array PREFIX — `slice`
-    never copies more than k elements), the scored 4-column frame is
-    materialized, and each budget's 10-row TakeOrdered heap reads the
-    persisted frame (the previous per-budget loop re-scanned the
+    cosines AND the full-dim exact cosine in-row (in-row folds over
+    the array PREFIX — `slice` never copies more than k elements),
+    the scored 5-column frame is materialized, and each budget's
+    10-row TakeOrdered heap — including the exact baseline's — reads
+    the persisted frame (the previous per-budget loop re-scanned the
     corpus parquet once per budget — 5x embeddings reads, round-7
-    scan audit); the exact baseline is embed_knn_bruteforce's frame
-    reused verbatim. No shuffle touches the corpus at any budget."""
-    from ..registry import QUERIES
-
+    scan audit; round-8's physical-bytes audit then caught the exact
+    baseline still re-running embed_knn_bruteforce's plan, a second
+    full parquet pass — the full cosine is the identical expression,
+    so it now rides the same scan). No shuffle touches the corpus at
+    any budget."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
-    ex10 = QUERIES["embed_knn_bruteforce"](spark, sf_dir).select("vec_id")
 
     def _cos(k: int) -> str:
         dot = _DOT.format(
@@ -2579,13 +2580,29 @@ def embed_matryoshka_recall(spark, sf_dir):
         q2 = _DOT.format(a=f"slice(qe, 1, {k})", b=f"slice(qe, 1, {k})")
         return rnd(f"({dot}) / (SQRT({n2}) * SQRT({q2}))", 6)
 
+    # the exact baseline: embed_knn_bruteforce's cosine expression
+    # verbatim (same fold over the FULL array, same snap), computed on
+    # the same pass instead of re-running that query's scan
+    full = rnd(
+        f"({_DOT.format(a='embedding', b='qe')}) / "
+        f"(SQRT({_DOT.format(a='embedding', b='embedding')}) * "
+        f"SQRT({_DOT.format(a='qe', b='qe')}))",
+        6,
+    )
     scored = T.materialize(
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             *(F.expr(_cos(k)).alias(f"cos{k}") for k in _MRL_DIMS),
+            F.expr(full).alias("cos_full"),
         )
+    )
+    ex10 = (
+        scored.select("vec_id", F.col("cos_full").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id")
     )
     out = None
     for k in _MRL_DIMS:
