@@ -61,12 +61,18 @@ def main() -> None:
         fired = threading.Event()
         done = threading.Event()
 
-        def watchdog() -> None:
+        def watchdog(done=done, fired=fired) -> None:
             # a single cancelAllJobs can land BETWEEN the many short
             # jobs an iterative driver-loop query submits (label
             # propagation, k-means rounds) and cancel nothing — so
             # keep interrupting every few seconds until the main
-            # thread reports the query finished
+            # thread reports the query finished.
+            # done/fired MUST be bound as defaults: the loop variables
+            # rebind per query, and a late-binding closure re-reads
+            # them — a round-8 sweep caught a timed-out query's
+            # watchdog re-evaluating `done` against the NEXT query's
+            # (unset) event and cancelAllJobs-killing an innocent
+            # query 5s into its run
             if not done.wait(args.budget):
                 fired.set()
                 while not done.wait(5):
