@@ -187,3 +187,51 @@ def test_gzip_member_roundtrip_and_failures():
     cut = member[: len(member) - 12]
     with pytest.raises(ValueError):
         list(W.split_gzip_members(cut))
+
+
+def test_robots_parser_and_matcher():
+    txt = (
+        "# comment line\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: graftbot\n"
+        "User-agent: otherbot\n"
+        "Allow: /doc/\n"
+        "Disallow: /doc/*1/p$\n"
+        "Disallow: /admin/  # trailing comment\n"
+        "Disallow: /tie/*\n"
+        "Allow: /tie/a\n"
+        "Crawl-delay: 5\n"
+    )
+    g = W.parse_robots(txt)
+    assert len(g) == 2
+    assert g[0][0] == frozenset({"*"})
+    assert g[1][0] == frozenset({"graftbot", "otherbot"})
+    assert len(g[1][1]) == 5  # Crawl-delay ignored
+
+    dec = lambda a, p: W.robots_decision(g, a, p)  # noqa: E731
+    # group selection: unknown agents fall to deny-all '*'
+    assert dec("randombot", "/doc/5/p") == (False, "/", 1)
+    # longest match beats rule order; anchored wildcard
+    assert dec("graftbot", "/doc/5/p") == (True, "/doc/", 5)
+    assert dec("graftbot", "/doc/11/p") == (False, "/doc/*1/p$", 10)
+    assert dec("graftbot", "/doc/21/q") == (True, "/doc/", 5)
+    assert dec("otherbot", "/admin/x") == (False, "/admin/", 7)
+    # tie on length: Allow wins though Disallow is listed first
+    assert dec("graftbot", "/tie/a9") == (True, "/tie/a", 6)
+    assert dec("graftbot", "/tie/b9")[0] is False
+    # no matching rule in the selected group = allowed
+    assert dec("graftbot", "/pub") == (True, None, 0)
+    # agent matching is a substring of the UA product token
+    assert dec("Mozilla-compatible graftbot/2.1", "/admin/x")[0] is False
+
+    # anchored-wildcard shadowing: a mid-path occurrence of the last
+    # literal must not hide the end-anchored one (regex, not find)
+    assert W._robots_match("*1/p$", "/doc/1/p1/p")
+    assert not W._robots_match("*1/p$", "/doc/1/pX")
+    # empty Disallow value = no restriction (RFC 9309): the rule is
+    # dropped at parse, so the path falls to the no-match default
+    g2 = W.parse_robots("User-agent: a\nDisallow:\n")
+    assert g2 == [(frozenset({"a"}), [])]
+    assert W.robots_decision(g2, "a", "/x") == (True, None, 0)

@@ -543,3 +543,131 @@ def warc_gz_records(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "content").mapInPandas(
         _batches, schema=WARC_GZ_SCHEMA
     )
+
+
+# --- robots.txt (RFC 9309): the crawl-politeness gate ------------------------
+#
+# Stage -1 of every crawl: before a fetcher touches a URL it must
+# evaluate the host's robots.txt. The subtle parts are all in the
+# matching, not the fetching — group selection (the most specific
+# user-agent group applies, and ONLY that group), wildcard '*' and
+# end-anchor '$' patterns, longest-match precedence over rule order,
+# and allow-wins on equal specificity — so those are what this real
+# parser + evaluator implement and what the oracle gates.
+
+
+def parse_robots(txt: str):
+    """REAL robots.txt parse per RFC 9309: '#' comments stripped,
+    field names case-insensitive, consecutive User-agent lines open a
+    group shared by all named agents, Allow/Disallow lines attach to
+    the open group, unknown directives (Crawl-delay, Sitemap, ...) are
+    ignored but CLOSE the user-agent run like the spec's start-of-group
+    rule. Returns [(frozenset_of_agents_lower, [(allow_bool, pattern),
+    ...]), ...]."""
+    groups: list[tuple[frozenset, list]] = []
+    agents: set[str] = set()
+    rules: list[tuple[bool, str]] = []
+    in_agent_run = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run and agents:
+                groups.append((frozenset(agents), rules))
+                agents, rules = set(), []
+            agents.add(value.lower())
+            in_agent_run = True
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            # an EMPTY value means "no paths match" (RFC 9309 §2.2.2:
+            # 'Disallow:' with no value allows everything) — skipping
+            # the rule, NOT treating '' as match-all, is load-bearing
+            if agents and value:
+                rules.append((field == "allow", value))
+        else:
+            in_agent_run = False  # unknown directive: ignored
+    if agents:
+        groups.append((frozenset(agents), rules))
+    return groups
+
+
+def _robots_match(pattern: str, path: str) -> bool:
+    """RFC 9309 pattern match: literal octets, '*' matches any run
+    (including empty), a trailing '$' anchors the end. Empty pattern
+    matches everything. Translated to an anchored regex — a greedy
+    first-occurrence scan is WRONG for '$'-anchored patterns (an
+    earlier occurrence of a literal part can shadow the one that
+    reaches the end); regex backtracking handles that correctly."""
+    import re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
+
+
+def robots_decision(groups, agent: str, path: str):
+    """Evaluate (agent, path) against parsed groups: pick the group
+    with the LONGEST matching agent token ('*' only if nothing else
+    matches — RFC 9309 group selection), then apply the longest
+    matching rule, allow winning ties; no match = allowed. Returns
+    (allowed, matched_pattern|None, match_len)."""
+    agent = agent.lower()
+    best_agents, best_len = None, -1
+    star = None
+    for agents, rules in groups:
+        if "*" in agents:
+            star = (agents, rules)
+        for a in agents:
+            if a != "*" and a in agent and len(a) > best_len:
+                best_agents, best_len = (agents, rules), len(a)
+    group = best_agents or star
+    if group is None:
+        return True, None, 0
+    verdict, pat, plen = True, None, -1
+    for allow, pattern in group[1]:
+        if not _robots_match(pattern, path):
+            continue
+        score = len(pattern)
+        if score > plen or (score == plen and allow and not verdict):
+            verdict, pat, plen = allow, pattern, score
+    return verdict, pat, max(plen, 0)
+
+
+ROBOTS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("path", Ty.StringType()),
+        Ty.StructField("allowed", Ty.BooleanType()),
+        Ty.StructField("matched_rule", Ty.StringType()),
+        Ty.StructField("rule_len", Ty.IntegerType()),
+    ]
+)
+
+
+def robots_eval(df: DataFrame, robots_txt: str, agent: str) -> DataFrame:
+    """Arrow-batched robots gate over a `path` column: the constant
+    robots.txt is parsed once per batch iterator (driver-constant,
+    shipped in the closure), every path evaluated by the real RFC 9309
+    matcher; one output row per input row, zero shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups = parse_robots(robots_txt)
+        cols = [f.name for f in ROBOTS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, path in zip(pdf["doc_id"], pdf["path"]):
+                allowed, pat, plen = robots_decision(
+                    groups, agent, str(path)
+                )
+                rows.append((int(doc_id), str(path), allowed, pat, plen))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "path").mapInPandas(
+        _batches, schema=ROBOTS_SCHEMA
+    )

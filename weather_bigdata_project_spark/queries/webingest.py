@@ -21,6 +21,7 @@ all begin at exactly these two parsers).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import textops as T
@@ -390,3 +391,180 @@ def corpus_warc_chunked(spark, sf_dir):
         .select("doc_id", _chunked_wrap().alias("content"))
     )
     return W.warc_records(d)
+
+
+# --- URL canonicalization + URL-level dedup ----------------------------------
+
+#: the three mess variants a crawler actually sees for one page —
+#: uppercase scheme/host + default port + tracking param + fragment;
+#: www. prefix + tracking param + shuffled param order; already-clean
+_URL_V0 = (
+    "'HTTPS://WWW.Example-' || CAST(page_id % 5 AS STRING) || "
+    "'.COM:443/doc/' || CAST(page_id AS STRING) || '/?b=' || "
+    "CAST(page_id % 97 AS STRING) || '&utm_source=feed&a=' || "
+    "CAST(page_id % 7 AS STRING) || '#sec'"
+)
+_URL_V1 = (
+    "'https://www.example-' || CAST(page_id % 5 AS STRING) || "
+    "'.com/doc/' || CAST(page_id AS STRING) || '/?utm_campaign=x&b=' || "
+    "CAST(page_id % 97 AS STRING) || '&a=' || "
+    "CAST(page_id % 7 AS STRING)"
+)
+_URL_V2 = (
+    "'https://example-' || CAST(page_id % 5 AS STRING) || "
+    "'.com/doc/' || CAST(page_id AS STRING) || '/?a=' || "
+    "CAST(page_id % 7 AS STRING) || '&b=' || "
+    "CAST(page_id % 97 AS STRING)"
+)
+
+_URL_CANON_ORACLE = (
+    "WITH d AS (SELECT doc_id, doc_id // 2 AS page_id FROM documents), "
+    "c AS (SELECT doc_id, page_id, "
+    "'https://example-' || CAST(page_id % 5 AS VARCHAR) || '.com' "
+    "AS host_part, "
+    "'https://example-' || CAST(page_id % 5 AS VARCHAR) || '.com/doc/' "
+    "|| CAST(page_id AS VARCHAR) || '/?a=' || "
+    "CAST(page_id % 7 AS VARCHAR) || '&b=' || "
+    "CAST(page_id % 97 AS VARCHAR) AS canonical_url, "
+    "CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INT) "
+    "AS n_dropped_params FROM d) "
+    "SELECT doc_id, canonical_url, "
+    "replace(host_part, 'https://', '') AS host, n_dropped_params, "
+    "CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
+    "AS group_size, "
+    "doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) "
+    "AS is_survivor "
+    "FROM c"
+)
+
+
+@query("corpus_url_canonicalize", oracle=_URL_CANON_ORACLE)
+def corpus_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + URL-level dedup — the stage every crawl
+    pipeline runs BEFORE content dedup (RefinedWeb/CCNet fetch logs
+    carry the same page under uppercase hosts, default ports, www
+    prefixes, tracking params, fragments; collapsing them first is
+    orders of magnitude cheaper than letting MinHash find the copies):
+    each doc gets one of three real-world mess variants of its page's
+    URL, and the REAL canonicalization chain — Spark's parse_url
+    (java.net.URI) splitting protocol/authority/path/query/fragment,
+    scheme+host lowercasing, default-port stripping, www stripping,
+    fragment dropping, tracking-param (utm_*) removal, query-param
+    sorting, reassembly — must recover the identical canonical form
+    from all three, after which a canonical-keyed window picks the
+    lowest-doc_id survivor per page. The DuckDB oracle predicts every
+    canonical string closed-form from page_id (never parsing a URL),
+    so a defect anywhere in the chain — a port left behind, params
+    unsorted, the fragment kept — splits a group or shifts a string
+    and fails the driver hash. All-JVM codegen expressions; the only
+    shuffle is the canonical-keyed window, linear in docs, and at
+    100 TB the survivor pick is the same first-copy-wins hash agg any
+    URL-frontier dedup runs."""
+    d = T.docs(spark, sf_dir).selectExpr(
+        "doc_id", "doc_id div 2 AS page_id"
+    )
+    url = (
+        f"CASE WHEN doc_id % 3 = 0 THEN {_URL_V0} "
+        f"WHEN doc_id % 3 = 1 THEN {_URL_V1} "
+        f"ELSE {_URL_V2} END"
+    )
+    raw = d.selectExpr("doc_id", f"{url} AS url")
+    q_kept = (
+        "array_sort(filter(split(parse_url(url, 'QUERY'), '&'), "
+        "x -> x NOT LIKE 'utm_%'))"
+    )
+    canon = raw.selectExpr(
+        "doc_id",
+        "lower(parse_url(url, 'PROTOCOL')) || '://' || "
+        "regexp_replace(regexp_replace(lower(parse_url(url, "
+        "'AUTHORITY')), ':443$', ''), '^www\\\\.', '') || "
+        "parse_url(url, 'PATH') || '?' || "
+        f"array_join({q_kept}, '&') AS canonical_url",
+        "regexp_replace(regexp_replace(lower(parse_url(url, "
+        "'AUTHORITY')), ':443$', ''), '^www\\\\.', '') AS host",
+        "CAST(size(split(parse_url(url, 'QUERY'), '&')) - "
+        f"size({q_kept}) AS INT) AS n_dropped_params",
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        "host",
+        "n_dropped_params",
+        F.count("*").over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+            "is_survivor"
+        ),
+    )
+
+
+# --- robots.txt: the crawl-politeness gate -----------------------------------
+
+#: the synthesized politeness file: a deny-all default group (so a
+#: group-selection bug flips every verdict), a two-agent specific
+#: group with a wildcard+anchor disallow, a longest-match pair, an
+#: order-adversarial TIE (Disallow listed first, Allow must win on
+#: equal length), and an ignored unknown directive
+_ROBOTS_TXT = """\
+# synthetic politeness file
+User-agent: *
+Disallow: /
+
+User-agent: graftbot
+User-agent: otherbot
+Allow: /doc/
+Disallow: /doc/*1/p$
+Disallow: /admin/
+Disallow: /tie/*
+Allow: /tie/a
+Crawl-delay: 5
+"""
+
+_ROBOTS_ORACLE = (
+    "WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents) "
+    "SELECT doc_id, "
+    "CASE m WHEN 0 THEN '/doc/' || doc_id || '/p' "
+    "WHEN 1 THEN '/admin/' || doc_id "
+    "WHEN 2 THEN '/tie/a' || doc_id "
+    "ELSE '/pub' || doc_id END AS path, "
+    "CASE m WHEN 0 THEN doc_id % 10 <> 1 "
+    "WHEN 1 THEN FALSE ELSE TRUE END AS allowed, "
+    "CASE m WHEN 0 THEN (CASE WHEN doc_id % 10 = 1 "
+    "THEN '/doc/*1/p$' ELSE '/doc/' END) "
+    "WHEN 1 THEN '/admin/' WHEN 2 THEN '/tie/a' "
+    "ELSE NULL END AS matched_rule, "
+    "CAST(CASE m WHEN 0 THEN (CASE WHEN doc_id % 10 = 1 "
+    "THEN 10 ELSE 5 END) "
+    "WHEN 1 THEN 7 WHEN 2 THEN 6 ELSE 0 END AS INT) AS rule_len "
+    "FROM d"
+)
+
+
+@query("corpus_robots_gate", oracle=_ROBOTS_ORACLE)
+def corpus_robots_gate(spark, sf_dir):
+    """REAL robots.txt evaluation (RFC 9309) — stage -1 of every
+    crawl, the politeness gate a fetcher consults before touching a
+    URL: each doc gets one of four path shapes and the genuine parser
+    + matcher decide it against a synthesized robots.txt whose
+    structure concentrates every spec subtlety — GROUP SELECTION (a
+    deny-all '*' group sits first, so picking the wrong group flips
+    every verdict; the specific group names two agents), a wildcard +
+    end-anchor pattern ('/doc/*1/p$', where a greedy first-occurrence
+    matcher instead of backtracking is a real bug this repo fixed in
+    review), LONGEST-MATCH precedence over rule order, an
+    order-adversarial TIE that Allow must win on equal pattern length,
+    comments, and an unknown directive that must be ignored. The
+    DuckDB oracle predicts every verdict, matched pattern, and match
+    length closed-form from doc_id arithmetic (disallowed iff the id's
+    last digit makes the anchored wildcard land), so any matcher or
+    group-selection defect fails the driver hash. One Arrow-batched
+    stage; zero shuffle."""
+    d = T.docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN '/doc/' || CAST(doc_id AS STRING) || '/p' "
+        "WHEN 1 THEN '/admin/' || CAST(doc_id AS STRING) "
+        "WHEN 2 THEN '/tie/a' || CAST(doc_id AS STRING) "
+        "ELSE '/pub' || CAST(doc_id AS STRING) END AS path",
+    )
+    return W.robots_eval(d, _ROBOTS_TXT, "graftbot")
