@@ -631,3 +631,76 @@ def test_mjpeg_avi_battery(spark):
     lied3 = avi[:k] + b"\x00\x00" + avi[k + 2:]
     with pytest.raises(ValueError):
         M.parse_avi_mjpeg(lied3)
+
+
+def test_gif_codec_battery(spark):
+    """The real GIF87a/LZW codec: exact round-trip on arbitrary and
+    adversarial inputs (code-width growth, 4096-entry dictionary reset,
+    the KwKwK case, multi-sub-block streams), plus loud refusals of
+    out-of-contract streams."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, 60, dtype=np.uint8).tobytes()
+    s = M.encode_gif_gray(10, 6, pix)
+    w, h, img = M.decode_gif_gray(s)
+    assert (w, h) == (10, 6) and img.tobytes() == pix
+    assert s[:6] == b"GIF87a" and s[-1] == 0x3B
+
+    # width growth past 9/10/11 bits + dictionary reset at 4096 codes:
+    # 10000 random pixels create ~5000 fresh codes and cross the cap
+    big = rng.integers(0, 256, 10000, dtype=np.uint8).tobytes()
+    _, _, got = M.decode_gif_gray(M.encode_gif_gray(100, 100, big))
+    assert got.tobytes() == big
+
+    # KwKwK: a strict 2-symbol alternation forces code == next_code
+    alt = bytes([1, 2] * 500)
+    _, _, got = M.decode_gif_gray(M.encode_gif_gray(50, 20, alt))
+    assert got.tobytes() == alt
+
+    # compressible input actually compresses (dictionary coding works)
+    flat = bytes([9] * 10000)
+    assert len(M.encode_gif_gray(100, 100, flat)) < len(flat) // 10
+
+    # an 89a stream with an extension block before the image must
+    # decode identically (extension sub-block skipping)
+    img_at = s.find(b"\x2c", 13 + 768)
+    ext = bytes([0x21, 0xF9, 0x04, 0, 0, 0, 0, 0])  # GCE + terminator
+    s89 = b"GIF89a" + s[6:img_at] + ext + s[img_at:]
+    _, _, got = M.decode_gif_gray(s89)
+    assert got.tobytes() == pix
+
+    # refusals
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_gif_gray(b"GIF88a" + s[6:])
+    with pytest.raises(ValueError, match="local color table"):
+        bad = bytearray(s)
+        bad[img_at + 9] |= 0x80
+        M.decode_gif_gray(bytes(bad))
+    with pytest.raises(ValueError, match="interlaced"):
+        bad = bytearray(s)
+        bad[img_at + 9] |= 0x40
+        M.decode_gif_gray(bytes(bad))
+    with pytest.raises(ValueError, match="minimum code size"):
+        bad = bytearray(s)
+        bad[img_at + 10] = 13
+        M.decode_gif_gray(bytes(bad))
+    with pytest.raises(ValueError):
+        M.decode_gif_gray(s[:-8])  # truncated image data
+    with pytest.raises(ValueError, match="grayscale"):
+        bad = bytearray(s)
+        # corrupt the green channel of the first USED palette entry
+        bad[13 + 3 * pix[0] + 1] ^= 0x55
+        M.decode_gif_gray(bytes(bad))
+    # trailer before any image
+    with pytest.raises(ValueError, match="trailer"):
+        M.decode_gif_gray(s[:13 + 768] + b"\x3b")
+
+    # the full Spark stage: tiled-byte prediction == decoded pixels
+    df = spark.createDataFrame(
+        [(5, bytearray(pix))], "doc_id long, content binary"
+    )
+    rows = M.gif_roundtrip_pixels(df).collect()
+    assert len(rows) == 60
+    assert all(r.val == pix[r.pos] for r in rows)

@@ -1755,3 +1755,306 @@ def mjpeg_avi_roundtrip(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         _batches, schema=MJPEG_SCHEMA
     )
+
+
+# --- REAL image codec, oracle-gated: GIF87a with genuine LZW -----------------
+#
+# GIF completes the entropy-coder family with the one genuinely
+# different algorithm the tree lacked: PPM is raw bytes, JPEG is
+# transform + canonical Huffman, PNG is LZ77 + Huffman via zlib — GIF
+# is DICTIONARY coding (LZW: the code table is built online from the
+# data itself, no statistics pass, variable 9->12-bit codes packed
+# LSB-first). Unlike JPEG's flat-block-only lossless gate, GIF is
+# lossless on EVERY input, so the oracle gates the full codec on
+# arbitrary content. No external analogue in the reference (its media
+# handling is a pandas dashboard, ref:streamlit/app.py); format per
+# the public GIF87a specification.
+
+GIF_SIG87 = b"GIF87a"
+GIF_SIG89 = b"GIF89a"
+_GIF_MAX_CODE = 1 << 12  # LZW code table cap (12-bit codes), per spec
+
+
+class _LSBBitWriter:
+    """LSB-first bit packer (GIF's LZW byte order — the OPPOSITE of
+    JPEG's MSB-first Huffman packing above)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits an initial CLEAR, grows the code width
+    when the next free code would not fit, resets the table with a
+    CLEAR when it reaches 4096 entries, and terminates with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LSBBitWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    w.put(clear, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        w.put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # width grows when the JUST-ASSIGNED code is the first that
+        # needs one more bit (decoder mirrors this exactly)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == _GIF_MAX_CODE:
+            w.put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        w.put(table[prefix], width)
+    w.put(eoi, width)
+    return w.flush()
+
+
+def _lzw_decompress(blob: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode: CLEAR/EOI handling, the KwKwK case
+    (code == next free code), width growth mirrored with the encoder,
+    and loud failure on codes beyond the table."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(blob):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= blob[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after CLEAR out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        # at len(table) == 4096 a spec-conformant encoder's next code
+        # is CLEAR, which the top of the loop consumes via reset()
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW pixel count {len(out)} != expected {n_expected}"
+        )
+    return bytes(out)
+
+
+def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL GIF87a encoder, 8-bit grayscale: logical screen descriptor,
+    a 256-entry global color table with entry i = (i, i, i) (so pixel
+    bytes ARE palette indexes), one image descriptor, and genuine LZW
+    image data in length-prefixed sub-blocks."""
+    assert len(pixels) == width * height
+    out = bytearray()
+    out += GIF_SIG87
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8-bit color resolution, 256 entries
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio: unspecified
+    for i in range(256):
+        out += bytes([i, i, i])
+    out.append(0x2C)  # image separator
+    out += (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0)  # no local color table, not interlaced
+    out.append(8)  # LZW minimum code size
+    blob = _lzw_compress(pixels, 8)
+    for i in range(0, len(blob), 255):
+        part = blob[i:i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes):
+    """REAL GIF decoder for the 8-bit grayscale contract: signature
+    check (87a or 89a), screen-descriptor parse, global color table
+    read with a grayness check on every used entry, extension-block
+    skipping (sub-block walk — 89a files carry these), image-descriptor
+    contract enforcement (no local table, not interlaced), sub-block
+    reassembly, and genuine LZW decode. Returns (width, height, uint8
+    ndarray); fails loudly on anything outside the contract."""
+    import numpy as np
+
+    if payload[:6] not in (GIF_SIG87, GIF_SIG89):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated screen descriptor")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    gct = payload[pos:pos + 3 * gct_n]
+    if len(gct) != 3 * gct_n:
+        raise ValueError("truncated global color table")
+    pos += 3 * gct_n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("no image descriptor before EOF")
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+        elif intro == 0x2C:
+            break
+        elif intro == 0x3B:
+            raise ValueError("trailer before any image")
+        else:
+            raise ValueError(f"unknown block introducer {intro:#x}")
+    if pos + 9 > len(payload):
+        raise ValueError("truncated image descriptor")
+    iw = int.from_bytes(payload[pos + 4:pos + 6], "little")
+    ih = int.from_bytes(payload[pos + 6:pos + 8], "little")
+    ipacked = payload[pos + 8]
+    if ipacked & 0x80:
+        raise ValueError("local color table unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    pos += 9
+    if pos >= len(payload):
+        raise ValueError("missing LZW minimum code size")
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
+    blob = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated image data")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        blob += payload[pos:pos + ln]
+        if len(payload) < pos + ln:
+            raise ValueError("truncated image sub-block")
+        pos += ln
+    idx = _lzw_decompress(bytes(blob), min_code, iw * ih)
+    img = np.zeros(iw * ih, dtype=np.uint8)
+    for i, ix in enumerate(idx):
+        if 3 * ix + 2 >= len(gct):
+            raise ValueError(f"palette index {ix} beyond color table")
+        r, g, b = gct[3 * ix], gct[3 * ix + 1], gct[3 * ix + 2]
+        if not (r == g == b):
+            raise ValueError("non-grayscale palette entry used")
+        img[i] = r
+    return iw, ih, img.reshape(ih, iw)
+
+
+#: oracle-path geometry: 10x6 gray, 60 tiled doc bytes per image —
+#: distinct from PNG's 8x8 so a swapped codec cannot alias the gate
+GIF_W, GIF_H = 10, 6
+
+GIF_PIXELS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("width", Ty.IntegerType()),
+        Ty.StructField("height", Ty.IntegerType()),
+        Ty.StructField("pos", Ty.IntegerType()),
+        Ty.StructField("val", Ty.IntegerType()),
+    ]
+)
+
+
+def gif_roundtrip_pixels(binary_df: DataFrame) -> DataFrame:
+    """Encode each doc's 60 tiled bytes as a REAL 10x6 grayscale GIF87a
+    (genuine LZW: online dictionary, variable LSB-first code widths),
+    decode it back, and emit every pixel — one Arrow-batched
+    mapInPandas stage. GIF is lossless on ALL inputs, so the DuckDB
+    oracle predicts each output from the raw tiled bytes; any defect
+    in the LZW table growth, the bit packer, sub-block framing, or the
+    palette round-trip changes a pixel and fails the hash."""
+    import numpy as np  # noqa: F401  (decoder dependency, imported lazily)
+
+    n = GIF_W * GIF_H
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GIF_PIXELS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pix = bytes(content) if content is not None else b""
+                if len(pix) < n:
+                    raise ValueError("payload too short to tile pixels")
+                stream = encode_gif_gray(GIF_W, GIF_H, pix[:n])
+                gw, gh, img = decode_gif_gray(stream)
+                flat = img.reshape(-1)
+                for p in range(n):
+                    rows.append(
+                        (int(doc_id), gw, gh, p, int(flat[p]))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        _batches, schema=GIF_PIXELS_SCHEMA
+    )

@@ -882,3 +882,49 @@ def multimodal_mjpeg_avi_frames(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
     )
     return M.mjpeg_avi_roundtrip(d)
+
+
+# --- REAL image codec, oracle-gated: GIF87a / LZW round-trip -----------------
+
+def _gif_oracle() -> str:
+    n = M.GIF_W * M.GIF_H
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(n)}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        f"CAST({M.GIF_W} AS INT) AS width, "
+        f"CAST({M.GIF_H} AS INT) AS height, "
+        "CAST(p AS INT) AS pos, "
+        f"CAST({_byte('p')} AS INT) AS val "
+        f"FROM px CROSS JOIN range(0, {n}) t(p)"
+    )
+
+
+@query("multimodal_gif_roundtrip", oracle=_gif_oracle())
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL GIF87a codec inside the correctness gate, completing the
+    entropy-coder family with dictionary coding (PPM raw / JPEG
+    DCT+canonical-Huffman / PNG LZ77-via-zlib / GIF LZW): each doc's 60
+    tiled bytes become a 10x6 grayscale GIF — logical screen
+    descriptor, 256-entry gray global color table, genuine online-LZW
+    image data (variable 9->12-bit codes, LSB-first bit packing,
+    CLEAR/EOI, length-prefixed sub-blocks) — then the real decoder
+    (signature + descriptor contract checks, extension skipping,
+    sub-block reassembly, full LZW with the KwKwK case and width
+    growth mirrored, palette-grayness verification) recovers every
+    pixel, in one Arrow-batched mapInPandas stage. GIF's LZW is
+    lossless on ALL inputs — a stronger gate than JPEG's flat-block
+    subset — so the DuckDB oracle predicts each pixel from the raw
+    tiled bytes without touching a codec: a defect in the bit packer,
+    the table-growth rule, sub-block framing, or the palette
+    round-trip changes a value and fails the driver hash. Dictionary
+    reset at 4096 codes and multi-sub-block streams are pinned by the
+    unit battery (tests/test_multimodal.py). Payload bytes never
+    shuffle; the stage shape is identical to a production decode."""
+    n = M.GIF_W * M.GIF_H
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
+    )
+    return M.gif_roundtrip_pixels(d)
