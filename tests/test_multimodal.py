@@ -704,3 +704,76 @@ def test_gif_codec_battery(spark):
     rows = M.gif_roundtrip_pixels(df).collect()
     assert len(rows) == 60
     assert all(r.val == pix[r.pos] for r in rows)
+
+
+def test_adpcm_codec_battery(spark):
+    """The real IMA-ADPCM codec + WAV container: staircase exactness,
+    reference state-machine equality on arbitrary signals, 4x
+    compression arithmetic, and loud refusals of corrupt containers."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    # staircase exactness across the base range (the oracle contract)
+    for base in (-8192, -77, 0, 8128):
+        sig = [base + o for o in M.ADPCM_OFFSETS]
+        rate, back = M.decode_wav_ima(M.encode_wav_ima(sig))
+        assert rate == M.ADPCM_SAMPLE_RATE and back == sig
+
+    # arbitrary lossy signal: decode must equal an independent
+    # re-simulation of the spec state machine over the packed nibbles
+    rng = np.random.default_rng(23)
+    sig = [int(v) for v in rng.integers(-20000, 20000, M.ADPCM_N_SAMPLES)]
+    wav = M.encode_wav_ima(sig)
+    _, got = M.decode_wav_ima(wav)
+    data_at = wav.find(b"data") + 8
+    ba = 4 + M.ADPCM_DATA_BYTES
+    ref = []
+    for b0 in range(data_at, data_at + 2 * ba, ba):
+        pred = int.from_bytes(wav[b0:b0 + 2], "little", signed=True)
+        idx = wav[b0 + 2]
+        ref.append(pred)
+        for byte in wav[b0 + 4:b0 + ba]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, idx = M._adpcm_step(pred, idx, code)
+                ref.append(pred)
+    assert got == ref
+
+    # compression arithmetic: 66 16-bit samples (132 bytes of PCM)
+    # in 2*(4+16)=40 payload bytes + 60 bytes of container
+    assert len(wav) == 100
+
+    # lossy-but-sane: a slow ramp tracks within one max step
+    ramp = [i * 30 for i in range(M.ADPCM_N_SAMPLES)]
+    _, rb = M.decode_wav_ima(M.encode_wav_ima(ramp))
+    assert max(abs(a - b) for a, b in zip(ramp, rb)) < 200
+
+    # refusals
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav_ima(b"RIFX" + wav[4:])
+    with pytest.raises(ValueError, match="disagrees"):
+        M.decode_wav_ima(wav + b"\x00")  # declared size now wrong
+    with pytest.raises(ValueError, match="format tag"):
+        bad = bytearray(wav)
+        bad[wav.find(b"fmt ") + 8] = 0x01  # PCM tag
+        M.decode_wav_ima(bytes(bad))
+    with pytest.raises(ValueError, match="state header"):
+        bad = bytearray(wav)
+        bad[data_at + 3] = 7  # reserved byte must be zero
+        M.decode_wav_ima(bytes(bad))
+    with pytest.raises(ValueError, match="fact"):
+        bad = bytearray(wav)
+        fact_at = wav.find(b"fact") + 8
+        bad[fact_at] = M.ADPCM_N_SAMPLES + 1
+        M.decode_wav_ima(bytes(bad))
+
+    # the full Spark stage: every sample equals base + OFFSETS[pos]
+    df = spark.createDataFrame(
+        [(9, bytearray(b"K"))], "doc_id long, content binary"
+    )
+    rows = M.adpcm_roundtrip_samples(df).collect()
+    base = (ord("K") - 128) * 64
+    assert len(rows) == M.ADPCM_N_SAMPLES
+    assert all(r.val == base + M.ADPCM_OFFSETS[r.pos] for r in rows)
+    assert rows[0].n_bytes == 100

@@ -928,3 +928,50 @@ def multimodal_gif_roundtrip(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(n)).alias("content"))
     )
     return M.gif_roundtrip_pixels(d)
+
+
+# --- REAL audio codec, oracle-gated: IMA ADPCM round-trip --------------------
+
+def _adpcm_oracle() -> str:
+    offs = ", ".join(str(v) for v in M.ADPCM_OFFSETS)
+    n = M.ADPCM_N_SAMPLES
+    n_bytes = 12 + (8 + 20) + (8 + 4) + (8 + M.ADPCM_BLOCKS * (4 + M.ADPCM_DATA_BYTES))
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(1)}) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        f"base AS (SELECT doc_id, ({_byte('0')} - 128) * 64 AS b FROM px) "
+        "SELECT doc_id, "
+        f"CAST({M.ADPCM_SAMPLE_RATE} AS INT) AS sample_rate, "
+        f"CAST({n} AS INT) AS n_samples, "
+        f"CAST({n_bytes} AS INT) AS n_bytes, "
+        "CAST(p AS INT) AS pos, "
+        f"CAST(b + ([{offs}])[p + 1] AS INT) AS val "
+        f"FROM base CROSS JOIN range(0, {n}) t(p)"
+    )
+
+
+@query("multimodal_adpcm_roundtrip", oracle=_adpcm_oracle())
+def multimodal_adpcm_roundtrip(spark, sf_dir):
+    """REAL compressed audio inside the correctness gate — IMA/DVI
+    ADPCM (4 bits per 16-bit sample) in a spec-shaped WAV container
+    (WAVE_FORMAT_IMA_ADPCM 0x0011, fmt with samplesPerBlock, the
+    mandatory fact chunk, per-block verbatim state headers): each
+    doc's base byte seeds a staircase signal whose diffs are exactly
+    the deltas the decoder reconstructs for a fixed driving-nibble
+    plan (operators/multimodal._adpcm_plan — every magnitude in both
+    signs, step index walked up to 64 and back down to 32), so the
+    LOSSY codec is exactly lossless on this input and the DuckDB
+    oracle predicts every decoded sample as base + OFFSETS[pos] from
+    a literal array without running a codec. A defect in the step or
+    index tables, the greedy quantizer, nibble packing order, the
+    state clamps, either block header, or the container walk (RIFF
+    sizes, fmt contract, fact cross-check) shifts a sample and fails
+    the driver hash. General lossy behavior (sine SNR, reference
+    state-machine equality) is pinned by the unit battery. One
+    Arrow-batched mapInPandas stage; payloads never shuffle."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(1)).alias("content"))
+    )
+    return M.adpcm_roundtrip_samples(d)
