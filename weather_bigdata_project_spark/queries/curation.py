@@ -2458,3 +2458,133 @@ def corpus_temperature_sampling(spark, sf_dir):
     any existing corpus pass."""
     _tok_counts(spark, sf_dir).createOrReplaceTempView("tsamp_tok")
     return spark.sql("WITH " + _tsamp_sql("tsamp_tok"))
+
+
+# --- T5-style span corruption: the denoising-objective data op -------------
+
+#: window width in tokens; every FULL window gets exactly one masked
+#: span of deterministic length 1-3 (mean 2 -> 20% noise density, the
+#: T5 paper's 15%/mean-3 made shorter to suit these short documents);
+#: the partial tail window passes through unmasked
+_SC_W = 10
+_SC_KEY = "(doc_id * 4096 + w)"
+#: span length and start ride two independently-salted id_mix streams
+#: so their joint distribution is decorrelated (same doctrine as the
+#: split/shard assignments)
+_SC_L = f"(1 + {id_mix(_SC_KEY, 101)} % 3)"
+_SC_S = f"({id_mix(_SC_KEY, 202)} % ({_SC_W + 1} - L))"
+
+
+def _sc_spark() -> str:
+    """Inputs/targets/counters as ONE in-row expression (let-bindings
+    via single-element transform; w/L/s bound innermost-out so each
+    hash is computed once per window)."""
+    frag_in = (
+        f"array_join(concat(slice(ts, w*{_SC_W}+1, s), "
+        "array('<extra_id_' || CAST(w AS STRING) || '>'), "
+        f"slice(ts, w*{_SC_W}+s+L+1, {_SC_W}-s-L)), ' ')"
+    )
+    frag_tg = (
+        "'<extra_id_' || CAST(w AS STRING) || '> ' || "
+        f"array_join(slice(ts, w*{_SC_W}+s+1, L), ' ')"
+    )
+
+    def per_w(body: str) -> str:
+        return (
+            "CASE WHEN nf = 0 THEN array() ELSE "
+            "transform(sequence(0, nf - 1), w -> "
+            f"transform(array({_SC_L}), L -> "
+            f"transform(array({_SC_S}), s -> {body})[0])[0]) END"
+        )
+
+    return (
+        "transform(array(split(text, ' ')), ts -> "
+        f"transform(array(size(ts) div {_SC_W}), nf -> struct("
+        "size(ts) AS n_tokens, "
+        "CAST(nf AS BIGINT) AS n_windows, "
+        "CAST(CASE WHEN nf = 0 THEN 0 ELSE "
+        f"aggregate(transform(sequence(0, nf - 1), w -> {_SC_L}), "
+        "0L, (a, x) -> a + x) END AS BIGINT) AS n_masked, "
+        f"array_join(concat({per_w(frag_in)}, "
+        f"slice(ts, nf*{_SC_W}+1, size(ts) - nf*{_SC_W})), ' ') AS inputs, "
+        "CASE WHEN nf = 0 THEN '<extra_id_0>' ELSE "
+        f"array_join({per_w(frag_tg)}, ' ') || "
+        "' <extra_id_' || CAST(nf AS STRING) || '>' END AS targets"
+        "))[0])[0]"
+    )
+
+
+def _sc_oracle() -> str:
+    frag_in = (
+        "array_to_string(list_concat(list_concat("
+        f"list_slice(ts, w*{_SC_W}+1, w*{_SC_W}+s), "
+        "['<extra_id_' || CAST(w AS VARCHAR) || '>']), "
+        f"list_slice(ts, w*{_SC_W}+s+L+1, w*{_SC_W}+{_SC_W})), ' ')"
+    )
+    frag_tg = (
+        "'<extra_id_' || CAST(w AS VARCHAR) || '> ' || "
+        f"array_to_string(list_slice(ts, w*{_SC_W}+s+1, w*{_SC_W}+s+L), ' ')"
+    )
+
+    def per_w(body: str) -> str:
+        return (
+            "list_transform(range(nf), w -> "
+            f"list_transform([{_SC_L}], L -> "
+            f"list_transform([{_SC_S}], s -> {body})[1])[1])"
+        )
+
+    core = (
+        "list_transform([string_split(text, ' ')], ts -> "
+        f"list_transform([len(ts) // {_SC_W}], nf -> struct_pack("
+        "n_tokens := len(ts), "
+        "n_windows := CAST(nf AS BIGINT), "
+        "n_masked := CAST(COALESCE(list_sum(list_transform(range(nf), "
+        f"w -> {_SC_L})), 0) AS BIGINT), "
+        f"inputs := array_to_string(list_concat({per_w(frag_in)}, "
+        "list_slice(ts, nf*10+1, len(ts))), ' '), "
+        "targets := CASE WHEN nf = 0 THEN '<extra_id_0>' ELSE "
+        f"array_to_string({per_w(frag_tg)}, ' ') || "
+        "' <extra_id_' || CAST(nf AS VARCHAR) || '>' END"
+        "))[1])[1]"
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, {core} AS v FROM documents) "
+        "SELECT doc_id, v.n_tokens AS n_tokens, "
+        "v.n_windows AS n_windows, v.n_masked AS n_masked, "
+        "v.inputs AS inputs, v.targets AS targets FROM r"
+    )
+
+
+@query("corpus_span_corruption", oracle=_sc_oracle())
+def corpus_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al. 2020's denoising
+    objective), the step that turns a curated corpus into actual
+    pretraining examples: every full 10-token window gets exactly one
+    masked span (length 1-3, start position uniform over the window,
+    both drawn from independently-salted id_mix streams keyed by
+    (doc_id, window) — fully deterministic, reproducible across runs
+    and engines); masked spans are replaced by <extra_id_k> sentinels
+    in the encoder input and emitted after their sentinels in the
+    decoder target, closed by a final sentinel. The gate hashes the
+    COMPLETE inputs/targets strings, so an off-by-one in any slice
+    bound, a sentinel numbering slip, or a hash-stream divergence
+    fails the driver hash on essentially every document.
+
+    Scale shape: entirely in-row (one narrow projection, ZERO
+    shuffles) — windowing, hashing, masking, and string assembly are
+    interpreted HOF folds bound via single-element transforms so each
+    window's hash is computed once; at 100 TB this is an
+    embarrassingly-parallel map over documents, the same shape a
+    production tokenizer-prep job has. ref: the reference has no
+    training-objective surface (its pipeline ends at a dashboard,
+    ref:streamlit/app.py); parameters per the public T5 paper."""
+    return T.docs(spark, sf_dir).select(
+        "doc_id", F.expr(_sc_spark()).alias("v")
+    ).select(
+        "doc_id",
+        F.col("v.n_tokens").alias("n_tokens"),
+        F.col("v.n_windows").alias("n_windows"),
+        F.col("v.n_masked").alias("n_masked"),
+        F.col("v.inputs").alias("inputs"),
+        F.col("v.targets").alias("targets"),
+    )
