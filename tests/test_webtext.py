@@ -235,3 +235,39 @@ def test_robots_parser_and_matcher():
     g2 = W.parse_robots("User-agent: a\nDisallow:\n")
     assert g2 == [(frozenset({"a"}), [])]
     assert W.robots_decision(g2, "a", "/x") == (True, None, 0)
+
+
+def test_wet_writer_and_roundtrip():
+    """The WET writer/parser pair: conversion-record semantics (block
+    IS the text), UTF-8 byte counting, multi-page streams, and the
+    walker's loud failures on corrupt WET framing."""
+    import pytest
+
+    from weather_bigdata_project_spark.operators import webtext as W
+
+    pages = [
+        ("https://x/1", "hello world"),
+        ("https://x/2", "ça va £5 — naïve"),  # multibyte Content-Length
+        ("https://x/3", ""),  # empty extraction is a legal record
+    ]
+    wet = W.wet_stream(pages)
+    recs = list(W.parse_warc(wet))
+    assert [r[0] for r in recs] == ["warcinfo", "conversion"] + [
+        "conversion"
+    ] * 2
+    for (uri, text), rec in zip(pages, recs[1:]):
+        wtype, clen, status, plen, body = rec
+        assert body == text and status is None
+        assert clen == plen == len(text.encode("utf-8"))
+
+    # corrupt the conversion record's Content-Length: the walker's
+    # block slicing must detect the broken separator
+    k = wet.find(b"Content-Length:", wet.find(b"conversion"))
+    eol = wet.find(b"\r\n", k)
+    bad = wet[:k] + b"Content-Length: 5" + wet[eol:]
+    with pytest.raises(ValueError):
+        list(W.parse_warc(bad))
+
+    # truncated mid-block
+    with pytest.raises(ValueError):
+        list(W.parse_warc(wet[:-6]))

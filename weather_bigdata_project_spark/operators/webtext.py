@@ -268,7 +268,12 @@ def parse_warc(payload: bytes):
             raise ValueError("missing WARC record separator")
         wtype = headers.get("warc-type", "")
         status = plen = body = None
-        if wtype == "response" and block.startswith(b"HTTP/"):
+        if wtype == "conversion":
+            # WET semantics (ISO 28500 + the Common Crawl WET profile):
+            # a conversion record's block IS the extracted plain text
+            plen = clen
+            body = block.decode("utf-8")
+        elif wtype == "response" and block.startswith(b"HTTP/"):
             http_hdr_end = block.find(b"\r\n\r\n")
             if http_hdr_end < 0:
                 raise ValueError("truncated HTTP header block")
@@ -670,4 +675,80 @@ def robots_eval(df: DataFrame, robots_txt: str, agent: str) -> DataFrame:
 
     return df.select("doc_id", "path").mapInPandas(
         _batches, schema=ROBOTS_SCHEMA
+    )
+
+
+# --- WET: the crawl pipeline's OUTPUT format ---------------------------------
+
+_WET_INFO_BODY = (
+    "software: spark-graft/1.0\r\nformat: WARC File Format 1.1\r\n"
+)
+_WET_INFO = (
+    "WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+    "Content-Length: " + str(len(_WET_INFO_BODY.encode())) + "\r\n"
+    "\r\n" + _WET_INFO_BODY + "\r\n\r\n"
+)
+
+
+def wet_stream(pages: list[tuple[str, str]]) -> bytes:
+    """REAL WET writer (the Common Crawl extracted-text profile of
+    ISO 28500): one warcinfo record, then one 'conversion' record per
+    page — WARC-Target-URI names the source page, Content-Type
+    text/plain, Content-Length counts the UTF-8 bytes of the extracted
+    text, block followed by the mandatory CRLF CRLF separator."""
+    out = [_WET_INFO]
+    for uri, text in pages:
+        body = text.encode("utf-8")
+        out.append(
+            "WARC/1.1\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        )
+        out.append(body.decode("utf-8"))
+        out.append("\r\n\r\n")
+    return "".join(out).encode("utf-8")
+
+
+WET_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("n_records", Ty.IntegerType()),
+        Ty.StructField("warc_type", Ty.StringType()),
+        Ty.StructField("content_length", Ty.LongType()),
+        Ty.StructField("target_uri", Ty.StringType()),
+        Ty.StructField("body_text", Ty.StringType()),
+    ]
+)
+
+
+def wet_roundtrip(df: DataFrame) -> DataFrame:
+    """The crawl pipeline's write side, composed and verified in one
+    Arrow-batched stage: REAL HTML text extraction over the `html`
+    column, a REAL WET file written from the extraction, and the REAL
+    WARC walker re-parsing it — the emitted row carries the re-parsed
+    conversion record, and the stage fails loudly if the round-tripped
+    text differs from what was extracted."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WET_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                text, _tags, _drops, _comments = extract_html_text(html)
+                uri = f"https://crawl.example/doc/{int(doc_id)}"
+                wet = wet_stream([(uri, text)])
+                recs = list(parse_warc(wet))
+                if len(recs) != 2 or recs[0][0] != "warcinfo":
+                    raise ValueError("malformed WET stream written")
+                wtype, clen, _status, _plen, body = recs[1]
+                if wtype != "conversion" or body != text:
+                    raise ValueError("WET round-trip lost the text")
+                rows.append(
+                    (int(doc_id), len(recs), wtype, clen, uri, body)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "html").mapInPandas(
+        _batches, schema=WET_SCHEMA
     )

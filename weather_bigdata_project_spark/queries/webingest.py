@@ -568,3 +568,47 @@ def corpus_robots_gate(spark, sf_dir):
         "ELSE '/pub' || CAST(doc_id AS STRING) END AS path",
     )
     return W.robots_eval(d, _ROBOTS_TXT, "graftbot")
+
+
+# --- WET: the crawl pipeline's output format, written then re-parsed ---------
+
+def _wet_oracle() -> str:
+    return (
+        "SELECT doc_id, CAST(2 AS INT) AS n_records, "
+        "'conversion' AS warc_type, "
+        "CAST(24 + octet_length(encode(text)) AS BIGINT) "
+        "AS content_length, "
+        "'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) "
+        "AS target_uri, "
+        "'Q&A <notes> ' || text || ' $end of doc' AS body_text "
+        "FROM documents WHERE length(text) >= 1"
+    )
+
+
+@query("corpus_wet_roundtrip", oracle=_wet_oracle())
+def corpus_wet_roundtrip(spark, sf_dir):
+    """The crawl pipeline's WRITE side, closed end to end — Common
+    Crawl publishes extracted text as WET files (the 'conversion'
+    record profile of ISO 28500), and every corpus build that starts
+    from WET trusts exactly this writer/parser pair: each doc's
+    trap-laden HTML page (the corpus_html_extract synthesis) is
+    text-extracted by the REAL extractor, written as a REAL WET stream
+    (warcinfo + a conversion record: WARC-Target-URI, text/plain,
+    Content-Length in UTF-8 bytes), and re-parsed by the REAL WARC
+    walker — whose conversion branch treats the record block AS the
+    text, per the WET profile — all in ONE Arrow-batched stage that
+    fails loudly if the round-tripped text differs from the
+    extraction. The DuckDB oracle predicts every field closed-form
+    from the original row (body_text by string concatenation, the
+    record's Content-Length as 24 + the text's byte length), so a
+    defect in the extractor, the WET framing, or the record walk
+    changes a value and fails the driver hash. Payloads are
+    synthesized, written, and re-parsed in-row — ZERO shuffle; at
+    crawl scale this is the same map-only shape as the WET-writing
+    stage of a production crawl."""
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", _html_col().alias("html"))
+    )
+    return W.wet_roundtrip(d)
