@@ -63,3 +63,38 @@ def test_span_corruption_is_deterministic(spark):
     a = {r.doc_id: (r.inputs, r.targets) for r in q(spark, SF_SMOKE).collect()}
     b = {r.doc_id: (r.inputs, r.targets) for r in q(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    """The property that justifies CDC over fixed-frame chunking:
+    prepending one token must leave every chunk beyond the first
+    boundary IDENTICAL (content-defined boundaries), whereas all
+    fixed 10-token frames shift. Also: cut arithmetic covers every
+    token exactly once, in order."""
+    from weather_bigdata_project_spark.queries.dedup import (
+        _cdc_chunks_spark,
+    )
+
+    base = " ".join(f"tok{i % 23}x{i % 7}" for i in range(120))
+    shifted = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.chs
+        for r in df.selectExpr(
+            "doc_id", _cdc_chunks_spark() + " AS chs"
+        ).collect()
+    }
+    a, b = rows[1], rows[2]
+    # lossless cover, order preserved
+    assert " ".join(a) == base and " ".join(b) == shifted
+    # content-defined: the chunk SETS agree beyond the edited prefix
+    shared = set(a) & set(b)
+    assert a[-1] in shared and len(shared) >= len(a) - 2
+    # fixed frames would share nothing: every 10-token frame of
+    # `shifted` differs from every 10-token frame of `base`
+    toks_a, toks_b = base.split(" "), shifted.split(" ")
+    fa = {" ".join(toks_a[i:i + 10]) for i in range(0, len(toks_a), 10)}
+    fb = {" ".join(toks_b[i:i + 10]) for i in range(0, len(toks_b), 10)}
+    assert not fa & fb

@@ -2022,3 +2022,146 @@ def dedup_duplicated_spans(spark, sf_dir):
         .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- content-defined chunking (CDC) dedup -----------------------------------
+
+#: rolling-window width (tokens) and boundary modulus: a chunk boundary
+#: falls after token i wherever the hash of the trailing 4-token window
+#: is ~ 0 (mod 8) -> expected chunk length 8 tokens, content-defined
+_CDC_W = 4
+_CDC_MOD = 8
+
+
+def _cdc_chunks_spark() -> str:
+    """Per-doc CDC chunk array as one in-row expression (ts, boundary
+    list B, and the sorted cut array bound via single-element
+    transforms; element_at keeps the index arithmetic 1-based and
+    engine-identical)."""
+    h = T.hashed_id_spark(
+        f"concat_ws(' ', slice(ts, i - {_CDC_W - 1}, {_CDC_W}))"
+    )
+    return (
+        "transform(array(split(text, ' ')), ts -> "
+        f"transform(array(CASE WHEN size(ts) < {_CDC_W} "
+        "THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
+        f"filter(sequence({_CDC_W}L, CAST(size(ts) AS BIGINT)), "
+        f"i -> {h} % {_CDC_MOD} = 0) END), B -> "
+        "transform(array(array_sort(array_distinct(concat(array(0L), B, "
+        "array(CAST(size(ts) AS BIGINT)))))), cuts -> "
+        "transform(sequence(1, size(cuts) - 1), j -> "
+        "array_join(slice(ts, CAST(element_at(cuts, j) AS INT) + 1, "
+        "CAST(element_at(cuts, j + 1) - element_at(cuts, j) AS INT)), "
+        "' ')))[0])[0])[0]"
+    )
+
+
+def _cdc_chunks_duck() -> str:
+    h = T.hashed_id_duck(
+        f"array_to_string(list_slice(ts, i - {_CDC_W - 1}, i), ' ')"
+    )
+    return (
+        "list_transform([string_split(text, ' ')], ts -> "
+        f"list_transform([CASE WHEN len(ts) < {_CDC_W} "
+        "THEN CAST([] AS BIGINT[]) ELSE "
+        f"list_filter(range({_CDC_W}, len(ts) + 1), "
+        f"i -> {h} % {_CDC_MOD} = 0) END], B -> "
+        "list_transform([list_sort(list_distinct(list_concat(list_concat("
+        "[CAST(0 AS BIGINT)], B), [CAST(len(ts) AS BIGINT)])))], cuts -> "
+        "list_transform(range(1, len(cuts)), j -> "
+        "array_to_string(list_slice(ts, cuts[j] + 1, cuts[j+1]), ' '))"
+        ")[1])[1])[1]"
+    )
+
+
+_CDC_ORACLE = (
+    "WITH ch AS (SELECT doc_id, unnest(" + _cdc_chunks_duck() + ") AS ch "
+    "FROM documents), "
+    "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(SUM(len(string_split(ch, ' '))) AS BIGINT) AS n_toks "
+    "FROM ch GROUP BY doc_id), "
+    "cf AS (SELECT ch, COUNT(*) AS c FROM ch GROUP BY ch), "
+    "pd AS (SELECT ch.doc_id, CAST(SUM(CASE WHEN cf.c >= 2 THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS n_dup_chunks "
+    "FROM ch JOIN cf USING (ch) GROUP BY ch.doc_id) "
+    "SELECT pd.doc_id, sz.n_chunks, pd.n_dup_chunks, "
+    + rnd(
+        "CAST(pd.n_dup_chunks AS DOUBLE) / NULLIF(sz.n_chunks, 0)", 4
+    )
+    + " AS dup_frac, "
+    + rnd("CAST(sz.n_toks AS DOUBLE) / NULLIF(sz.n_chunks, 0)", 2)
+    + " AS mean_chunk_toks "
+    "FROM pd JOIN sz USING (doc_id) "
+    "ORDER BY dup_frac DESC, pd.doc_id LIMIT 20"
+)
+
+
+@query("dedup_cdc_chunks", oracle=_CDC_ORACLE)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup — the rsync/LBFS boundary trick
+    (Muthitacharoen et al. 2001) applied to corpus text: a chunk
+    boundary falls wherever the hash of the trailing 4-token window is
+    0 mod 8, so boundaries are a function of LOCAL CONTENT, not
+    position. That is the property fixed-frame chunking
+    (dedup_chunk_level) lacks: inserting one token early in a page
+    shifts every downstream 10-token frame and hides the duplication,
+    while CDC boundaries beyond the edit are unchanged and the shared
+    chunks still collide. Per doc: CDC chunk count, corpus-duplicated
+    chunk count (chunk appears >= 2 times anywhere), duplicated
+    fraction, and mean chunk length (expected ~8 tokens by the
+    modulus), top-20 offenders.
+
+    Scale shape: chunking is a narrow in-row expression (window
+    hashes, boundary filter, and cut-array slicing are interpreted HOF
+    folds over let-bound arrays — ZERO shuffle to form chunks); the
+    corpus-wide frequency agg and the join back ride 60-bit md5
+    content ids (hashed_id doctrine — the oracle counts the same
+    multiset by chunk STRING), then one doc-cardinality agg and a
+    top-20 heap. Same two-shuffle shape as dedup_chunk_level at any
+    scale."""
+    d = T.docs(spark, sf_dir).select(
+        "doc_id", F.expr(_cdc_chunks_spark()).alias("chs")
+    )
+    ch = T.materialize(
+        d.select(
+            "doc_id",
+            F.explode("chs").alias("chunk"),
+        ).select(
+            "doc_id",
+            F.expr(T.hashed_id_spark("chunk")).alias("ch_id"),
+            F.expr("size(split(chunk, ' '))").alias("ch_toks"),
+        )
+    )
+    sz = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("ch_toks").cast("bigint").alias("n_toks"),
+    )
+    cf = ch.groupBy("ch_id").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = (
+        ch.join(cf, "ch_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN c >= 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_dup_chunks")
+        )
+    )
+    return (
+        pd_.join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr(
+                rnd(
+                    "CAST(n_dup_chunks AS DOUBLE) / NULLIF(n_chunks, 0)",
+                    4,
+                )
+            ).alias("dup_frac"),
+            F.expr(
+                rnd("CAST(n_toks AS DOUBLE) / NULLIF(n_chunks, 0)", 2)
+            ).alias("mean_chunk_toks"),
+        )
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(20)
+    )
