@@ -1870,3 +1870,59 @@ def test_crawl_extract_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and got
     assert len(got) == docs.filter("length(text) >= 1").count()
+
+
+def test_span_corruption_stream_equals_batch(spark, tmp_path):
+    """Streaming span corruption: over a 3-micro-batch replay of the
+    doc corpus, the drained sentinel-masked examples must EQUAL the
+    batch corpus_span_corruption result bit-for-bit — every doc
+    exactly once, identical inputs/targets strings (the id_mix draws
+    are keyed by (doc_id, window), so no replay split can change a
+    mask). State-free by construction; three triggers prove the
+    masking runs at ingest."""
+    import glob
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "curated_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.span_corruption_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("span_corruption_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = (
+        "doc_id", "n_tokens", "n_windows", "n_masked", "inputs",
+        "targets",
+    )
+    got = {
+        tuple(r[k] for k in key)
+        for r in spark.table("span_corruption_stream").collect()
+    }
+    want = {
+        tuple(r[k] for k in key)
+        for r in registry.QUERIES["corpus_span_corruption"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and len(got) == docs.count()

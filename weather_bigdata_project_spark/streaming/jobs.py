@@ -1420,3 +1420,35 @@ def crawl_extract_stream(doc_stream: DataFrame) -> DataFrame:
         .select("doc_id", _warc_wrap(_html_col()).alias("content"))
     )
     return webtext.crawl_extract_stats(d)
+
+
+def span_corruption_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming T5 span corruption — the at-ingest twin of
+    queries/curation.corpus_span_corruption, extending the at-ingest
+    family (dedup, contamination, Gopher, crawl extraction) to the
+    LAST step of the pipeline: every arriving curated doc is turned
+    into its training example (sentinel-masked encoder input + decoder
+    target) BEFORE it lands, so the lake stores ready-to-pack examples
+    instead of raw text — at 100 TB ingest that removes an entire
+    downstream corpus pass.
+
+    The plan is completely STATE-FREE: masking is the exact in-row
+    expression the batch query inlines (curation._sc_spark — windows,
+    id_mix span draws, and sentinel assembly all let-bound per row),
+    so each output row depends only on its input row and a drained
+    replay across ANY micro-batch split equals the batch result
+    bit-for-bit (tests/test_streaming.py::
+    test_span_corruption_stream_equals_batch). Zero shuffle, zero
+    state."""
+    from ..queries.curation import _sc_spark
+
+    return doc_stream.select(
+        "doc_id", F.expr(_sc_spark()).alias("v")
+    ).select(
+        "doc_id",
+        F.col("v.n_tokens").alias("n_tokens"),
+        F.col("v.n_windows").alias("n_windows"),
+        F.col("v.n_masked").alias("n_masked"),
+        F.col("v.inputs").alias("inputs"),
+        F.col("v.targets").alias("targets"),
+    )
