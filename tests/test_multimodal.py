@@ -777,3 +777,125 @@ def test_adpcm_codec_battery(spark):
     assert len(rows) == M.ADPCM_N_SAMPLES
     assert all(r.val == base + M.ADPCM_OFFSETS[r.pos] for r in rows)
     assert rows[0].n_bytes == 100
+
+
+def test_mc_pframe_codec_battery(spark):
+    """The real motion-compensated inter-frame codec: SAD search
+    optimality, decoder==encoder-reconstruction self-consistency on
+    arbitrary scenes, translation losslessness, MV bias/bounds, and
+    loud container/stream refusals."""
+    import numpy as np
+    import pytest
+
+    h, w = M.MC_BH * 8, M.MC_BW * 8
+
+    def scene(b, k):
+        fr = np.zeros((h, w), dtype=np.uint8)
+        for r in range(M.MC_BH):
+            for c in range(M.MC_BW):
+                fr[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = b[
+                    2 * r + (c + k) % 2
+                ]
+        return fr
+
+    b6 = bytes([10, 200, 55, 140, 90, 250])
+    frames = [scene(b6, k) for k in range(3)]
+    s = M.encode_mc_video(frames)
+    gw, gh, back = M.decode_mc_video(s)
+    assert (gw, gh) == (w, h)
+    assert all((x == f).all() for x, f in zip(back, frames))
+
+    # static scene: MVs must all decode to (0,0)-biased bytes and the
+    # chain stays lossless
+    st = [frames[0]] * 3
+    ss = M.encode_mc_video(st)
+    _, _, sb = M.decode_mc_video(ss)
+    assert all((x == frames[0]).all() for x in sb)
+
+    # SUB-BLOCK translation (not block-aligned — what fixed-frame MJPEG
+    # cannot express): a static left block + a region scrolling 3 px
+    # right. Flat source blocks keep the I-frame lossless; every moving
+    # block finds its exact source at dx=-3, the static one at dx=0,
+    # so the whole P-frame is lossless with NON-aligned motion.
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, (M.MC_BH, M.MC_BW), dtype=np.uint8)
+    f0 = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    f1 = f0.copy()
+    f1[:, 8:] = f0[:, 5:w - 3]
+    _, _, tb = M.decode_mc_video(M.encode_mc_video([f0, f1]))
+    assert (tb[0] == f0).all() and (tb[1] == f1).all()
+
+    # arbitrary scenes: decoder output must equal the encoder's OWN
+    # reconstruction chain (drift-free self-consistency), which we
+    # re-derive independently from the wire bytes
+    rf = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(3)]
+    stream = M.encode_mc_video(rf)
+    _, _, got = M.decode_mc_video(stream)
+    _, _, chunks = M.parse_avi_mjpeg(stream, fourcc=M.MC_FOURCC)
+    _, _, recon = M.decode_jpeg_gray(chunks[0][1:])
+    nblk = M.MC_BW * M.MC_BH
+    for i, ch in enumerate(chunks[1:], start=1):
+        mvs = ch[1:1 + 2 * nblk]
+        _, _, res = M.decode_jpeg_gray(ch[1 + 2 * nblk:])
+        out = np.zeros((h, w), dtype=np.int64)
+        k = 0
+        for r in range(M.MC_BH):
+            for c in range(M.MC_BW):
+                dy, dx = mvs[2 * k] - M.MC_SEARCH, mvs[2 * k + 1] - M.MC_SEARCH
+                k += 1
+                y, x = r * 8 + dy, c * 8 + dx
+                out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = (
+                    recon[y:y + 8, x:x + 8].astype(np.int64)
+                    + res[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128
+                )
+        recon = np.clip(out, 0, 255).astype(np.uint8)
+        assert (got[i] == recon).all()
+
+    # vectorized field == per-block reference search, every block of a
+    # random frame pair (tie-breaks included)
+    field, predimg = M._mc_motion_field(rf[0], rf[1])
+    for r in range(M.MC_BH):
+        for c in range(M.MC_BW):
+            rdy, rdx, rpred = M._mc_block_search(rf[0], rf[1], r, c)
+            assert (int(field[r, c, 0]), int(field[r, c, 1])) == (rdy, rdx)
+            assert (
+                predimg[r * 8:r * 8 + 8, c * 8:c * 8 + 8] == rpred
+            ).all()
+
+    # SAD optimality: the chosen vector's SAD is <= every in-bounds
+    # candidate's for a spot-checked block
+    dy, dx, pred = M._mc_block_search(rf[0], rf[1], 1, 2)
+    tgt = rf[1][8:16, 16:24].astype(np.int64)
+    best = int(np.abs(pred.astype(np.int64) - tgt).sum())
+    for ddy in range(-M.MC_SEARCH, M.MC_SEARCH + 1):
+        for ddx in range(-M.MC_SEARCH, M.MC_SEARCH + 1):
+            y, x = 8 + ddy, 16 + ddx
+            if 0 <= y <= h - 8 and 0 <= x <= w - 8:
+                sad = int(
+                    np.abs(
+                        rf[0][y:y + 8, x:x + 8].astype(np.int64) - tgt
+                    ).sum()
+                )
+                assert best <= sad
+
+    # refusals
+    with pytest.raises(ValueError, match="I-frame"):
+        k = s.find(b"00dc") + 8
+        M.decode_mc_video(s[:k] + b"P" + s[k + 1:])
+    with pytest.raises(ValueError):  # fourcc mismatch vs MJPG walker
+        M.parse_avi_mjpeg(s)
+    mjpg = M.encode_avi_mjpeg(
+        [b"\xff\xd8fake"], w, h
+    )
+    with pytest.raises(ValueError):  # MC walker refuses MJPG stream
+        M.decode_mc_video(mjpg)
+
+    # the full Spark stage: every block equals the oracle arithmetic
+    df = spark.createDataFrame(
+        [(3, bytearray(b6))], "doc_id long, content binary"
+    )
+    rows = M.mc_video_roundtrip(df).collect()
+    assert len(rows) == 3 * nblk
+    for r in rows:
+        br, bc = divmod(r.block_idx, M.MC_BW)
+        assert r.val == b6[2 * br + (bc + r.frame_idx) % 2]

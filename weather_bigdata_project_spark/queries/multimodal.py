@@ -975,3 +975,62 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(1)).alias("content"))
     )
     return M.adpcm_roundtrip_samples(d)
+
+
+# --- REAL inter-frame video: motion-compensated P-frames, oracle-gated -------
+
+def _mc_oracle() -> str:
+    nblk = M.MC_BW * M.MC_BH
+    return (
+        "WITH px AS (SELECT doc_id, "
+        f"hex({_tile_duck(6)}) AS hx "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        "CAST(f AS INT) AS frame_idx, "
+        f"CAST({M.MC_FRAMES} AS INT) AS n_frames, "
+        f"CAST({M.MC_BW * 8} AS INT) AS width, "
+        f"CAST({M.MC_BH * 8} AS INT) AS height, "
+        "CAST(j AS INT) AS block_idx, "
+        f"CAST({_byte(f'2 * (j // {M.MC_BW}) + ((j % {M.MC_BW}) + f) % 2')} "
+        "AS INT) AS val "
+        f"FROM px CROSS JOIN range(0, {M.MC_FRAMES}) t(f) "
+        f"CROSS JOIN range(0, {nblk}) u(j)"
+    )
+
+
+@query("multimodal_pframe_video", oracle=_mc_oracle())
+def multimodal_pframe_video(spark, sf_dir):
+    """REAL inter-frame video coding — the motion-compensation loop at
+    the core of every codec since H.261, previously the one video
+    caveat left standing ('inter-frame prediction needs pyav'): each
+    doc's 6 tiled bytes become a 3-frame block-scrolling scene (frame
+    k block (r,c) = byte[2r + (c+k) % 2] — a ticker-style cyclic
+    scroll), encoded as an MPEG-style GOP: a baseline-JPEG I-frame,
+    then P-frames with per-block EXHAUSTIVE +/-8 px SAD motion search
+    against the previously RECONSTRUCTED frame (never the source — so
+    decoder drift is structurally zero), one-byte-biased motion
+    vectors, and the residual image coded through the in-tree JPEG
+    path; muxed and demuxed through the real AVI walker under the
+    'MC88' fourcc. By construction every P target block has an exact
+    same-row match at dx = +/-8 inside the window, so the residual is
+    zero, the residual image is flat 128 (JPEG-lossless), and the
+    DuckDB oracle predicts every decoded block closed-form from the
+    raw bytes — a defect in the search order, MV bias, prediction
+    indexing, residual de-bias, or reconstruction clamping shifts a
+    value and fails the driver hash. General lossy motion (random
+    scenes, SAD optimality, decoder==encoder-reconstruction
+    self-consistency) is pinned by the unit battery. What still needs
+    a codec library is H.26x BITSTREAM compatibility, not the
+    motion-compensation loop. One Arrow-batched stage; frame payloads
+    are built and die inside their task. The heaviest per-doc Python
+    stage in the tree (~8 ms/doc: 3 JPEG encodes + decodes + the
+    vectorized search), so the input rides spread_small_scan — a
+    single-row-group gate fixture would otherwise pin 50k docs to ONE
+    task (measured: the sf1-shape pass went timeout -> 30 s); at
+    production scale the scan has native splits and it is a no-op."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir).filter(F.length("text") >= 1),
+        spark,
+        f"{sf_dir}/documents.parquet",
+    ).select("doc_id", F.expr(_tile_spark(6)).alias("content"))
+    return M.mc_video_roundtrip(d)
