@@ -40,3 +40,8 @@ def test_warmup_expression_is_not_foldable():
 
     src = inspect.getsource(S._warm_collation_init)
     assert "CAST(id AS STRING)" in src and "lower(" in src
+    # and per-SLOT: one single-row partition per scheduler slot, so on
+    # a real cluster every executor JVM pays its class-init at setup
+    # (round-8 ADVICE), not inside the first case-folding query
+    assert "defaultParallelism" in src
+    assert "spark.range(0, slots, 1, slots)" in src

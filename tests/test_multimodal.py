@@ -899,3 +899,193 @@ def test_mc_pframe_codec_battery(spark):
     for r in rows:
         br, bc = divmod(r.block_idx, M.MC_BW)
         assert r.val == b6[2 * br + (bc + r.frame_idx) % 2]
+
+
+# --- round-9: color JPEG (YCbCr + 4:2:0) -------------------------------------
+
+def test_color_transform_pair_properties():
+    """The scaled-integer color transforms: outputs in range for the
+    full 8-bit cube (sampled grid), gray maps to (v, 128, 128), and
+    the round trip is near-identity (libjpeg's fixed-point error is
+    at most 2 counts per channel)."""
+    for r in range(0, 256, 17):
+        for g in range(0, 256, 17):
+            for b in range(0, 256, 17):
+                y, cb, cr = M.rgb_to_ycbcr_int(r, g, b)
+                assert 0 <= y <= 255 and 0 <= cb <= 255 and 0 <= cr <= 255
+                r2, g2, b2 = M.ycbcr_to_rgb_int(y, cb, cr)
+                assert abs(r2 - r) <= 2 and abs(g2 - g) <= 2
+                assert abs(b2 - b) <= 2
+    for v in range(0, 256, 5):
+        y, cb, cr = M.rgb_to_ycbcr_int(v, v, v)
+        assert (cb, cr) == (128, 128)
+        assert abs(y - v) <= 1
+
+
+def test_jpeg_color_codec_battery():
+    """The real color codec: flat-MCU losslessness (the oracle-gated
+    property, exercising MCU interleave + three DC predictors), the
+    subsample/upsample path on general content (Y is never
+    subsampled: its error stays inside the quantization envelope
+    regardless of chroma activity), and loud refusals of everything
+    outside the 4:2:0 three-component contract."""
+    import numpy as np
+    import pytest
+
+    # four distinct flat MCUs: decoded RGB must equal the closed-form
+    # integer transform round-trip, every pixel
+    colors = [(200, 30, 60), (10, 250, 90), (0, 0, 255), (128, 128, 128)]
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    for j, c in enumerate(colors):
+        my, mx = (j // 2) * 16, (j % 2) * 16
+        img[my:my + 16, mx:mx + 16] = c
+    s = M.encode_jpeg_color(32, 32, img.tobytes())
+    w, h, out = M.decode_jpeg_color(s)
+    assert (w, h) == (32, 32)
+    for j, c in enumerate(colors):
+        my, mx = (j // 2) * 16, (j % 2) * 16
+        tile = out[my:my + 16, mx:mx + 16]
+        want = M.ycbcr_to_rgb_int(*M.rgb_to_ycbcr_int(*c))
+        assert (tile == want).all(), (c, want, tile[0, 0])
+
+    # general content: the luma plane (never subsampled) must stay
+    # inside the gray codec's quantization envelope even when chroma
+    # varies inside every 2x2 neighborhood
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    _, _, out2 = M.decode_jpeg_color(M.encode_jpeg_color(32, 32, noisy.tobytes()))
+    y_in = M.rgb_to_ycbcr_int(
+        noisy[:, :, 0].astype(np.int64),
+        noisy[:, :, 1].astype(np.int64),
+        noisy[:, :, 2].astype(np.int64),
+    )[0]
+    y_out = M.rgb_to_ycbcr_int(
+        out2[:, :, 0].astype(np.int64),
+        out2[:, :, 1].astype(np.int64),
+        out2[:, :, 2].astype(np.int64),
+    )[0]
+    assert int(np.abs(y_out - y_in).max()) <= 80  # quant + color round
+
+    # subsample is a rounded mean: flat 2x2 chroma cells are exact
+    flat22 = np.zeros((32, 32, 3), dtype=np.uint8)
+    flat22[:, :] = (77, 150, 20)
+    s22 = M.encode_jpeg_color(32, 32, flat22.tobytes())
+    _, _, o22 = M.decode_jpeg_color(s22)
+    want22 = M.ycbcr_to_rgb_int(*M.rgb_to_ycbcr_int(77, 150, 20))
+    assert (o22 == want22).all()
+
+    # refusals, both directions + geometry + sampling contract
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(s)  # gray walker refuses 3-component SOF
+    gray = M.encode_jpeg_gray(32, 24, bytes(range(256)) * 3)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_color(gray)  # color walker refuses 1-component
+    with pytest.raises(ValueError):
+        M.encode_jpeg_color(24, 32, b"\0" * (24 * 32 * 3))  # not %16
+    with pytest.raises(ValueError):
+        M.decode_jpeg_color(s[:-4])  # truncation
+    i = s.find(b"\xff\xc0")
+    bad = bytearray(s)
+    bad[i + 2 + 8] = 0x21  # Y sampling 2x1 -> 4:2:2, unsupported
+    with pytest.raises(ValueError, match="4:2:0"):
+        M.decode_jpeg_color(bytes(bad))
+
+
+def test_jpeg_color_roundtrip_stage(spark):
+    """The Spark stage end-to-end: every MCU row equals the driver-side
+    closed form, and the in-kernel flatness check passes on real
+    codec output."""
+    payload = bytes([200, 30, 60, 10, 250, 90, 0, 0, 255, 5, 5, 5])
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "doc_id long, content binary"
+    )
+    rows = sorted(
+        M.jpeg_color_roundtrip_mcus(df).collect(),
+        key=lambda r: r.mcu_idx,
+    )
+    assert len(rows) == 4
+    for j, r in enumerate(rows):
+        rgb = tuple(payload[3 * j:3 * j + 3])
+        y, cb, cr = M.rgb_to_ycbcr_int(*rgb)
+        want = M.ycbcr_to_rgb_int(y, cb, cr)
+        assert (r.r_in, r.g_in, r.b_in) == rgb
+        assert (r.y, r.cb, r.cr) == (y, cb, cr)
+        assert (r.r_out, r.g_out, r.b_out) == want
+        assert (r.width, r.height) == (32, 32)
+
+
+# --- round-9: integer-snapped DCT pHash (oracle-gated real kernel) -----------
+
+def test_phash_dct_int_matches_naive_int_dct():
+    """The batched integer-basis pHash must equal a per-image textbook
+    computation with the same integer basis, bit for bit — and the
+    basis itself must be the pure-Python table (no numpy float in its
+    construction)."""
+    import numpy as np
+
+    b8 = np.asarray(M._dct_basis_int(), dtype=np.int64)
+    assert b8.shape == (8, 32)
+    # DC row is constant sqrt(1/32) * 2^16
+    assert len(set(b8[0].tolist())) == 1
+    payloads = [bytes([(i * 53 + j) % 256 for j in range(200 + i * 77)])
+                for i in range(6)] + [b""]
+    got = M._phash_dct_int_batch(payloads)
+    for i, p in enumerate(payloads):
+        if p:
+            reps = -(-1024 // len(p))
+            plane = np.frombuffer((p * reps)[:1024], dtype=np.uint8)
+            plane = plane.reshape(32, 32).astype(np.int64)
+        else:
+            plane = np.zeros((32, 32), dtype=np.int64)
+        low = (b8 @ plane @ b8.T).reshape(64)
+        med = np.sort(low[1:])[31]
+        bits = 0
+        for k in range(64):
+            if low[k] > med:
+                bits |= 1 << k
+        want = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert int(got.iloc[i]) == want
+
+
+def test_phash_dct_int_kernel_in_spark(spark):
+    """The oracle-gated integer kernel through the Arrow plumbing:
+    deterministic, schema-identical to the stub, planted exact dupes
+    collide at Hamming 0 through the banded pipeline."""
+    binary = M.with_binary_payload(T.docs(spark, SF_SMOKE).limit(30))
+    real = M.phash_media(binary, kernel="dct_int")
+    r1 = sorted((r.doc_id, r.phash) for r in real.collect())
+    ref = M._phash_dct_int_batch(
+        [bytes(r.content) for r in binary.orderBy("doc_id").collect()]
+    )
+    want = sorted(zip(
+        (r.doc_id for r in binary.orderBy("doc_id").collect()),
+        (int(x) for x in ref),
+    ))
+    assert r1 == want
+    assert len({h for _, h in r1}) > 1
+
+    docs = T.docs(spark, SF_SMOKE).select("doc_id", "text").limit(8)
+    dup = docs.selectExpr("doc_id + 1000000 AS doc_id", "text")
+    binary2 = M.with_binary_payload(docs.union(dup))
+    pairs = M.phash_neardup_pairs(binary2, max_hamming=0, kernel="dct_int")
+    got = {(r.doc1, r.doc2) for r in pairs.collect()}
+    want2 = {(r.doc_id, r.doc_id + 1000000) for r in docs.collect()}
+    assert want2 <= got
+
+
+def test_decode_wav_ima_truncated_fmt_raises_valueerror():
+    """A fmt chunk shorter than the 20-byte IMA layout must raise the
+    contract ValueError, not struct.error (round-8 ADVICE: uniform
+    failure-type contract)."""
+    import pytest
+
+    # minimal RIFF/WAVE with an 8-byte fmt, a fact, and an empty data
+    fmt = b"\x11\x00\x01\x00\x40\x1f\x00\x00"  # 8 bytes only
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="truncated fmt"):
+        M.decode_wav_ima(payload)

@@ -1926,3 +1926,55 @@ def test_span_corruption_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_cdc_chunk_stream_equals_batch(spark, tmp_path):
+    """Streaming CDC chunking: over a 3-micro-batch replay of the doc
+    corpus, the drained (doc_id, ch_id, ch_toks) chunk rows must EQUAL
+    the batch chunk frame bit-for-bit — chunk boundaries are a pure
+    function of local content (the LBFS window-hash expression), so no
+    replay split can move one. The multiset compare (counted tuples)
+    also proves no chunk is emitted twice or dropped."""
+    import glob
+    from collections import Counter
+
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.queries.dedup import (
+        cdc_chunk_frame,
+    )
+    from weather_bigdata_project_spark.streaming import jobs
+
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "cdc_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.cdc_chunk_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_chunk_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = Counter(
+        (r.doc_id, r.ch_id, r.ch_toks)
+        for r in spark.table("cdc_chunk_stream").collect()
+    )
+    want = Counter(
+        (r.doc_id, r.ch_id, r.ch_toks)
+        for r in cdc_chunk_frame(docs).collect()
+    )
+    assert got == want and len(got) > 0

@@ -271,3 +271,44 @@ def test_wet_writer_and_roundtrip():
     # truncated mid-block
     with pytest.raises(ValueError):
         list(W.parse_warc(wet[:-6]))
+
+
+def test_wet_records_carry_mandatory_warc_headers():
+    """ISO 28500 mandates WARC-Record-ID and WARC-Date on EVERY record
+    (round-8 ADVICE): each emitted record must carry both, the ids
+    must be unique, deterministic (pure function of content), and
+    valid urn:uuid v3 strings."""
+    import re
+
+    from weather_bigdata_project_spark.operators import webtext as W
+
+    pages = [("https://x/1", "hello"), ("https://x/2", "world")]
+    wet = W.wet_stream(pages)
+    blocks = wet.split(b"\r\n\r\n")
+    heads = [b for b in blocks if b.startswith(b"WARC/1.1")]
+    assert len(heads) == 3  # warcinfo + 2 conversions
+    ids = []
+    for hblk in heads:
+        text = hblk.decode()
+        assert "WARC-Date: " in text and "WARC-Record-ID: " in text
+        m = re.search(
+            r"WARC-Record-ID: <urn:uuid:([0-9a-f]{8}-[0-9a-f]{4}-"
+            r"3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12})>",
+            text,
+        )
+        assert m, text
+        ids.append(m.group(1))
+        assert re.search(
+            r"WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", text
+        )
+    assert len(set(ids)) == 3  # unique per record
+    assert W.wet_stream(pages) == wet  # deterministic
+    # identical content under a different URI gets a different id
+    wet2 = W.wet_stream([("https://y/1", "hello")])
+    assert W._warc_record_id("conversion", "https://x/1", "hello") != \
+        W._warc_record_id("conversion", "https://y/1", "hello")
+    assert b"urn:uuid:" in wet2
+    # the added headers must not break the walker
+    recs = list(W.parse_warc(wet))
+    assert [r[0] for r in recs] == ["warcinfo", "conversion", "conversion"]
+    assert recs[1][4] == "hello" and recs[2][4] == "world"

@@ -25,8 +25,22 @@ loop's own rep noise (a single fast cal draw once flipped
 git-identical queries to `code`). The calibration-normalized ratio is
 still recorded per row for cross-checking.
 
+Round-8 verdict, watch item 1 / task 1: the comparison the driver
+actually grades is the committed BENCH_r{N}.json record, whose
+normalized flag list can differ from any local run's (different
+session, different calibration draw). `--from-bench BENCH_r08.json`
+keys the A/B to the RECORD: it recomputes the driver record's own
+normalized ratios against the previous record (same formula as
+bench.py: (t_N / t_{N-1}) / (cal_N / cal_{N-1}), flag > 1.3),
+resolves arm A to the PREVIOUS round's record commit (the `round
+{N-1}: verdict/...` driver commit — the tree the previous record
+measured), and interleave-tests exactly that flag list. This makes
+the per-round ritual: `python3 tools/bench_ab.py --from-bench
+BENCH_r{N}.json` after each driver bench lands.
+
 Usage:
     python3 tools/bench_ab.py --ref 63e2eff [--reps 3] [names...]
+    python3 tools/bench_ab.py --from-bench BENCH_r08.json [--reps 2]
     python3 tools/bench_ab.py --worker <tree> <sf_dir> <names...>
 """
 
@@ -112,10 +126,71 @@ def worker(tree: str, sf_dir: str, names: list[str]) -> None:
     spark.stop()
 
 
+def record_flags(bench_path: str) -> tuple[str, list[str], dict]:
+    """Recompute the driver record's own normalized flag list.
+
+    Reads BENCH_r{N}.json (driver records nest the parsed bench line
+    under "parsed"), finds BENCH_r{N-1}.json next to it, applies
+    bench.py's exact normalization — per-query wall ratio divided by
+    the calibration ratio, flag > 1.3 — and resolves arm A to the
+    previous round's driver record commit (`round {N-1}: verdict/...`),
+    i.e. the tree the previous record measured. Returns (ref_a,
+    flagged_names_desc, detail)."""
+    import re
+
+    def load(p: str) -> dict:
+        with open(p) as f:
+            rec = json.load(f)
+        if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        return rec
+
+    m = re.search(r"r(\d+)", os.path.basename(bench_path))
+    if not m:
+        raise SystemExit(f"cannot parse round number from {bench_path}")
+    n = int(m.group(1))
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(bench_path)) or _REPO_ROOT,
+        f"BENCH_r{n-1:02d}.json",
+    )
+    cur, prev = load(bench_path), load(prev_path)
+    cal_ratio = cur["calibration_s"] / prev["calibration_s"]
+    ratios = {
+        q: (cur["queries"][q] / prev["queries"][q]) / cal_ratio
+        for q in cur["queries"]
+        if isinstance(prev["queries"].get(q), (int, float))
+        and prev["queries"][q] > 0
+    }
+    flagged = sorted(
+        (q for q, r in ratios.items() if r > 1.3),
+        key=lambda q: -ratios[q],
+    )
+    out = subprocess.run(
+        ["git", "log", "--format=%h", "-1", "--fixed-strings",
+         f"--grep=round {n-1}: verdict"],
+        cwd=_REPO_ROOT, capture_output=True, text=True, check=True,
+    )
+    ref_a = out.stdout.strip()
+    if not ref_a:
+        raise SystemExit(f"no 'round {n-1}: verdict' commit found")
+    detail = {
+        "record": os.path.basename(bench_path),
+        "prev_record": os.path.basename(prev_path),
+        "record_cal_ratio": round(cal_ratio, 3),
+        "record_norm": {q: round(ratios[q], 3) for q in flagged},
+    }
+    return ref_a, flagged, detail
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="63e2eff",
                     help="git ref for arm A (round-4 record commit)")
+    ap.add_argument("--from-bench", metavar="BENCH_rNN.json",
+                    help="key the A/B to a committed driver bench "
+                         "record: A/B its own normalized flag list "
+                         "(>1.3) against the previous round's record "
+                         "commit")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--worker", nargs="+", metavar="ARG",
@@ -127,8 +202,16 @@ def main() -> None:
         worker(args.worker[0], args.worker[1], args.worker[2:])
         return
 
-    names = args.names or REGRESSED_R5
-    tree_a = "/tmp/bench_ab_r4tree"
+    detail = None
+    if args.from_bench:
+        args.ref, flagged, detail = record_flags(args.from_bench)
+        names = args.names or flagged
+        print(f"== record {detail['record']}: {len(flagged)} flags "
+              f">1.3 vs {detail['prev_record']}, arm A = {args.ref}",
+              flush=True)
+    else:
+        names = args.names or REGRESSED_R5
+    tree_a = f"/tmp/bench_ab_tree_{args.ref}"
     if not os.path.isdir(tree_a):
         subprocess.run(
             ["git", "worktree", "add", "--detach", tree_a, args.ref],
@@ -173,6 +256,8 @@ def main() -> None:
                     "norm_ratio", "verdict"],
         "rows": rows,
     }
+    if detail is not None:
+        payload["from_bench"] = detail
     print(json.dumps(payload, indent=1))
     with open(os.path.join(_REPO_ROOT, "BENCH_AB.json"), "w") as f:
         json.dump(payload, f, indent=1)

@@ -683,8 +683,34 @@ def robots_eval(df: DataFrame, robots_txt: str, agent: str) -> DataFrame:
 _WET_INFO_BODY = (
     "software: spark-graft/1.0\r\nformat: WARC File Format 1.1\r\n"
 )
+
+#: deterministic WARC-Date for every record: ISO 28500 §5.4 mandates
+#: the header on each record but only requires UTC w3c-iso8601 form;
+#: a fixed instant keeps the emitted stream a pure function of its
+#: inputs (the oracle hash-compares the bytes) while staying
+#: schema-valid for standard tooling.
+_WET_DATE = "2026-01-01T00:00:00Z"
+
+
+def _warc_record_id(*parts: str) -> str:
+    """Deterministic `urn:uuid:` record id (ISO 28500 §5.2 mandates a
+    globally unique id per record): an RFC 4122 name-based form built
+    from the md5 of the record's identifying parts, version/variant
+    bits set so the string parses as a v3 UUID."""
+    import hashlib
+
+    h = bytearray(hashlib.md5("\x00".join(parts).encode()).digest())
+    h[6] = (h[6] & 0x0F) | 0x30  # version 3 (name-based, md5)
+    h[8] = (h[8] & 0x3F) | 0x80  # RFC 4122 variant
+    x = h.hex()
+    return (f"urn:uuid:{x[:8]}-{x[8:12]}-{x[12:16]}-"
+            f"{x[16:20]}-{x[20:32]}")
+
+
 _WET_INFO = (
     "WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+    f"WARC-Date: {_WET_DATE}\r\n"
+    f"WARC-Record-ID: <{_warc_record_id('warcinfo', _WET_INFO_BODY)}>\r\n"
     "Content-Length: " + str(len(_WET_INFO_BODY.encode())) + "\r\n"
     "\r\n" + _WET_INFO_BODY + "\r\n\r\n"
 )
@@ -695,13 +721,19 @@ def wet_stream(pages: list[tuple[str, str]]) -> bytes:
     ISO 28500): one warcinfo record, then one 'conversion' record per
     page — WARC-Target-URI names the source page, Content-Type
     text/plain, Content-Length counts the UTF-8 bytes of the extracted
-    text, block followed by the mandatory CRLF CRLF separator."""
+    text, block followed by the mandatory CRLF CRLF separator. Each
+    record carries the ISO-28500-mandatory WARC-Record-ID (urn:uuid
+    derived deterministically from the record content) and WARC-Date
+    (fixed instant) so standard WARC tooling accepts the stream, while
+    the bytes stay a pure function of `pages` for oracle hashing."""
     out = [_WET_INFO]
     for uri, text in pages:
         body = text.encode("utf-8")
         out.append(
             "WARC/1.1\r\nWARC-Type: conversion\r\n"
             f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: {_WET_DATE}\r\n"
+            f"WARC-Record-ID: <{_warc_record_id('conversion', uri, text)}>\r\n"
             "Content-Type: text/plain\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
         )

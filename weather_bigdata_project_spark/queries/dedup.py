@@ -2096,6 +2096,30 @@ _CDC_ORACLE = (
 )
 
 
+def cdc_chunk_frame(d):
+    """(doc_id, ch_id, ch_toks) — one row per CDC chunk, the in-row
+    stage every CDC consumer shares: dedup_cdc_chunks aggregates it in
+    batch, streaming/jobs.cdc_chunk_stream emits it at ingest (the
+    chunking is a pure function of each row, so the two are bit-equal
+    under any micro-batch replay). `d` needs (doc_id, text).
+
+    ch_id rides the FULL 60 md5 bits, not hashed_id's 40-bit default:
+    duplicate counting compares ch_id equality on Spark's side while
+    the oracle counts by chunk STRING, so a ch_id collision inflates
+    n_dup_chunks with no oracle-side counterpart. At 10^6 distinct
+    chunks the 40-bit birthday collision odds are ~40%; at 60 bits
+    ~4e-7 (round-8 ADVICE)."""
+    return (
+        d.select("doc_id", F.expr(_cdc_chunks_spark()).alias("chs"))
+        .select("doc_id", F.explode("chs").alias("chunk"))
+        .select(
+            "doc_id",
+            F.expr(T.hashed_id_spark("chunk", 1 << 60)).alias("ch_id"),
+            F.expr("size(split(chunk, ' '))").alias("ch_toks"),
+        )
+    )
+
+
 @query("dedup_cdc_chunks", oracle=_CDC_ORACLE)
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup — the rsync/LBFS boundary trick
@@ -2119,19 +2143,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     multiset by chunk STRING), then one doc-cardinality agg and a
     top-20 heap. Same two-shuffle shape as dedup_chunk_level at any
     scale."""
-    d = T.docs(spark, sf_dir).select(
-        "doc_id", F.expr(_cdc_chunks_spark()).alias("chs")
-    )
-    ch = T.materialize(
-        d.select(
-            "doc_id",
-            F.explode("chs").alias("chunk"),
-        ).select(
-            "doc_id",
-            F.expr(T.hashed_id_spark("chunk")).alias("ch_id"),
-            F.expr("size(split(chunk, ' '))").alias("ch_toks"),
-        )
-    )
+    ch = T.materialize(cdc_chunk_frame(T.docs(spark, sf_dir)))
     sz = ch.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("ch_toks").cast("bigint").alias("n_toks"),

@@ -237,6 +237,86 @@ def multimodal_phash_neardup(spark, sf_dir):
     return M.phash_neardup_pairs(b)
 
 
+# --- the REAL DCT pHash, oracle-gated (round-8 verdict task 3) -----------
+
+
+def _dct_bas_cte() -> str:
+    """The 8x32 integer-snapped DCT basis as a VALUES CTE — the SAME
+    integers the Spark kernel multiplies by (operators/multimodal.py
+    _dct_basis_int, pure-Python math.cos, round to 2^16 micro-units),
+    emitted as literals so the oracle's arithmetic is exact int64."""
+    b8 = M._dct_basis_int()
+    rows = ", ".join(
+        f"({u}, {x}, {b8[u][x]})" for u in range(8) for x in range(32)
+    )
+    return "bas(u, x, w) AS (VALUES " + rows + ")"
+
+
+#: DCT pHash signature as an unsigned HUGEINT, from raw bytes:
+#: tile payload to 1024 bytes (byte j of the plane = payload[j % n]),
+#: plane[x][y] = byte[32x + y], t[u,y] = sum_x B[u,x]*plane[x,y],
+#: c[u,v] = sum_y t[u,y]*B[v,y] (exact int64 — |c| < 2^47), median =
+#: 32nd-smallest of the 63 non-DC coefficients (odd count: an element,
+#: so integer-exact), bit u*8+v set iff c > median.
+_PH_DCT_CTE = (
+    "p AS (SELECT doc_id, CAST(j // 32 AS INT) AS x, "
+    "CAST(j % 32 AS INT) AS y, "
+    "CASE WHEN n = 0 THEN 0 ELSE "
+    "CAST('0x' || substr(hx, 2*(j % n)+1, 2) AS BIGINT) END AS v "
+    "FROM b CROSS JOIN range(0, 1024) t(j)), "
+    + _dct_bas_cte()
+    + ", tm AS (SELECT doc_id, u, y, SUM(w * v) AS t "
+    "FROM p JOIN bas USING (x) GROUP BY doc_id, u, y), "
+    "cf AS (SELECT tm.doc_id, tm.u AS cu, bas.u AS cv, "
+    "SUM(tm.t * bas.w) AS c "
+    "FROM tm JOIN bas ON bas.x = tm.y GROUP BY tm.doc_id, tm.u, bas.u), "
+    "md AS (SELECT doc_id, c AS med FROM ("
+    "SELECT doc_id, c, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY c) AS rn "
+    "FROM cf WHERE NOT (cu = 0 AND cv = 0)) WHERE rn = 32), "
+    "ph AS (SELECT cf.doc_id, "
+    "SUM(CASE WHEN c > med THEN CAST(1 AS HUGEINT) << "
+    "CAST(cu * 8 + cv AS INT) ELSE CAST(0 AS HUGEINT) END) AS uph "
+    "FROM cf JOIN md USING (doc_id) GROUP BY cf.doc_id)"
+)
+
+
+@query(
+    "multimodal_phash_dct_neardup",
+    oracle=(
+        "WITH " + _B_CTE + ", " + _PH_DCT_CTE + ", "
+        "bands AS (SELECT doc_id, uph, band, "
+        "CAST((uph >> CAST(16 * band AS INT)) & 65535 AS INT) AS band_bits "
+        "FROM ph CROSS JOIN range(0, 4) t(band)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc1, a.uph AS ph1, "
+        "b.doc_id AS doc2, b.uph AS ph2 "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) "
+        "SELECT doc1, doc2, "
+        "CAST(bit_count(xor(ph1, ph2)) AS INT) AS hamming "
+        "FROM cand WHERE bit_count(xor(ph1, ph2)) <= 6"
+    ),
+)
+def multimodal_phash_dct_neardup(spark, sf_dir):
+    """Perceptual near-dup pairs through the REAL DCT pHash kernel,
+    hash-gated from raw bytes to pair list: 32x32 plane -> 2-D DCT-II
+    (integer-snapped basis, round(M*2^16) — operators/multimodal.py
+    _phash_dct_int_batch) -> 8x8 low block -> DC-excluded median
+    threshold -> 64-bit signature -> the SAME banded LSH plan as the
+    stub query (4 x 16-bit band equi-join, bit_count(XOR) verify).
+    Closes the round-8 verdict's 'the registry's phash rides the stub
+    kernel' gap: the oracle rebuilds the DCT coefficients with the
+    identical integer basis literals, so the full REAL kernel is
+    bit-checked, not only its plumbing.
+
+    At 100 TB: the payload is read ONCE by the Arrow-batched kernel and
+    never shuffled (the signature is 8 bytes); candidates stay
+    near-linear in dup density via the band equi-join — identical scale
+    shape to multimodal_phash_neardup."""
+    b = M.with_binary_payload(T.docs(spark, sf_dir))
+    return M.phash_neardup_pairs(b, kernel="dct_int")
+
+
 @query(
     "multimodal_exact_dupes",
     oracle=(
@@ -792,6 +872,83 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         .select("doc_id", F.expr(_tile_spark(nblk)).alias("content"))
     )
     return M.jpeg_roundtrip_blocks(d)
+
+
+# --- REAL color JPEG: YCbCr + 4:2:0, oracle-gated ---------------------------
+
+def _jpeg_color_oracle() -> str:
+    """Closed-form color round-trip: flat 16x16 MCUs are lossless
+    through the whole chain (module note in operators/multimodal.py),
+    so decoded RGB = the scaled-integer YCbCr round-trip of the input
+    color. Constants come from the operator module — one source of
+    truth for both engines. Floor-shifts on possibly-negative inverse
+    numerators use the +2^31 bias so // sees non-negative ints."""
+    nm = M.JCOL_MW * M.JCOL_MH
+    bias = (128 << 16) + (1 << 15) - 1
+    y = (f"(({M._FIX_YR}*r + {M._FIX_YG}*g + {M._FIX_YB}*b"
+         f" + {1 << 15}) // 65536)")
+    cb = (f"((-{M._FIX_CB_R}*r - {M._FIX_CB_G}*g + {M._FIX_CB_B}*b"
+          f" + {bias}) // 65536)")
+    cr = (f"(({M._FIX_CR_R}*r - {M._FIX_CR_G}*g - {M._FIX_CR_B}*b"
+          f" + {bias}) // 65536)")
+
+    def inv(num: str) -> str:
+        return f"(({num} + {1 << 15} + 2147483648) // 65536 - 32768)"
+
+    g_num = (
+        f"-{M._FIX_G_CB}*(cb - 128) - {M._FIX_G_CR}*(cr - 128)"
+    )
+    r_o = f"y + {inv(f'{M._FIX_R_CR}*(cr - 128)')}"
+    g_o = f"y + {inv(g_num)}"
+    b_o = f"y + {inv(f'{M._FIX_B_CB}*(cb - 128)')}"
+    clamp = "LEAST(255, GREATEST(0, {v}))"
+    return (
+        f"WITH px AS (SELECT doc_id, hex({_tile_duck(3 * nm)}) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        "c AS (SELECT doc_id, CAST(j AS INT) AS mcu_idx, "
+        f"{_byte('3*j')} AS r, {_byte('3*j + 1')} AS g, "
+        f"{_byte('3*j + 2')} AS b "
+        f"FROM px CROSS JOIN range(0, {nm}) t(j)), "
+        f"t1 AS (SELECT doc_id, mcu_idx, r, g, b, {y} AS y, {cb} AS cb, "
+        f"{cr} AS cr FROM c) "
+        "SELECT doc_id, "
+        f"CAST({M.JCOL_MW * 16} AS INT) AS width, "
+        f"CAST({M.JCOL_MH * 16} AS INT) AS height, "
+        "mcu_idx, CAST(r AS INT) AS r_in, CAST(g AS INT) AS g_in, "
+        "CAST(b AS INT) AS b_in, CAST(y AS INT) AS y, "
+        "CAST(cb AS INT) AS cb, CAST(cr AS INT) AS cr, "
+        f"CAST({clamp.format(v=r_o)} AS INT) AS r_out, "
+        f"CAST({clamp.format(v=g_o)} AS INT) AS g_out, "
+        f"CAST({clamp.format(v=b_o)} AS INT) AS b_out "
+        "FROM t1"
+    )
+
+
+@query("multimodal_jpeg_color_roundtrip", oracle=_jpeg_color_oracle())
+def multimodal_jpeg_color_roundtrip(spark, sf_dir):
+    """REAL COLOR baseline-JPEG codec inside the correctness gate
+    (round-8 verdict task 5 — real image corpora are color): each
+    doc's 12 tiled bytes become a 32x32 image of four flat 16x16 MCUs,
+    encoded as a genuine three-component 4:2:0 baseline JPEG
+    (scaled-integer RGB->YCbCr, rounded 2x2 chroma averaging,
+    interleaved MCU entropy coding with per-component DC predictors,
+    two DQT tables) and decoded back by the real marker-walking color
+    decoder (sampling factors, table selections, and both quant tables
+    read from the stream; replicate upsampling; integer YCbCr->RGB).
+    Flat MCUs keep the whole chain lossless, so the oracle predicts
+    every decoded channel byte by pure integer arithmetic — a defect
+    in the color transforms, the subsample/upsample path, either quant
+    table, the MCU interleave order, or any entropy stage changes a
+    value and fails the driver hash. Non-flat/subsample edge behavior
+    and the refusal paths are pinned by the unit battery. Payload
+    bytes never shuffle."""
+    nm = M.JCOL_MW * M.JCOL_MH
+    d = (
+        T.docs(spark, sf_dir)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.expr(_tile_spark(3 * nm)).alias("content"))
+    )
+    return M.jpeg_color_roundtrip_mcus(d)
 
 
 # --- REAL image codec, oracle-gated: PNG round-trip --------------------------

@@ -2713,6 +2713,69 @@ def _nnd_bk_duck(t: int) -> str:
     )
 
 
+def _init_knn_edges(emb, nrm, n):
+    """Directed K-degree LSH-seeded kNN graph — the init stage (e0) of
+    embed_nndescent_knn, factored out because embed_graph_search_recall
+    walks EXACTLY this graph (shared code, so the search leg provably
+    serves the graph the build leg made). Two independent 8-plane
+    sign-bucket tables (bucket count n/10), pairs scored IN-ROW off the
+    bucket self-join (both arrays already present — no array re-join),
+    the two tables' overlap folded with one max(dot) agg (a no-op on
+    the duplicate — same pair, same dot — but one shuffle instead of a
+    distinct plus two joins), then rounded-cosine top-K per node with a
+    vec_id tie-break so both engines materialize identical edges."""
+    n_b = max(1, min(_NND_MAXB, n // _NND_BSZ))
+    bkt = T.materialize(
+        emb.select(
+            "vec_id",
+            "embedding",
+            *[
+                (F.expr(sign_bucket_range_sql(8 * t, 8)) % n_b).alias(
+                    f"b{t}"
+                )
+                for t in range(_NND_TABLES)
+            ],
+        )
+    )
+    p0 = None
+    for t in range(_NND_TABLES):
+        a = bkt.alias("a")
+        c = bkt.alias("c")
+        pt = a.join(
+            c,
+            (F.col(f"c.b{t}") == F.col(f"a.b{t}"))
+            & (F.col("c.vec_id") != F.col("a.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("u"),
+            F.col("c.vec_id").alias("v"),
+            F.expr(
+                _DOT.format(a="a.embedding", b="c.embedding")
+            ).alias("dot"),
+        )
+        p0 = pt if p0 is None else p0.unionByName(pt)
+    nu = nrm.select(F.col("vec_id").alias("u"), F.col("n2").alias("n2u"))
+    nv = nrm.select(F.col("vec_id").alias("v"), F.col("n2").alias("n2v"))
+    scored = (
+        p0.groupBy("u", "v")
+        .agg(F.max("dot").alias("dot"))
+        .join(F.broadcast(nu), "u")
+        .join(F.broadcast(nv), "v")
+        .select(
+            "u",
+            "v",
+            F.expr(rnd("dot / (SQRT(n2u) * SQRT(n2v))", 6)).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cosine"), F.asc("v"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NND_K)
+        .select("u", "v")
+    )
+
+
 @query(
     "embed_nndescent_knn",
     oracle=(
@@ -2806,7 +2869,6 @@ def _nndescent_graph(spark, emb):
     init bucket count B = n/10, derives from the frame's own count, so
     the twin is the SAME algorithm at sample cardinality)."""
     n = emb.count()
-    n_b = max(1, min(_NND_MAXB, n // _NND_BSZ))
     nrm = T.materialize(
         emb.select(
             "vec_id",
@@ -2849,42 +2911,7 @@ def _nndescent_graph(spark, emb):
             "u", "v", dot_ab
         )
 
-    bkt = T.materialize(
-        emb.select(
-            "vec_id",
-            "embedding",
-            *[
-                (F.expr(sign_bucket_range_sql(8 * t, 8)) % n_b).alias(
-                    f"b{t}"
-                )
-                for t in range(_NND_TABLES)
-            ],
-        )
-    )
-    # score bucket pairs IN-ROW off the self-join (both arrays are
-    # already present — no array re-join), then dedup the two tables'
-    # overlap with one (u, v) aggregate: max(dot) is a no-op on the
-    # duplicate (same pair, same dot) but folds the distinct + two
-    # join shuffles the id-only formulation needed into a single one
-    p0 = None
-    for t in range(_NND_TABLES):
-        a = bkt.alias("a")
-        c = bkt.alias("c")
-        pt = a.join(
-            c,
-            (F.col(f"c.b{t}") == F.col(f"a.b{t}"))
-            & (F.col("c.vec_id") != F.col("a.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("u"),
-            F.col("c.vec_id").alias("v"),
-            F.expr(
-                _DOT.format(a="a.embedding", b="c.embedding")
-            ).alias("dot"),
-        )
-        p0 = pt if p0 is None else p0.unionByName(pt)
-    e0 = T.materialize(
-        topk(p0.groupBy("u", "v").agg(F.max("dot").alias("dot")))
-    )
+    e0 = T.materialize(_init_knn_edges(emb, nrm, n))
 
     # no distinct here: a pair present in both directions duplicates a
     # NoN join row, but `cand` dedups once at the end — one shuffle
@@ -3470,3 +3497,271 @@ def corpus_cluster_topics(spark, sf_dir):
     )
     dt.createOrReplaceTempView("topic_dt")
     return spark.sql("WITH " + _topic_tail("topic_dt"))
+
+
+# --- graph-ANN SEARCH leg: beam walk over the built kNN graph --------------
+# (round-8 verdict task 7: the tree had LSH/IVF/PQ indexes and an
+# NN-descent graph BUILD but no graph-walk SEARCH — the HNSW-style beam
+# search serving stacks actually run.)
+
+_GS_QMOD = 32   # 1-in-32 corpus members form the query batch
+_GS_BEAM = 8    # beam width: nodes expanded per hop per query
+_GS_HOPS = 2    # fixed-depth expansion beyond the seeded adjacency
+_GS_TOPR = 10   # recall@10
+
+
+def _gs_score_duck(pairs: str, tag: str) -> str:
+    """Score a (q, v) pair set by rounded query-to-node cosine — the
+    beam's rank key, same float discipline as _NND_COS (one rounded
+    division off exact summed products and once-computed norms)."""
+    return (
+        f"gsc{tag} AS (SELECT p.q, p.v, SUM(za.x * zb.x) AS dot "
+        f"FROM {pairs} p JOIN z za ON za.vec_id = p.q "
+        "JOIN z zb ON zb.vec_id = p.v AND zb.d = za.d "
+        "GROUP BY p.q, p.v), "
+        f"gv{tag} AS (SELECT s.q, s.v, "
+        + rnd("s.dot / (SQRT(nq.n2) * SQRT(nv.n2))", 6)
+        + f" AS cos FROM gsc{tag} s JOIN nrm nq ON nq.vec_id = s.q "
+        "JOIN nrm nv ON nv.vec_id = s.v)"
+    )
+
+
+def _gs_rank(src: str, limit: int) -> str:
+    return (
+        f"(SELECT q, v FROM (SELECT q, v, ROW_NUMBER() OVER ("
+        f"PARTITION BY q ORDER BY cos DESC, v) AS rk FROM {src}) "
+        f"WHERE rk <= {limit})"
+    )
+
+
+def _gs_oracle() -> str:
+    """DuckDB twin: identical graph (the embed_nndescent_knn oracle's
+    z/nrm/proj/bk/p0/e0 chain), identical unrolled beam, exact top-10
+    truth on the broadcast-sized query batch."""
+    parts = [
+        "z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings)",
+        "nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM z GROUP BY vec_id)",
+        f"proj AS (SELECT vec_id, j, SUM(x * {_W_SQL}) AS dot "
+        "FROM z CROSS JOIN (SELECT unnest(range(0, "
+        f"{8 * _NND_TABLES})) AS j) GROUP BY vec_id, j)",
+    ]
+    parts.extend(_nnd_bk_duck(t) for t in range(_NND_TABLES))
+    parts.append(
+        "p0 AS ("
+        + " UNION ".join(
+            f"SELECT a.vec_id AS u, c.vec_id AS v FROM bk{t} a "
+            f"JOIN bk{t} c ON c.b = a.b AND c.vec_id <> a.vec_id"
+            for t in range(_NND_TABLES)
+        )
+        + ")"
+    )
+    parts.append(_nnd_score_duck("p0", "0"))
+    parts.append(
+        "qs AS (SELECT vec_id AS q FROM embeddings WHERE "
+        + T.hashed_id_duck("('gq:' || CAST(vec_id AS VARCHAR))", _GS_QMOD)
+        + " = 0)"
+    )
+    parts.append(
+        "s0 AS (SELECT qs.q AS q, e0.v AS v FROM qs "
+        "JOIN e0 ON e0.u = qs.q)"
+    )
+    parts.append(_gs_score_duck("s0", "0"))
+    parts.append("vis0 AS (SELECT q, v, cos FROM gv0)")
+    for k in range(1, _GS_HOPS + 1):
+        p = k - 1
+        parts.append(f"f{k} AS {_gs_rank(f'vis{p}', _GS_BEAM)}")
+        parts.append(
+            f"n{k} AS (SELECT DISTINCT f.q AS q, e0.v AS v FROM f{k} f "
+            "JOIN e0 ON e0.u = f.v WHERE e0.v <> f.q)"
+        )
+        parts.append(_gs_score_duck(f"n{k}", str(k)))
+        parts.append(
+            f"vis{k} AS (SELECT DISTINCT q, v, cos FROM ("
+            f"SELECT q, v, cos FROM vis{p} "
+            f"UNION ALL SELECT q, v, cos FROM gv{k}))"
+        )
+    last = f"vis{_GS_HOPS}"
+    parts.append(f"bt AS {_gs_rank(last, _GS_TOPR)}")
+    parts.append(
+        "pxq AS (SELECT qs.q AS q, e.vec_id AS v FROM qs "
+        "JOIN embeddings e ON e.vec_id <> qs.q)"
+    )
+    parts.append(_gs_score_duck("pxq", "x"))
+    parts.append(f"ex AS {_gs_rank('gvx', _GS_TOPR)}")
+    parts.append(
+        f"nvis AS (SELECT q, COUNT(*) AS n_visited FROM {last} GROUP BY q)"
+    )
+    parts.append(
+        "ht AS (SELECT bt.q, COUNT(*) AS hits FROM bt "
+        "JOIN ex ON ex.q = bt.q AND ex.v = bt.v GROUP BY bt.q)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT qs.q AS vec_id, "
+        "CAST(COALESCE(nvis.n_visited, 0) AS BIGINT) AS n_visited, "
+        "CAST(COALESCE(ht.hits, 0) AS BIGINT) AS hits, "
+        + rnd(
+            f"CAST(COALESCE(ht.hits, 0) AS DOUBLE) / {_GS_TOPR}.0e0", 4
+        )
+        + " AS recall_at10 "
+        "FROM qs LEFT JOIN nvis ON nvis.q = qs.q "
+        "LEFT JOIN ht ON ht.q = qs.q"
+    )
+
+
+@query("embed_graph_search_recall", oracle=_gs_oracle())
+def embed_graph_search_recall(spark, sf_dir):
+    """Graph-ANN SEARCH: fixed-depth beam walk over the LSH-seeded kNN
+    graph (_init_knn_edges — the SAME code that builds
+    embed_nndescent_knn's init graph), with an exact recall@10 audit on
+    a deterministic 1-in-32 query batch. This is the serving-side leg
+    the index family lacked: HNSW-style stacks answer queries by
+    walking a prebuilt neighbor graph, and this query is that walk as a
+    relational plan — seed the beam with the query node's own
+    adjacency, then per hop expand the top-8 frontier through the edge
+    list, score new nodes against the query (rounded cosine, vec_id
+    tie-break — both engines materialize identical beams), and keep the
+    union. After 2 hops, report per query: nodes visited, exact-top-10
+    hits, recall@10.
+
+    Scale shape: the query batch is bounded (broadcast, with its norms
+    in-row), every hop is a BROADCAST join of the beam-bounded frontier
+    (<= Q x beam x K rows) against the K-degree edge list — never a
+    shuffle of the corpus — and candidate scoring recomputes the
+    candidate norm in-row (O(dim) on beam-bounded rows) instead of
+    joining an n-row norm table. The exact truth is query-batch x
+    corpus (linear in n, the audit-on-a-slice shape shared with the
+    sketch family). The graph build itself is the O(n) bucketed
+    construction proven in embed_nndescent_knn."""
+    emb = T.materialize(
+        T.spread_small_scan(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            spark,
+            f"{sf_dir}/embeddings.parquet",
+        )
+    )
+    n = emb.count()
+    nrm = T.materialize(
+        emb.select(
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        )
+    )
+    e0 = T.materialize(_init_knn_edges(emb, nrm, n))
+    qs = T.materialize(
+        emb.join(nrm, "vec_id")
+        .filter(
+            F.expr(
+                T.hashed_id_spark(
+                    "concat('gq:', CAST(vec_id AS STRING))", _GS_QMOD
+                )
+            )
+            == 0
+        )
+        .select(
+            F.col("vec_id").alias("q"),
+            F.col("embedding").alias("qe"),
+            F.col("n2").alias("n2q"),
+        )
+    )
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("ev"))
+
+    def score(pairs):
+        """(q, v) -> (q, v, cos): broadcast the beam-bounded pair set
+        (with the query arrays riding along) into the corpus scan; the
+        candidate norm is recomputed in-row — no n-row norm join."""
+        return (
+            F.broadcast(pairs.join(F.broadcast(qs), "q"))
+            .join(ev, "v")
+            .select(
+                "q",
+                "v",
+                F.expr(
+                    rnd(
+                        _DOT.format(a="qe", b="ev")
+                        + " / (SQRT(n2q) * SQRT("
+                        + _DOT.format(a="ev", b="ev")
+                        + "))",
+                        6,
+                    )
+                ).alias("cos"),
+            )
+        )
+
+    seed = (
+        F.broadcast(qs.select("q"))
+        .join(e0, F.col("q") == F.col("u"))
+        .select("q", "v")
+    )
+    vis = T.materialize(score(seed).distinct())
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
+    for _k in range(_GS_HOPS):
+        beam = (
+            vis.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _GS_BEAM)
+            .select("q", F.col("v").alias("u"))
+        )
+        nxt = (
+            F.broadcast(beam)
+            .join(e0, "u")
+            .filter(F.col("v") != F.col("q"))
+            .select("q", "v")
+            .distinct()
+        )
+        vis = T.materialize(
+            vis.unionByName(score(nxt)).distinct(), cut_lineage=True
+        )
+    bt = (
+        vis.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _GS_TOPR)
+        .select("q", "v")
+    )
+    px = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            F.col("vec_id").alias("v"),
+            F.expr(
+                rnd(
+                    _DOT.format(a="qe", b="embedding")
+                    + " / (SQRT(n2q) * SQRT("
+                    + _DOT.format(a="embedding", b="embedding")
+                    + "))",
+                    6,
+                )
+            ).alias("cos"),
+        )
+    )
+    ex = T.materialize(
+        px.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _GS_TOPR)
+        .select("q", "v")
+    )
+    nvis = vis.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_visited")
+    )
+    ht = (
+        bt.join(ex, ["q", "v"])
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return (
+        qs.select("q")
+        .join(nvis, "q", "left")
+        .join(ht, "q", "left")
+        .select(
+            F.col("q").alias("vec_id"),
+            F.coalesce("n_visited", F.lit(0))
+            .cast("bigint")
+            .alias("n_visited"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(
+                rnd(
+                    f"CAST(COALESCE(hits, 0) AS DOUBLE) / {_GS_TOPR}.0e0",
+                    4,
+                )
+            ).alias("recall_at10"),
+        )
+    )

@@ -938,6 +938,123 @@ def text_bpe_holdout_compression(spark, sf_dir):
     )
 
 
+# --- BPE ENCODE: apply the trained merge table to the corpus ---------------
+
+def _bpe_encode_oracle() -> str:
+    """Train the 3 merges (identical chain to _bpe_oracle), then read
+    the per-doc encoded stream: the seq{K} frame IS the corpus with the
+    merge table applied in training order, which is exactly what a
+    tokenizer's encode pass computes."""
+    step = _BPE_STEP.format(endswith="ends_with", concat3="concat")
+    parts = ["seq0 AS (SELECT doc_id, text AS s FROM documents)"]
+    for k in range(1, _BPE_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f"bp{k} AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt "
+            "FROM (SELECT unnest(list_transform("
+            "range(1, len(string_split(s, ' '))), "
+            "i -> struct_pack(w1 := string_split(s, ' ')[i], "
+            "w2 := string_split(s, ' ')[i + 1]))) AS b "
+            f"FROM seq{p} WHERE len(string_split(s, ' ')) >= 2) "
+            "GROUP BY b.w1, b.w2)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT w1, w2 FROM bp{k} "
+            "ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+        )
+        parts.append(
+            f"seq{k} AS (SELECT doc_id, list_reduce("
+            f"string_split(s, ' '), (acc, x) -> {step}) AS s "
+            f"FROM seq{p} CROSS JOIN best{k})"
+        )
+    last = f"seq{_BPE_ITERS}"
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT s0.doc_id, "
+        "CAST(len(string_split(s0.s, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(string_split(sN.s, ' ')) AS BIGINT) AS n_bpe_tokens, "
+        "CAST(len(string_split(s0.s, ' ')) "
+        "- len(string_split(sN.s, ' ')) AS BIGINT) AS n_merged, "
+        + rnd(
+            "CAST(len(string_split(sN.s, ' ')) AS DOUBLE) "
+            "/ len(string_split(s0.s, ' '))",
+            6,
+        )
+        + " AS fertility "
+        f"FROM seq0 s0 JOIN {last} sN USING (doc_id)"
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark, sf_dir):
+    """The ENCODE half of the tokenizer (round-8 verdict task 4):
+    text_bpe_train learns the merge table; this applies it — each
+    trained merge replayed in training order as the same left-to-right
+    non-overlapping fold per document — and reports the per-doc TRUE
+    post-merge token count next to the whitespace proxy, plus fertility
+    (bpe/ws tokens, < 1 exactly where merges fired). This is the step
+    every real pipeline runs after training, and the honest input to
+    token-budget accounting (corpus_token_budget counts whitespace
+    tokens; a budget in BPE tokens would join this frame instead).
+
+    Scale shape: identical to text_bpe_train — per round ONE in-row
+    pair explode + hash count with map-side combine, a 1-row broadcast
+    of the adopted merge, and an in-row fold rewrite; the final frame
+    is one narrow per-doc projection. The merge table is O(K) rows at
+    any corpus size; nothing doc-cardinality ever sits on the driver."""
+    step = _BPE_STEP.format(endswith="endswith", concat3="concat")
+    fold = (
+        "aggregate(slice(split(s, ' '), 2, size(split(s, ' '))), "
+        "element_at(split(s, ' '), 1), "
+        f"(acc, x) -> {step})"
+    )
+    seq = T.materialize(
+        tables.load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("s")
+        )
+    )
+    base = seq.select(
+        "doc_id", F.size(F.split("s", " ")).alias("n0")
+    )
+    for _k in range(1, _BPE_ITERS + 1):
+        a = seq.select(F.split("s", " ").alias("ts"))
+        best = T.materialize(
+            a.filter(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(ts) - 2), "
+                        "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                    )
+                ).alias("b")
+            )
+            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "w1", "w2")
+            .limit(1)
+            .select("w1", "w2")
+        )
+        seq = T.materialize(
+            seq.crossJoin(F.broadcast(best)).selectExpr(
+                "doc_id", fold + " AS s"
+            ),
+            cut_lineage=True,  # loop state: plan must not grow per round
+        )
+    return (
+        seq.select("doc_id", F.size(F.split("s", " ")).alias("nN"))
+        .join(base, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n0").cast("bigint").alias("n_ws_tokens"),
+            F.col("nN").cast("bigint").alias("n_bpe_tokens"),
+            (F.col("n0") - F.col("nN")).cast("bigint").alias("n_merged"),
+            F.expr(
+                rnd("CAST(nN AS DOUBLE) / n0", 6)
+            ).alias("fertility"),
+        )
+    )
+
+
 # --- token burstiness (Church-Gale) ----------------------------------------
 
 @query(

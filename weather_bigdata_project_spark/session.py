@@ -41,15 +41,25 @@ def _warm_collation_init(spark: SparkSession) -> None:
     sf0.001 while its warm wall is 1.1 s. One throwaway NON-FOLDABLE
     lower() (constant-folding evaluates interpreted, which takes the
     non-ICU UTF8String.toLowerCase path and would NOT trigger the init)
-    moves the cost here. On a real cluster this is the standard
-    per-executor-JVM warmup shape: paid once, amortized over the job.
+    moves the cost here.
+
+    The class-init is per EXECUTOR JVM, so one 1-row task would warm
+    only the one executor that ran it — every other JVM would still pay
+    the spike inside the first case-folding query scheduled onto it
+    (round-8 ADVICE). The warmup therefore runs one task per scheduler
+    slot (`defaultParallelism` single-row partitions, submitted
+    together): with a slot-count's worth of simultaneous tasks every
+    executor receives at least one, the standard per-executor warmup
+    shape. Locally this is 32 trivial tasks (~0.1 s); on a cluster the
+    inits run in parallel, paid once, amortized over the job.
     """
     app_id = spark.sparkContext.applicationId
     if app_id in _ICU_WARMED:
         return
     _ICU_WARMED.add(app_id)
-    spark.range(0, 1, 1, 1).selectExpr(
-        "lower(concat('WARM', CAST(id AS STRING))) AS v"
+    slots = spark.sparkContext.defaultParallelism
+    spark.range(0, slots, 1, slots).selectExpr(
+        "max(lower(concat('WARM', CAST(id AS STRING)))) AS v"
     ).collect()
 
 

@@ -1452,3 +1452,27 @@ def span_corruption_stream(doc_stream: DataFrame) -> DataFrame:
         F.col("v.inputs").alias("inputs"),
         F.col("v.targets").alias("targets"),
     )
+
+
+def cdc_chunk_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming content-defined chunking — the at-ingest twin of
+    dedup_cdc_chunks' chunk frame (round-8 verdict task 6, the one
+    round-8b operator that lacked one): every arriving doc is CDC-cut
+    at ingest and lands as (doc_id, ch_id, ch_toks) chunk rows, so the
+    downstream corpus-wide duplicate count is an incremental MERGE
+    into a chunk-frequency table instead of a full-corpus re-chunk —
+    at 100 TB the chunking pass (the expensive in-row part) happens
+    exactly once per document, ever.
+
+    The plan is completely STATE-FREE: boundaries are a pure function
+    of each row's LOCAL content (the LBFS trailing-window-hash
+    expression the batch query inlines — queries/dedup.
+    cdc_chunk_frame, shared code, not a twin), so each output row
+    depends only on its input row and a drained replay across ANY
+    micro-batch split equals the batch chunk frame bit-for-bit
+    (tests/test_streaming.py::test_cdc_chunk_stream_equals_batch).
+    Zero shuffle, zero state; chunk text lives and dies inside its
+    ingest task — only the 8-byte ch_id survives."""
+    from ..queries.dedup import cdc_chunk_frame
+
+    return cdc_chunk_frame(doc_stream.select("doc_id", "text"))
