@@ -986,9 +986,15 @@ def test_jpeg_color_codec_battery():
         M.decode_jpeg_color(s[:-4])  # truncation
     i = s.find(b"\xff\xc0")
     bad = bytearray(s)
-    bad[i + 2 + 8] = 0x21  # Y sampling 2x1 -> 4:2:2, unsupported
+    # SOF payload: [prec, H, H, W, W, ncomp, cid1, hv1, tq1, ...] — the
+    # Y sampling byte hv1 sits at payload offset 7 (absolute i + 11)
+    bad[i + 11] = 0x21  # Y sampling 2x1 -> 4:2:2, unsupported
     with pytest.raises(ValueError, match="4:2:0"):
         M.decode_jpeg_color(bytes(bad))
+    bad2 = bytearray(s)
+    bad2[i + 10] = 9  # unknown component id: SOS/SOF disagreement
+    with pytest.raises(ValueError, match="disagree"):
+        M.decode_jpeg_color(bytes(bad2))
 
 
 def test_jpeg_color_roundtrip_stage(spark):

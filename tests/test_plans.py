@@ -895,3 +895,32 @@ def test_ppm_decode_is_arrow_only_and_shuffle_free(spark):
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan, "real decode must not shuffle payloads"
+
+
+def test_graph_search_hops_are_broadcast_joins(spark):
+    """embed_graph_search_recall (round-9): every beam-hop and scoring
+    join must be a BroadcastHashJoin — the frontier is beam-bounded
+    and the query batch is broadcast with its norms riding along, so
+    no hop may shuffle the corpus. SortMergeJoin anywhere in the walk
+    means a hop lost its broadcast hint."""
+    from weather_bigdata_project_spark.queries import similarity as S
+
+    emb = S.T.materialize(
+        S._emb(spark, SF_SMOKE).select("vec_id", "embedding")
+    )
+    n = emb.count()
+    nrm = S.T.materialize(
+        emb.select(
+            "vec_id",
+            F.expr(S._DOT.format(a="embedding", b="embedding")).alias(
+                "n2"
+            ),
+        )
+    )
+    plan = C.formatted_plan(S._graph_search(spark, emb))
+    # every hop/score/assembly join carries an explicit broadcast hint
+    # (the graph CONSTRUCTION's bucket self-join is pre-materialized
+    # behind InMemoryTableScan, so the walk's plan must show ZERO
+    # sort-merge joins and only broadcast ones)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

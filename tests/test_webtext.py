@@ -284,24 +284,21 @@ def test_wet_records_carry_mandatory_warc_headers():
 
     pages = [("https://x/1", "hello"), ("https://x/2", "world")]
     wet = W.wet_stream(pages)
-    blocks = wet.split(b"\r\n\r\n")
-    heads = [b for b in blocks if b.startswith(b"WARC/1.1")]
-    assert len(heads) == 3  # warcinfo + 2 conversions
-    ids = []
-    for hblk in heads:
-        text = hblk.decode()
-        assert "WARC-Date: " in text and "WARC-Record-ID: " in text
-        m = re.search(
-            r"WARC-Record-ID: <urn:uuid:([0-9a-f]{8}-[0-9a-f]{4}-"
-            r"3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12})>",
-            text,
-        )
-        assert m, text
-        ids.append(m.group(1))
-        assert re.search(
-            r"WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", text
-        )
+    text = wet.decode()
+    heads = [
+        blk for blk in text.split("WARC/1.1\r\n") if blk
+    ][: 3]
+    assert text.count("WARC/1.1\r\n") == 3  # warcinfo + 2 conversions
+    ids = re.findall(
+        r"WARC-Record-ID: <urn:uuid:([0-9a-f]{8}-[0-9a-f]{4}-"
+        r"3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12})>",
+        text,
+    )
+    assert len(ids) == 3  # a valid v3 urn:uuid on EVERY record
     assert len(set(ids)) == 3  # unique per record
+    assert len(re.findall(
+        r"WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", text
+    )) == 3
     assert W.wet_stream(pages) == wet  # deterministic
     # identical content under a different URI gets a different id
     wet2 = W.wet_stream([("https://y/1", "hello")])

@@ -191,6 +191,13 @@ EXTENDED = [
     "dedup_graph_degree_profile_sampled",
     "corpus_cluster_split_sampled",
     "embed_nndescent_knn_sampled",
+    # round-9: the verdict-task operators land gated from day one
+    "multimodal_phash_dct_neardup",
+    "multimodal_jpeg_color_roundtrip",
+    "text_bpe_encode",
+    "embed_graph_search_recall",
+    "embed_graph_search_recall_sampled",
+    "dedup_cdc_chunks",
 ]
 
 #: below these floors at the SMALL SF the exponent is fixed-cost noise

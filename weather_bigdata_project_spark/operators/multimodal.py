@@ -1524,6 +1524,8 @@ def decode_jpeg_color(payload: bytes):
             for c in range(3):
                 cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
                 sels[cid] = (t >> 4, t & 0xF)
+            if comps is None or {c[0] for c in comps} != set(sels):
+                raise ValueError("SOS components disagree with SOF")
             entropy = payload[pos + seglen:]
             eoi = entropy.rfind(b"\xff\xd9")
             if eoi < 0:

@@ -3641,6 +3641,15 @@ def embed_graph_search_recall(spark, sf_dir):
             f"{sf_dir}/embeddings.parquet",
         )
     )
+    return _graph_search(spark, emb)
+
+
+def _graph_search(spark, emb):
+    """Core of embed_graph_search_recall over an arbitrary materialized
+    (vec_id, embedding) frame — shared with the sampled at-scale twin
+    (every knob, including the graph's bucket count B = n/10, derives
+    from the frame's own count, so the twin is the SAME walk at sample
+    cardinality)."""
     n = emb.count()
     nrm = T.materialize(
         emb.select(
@@ -3743,14 +3752,16 @@ def embed_graph_search_recall(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_visited")
     )
     ht = (
-        bt.join(ex, ["q", "v"])
+        bt.join(F.broadcast(ex), ["q", "v"])
         .groupBy("q")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
+    # assembly joins are query-batch-sized on both sides: broadcast,
+    # never sort-merge (plan-asserted by test_plans)
     return (
         qs.select("q")
-        .join(nvis, "q", "left")
-        .join(ht, "q", "left")
+        .join(F.broadcast(nvis), "q", "left")
+        .join(F.broadcast(ht), "q", "left")
         .select(
             F.col("q").alias("vec_id"),
             F.coalesce("n_visited", F.lit(0))
@@ -3765,3 +3776,46 @@ def embed_graph_search_recall(spark, sf_dir):
             ).alias("recall_at10"),
         )
     )
+
+
+#: corpus-sample modulus for the graph-search at-scale twin (~1/4 kept,
+#: same rate as the nndescent twin; salted 'gcs:' so the sampling stays
+#: independent of both 'cs:' and the 'gq:' query draw)
+_GS_CS = 4
+
+
+def _gs_sampled_oracle() -> str:
+    from ..registry import ORACLES
+
+    pred = (
+        T.hashed_id_duck("('gcs:' || CAST(vec_id AS VARCHAR))", _GS_CS)
+        + " = 0"
+    )
+    return T.sampled_table_duck(
+        ORACLES["embed_graph_search_recall"], "embeddings", pred
+    )
+
+
+@query("embed_graph_search_recall_sampled", oracle=_gs_sampled_oracle())
+def embed_graph_search_recall_sampled(spark, sf_dir):
+    """Beam-walk search + exact recall@10 audit on a deterministic
+    1-in-4 key-hash sample of the embedding corpus — the at-scale twin
+    of embed_graph_search_recall, same doctrine as
+    embed_nndescent_knn_sampled: the full query's DuckDB truth set is
+    query-batch x corpus, which outgrows a fixed sweep budget with
+    corpus size, while a 1/4 sample of each decade is exactly the
+    cardinality the full audit already passes one decade down. Every
+    knob (graph bucket count, query draw, beam width) derives from the
+    sampled frame itself, so the twin runs the IDENTICAL machinery."""
+    base = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.expr(
+            T.hashed_id_spark(
+                "concat('gcs:', CAST(vec_id AS STRING))", _GS_CS
+            )
+        )
+        == 0
+    )
+    emb = T.materialize(
+        T.spread_small_scan(base, spark, f"{sf_dir}/embeddings.parquet")
+    )
+    return _graph_search(spark, emb)
