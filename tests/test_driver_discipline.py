@@ -78,6 +78,16 @@ CROSSJOIN_ALLOWED = {
     "queries/similarity.py:_nndescent_graph":
         "broadcast hash-sampled probe set (bounded); shared core of "
         "embed_nndescent_knn and its sampled twin",
+    "queries/similarity.py:_graph_search":
+        "broadcast hash-sampled query batch (bounded); shared core of "
+        "embed_graph_search_recall and its sampled twin",
+    "queries/text.py:text_bpe_encode":
+        "1-row merge-table frame (top-K trained merges) broadcast",
+    "queries/webingest.py:_doc_edges":
+        "1-row corpus-count aggregate (edge-target modulus)",
+    "queries/webingest.py:corpus_pagerank":
+        "1-row corpus-count + per-iteration 1-row dangling-mass "
+        "aggregates broadcast into the rank update",
     "queries/warehouse.py:part_single_source_risk":
         "1-row revenue-total aggregate broadcast",
     "queries/warehouse.py:part_xyz_variability":

@@ -1095,3 +1095,95 @@ def test_decode_wav_ima_truncated_fmt_raises_valueerror():
     payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
     with pytest.raises(ValueError, match="truncated fmt"):
         M.decode_wav_ima(payload)
+
+
+# --- Goertzel tone detection ------------------------------------------------
+
+
+def _gz_python(samples):
+    """Plain two-register integer Goertzel at 2cos(w)=1 — the unpacked
+    reference the packed-BIGINT fold must reproduce exactly."""
+    s1 = s2 = 0
+    for x in samples:
+        s1, s2 = x + s1 - s2, s1
+    return s1, s2, s1 * s1 + s2 * s2 - s1 * s2
+
+
+def _gz_samples(doc_id):
+    import hashlib
+
+    out = []
+    for i in range(96):
+        if doc_id % 2 == 0:
+            a = 500 + doc_id % 500
+            out.append(a if i % 6 < 3 else -a)
+        else:
+            h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+            out.append(int(h[:15], 16) % 2001 - 1000)
+    return out
+
+
+def test_goertzel_packed_fold_matches_reference():
+    from weather_bigdata_project_spark.queries.multimodal import (
+        _GZ_B as B,
+        _GZ_M as M,
+    )
+
+    for doc_id in [0, 1, 2, 3, 17, 496, 499]:
+        samples = _gz_samples(doc_id)
+        # the packed fold, evaluated with Python integers (same
+        # floor-division semantics as Spark div / DuckDB // on
+        # nonnegative packed values)
+        acc = B * M + B  # pack(0, 0)
+        for x_s in samples:
+            x = (x_s + B) * M + B
+            s1 = acc // M - B
+            s2 = acc % M - B
+            xs = x // M - B
+            acc = (xs + s1 - s2 + B) * M + (s1 + B)
+        s1, s2 = acc // M - B, acc % M - B
+        r1, r2, power = _gz_python(samples)
+        assert (s1, s2) == (r1, r2), doc_id
+        # state never leaves the packing range
+        assert abs(s1) < B and abs(s2) < B
+
+
+def test_goertzel_resonance_separates_tone_from_noise():
+    for doc_id in range(0, 200):
+        samples = _gz_samples(doc_id)
+        _, _, power = _gz_python(samples)
+        energy = sum(x * x for x in samples)
+        if doc_id % 2 == 0:
+            # exactly 4096/96 = 42.67x, amplitude-invariant
+            assert power * 96 == 4096 * energy, doc_id
+        else:
+            assert power <= 32 * energy, doc_id  # noise: ~Exp(1) tail
+
+
+def test_goertzel_power_matches_dft_bin():
+    """|X_16|^2 from the recurrence equals the brute-force DFT bin
+    (C=1 is exact, so the identity holds in floats to rounding)."""
+    import cmath
+
+    samples = _gz_samples(42)  # tone doc
+    _, _, power = _gz_python(samples)
+    x16 = sum(
+        s * cmath.exp(-2j * cmath.pi * 16 * i / 96)
+        for i, s in enumerate(samples)
+    )
+    assert abs(abs(x16) ** 2 - power) / power < 1e-9
+
+
+def test_goertzel_query_detects_all(spark):
+    from weather_bigdata_project_spark.queries.multimodal import (
+        multimodal_goertzel_tone,
+    )
+
+    rows = multimodal_goertzel_tone(spark, SF_SMOKE).collect()
+    assert len(rows) >= 100
+    for r in rows:
+        assert r.tone_detected == r.is_tone, r
+        s = _gz_samples(r.doc_id)
+        _, _, p = _gz_python(s)
+        assert r.bin_power == p
+        assert r.total_energy == sum(x * x for x in s)

@@ -924,3 +924,46 @@ def test_graph_search_hops_are_broadcast_joins(spark):
     # sort-merge joins and only broadcast ones)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_goertzel_is_codegen_only_and_shuffle_free(spark):
+    """multimodal_goertzel_tone (round 9): the packed-BIGINT resonator
+    fold is whole-stage-codegen JVM arithmetic — no Python boundary,
+    no Exchange (in-row per doc at any scale)."""
+    plan = C.formatted_plan(
+        QUERIES["multimodal_goertzel_tone"](spark, SF_SMOKE)
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_link_graph_single_arrow_stage(spark):
+    """corpus_link_graph: exactly ONE Arrow-batched extraction stage;
+    page payloads are synthesized and parsed in-row, so the only
+    shuffles are the edge distinct + degree aggregations (id-keyed),
+    never the html column."""
+    plan = C.formatted_plan(QUERIES["corpus_link_graph"](spark, SF_SMOKE))
+    # the cached kernel subtree pretty-prints once per cache REFERENCE
+    # but shares one physical node id — assert one INSTANCE (an
+    # unpinned plan re-runs the extraction per degree branch and shows
+    # distinct ids; caught live: 6 textual occurrences, 3 instances)
+    import re as _re
+
+    ids = set(_re.findall(r"MapInPandas \((\d+)\)", plan))
+    assert len(ids) == 1, ids
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_plan_is_iteration_constant(spark):
+    """corpus_pagerank: per-round lineage cuts must keep the final
+    plan's operator count bounded (a plan that grows per iteration
+    re-analyzes 8 nested joins and explodes at higher iteration
+    counts) and Python-free."""
+    plan = C.formatted_plan(QUERIES["corpus_pagerank"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # the final frame sees only the LAST rank state (a cached leaf),
+    # the in-degree agg, and the output projection — not 8 rounds of
+    # nested joins
+    assert plan.count("InMemoryTableScan") <= 4
+    assert plan.count("Exchange") <= 6

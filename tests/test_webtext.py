@@ -309,3 +309,139 @@ def test_wet_records_carry_mandatory_warc_headers():
     recs = list(W.parse_warc(wet))
     assert [r[0] for r in recs] == ["warcinfo", "conversion", "conversion"]
     assert recs[1][4] == "hello" and recs[2][4] == "world"
+
+
+# --- hyperlink extraction ---------------------------------------------------
+
+
+def test_extract_hrefs_trap_battery():
+    html = (
+        '<html><body> <a href="/doc/42">one</a> '
+        "<script>var s = \"<a href='/doc/9'>trap</a>\";</script> "
+        '<a title="x>y" href="/doc/7">two</a> '
+        '<!-- <a href="/doc/8">ghost</a> --> '
+        '<a href="/doc/3#frag">three</a> '
+        '<a name="no-href">four</a> </body></html>'
+    )
+    hrefs, n_anchors = W.extract_hrefs(html)
+    # script-string and commented anchors refused; quoted '>' in the
+    # title attribute does not eat the href; href-less <a> counts as
+    # an anchor but emits nothing
+    assert hrefs == ["/doc/42", "/doc/7", "/doc/3#frag"]
+    assert n_anchors == 4
+
+
+def test_extract_hrefs_edge_cases():
+    # style subtree refused like script
+    assert W.extract_hrefs(
+        '<style>a{content:"<a href=/x>"}</style><a href="/y">t</a>'
+    ) == (["/y"], 1)
+    # unquoted attribute value; first-occurrence-wins duplicate href
+    assert W.extract_hrefs("<a href=/u1 href=/u2>t</a>") == (
+        ["/u1"],
+        1,
+    )
+    # uppercase tag and attribute names case-fold -> still extracted
+    assert W.extract_hrefs('<A HREF="/up">t</A>') == (["/up"], 1)
+    # empty href emits nothing
+    assert W.extract_hrefs('<a href="">t</a>') == ([], 1)
+    # unterminated quote fails loudly
+    with pytest.raises(ValueError):
+        W.extract_hrefs('<a href="/unterminated>t</a>')
+
+
+def test_tag_attrs_quote_and_dup_rules():
+    assert W._tag_attrs('a title="x>y" href="/doc/7"') == {
+        "title": "x>y",
+        "href": "/doc/7",
+    }
+    assert W._tag_attrs("a href='q' href='dup' checked d-x = 'v'") == {
+        "href": "q",
+        "checked": "",
+        "d-x": "v",
+    }
+    with pytest.raises(ValueError, match="unterminated attribute"):
+        W._tag_attrs("a href='open")
+
+
+# --- link graph + PageRank ---------------------------------------------------
+
+
+def _ref_edges(n):
+    edges = set()
+    for s in range(n):
+        if s % 17 == 0:
+            continue  # dangling page: all three targets are itself
+        for t in (
+            (s * s + 3) % n,
+            s % (n // 10 + 1),
+            (s + 1) % n,
+        ):
+            if t != s:
+                edges.add((s, t))
+    return edges
+
+
+def _ref_pagerank(n, iters=8, u=10**12):
+    edges = _ref_edges(n)
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: u // n for v in range(n)}
+    for _ in range(iters):
+        dang = sum(rv for v, rv in r.items() if od.get(v, 0) == 0)
+        nxt = {
+            v: (15 * u) // (100 * n) + (85 * dang) // (100 * n)
+            for v in range(n)
+        }
+        for s, t in edges:
+            nxt[t] += (85 * r[s]) // (100 * od[s])
+        r = nxt
+    return r, od, edges
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from tests.conftest import SF_SMOKE
+    from weather_bigdata_project_spark.queries.webingest import (
+        corpus_pagerank,
+    )
+
+    rows = corpus_pagerank(spark, SF_SMOKE).collect()
+    n = len(rows)
+    ref, od, edges = _ref_pagerank(n)
+    ind = {}
+    for _, t in edges:
+        ind[t] = ind.get(t, 0) + 1
+    assert n >= 100
+    for r in rows:
+        assert r.rank_units == ref[r.doc_id], r.doc_id
+        assert r.out_degree == od.get(r.doc_id, 0)
+        assert r.in_degree == ind.get(r.doc_id, 0)
+        assert r.is_dangling == (od.get(r.doc_id, 0) == 0)
+    # mass conservation: floors only ever LOSE units, bounded by the
+    # number of floor sites (teleport + dangling + one per edge, per
+    # iteration)
+    total = sum(r.rank_units for r in rows)
+    u = 10**12
+    assert total <= u
+    assert total >= u - 8 * (2 * n + len(edges) + 2)
+
+
+def test_link_graph_matches_closed_form(spark):
+    from tests.conftest import SF_SMOKE
+    from weather_bigdata_project_spark.queries.webingest import (
+        corpus_link_graph,
+    )
+
+    rows = corpus_link_graph(spark, SF_SMOKE).collect()
+    n = len(rows)
+    edges = _ref_edges(n)
+    od, ind = {}, {}
+    for s, t in edges:
+        od[s] = od.get(s, 0) + 1
+        ind[t] = ind.get(t, 0) + 1
+    for r in rows:
+        assert r.n_anchors == 4
+        assert r.n_hrefs == 3
+        assert r.out_degree == od.get(r.doc_id, 0)
+        assert r.in_degree == ind.get(r.doc_id, 0)

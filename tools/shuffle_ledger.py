@@ -198,6 +198,10 @@ EXTENDED = [
     "embed_graph_search_recall",
     "embed_graph_search_recall_sampled",
     "dedup_cdc_chunks",
+    # round-9b: link graph + iterative PageRank + fixed-point DSP
+    "corpus_link_graph",
+    "corpus_pagerank",
+    "multimodal_goertzel_tone",
 ]
 
 #: below these floors at the SMALL SF the exponent is fixed-cost noise

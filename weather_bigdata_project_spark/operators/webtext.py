@@ -784,3 +784,149 @@ def wet_roundtrip(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "html").mapInPandas(
         _batches, schema=WET_SCHEMA
     )
+
+
+# --- hyperlink extraction (the link-graph feed) ------------------------------
+
+
+def _tag_attrs(tag_body: str) -> dict[str, str]:
+    """Parse the attribute list of one tag body (everything between
+    '<' and the walk-determined '>'), quote-aware: names are
+    case-folded, values may be single- or double-quoted (quotes can
+    contain '>', spaces, '='), or unquoted (terminated by whitespace).
+    A name with no '=' maps to ''. First occurrence wins (HTML5
+    duplicate-attribute rule)."""
+    attrs: dict[str, str] = {}
+    # drop the tag name (first whitespace-delimited token)
+    parts = tag_body.split(None, 1)
+    if len(parts) < 2:
+        return attrs
+    s = parts[1]
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] in " \t\r\n/":
+            i += 1
+        if i >= n:
+            break
+        j = i
+        while j < n and s[j] not in " \t\r\n=/":
+            j += 1
+        name = s[i:j].lower()
+        i = j
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        if i < n and s[i] == "=":
+            i += 1
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            if i < n and s[i] in ("'", '"'):
+                q = s[i]
+                end = s.find(q, i + 1)
+                if end < 0:
+                    raise ValueError("unterminated attribute quote")
+                value = s[i + 1:end]
+                i = end + 1
+            else:
+                j = i
+                while j < n and s[j] not in " \t\r\n":
+                    j += 1
+                value = s[i:j]
+                i = j
+        else:
+            value = ""
+        if name and name not in attrs:
+            attrs[name] = value
+    return attrs
+
+
+def extract_hrefs(html: str) -> tuple[list[str], int]:
+    """REAL hyperlink extraction — the link-graph feed every crawler
+    builds its frontier and its PageRank edge list from: one pass of
+    the same quote-aware tag walk as extract_html_text, collecting the
+    href attribute of every <a> tag in document order while refusing
+    the classic traps (an anchor spelled inside a <script> string or an
+    HTML comment is NOT a link; a '>' inside a quoted attribute value
+    must not terminate the tag that carries the href; an <a> without
+    an href contributes nothing). Returns (hrefs, n_anchors) where
+    n_anchors counts real <a> tags seen (with or without href)."""
+    hrefs: list[str] = []
+    n_anchors = 0
+    i, n = 0, len(html)
+    skip_until: str | None = None
+    while i < n:
+        if html[i] != "<":
+            i += 1
+            continue
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            if end < 0:
+                raise ValueError("unterminated comment")
+            i = end + 3
+            continue
+        if html.startswith("<!", i):
+            end = html.find(">", i)
+            if end < 0:
+                raise ValueError("unterminated declaration")
+            i = end + 1
+            continue
+        j = i + 1
+        quote: str | None = None
+        while j < n:
+            ch = html[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == ">":
+                break
+            j += 1
+        if j >= n:
+            raise ValueError("unterminated tag")
+        tag_body = html[i + 1:j]
+        i = j + 1
+        closing = tag_body.startswith("/")
+        name = (
+            tag_body[1:] if closing else tag_body
+        ).split(None, 1)[0].rstrip("/").lower()
+        if skip_until is not None:
+            if closing and name == skip_until:
+                skip_until = None
+            continue
+        if not closing and name in ("script", "style"):
+            skip_until = name
+            continue
+        if not closing and name == "a":
+            n_anchors += 1
+            href = _tag_attrs(tag_body).get("href")
+            if href:
+                hrefs.append(href)
+    return hrefs, n_anchors
+
+
+LINKS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("hrefs", Ty.ArrayType(Ty.StringType())),
+        Ty.StructField("n_anchors", Ty.IntegerType()),
+    ]
+)
+
+
+def extract_links(df: DataFrame) -> DataFrame:
+    """Arrow-batched distributed hyperlink extraction over an `html`
+    string column; one output row per document carrying the ordered
+    href list and the anchor count."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LINKS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                hrefs, n_anchors = extract_hrefs(html or "")
+                rows.append((int(doc_id), hrefs, n_anchors))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "html").mapInPandas(
+        _batches, schema=LINKS_SCHEMA
+    )

@@ -1563,13 +1563,27 @@ def _cluster_split_oracle() -> str:
     from . import dedup as _dedup  # noqa: F401
     from ..registry import ORACLES
 
+    # One MinHash chain, not two (round 9): the old form embedded
+    # ORACLES["dedup_clusters"] AND ORACLES["dedup_minhash_lsh"], so
+    # DuckDB derived the full shingle->signature->band->verify chain
+    # twice — the margin that pushed the sf1-shape sweep over its
+    # 600 s budget (621.6 s). The clusters are now derived IN PLACE
+    # from the single `prs` pair set with the identical recursive
+    # min-label CTE; verified row-identical at sf0.01 before landing
+    # (10.5 s -> 6.3 s there, ~40% off the sf1-shape wall).
     return (
-        "WITH cl AS (SELECT doc_id, canonical_doc FROM ("
-        + ORACLES["dedup_clusters"]
-        + ")), "
-        "prs AS (SELECT doc1, doc2 FROM ("
+        "WITH RECURSIVE prs AS (SELECT doc1, doc2 FROM ("
         + ORACLES["dedup_minhash_lsh"]
         + ")), "
+        "nodes AS (SELECT DISTINCT doc FROM "
+        "(SELECT doc1 AS doc FROM prs UNION SELECT doc2 FROM prs)), "
+        "edges AS (SELECT doc1 AS a, doc2 AS b FROM prs "
+        "UNION SELECT doc2, doc1 FROM prs), "
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes "
+        "UNION SELECT e.b, reach.r FROM edges e "
+        "JOIN reach ON reach.doc = e.a), "
+        "cl AS (SELECT doc AS doc_id, MIN(r) AS canonical_doc "
+        "FROM reach GROUP BY doc), "
         "m AS (SELECT d.doc_id, COALESCE(cl.canonical_doc, d.doc_id) "
         "AS cluster_id FROM documents d LEFT JOIN cl USING (doc_id)), "
         "s AS (SELECT doc_id, cluster_id, "

@@ -1374,21 +1374,42 @@ _TUNE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band), b*r = 16
 
 
 def _tune_oracle() -> str:
-    # Shared truth set: ALL pairs with exact J >= 0.5, enumerated by an
-    # ALL-PAIRS shingle join (the prefix-filter oracle's enumeration).
-    # It must NOT reuse _MH_CTE's `common` — that CTE counts shared
-    # shingles over the BANDED CANDIDATES only, so the "truth" would
-    # silently inherit the banding's recall loss. The driver fixture hid
-    # this (4x4 banding recall happened to be 100% there); the skewed
-    # fixture fuzz exposed it (perturbed near-dup copies hovering at
-    # J ~ 0.5 that no band catches: oracle truth 1453 vs the real 1888).
+    # Shared truth set: ALL pairs with exact J >= 0.5. It must NOT
+    # reuse _MH_CTE's `common` — that CTE counts shared shingles over
+    # the BANDED CANDIDATES only, so the "truth" would silently inherit
+    # the banding's recall loss. The driver fixture hid this (4x4
+    # banding recall happened to be 100% there); the skewed fixture
+    # fuzz exposed it (perturbed near-dup copies hovering at J ~ 0.5
+    # that no band catches: oracle truth 1453 vs the real 1888).
+    # Enumeration (round 9): the naive all-pairs shingle self-join blew
+    # the 600 s sf1-shape budget on hot shingles (df^2 rows), so the
+    # truth now rides the SAME LOSSLESS prefix filter the Spark side
+    # uses — rank each doc's shingles by ascending document frequency,
+    # keep the PPJoin prefix (a J >= t pair MUST collide inside the
+    # prefixes under any fixed global order), size-ratio guard, then
+    # exact-verify candidates only. Verified identical to the all-pairs
+    # truth row-for-row at sf0.01 before landing; losslessness is a
+    # theorem (Chaudhuri/Xiao PPJoin), not a tuning choice, so the
+    # oracle's semantics are unchanged.
     parts = [
         _MH_CTE + ", "
-        "ap AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
-        "COUNT(*) AS c FROM shingles a "
-        "JOIN shingles b ON a.shingle = b.shingle "
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-        "tru AS (SELECT doc1, doc2 FROM ap "
+        "dfr AS (SELECT doc_id, sh_id, "
+        "COUNT(*) OVER (PARTITION BY sh_id) AS df FROM ids), "
+        "ranked AS (SELECT d.doc_id, d.sh_id, s.n_sh, "
+        "ROW_NUMBER() OVER (PARTITION BY d.doc_id "
+        "ORDER BY d.df, d.sh_id) AS rk "
+        "FROM dfr d JOIN sizes s ON s.doc_id = d.doc_id), "
+        "pfx AS (SELECT doc_id, sh_id, n_sh FROM ranked "
+        "WHERE rk <= n_sh - (n_sh + 1) // 2 + 1), "
+        "pcand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
+        "FROM pfx a JOIN pfx b ON a.sh_id = b.sh_id "
+        "AND a.doc_id < b.doc_id "
+        "AND 2 * a.n_sh >= b.n_sh AND 2 * b.n_sh >= a.n_sh), "
+        "vcommon AS (SELECT p.doc1, p.doc2, COUNT(*) AS c "
+        "FROM pcand p JOIN ids x ON x.doc_id = p.doc1 "
+        "JOIN ids y ON y.doc_id = p.doc2 AND y.sh_id = x.sh_id "
+        "GROUP BY 1, 2), "
+        "tru AS (SELECT doc1, doc2 FROM vcommon "
         "JOIN sizes s1 ON s1.doc_id = doc1 "
         "JOIN sizes s2 ON s2.doc_id = doc2 "
         f"WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= {_PF_T}e0), "

@@ -1191,3 +1191,156 @@ def multimodal_pframe_video(spark, sf_dir):
         f"{sf_dir}/documents.parquet",
     ).select("doc_id", F.expr(_tile_spark(6)).alias("content"))
     return M.mc_video_roundtrip(d)
+
+
+# --- Goertzel tone detection (fixed-point DSP) -----------------------------
+
+#: Goertzel at bin k = N/6 (w = pi/3), where 2*cos(w) = 1 EXACTLY — the
+#: classic integer-Goertzel operating point from embedded DTMF practice
+#: (the resonator update degenerates to s = x + s1 - s2: pure BIGINT
+#: add/sub, no rounding anywhere), so the 96-step recurrence is
+#: bit-identical across engines, layouts, and dialects.
+_GZ_N = 96
+#: two-register state packed into ONE BIGINT — (s1 + B) * M + (s2 + B).
+#: DuckDB 1.0's list_reduce seeds the fold with the FIRST ELEMENT (no
+#: init arg) and its struct-typed accumulators mis-alias field reads
+#: (s2 := acc.s1 can observe the NEW s1 — found by probe this round),
+#: so the state is a scalar: elements are pack(x_i, 0), and the seed
+#: element IS the state after step 1. |s| peaks at ~64k << B = 2^25.
+_GZ_B = 1 << 25
+_GZ_M = 1 << 26
+
+#: per-doc sample synthesis: even docs carry a square wave at exactly
+#: the resonant period 6 (amplitude 500..999, doc-dependent; its bin
+#: power / total energy is EXACTLY 4096/96 = 42.67 for every
+#: amplitude), odd docs true md5 noise per (doc, i) — a first draft
+#: used a multiplicative congruence, which is a SAWTOOTH whose
+#: frequency varies per doc and near-resonates for some doc_ids
+#: (caught by the unit battery: doc 123 hit SNR 8.1); a flat-spectrum
+#: hash has exp(-t) detection tails instead. All BIGINT, all
+#: nonnegative moduli, so % agrees across engines.
+def _gz_sample(md5_id: str) -> str:
+    return (
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "(CASE WHEN i % 6 < 3 THEN (500 + doc_id % 500) "
+        "ELSE -(500 + doc_id % 500) END) "
+        f"ELSE {md5_id} - 1000 END"
+    )
+
+
+def _gz_sample_spark() -> str:
+    return _gz_sample(
+        T.hashed_id_spark(
+            "concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))",
+            2001,
+        )
+    )
+
+
+def _gz_sample_duck() -> str:
+    return _gz_sample(
+        T.hashed_id_duck(
+            "(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))",
+            2001,
+        )
+    )
+
+
+def _gz_packed_elem(sample: str) -> str:
+    return f"(({sample}) + {_GZ_B}) * {_GZ_M} + {_GZ_B}"
+
+
+def _gz_merge(d: str) -> str:
+    """One resonator step on packed state: s1' = x + s1 - s2, s2' = s1.
+    `d` is the engine's integer floor-division operator (all packed
+    values are nonnegative, so floor == truncate on both engines)."""
+    b, m = _GZ_B, _GZ_M
+    return (
+        f"((x {d} {m} - {b}) + (acc {d} {m} - {b}) - (acc % {m} - {b}) "
+        f"+ {b}) * {m} + (acc {d} {m} - {b}) + {b}"
+    )
+
+
+def _gz_out(s1: str, s2: str, energy: str, d: str) -> list[str]:
+    """Shared output arithmetic: |X_k|^2 = s1^2 + s2^2 - 2cos(w)*s1*s2
+    with 2cos(w) = 1, detection threshold 32x the total energy (tone
+    docs sit at exactly 4096/96 = 42.67x for every amplitude; for
+    flat-spectrum noise |X_k|^2/energy is ~Exp(1), so the 32x tail is
+    ~exp(-32) — no false detection at any corpus size), and an integer
+    SNR in centiunits — floor division (`d`) of nonnegative BIGINTs,
+    NULLIF-guarded per the round-5 degenerate-input doctrine."""
+    p = f"({s1}) * ({s1}) + ({s2}) * ({s2}) - ({s1}) * ({s2})"
+    return [
+        f"CAST({p} AS BIGINT) AS bin_power",
+        f"CAST({energy} AS BIGINT) AS total_energy",
+        f"({p}) > 32 * ({energy}) AS tone_detected",
+        f"CAST((100 * ({p})) {d} NULLIF({energy}, 0) AS BIGINT) "
+        "AS snr_x100",
+    ]
+
+
+def _gz_oracle() -> str:
+    b, m, n = _GZ_B, _GZ_M, _GZ_N
+    smp = _gz_sample_duck()
+    elem = _gz_packed_elem(smp)
+    merge = _gz_merge("//")
+    return (
+        "WITH st AS (SELECT doc_id, list_reduce("
+        f"list_transform(range(0, {n}), i -> {elem}), "
+        f"(acc, x) -> {merge}) AS st, "
+        f"list_sum(list_transform(range(0, {n}), "
+        f"i -> ({smp}) * ({smp}))) AS energy "
+        "FROM documents) "
+        "SELECT doc_id, doc_id % 2 = 0 AS is_tone, "
+        + ", ".join(
+            _gz_out(
+                f"(st // {m} - {b})", f"(st % {m} - {b})", "energy",
+                "//",
+            )
+        )
+        + " FROM st"
+    )
+
+
+@query("multimodal_goertzel_tone", oracle=_gz_oracle())
+def multimodal_goertzel_tone(spark, sf_dir):
+    """REAL Goertzel tone detection — the single-bin DFT every
+    telephony/audio-QC pipeline runs to flag sine content (DTMF
+    detection, hum removal, test-tone QC before ASR ingestion), in the
+    exact fixed-point form embedded DSPs ship: at bin k = N/6 the
+    resonator coefficient 2*cos(2*pi*k/N) is EXACTLY 1, so the
+    96-step second-order recurrence s = x + s1 - s2 and the final
+    power |X|^2 = s1^2 + s2^2 - s1*s2 are pure BIGINT arithmetic —
+    bit-identical across engines, partition layouts, and dialects
+    (the round-5 determinism doctrine applied to a DSP recurrence).
+    Even docs synthesize a square wave at the resonant period (the
+    fundamental lands on the bin; bin power / energy = 4096/96 = 42.67
+    exactly, amplitude-invariant), odd docs flat-spectrum md5 noise
+    per (doc, i) (|X|^2/energy ~ Exp(1)), and the 32x-energy threshold
+    separates them with ~exp(-32) tails. The two-register
+    state rides ONE packed BIGINT because DuckDB 1.0 seeds list_reduce
+    with the first element and mis-aliases struct accumulator fields
+    (probed this round); the packed fold is the identical left fold in
+    Spark `aggregate` (explicit pack(0,0) init — one step earlier in
+    the same orbit). In-row per doc: zero shuffle at any scale; the
+    fold is whole-stage-codegen JVM arithmetic, no Python boundary."""
+    b, m, n = _GZ_B, _GZ_M, _GZ_N
+    smp = _gz_sample_spark()
+    elem = _gz_packed_elem(smp)
+    merge = _gz_merge("div")
+    st = T.docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"aggregate(transform(sequence(0, {n - 1}), i -> {elem}), "
+        f"CAST({b} AS BIGINT) * {m} + {b}, (acc, x) -> {merge}) AS st",
+        f"aggregate(transform(sequence(0, {n - 1}), "
+        f"i -> ({smp}) * ({smp})), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x) AS energy",
+    )
+    return st.selectExpr(
+        "doc_id",
+        "doc_id % 2 = 0 AS is_tone",
+        *_gz_out(
+            f"(st div {m} - {b})", f"(st % {m} - {b})", "energy",
+            "div",
+        ),
+    )
