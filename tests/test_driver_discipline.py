@@ -85,9 +85,10 @@ CROSSJOIN_ALLOWED = {
         "1-row merge-table frame (top-K trained merges) broadcast",
     "queries/webingest.py:_doc_edges":
         "1-row corpus-count aggregate (edge-target modulus)",
-    "queries/webingest.py:corpus_pagerank":
+    "queries/webingest.py:_pagerank_state":
         "1-row corpus-count + per-iteration 1-row dangling-mass "
-        "aggregates broadcast into the rank update",
+        "aggregates broadcast into the rank update; shared core of "
+        "corpus_pagerank and corpus_pagerank_convergence",
     "queries/warehouse.py:part_single_source_risk":
         "1-row revenue-total aggregate broadcast",
     "queries/warehouse.py:part_xyz_variability":

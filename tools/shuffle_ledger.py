@@ -201,6 +201,7 @@ EXTENDED = [
     # round-9b: link graph + iterative PageRank + fixed-point DSP
     "corpus_link_graph",
     "corpus_pagerank",
+    "corpus_pagerank_convergence",
     "multimodal_goertzel_tone",
 ]
 

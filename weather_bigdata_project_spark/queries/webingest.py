@@ -857,6 +857,30 @@ def corpus_pagerank(spark, sf_dir):
     every-17th-page dangling (mass redistribution). ref: the reference
     has no graph surface (NiFi_Flow.json:1 ingests a point API); this
     extends the crawl-loop family."""
+    ranks, edges, _iters = _pagerank_state(spark, sf_dir)
+    ind = edges.groupBy("dst").agg(
+        F.count("*").cast("int").alias("in_degree")
+    )
+    return (
+        ranks.join(ind, ranks.v == ind.dst, "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("r").cast("long").alias("rank_units"),
+            F.col("od").cast("int").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.col("od") == 0).alias("is_dangling"),
+        )
+    )
+
+
+def _pagerank_state(spark, sf_dir):
+    """The 8-iteration integer PageRank loop. Returns (ranks, edges,
+    iters): the final rank frame, the pinned edge list, and one 1-row
+    frame per iteration carrying (iteration, l1_delta_units,
+    dangling_in_units) — shared by corpus_pagerank (fixpoint output)
+    and corpus_pagerank_convergence (trajectory output). The 1-row
+    corpus count and per-iteration dangling-mass totals ride broadcast
+    crossJoins (allowlisted)."""
     d = T.docs(spark, sf_dir)
     nrow = d.agg(F.count("*").cast("long").alias("n_docs"))
     base = d.select("doc_id").crossJoin(F.broadcast(nrow))
@@ -887,7 +911,8 @@ def corpus_pagerank(spark, sf_dir):
         "v", "od", "n_docs",
         F.expr(f"CAST({u} AS BIGINT) div n_docs").alias("r"),
     )
-    for _ in range(_PR_ITERS):
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
         contrib = (
             edges.join(
                 ranks.select(F.col("v").alias("src"), "od", "r"),
@@ -905,6 +930,7 @@ def corpus_pagerank(spark, sf_dir):
                 "dang"
             )
         )
+        prev = ranks
         ranks = T.materialize(
             ranks.drop("r")
             .join(contrib, ranks.v == contrib.dst, "left")
@@ -920,16 +946,58 @@ def corpus_pagerank(spark, sf_dir):
             ),
             cut_lineage=True,  # loop state: plan must not grow per round
         )
-    ind = edges.groupBy("dst").agg(
-        F.count("*").cast("int").alias("in_degree")
-    )
-    return (
-        ranks.join(ind, ranks.v == ind.dst, "left")
-        .select(
-            F.col("v").alias("doc_id"),
-            F.col("r").cast("long").alias("rank_units"),
-            F.col("od").cast("int").alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            (F.col("od") == 0).alias("is_dangling"),
+        iters.append(
+            ranks.select("v", F.col("r").alias("rn"))
+            .join(prev.select("v", F.col("r").alias("rp")), "v")
+            .agg(
+                F.sum(F.abs(F.col("rn") - F.col("rp")))
+                .cast("long")
+                .alias("l1_delta_units")
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                F.lit(k).cast("int").alias("iteration"),
+                "l1_delta_units",
+                F.col("dang").cast("long").alias("dangling_in_units"),
+            )
         )
-    )
+    return ranks, edges, iters
+
+
+def _pagerank_convergence_oracle() -> str:
+    rows = []
+    for k in range(1, _PR_ITERS + 1):
+        rows.append(
+            f"SELECT CAST({k} AS INT) AS iteration, "
+            f"(SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT) "
+            f"FROM r{k} a JOIN r{k - 1} b ON b.v = a.v) "
+            "AS l1_delta_units, "
+            f"(SELECT CAST(dang AS BIGINT) FROM g{k}) "
+            "AS dangling_in_units"
+        )
+    # reuse the fixpoint oracle's CTE chain, swap the final SELECT
+    base = _pagerank_oracle()
+    head = base[: base.rindex(" SELECT r.v AS doc_id")]
+    return head + " " + " UNION ALL ".join(rows)
+
+
+@query(
+    "corpus_pagerank_convergence", oracle=_pagerank_convergence_oracle()
+)
+def corpus_pagerank_convergence(spark, sf_dir):
+    """The PageRank iteration TRAJECTORY, gated — per-iteration L1
+    movement (in 1e-12 rank units) and the dangling mass entering each
+    round. The fixpoint gate (corpus_pagerank) can be passed by a
+    wrong-but-converged implementation only by accident; matching all
+    eight (delta, dangling) pairs pins every intermediate state, the
+    convergence-monitoring signal a production run actually watches to
+    pick its stopping point. Same integer loop (shared
+    _pagerank_state), same bit-identical arithmetic; each delta is one
+    node-sized self-join aggregated to 1 row, unioned across rounds.
+    The DuckDB twin reuses the fixpoint oracle's materialized CTE
+    chain with a trajectory final instead."""
+    _ranks, _edges, iters = _pagerank_state(spark, sf_dir)
+    out = iters[0]
+    for f in iters[1:]:
+        out = out.unionByName(f)
+    return out
