@@ -1571,13 +1571,17 @@ def _cluster_split_oracle() -> str:
     # from the single `prs` pair set with the identical recursive
     # min-label CTE; verified row-identical at sf0.01 before landing
     # (10.5 s -> 6.3 s there, ~40% off the sf1-shape wall).
+    # prs is referenced four times (nodes, edges x2, px) and DuckDB
+    # inlines plain CTEs — materialized, the nested MinHash chain runs
+    # once; edges/s/px likewise multi-referenced (sf1-shape budget
+    # analysis, round 9)
     return (
-        "WITH RECURSIVE prs AS (SELECT doc1, doc2 FROM ("
+        "WITH RECURSIVE prs AS MATERIALIZED (SELECT doc1, doc2 FROM ("
         + ORACLES["dedup_minhash_lsh"]
         + ")), "
         "nodes AS (SELECT DISTINCT doc FROM "
         "(SELECT doc1 AS doc FROM prs UNION SELECT doc2 FROM prs)), "
-        "edges AS (SELECT doc1 AS a, doc2 AS b FROM prs "
+        "edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM prs "
         "UNION SELECT doc2, doc1 FROM prs), "
         "reach(doc, r) AS (SELECT doc, doc FROM nodes "
         "UNION SELECT e.b, reach.r FROM edges e "
@@ -1586,10 +1590,11 @@ def _cluster_split_oracle() -> str:
         "FROM reach GROUP BY doc), "
         "m AS (SELECT d.doc_id, COALESCE(cl.canonical_doc, d.doc_id) "
         "AS cluster_id FROM documents d LEFT JOIN cl USING (doc_id)), "
-        "s AS (SELECT doc_id, cluster_id, "
+        "s AS MATERIALIZED (SELECT doc_id, cluster_id, "
         + _SPLIT.replace("doc_id", "cluster_id")
         + " AS split FROM m), "
-        "px AS (SELECT a.split AS sa, b.split AS sb FROM prs p "
+        "px AS MATERIALIZED (SELECT a.split AS sa, b.split AS sb "
+        "FROM prs p "
         "JOIN s a ON a.doc_id = p.doc1 JOIN s b ON b.doc_id = p.doc2), "
         "x AS (SELECT CAST(COALESCE(SUM(CASE WHEN sa <> sb THEN 1 "
         "ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs FROM px), "

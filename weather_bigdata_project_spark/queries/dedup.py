@@ -190,12 +190,25 @@ _HASH_VALUES_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_HASH
 #: shared oracle CTE chain: shingles -> minhash signatures -> LSH bands
 #: -> candidate pairs -> exact common-shingle counts (used by both the
 #: LSH dedup query and the signature-accuracy audit below)
+#: shingles / sig / sizes are MATERIALIZED: DuckDB 1.0 INLINES plain
+#: CTEs, so a consumer that references sig three times (the tuning
+#: matrix) or shingles four times re-derives the whole chain per
+#: reference — the round-9 sf1-shape budget analysis measured the
+#: band-tuning truth set at 118 s run once vs 699 s inlined 4x. Every
+#: _MH_CTE consumer references all three (checked before marking:
+#: DuckDB EXECUTES even unreferenced materialized CTEs, so a hint on a
+#: CTE some consumer doesn't use would ADD dead work). `bands` stays
+#: plain: the tuning matrix builds its own band layouts and never
+#: references it.
 _MH_CTE = (
-    "WITH " + T.SHINGLES_CTE + ", "
+    "WITH " + T.SHINGLES_CTE.replace(
+        "shingles AS (", "shingles AS MATERIALIZED (", 1
+    ) + ", "
     f"params(j, a, b) AS (VALUES {_HASH_VALUES_SQL}), "
     "ids AS (SELECT doc_id, " + T.hashed_id_duck("shingle")
     + " AS sh_id FROM shingles), "
-    "sig AS (SELECT doc_id, j, MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
+    "sig AS MATERIALIZED (SELECT doc_id, j, "
+    "MIN((a * sh_id + b) % " + str(_P) + ") AS mh "
     "FROM ids CROSS JOIN params "
     "GROUP BY doc_id, j), "
     f"bands AS (SELECT doc_id, (j - 1) // {_K // _BANDS} AS band, "
@@ -204,7 +217,8 @@ _MH_CTE = (
     "cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
     "FROM bands a JOIN bands b ON a.band = b.band "
     "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id), "
+    "sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh "
+    "FROM shingles GROUP BY doc_id), "
     "common AS (SELECT doc1, doc2, COUNT(*) AS c FROM cand "
     "JOIN shingles x ON x.doc_id = doc1 "
     "JOIN shingles y ON y.doc_id = doc2 AND x.shingle = y.shingle "
@@ -1381,35 +1395,23 @@ def _tune_oracle() -> str:
     # banding recall happened to be 100% there); the skewed fixture
     # fuzz exposed it (perturbed near-dup copies hovering at J ~ 0.5
     # that no band catches: oracle truth 1453 vs the real 1888).
-    # Enumeration (round 9): the naive all-pairs shingle self-join blew
-    # the 600 s sf1-shape budget on hot shingles (df^2 rows), so the
-    # truth now rides the SAME LOSSLESS prefix filter the Spark side
-    # uses — rank each doc's shingles by ascending document frequency,
-    # keep the PPJoin prefix (a J >= t pair MUST collide inside the
-    # prefixes under any fixed global order), size-ratio guard, then
-    # exact-verify candidates only. Verified identical to the all-pairs
-    # truth row-for-row at sf0.01 before landing; losslessness is a
-    # theorem (Chaudhuri/Xiao PPJoin), not a tuning choice, so the
-    # oracle's semantics are unchanged.
+    # Enumeration cost (round 9): the sweep's sf1-shape budget miss was
+    # NOT the all-pairs join itself — it was DuckDB INLINING the plain
+    # `tru` CTE into its four references (tot + the three config rows),
+    # re-deriving the whole truth chain per reference (measured: 118 s
+    # run once at full threads vs 699 s in the sweep). `tru` is now
+    # MATERIALIZED (with shingles/sig/sizes materialized inside
+    # _MH_CTE), keeping the truth enumeration maximally naive — a
+    # PPJoin-prefix rewrite was tried, verified row-identical, and
+    # REVERTED: the oracle should not mirror the Spark side's blocking
+    # when a hint fixes the real problem.
     parts = [
         _MH_CTE + ", "
-        "dfr AS (SELECT doc_id, sh_id, "
-        "COUNT(*) OVER (PARTITION BY sh_id) AS df FROM ids), "
-        "ranked AS (SELECT d.doc_id, d.sh_id, s.n_sh, "
-        "ROW_NUMBER() OVER (PARTITION BY d.doc_id "
-        "ORDER BY d.df, d.sh_id) AS rk "
-        "FROM dfr d JOIN sizes s ON s.doc_id = d.doc_id), "
-        "pfx AS (SELECT doc_id, sh_id, n_sh FROM ranked "
-        "WHERE rk <= n_sh - (n_sh + 1) // 2 + 1), "
-        "pcand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
-        "FROM pfx a JOIN pfx b ON a.sh_id = b.sh_id "
-        "AND a.doc_id < b.doc_id "
-        "AND 2 * a.n_sh >= b.n_sh AND 2 * b.n_sh >= a.n_sh), "
-        "vcommon AS (SELECT p.doc1, p.doc2, COUNT(*) AS c "
-        "FROM pcand p JOIN ids x ON x.doc_id = p.doc1 "
-        "JOIN ids y ON y.doc_id = p.doc2 AND y.sh_id = x.sh_id "
-        "GROUP BY 1, 2), "
-        "tru AS (SELECT doc1, doc2 FROM vcommon "
+        "ap AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+        "COUNT(*) AS c FROM shingles a "
+        "JOIN shingles b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "tru AS MATERIALIZED (SELECT doc1, doc2 FROM ap "
         "JOIN sizes s1 ON s1.doc_id = doc1 "
         "JOIN sizes s2 ON s2.doc_id = doc2 "
         f"WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= {_PF_T}e0), "
@@ -1418,7 +1420,8 @@ def _tune_oracle() -> str:
     rows = []
     for b, r in _TUNE_CONFIGS:
         parts.append(
-            f", bands{b} AS (SELECT doc_id, (j - 1) // {r} AS band, "
+            f", bands{b} AS MATERIALIZED (SELECT doc_id, "
+            f"(j - 1) // {r} AS band, "
             "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bs "
             "FROM sig GROUP BY doc_id, band), "
             f"cand{b} AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "

@@ -2672,6 +2672,18 @@ def sign_bucket_range_sql(start: int, count: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _mat_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs MATERIALIZED: DuckDB 1.0 inlines plain CTEs
+    per reference, so a six-times-referenced `z` re-unnests the whole
+    embedding table six times and the correlated audit subqueries
+    re-derive e0/cand/ex per sampled row — the round-9 sf1-shape
+    budget analysis. Only ever mark CTEs the query actually references
+    (DuckDB EXECUTES unreferenced materialized CTEs)."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
 def _nnd_score_duck(pairs: str, tag: str) -> str:
     """DuckDB CTE pair: score `pairs`(u,v) by summed per-dim products,
     then rank per u by rounded cosine."""
@@ -2778,7 +2790,7 @@ def _init_knn_edges(emb, nrm, n):
 
 @query(
     "embed_nndescent_knn",
-    oracle=(
+    oracle=_mat_ctes((
         "WITH z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
         "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
         "nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM z GROUP BY vec_id), "
@@ -2823,7 +2835,10 @@ def _init_knn_edges(emb, nrm, n):
             4,
         )
         + " AS recall_r1 FROM smp"
-    ),
+    ), (
+        "z", "nrm", "proj", "bk0", "bk1", "und", "cand", "smp",
+        "e0", "e1", "ex",
+    )),
 )
 def embed_nndescent_knn(spark, sf_dir):
     """One NN-descent refinement round over a 2-table sign-LSH-seeded
