@@ -976,7 +976,11 @@ _TOK_H = f"({id_mix('tok_id')} % 1048573)"
         "bitsum AS (SELECT doc_id, bit, "
         "SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
         "FROM tokhash CROSS JOIN bits GROUP BY doc_id, bit), "
-        "sim AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1 << bit) "
+        # sim is self-joined (2 refs) and DuckDB inlines plain CTEs:
+        # unmarked, the whole toks->dict->tokhash->bitsum chain runs
+        # TWICE — the bulk of the oracle's 2036s sf1-shape wall
+        "sim AS MATERIALIZED (SELECT doc_id, "
+        "SUM(CASE WHEN s > 0 THEN (1 << bit) "
         "ELSE 0 END) AS simhash FROM bitsum GROUP BY doc_id) "
         "SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
         "bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming "

@@ -312,8 +312,18 @@ def multimodal_phash_dct_neardup(spark, sf_dir):
     At 100 TB: the payload is read ONCE by the Arrow-batched kernel and
     never shuffled (the signature is 8 bytes); candidates stay
     near-linear in dup density via the band equi-join — identical scale
-    shape to multimodal_phash_neardup."""
-    b = M.with_binary_payload(T.docs(spark, sf_dir))
+    shape to multimodal_phash_neardup. The input rides
+    spread_small_scan: the 2-D DCT is a heavy per-doc Python stage
+    (like the P-frame encoder), and the sf1-shape gate fixture's two
+    row groups otherwise pin 50k DCTs to two tasks (measured 417.9 s
+    in the round-9 sweep, the slowest green query of the round); at
+    production scale the scan has native splits and the spread is a
+    no-op."""
+    b = M.with_binary_payload(
+        T.spread_small_scan(
+            T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+        )
+    )
     return M.phash_neardup_pairs(b, kernel="dct_int")
 
 

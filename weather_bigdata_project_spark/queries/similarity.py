@@ -3611,7 +3611,11 @@ def _gs_oracle() -> str:
         "ht AS (SELECT bt.q, COUNT(*) AS hits FROM bt "
         "JOIN ex ON ex.q = bt.q AND ex.v = bt.v GROUP BY bt.q)"
     )
-    return (
+    # multi-scanned CTEs materialized (z is scanned 12x inlined, nrm
+    # 10x, the graph e0 and query batch qs 3x each, the per-hop visited
+    # sets 2x) — the round-9 sf1-shape budget analysis; same medicine
+    # as the nndescent oracle
+    return _mat_ctes(
         "WITH " + ", ".join(parts) + " "
         "SELECT qs.q AS vec_id, "
         "CAST(COALESCE(nvis.n_visited, 0) AS BIGINT) AS n_visited, "
@@ -3621,7 +3625,11 @@ def _gs_oracle() -> str:
         )
         + " AS recall_at10 "
         "FROM qs LEFT JOIN nvis ON nvis.q = qs.q "
-        "LEFT JOIN ht ON ht.q = qs.q"
+        "LEFT JOIN ht ON ht.q = qs.q",
+        (
+            "z", "nrm", "proj", "bk0", "bk1", "e0", "qs",
+            "vis0", "vis1", "vis2",
+        ),
     )
 
 
