@@ -57,6 +57,8 @@ CROSSJOIN_ALLOWED = {
         "1-row exact-percentile frame",
     "queries/retrieval.py:_bm25_scored":
         "1-row corpus stats (N, avgdl)",
+    "queries/text.py:text_unigram_viterbi":
+        "1-row piece-count total broadcast onto the <=V+alphabet vocab",
     "queries/retrieval.py:retrieval_hybrid_morelikethis":
         "1-row query-doc vector + corpus stats",
     "queries/similarity.py:embed_binary_quantize_recall":

@@ -496,3 +496,48 @@ def test_rnd_normalizes_the_sign_of_zero(spark, micro):
     con = duckdb.connect()
     (got_d,) = con.execute(f"SELECT {expr} AS v").fetchone()
     assert repr(got_s) == repr(got_d) == "0.0"
+
+
+# --- unigram-Viterbi DP fold vs a naive Python reference -------------------
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=6),
+    st.randoms(use_true_random=False),
+)
+def test_unigram_viterbi_fold_matches_naive_dp(spark, lens, rng):
+    """The packed-BIGINT Viterbi fold (text.py:_uv_dp_spark) must equal
+    a plain-Python shortest-path DP on arbitrary cost maps: random word
+    lengths, random piece availability (all single chars present, the
+    coverage invariant the query guarantees by construction), random
+    integer costs — including ties, where the pack makes 'min cost,
+    then fewest tokens' the winner in both."""
+    from weather_bigdata_project_spark.queries.text import (
+        _UV_L,
+        _uv_dp_spark,
+    )
+
+    BIG = 10**12
+    rows = []
+    wants = []
+    for m in lens:
+        cf: dict[int, int] = {}
+        for i in range(1, m + 1):  # every single char present
+            cf[(i - 1) * _UV_L + 1] = rng.randint(0, 3_000_000)
+        for i in range(1, m + 1):  # random multi-char pieces
+            for j in range(2, min(_UV_L, m - i + 1) + 1):
+                if rng.random() < 0.5:
+                    cf[(i - 1) * _UV_L + j] = rng.randint(0, 3_000_000)
+        best = [0]
+        for i in range(1, m + 1):
+            best.append(
+                min(
+                    best[i - j] + cf.get((i - j) * _UV_L + j, BIG) * 64 + 1
+                    for j in range(1, min(_UV_L, i) + 1)
+                )
+            )
+        rows.append((m, cf))
+        wants.append(best[m])
+    df = spark.createDataFrame(rows, "m int, cf map<int,bigint>")
+    got = [r[0] for r in df.selectExpr(f"{_uv_dp_spark()} AS b").collect()]
+    assert got == wants

@@ -1230,3 +1230,198 @@ def text_lexical_richness(spark, sf_dir):
             ).alias("guiraud_r"),
         )
     )
+
+
+# --- unigram-LM Viterbi tokenizer (SentencePiece-style inference) ----------
+
+#: max piece length (chars), vocabulary budget, word truncation cap.
+_UV_L = 4
+_UV_V = 256
+_UV_CAP = 24
+#: OOV sentinel cost — never wins (every single char is in the vocab,
+#: so the best char-by-char path costs <= CAP * ~2.1e6 << 1e12).
+_UV_BIG = "CAST(1000000000000 AS BIGINT)"
+#: piece cost in integer 1e-5-nat units: -ln(p(piece)) over the candidate
+#: substring distribution. LN is snapped to integer units before ANY
+#: cross-row arithmetic (the _KN_LP_U doctrine: engines may differ in the
+#: last ulp of LN, the snap makes downstream sums exact integers).
+_UV_COST = "CAST(ROUND(LN(CAST(t AS DOUBLE) / c) * 1.0e5) AS BIGINT)"
+
+
+def _uv_dp_spark() -> str:
+    """Viterbi DP as one in-row fold: best[i] = min over piece lengths
+    j of best[i-j] + w(piece at i-j+1..i), where the edge weight packs
+    (cost, 1 token) into one BIGINT as cost*64 + 1. Minimizing the
+    packed value is lexicographic (total cost, then token count) since
+    token count <= CAP(24) < 64 — the same pack-the-registers trick as
+    the Goertzel resonator. `cf` is the per-word (start,len)->cost map;
+    a missing key = OOV piece = sentinel that never wins."""
+    return (
+        "element_at(aggregate(sequence(1, m), array(CAST(0 AS BIGINT)), "
+        "(acc, i) -> array_append(acc, array_min(transform("
+        f"sequence(1, least({_UV_L}, i)), "
+        "j -> element_at(acc, i - j + 1) "
+        f"+ coalesce(element_at(cf, (i - j) * {_UV_L} + j), {_UV_BIG}) "
+        "* 64 + 1)))), m + 1)"
+    )
+
+
+def _uv_dp_duck() -> str:
+    """The same fold in DuckDB: list_reduce has no init argument, so the
+    position stream is prepended with the seed [0] wrapped as a 1-list
+    (probed: LIST-typed accumulators fold correctly in DuckDB 1.0 —
+    the struct-field mis-aliasing quirk does not apply to lists).
+    Map subscript returns a LIST there, hence the [1]."""
+    return (
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)], "
+        "list_transform(range(1, m + 1), q -> [CAST(q AS BIGINT)])), "
+        "(acc, x) -> list_append(acc, list_min(list_transform("
+        f"range(1, least({_UV_L}, x[1]) + 1), "
+        "j -> acc[x[1] - j + 1] "
+        f"+ coalesce(cf[(x[1] - j) * {_UV_L} + j][1], {_UV_BIG}) "
+        "* 64 + 1))))[m + 1]"
+    )
+
+
+def _uv_oracle() -> str:
+    """DuckDB twin: identical vocab construction and DP. w0/cand/pc are
+    referenced more than once -> AS MATERIALIZED (round-9 CTE-inlining
+    doctrine); every marked CTE is referenced by name below."""
+    return (
+        "WITH w0 AS MATERIALIZED ("
+        f"SELECT doc_id, substr(w, 1, {_UV_CAP}) AS w "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w <> ''), "
+        "wf AS (SELECT w, len(w) AS m, COUNT(*) AS cnt FROM w0 "
+        "GROUP BY w), "
+        "cand AS MATERIALIZED ("
+        "SELECT wf.w, wf.m, wf.cnt, s.range AS s, j.range AS j, "
+        "substr(wf.w, CAST(s.range AS INTEGER), CAST(j.range AS INTEGER))"
+        " AS piece "
+        f"FROM wf, range(1, {_UV_CAP + 1}) s, range(1, {_UV_L + 1}) j "
+        "WHERE s.range <= wf.m AND s.range + j.range - 1 <= wf.m), "
+        "pc AS MATERIALIZED (SELECT piece, SUM(cnt) AS c FROM cand "
+        "GROUP BY piece), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM pc), "
+        "vocab AS (SELECT piece, MAX(c) AS c FROM ("
+        f"(SELECT piece, c FROM pc ORDER BY c DESC, piece LIMIT {_UV_V}) "
+        "UNION ALL SELECT piece, c FROM pc WHERE len(piece) = 1"
+        ") GROUP BY piece), "
+        f"vc AS (SELECT piece, {_UV_COST} AS v "
+        "FROM vocab CROSS JOIN tot), "
+        "cfw AS (SELECT cand.w, MAX(cand.m) AS m, map_from_entries("
+        f"array_agg(struct_pack(k := (cand.s - 1) * {_UV_L} + cand.j, "
+        "v := vc.v))) AS cf "
+        "FROM cand JOIN vc ON vc.piece = cand.piece GROUP BY cand.w), "
+        f"wr AS (SELECT w, {_uv_dp_duck()} AS best FROM cfw) "
+        "SELECT w0.doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
+        "CAST(SUM(wr.best % 64) AS BIGINT) AS n_pieces, "
+        "CAST(SUM(wr.best // 64) AS BIGINT) AS nll_units, "
+        + rnd(
+            "CAST(SUM(wr.best % 64) AS DOUBLE) / COUNT(*)", 6
+        )
+        + " AS fertility, "
+        + rnd(
+            "CAST(SUM(wr.best // 64) AS DOUBLE) / 1.0e5 "
+            "/ SUM(wr.best % 64)",
+            6,
+        )
+        + " AS nats_per_piece "
+        "FROM w0 JOIN wr USING (w) GROUP BY w0.doc_id"
+    )
+
+
+@query("text_unigram_viterbi", oracle=_uv_oracle())
+def text_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM tokenizer inference (the SentencePiece/Kudo-2018
+    decode pass): a piece vocabulary — the top-V most frequent word
+    substrings up to 4 chars, plus every single character so any word
+    is segmentable — scores each piece at -ln(p) in integer 1e-5-nat
+    units, and each word is segmented by VITERBI: the min-total-cost
+    path over piece boundaries, token count as the tiebreak. This is
+    the dynamic-programming tokenizer class next to text_bpe_encode's
+    greedy merge replay — the two inference algorithms real tokenizers
+    use — and the per-doc NLL it emits is the corpus bits-per-token
+    under the unigram model (the CCNet-style quality signal computed by
+    an actual tokenizer rather than a whitespace proxy).
+
+    Scale shape: word frequencies in one corpus-token hash-agg; piece
+    candidates explode DISTINCT words only (<= CAP*L = 96 pieces per
+    word, in-row); the vocabulary is a <= V+alphabet broadcast; the DP
+    is one in-row fold per distinct word (packed-BIGINT accumulator,
+    zero shuffle); assembly is the standard Zipf-bounded dictionary
+    join plus one doc-cardinality agg. Nothing doc- or word-cardinality
+    touches the driver."""
+    d = (
+        T.docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w0"))
+        .filter(F.col("w0") != "")
+        .select(
+            "doc_id", F.expr(f"substring(w0, 1, {_UV_CAP})").alias("w")
+        )
+    )
+    w0 = T.materialize(d)
+    wf = (
+        w0.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("m", F.length("w"))
+    )
+    cand = T.materialize(
+        wf.select(
+            "w",
+            "m",
+            "cnt",
+            F.expr(
+                "inline(flatten(transform(sequence(1, m), s -> "
+                f"transform(sequence(1, least({_UV_L}, m - s + 1)), "
+                "j -> struct(s AS s, j AS j, "
+                "substring(w, s, j) AS piece)))))"
+            ),
+        )
+    )
+    pc = T.materialize(cand.groupBy("piece").agg(F.sum("cnt").alias("c")))
+    tot = pc.agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = (
+        pc.orderBy(F.desc("c"), "piece")
+        .limit(_UV_V)
+        .unionByName(pc.filter(F.length("piece") == 1))
+        .groupBy("piece")
+        .agg(F.max("c").alias("c"))
+    )
+    vc = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece", F.expr(_UV_COST).alias("v")
+    )
+    cfw = (
+        cand.join(F.broadcast(vc), "piece")
+        .selectExpr("w", "m", f"(s - 1) * {_UV_L} + j AS k", "v")
+        .groupBy("w")
+        .agg(
+            F.max("m").alias("m"),
+            F.expr(
+                "map_from_entries(collect_list(struct(k, v)))"
+            ).alias("cf"),
+        )
+    )
+    wr = cfw.select("w", F.expr(_uv_dp_spark()).alias("best"))
+    return (
+        w0.join(wr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),
+            F.sum(F.expr("best % 64")).cast("bigint").alias("n_pieces"),
+            F.sum(F.expr("best DIV 64")).cast("bigint").alias("nll_units"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_pieces",
+            "nll_units",
+            F.expr(
+                rnd("CAST(n_pieces AS DOUBLE) / n_ws_tokens", 6)
+            ).alias("fertility"),
+            F.expr(
+                rnd("CAST(nll_units AS DOUBLE) / 1.0e5 / n_pieces", 6)
+            ).alias("nats_per_piece"),
+        )
+    )
