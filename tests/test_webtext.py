@@ -445,3 +445,71 @@ def test_link_graph_matches_closed_form(spark):
         assert r.n_hrefs == 3
         assert r.out_degree == od.get(r.doc_id, 0)
         assert r.in_degree == ind.get(r.doc_id, 0)
+
+
+def test_sitemap_parser_trap_battery():
+    """Every trap the synthesized sitemap carries, asserted directly:
+    comment entries don't count, CDATA is verbatim (no entity decode),
+    attribute '>' doesn't close its tag, entities decode in ordinary
+    text, padded leaves trim, self-closing foreign elements are
+    ignored, and a two-level index parses to nested entries."""
+    from weather_bigdata_project_spark.operators.webtext import (
+        parse_sitemap,
+    )
+
+    kind, urls, nested = parse_sitemap(
+        '<?xml version="1.0"?>'
+        "<!-- <url><loc>http://fake</loc></url> -->"
+        '<urlset xmlns="x" data-note="a>b">'
+        "<url><loc>http://e/d?a=1&amp;b=2&#47;x</loc>"
+        "<lastmod> 2026-08-11 </lastmod>"
+        "<changefreq>daily</changefreq>"
+        "<priority> 0.7 </priority></url>"
+        "<url><loc><![CDATA[http://e/cd&amp;raw]]></loc></url>"
+        "<x:meta/></urlset>"
+    )
+    assert kind == "urlset" and nested == []
+    assert len(urls) == 2
+    assert urls[0] == {
+        "loc": "http://e/d?a=1&b=2/x",
+        "lastmod": "2026-08-11",
+        "changefreq": "daily",
+        "priority": "0.7",
+    }
+    assert urls[1] == {"loc": "http://e/cd&amp;raw"}  # verbatim CDATA
+
+    kind, urls, nested = parse_sitemap(
+        "<sitemapindex>"
+        "<sitemap><loc>http://e/1.xml</loc></sitemap>"
+        "<sitemap><loc>http://e/2.xml</loc>"
+        "<lastmod>2026-03-01</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    assert kind == "sitemapindex" and urls == []
+    assert [e["loc"] for e in nested] == [
+        "http://e/1.xml",
+        "http://e/2.xml",
+    ]
+
+
+def test_sitemap_parser_fails_loudly_off_contract():
+    """Malformed wire bytes must raise ValueError, never parse
+    silently — the uniform failure-type contract of every kernel."""
+    import pytest
+
+    from weather_bigdata_project_spark.operators.webtext import (
+        parse_sitemap,
+    )
+
+    for bad in (
+        "",  # no root
+        "<urlset><url></urlset>",  # mismatched close
+        "<urlset><!-- unterminated",
+        "<urlset><![CDATA[ unterminated",
+        "<urlset><loc",  # unterminated tag
+        "<?xml unterminated",
+        "<html></html>",  # wrong root
+        "<urlset>",  # unclosed root
+    ):
+        with pytest.raises(ValueError):
+            parse_sitemap(bad)

@@ -1001,3 +1001,140 @@ def corpus_pagerank_convergence(spark, sf_dir):
     for f in iters[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --- sitemap XML: crawl discovery ------------------------------------------
+
+#: XML prolog + a comment trap carrying a fake <url> entry the parser
+#: must not count
+_SM_PRE = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    "<!-- trap <url><loc>http://no</loc></url> -->"
+)
+_SM_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+#: regular <url> entries: loc with a named (&amp;) entity everywhere
+#: and a numeric (&#47;) one on entry 1, lastmod/changefreq/priority
+#: all closed-form in (doc_id, i); entry 1's priority is whitespace-
+#: padded (the spec-trim trap). Residues are pmod-normalized (signed
+#: doc_id doctrine).
+_SM_URLS = (
+    "concat_ws('', transform(sequence(1, pmod(doc_id, 3) + 1), "
+    "i -> concat("
+    "'<url><loc>http://ex.com/d/', CAST(doc_id AS STRING), "
+    "'/p', CAST(i AS STRING), '?a=1&amp;b=2', "
+    "CASE WHEN i = 1 THEN '&#47;x' ELSE '' END, "
+    "'</loc><lastmod>2026-0', "
+    "CAST(pmod(doc_id + i, 9) + 1 AS STRING), '-1', "
+    "CAST(i AS STRING), "
+    "'</lastmod><changefreq>', "
+    "CASE pmod(doc_id + i, 3) WHEN 0 THEN 'daily' "
+    "WHEN 1 THEN 'weekly' ELSE 'monthly' END, "
+    "'</changefreq><priority>', "
+    "CASE WHEN i = 1 THEN concat(' 0.', "
+    "CAST(pmod(doc_id + 3 * i, 10) AS STRING), ' ') "
+    "ELSE concat('0.', CAST(pmod(doc_id + 3 * i, 10) AS STRING)) END, "
+    "'</priority></url>')))"
+)
+
+#: nested <sitemap> entries for the index pages
+_SM_NESTED = (
+    "concat_ws('', transform(sequence(1, pmod(doc_id, 2) + 2), "
+    "j -> concat("
+    "'<sitemap><loc>http://ex.com/sm/', CAST(doc_id AS STRING), "
+    "'/', CAST(j AS STRING), '.xml</loc>"
+    "<lastmod>2026-03-0', CAST(j AS STRING), "
+    "'</lastmod></sitemap>')))"
+)
+
+
+def _sitemap_col():
+    """The synthesized sitemap as a Column: every 5th doc is a
+    <sitemapindex> (the two-level protocol), the rest are <urlset>
+    pages carrying the parser traps — comment with a fake entry, a
+    quoted attribute value containing '>', a CDATA loc whose '&amp;'
+    must stay VERBATIM (5 chars, not decoded), entity-decoded locs,
+    padded priority, and a self-closing namespaced foreign element."""
+    return F.expr(
+        "CASE WHEN pmod(doc_id, 5) = 0 THEN concat("
+        f"'{_SM_PRE}<sitemapindex xmlns=\"{_SM_NS}\">', {_SM_NESTED}, "
+        "'</sitemapindex>') "
+        "ELSE concat("
+        f"'{_SM_PRE}<urlset xmlns=\"{_SM_NS}\" data-note=\"a>b\">', "
+        f"{_SM_URLS}, "
+        "'<url><loc><![CDATA[http://ex.com/cd/', "
+        "CAST(doc_id AS STRING), '&amp;raw]]></loc></url>"
+        "<x:meta/></urlset>') END"
+    )
+
+
+def _sitemap_oracle() -> str:
+    """Closed-form prediction of every parsed field from doc_id
+    arithmetic: decoded loc lengths ('http://ex.com/d/'=16 + id + '/p'
+    + digit + '?a=1&b=2'=8 -> 27+idl, +2 for entry 1's '&#47;x'->'/x';
+    CDATA loc stays VERBATIM at 25+idl including the undecoded
+    '&amp;'; nested locs 23+idl), exact milli-priorities, daily
+    counts, and the lexicographic max lastmod — enumerated per entry
+    with a range cross join, never parsing a byte. b is referenced
+    twice -> AS MATERIALIZED."""
+    return (
+        "WITH b AS MATERIALIZED (SELECT doc_id, "
+        "len(CAST(doc_id AS VARCHAR)) AS idl, "
+        "((doc_id % 5) + 5) % 5 = 0 AS isx, "
+        "((doc_id % 3) + 3) % 3 + 1 AS k, "
+        "((doc_id % 2) + 2) % 2 + 2 AS j "
+        "FROM documents), "
+        "u AS (SELECT b.doc_id, "
+        "27 + b.idl + CASE WHEN r.range = 1 THEN 2 ELSE 0 END AS ll, "
+        "((((b.doc_id + 3 * r.range) % 10) + 10) % 10) * 100 AS pm, "
+        "CASE WHEN (((b.doc_id + r.range) % 3) + 3) % 3 = 0 "
+        "THEN 1 ELSE 0 END AS dly, "
+        "'2026-0' || CAST((((b.doc_id + r.range) % 9) + 9) % 9 + 1 "
+        "AS VARCHAR) || '-1' || CAST(r.range AS VARCHAR) AS lm "
+        "FROM b, range(1, 4) r WHERE NOT b.isx AND r.range <= b.k), "
+        "ua AS (SELECT doc_id, SUM(ll) AS sll, SUM(pm) AS spm, "
+        "SUM(dly) AS nd, MAX(lm) AS ml FROM u GROUP BY doc_id) "
+        "SELECT b.doc_id, "
+        "CASE WHEN b.isx THEN 'sitemapindex' ELSE 'urlset' END AS kind, "
+        "CAST(CASE WHEN b.isx THEN 0 ELSE b.k + 1 END AS INT) "
+        "AS n_urls, "
+        "CAST(CASE WHEN b.isx THEN b.j ELSE 0 END AS INT) AS n_nested, "
+        "CAST(CASE WHEN b.isx THEN b.j * (23 + b.idl) "
+        "ELSE ua.sll + 25 + b.idl END AS BIGINT) AS locs_len, "
+        "CAST(CASE WHEN b.isx THEN 0 ELSE ua.spm END AS BIGINT) "
+        "AS pr_sum_milli, "
+        "CAST(CASE WHEN b.isx THEN 0 ELSE ua.nd END AS INT) "
+        "AS n_daily, "
+        "CASE WHEN b.isx THEN '2026-03-0' || CAST(b.j AS VARCHAR) "
+        "ELSE ua.ml END AS max_lastmod "
+        "FROM b LEFT JOIN ua USING (doc_id)"
+    )
+
+
+@query("corpus_sitemap_xml", oracle=_sitemap_oracle())
+def corpus_sitemap_xml(spark, sf_dir):
+    """REAL sitemap-protocol XML parsing (sitemaps.org) — crawl
+    DISCOVERY, the stage before robots/fetch that tells a crawler
+    WHAT to fetch; with corpus_robots_gate (may I?), the link graph
+    (what points where) and the WARC walk (what came back), this
+    completes the crawl front door both directions. Every 5th doc is
+    a two-level <sitemapindex>; the rest are <urlset> pages whose
+    synthesized markup concentrates the XML-parser traps: a comment
+    carrying a fake <url> entry, a quoted attribute value containing
+    '>', a CDATA loc whose '&amp;' must stay verbatim (CDATA is never
+    entity-decoded — the classic leak), named AND numeric entities in
+    ordinary locs, a whitespace-padded <priority> that must trim, and
+    a self-closing namespaced foreign element. The genuine quote-aware
+    state machine (operators/webtext.py parse_sitemap) runs in one
+    Arrow-batched mapInPandas stage; the DuckDB oracle predicts every
+    output field closed-form from doc_id arithmetic — decoded-loc
+    length sums, exact milli-priorities, daily-changefreq counts, max
+    lastmod — so any parser defect (counting the comment's fake entry,
+    decoding inside CDATA, truncating at the attribute '>', skipping
+    the trim) fails the driver hash. Scale: sitemap synthesis and
+    parsing are in-row over a spread scan, ZERO shuffle; at 100 TB
+    this is the same map-only profile as a production frontier build."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).select("doc_id", _sitemap_col().alias("xml"))
+    return W.sitemap_stats(d)
