@@ -1354,3 +1354,157 @@ def multimodal_goertzel_tone(spark, sf_dir):
             "div",
         ),
     )
+
+
+# --- fixed-point STFT spectrogram + spectral flux ---------------------------
+
+#: 16-point DFT basis in integer 1e-4 units, computed once at import
+#: and embedded as LITERALS in both engines' SQL — no runtime trig, so
+#: the whole spectrogram is BIGINT arithmetic, bit-identical across
+#: engines/layouts/dialects (the fixed-point-DSP doctrine the Goertzel
+#: resonator established, extended from one bin to the frame x bin
+#: grid). 128 samples/doc, 16-sample frames, hop 8 -> 15 frames,
+#: one-sided bins 0..8; flux frames 1..14.
+import math as _math
+
+_SG_CT = [round(_math.cos(2 * _math.pi * r / 16) * 10000) for r in range(16)]
+_SG_ST = [round(_math.sin(2 * _math.pi * r / 16) * 10000) for r in range(16)]
+
+
+def _sg_sample(md5_id: str) -> str:
+    """Per-(doc, t) sample: even docs a square tone that HOPS frequency
+    mid-signal (period 8 = bin 2 for t < 64, period 4 = bin 4 after) —
+    the flux spike and peak-bin migration a spectrogram exists to show;
+    odd docs flat-spectrum md5 noise in [-127, 127]. Amplitude is
+    doc-dependent; residues normalized (signed doc_id doctrine)."""
+    amp = "(50 + ((doc_id % 70) + 70) % 70)"
+    return (
+        "CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN "
+        f"(CASE WHEN t < 64 THEN (CASE WHEN t % 8 < 4 THEN {amp} "
+        f"ELSE -{amp} END) "
+        f"ELSE (CASE WHEN t % 4 < 2 THEN {amp} ELSE -{amp} END) END) "
+        f"ELSE {md5_id} - 127 END"
+    )
+
+
+def _sg_p(fexpr: str) -> str:
+    """Spark: |X_k|^2 for frame `fexpr`, bin lambda-var k, as two
+    16-tap folds over the xs ARRAY VALUE (a carried column, never the
+    synthesis expression — see the query docstring's CollapseProject
+    note). |x| <= 127, basis <= 1e4, 16 taps -> |re| <= 2.03e7,
+    power <= 8.3e14: BIGINT-safe."""
+    ct = "array(" + ", ".join(str(v) for v in _SG_CT) + ")"
+    st = "array(" + ", ".join(str(v) for v in _SG_ST) + ")"
+    re = (
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, t) -> "
+        f"a + element_at(xs, ({fexpr}) * 8 + t + 1) "
+        f"* element_at({ct}, (k * t) % 16 + 1))"
+    )
+    im = re.replace(ct, st)
+    return f"(({re}) * ({re}) + ({im}) * ({im}))"
+
+
+def _sg_oracle() -> str:
+    """The identical grid, vectorized-relational: DuckDB's per-element
+    list-lambda overhead makes the in-row spelling ~10 ms/doc (measured
+    at sf0.001), so the oracle unnests samples to (doc, t) rows ONCE
+    (materialized — the synthesis md5 must never inline into its
+    consumers, the round-9 CTE doctrine) and computes re/im as one
+    grouped SUM over a 240-row (t -> frame) mapping join, |X|^2 and
+    frame stats as plain grouped arithmetic. The argmax tiebreak is
+    MIN(k) among max-power bins == Spark array_position's first-match."""
+    ct = "[" + ", ".join(str(v) for v in _SG_CT) + "]"
+    st = "[" + ", ".join(str(v) for v in _SG_ST) + "]"
+    smp = _sg_sample(
+        T.hashed_id_duck(
+            "(CAST(doc_id AS VARCHAR) || '#' || CAST(t AS VARCHAR))", 255
+        )
+    )
+    return (
+        "WITH tf AS (SELECT t.range AS t, f.range AS f "
+        "FROM range(0, 128) t, range(0, 15) f "
+        "WHERE t.range >= f.range * 8 AND t.range < f.range * 8 + 16), "
+        "xu AS MATERIALIZED (SELECT doc_id, t, "
+        f"CAST({smp} AS BIGINT) AS x "
+        "FROM documents, (SELECT range AS t FROM range(0, 128)) rt), "
+        "g AS (SELECT xu.doc_id, tf.f, k.range AS k, "
+        f"CAST(SUM(xu.x * ({ct})[(k.range * (xu.t - tf.f * 8)) % 16 + 1]) AS BIGINT) AS re, "
+        f"CAST(SUM(xu.x * ({st})[(k.range * (xu.t - tf.f * 8)) % 16 + 1]) AS BIGINT) AS im "
+        "FROM xu JOIN tf ON tf.t = xu.t, range(0, 9) k "
+        "GROUP BY xu.doc_id, tf.f, k.range), "
+        "p AS MATERIALIZED (SELECT doc_id, f, k, re * re + im * im AS p, "
+        "MAX(re * re + im * im) OVER (PARTITION BY doc_id, f) AS mp "
+        "FROM g) "
+        "SELECT c.doc_id, CAST(c.f AS INT) AS frame, "
+        "CAST(SUM(c.p) AS BIGINT) AS total_power, "
+        "CAST(SUM(greatest(c.p - pr.p, 0)) AS BIGINT) AS flux, "
+        + rnd(
+            "CAST(SUM(c.k * c.p) AS DOUBLE) / NULLIF(SUM(c.p), 0)", 4
+        )
+        + " AS centroid, "
+        "CAST(MIN(CASE WHEN c.p = c.mp THEN c.k END) AS INT) "
+        "AS peak_bin "
+        "FROM p c JOIN p pr ON pr.doc_id = c.doc_id AND pr.k = c.k "
+        "AND pr.f = c.f - 1 WHERE c.f >= 1 GROUP BY c.doc_id, c.f"
+    )
+
+
+@query("multimodal_spectrogram_flux", oracle=_sg_oracle())
+def multimodal_spectrogram_flux(spark, sf_dir):
+    """REAL short-time spectrogram + spectral flux/centroid/peak-bin —
+    the STFT feature grid every audio curation pipeline computes before
+    VAD, music/speech discrimination, or segment-level dedup, in the
+    exact fixed-point form embedded front-ends ship: a 16-point integer
+    DFT (basis snapped to 1e-4 units at import, embedded as literals —
+    no runtime trig), 128 samples/doc, hop 8, 15 frames x 9 one-sided
+    bins, all BIGINT. Tone docs hop frequency mid-signal (bin 2 ->
+    bin 4), so the gate pins the three things a spectrogram exists to
+    show: per-frame total power, spectral flux (the onset-detection
+    signal — spikes exactly at the hop), and peak-bin migration; noise
+    docs pin the flat-spectrum contrast. Argmax ties resolve to the
+    smallest bin in both engines (array_position == MIN(k) among max).
+
+    Plan-shape note (a measured hazard, not style): the sample
+    synthesis runs 128 md5s per doc, and CollapseProject will inline a
+    same-select array alias into EVERY downstream element_at — the
+    first draft re-evaluated the whole synthesis per fold tap and hung
+    at sf0.001. The synthesis array therefore crosses a Generate
+    boundary as a VALUE: project xs -> posexplode frames -> per-row
+    folds read the carried array. In-row per doc after one narrow
+    14-frame explode; whole-stage codegen, no Python, ZERO shuffle."""
+    smp = _sg_sample(
+        T.hashed_id_spark(
+            "concat(CAST(doc_id AS STRING), '#', CAST(t AS STRING))", 255
+        )
+    )
+    xs = f"transform(sequence(0, 127), t -> CAST({smp} AS BIGINT))"
+    pf = f"transform(sequence(0, 8), k -> {_sg_p('f')})"
+    pp = f"transform(sequence(0, 8), k -> {_sg_p('f - 1')})"
+    d = (
+        T.docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{xs} AS xs")
+        .select(
+            "doc_id",
+            "xs",
+            F.posexplode(F.expr("sequence(1, 14)")).alias("i0", "f"),
+        )
+    )
+    return d.selectExpr(
+        "doc_id",
+        "CAST(f AS INT) AS frame",
+        f"aggregate({pf}, CAST(0 AS BIGINT), (a, x) -> a + x) "
+        "AS total_power",
+        f"aggregate(zip_with({pf}, {pp}, (c, q) -> "
+        "greatest(c - q, CAST(0 AS BIGINT))), CAST(0 AS BIGINT), "
+        "(a, x) -> a + x) AS flux",
+        rnd(
+            f"CAST(aggregate(zip_with({pf}, sequence(0, 8), "
+            "(c, k) -> c * k), CAST(0 AS BIGINT), (a, x) -> a + x) "
+            f"AS DOUBLE) / NULLIF(aggregate({pf}, CAST(0 AS BIGINT), "
+            "(a, x) -> a + x), 0)",
+            4,
+        )
+        + " AS centroid",
+        f"CAST(array_position({pf}, array_max({pf})) - 1 AS INT) "
+        "AS peak_bin",
+    )
