@@ -1978,3 +1978,55 @@ def test_cdc_chunk_stream_equals_batch(spark, tmp_path):
         for r in cdc_chunk_frame(docs).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_sitemap_stream_equals_batch(spark, tmp_path):
+    """Streaming sitemap parse: over a 3-micro-batch replay of the doc
+    corpus, the drained per-doc discovery rows must EQUAL the batch
+    query bit-for-bit — the parse is a pure function of each row, so
+    no replay split can change a field. Multiset compare proves no doc
+    is parsed twice or dropped."""
+    import glob
+    from collections import Counter
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "sm_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.sitemap_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sitemap_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (  # noqa: E731
+        r.doc_id, r.kind, r.n_urls, r.n_nested, r.locs_len,
+        r.pr_sum_milli, r.n_daily, r.max_lastmod,
+    )
+    got = Counter(key(r) for r in spark.table("sitemap_stream").collect())
+    want = Counter(
+        key(r)
+        for r in registry.QUERIES["corpus_sitemap_xml"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+    assert got == want and len(got) > 0

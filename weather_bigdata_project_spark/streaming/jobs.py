@@ -1476,3 +1476,29 @@ def cdc_chunk_stream(doc_stream: DataFrame) -> DataFrame:
     from ..queries.dedup import cdc_chunk_frame
 
     return cdc_chunk_frame(doc_stream.select("doc_id", "text"))
+
+
+def sitemap_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming sitemap discovery — the at-ingest twin of
+    queries/webingest.corpus_sitemap_xml, completing the crawl
+    front-door stream set (WARC walk, HTML extraction, span
+    corruption, CDC chunking): every arriving sitemap is parsed the
+    moment it lands, so the frontier builder consumes (kind, url
+    counts, priorities, lastmod) rows instead of raw XML — at 100-TB
+    crawl ingest the discovery pass happens exactly once per fetched
+    sitemap, ever.
+
+    The plan is completely STATE-FREE: the XML payload is synthesized
+    in-row by the same codegen expression the batch query uses
+    (webingest._sitemap_col) and parsed by the same Arrow-batched
+    mapInPandas stage (operators/webtext.sitemap_stats — the real
+    quote-aware state machine), so each output row depends only on its
+    input row and a drained replay across ANY micro-batch split equals
+    the batch result bit-for-bit (tests/test_streaming.py::
+    test_sitemap_stream_equals_batch). Zero shuffle, zero state; XML
+    bytes live and die inside their ingest task."""
+    from ..operators import webtext
+    from ..queries.webingest import _sitemap_col
+
+    d = doc_stream.select("doc_id", _sitemap_col().alias("xml"))
+    return webtext.sitemap_stats(d)
