@@ -35,6 +35,9 @@ COLLECT_ALLOWED = {
         "k-means|| seed state: <= k centroids per round",
     "queries/similarity.py:embed_power_iteration_pc1":
         "power iteration: one d-vector + scalar per round",
+    "queries/text.py:uv_vocab_rows":
+        "trained-tokenizer export: the <= V+alphabet (piece, cost) "
+        "model artifact shipped to the ingest twin — never row data",
 }
 
 #: function -> why its .crossJoin() never builds a pair blowup
@@ -57,14 +60,21 @@ CROSSJOIN_ALLOWED = {
         "1-row exact-percentile frame",
     "queries/retrieval.py:_bm25_scored":
         "1-row corpus stats (N, avgdl)",
-    "queries/text.py:text_unigram_viterbi":
-        "1-row piece-count total broadcast onto the <=V+alphabet vocab",
     "queries/retrieval.py:retrieval_hybrid_morelikethis":
         "1-row query-doc vector + corpus stats",
     "queries/similarity.py:embed_binary_quantize_recall":
         "broadcast query rows x corpus (query side fixed-size)",
     "queries/similarity.py:embed_hard_negatives":
         "broadcast anchor sample",
+    "queries/similarity.py:embed_hnsw_search":
+        "1-row entry-point frame + broadcast query batch x K-bounded "
+        "descent frontier",
+    "queries/similarity.py:_beam_audit":
+        "broadcast query batch x corpus for the exact-truth audit "
+        "(shared core of the graph/HNSW search legs)",
+    "queries/text.py:_uv_train":
+        "1-row piece-count total broadcast onto the <=V+alphabet vocab "
+        "(shared train side of the batch query and the ingest twin)",
     "queries/similarity.py:embed_ivf_nprobe_matrix":
         "broadcast probe set",
     "queries/similarity.py:embed_ivf_recall":
@@ -80,9 +90,6 @@ CROSSJOIN_ALLOWED = {
     "queries/similarity.py:_nndescent_graph":
         "broadcast hash-sampled probe set (bounded); shared core of "
         "embed_nndescent_knn and its sampled twin",
-    "queries/similarity.py:_graph_search":
-        "broadcast hash-sampled query batch (bounded); shared core of "
-        "embed_graph_search_recall and its sampled twin",
     "queries/text.py:text_bpe_encode":
         "1-row merge-table frame (top-K trained merges) broadcast",
     "queries/webingest.py:_doc_edges":

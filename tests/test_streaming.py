@@ -2030,3 +2030,58 @@ def test_sitemap_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_tokenize_stream_equals_batch(spark, tmp_path):
+    """Streaming Viterbi tokenization: train the vocab batch-side,
+    ship it as a literal map, drain a 3-micro-batch replay — the
+    per-doc (token counts, fertility, NLL) rows must EQUAL the batch
+    query bit-for-bit, proving the substring-keyed constant-map lookup
+    carries exactly the per-word cost map the batch DP builds."""
+    import glob
+    from collections import Counter
+
+    from weather_bigdata_project_spark import registry, tables
+    from weather_bigdata_project_spark.queries.text import uv_vocab_rows
+    from weather_bigdata_project_spark.streaming import jobs
+
+    registry.load()
+    vocab = uv_vocab_rows(spark, SF_SMOKE)
+    assert 0 < len(vocab) <= 256 + 128  # V + alphabet bound
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "tok_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.tokenize_stream(stream, vocab)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tokenize_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (  # noqa: E731
+        r.doc_id, r.n_ws_tokens, r.n_pieces, r.nll_units,
+        r.fertility, r.nats_per_piece,
+    )
+    got = Counter(key(r) for r in spark.table("tokenize_stream").collect())
+    want = Counter(
+        key(r)
+        for r in registry.QUERIES["text_unigram_viterbi"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -3697,12 +3697,20 @@ def _graph_search(spark, emb):
             F.col("n2").alias("n2q"),
         )
     )
-    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("ev"))
+    seed = (
+        F.broadcast(qs.select("q"))
+        .join(e0, F.col("q") == F.col("u"))
+        .select("q", "v")
+    )
+    return _beam_audit(emb, e0, qs, seed)
+
+
+def _gs_score(qs, ev):
+    """(q, v) pair scorer factory: broadcast the beam-bounded pair set
+    (with the query arrays riding along) into the corpus scan; the
+    candidate norm is recomputed in-row — no n-row norm join."""
 
     def score(pairs):
-        """(q, v) -> (q, v, cos): broadcast the beam-bounded pair set
-        (with the query arrays riding along) into the corpus scan; the
-        candidate norm is recomputed in-row — no n-row norm join."""
         return (
             F.broadcast(pairs.join(F.broadcast(qs), "q"))
             .join(ev, "v")
@@ -3721,11 +3729,18 @@ def _graph_search(spark, emb):
             )
         )
 
-    seed = (
-        F.broadcast(qs.select("q"))
-        .join(e0, F.col("q") == F.col("u"))
-        .select("q", "v")
-    )
+    return score
+
+
+def _beam_audit(emb, e0, qs, seed):
+    """The walk + exact-audit core of embed_graph_search_recall over an
+    arbitrary seed pair set (q, v): score the seed, expand the top-8
+    frontier through e0 for _GS_HOPS hops, then exact recall@10 on the
+    broadcast query batch. Factored out so the HNSW descent
+    (embed_hnsw_search) runs the IDENTICAL layer-0 walk, seeded by its
+    upper-layer waypoint instead of the query node's own adjacency."""
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("ev"))
+    score = _gs_score(qs, ev)
     vis = T.materialize(score(seed).distinct())
     w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
     for _k in range(_GS_HOPS):
@@ -3842,3 +3857,302 @@ def embed_graph_search_recall_sampled(spark, sf_dir):
         T.spread_small_scan(base, spark, f"{sf_dir}/embeddings.parquet")
     )
     return _graph_search(spark, emb)
+
+
+# --- HNSW-style hierarchical search ----------------------------------------
+
+#: level hash modulus: level 2 iff h = 0 (1/16 of nodes), level 1 iff
+#: h % 4 = 0 (1/4, nesting level 2 — the geometric layer law HNSW
+#: draws randomly, made deterministic and content-keyed)
+_HN_LMOD = 16
+_HN_LSALT = "lv:"
+_HN_QSALT = "hq:"
+
+
+def _hn_h_spark() -> str:
+    return T.hashed_id_spark(
+        f"concat('{_HN_LSALT}', CAST(vec_id AS STRING))", _HN_LMOD
+    )
+
+
+def _hn_layer_b_duck(pred: str) -> str:
+    """Per-layer bucket count, the same n/10 law as _NND_B_DUCK but
+    over the layer's membership."""
+    return (
+        f"(SELECT CAST(LEAST({_NND_MAXB}, GREATEST(1, "
+        f"FLOOR(COUNT(*) / {_NND_BSZ}.0e0))) AS BIGINT) "
+        f"FROM lv WHERE {pred})"
+    )
+
+
+def _hn_bk_duck(layer: int, t: int, pred: str) -> str:
+    """Bucket CTE for LSH table t restricted to a layer's members."""
+    lo, hi = 8 * t, 8 * t + 8
+    return (
+        f"hbk{layer}_{t} AS (SELECT proj.vec_id, "
+        f"SUM(CASE WHEN dot > 0.0e0 THEN (1 << (j - {lo})) ELSE 0 END) "
+        f"% {_hn_layer_b_duck(pred)} AS b "
+        "FROM proj JOIN lv ON lv.vec_id = proj.vec_id "
+        f"WHERE {pred} AND j >= {lo} AND j < {hi} "
+        "GROUP BY proj.vec_id)"
+    )
+
+
+def _hn_top1(src: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT q, v FROM (SELECT q, v, ROW_NUMBER() OVER ("
+        f"PARTITION BY q ORDER BY cos DESC, v) AS rk FROM {src}) "
+        "WHERE rk = 1)"
+    )
+
+
+def _hnsw_oracle() -> str:
+    """DuckDB twin: identical layers (the level hash is content-keyed),
+    identical per-layer LSH-seeded kNN graphs, identical two-waypoint
+    greedy descent, then the embed_graph_search_recall beam unrolled on
+    the waypoint-seeded frontier, exact top-10 truth on the broadcast
+    query batch."""
+    h = T.hashed_id_duck(
+        f"('{_HN_LSALT}' || CAST(vec_id AS VARCHAR))", _HN_LMOD
+    )
+    parts = [
+        "z AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings)",
+        "nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM z GROUP BY vec_id)",
+        f"proj AS (SELECT vec_id, j, SUM(x * {_W_SQL}) AS dot "
+        "FROM z CROSS JOIN (SELECT unnest(range(0, "
+        f"{8 * _NND_TABLES})) AS j) GROUP BY vec_id, j)",
+        f"lv AS (SELECT vec_id, {h} AS h FROM embeddings)",
+    ]
+    # layer 0 = the full-corpus graph (bk chain identical to e0's);
+    # layers 1/2 the same construction on the layer members
+    parts.extend(_nnd_bk_duck(t) for t in range(_NND_TABLES))
+    for layer, pred in ((1, "h % 4 = 0"), (2, "h = 0")):
+        parts.extend(
+            _hn_bk_duck(layer, t, pred) for t in range(_NND_TABLES)
+        )
+    parts.append(
+        "p0 AS ("
+        + " UNION ".join(
+            f"SELECT a.vec_id AS u, c.vec_id AS v FROM bk{t} a "
+            f"JOIN bk{t} c ON c.b = a.b AND c.vec_id <> a.vec_id"
+            for t in range(_NND_TABLES)
+        )
+        + ")"
+    )
+    for layer in (1, 2):
+        parts.append(
+            f"p{layer} AS ("
+            + " UNION ".join(
+                f"SELECT a.vec_id AS u, c.vec_id AS v "
+                f"FROM hbk{layer}_{t} a JOIN hbk{layer}_{t} c "
+                "ON c.b = a.b AND c.vec_id <> a.vec_id"
+                for t in range(_NND_TABLES)
+            )
+            + ")"
+        )
+    parts.append(_nnd_score_duck("p0", "0"))
+    parts.append(_nnd_score_duck("p1", "1"))
+    parts.append(_nnd_score_duck("p2", "2"))
+    parts.append(
+        "qs AS (SELECT vec_id AS q FROM embeddings WHERE "
+        + T.hashed_id_duck(
+            f"('{_HN_QSALT}' || CAST(vec_id AS VARCHAR))", _GS_QMOD
+        )
+        + " = 0)"
+    )
+    parts.append(
+        "ep AS (SELECT COALESCE("
+        "(SELECT MIN(vec_id) FROM lv WHERE h = 0), "
+        "(SELECT MIN(vec_id) FROM lv WHERE h % 4 = 0), "
+        "(SELECT MIN(vec_id) FROM embeddings)) AS ep)"
+    )
+    parts.append(
+        "s2 AS (SELECT DISTINCT q, v FROM ("
+        "SELECT qs.q, e2.v FROM qs, ep JOIN e2 ON e2.u = ep.ep "
+        "UNION ALL SELECT qs.q, ep.ep AS v FROM qs, ep))"
+    )
+    parts.append(_gs_score_duck("s2", "a"))
+    parts.append(_hn_top1("gva", "c2"))
+    parts.append(
+        "s1 AS (SELECT DISTINCT q, v FROM ("
+        "SELECT c2.q, e1.v FROM c2 JOIN e1 ON e1.u = c2.v "
+        "UNION ALL SELECT q, v FROM c2))"
+    )
+    parts.append(_gs_score_duck("s1", "b"))
+    parts.append(_hn_top1("gvb", "c1"))
+    parts.append(
+        "s0 AS (SELECT DISTINCT q, v FROM ("
+        "SELECT c1.q, e0.v FROM c1 JOIN e0 ON e0.u = c1.v "
+        "UNION ALL SELECT q, v FROM c1) WHERE v <> q)"
+    )
+    parts.append(_gs_score_duck("s0", "0"))
+    parts.append("vis0 AS (SELECT q, v, cos FROM gv0)")
+    for k in range(1, _GS_HOPS + 1):
+        p = k - 1
+        parts.append(f"f{k} AS {_gs_rank(f'vis{p}', _GS_BEAM)}")
+        parts.append(
+            f"n{k} AS (SELECT DISTINCT f.q AS q, e0.v AS v FROM f{k} f "
+            "JOIN e0 ON e0.u = f.v WHERE e0.v <> f.q)"
+        )
+        parts.append(_gs_score_duck(f"n{k}", str(k)))
+        parts.append(
+            f"vis{k} AS (SELECT DISTINCT q, v, cos FROM ("
+            f"SELECT q, v, cos FROM vis{p} "
+            f"UNION ALL SELECT q, v, cos FROM gv{k}))"
+        )
+    last = f"vis{_GS_HOPS}"
+    parts.append(f"bt AS {_gs_rank(last, _GS_TOPR)}")
+    parts.append(
+        "pxq AS (SELECT qs.q AS q, e.vec_id AS v FROM qs "
+        "JOIN embeddings e ON e.vec_id <> qs.q)"
+    )
+    parts.append(_gs_score_duck("pxq", "x"))
+    parts.append(f"ex AS {_gs_rank('gvx', _GS_TOPR)}")
+    parts.append(
+        f"nvis AS (SELECT q, COUNT(*) AS n_visited FROM {last} GROUP BY q)"
+    )
+    parts.append(
+        "ht AS (SELECT bt.q, COUNT(*) AS hits FROM bt "
+        "JOIN ex ON ex.q = bt.q AND ex.v = bt.v GROUP BY bt.q)"
+    )
+    return _mat_ctes(
+        "WITH " + ", ".join(parts) + " "
+        "SELECT qs.q AS vec_id, c2.v AS l2_node, c1.v AS l1_node, "
+        "CAST(COALESCE(nvis.n_visited, 0) AS BIGINT) AS n_visited, "
+        "CAST(COALESCE(ht.hits, 0) AS BIGINT) AS hits, "
+        + rnd(
+            f"CAST(COALESCE(ht.hits, 0) AS DOUBLE) / {_GS_TOPR}.0e0", 4
+        )
+        + " AS recall_at10 "
+        "FROM qs JOIN c2 ON c2.q = qs.q JOIN c1 ON c1.q = qs.q "
+        "LEFT JOIN nvis ON nvis.q = qs.q LEFT JOIN ht ON ht.q = qs.q",
+        (
+            "z", "nrm", "proj", "lv", "bk0", "bk1",
+            "e0", "e1", "e2", "qs", "c2", "c1",
+            "vis0", "vis1", "vis2",
+        ),
+    )
+
+
+@query("embed_hnsw_search", oracle=_hnsw_oracle())
+def embed_hnsw_search(spark, sf_dir):
+    """HNSW-style HIERARCHICAL search — the layered structure the flat
+    beam walk (embed_graph_search_recall) approximates: nodes draw
+    geometric levels (deterministic content-keyed hash: 1/4 of the
+    corpus reaches layer 1, 1/16 layer 2, nested like HNSW's random
+    level law), each layer carries its own LSH-seeded kNN graph built
+    by the SAME _init_knn_edges code as the base graph, and a query
+    descends — enter at the top layer's deterministic entry point,
+    greedy-hop one step through the layer-2 graph, one step through
+    layer 1, then run the IDENTICAL layer-0 beam walk (_beam_audit,
+    shared code) seeded by the waypoint's adjacency instead of the
+    query node's own. Reports the full descent (l2/l1 waypoints) plus
+    visited count and exact recall@10 per query, so the gate pins the
+    layer assignment, all three graphs, both greedy steps, and the
+    walk.
+
+    Scale shape: upper layers are geometric fractions of the corpus
+    with the SAME O(n) bucketed construction (never all-pairs); the
+    descent frontier is K-bounded per query; every descent/walk join
+    broadcasts the query-batch side; the exact truth is query-batch x
+    corpus (the audit-on-a-slice shape). At 100 TB the upper layers'
+    value is exactly their production value: the entry point reaches a
+    good neighborhood in O(log n) bounded hops without scanning."""
+    emb = T.materialize(
+        T.spread_small_scan(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            spark,
+            f"{sf_dir}/embeddings.parquet",
+        )
+    )
+    n = emb.count()
+    nrm = T.materialize(
+        emb.select(
+            "vec_id",
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        )
+    )
+    h = _hn_h_spark()
+    l1 = emb.filter(F.expr(f"{h} % 4 = 0"))
+    l2 = emb.filter(F.expr(f"{h} = 0"))
+    nrm1 = nrm.filter(F.expr(f"{h} % 4 = 0"))
+    nrm2 = nrm.filter(F.expr(f"{h} = 0"))
+    e0 = T.materialize(_init_knn_edges(emb, nrm, n))
+    e1 = T.materialize(_init_knn_edges(l1, nrm1, l1.count()))
+    e2 = T.materialize(_init_knn_edges(l2, nrm2, l2.count()))
+    qs = T.materialize(
+        emb.join(nrm, "vec_id")
+        .filter(
+            F.expr(
+                T.hashed_id_spark(
+                    f"concat('{_HN_QSALT}', CAST(vec_id AS STRING))",
+                    _GS_QMOD,
+                )
+            )
+            == 0
+        )
+        .select(
+            F.col("vec_id").alias("q"),
+            F.col("embedding").alias("qe"),
+            F.col("n2").alias("n2q"),
+        )
+    )
+    # deterministic entry point: min id of the highest nonempty layer
+    # (three 1-row aggregates crossJoined — never data-sized)
+    entry = (
+        l2.agg(F.min("vec_id").alias("m2"))
+        .crossJoin(l1.agg(F.min("vec_id").alias("m1")))
+        .crossJoin(emb.agg(F.min("vec_id").alias("m0")))
+        .select(F.expr("COALESCE(m2, m1, m0)").alias("ep"))
+    )
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("ev"))
+    score = _gs_score(qs, ev)
+    w1 = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("v"))
+
+    def top1(scored, name):
+        return T.materialize(
+            scored.withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") == 1)
+            .select("q", F.col("v").alias(name))
+        )
+
+    s2 = (
+        F.broadcast(entry)
+        .join(e2, F.col("ep") == F.col("u"), "left")
+        .select(F.coalesce("v", "ep").alias("v"))
+        .union(entry.select(F.col("ep").alias("v")))
+        .distinct()
+    )
+    c2 = top1(
+        score(qs.select("q").crossJoin(F.broadcast(s2))), "l2"
+    )
+    s1 = (
+        F.broadcast(c2)
+        .join(e1, F.col("l2") == F.col("u"), "left")
+        .select("q", F.coalesce("v", "l2").alias("v"))
+        .union(c2.select("q", F.col("l2").alias("v")))
+        .distinct()
+    )
+    c1 = top1(score(s1), "l1")
+    seed0 = (
+        F.broadcast(c1)
+        .join(e0, F.col("l1") == F.col("u"), "left")
+        .select("q", F.coalesce("v", "l1").alias("v"))
+        .union(c1.select("q", F.col("l1").alias("v")))
+        .filter(F.col("v") != F.col("q"))
+        .distinct()
+    )
+    res = _beam_audit(emb, e0, qs, seed0)
+    return (
+        res.join(F.broadcast(c2), res.vec_id == c2.q)
+        .join(F.broadcast(c1), res.vec_id == c1.q)
+        .select(
+            "vec_id",
+            F.col("l2").alias("l2_node"),
+            F.col("l1").alias("l1_node"),
+            "n_visited",
+            "hits",
+            "recall_at10",
+        )
+    )

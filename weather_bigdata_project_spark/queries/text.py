@@ -1332,27 +1332,11 @@ def _uv_oracle() -> str:
     )
 
 
-@query("text_unigram_viterbi", oracle=_uv_oracle())
-def text_unigram_viterbi(spark, sf_dir):
-    """Unigram-LM tokenizer inference (the SentencePiece/Kudo-2018
-    decode pass): a piece vocabulary — the top-V most frequent word
-    substrings up to 4 chars, plus every single character so any word
-    is segmentable — scores each piece at -ln(p) in integer 1e-5-nat
-    units, and each word is segmented by VITERBI: the min-total-cost
-    path over piece boundaries, token count as the tiebreak. This is
-    the dynamic-programming tokenizer class next to text_bpe_encode's
-    greedy merge replay — the two inference algorithms real tokenizers
-    use — and the per-doc NLL it emits is the corpus bits-per-token
-    under the unigram model (the CCNet-style quality signal computed by
-    an actual tokenizer rather than a whitespace proxy).
-
-    Scale shape: word frequencies in one corpus-token hash-agg; piece
-    candidates explode DISTINCT words only (<= CAP*L = 96 pieces per
-    word, in-row); the vocabulary is a <= V+alphabet broadcast; the DP
-    is one in-row fold per distinct word (packed-BIGINT accumulator,
-    zero shuffle); assembly is the standard Zipf-bounded dictionary
-    join plus one doc-cardinality agg. Nothing doc- or word-cardinality
-    touches the driver."""
+def _uv_train(spark, sf_dir):
+    """The TRAIN side of the unigram tokenizer, shared by the batch
+    query and the at-ingest twin: (w0 word occurrences, cand piece
+    candidates over distinct words, vc trained vocabulary with integer
+    1e-5-nat costs)."""
     d = (
         T.docs(spark, sf_dir)
         .select("doc_id", F.explode(F.split("text", " ")).alias("w0"))
@@ -1392,6 +1376,41 @@ def text_unigram_viterbi(spark, sf_dir):
     vc = vocab.crossJoin(F.broadcast(tot)).select(
         "piece", F.expr(_UV_COST).alias("v")
     )
+    return w0, cand, vc
+
+
+def uv_vocab_rows(spark, sf_dir) -> list[tuple[str, int]]:
+    """Ship the trained tokenizer to an ingest job: the <= V+alphabet
+    (piece, cost) rows ARE the model artifact (what SentencePiece
+    serializes to its .model file), bounded by construction — never
+    row data. The at-ingest twin (streaming/jobs.tokenize_stream)
+    embeds them as a literal map so tokenization needs no join."""
+    _w0, _cand, vc = _uv_train(spark, sf_dir)
+    return [(r["piece"], int(r["v"])) for r in vc.collect()]
+
+
+@query("text_unigram_viterbi", oracle=_uv_oracle())
+def text_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM tokenizer inference (the SentencePiece/Kudo-2018
+    decode pass): a piece vocabulary — the top-V most frequent word
+    substrings up to 4 chars, plus every single character so any word
+    is segmentable — scores each piece at -ln(p) in integer 1e-5-nat
+    units, and each word is segmented by VITERBI: the min-total-cost
+    path over piece boundaries, token count as the tiebreak. This is
+    the dynamic-programming tokenizer class next to text_bpe_encode's
+    greedy merge replay — the two inference algorithms real tokenizers
+    use — and the per-doc NLL it emits is the corpus bits-per-token
+    under the unigram model (the CCNet-style quality signal computed by
+    an actual tokenizer rather than a whitespace proxy).
+
+    Scale shape: word frequencies in one corpus-token hash-agg; piece
+    candidates explode DISTINCT words only (<= CAP*L = 96 pieces per
+    word, in-row); the vocabulary is a <= V+alphabet broadcast; the DP
+    is one in-row fold per distinct word (packed-BIGINT accumulator,
+    zero shuffle); assembly is the standard Zipf-bounded dictionary
+    join plus one doc-cardinality agg. Nothing doc- or word-cardinality
+    touches the driver."""
+    w0, cand, vc = _uv_train(spark, sf_dir)
     cfw = (
         cand.join(F.broadcast(vc), "piece")
         .selectExpr("w", "m", f"(s - 1) * {_UV_L} + j AS k", "v")

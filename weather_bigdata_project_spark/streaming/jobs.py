@@ -1502,3 +1502,68 @@ def sitemap_stream(doc_stream: DataFrame) -> DataFrame:
 
     d = doc_stream.select("doc_id", _sitemap_col().alias("xml"))
     return webtext.sitemap_stats(d)
+
+
+def tokenize_stream(doc_stream: DataFrame, vocab_rows) -> DataFrame:
+    """Streaming Viterbi tokenization — the at-ingest twin of
+    queries/text.text_unigram_viterbi's INFERENCE half, in the shape
+    production pipelines actually deploy: the tokenizer is TRAINED
+    batch-side (text.uv_vocab_rows — the <= V+alphabet piece/cost rows
+    are the model artifact, what SentencePiece serializes), then
+    shipped to ingest as a literal map, so every arriving doc lands
+    with its true token count, fertility, and unigram NLL attached —
+    at 100-TB ingest the tokenization pass happens exactly once per
+    document, and token-budget accounting reads a column instead of
+    re-running a tokenizer.
+
+    The plan is completely STATE-FREE: the per-word packed-BIGINT
+    Viterbi fold runs in-row against the constant vocabulary map
+    (piece costs looked up by SUBSTRING directly — the batch query's
+    per-word (start,len)->cost map carries exactly these values), so
+    each output row depends only on its input row and a drained replay
+    across ANY micro-batch split equals the batch result bit-for-bit
+    (tests/test_streaming.py::test_tokenize_stream_equals_batch).
+    Zero shuffle, zero state, no Python boundary."""
+    from ..functions.exprs import rnd
+    from ..queries.text import _UV_BIG, _UV_CAP, _UV_L
+
+    pairs = []
+    for piece, cost in vocab_rows:
+        pairs += [F.lit(piece), F.lit(int(cost))]
+    vmap = F.create_map(*pairs)
+    best = (
+        f"element_at(aggregate(sequence(1, least(length(w0), {_UV_CAP})), "
+        "array(CAST(0 AS BIGINT)), "
+        "(acc, i) -> array_append(acc, array_min(transform("
+        f"sequence(1, least({_UV_L}, i)), "
+        "j -> element_at(acc, i - j + 1) "
+        "+ coalesce(element_at(vmap, substring(w0, i - j + 1, j)), "
+        f"{_UV_BIG}) * 64 + 1)))), least(length(w0), {_UV_CAP}) + 1)"
+    )
+    pcs = f"transform(filter(split(text, ' '), w -> w <> ''), w0 -> {best})"
+    d = (
+        doc_stream.withColumn("vmap", vmap)
+        .selectExpr("doc_id", f"{pcs} AS pcs")
+        .filter("size(pcs) > 0")
+    )
+    return d.selectExpr(
+        "doc_id",
+        "CAST(size(pcs) AS BIGINT) AS n_ws_tokens",
+        "aggregate(pcs, CAST(0 AS BIGINT), (a, x) -> a + x % 64) "
+        "AS n_pieces",
+        "aggregate(pcs, CAST(0 AS BIGINT), (a, x) -> a + x DIV 64) "
+        "AS nll_units",
+        rnd(
+            "CAST(aggregate(pcs, CAST(0 AS BIGINT), "
+            "(a, x) -> a + x % 64) AS DOUBLE) / size(pcs)",
+            6,
+        )
+        + " AS fertility",
+        rnd(
+            "CAST(aggregate(pcs, CAST(0 AS BIGINT), "
+            "(a, x) -> a + x DIV 64) AS DOUBLE) / 1.0e5 "
+            "/ aggregate(pcs, CAST(0 AS BIGINT), (a, x) -> a + x % 64)",
+            6,
+        )
+        + " AS nats_per_piece",
+    )
