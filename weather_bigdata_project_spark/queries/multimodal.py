@@ -1508,3 +1508,146 @@ def multimodal_spectrogram_flux(spark, sf_dir):
         f"CAST(array_position({pf}, array_max({pf})) - 1 AS INT) "
         "AS peak_bin",
     )
+
+
+# --- exact rational audio resampling ----------------------------------------
+
+#: 4/3 upsampling (the 32 kHz -> ~42.7 kHz class of conversions), 64
+#: source samples -> 85 output samples at exact rational phases
+#: k*3/4: output values carried in QUARTER-units (x[i]*(4-p) + x[i+1]*p
+#: with p the phase remainder) so linear interpolation is pure BIGINT —
+#: no rounding anywhere, bit-identical across engines. Phase-0 outputs
+#: are exactly 4x a source sample, which the gate pins as a
+#: zero-reconstruction-error column.
+_RS_NIN = 64
+_RS_NOUT = (_RS_NIN - 1) * 4 // 3 + 1  # 85
+
+
+def _rs_sample(md5_id: str) -> str:
+    """Per-(doc, t) source sample: even docs a period-8 square tone,
+    odd docs flat-spectrum md5 noise in [-127, 127] (salted 'rs' so
+    the draw is independent of the spectrogram's)."""
+    amp = "(50 + ((doc_id % 70) + 70) % 70)"
+    return (
+        "CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN "
+        f"(CASE WHEN t % 8 < 4 THEN {amp} ELSE -{amp} END) "
+        f"ELSE {md5_id} - 127 END"
+    )
+
+
+def _rs_y4(kexpr: str, at) -> str:
+    """Quarter-unit output value at output index `kexpr`: i = 3k div 4
+    (0-based), p = 3k mod 4; y4 = x[i]*(4-p) + x[i+1]*p, the i+1 tap
+    multiplied by p so phase-0 never reads past the last sample.
+    `at(arr_1based_index)` is the engine's subscript spelling."""
+    i = f"((3 * ({kexpr})) DIV 4)"
+    p = f"((3 * ({kexpr})) % 4)"
+    x0 = at(f"{i} + 1")
+    x1 = at(f"LEAST({i} + 2, {_RS_NIN})")
+    return f"({x0} * (4 - {p}) + {x1} * {p})"
+
+
+def _rs_oracle() -> str:
+    smp = _rs_sample(
+        T.hashed_id_duck(
+            "('rs#' || CAST(doc_id AS VARCHAR) || ':' "
+            "|| CAST(t AS VARCHAR))",
+            255,
+        )
+    )
+    xs = (
+        f"list_transform(range(0, {_RS_NIN}), "
+        f"t -> CAST({smp} AS BIGINT))"
+    )
+    at = lambda idx: f"xs[{idx}]"  # noqa: E731
+    y = _rs_y4("k", at).replace("DIV", "//")
+    yp = _rs_y4("k - 1", at).replace("DIV", "//")
+    return (
+        f"WITH x0 AS MATERIALIZED (SELECT doc_id, {xs} AS xs "
+        "FROM documents), "
+        "yr AS (SELECT doc_id, k, "
+        f"{y} AS y4, "
+        f"CASE WHEN k >= 1 THEN {yp} END AS y4p, "
+        f"CASE WHEN k % 4 = 0 THEN abs({y} - 4 * xs[(3 * k) // 4 + 1]) "
+        "ELSE 0 END AS rerr "
+        "FROM x0, (SELECT range AS k FROM "
+        f"range(0, {_RS_NOUT})) rk) "
+        "SELECT doc_id, "
+        f"CAST({_RS_NOUT} AS INT) AS n_out, "
+        "CAST(SUM(y4) AS BIGINT) AS sum_q, "
+        "CAST(SUM(y4 * y4) AS BIGINT) AS energy_q, "
+        "CAST(SUM(CASE WHEN y4p IS NOT NULL AND y4 * y4p < 0 "
+        "THEN 1 ELSE 0 END) AS INT) AS zero_cross, "
+        "CAST(MAX(abs(y4)) AS BIGINT) AS max_abs_q, "
+        "CAST(SUM(rerr) AS BIGINT) AS recon_err "
+        "FROM yr GROUP BY doc_id"
+    )
+
+
+@query("multimodal_audio_resample", oracle=_rs_oracle())
+def multimodal_audio_resample(spark, sf_dir):
+    """REAL rational sample-rate conversion — the resampling pass every
+    audio ingest runs to normalize heterogeneous sources to one rate
+    before feature extraction (the 44.1k/48k/32k zoo), as EXACT
+    fixed-point arithmetic: 4/3 upsampling by linear interpolation at
+    rational phases, output values carried in quarter-units so the
+    whole chain is BIGINT (the fixed-point-DSP doctrine of the
+    Goertzel/spectrogram family). The gate pins per-doc output sum,
+    energy, zero-crossing count (rate-normalized periodicity — the
+    tone docs' crossing count survives resampling), peak amplitude,
+    and a RECONSTRUCTION-ERROR column: phase-0 outputs must equal 4x
+    their source sample exactly, so any off-by-one in the phase
+    arithmetic or tap indexing reads a nonzero error and fails the
+    hash. Synthesis crosses a Generate boundary as a value (the
+    spectrogram's CollapseProject lesson); per-output-row interp reads
+    the carried array. One narrow 85-row explode + one doc-keyed agg;
+    no Python boundary."""
+    smp = _rs_sample(
+        T.hashed_id_spark(
+            "concat('rs#', CAST(doc_id AS STRING), ':', "
+            "CAST(t AS STRING))",
+            255,
+        )
+    )
+    xs = (
+        f"transform(sequence(0, {_RS_NIN - 1}), "
+        f"t -> CAST({smp} AS BIGINT))"
+    )
+    # Spark DIV yields BIGINT; element_at wants an INT subscript
+    at = lambda idx: f"element_at(xs, CAST({idx} AS INT))"  # noqa: E731
+    y = _rs_y4("k", at)
+    yp = _rs_y4("k - 1", at)
+    d = (
+        T.docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{xs} AS xs")
+        .select(
+            "doc_id",
+            "xs",
+            F.posexplode(
+                F.expr(f"sequence(0, {_RS_NOUT - 1})")
+            ).alias("i0", "k"),
+        )
+        .selectExpr(
+            "doc_id",
+            f"{y} AS y4",
+            f"CASE WHEN k >= 1 THEN {yp} END AS y4p",
+            f"CASE WHEN k % 4 = 0 THEN abs({y} - 4 * "
+            "element_at(xs, CAST((3 * k) DIV 4 + 1 AS INT))) "
+            "ELSE 0 END AS rerr",
+        )
+    )
+    return d.groupBy("doc_id").agg(
+        F.lit(_RS_NOUT).cast("int").alias("n_out"),
+        F.sum("y4").cast("bigint").alias("sum_q"),
+        F.sum(F.expr("y4 * y4")).cast("bigint").alias("energy_q"),
+        F.sum(
+            F.expr(
+                "CASE WHEN y4p IS NOT NULL AND y4 * y4p < 0 "
+                "THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("int")
+        .alias("zero_cross"),
+        F.max(F.expr("abs(y4)")).cast("bigint").alias("max_abs_q"),
+        F.sum("rerr").cast("bigint").alias("recon_err"),
+    )
