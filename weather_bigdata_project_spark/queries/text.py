@@ -1283,10 +1283,12 @@ def _uv_dp_duck() -> str:
     )
 
 
-def _uv_oracle() -> str:
-    """DuckDB twin: identical vocab construction and DP. w0/cand/pc are
-    referenced more than once -> AS MATERIALIZED (round-9 CTE-inlining
-    doctrine); every marked CTE is referenced by name below."""
+def _uv_oracle_prefix() -> str:
+    """The shared train-side CTE chain (w0 .. cfw), reused verbatim by
+    the Viterbi and greedy-WordPiece oracles so both gates provably
+    segment with the SAME trained vocabulary. w0/cand/pc are referenced
+    more than once -> AS MATERIALIZED (round-9 CTE-inlining doctrine);
+    every marked CTE is referenced by name downstream."""
     return (
         "WITH w0 AS MATERIALIZED ("
         f"SELECT doc_id, substr(w, 1, {_UV_CAP}) AS w "
@@ -1313,7 +1315,14 @@ def _uv_oracle() -> str:
         f"array_agg(struct_pack(k := (cand.s - 1) * {_UV_L} + cand.j, "
         "v := vc.v))) AS cf "
         "FROM cand JOIN vc ON vc.piece = cand.piece GROUP BY cand.w), "
-        f"wr AS (SELECT w, {_uv_dp_duck()} AS best FROM cfw) "
+    )
+
+
+def _uv_oracle() -> str:
+    """DuckDB twin of the Viterbi query: shared train chain + the DP."""
+    return (
+        _uv_oracle_prefix()
+        + f"wr AS (SELECT w, {_uv_dp_duck()} AS best FROM cfw) "
         "SELECT w0.doc_id, "
         "CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
         "CAST(SUM(wr.best % 64) AS BIGINT) AS n_pieces, "
@@ -1379,6 +1388,23 @@ def _uv_train(spark, sf_dir):
     return w0, cand, vc
 
 
+def _uv_cfw(cand, vc):
+    """Per-distinct-word (start,len)->cost map over the trained vocab —
+    the inference-side input frame, shared by the Viterbi and greedy
+    segmenters."""
+    return (
+        cand.join(F.broadcast(vc), "piece")
+        .selectExpr("w", "m", f"(s - 1) * {_UV_L} + j AS k", "v")
+        .groupBy("w")
+        .agg(
+            F.max("m").alias("m"),
+            F.expr(
+                "map_from_entries(collect_list(struct(k, v)))"
+            ).alias("cf"),
+        )
+    )
+
+
 def uv_vocab_rows(spark, sf_dir) -> list[tuple[str, int]]:
     """Ship the trained tokenizer to an ingest job: the <= V+alphabet
     (piece, cost) rows ARE the model artifact (what SentencePiece
@@ -1411,18 +1437,9 @@ def text_unigram_viterbi(spark, sf_dir):
     join plus one doc-cardinality agg. Nothing doc- or word-cardinality
     touches the driver."""
     w0, cand, vc = _uv_train(spark, sf_dir)
-    cfw = (
-        cand.join(F.broadcast(vc), "piece")
-        .selectExpr("w", "m", f"(s - 1) * {_UV_L} + j AS k", "v")
-        .groupBy("w")
-        .agg(
-            F.max("m").alias("m"),
-            F.expr(
-                "map_from_entries(collect_list(struct(k, v)))"
-            ).alias("cf"),
-        )
+    wr = _uv_cfw(cand, vc).select(
+        "w", F.expr(_uv_dp_spark()).alias("best")
     )
-    wr = cfw.select("w", F.expr(_uv_dp_spark()).alias("best"))
     return (
         w0.join(wr, "w")
         .groupBy("doc_id")
@@ -1442,5 +1459,121 @@ def text_unigram_viterbi(spark, sf_dir):
             F.expr(
                 rnd("CAST(nll_units AS DOUBLE) / 1.0e5 / n_pieces", 6)
             ).alias("nats_per_piece"),
+        )
+    )
+
+
+# --- greedy longest-match segmentation (WordPiece inference) ---------------
+
+
+def _wp_step(at) -> str:
+    """One greedy step on packed state pos + 32*ntok + 1024*cost: take
+    the LONGEST vocab piece starting at pos (4 down to 1; the 1-char
+    fallback always exists), advance pos by its length, count it, add
+    its cost. `at(key)` is the engine's cf-map lookup. Fields are
+    additive, so the step is one CASE adding (j + 32 + 1024*cost_j)."""
+    arms = []
+    for j in (4, 3, 2):
+        c = at(f"(acc % 32 - 1) * {_UV_L} + {j}")
+        arms.append(f"WHEN {c} IS NOT NULL THEN {j} + 32 + 1024 * {c}")
+    c1 = at(f"(acc % 32 - 1) * {_UV_L} + 1")
+    return (
+        "CASE WHEN acc % 32 > m THEN acc ELSE acc + CASE "
+        + " ".join(arms)
+        + f" ELSE 1 + 32 + 1024 * {c1} END END"
+    )
+
+
+def _wp_spark() -> str:
+    at = lambda k: f"element_at(cf, {k})"  # noqa: E731
+    return (
+        f"aggregate(sequence(1, {_UV_CAP}), CAST(1 AS BIGINT), "
+        f"(acc, x) -> {_wp_step(at)})"
+    )
+
+
+def _wp_duck() -> str:
+    at = lambda k: f"cf[{k}][1]"  # noqa: E731
+    return (
+        f"list_reduce(list_prepend(CAST(1 AS BIGINT), "
+        f"list_transform(range(1, {_UV_CAP + 1}), "
+        "q -> CAST(q AS BIGINT))), "
+        f"(acc, x) -> {_wp_step(at)})"
+    )
+
+
+def _wp_oracle() -> str:
+    """Shared train chain + BOTH segmenters per word, so the gate pins
+    greedy and Viterbi against each other (excess >= 0 is the
+    optimality invariant, carried as data)."""
+    return (
+        _uv_oracle_prefix()
+        + f"wr AS (SELECT w, {_uv_dp_duck()} AS vb, {_wp_duck()} AS gb "
+        "FROM cfw) "
+        "SELECT w0.doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
+        "CAST(SUM((wr.gb // 32) % 32) AS BIGINT) AS n_wp_pieces, "
+        "CAST(SUM(wr.vb % 64) AS BIGINT) AS n_vit_pieces, "
+        "CAST(SUM(wr.gb // 1024) AS BIGINT) AS wp_nll_units, "
+        "CAST(SUM(wr.vb // 64) AS BIGINT) AS vit_nll_units, "
+        "CAST(SUM(wr.gb // 1024 - wr.vb // 64) AS BIGINT) "
+        "AS excess_units, "
+        + rnd(
+            "CAST(SUM((wr.gb // 32) % 32) AS DOUBLE) / COUNT(*)", 6
+        )
+        + " AS wp_fertility "
+        "FROM w0 JOIN wr USING (w) GROUP BY w0.doc_id"
+    )
+
+
+@query("text_wordpiece_greedy", oracle=_wp_oracle())
+def text_wordpiece_greedy(spark, sf_dir):
+    """Greedy longest-match-first segmentation — the WordPiece/BERT
+    inference algorithm — over the SAME trained vocabulary as
+    text_unigram_viterbi, with both segmenters gated side by side.
+    This completes the tokenizer-inference triad real pipelines ship
+    (BPE merge replay, unigram Viterbi, greedy longest-match), and the
+    gate carries the textbook relationship as DATA: per doc, greedy
+    token count/NLL next to Viterbi's, and excess_units = greedy NLL -
+    Viterbi NLL, which the DP's optimality forces >= 0 — a Viterbi
+    that ever scores above greedy, or a greedy that skips a longer
+    match, flips a value and fails the hash. The greedy walk is a
+    packed-BIGINT fold too (pos + 32*ntok + 1024*cost, fields
+    additive, CAP iterations with a past-end no-op arm), one in-row
+    fold per distinct word.
+
+    Scale shape: identical to the Viterbi query — train side shared
+    (_uv_train), one extra in-row fold on the same cfw frame, same
+    Zipf-bounded dictionary join and doc agg. Zero extra shuffles."""
+    w0, cand, vc = _uv_train(spark, sf_dir)
+    wr = _uv_cfw(cand, vc).select(
+        "w",
+        F.expr(_uv_dp_spark()).alias("vb"),
+        F.expr(_wp_spark()).alias("gb"),
+    )
+    return (
+        w0.join(wr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),
+            F.sum(F.expr("(gb DIV 32) % 32"))
+            .cast("bigint")
+            .alias("n_wp_pieces"),
+            F.sum(F.expr("vb % 64")).cast("bigint").alias("n_vit_pieces"),
+            F.sum(F.expr("gb DIV 1024"))
+            .cast("bigint")
+            .alias("wp_nll_units"),
+            F.sum(F.expr("vb DIV 64"))
+            .cast("bigint")
+            .alias("vit_nll_units"),
+            F.sum(F.expr("gb DIV 1024 - vb DIV 64"))
+            .cast("bigint")
+            .alias("excess_units"),
+        )
+        .select(
+            "*",
+            F.expr(
+                rnd("CAST(n_wp_pieces AS DOUBLE) / n_ws_tokens", 6)
+            ).alias("wp_fertility"),
         )
     )
