@@ -1187,3 +1187,59 @@ def test_goertzel_query_detects_all(spark):
         _, _, p = _gz_python(s)
         assert r.bin_power == p
         assert r.total_energy == sum(x * x for x in s)
+
+
+def test_lz77_roundtrip_battery():
+    """The LZ77 kernel on the inputs that break naive encoders:
+    arbitrary random bytes, RLE runs (self-overlapping matches,
+    offset < length), window-boundary matches, sub-min-match tails,
+    and the empty string — every one must round-trip exactly; the
+    structured case pins the greedy token accounting the oracle
+    predicts closed-form."""
+    import random
+
+    from weather_bigdata_project_spark.operators.multimodal import (
+        LZ_LOOKAHEAD,
+        LZ_MIN_MATCH,
+        LZ_WINDOW,
+        lz77_decode,
+        lz77_encode,
+    )
+
+    rng = random.Random(42)
+    cases = [
+        b"",
+        b"a",
+        b"ab",
+        b"a" * 200,                      # pure RLE: offset-1 overlap
+        b"abc" * 40,                     # the oracle's periodic shape
+        b"xyz" + b"q" * LZ_WINDOW + b"xyz",  # match evicted by window
+        bytes(rng.randrange(256) for _ in range(500)),
+        bytes(rng.randrange(3) for _ in range(500)),  # match-dense
+    ]
+    for c in cases:
+        toks = lz77_encode(c)
+        assert lz77_decode(toks) == c
+        for t in toks:  # every match respects the declared params
+            if t[0] == "M":
+                assert 1 <= t[1] <= LZ_WINDOW
+                assert LZ_MIN_MATCH <= t[2] <= LZ_LOOKAHEAD
+    # structured accounting: 3 literals then period-3 matches of 15
+    toks = lz77_encode(b"abc" * 11)
+    assert [t for t in toks if t[0] == "L"] == [
+        ("L", ord("a")), ("L", ord("b")), ("L", ord("c"))
+    ]
+    assert [t for t in toks if t[0] == "M"] == [("M", 3, 15), ("M", 3, 15)]
+    # window eviction: the second 'xyz' is > 32 bytes past the first,
+    # so it must re-emit literals, never a match
+    toks = lz77_encode(b"xyz" + b"q" * LZ_WINDOW + b"xyz")
+    assert toks[-3:] == [
+        ("L", ord("x")), ("L", ord("y")), ("L", ord("z"))
+    ]
+    # decoder fails loudly off contract
+    import pytest
+
+    with pytest.raises(ValueError):
+        lz77_decode([("M", 5, 3)])
+    with pytest.raises(ValueError):
+        lz77_decode([("X", 0)])

@@ -3033,3 +3033,111 @@ def mc_video_roundtrip(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         _batches, schema=MC_SCHEMA
     )
+
+
+# --- LZ77 sliding-window codec ----------------------------------------------
+
+#: window / lookahead / minimum match of the in-tree LZ77: the
+#: DEFLATE-family parameters scaled to gate-sized payloads. Tokens are
+#: (offset, length) matches — self-overlap allowed, the RLE trick —
+#: or single literals; greedy longest match, ties to the SMALLEST
+#: offset (nearest), the deterministic policy both the oracle's
+#: closed-form token count and the unit battery pin.
+LZ_WINDOW = 32
+LZ_LOOKAHEAD = 15
+LZ_MIN_MATCH = 3
+
+
+def lz77_encode(data: bytes) -> list[tuple]:
+    """Greedy LZ77 over a sliding window: at each position take the
+    longest match of the lookahead against the previous LZ_WINDOW
+    bytes (matches may overlap their own output — offset < length is
+    legal and decodes byte-by-byte), emit ('M', offset, length) when
+    >= LZ_MIN_MATCH else ('L', byte). Nearest offset wins ties."""
+    i, n, out = 0, len(data), []
+    while i < n:
+        best_len = 0
+        best_off = 0
+        maxlen = min(LZ_LOOKAHEAD, n - i)
+        for off in range(1, min(LZ_WINDOW, i) + 1):
+            k = 0
+            while k < maxlen and data[i + k] == data[i - off + k % off]:
+                k += 1
+            if k > best_len:  # strict: nearest offset wins ties
+                best_len, best_off = k, off
+        if best_len >= LZ_MIN_MATCH:
+            out.append(("M", best_off, best_len))
+            i += best_len
+        else:
+            out.append(("L", data[i]))
+            i += 1
+    return out
+
+
+def lz77_decode(tokens: list[tuple]) -> bytes:
+    """Inverse: literals append; matches copy byte-by-byte from
+    `offset` back — the sequential copy is what makes self-overlapping
+    (RLE-style) matches decode correctly. Fails loudly (ValueError) on
+    an offset past the start or an unknown token kind."""
+    buf = bytearray()
+    for t in tokens:
+        if t[0] == "L":
+            buf.append(t[1])
+        elif t[0] == "M":
+            _, off, ln = t
+            if off < 1 or off > len(buf):
+                raise ValueError("match offset out of range")
+            for _ in range(ln):
+                buf.append(buf[-off])
+        else:
+            raise ValueError(f"unknown token kind {t[0]!r}")
+    return bytes(buf)
+
+
+LZ77_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("orig_len", Ty.LongType()),
+        Ty.StructField("n_literals", Ty.IntegerType()),
+        Ty.StructField("n_matches", Ty.IntegerType()),
+        Ty.StructField("comp_len", Ty.LongType()),
+        Ty.StructField("decoded_md5", Ty.StringType()),
+        Ty.StructField("decoded_ok", Ty.BooleanType()),
+    ]
+)
+
+
+def lz77_roundtrip(df: DataFrame) -> DataFrame:
+    """Arrow-batched LZ77 encode -> decode over a `content` string
+    column; one row per document. comp_len is the serialized token
+    stream size (2 bytes per literal, 3 per match); decoded_md5 hashes
+    the decoder's output so the oracle gates full-content equality
+    without ever running a codec."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LZ77_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = (content or "").encode("utf-8")
+                toks = lz77_encode(data)
+                dec = lz77_decode(toks)
+                n_lit = sum(1 for t in toks if t[0] == "L")
+                n_mat = len(toks) - n_lit
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(data),
+                        n_lit,
+                        n_mat,
+                        2 * n_lit + 3 * n_mat,
+                        hashlib.md5(dec).hexdigest(),
+                        dec == data,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(
+        _batches, schema=LZ77_SCHEMA
+    )

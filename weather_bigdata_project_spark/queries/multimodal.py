@@ -1651,3 +1651,71 @@ def multimodal_audio_resample(spark, sf_dir):
         F.max(F.expr("abs(y4)")).cast("bigint").alias("max_abs_q"),
         F.sum("rerr").cast("bigint").alias("recon_err"),
     )
+
+
+# --- LZ77 sliding-window compression ----------------------------------------
+
+#: per-doc periodic payload with DISTINCT period characters: P =
+#: 'a' || two distinct letters from 'b'..'z' (both derived from a
+#: normalized residue so signed doc_ids stay consistent), repeated
+#: R = 7 + (doc_id mod 13) times. Distinct chars make the period
+#: aperiodic, so greedy LZ77 emits EXACTLY 3 literals then
+#: ceil((3R-3)/15) period-3 matches — every token closed-form.
+_LZ_D625 = "(((doc_id % 625) + 625) % 625)"
+_LZ_C2 = f"({_LZ_D625} % 25)"
+_LZ_C3 = f"(({_LZ_C2} + 1 + ({_LZ_D625} {{d}} 25) % 24) % 25)"
+_LZ_R = "(7 + ((doc_id % 13) + 13) % 13)"
+
+
+def _lz_content(d: str) -> str:
+    # chr() is INTEGER-only in DuckDB; the cast is a no-op in Spark
+    return (
+        f"repeat('a' || chr(CAST(98 + {_LZ_C2} AS INT)) || "
+        f"chr(CAST(98 + {_LZ_C3.format(d=d)} AS INT)), {_LZ_R})"
+    )
+
+
+def _lz_oracle() -> str:
+    """Closed-form token accounting: L = 3R bytes; 3 literals; the
+    match run covers L-3 = 3(R-1) bytes in lookahead-15 chunks, and
+    3(R-1) mod 15 is always 0/3/6/9/12 — never below the min-match —
+    so n_matches = ceil(3(R-1)/15) with no literal tail. decoded_md5
+    is the md5 of the predicted content itself: the oracle never runs
+    a codec, yet gates full round-trip equality."""
+    c = _lz_content("//")
+    return (
+        f"WITH b AS (SELECT doc_id, {c} AS content, "
+        f"3 * {_LZ_R} AS L FROM documents) "
+        "SELECT doc_id, CAST(L AS BIGINT) AS orig_len, "
+        "CAST(3 AS INT) AS n_literals, "
+        "CAST((L - 3 + 14) // 15 AS INT) AS n_matches, "
+        "CAST(6 + 3 * ((L - 3 + 14) // 15) AS BIGINT) AS comp_len, "
+        "md5(content) AS decoded_md5, "
+        "TRUE AS decoded_ok "
+        "FROM b"
+    )
+
+
+@query("multimodal_lz77_roundtrip", oracle=_lz_oracle())
+def multimodal_lz77_roundtrip(spark, sf_dir):
+    """REAL LZ77 sliding-window compression, encode -> decode, gated
+    losslessly — the one classical codec class the tree lacked:
+    dictionary coding (GIF's LZW), entropy coding (JPEG's canonical
+    Huffman), predictive coding (IMA-ADPCM), transform coding (DCT)
+    are all in-tree, and LZ77's sliding-window match/literal stream is
+    the missing DEFLATE-family member (what zlib does before Huffman).
+    Greedy longest match over a 32-byte window with 15-byte lookahead,
+    min match 3, nearest-offset tie rule, SELF-OVERLAPPING matches
+    (offset < length — the RLE trick) decoded byte-by-byte. Payloads
+    are periodic strings with distinct period characters, so the
+    DuckDB oracle predicts the complete token accounting closed-form
+    (3 literals + ceil((3R-3)/15) matches) and the decoded md5 IS the
+    payload's md5 — any window/lookahead/tie/overlap defect changes a
+    token count or a decoded byte and fails the driver hash. General
+    inputs (random bytes, RLE runs, window-boundary matches) round-trip
+    in the unit battery. One Arrow-batched stage over a spread scan;
+    payloads are built and die inside their task — ZERO shuffle."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).selectExpr("doc_id", _lz_content("DIV") + " AS content")
+    return M.lz77_roundtrip(d)
