@@ -1243,3 +1243,111 @@ def test_lz77_roundtrip_battery():
         lz77_decode([("M", 5, 3)])
     with pytest.raises(ValueError):
         lz77_decode([("X", 0)])
+
+
+def test_deflate_zlib_conformance_battery():
+    """RFC 1951 battery: our fixed-Huffman encoder must be decodable
+    by zlib (external arbiter), and our inflate must decode zlib's own
+    raw level-6 streams (dynamic-Huffman blocks) — plus edge shapes:
+    empty input, single byte, full-range literals (both the 8-bit and
+    9-bit fixed code halves), max-length matches, window-scale runs,
+    incompressible random bytes (stored-block fallback), and
+    match-dense small alphabets."""
+    import random
+    import zlib
+
+    from weather_bigdata_project_spark.operators.multimodal import (
+        deflate_fixed_encode,
+        inflate,
+    )
+
+    rng = random.Random(1951)
+    cases = [
+        b"",
+        b"a",
+        b"abc" * 100,
+        bytes(range(256)) * 5,  # exercises 9-bit literal codes
+        bytes(rng.randrange(256) for _ in range(10000)),  # stored path
+        b"x" * 70000,  # >65535: multi-chunk stored bound, 258-cap matches
+        b"hello world " * 30,
+        bytes(rng.randrange(4) for _ in range(5000)),
+    ]
+    for c in cases:
+        enc = deflate_fixed_encode(c)
+        assert zlib.decompress(enc, -15) == c
+        assert inflate(enc) == c
+        zc = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = zc.compress(c) + zc.flush()
+        assert inflate(raw) == c
+    # stored fallback actually engages on incompressible input
+    incompressible = bytes(rng.randrange(256) for _ in range(2000))
+    assert len(deflate_fixed_encode(incompressible)) == 2000 + 5
+    # repetitive input compresses
+    assert len(deflate_fixed_encode(b"ab" * 1000)) < 50
+
+
+def test_inflate_fails_loudly_off_contract():
+    import pytest
+
+    from weather_bigdata_project_spark.operators.multimodal import (
+        _DefBitWriter,
+        inflate,
+    )
+
+    with pytest.raises(ValueError):
+        inflate(b"")  # truncated header
+    w = _DefBitWriter()
+    w.write_bits(1, 1)
+    w.write_bits(3, 2)  # BTYPE=11 reserved
+    with pytest.raises(ValueError):
+        inflate(w.getvalue())
+    # stored LEN/NLEN mismatch
+    bad = bytes([0b000, 0x05, 0x00, 0x00, 0x00]) + b"hello"
+    with pytest.raises(ValueError):
+        inflate(bad)
+
+
+def test_bwt_mtf_rle_battery():
+    """Block-sorting chain: forward/inverse BWT (textbook 'banana' →
+    'nnbaaa' idx 3), MTF/RLE inverses, and full-chain round-trips on
+    edge shapes (single byte, all-equal, periodic with tied rotations,
+    random, zero bytes)."""
+    import random
+
+    from weather_bigdata_project_spark.operators.multimodal import (
+        bwt_decode,
+        bwt_encode,
+        mtf_decode,
+        mtf_encode,
+        rle_zero_decode,
+        rle_zero_encode,
+    )
+
+    idx, last = bwt_encode(b"banana")
+    assert last == b"nnbaaa" and idx == 3
+    rng = random.Random(9)
+    cases = [
+        b"a",
+        b"aaaaaaaa",  # all rotations tie — j tie-break path
+        b"abcabcabc",
+        b"\x00" * 10,
+        bytes(rng.randrange(256) for _ in range(64)),
+        bytes(rng.randrange(3) for _ in range(64)),
+    ]
+    for c in cases:
+        idx, last = bwt_encode(c)
+        assert bwt_decode(idx, last) == c
+        codes = mtf_encode(last)
+        assert mtf_decode(codes) == last
+        toks = rle_zero_encode(codes)
+        assert rle_zero_decode(toks) == codes
+    import pytest
+
+    with pytest.raises(ValueError):
+        bwt_encode(b"")
+    with pytest.raises(ValueError):
+        bwt_decode(5, b"abc")
+    with pytest.raises(ValueError):
+        rle_zero_decode([("C", 0)])
+    with pytest.raises(ValueError):
+        rle_zero_decode([("Z", 0)])

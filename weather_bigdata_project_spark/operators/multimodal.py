@@ -3141,3 +3141,594 @@ def lz77_roundtrip(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "content").mapInPandas(
         _batches, schema=LZ77_SCHEMA
     )
+
+
+# --- DEFLATE (RFC 1951): fixed-Huffman encoder + full inflate ------------
+#
+# The capstone of the compression family: LZ77 (sliding-window matching,
+# above) feeds canonical Huffman entropy coding (the JPEG codec's class)
+# to produce an actual RFC 1951 bitstream. Conformance is EXTERNAL both
+# directions: our encoder's output is decoded by zlib (an independent,
+# canonical implementation), and our inflate decodes zlib's own raw
+# streams — including dynamic-Huffman blocks — back to the source bytes.
+
+#: length symbol table, RFC 1951 3.2.5: (base_length, extra_bits) for
+#: symbols 257..285.
+_DEFLATE_LEN = [
+    (3, 0), (4, 0), (5, 0), (6, 0), (7, 0), (8, 0), (9, 0), (10, 0),
+    (11, 1), (13, 1), (15, 1), (17, 1), (19, 2), (23, 2), (27, 2),
+    (31, 2), (35, 3), (43, 3), (51, 3), (59, 3), (67, 4), (83, 4),
+    (99, 4), (115, 4), (131, 5), (163, 5), (195, 5), (227, 5), (258, 0),
+]
+
+#: distance symbol table: (base_dist, extra_bits) for symbols 0..29.
+_DEFLATE_DIST = [
+    (1, 0), (2, 0), (3, 0), (4, 0), (5, 1), (7, 1), (9, 2), (13, 2),
+    (17, 3), (25, 3), (33, 4), (49, 4), (65, 5), (97, 5), (129, 6),
+    (193, 6), (257, 7), (385, 7), (513, 8), (769, 8), (1025, 9),
+    (1537, 9), (2049, 10), (3073, 10), (4097, 11), (6145, 11),
+    (8193, 12), (12289, 12), (16385, 13), (24577, 13),
+]
+
+
+def _canonical_codes(lengths: list[int]) -> list[tuple[int, int]]:
+    """RFC 1951 3.2.2 canonical Huffman assignment: (code, nbits) per
+    symbol; symbols with length 0 get (0, 0) and are unused."""
+    max_len = max(lengths) if lengths else 0
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = []
+    for ln in lengths:
+        if ln == 0:
+            out.append((0, 0))
+        else:
+            out.append((next_code[ln], ln))
+            next_code[ln] += 1
+    return out
+
+
+def _fixed_lit_lengths() -> list[int]:
+    """Fixed literal/length code lengths, RFC 1951 3.2.6."""
+    return [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+
+
+_FIXED_LIT_CODES = _canonical_codes(_fixed_lit_lengths())
+_FIXED_DIST_CODES = _canonical_codes([5] * 30)
+
+
+class _DefBitWriter:
+    """DEFLATE bit packing: integers LSB-first, Huffman codes MSB-first
+    (so the code is emitted bit-reversed relative to its numeric form)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.bit = 0
+        self.acc = 0
+
+    def write_bits(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self.acc |= ((value >> i) & 1) << self.bit
+            self.bit += 1
+            if self.bit == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.bit = 0
+
+    def write_code(self, code: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.write_bits((code >> i) & 1, 1)
+
+    def align(self) -> None:
+        if self.bit:
+            self.buf.append(self.acc)
+            self.acc = 0
+            self.bit = 0
+
+    def getvalue(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _length_symbol(ln: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a match length 3..258."""
+    for i in range(len(_DEFLATE_LEN) - 1, -1, -1):
+        base, extra = _DEFLATE_LEN[i]
+        if ln >= base:
+            return 257 + i, extra, ln - base
+    raise ValueError(f"bad match length {ln}")
+
+
+def _dist_symbol(dist: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a distance 1..32768."""
+    for i in range(len(_DEFLATE_DIST) - 1, -1, -1):
+        base, extra = _DEFLATE_DIST[i]
+        if dist >= base:
+            return i, extra, dist - base
+    raise ValueError(f"bad distance {dist}")
+
+
+#: encoder matching parameters: full DEFLATE ranges.
+DEFLATE_WINDOW = 32768
+DEFLATE_MIN_MATCH = 3
+DEFLATE_MAX_MATCH = 258
+
+
+def _deflate_tokens(data: bytes) -> list[tuple]:
+    """Greedy hash-chain LZ77 at DEFLATE's parameters: longest match
+    wins, NEAREST distance breaks ties (deterministic; also the
+    cheapest distance code). Self-overlapping matches legal."""
+    n = len(data)
+    head: dict[bytes, list[int]] = {}
+    out: list[tuple] = []
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + DEFLATE_MIN_MATCH <= n:
+            key = data[i : i + 3]
+            cand = head.get(key)
+            if cand:
+                lo = i - DEFLATE_WINDOW
+                maxlen = min(DEFLATE_MAX_MATCH, n - i)
+                for j in reversed(cand):  # nearest first
+                    if j < lo:
+                        break
+                    k = 3
+                    while k < maxlen and data[i + k] == data[j + k % (i - j) if j + k >= i else j + k]:
+                        k += 1
+                    if k > best_len:
+                        best_len, best_dist = k, i - j
+                        if k == maxlen:
+                            break
+        if best_len >= DEFLATE_MIN_MATCH:
+            out.append(("M", best_dist, best_len))
+            end = i + best_len
+            while i < end:
+                if i + 3 <= n:
+                    head.setdefault(data[i : i + 3], []).append(i)
+                i += 1
+        else:
+            out.append(("L", data[i]))
+            if i + 3 <= n:
+                head.setdefault(data[i : i + 3], []).append(i)
+            i += 1
+    return out
+
+
+def _fixed_block_bits(tokens: list[tuple]) -> int:
+    """Exact bit cost of one fixed-Huffman block holding `tokens`
+    (header + symbols + EOB)."""
+    bits = 3 + _FIXED_LIT_CODES[256][1]
+    for t in tokens:
+        if t[0] == "L":
+            bits += _FIXED_LIT_CODES[t[1]][1]
+        else:
+            _, dist, ln = t
+            sym, extra, _ = _length_symbol(ln)
+            bits += _FIXED_LIT_CODES[sym][1] + extra
+            dsym, dextra, _ = _dist_symbol(dist)
+            bits += _FIXED_DIST_CODES[dsym][1] + dextra
+    return bits
+
+
+def deflate_fixed_encode(data: bytes) -> bytes:
+    """RFC 1951 raw-deflate encoder: greedy LZ77 tokens entropy-coded
+    in ONE fixed-Huffman block (BTYPE=01), unless stored blocks
+    (BTYPE=00, 5-byte header per <=65535-byte chunk) are strictly
+    smaller — the incompressible-input guard real encoders apply. The
+    output decodes with `zlib.decompress(out, wbits=-15)` (conformance
+    pinned by the unit battery AND inside the gated query)."""
+    tokens = _deflate_tokens(data)
+    fixed_bits = _fixed_block_bits(tokens)
+    n_chunks = max(1, (len(data) + 65534) // 65535)
+    stored_bytes = 5 * n_chunks + len(data)
+    if (fixed_bits + 7) // 8 >= stored_bytes:
+        w = _DefBitWriter()
+        pos = 0
+        n = len(data)
+        first = True
+        while first or pos < n:
+            first = False
+            chunk = data[pos : pos + 65535]
+            pos += len(chunk)
+            w.write_bits(1 if pos >= n else 0, 1)
+            w.write_bits(0, 2)  # BTYPE=00
+            w.align()
+            ln = len(chunk)
+            w.write_bits(ln, 16)
+            w.write_bits(ln ^ 0xFFFF, 16)
+            w.buf.extend(chunk)
+        return w.getvalue()
+    w = _DefBitWriter()
+    w.write_bits(1, 1)  # BFINAL
+    w.write_bits(1, 2)  # BTYPE=01 fixed
+    for t in tokens:
+        if t[0] == "L":
+            code, nb = _FIXED_LIT_CODES[t[1]]
+            w.write_code(code, nb)
+        else:
+            _, dist, ln = t
+            sym, extra, ev = _length_symbol(ln)
+            code, nb = _FIXED_LIT_CODES[sym]
+            w.write_code(code, nb)
+            if extra:
+                w.write_bits(ev, extra)
+            dsym, dextra, dev = _dist_symbol(dist)
+            dcode, dnb = _FIXED_DIST_CODES[dsym]
+            w.write_code(dcode, dnb)
+            if dextra:
+                w.write_bits(dev, dextra)
+    code, nb = _FIXED_LIT_CODES[256]
+    w.write_code(code, nb)
+    return w.getvalue()
+
+
+class _DefBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated deflate stream")
+        b = (self.data[self.pos] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.read_bit() << i
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _HuffTree:
+    """Canonical-Huffman decoder: walks (first_code, first_symbol_index)
+    per bit length — O(max_len) per symbol, no table blowup."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        max_len = max(lengths) if lengths else 0
+        self.counts = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                self.counts[ln] += 1
+        self.symbols = []
+        for bits in range(1, max_len + 1):
+            for sym, ln in enumerate(lengths):
+                if ln == bits:
+                    self.symbols.append(sym)
+        self.max_len = max_len
+
+    def decode(self, r: _DefBitReader) -> int:
+        code = 0
+        first = 0
+        index = 0
+        for bits in range(1, self.max_len + 1):
+            code |= r.read_bit()
+            count = self.counts[bits]
+            if code - first < count:
+                return self.symbols[index + (code - first)]
+            index += count
+            first = (first + count) << 1
+            code <<= 1
+        raise ValueError("invalid huffman code")
+
+
+#: code-length-code transmission order, RFC 1951 3.2.7.
+_CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
+
+
+def inflate(data: bytes) -> bytes:
+    """Full RFC 1951 inflate: stored (00), fixed (01), and
+    dynamic-Huffman (10) blocks — the decoder side is COMPLETE, so it
+    round-trips zlib's own raw streams (dynamic blocks included), not
+    just our fixed-block encoder. Fails loudly (ValueError) on bad
+    BTYPE, LEN/NLEN mismatch, over-subscribed code, or a distance past
+    the start of output."""
+    r = _DefBitReader(data)
+    out = bytearray()
+    while True:
+        bfinal = r.read_bit()
+        btype = r.read_bits(2)
+        if btype == 0:
+            r.align()
+            if r.pos + 4 > len(data):
+                raise ValueError("truncated stored header")
+            ln = data[r.pos] | (data[r.pos + 1] << 8)
+            nlen = data[r.pos + 2] | (data[r.pos + 3] << 8)
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("stored LEN/NLEN mismatch")
+            r.pos += 4
+            if r.pos + ln > len(data):
+                raise ValueError("truncated stored block")
+            out.extend(data[r.pos : r.pos + ln])
+            r.pos += ln
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_tree = _HuffTree(_fixed_lit_lengths())
+                dist_tree = _HuffTree([5] * 30)
+            else:
+                hlit = r.read_bits(5) + 257
+                hdist = r.read_bits(5) + 1
+                hclen = r.read_bits(4) + 4
+                clc_len = [0] * 19
+                for i in range(hclen):
+                    clc_len[_CLC_ORDER[i]] = r.read_bits(3)
+                clc_tree = _HuffTree(clc_len)
+                lens: list[int] = []
+                while len(lens) < hlit + hdist:
+                    sym = clc_tree.decode(r)
+                    if sym < 16:
+                        lens.append(sym)
+                    elif sym == 16:
+                        if not lens:
+                            raise ValueError("repeat with no previous length")
+                        lens.extend([lens[-1]] * (3 + r.read_bits(2)))
+                    elif sym == 17:
+                        lens.extend([0] * (3 + r.read_bits(3)))
+                    else:
+                        lens.extend([0] * (11 + r.read_bits(7)))
+                if len(lens) != hlit + hdist:
+                    raise ValueError("code length overrun")
+                lit_tree = _HuffTree(lens[:hlit])
+                dist_tree = _HuffTree(lens[hlit:])
+            while True:
+                sym = lit_tree.decode(r)
+                if sym == 256:
+                    break
+                if sym < 256:
+                    out.append(sym)
+                    continue
+                if sym > 285:
+                    raise ValueError(f"bad length symbol {sym}")
+                base, extra = _DEFLATE_LEN[sym - 257]
+                ln = base + (r.read_bits(extra) if extra else 0)
+                dsym = dist_tree.decode(r)
+                if dsym > 29:
+                    raise ValueError(f"bad distance symbol {dsym}")
+                dbase, dextra = _DEFLATE_DIST[dsym]
+                dist = dbase + (r.read_bits(dextra) if dextra else 0)
+                if dist > len(out):
+                    raise ValueError("distance past start of output")
+                for _ in range(ln):
+                    out.append(out[-dist])
+        else:
+            raise ValueError(f"bad BTYPE {btype}")
+        if bfinal:
+            return bytes(out)
+
+
+DEFLATE_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("orig_len", Ty.LongType()),
+        Ty.StructField("decoded_md5", Ty.StringType()),
+        Ty.StructField("own_roundtrip_ok", Ty.BooleanType()),
+        Ty.StructField("zlib_decodes_ours", Ty.BooleanType()),
+        Ty.StructField("we_decode_zlib", Ty.BooleanType()),
+        Ty.StructField("compressed_smaller", Ty.BooleanType()),
+    ]
+)
+
+
+def deflate_conformance(df: DataFrame) -> DataFrame:
+    """Arrow-batched DEFLATE conformance frame over a `content` string
+    column: encode with OUR fixed-Huffman encoder, decode three ways —
+    our inflate, zlib's inflate of OUR stream, and our inflate of
+    ZLIB's raw stream (level 6, dynamic blocks) — one row per doc. The
+    md5 gates content equality; the three booleans pin cross-
+    implementation conformance INSIDE the driver-hashed frame.
+    zlib's compressed size is implementation-defined and deliberately
+    kept out of the gated columns."""
+    import hashlib
+    import zlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DEFLATE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = (content or "").encode("utf-8")
+                enc = deflate_fixed_encode(data)
+                dec = inflate(enc)
+                zdec = zlib.decompress(enc, -15)
+                zc = zlib.compressobj(6, zlib.DEFLATED, -15)
+                zraw = zc.compress(data) + zc.flush()
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(data),
+                        hashlib.md5(dec).hexdigest(),
+                        dec == data,
+                        zdec == data,
+                        inflate(zraw) == data,
+                        len(enc) < len(data),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(
+        _batches, schema=DEFLATE_SCHEMA
+    )
+
+
+# --- Block-sorting compression (BWT -> MTF -> zero-RLE) ------------------
+#
+# The bzip2-class pipeline: Burrows-Wheeler block sort groups equal
+# context bytes, move-to-front turns locality into small integers, and
+# run-length coding collapses the resulting zero runs. Unlike the other
+# codec gates, the FORWARD transform here is independently recomputed by
+# the DuckDB oracle (rotation sort expressed relationally over the hex
+# payload), not just round-tripped.
+
+BWT_BLOCK = 64
+
+
+def bwt_encode(data: bytes) -> tuple[int, bytes]:
+    """Burrows-Wheeler transform of one block: sort all rotations
+    (ties broken by start offset, matching the oracle's ORDER BY rot,
+    j), emit the last column + the rank of the original rotation."""
+    n = len(data)
+    if n == 0:
+        raise ValueError("empty BWT block")
+    dd = data + data
+    rots = sorted(range(n), key=lambda j: (dd[j : j + n], j))
+    last = bytes(data[(j - 1) % n] for j in rots)
+    return rots.index(0), last
+
+
+def bwt_decode(index: int, last: bytes) -> bytes:
+    """Inverse BWT via LF-mapping: stable-sort the last column to get
+    the first column, walk the permutation n steps from `index`."""
+    n = len(last)
+    if not 0 <= index < n:
+        raise ValueError("BWT index out of range")
+    # lf[i] = position in first column of last[i]'s occurrence
+    counts = [0] * 256
+    for b in last:
+        counts[b] += 1
+    starts = [0] * 256
+    s = 0
+    for v in range(256):
+        starts[v] = s
+        s += counts[v]
+    seen = [0] * 256
+    lf = [0] * n
+    for i, b in enumerate(last):
+        lf[i] = starts[b] + seen[b]
+        seen[b] += 1
+    out = bytearray()
+    p = index
+    for _ in range(n):
+        out.append(last[p])
+        p = lf[p]
+    return bytes(reversed(out))
+
+
+def mtf_encode(data: bytes) -> list[int]:
+    """Move-to-front over the full 0..255 alphabet."""
+    alpha = list(range(256))
+    out = []
+    for b in data:
+        i = alpha.index(b)
+        out.append(i)
+        if i:
+            alpha.pop(i)
+            alpha.insert(0, b)
+    return out
+
+def mtf_decode(codes: list[int]) -> bytes:
+    alpha = list(range(256))
+    out = bytearray()
+    for i in codes:
+        if not 0 <= i < 256:
+            raise ValueError("MTF code out of range")
+        b = alpha[i]
+        out.append(b)
+        if i:
+            alpha.pop(i)
+            alpha.insert(0, b)
+    return bytes(out)
+
+
+def rle_zero_encode(codes: list[int]) -> list[tuple]:
+    """Collapse maximal zero runs to ('Z', run_len); nonzero codes pass
+    through as ('C', code) — the post-MTF RLE stage (bzip2's RUNA/RUNB
+    without the entropy coder)."""
+    out: list[tuple] = []
+    i = 0
+    n = len(codes)
+    while i < n:
+        if codes[i] == 0:
+            j = i
+            while j < n and codes[j] == 0:
+                j += 1
+            out.append(("Z", j - i))
+            i = j
+        else:
+            out.append(("C", codes[i]))
+            i += 1
+    return out
+
+def rle_zero_decode(tokens: list[tuple]) -> list[int]:
+    out: list[int] = []
+    for t in tokens:
+        if t[0] == "Z":
+            if t[1] < 1:
+                raise ValueError("empty zero run")
+            out.extend([0] * t[1])
+        elif t[0] == "C":
+            if t[1] == 0:
+                raise ValueError("literal zero outside a run")
+            out.append(t[1])
+        else:
+            raise ValueError(f"unknown RLE token {t[0]!r}")
+    return out
+
+
+BWT_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("block_len", Ty.IntegerType()),
+        Ty.StructField("bwt_index", Ty.IntegerType()),
+        Ty.StructField("bwt_md5", Ty.StringType()),
+        Ty.StructField("mtf_zero_count", Ty.IntegerType()),
+        Ty.StructField("n_zero_runs", Ty.IntegerType()),
+        Ty.StructField("rle_len", Ty.IntegerType()),
+        Ty.StructField("roundtrip_ok", Ty.BooleanType()),
+    ]
+)
+
+
+def bwt_pipeline(df: DataFrame) -> DataFrame:
+    """Arrow-batched BWT -> MTF -> zero-RLE over the first BWT_BLOCK
+    bytes of `content`, plus the full inverse chain; one row per doc.
+    bwt_md5 hashes the lowercase-hex last column so the oracle's
+    relational rotation sort gates the forward transform byte-exactly."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BWT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = (content or "").encode("utf-8")[:BWT_BLOCK]
+                idx, last = bwt_encode(data)
+                codes = mtf_encode(last)
+                toks = rle_zero_encode(codes)
+                back = bwt_decode(idx, mtf_decode(rle_zero_decode(toks)))
+                nz = sum(1 for c in codes if c == 0)
+                runs = sum(1 for t in toks if t[0] == "Z")
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(data),
+                        idx,
+                        hashlib.md5(last.hex().encode()).hexdigest(),
+                        nz,
+                        runs,
+                        (len(codes) - nz) + 2 * runs,
+                        back == data,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(
+        _batches, schema=BWT_SCHEMA
+    )

@@ -338,3 +338,69 @@ SHINGLE_DICT_CTE = (
 )
 
 STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+# --- Unicode NFC normalization audit -------------------------------------
+
+#: decomposed suffixes injected per doc (doc_id % 6): combining acute,
+#: combining ring, Hangul L+V+T jamo, katakana voicing mark, a
+#: canonical-REORDER case (ccc 230 then 220 — NFC must sort the marks
+#: before composing), and an already-NFC no-op.
+NFC_SUFFIXES = [
+    "é",
+    "Å",
+    "각",
+    "ガ",
+    "ọ̈",
+    "x",
+]
+
+
+def nfc_audit(df):
+    """Arrow-batched Unicode NFC audit: each doc's first 120 chars plus
+    a deterministic DECOMPOSED suffix are canonically composed with
+    Python's unicodedata (UCD tables shipped with CPython); the DuckDB
+    oracle normalizes the identical content with its ICU-backed
+    nfc_normalize — two independent Unicode implementations must agree
+    on composition, reordering (canonical combining class sort), and
+    Hangul LVT arithmetic for the driver hash to pass. The mandatory
+    text-cleaning step of any multilingual corpus build."""
+    import hashlib
+    import unicodedata
+
+    from pyspark.sql import types as Ty
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("n_cp_before", Ty.IntegerType()),
+            Ty.StructField("n_cp_after", Ty.IntegerType()),
+            Ty.StructField("changed", Ty.BooleanType()),
+            Ty.StructField("norm_md5", Ty.StringType()),
+        ]
+    )
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = (text or "")[:120] + NFC_SUFFIXES[
+                    int(doc_id) % 6
+                ]
+                norm = unicodedata.normalize("NFC", content)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(content),
+                        len(norm),
+                        norm != content,
+                        hashlib.md5(norm.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.select("doc_id", "text").mapInPandas(_batches, schema=schema)

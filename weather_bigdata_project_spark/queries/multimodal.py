@@ -1719,3 +1719,132 @@ def multimodal_lz77_roundtrip(spark, sf_dir):
         T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
     ).selectExpr("doc_id", _lz_content("DIV") + " AS content")
     return M.lz77_roundtrip(d)
+
+
+def _deflate_oracle() -> str:
+    """The oracle's leverage is the lossless+conformance contract, not
+    token accounting: content is REAL document text (arbitrary bytes
+    after UTF-8 encode), tiled 8x so compressibility is a theorem —
+    one period of literals (<=9 bits/byte fixed-Huffman) plus matches
+    covering the other 7 periods is always below 8 bits/byte, so
+    `compressed_smaller` is provably TRUE and zlib's implementation-
+    defined sizes never enter the gated frame. decoded_md5 must equal
+    md5 of the source bytes and all three conformance booleans must be
+    TRUE — any bitstream defect in either direction flips a column."""
+    return (
+        "WITH b AS (SELECT doc_id, "
+        "repeat(substring(text, 1, 40), 8) AS content "
+        "FROM documents WHERE length(text) >= 1) "
+        "SELECT doc_id, "
+        "CAST(octet_length(encode(content)) AS BIGINT) AS orig_len, "
+        "md5(content) AS decoded_md5, "
+        "TRUE AS own_roundtrip_ok, "
+        "TRUE AS zlib_decodes_ours, "
+        "TRUE AS we_decode_zlib, "
+        "TRUE AS compressed_smaller "
+        "FROM b"
+    )
+
+
+@query("multimodal_deflate_roundtrip", oracle=_deflate_oracle())
+def multimodal_deflate_roundtrip(spark, sf_dir):
+    """REAL RFC 1951 DEFLATE, conformance-gated against zlib BOTH
+    directions — the compression family's capstone. The tree already
+    holds every ingredient as a separate class (LZ77 sliding-window
+    matching, canonical Huffman entropy coding, stored-vs-coded block
+    choice); this operator composes them into an actual interoperable
+    bitstream: greedy hash-chain LZ77 at DEFLATE's full parameters
+    (32 KiB window, lengths 3-258, nearest-distance ties), length/
+    distance symbol+extra-bits coding, fixed-Huffman block emission
+    with the stored-block fallback for incompressible input, and a
+    COMPLETE inflate (stored + fixed + dynamic-Huffman blocks,
+    canonical code reconstruction from the HCLEN/HLIT/HDIST tables).
+    Unlike the other codec gates, conformance here is EXTERNAL and
+    runs inside the driver-hashed frame: zlib must decode our stream
+    byte-exactly, and our inflate must decode zlib's own level-6 raw
+    stream (dynamic blocks) — an independent canonical implementation
+    arbitrates, not just our own decoder. Content is arbitrary real
+    document text tiled 8x (losslessness on arbitrary bytes, with
+    compressibility provable). At 100 TB this is the decompress path
+    a WARC/parquet-external corpus actually rides: per-doc, in-row,
+    payloads never shuffle; one Arrow-batched stage over a spread
+    scan. Cites ref:spark-apps/weather_streaming.py only for the
+    ingest frame; the codec itself has no reference analogue."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).where(F.length("text") >= 1).selectExpr(
+        "doc_id", "repeat(substring(text, 1, 40), 8) AS content"
+    )
+    return M.deflate_conformance(d)
+
+
+def _bwt_oracle() -> str:
+    """The forward BWT recomputed RELATIONALLY: each doc's first 64
+    payload bytes become n rotation rows (unnest over the doubled hex
+    string — hex of a byte preserves byte order, so VARCHAR binary
+    collation IS bytewise order), sorted ORDER BY rot, j exactly as
+    the kernel tie-breaks; the aggregated last column is md5'd. The
+    MTF/RLE accounting falls out of the BWT alone: an MTF output is 0
+    iff the byte equals its predecessor (or position 0 holds 0x00), a
+    zero RUN starts where a zero follows a nonzero, and
+    rle_len = nonzeros + 2*runs. Nothing on the oracle side runs a
+    codec, yet every stage's accounting is pinned."""
+    return (
+        "WITH b AS (SELECT doc_id, "
+        "least(octet_length(encode(text)), 64) AS n, "
+        "substring(lower(hex(encode(text))), 1, "
+        "2*least(octet_length(encode(text)), 64)) AS hx "
+        "FROM documents WHERE length(text) >= 1), "
+        "r AS (SELECT doc_id, n, hx, "
+        "unnest(range(0, CAST(n AS BIGINT))) AS j FROM b), "
+        "q AS (SELECT doc_id, n, j, "
+        "substring(hx||hx, CAST(2*j+1 AS BIGINT), CAST(2*n AS BIGINT)) "
+        "AS rot FROM r), "
+        "o AS (SELECT doc_id, n, j, rot, "
+        "substring(rot, CAST(2*n-1 AS BIGINT), 2) AS lastb, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY rot, j) AS rk "
+        "FROM q), "
+        "w AS (SELECT doc_id, any_value(n) AS n, "
+        "string_agg(lastb, '' ORDER BY rot, j) AS bwt_hex, "
+        "CAST(max(CASE WHEN j = 0 THEN rk - 1 END) AS INT) AS bwt_index "
+        "FROM o GROUP BY doc_id), "
+        "z AS (SELECT doc_id, n, bwt_hex, bwt_index, "
+        "list_transform(range(0, CAST(n AS BIGINT)), k -> "
+        "CASE WHEN k = 0 THEN substring(bwt_hex, 1, 2) = '00' "
+        "ELSE substring(bwt_hex, CAST(2*k+1 AS BIGINT), 2) = "
+        "substring(bwt_hex, CAST(2*k-1 AS BIGINT), 2) END) AS iszero "
+        "FROM w), "
+        "acct AS (SELECT doc_id, n, bwt_index, bwt_hex, "
+        "CAST(list_sum(list_transform(iszero, v -> "
+        "CASE WHEN v THEN 1 ELSE 0 END)) AS INT) AS mtf_zero_count, "
+        "CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)), k -> "
+        "CASE WHEN iszero[CAST(k+1 AS BIGINT)] AND (k = 0 OR NOT "
+        "iszero[CAST(k AS BIGINT)]) THEN 1 ELSE 0 END)) AS INT) "
+        "AS n_zero_runs FROM z) "
+        "SELECT doc_id, CAST(n AS INT) AS block_len, bwt_index, "
+        "md5(bwt_hex) AS bwt_md5, mtf_zero_count, n_zero_runs, "
+        "CAST((n - mtf_zero_count) + 2*n_zero_runs AS INT) AS rle_len, "
+        "TRUE AS roundtrip_ok FROM acct"
+    )
+
+
+@query("multimodal_bwt_roundtrip", oracle=_bwt_oracle())
+def multimodal_bwt_roundtrip(spark, sf_dir):
+    """REAL block-sorting compression (the bzip2 class): Burrows-
+    Wheeler transform -> move-to-front -> zero run-length coding, with
+    the FULL inverse chain (LF-mapping inverse BWT) gated per doc on
+    arbitrary real document bytes. This closes the last classical
+    compression family the tree lacked — sliding-window (LZ77),
+    dictionary (LZW), entropy (Huffman/DEFLATE), predictive (ADPCM),
+    transform (DCT) and now block-sorting. Two gates at once: the
+    DuckDB oracle INDEPENDENTLY recomputes the forward BWT as a
+    relational rotation sort (no codec, just ORDER BY over unnested
+    rotations) and derives the complete MTF/RLE accounting from the
+    transformed string's adjacent-byte structure, while roundtrip_ok
+    pins the inverse chain byte-exactly. Per-doc blocks are bounded
+    (64 B) so the O(n log n) rotation sort is in-row work; payloads
+    never shuffle — one Arrow-batched stage over a spread scan."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    ).where(F.length("text") >= 1).select("doc_id", F.col("text").alias("content"))
+    return M.bwt_pipeline(d)

@@ -1577,3 +1577,52 @@ def text_wordpiece_greedy(spark, sf_dir):
             ).alias("wp_fertility"),
         )
     )
+
+
+def _nfc_oracle() -> str:
+    """DuckDB's ICU-backed nfc_normalize arbitrates: the identical
+    content (same 120-char prefix, same chr()-built decomposed suffix)
+    is normalized SQL-side; code-point counts (DuckDB length() is
+    code-point-based, probed), the changed flag, and the md5 of the
+    normalized UTF-8 must match Python's unicodedata output exactly."""
+    sufs = []
+    for s in T.NFC_SUFFIXES:
+        sufs.append(" || ".join(f"chr({ord(c)})" for c in s))
+    case = (
+        "CASE ((doc_id % 6) + 6) % 6 "
+        + " ".join(
+            f"WHEN {i} THEN {expr}" for i, expr in enumerate(sufs)
+        )
+        + " END"
+    )
+    return (
+        f"WITH b AS (SELECT doc_id, substring(text, 1, 120) || {case} "
+        "AS content FROM documents), "
+        "n AS (SELECT doc_id, content, nfc_normalize(content) AS norm "
+        "FROM b) "
+        "SELECT doc_id, CAST(length(content) AS INT) AS n_cp_before, "
+        "CAST(length(norm) AS INT) AS n_cp_after, "
+        "norm <> content AS changed, md5(norm) AS norm_md5 FROM n"
+    )
+
+
+@query("text_unicode_nfc_audit", oracle=_nfc_oracle())
+def text_unicode_nfc_audit(spark, sf_dir):
+    """Unicode NFC normalization — the text-cleaning step every
+    multilingual corpus build runs before tokenization (mixed NFC/NFD
+    sources make identical words hash differently, poisoning dedup and
+    vocabulary counts). Gated by CROSS-IMPLEMENTATION conformance, the
+    zlib-style external-arbiter pattern: Spark normalizes with
+    CPython's unicodedata (UCD tables), the oracle with DuckDB's
+    ICU-backed nfc_normalize, on identical content — real document
+    text plus injected decomposed suffixes covering combining-mark
+    composition, canonical REORDERING (ccc 230 before 220 must sort
+    then compose), Hangul L+V+T arithmetic composition, and katakana
+    voicing. Any disagreement between the two Unicode implementations
+    on any doc flips a count, flag, or md5 and fails the driver hash.
+    In-row expression work; payloads never shuffle — one Arrow-batched
+    stage over a spread scan."""
+    d = T.spread_small_scan(
+        T.docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
+    return T.nfc_audit(d)
