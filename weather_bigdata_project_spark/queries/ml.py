@@ -929,3 +929,102 @@ def ml_isotonic_calibration(spark, sf_dir):
         "iso_lineitem"
     )
     return spark.sql("WITH " + _isotonic_sql("iso_lineitem"))
+
+
+# --- split-conformal prediction intervals ----------------------------------
+
+#: body over {sp} = the materialized split frame (rk, x, y_c, s).
+#: s: 0/1 train, 2 calibration, 3 test — disjoint by id_mix, the
+#: engine-shared full-entropy assignment.
+_CONF_BODY = (
+    "tr AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y_c) AS sy, "
+    "SUM(x * x) AS sxx, SUM(x * y_c) AS sxy FROM {sp} WHERE s <= 1), "
+    # NULLIF: constant-x train split leaves the slope undefined (NULL,
+    # never an ANSI throw — the degenerate-input doctrine)
+    "fb AS (SELECT n, "
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+    "NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0e0) "
+    "AS b, sx, sy FROM tr), "
+    "f AS (SELECT n AS n_train, b, "
+    "(CAST(sy AS DOUBLE) - b * sx) / NULLIF(n, 0) AS a FROM fb), "
+    # calibration residuals snapped to exact milli-cent integers: the
+    # conformal quantile becomes an integer ORDER STATISTIC, immune to
+    # float tie ambiguity cross-engine
+    "cal AS (SELECT CAST(ROUND(abs(y_c - (a + b * x)) * 1.0e3) "
+    "AS BIGINT) AS rmu FROM {sp} CROSS JOIN f WHERE s = 2), "
+    # k = ceil((n_cal+1)*0.9) in EXACT integer arithmetic (9(n+1)/10
+    # rounded up) — (n+1)*0.9e0 is off by an ulp at multiples of ten
+    "kq AS (SELECT COUNT(*) AS n_calib, "
+    "(9 * (COUNT(*) + 1) + 9) // 10 AS kk FROM cal), "
+    # distributed exact order statistic: bucket counts -> cumulative
+    # over the BOUNDED bucket frame -> rank only inside the one target
+    # bucket (the two-phase prefix-sum pattern; no global row sort)
+    "bc AS (SELECT rmu // 1000000 AS bk, COUNT(*) AS c "
+    "FROM cal GROUP BY rmu // 1000000), "
+    "cum AS (SELECT bk, c, SUM(c) OVER (ORDER BY bk) AS cm FROM bc), "
+    "tb AS (SELECT MIN(bk) AS tbk, MIN(cm - c) AS below "
+    "FROM cum CROSS JOIN kq WHERE cm >= kk), "
+    "w AS (SELECT rmu, row_number() OVER (ORDER BY rmu) AS rn "
+    "FROM cal CROSS JOIN tb WHERE rmu // 1000000 = tbk), "
+    "qv AS (SELECT MIN(rmu) AS q_mu FROM w CROSS JOIN kq "
+    "CROSS JOIN tb WHERE rn = kk - below), "
+    "te AS (SELECT COUNT(*) AS n_test, "
+    "SUM(CASE WHEN CAST(ROUND(abs(y_c - (a + b * x)) * 1.0e3) "
+    "AS BIGINT) <= q_mu THEN 1 ELSE 0 END) AS n_covered "
+    "FROM {sp} CROSS JOIN f CROSS JOIN qv WHERE s = 3) "
+    "SELECT CAST(f.n_train AS BIGINT) AS n_train, "
+    "CAST(kq.n_calib AS BIGINT) AS n_calib, "
+    "CAST(te.n_test AS BIGINT) AS n_test, "
+    "CAST(qv.q_mu AS DOUBLE) / 1.0e3 AS q_cents, "
+    "CAST(te.n_covered AS BIGINT) AS n_covered, "
+    "CAST(te.n_covered AS DOUBLE) / NULLIF(te.n_test, 0) AS coverage "
+    "FROM f CROSS JOIN kq CROSS JOIN qv CROSS JOIN te"
+)
+
+_CONF_SPLIT = (
+    "SELECT l_orderkey * 8 + l_linenumber AS rk, "
+    "CAST(l_quantity AS BIGINT) AS x, "
+    "CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT) AS y_c, "
+    f"{id_mix('l_orderkey * 8 + l_linenumber', 11)} % 4 AS s "
+    "FROM {l}"
+)
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=(
+        "WITH sp AS MATERIALIZED ("
+        + _CONF_SPLIT.format(l="lineitem")
+        + "), "
+        + _CONF_BODY.format(sp="sp")
+    ),
+)
+def ml_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) — the distribution-free uncertainty layer modern ML evals
+    wrap around ANY point model, here the one-feature OLS
+    (extendedprice ~ quantity): fit on the train split, take the
+    ceil((n+1)(1-alpha)) smallest absolute calibration residual as the
+    interval half-width q, and measure finite-sample test coverage —
+    guaranteed >= 1-alpha in expectation REGARDLESS of the model or
+    data distribution, which is the whole point. Everything is
+    relational and exact: id_mix 4-way split, closed-form OLS from one
+    gram aggregate, residuals snapped to integer milli-cents so the
+    conformal quantile is an integer order statistic computed by the
+    DISTRIBUTED two-phase pattern (bucket counts -> bounded cumulative
+    window -> rank inside the single target bucket — no global row
+    sort; the prefix-sum doctrine), and integer-exact k (9(n+1)+9)//10
+    avoiding the (n+1)*0.9 ulp trap. Degenerate splits (constant x,
+    empty calibration) ride NULLIF to NULL, never an ANSI throw. The
+    split frame is materialized once against its three consumers."""
+    sp = materialize(
+        tables.load(spark, sf_dir, "lineitem").selectExpr(
+            "l_orderkey * 8 + l_linenumber AS rk",
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(ROUND(l_extendedprice * 100.0e0) AS BIGINT) AS y_c",
+            f"{id_mix('l_orderkey * 8 + l_linenumber', 11)} % 4 AS s",
+        )
+    )
+    sp.createOrReplaceTempView("conf_sp")
+    body = _CONF_BODY.format(sp="conf_sp").replace(" // ", " DIV ")
+    return spark.sql("WITH " + body)

@@ -1250,3 +1250,142 @@ def corpus_link_components(spark, sf_dir):
         F.col("lab").cast("bigint").alias("component"),
         "comp_size",
     )
+
+
+# --- triangle counting on the link graph (degree-ordered orientation) --------
+
+def _tri_oracle() -> str:
+    """Same relational chain as the Spark side, DuckDB dialect: the
+    multi-referenced und/deg/oriented CTEs are MATERIALIZED (the
+    round-9 inlining doctrine — und feeds deg and oriented, oriented
+    feeds the wedge self-join TWICE plus the closing-edge probe)."""
+    return (
+        "WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents), "
+        + _EDGE_RAW_DUCK.replace("edges AS (", "edges AS MATERIALIZED (", 1)
+        + ", "
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges), "
+        "deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM ("
+        "SELECT u AS node FROM und UNION ALL SELECT v FROM und) "
+        "GROUP BY node), "
+        "oriented AS MATERIALIZED (SELECT "
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) "
+        "THEN und.u ELSE und.v END AS a, "
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) "
+        "THEN und.v ELSE und.u END AS b, "
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) "
+        "THEN dv.d ELSE du.d END AS db "
+        "FROM und JOIN deg du ON du.node = und.u "
+        "JOIN deg dv ON dv.node = und.v), "
+        "tri AS (SELECT COUNT(*) AS t FROM ("
+        "SELECT o1.a, "
+        "CASE WHEN o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b) "
+        "THEN o1.b ELSE o2.b END AS lo, "
+        "CASE WHEN o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b) "
+        "THEN o2.b ELSE o1.b END AS hi "
+        "FROM oriented o1 JOIN oriented o2 "
+        "ON o1.a = o2.a AND o1.b < o2.b) w "
+        "JOIN oriented e ON e.a = w.lo AND e.b = w.hi), "
+        "agg AS (SELECT COUNT(*) AS n_nodes, "
+        "SUM(d * (d - 1) // 2) AS wedges FROM deg), "
+        "eo AS (SELECT SUM(c) AS n_edges, "
+        "MAX(c) AS max_oriented_outdeg FROM ("
+        "SELECT a, COUNT(*) AS c FROM oriented GROUP BY a)) "
+        "SELECT CAST(agg.n_nodes AS BIGINT) AS n_nodes, "
+        "CAST(eo.n_edges AS BIGINT) AS n_edges, "
+        "CAST(agg.wedges AS BIGINT) AS n_wedges, "
+        "CAST(tri.t AS BIGINT) AS n_triangles, "
+        "CAST(eo.max_oriented_outdeg AS BIGINT) AS max_oriented_outdeg, "
+        "CASE WHEN agg.wedges = 0 THEN 0 ELSE "
+        "CAST(ROUND(3.0e0 * tri.t / agg.wedges * 1.0e6) AS BIGINT) END "
+        "AS clustering_ppm "
+        "FROM agg CROSS JOIN tri CROSS JOIN eo"
+    )
+
+
+@query("corpus_link_triangles", oracle=_tri_oracle())
+def corpus_link_triangles(spark, sf_dir):
+    """Triangle counting over the extracted hyperlink graph — the
+    graph kernel behind spam-farm detection, community density, and
+    clustering-coefficient features on real web graphs — via the
+    DEGREE-ORDERED ORIENTATION algorithm (each undirected edge points
+    from its (degree, id)-lower endpoint to the higher), the standard
+    way this survives web scale: oriented out-degree is bounded by
+    graph arboricity ~ sqrt(m), so the wedge self-join materializes
+    Sum outdeg^2 rows instead of Sum deg^2 — hub nodes (this graph
+    plants a power-law head by construction) contribute almost
+    nothing because their edges orient INWARD. Wedge pairs are
+    re-ordered by the same total order so the closing-edge probe is a
+    pure EQUI-join (no OR-disjunction join). Edges come from the REAL
+    href extractor over trap-laden anchor pages; the oracle recomputes
+    the whole chain from doc_id arithmetic with the multi-referenced
+    CTEs materialized. Output pins node/edge/wedge/triangle counts,
+    the max oriented out-degree (the orientation property itself), and
+    the global clustering coefficient in exact ppm units. Shuffles are
+    all id-keyed equi-joins at edge cardinality."""
+    _, edges = _doc_edges(spark, sf_dir)
+    und = T.materialize(
+        edges.selectExpr(
+            "least(src, dst) AS u", "greatest(src, dst) AS v"
+        ).distinct()
+    )
+    deg = T.materialize(
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.selectExpr("node AS u", "d AS du_d")
+    dv = deg.selectExpr("node AS v", "d AS dv_d")
+    lower = "du_d < dv_d OR (du_d = dv_d AND u < v)"
+    oriented = T.materialize(
+        und.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            f"CASE WHEN {lower} THEN u ELSE v END AS a",
+            f"CASE WHEN {lower} THEN v ELSE u END AS b",
+            f"CASE WHEN {lower} THEN dv_d ELSE du_d END AS db",
+        )
+    )
+    o1 = oriented.selectExpr("a", "b AS b1", "db AS db1")
+    o2 = oriented.selectExpr("a", "b AS b2", "db AS db2")
+    wlow = "db1 < db2 OR (db1 = db2 AND b1 < b2)"
+    wedges_f = (
+        o1.join(o2, "a")
+        .filter(F.expr("b1 < b2"))
+        .selectExpr(
+            f"CASE WHEN {wlow} THEN b1 ELSE b2 END AS lo",
+            f"CASE WHEN {wlow} THEN b2 ELSE b1 END AS hi",
+        )
+    )
+    tri = wedges_f.join(
+        oriented.selectExpr("a AS lo", "b AS hi"), ["lo", "hi"]
+    ).agg(F.count("*").alias("t"))
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("wedges"),
+    )
+    eo = (
+        oriented.groupBy("a")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.lit(0)).alias("_z"),
+            F.max("c").cast("long").alias("max_oriented_outdeg"),
+        )
+        .crossJoin(und.agg(F.count("*").cast("long").alias("n_edges")))
+        .select("n_edges", "max_oriented_outdeg")
+    )
+    return (
+        agg.crossJoin(tri)
+        .crossJoin(eo)
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "wedges AS n_wedges",
+            "CAST(t AS BIGINT) AS n_triangles",
+            "max_oriented_outdeg",
+            "CASE WHEN wedges = 0 THEN 0 ELSE "
+            "CAST(ROUND(3.0e0 * t / wedges * 1.0e6) AS BIGINT) END "
+            "AS clustering_ppm",
+        )
+    )
