@@ -2085,3 +2085,53 @@ def test_tokenize_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_nfc_stream_equals_batch(spark, tmp_path):
+    """Streaming NFC normalization: over a 3-micro-batch replay of the
+    doc corpus, the drained audit rows (code-point counts, changed
+    flag, normalized md5) must EQUAL the batch frame bit-for-bit —
+    normalization is a pure per-row function, so no replay split can
+    change a row. Multiset compare proves nothing is dropped or
+    doubled."""
+    import glob
+    from collections import Counter
+
+    from weather_bigdata_project_spark import tables
+    from weather_bigdata_project_spark.operators import textops as T
+    from weather_bigdata_project_spark.streaming import jobs
+
+    docs = tables.load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "nfc_docs")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st = jobs.nfc_normalize_stream(stream)
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nfc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = Counter(
+        (r.doc_id, r.n_cp_before, r.n_cp_after, r.changed, r.norm_md5)
+        for r in spark.table("nfc_stream").collect()
+    )
+    want = Counter(
+        (r.doc_id, r.n_cp_before, r.n_cp_after, r.changed, r.norm_md5)
+        for r in T.nfc_audit(docs).collect()
+    )
+    assert got == want and len(got) > 0

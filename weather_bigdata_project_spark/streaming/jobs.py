@@ -1567,3 +1567,19 @@ def tokenize_stream(doc_stream: DataFrame, vocab_rows) -> DataFrame:
         )
         + " AS nats_per_piece",
     )
+
+
+def nfc_normalize_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming Unicode NFC audit — the at-ingest twin of
+    queries/text.text_unicode_nfc_audit: every arriving doc is
+    canonically composed (CPython unicodedata) BEFORE it lands, so a
+    multilingual lake never stores mixed NFC/NFD spellings of the same
+    word (which silently split dedup clusters and vocabulary counts
+    downstream). The kernel is the batch query's own Arrow-batched
+    mapInPandas (shared code, not a twin), state-free per row: a
+    drained replay across any micro-batch split equals the batch frame
+    bit-for-bit (tests/test_streaming.py::
+    test_nfc_stream_equals_batch). Zero shuffle, zero state."""
+    from ..operators import textops as T
+
+    return T.nfc_audit(doc_stream.select("doc_id", "text"))
