@@ -36,6 +36,7 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "corpus_split_assign": ("total_chars",),
     "corpus_split_leakage": ("n_leaks",),
     "corpus_token_budget": ("cum_tokens",),
+    "customer_record_linkage": ("n_true",),
     "dedup_chunk_level": ("n_dup_chunks",),
     "dedup_simhash": ("hamming",),
     "embed_kmeans_assign": ("sum_d_u",),
