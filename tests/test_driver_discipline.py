@@ -52,6 +52,9 @@ CROSSJOIN_ALLOWED = {
         "1-row totals aggregate (sampled twin)",
     "queries/curation.py:corpus_dsir_importance":
         "1-row corpus-stats aggregate",
+    "queries/webingest.py:corpus_link_triangles":
+        "1-row triangle/edge-count aggregates composed into the "
+        "single summary row",
     "queries/curation.py:corpus_kneser_ney":
         "1-row bigram-types x vocab-size scalar frame",
     "queries/ml.py:ml_naive_bayes_langid":
