@@ -130,8 +130,10 @@ WINDOW_ORDERBY_ALLOWED = {
         "vocabulary frame (oracle-only path; engine path uses content "
         "hashes)",
     "operators/textops.py:token_dict": "vocabulary frame",
-    "queries/advanced.py:graph_triangle_brands":
-        "brand-pair frame (brand domain is dimension-sized)",
+    "queries/advanced.py:_brand_cooc_kept":
+        "brand-pair frame (brand domain is dimension-sized; shared "
+        "rank-cut core of graph_triangle_brands / "
+        "sql_recursive_brand_reach)",
     "queries/analytics.py:weather_temp_equidepth":
         "NTILE over per-city frame at dashboard cardinality",
     "queries/behavior.py:events_acf_daily": "calendar-day frame",

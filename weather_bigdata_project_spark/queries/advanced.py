@@ -607,29 +607,11 @@ def graph_pagerank_brands(spark, sf_dir):
     per iteration on dst; rank state stays dimension-sized."""
     from ..operators.textops import materialize
 
-    li = tables.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-    )
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    # Round 9: pairs come from the shared one-scan grouped-list core
+    # (_brand_cooc_pairs) — the old ob-self-join paid a redundant
+    # distinct() exchange plus a two-sided join of the (okey, brand)
+    # frame; w (orders containing both brands) is identical.
+    pairs = _brand_cooc_pairs(spark, sf_dir)
     # re-referenced by every pagerank round: cut lineage so per-round
     # plans embed a leaf, not the whole co-occurrence subtree
     edges = materialize(
@@ -714,6 +696,69 @@ _TRI_ORACLE = (
 )
 
 
+def _brand_cooc_pairs(spark, sf_dir):
+    """(ba, bb, w) with ba < bb: brand co-occurrence pairs, w = number
+    of orders containing both brands — the shared edge-list core of the
+    brand-graph family (triangles, recursive reach, PageRank).
+
+    Round 9, one fact scan: okey-grouped `sort_array(collect_set)` (the
+    set dedups within the order, so the old pre-aggregation
+    `.distinct()` was a redundant full exchange of the fact-side frame)
+    -> in-row ordered pair explode -> pair count. The old self-join
+    formulation (`ob JOIN ob ON okey`) paid two exchanges of the
+    (okey, brand) frame plus the join; as a twice-referenced CTE inside
+    sql_recursive_brand_reach's SQL text it additionally re-derived
+    `ob` per reference (the round-7 inlining hazard, now gone: the
+    Spark side is this DataFrame chain, the oracle keeps the naive
+    SQL). Materialized — every caller consumes it more than once."""
+    from ..operators.textops import materialize
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .groupBy("okey")
+        .agg(F.expr("sort_array(collect_set(brand))").alias("bs"))
+    )
+    pair_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS ba, y AS bb))))"
+    )
+    return materialize(
+        sets.filter(F.size("bs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _brand_cooc_kept(spark, sf_dir):
+    """The strongest-30% sparsified edge list (exact integer rank cut
+    over _brand_cooc_pairs), materialized — shared by the triangle and
+    recursive-reach queries. The rank window is over the brand-pair
+    frame (dimension-sized)."""
+    from ..operators.textops import materialize
+
+    pairs = _brand_cooc_pairs(spark, sf_dir)
+    n_edges = pairs.count()
+    rk = pairs.select(
+        "ba",
+        "bb",
+        F.row_number()
+        .over(Window.orderBy(F.desc("w"), "ba", "bb"))
+        .alias("r"),
+    )
+    return materialize(
+        rk.filter(F.expr(f"10 * r <= 3 * {n_edges}")).select("ba", "bb")
+    )
+
+
 @query("graph_triangle_brands", oracle=_TRI_ORACLE)
 def graph_triangle_brands(spark, sf_dir):
     """Per-brand triangle count + local clustering coefficient on the
@@ -731,46 +776,7 @@ def graph_triangle_brands(spark, sf_dir):
     trick (orient edges from low- to high-degree endpoints) — the
     rank cut here plays that load-bounding role. Counts are integers,
     the coefficient is one snapped division — engine-exact."""
-    from ..operators.textops import materialize
-
-    li = tables.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    pt = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sets = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(
-            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
-        .groupBy("okey")
-        .agg(F.expr("sort_array(collect_set(brand))").alias("bs"))
-    )
-    pair_expr = (
-        "flatten(transform(bs, (x, i) -> "
-        "transform(slice(bs, i + 2, size(bs)), "
-        "y -> struct(x AS ba, y AS bb))))"
-    )
-    # pinned: the count() action below and the rank window both consume
-    # pairs — without the checkpoint the fact-side co-occurrence build
-    # runs twice (measured 2.9s -> ~1.5s at sf0.1)
-    pairs = materialize(
-        sets.filter(F.size("bs") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    n_edges = pairs.count()
-    rk = pairs.select(
-        "ba",
-        "bb",
-        F.row_number()
-        .over(Window.orderBy(F.desc("w"), "ba", "bb"))
-        .alias("r"),
-    )
-    kept = materialize(
-        rk.filter(F.expr(f"10 * r <= 3 * {n_edges}")).select("ba", "bb")
-    )
+    kept = _brand_cooc_kept(spark, sf_dir)
     e1, e2, e3 = kept.alias("e1"), kept.alias("e2"), kept.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.bb") == F.col("e2.ba"))

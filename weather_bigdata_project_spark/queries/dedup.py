@@ -310,12 +310,24 @@ def _verified_pairs(spark, sf_dir, cand, sh=None):
 
 
 def _lsh_candidates(docsig, n_bands: int = _BANDS):
-    """LSH banding self-join over the signature frame: distinct
-    (doc1 < doc2) pairs agreeing on at least one band. The O(n^2) pair
-    space is never materialized — only the band-signature equi-join's
-    matches. `n_bands` must divide _K; more bands = higher recall,
-    more candidates (the S-curve knob the tuning matrix measures)."""
+    """LSH banding over the signature frame: distinct (doc1 < doc2)
+    pairs agreeing on at least one band. The O(n^2) pair space is never
+    materialized — only per-band-signature groups expand, and only
+    in-row. `n_bands` must divide _K; more bands = higher recall,
+    more candidates (the S-curve knob the tuning matrix measures).
+
+    Round 9: candidate generation is the grouped-list expansion
+    (`sort_array(collect_set)` per (band, band_sig) + in-row ordered
+    pair transform — the dedup_ngram_jaccard pattern) instead of the
+    two-sided band-signature self-join: ONE exchange of the band rows
+    feeds the pair stream, where the join paid two band-frame
+    exchanges (or a broadcast build) plus the join itself; the final
+    distinct is unchanged. A band signature shared by k docs expands
+    k^2/2 pairs in either formulation; the repartition spreads the
+    (small) grouped-list frame before that quadratic explode so AQE's
+    byte-based coalescing cannot serialize it."""
     rpb = _K // n_bands
+    spark = docsig.sparkSession
     bands = docsig.select(
         "doc_id",
         F.explode(
@@ -338,16 +350,20 @@ def _lsh_candidates(docsig, n_bands: int = _BANDS):
     ).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc1, y AS doc2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band", "band_sig")
+        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
+        .filter(F.expr("size(ds) >= 2"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2")
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
 
@@ -499,16 +515,30 @@ def dedup_embedding_cosine(spark, sf_dir):
     plane bit) for recall, band into several independent bucket sets
     exactly like MinHash bands."""
     from .. import tables
-    from .similarity import sign_bucket_sql
+    from .similarity import emb_dim, flat_cols, flat_dot, sign_bucket_sql
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    withb = T.materialize(
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
-        )
+    # Round 9: the self-dot n2 is a per-VECTOR quantity — computing it
+    # inside the materialized frame removes two of the three per-pair
+    # HOF folds (the semdedup lesson applied here), and the remaining
+    # cross dot rides the flat-column codegen path (similarity.flat_dot;
+    # HOF fallback for unknown layouts). Same expressions, same fold
+    # order — bit-identical cosines.
+    dim = emb_dim(sf_dir)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
     )
+    if dim:
+        withb = T.materialize(
+            base.select("vec_id", "bucket", "n2", *flat_cols(dim))
+        )
+        pair_dot = flat_dot("a", "b", dim)
+    else:
+        withb = T.materialize(base)
+        pair_dot = _DOT.format(a="a.embedding", b="b.embedding")
     a = withb.alias("a")
     b = withb.alias("b")
     return (
@@ -520,9 +550,9 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
-            F.expr(_DOT.format(a="a.embedding", b="b.embedding")).alias("dot"),
-            F.expr(_DOT.format(a="a.embedding", b="a.embedding")).alias("n1"),
-            F.expr(_DOT.format(a="b.embedding", b="b.embedding")).alias("n2"),
+            F.expr(pair_dot).alias("dot"),
+            F.col("a.n2").alias("n1"),
+            F.col("b.n2").alias("n2"),
         )
         .select(
             "vec1",
@@ -572,23 +602,33 @@ def embed_signbucket_neardup(spark, sf_dir):
     cosine snapped to integer micro-units so the threshold decision is
     engine-portable."""
     from .. import tables
-    from .similarity import sign_bucket_sql
+    from .similarity import emb_dim, flat_cols, flat_dot, sign_bucket_sql
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    withb = T.materialize(
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
-            F.expr(
-                "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
-            ).alias("nrm"),
-        )
+    # Round 9: cross dot on the flat-column codegen path (see
+    # similarity.flat_dot; HOF fallback for unknown layouts) — the
+    # norm was already per-vector here.
+    dim = emb_dim(sf_dir)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(sign_bucket_sql(_NPLANES)).alias("bucket"),
+        F.expr(
+            "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
+        ).alias("nrm"),
     )
+    if dim:
+        withb = T.materialize(
+            base.select("vec_id", "bucket", "nrm", *flat_cols(dim))
+        )
+        pair_dot = flat_dot("a", "b", dim)
+    else:
+        withb = T.materialize(base)
+        pair_dot = _DOT.format(a="a.embedding", b="b.embedding")
     a, b = withb.alias("a"), withb.alias("b")
     cos_u = (
         "CAST(ROUND("
-        + _DOT.format(a="a.embedding", b="b.embedding")
+        + pair_dot
         + " / (a.nrm * b.nrm) * 1.0e6) AS BIGINT)"
     )
     return (
@@ -660,29 +700,39 @@ def embed_semdedup_prune(spark, sf_dir):
     micro-snapped integers so the threshold decision is
     engine-portable."""
     from .. import tables
-    from .similarity import _DOT, _kmeans_best
+    from .similarity import _DOT, _kmeans_best, emb_dim, flat_cols, flat_dot
 
     emb = tables.load(spark, sf_dir, "embeddings")
     # per-vector norm computed ONCE here: the pair loop below would
     # otherwise re-fold ||a|| and ||b|| for every pair — with P pairs
     # that is 2P interpreted HOF folds instead of n (measured 8.8 s ->
-    # 3.9 s at sf0.1's 251k within-cluster pairs)
-    m = T.materialize(
-        _kmeans_best(emb)
-        .select(
-            "vec_id", F.col("best.seed_id").alias("cluster"), "embedding"
-        )
-        .withColumn(
-            "nrm",
-            F.expr(
-                "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
-            ),
-        )
+    # 3.9 s at sf0.1's 251k within-cluster pairs). Round 9: the pair
+    # dot itself moves to the flat-column codegen path (see
+    # similarity.flat_dot — HOF folds are interpreted, ~7 us/pair;
+    # measured 2.6x on this query's pair stage, cos_u bit-identical on
+    # all 251k pairs), with the HOF formulation kept as the fallback
+    # for unknown embedding layouts.
+    dim = emb_dim(sf_dir)
+    base = _kmeans_best(emb).select(
+        "vec_id", F.col("best.seed_id").alias("cluster"), "embedding"
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "SQRT(" + _DOT.format(a="embedding", b="embedding") + ")"
+        ),
     )
+    if dim:
+        m = T.materialize(
+            base.select("vec_id", "cluster", "nrm", *flat_cols(dim))
+        )
+        pair_dot = flat_dot("a", "b", dim)
+    else:
+        m = T.materialize(base)
+        pair_dot = _DOT.format(a="a.embedding", b="b.embedding")
     a, b = m.alias("a"), m.alias("b")
     cos_u = (
         "CAST(ROUND("
-        + _DOT.format(a="a.embedding", b="b.embedding")
+        + pair_dot
         + " / (a.nrm * b.nrm) * 1.0e6) AS BIGINT)"
     )
     dropped = (
@@ -934,22 +984,26 @@ def _cc_labels(pairs):
             .groupBy(F.col("doc1").alias("doc"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # chg rides the SAME materialized frame (round 9): the eager
+        # checkpoint already holds every row, so the convergence count
+        # is a filter over checkpointed blocks instead of the old
+        # new-vs-old self-join — one join + one shuffle less per round,
+        # same fixpoint (chg true iff a neighbor's label improved).
         new_labels = T.materialize(
             labels.join(neighbor_min, "doc", "left").select(
                 "doc",
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nlabel").isNotNull()
+                    & (F.col("nlabel") < F.col("label"))
+                ).alias("chg"),
             ),
             cut_lineage=True,  # loop state: plan must not grow per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             break
     return labels
@@ -1450,8 +1504,21 @@ def _tune_oracle() -> str:
 
 def _band_tuning_matrix(spark, sf_dir, sh):
     """Tuning-matrix core over an arbitrary shingle frame: signatures
-    from ONE docsig aggregate; per config a band explode + equi-join +
-    count; lossless truth set computed once and probed by all three."""
+    from ONE docsig aggregate; lossless truth set computed once and
+    probed by all three configs.
+
+    Round 9: the three per-config chains (band explode -> band-sig
+    self-join -> distinct -> truth join -> aggregate, unioned) are
+    fused into ONE pass — every layout's band rows come out of a
+    single config-tagged explode, candidate pairs out of one
+    grouped-list expansion (`sort_array(collect_set)` + in-row pair
+    transform, the dedup_ngram_jaccard pattern — one exchange of the
+    band rows instead of a two-sided self-join per config), one
+    distinct on (config, pair), one left join against the truth set,
+    one 3-group aggregate. Plan: 9+ Exchanges -> 3 around the fused
+    chain; measured 9.5 s -> see OPTIMIZATION_r09.md; output
+    identical (configs with zero candidates keep their row via the
+    left join from the literal config frame)."""
     docsig = _minhash_docsig(spark, sf_dir, sh=sh)
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     tru = T.materialize(
@@ -1460,25 +1527,73 @@ def _band_tuning_matrix(spark, sf_dir, sh):
         .select("doc1", "doc2")
     )
     tot = tru.agg(F.count(F.lit(1)).alias("n_true_total"))
-    rows = None
-    for b, r in _TUNE_CONFIGS:
-        cand = _lsh_candidates(docsig, n_bands=b)
-        m = (
-            cand.join(
-                tru.withColumn("hit", F.lit(1)), ["doc1", "doc2"], "left"
+    layouts = []
+    for b, _r in _TUNE_CONFIGS:
+        rpb = _K // b
+        for k in range(b):
+            layouts.append(
+                F.struct(
+                    F.lit(b).alias("cfg"),
+                    F.lit(k).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{k * rpb + r}").cast("string")
+                            for r in range(1, rpb + 1)
+                        ],
+                    ).alias("band_sig"),
+                )
             )
-            .agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.count("hit").alias("n_true_candidates"),
-            )
-            .select(
-                F.lit(b).alias("n_bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_candidates",
-                "n_true_candidates",
-            )
+    bands = docsig.select(
+        "doc_id", F.explode(F.array(*layouts)).alias("bs")
+    ).select(
+        F.col("bs.cfg").alias("cfg"),
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+        "doc_id",
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc1, y AS doc2))))"
+    )
+    cand = (
+        bands.groupBy("cfg", "band", "band_sig")
+        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
+        .filter(F.expr("size(ds) >= 2"))
+        # re-spread the (small) grouped-list frame before the ~size^2
+        # pair expansion — the dedup_ngram_jaccard skew guard: AQE
+        # coalesces by bytes, but explode work grows quadratically in
+        # list size
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("cfg", F.explode(F.expr(pair_expr)).alias("p"))
+        .select("cfg", F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .distinct()
+    )
+    counts = (
+        cand.join(
+            tru.withColumn("hit", F.lit(1)), ["doc1", "doc2"], "left"
         )
-        rows = m if rows is None else rows.unionByName(m)
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("hit").alias("n_true_candidates"),
+        )
+    )
+    cfgs = spark.createDataFrame(
+        [(b, r) for b, r in _TUNE_CONFIGS],
+        "n_bands INT, rows_per_band INT",
+    )
+    rows = cfgs.join(
+        F.broadcast(counts), cfgs.n_bands == counts.cfg, "left"
+    ).select(
+        "n_bands",
+        "rows_per_band",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_true_candidates", F.lit(0)).alias(
+            "n_true_candidates"
+        ),
+    )
     return rows.join(F.broadcast(tot)).select(
         "n_bands",
         "rows_per_band",

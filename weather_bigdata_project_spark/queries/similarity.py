@@ -37,6 +37,64 @@ def _emb(spark, sf_dir):
     return tables.load(spark, sf_dir, "embeddings")
 
 
+# --- flat-column pair dot products (round-9 optimization) -----------------
+#
+# Higher-order array functions are INTERPRETED (no whole-stage codegen):
+# a pair-cardinality `aggregate(zip_with(...))` cosine pays ~7 us/pair
+# at 64 dims — 2-4 s of the sf0.1 wall for the 251k-pair SemDeDup join,
+# and the cost is per-PAIR, so it scales with candidate volume, not
+# corpus size. Unrolling the fold over the ARRAY column is no better
+# (each of the 64 `e[i]` terms re-extracts the array from the row —
+# measured 2.7x SLOWER), but unrolling over 64 FLAT double columns is
+# pure primitive UnsafeRow arithmetic inside WholeStageCodegen:
+# measured 2.6x faster end-to-end on the SemDeDup pair stage with cos_u
+# bit-identical on all 251,511 pairs. The fold order is preserved
+# exactly: `0.0e0 + p0 + p1 + ...` parses left-associative, the same
+# IEEE sequence as aggregate's ((0.0+p0)+p1)+...; the float->double
+# casts move from per-pair to once per vector (same values, same
+# order). Callers gate on `dim` being known from the parquet footer and
+# keep the HOF path as fallback, so an unexpected layout degrades to
+# the old plan instead of mis-evaluating.
+
+
+def emb_dim(sf_dir: str) -> int | None:
+    """Embedding dimensionality, read driver-side from the parquet file
+    (first row of the first batch — same class of footer/metadata read
+    as textops._scan_splits; no Spark job). None when the layout is
+    unexpected, which makes every flat-column consumer fall back to the
+    HOF formulation."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        f = pq.ParquetFile(path)
+        batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(batch.column(0)[0])
+        return int(dim) if dim else None
+    except Exception:
+        return None
+
+
+def flat_cols(dim: int, src: str = "embedding", pfx: str = "e"):
+    """Projection list materializing `src` as `dim` pre-cast DOUBLE
+    columns e0..e{dim-1} (compute the cast once per vector, not once
+    per pair)."""
+    return [
+        F.expr(f"CAST({src}[{i}] AS DOUBLE)").alias(f"{pfx}{i}")
+        for i in range(dim)
+    ]
+
+
+def flat_dot(a: str, b: str, dim: int, pfx: str = "e") -> str:
+    """Codegen'd pair dot product over two flat-column vector frames:
+    bit-identical to _DOT's strict left fold (leading 0.0e0 preserves
+    the -0.0 accumulation edge)."""
+    terms = " + ".join(f"{a}.{pfx}{i} * {b}.{pfx}{i}" for i in range(dim))
+    return f"(0.0e0 + {terms})"
+
+
 @query(
     "embed_knn_bruteforce",
     oracle=(
@@ -3142,7 +3200,21 @@ def embed_binary_quantize_recall(spark, sf_dir):
     truth set (query batch x corpus, broadcast). This is the memory
     story that makes 100 TB of embeddings scannable: the code table is
     ~6 TB and the full-precision rerank reads are point lookups."""
-    emb = T.materialize(_emb(spark, sf_dir).select("vec_id", "embedding"))
+    # Round 9: per-vector self-dot n2 computed once in the materialized
+    # frame — it was re-folded TWICE per rerank/truth pair (2P extra
+    # interpreted HOF folds for P pairs). The cross dot deliberately
+    # stays on the array HOF: this query's pair frames cross a
+    # broadcast-nested-loop join, and A/B showed 64 flat columns riding
+    # that join cost more than the one remaining fold saves (the
+    # opposite trade from the semdedup/signbucket hash joins). Same
+    # expressions, same fold order — bit-identical cosines.
+    emb = T.materialize(
+        _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        )
+    )
     codes = T.materialize(
         emb.select(
             "vec_id",
@@ -3172,23 +3244,25 @@ def embed_binary_quantize_recall(spark, sf_dir):
     sh = rh.filter(F.col("rk") <= _BQ_SHORT).select("q_id", "v")
 
     qe = emb.filter(F.col("vec_id") < _BQ_NQ).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("n2q"),
     )
     ce = emb.select(
-        F.col("vec_id").alias("v"), F.col("embedding").alias("ve")
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("ve"),
+        F.col("n2").alias("n2v"),
     )
+    dot = "(" + _DOT.format(a="qe", b="ve") + ")"
     wc = Window.partitionBy("q_id")
 
     def topk_cos(pairs_with_arrays):
-        dot = _DOT.format(a="qe", b="ve")
-        n2q = _DOT.format(a="qe", b="qe")
-        n2v = _DOT.format(a="ve", b="ve")
         return (
             pairs_with_arrays.select(
                 "q_id",
                 "v",
                 F.expr(
-                    rnd(f"({dot}) / (SQRT({n2q}) * SQRT({n2v}))", 6)
+                    rnd(f"{dot} / (SQRT(n2q) * SQRT(n2v))", 6)
                 ).alias("cosine"),
             )
             .withColumn(

@@ -150,15 +150,24 @@ def sql_recursive_brand_reach(spark, sf_dir):
     MIN(dist) collapses revisits after the fact (BFS frontier dedup
     would be the optimization at depth >> 3)."""
     from ..operators.textops import materialize
+    from .advanced import _brand_cooc_kept
 
-    for t in ("lineitem", "part"):
-        tables.load(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    # Round 9: the edge build rides the shared one-scan DataFrame core
+    # (advanced._brand_cooc_kept) instead of this query's private SQL
+    # CTE chain — whose twice-referenced `ob`/`pairs` CTEs Spark
+    # INLINED into two fact scans + a self-join (the round-7 hazard,
+    # here inside a single query). The recursion TEXT stays identical
+    # in both engines; only the edge relation it runs over changed
+    # builders, and the oracle keeps the naive SQL chain.
+    kept = _brand_cooc_kept(spark, sf_dir)
     # the recursive CTE re-resolves this view on every recursion step:
     # the lineage must be CUT (a leaf plan), or each step re-analyzes —
     # and can re-execute — the whole edge-build subtree (measured 2.8s
     # -> 9.8s under plain persist at sf0.1)
     sym = materialize(
-        spark.sql(_EDGE_SQL.format(l="rcte_lineitem", p="rcte_part")),
+        kept.selectExpr("ba AS src", "bb AS dst").unionAll(
+            kept.selectExpr("bb AS src", "ba AS dst")
+        ),
         cut_lineage=True,
     )
     sym.createOrReplaceTempView("rcte_sym")
