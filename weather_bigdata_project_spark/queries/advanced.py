@@ -696,7 +696,7 @@ _TRI_ORACLE = (
 )
 
 
-def _brand_cooc_pairs(spark, sf_dir):
+def _brand_cooc_pairs(spark, sf_dir, pin=True):
     """(ba, bb, w) with ba < bb: brand co-occurrence pairs, w = number
     of orders containing both brands — the shared edge-list core of the
     brand-graph family (triangles, recursive reach, PageRank).
@@ -710,7 +710,8 @@ def _brand_cooc_pairs(spark, sf_dir):
     sql_recursive_brand_reach's SQL text it additionally re-derived
     `ob` per reference (the round-7 inlining hazard, now gone: the
     Spark side is this DataFrame chain, the oracle keeps the naive
-    SQL). Materialized — every caller consumes it more than once."""
+    SQL). `pin=False` skips the persist for single-consumer callers
+    (the kept-edges rank cut reads it exactly once)."""
     from ..operators.textops import materialize
 
     li = tables.load(spark, sf_dir, "lineitem").select(
@@ -730,32 +731,39 @@ def _brand_cooc_pairs(spark, sf_dir):
         "transform(slice(bs, i + 2, size(bs)), "
         "y -> struct(x AS ba, y AS bb))))"
     )
-    return materialize(
+    pairs = (
         sets.filter(F.size("bs") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    return materialize(pairs) if pin else pairs
 
 
 def _brand_cooc_kept(spark, sf_dir):
     """The strongest-30% sparsified edge list (exact integer rank cut
     over _brand_cooc_pairs), materialized — shared by the triangle and
     recursive-reach queries. The rank window is over the brand-pair
-    frame (dimension-sized)."""
+    frame (dimension-sized). The edge count rides the SAME
+    single-partition window as the rank (`COUNT(*) OVER ()` reuses the
+    exchange) instead of a separate count() action — one job and one
+    pass over the pair build instead of two, so the pair frame itself
+    no longer needs pinning."""
     from ..operators.textops import materialize
 
-    pairs = _brand_cooc_pairs(spark, sf_dir)
-    n_edges = pairs.count()
+    pairs = _brand_cooc_pairs(spark, sf_dir, pin=False)
     rk = pairs.select(
         "ba",
         "bb",
         F.row_number()
         .over(Window.orderBy(F.desc("w"), "ba", "bb"))
         .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .alias("n_edges"),
     )
     return materialize(
-        rk.filter(F.expr(f"10 * r <= 3 * {n_edges}")).select("ba", "bb")
+        rk.filter(F.expr("10 * r <= 3 * n_edges")).select("ba", "bb")
     )
 
 
@@ -1182,12 +1190,13 @@ def _brand_pairs(spark, sf_dir, ob=None):
         "transform(slice(bs, i + 2, size(bs)), "
         "y -> struct(x AS ba, y AS bb))))"
     )
-    return materialize(
+    pairs = (
         sets.filter(F.size("bs") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    return materialize(pairs) if pin else pairs
 
 
 @query(

@@ -310,24 +310,22 @@ def _verified_pairs(spark, sf_dir, cand, sh=None):
 
 
 def _lsh_candidates(docsig, n_bands: int = _BANDS):
-    """LSH banding over the signature frame: distinct (doc1 < doc2)
-    pairs agreeing on at least one band. The O(n^2) pair space is never
-    materialized — only per-band-signature groups expand, and only
-    in-row. `n_bands` must divide _K; more bands = higher recall,
+    """LSH banding self-join over the signature frame: distinct
+    (doc1 < doc2) pairs agreeing on at least one band. The O(n^2) pair
+    space is never materialized — only the band-signature equi-join's
+    matches. `n_bands` must divide _K; more bands = higher recall,
     more candidates (the S-curve knob the tuning matrix measures).
 
-    Round 9: candidate generation is the grouped-list expansion
-    (`sort_array(collect_set)` per (band, band_sig) + in-row ordered
-    pair transform — the dedup_ngram_jaccard pattern) instead of the
-    two-sided band-signature self-join: ONE exchange of the band rows
-    feeds the pair stream, where the join paid two band-frame
-    exchanges (or a broadcast build) plus the join itself; the final
-    distinct is unchanged. A band signature shared by k docs expands
-    k^2/2 pairs in either formulation; the repartition spreads the
-    (small) grouped-list frame before that quadratic explode so AQE's
-    byte-based coalescing cannot serialize it."""
+    Round-9 note: a grouped-list rewrite (collect_set per band
+    signature + in-row pair explode, one exchange) was tried and
+    REVERTED — the band frame reads from the already-materialized
+    docsig, so the self-join plans as a cheap broadcast hash join with
+    ONE distinct exchange, while the grouped-list spelling added two
+    extra barriers (groupBy + re-spread) and measured 1.7-2.0x
+    normalized on every consumer at sf0.1. The same pattern IS the win
+    where the input is a population-sized un-pinned frame
+    (dedup_ngram_jaccard's shingles), just not here."""
     rpb = _K // n_bands
-    spark = docsig.sparkSession
     bands = docsig.select(
         "doc_id",
         F.explode(
@@ -350,20 +348,16 @@ def _lsh_candidates(docsig, n_bands: int = _BANDS):
     ).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc1, y AS doc2))))"
-    )
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
-        bands.groupBy("band", "band_sig")
-        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
-        .filter(F.expr("size(ds) >= 2"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(
-            F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
 
@@ -1510,15 +1504,14 @@ def _band_tuning_matrix(spark, sf_dir, sh):
     Round 9: the three per-config chains (band explode -> band-sig
     self-join -> distinct -> truth join -> aggregate, unioned) are
     fused into ONE pass — every layout's band rows come out of a
-    single config-tagged explode, candidate pairs out of one
-    grouped-list expansion (`sort_array(collect_set)` + in-row pair
-    transform, the dedup_ngram_jaccard pattern — one exchange of the
-    band rows instead of a two-sided self-join per config), one
-    distinct on (config, pair), one left join against the truth set,
-    one 3-group aggregate. Plan: 9+ Exchanges -> 3 around the fused
-    chain; measured 9.5 s -> see OPTIMIZATION_r09.md; output
-    identical (configs with zero candidates keep their row via the
-    left join from the literal config frame)."""
+    single config-tagged explode off the materialized docsig, ONE
+    self-join on (config, band, band_sig) yields all three layouts'
+    candidates together (the join stays the broadcast-hash shape that
+    beat a grouped-list spelling — see _lsh_candidates' revert note),
+    one distinct on (config, pair), one left join against the truth
+    set, one 3-group aggregate. Output identical (configs with zero
+    candidates keep their row via the literal config frame left
+    join)."""
     docsig = _minhash_docsig(spark, sf_dir, sh=sh)
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     tru = T.materialize(
@@ -1552,22 +1545,20 @@ def _band_tuning_matrix(spark, sf_dir, sh):
         F.col("bs.band_sig").alias("band_sig"),
         "doc_id",
     )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc1, y AS doc2))))"
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        bands.groupBy("cfg", "band", "band_sig")
-        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
-        .filter(F.expr("size(ds) >= 2"))
-        # re-spread the (small) grouped-list frame before the ~size^2
-        # pair expansion — the dedup_ngram_jaccard skew guard: AQE
-        # coalesces by bytes, but explode work grows quadratically in
-        # list size
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("cfg", F.explode(F.expr(pair_expr)).alias("p"))
-        .select("cfg", F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
         .distinct()
     )
     counts = (
