@@ -610,14 +610,21 @@ def graph_pagerank_brands(spark, sf_dir):
     # Round 9: pairs come from the shared one-scan grouped-list core
     # (_brand_cooc_pairs) — the old ob-self-join paid a redundant
     # distinct() exchange plus a two-sided join of the (okey, brand)
-    # frame; w (orders containing both brands) is identical.
-    pairs = _brand_cooc_pairs(spark, sf_dir)
+    # frame; w (orders containing both brands) is identical. The
+    # symmetrization is one in-row explode (reads pairs once, so no
+    # pairs pin), not a union that consumes the chain twice.
+    pairs = _brand_cooc_pairs(spark, sf_dir, pin=False)
     # re-referenced by every pagerank round: cut lineage so per-round
     # plans embed a leaf, not the whole co-occurrence subtree
     edges = materialize(
-        pairs.selectExpr("ba AS src", "bb AS dst", "w").unionAll(
-            pairs.selectExpr("bb AS src", "ba AS dst", "w")
-        ),
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(ba AS src, bb AS dst, w), "
+                    "struct(bb AS src, ba AS dst, w))"
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst", "e.w"),
         cut_lineage=True,
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
@@ -742,13 +749,16 @@ def _brand_cooc_pairs(spark, sf_dir, pin=True):
 
 def _brand_cooc_kept(spark, sf_dir):
     """The strongest-30% sparsified edge list (exact integer rank cut
-    over _brand_cooc_pairs), materialized — shared by the triangle and
-    recursive-reach queries. The rank window is over the brand-pair
+    over _brand_cooc_pairs) — shared by the triangle (pinned wrapper
+    below: four consumers) and recursive-reach (single consumer,
+    un-pinned) queries. The rank window is over the brand-pair
     frame (dimension-sized). The edge count rides the SAME
     single-partition window as the rank (`COUNT(*) OVER ()` reuses the
     exchange) instead of a separate count() action — one job and one
     pass over the pair build instead of two, so the pair frame itself
-    no longer needs pinning."""
+    no longer needs pinning. `pin=False` skips the kept persist for
+    single-consumer callers (the reach query's symmetric-edge explode
+    reads it exactly once)."""
     from ..operators.textops import materialize
 
     pairs = _brand_cooc_pairs(spark, sf_dir, pin=False)
@@ -762,9 +772,13 @@ def _brand_cooc_kept(spark, sf_dir):
         .over(Window.partitionBy())
         .alias("n_edges"),
     )
-    return materialize(
-        rk.filter(F.expr("10 * r <= 3 * n_edges")).select("ba", "bb")
-    )
+    return rk.filter(F.expr("10 * r <= 3 * n_edges")).select("ba", "bb")
+
+
+def _brand_cooc_kept_pinned(spark, sf_dir):
+    from ..operators.textops import materialize
+
+    return materialize(_brand_cooc_kept(spark, sf_dir))
 
 
 @query("graph_triangle_brands", oracle=_TRI_ORACLE)
@@ -784,7 +798,7 @@ def graph_triangle_brands(spark, sf_dir):
     trick (orient edges from low- to high-degree endpoints) — the
     rank cut here plays that load-bounding role. Counts are integers,
     the coefficient is one snapped division — engine-exact."""
-    kept = _brand_cooc_kept(spark, sf_dir)
+    kept = _brand_cooc_kept_pinned(spark, sf_dir)
     e1, e2, e3 = kept.alias("e1"), kept.alias("e2"), kept.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.bb") == F.col("e2.ba"))

@@ -160,14 +160,23 @@ def sql_recursive_brand_reach(spark, sf_dir):
     # in both engines; only the edge relation it runs over changed
     # builders, and the oracle keeps the naive SQL chain.
     kept = _brand_cooc_kept(spark, sf_dir)
-    # the recursive CTE re-resolves this view on every recursion step:
-    # the lineage must be CUT (a leaf plan), or each step re-analyzes —
-    # and can re-execute — the whole edge-build subtree (measured 2.8s
-    # -> 9.8s under plain persist at sf0.1)
+    # Symmetrize with ONE in-row explode instead of union-of-kept: a
+    # union reads the kept chain twice (forcing a persist the
+    # interleaved A/B measured as a net loss); the explode reads it
+    # once, so kept stays un-pinned. The recursive CTE re-resolves
+    # this view on every recursion step: the lineage must be CUT (a
+    # leaf plan), or each step re-analyzes — and can re-execute — the
+    # whole edge-build subtree (measured 2.8s -> 9.8s under plain
+    # persist at sf0.1)
     sym = materialize(
-        kept.selectExpr("ba AS src", "bb AS dst").unionAll(
-            kept.selectExpr("bb AS src", "ba AS dst")
-        ),
+        kept.select(
+            F.explode(
+                F.expr(
+                    "array(struct(ba AS src, bb AS dst), "
+                    "struct(bb AS src, ba AS dst))"
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst"),
         cut_lineage=True,
     )
     sym.createOrReplaceTempView("rcte_sym")
