@@ -1210,7 +1210,7 @@ def _brand_pairs(spark, sf_dir, ob=None):
         .groupBy(F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    return materialize(pairs) if pin else pairs
+    return materialize(pairs)
 
 
 @query(
