@@ -600,16 +600,17 @@ def test_ffill_single_window_exchange(spark):
 
 
 def test_cohort_retention_user_cardinality(spark):
-    """All aggregates/joins run on the pinned distinct (user, day)
-    frame — the events scan appears once (inside the cached frame's
-    recomputable lineage) and every consumer branch reads the cache."""
+    """Round 9: the cohort label is a MIN window over the user
+    partition on the distinct (user, day) frame — ONE events scan, no
+    pinned copy, no join-back (the old shape persisted the frame and
+    consumed it twice; this asserts the stronger single-chain plan)."""
     spark.catalog.clearCache()  # see test_gapfill_spine_never_sees_fact_volume
     plan = C.formatted_plan(QUERIES["events_cohort_retention"](spark, SF_SMOKE))
     C.assert_no_python(plan)
     C.assert_no_cartesian(plan)
-    assert plan.count("events.parquet") <= 1
-    assert "InMemoryRelation" in plan
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("events.parquet") == 1
+    assert "InMemoryRelation" not in plan  # no pinned frame needed
+    assert plan.count("Window") >= 1  # cohort = min(day) over user
     C.assert_max_shuffles(plan, 4)
 
 

@@ -813,16 +813,17 @@ def graph_triangle_brands(spark, sf_dir):
             F.col("e2.bb").alias("c"),
         )
     )
+    # corner counting via ONE in-row explode (round 9): the old
+    # three-branch union executed the whole triangle join chain once
+    # PER BRANCH COLUMN; kept is pinned so its two-branch union was
+    # cache reads, but the explode is one pass either way
     tn = (
-        tri.selectExpr("a AS brand")
-        .unionAll(tri.selectExpr("b AS brand"))
-        .unionAll(tri.selectExpr("c AS brand"))
+        tri.select(F.explode(F.expr("array(a, b, c)")).alias("brand"))
         .groupBy("brand")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     deg = (
-        kept.selectExpr("ba AS brand")
-        .unionAll(kept.selectExpr("bb AS brand"))
+        kept.select(F.explode(F.expr("array(ba, bb)")).alias("brand"))
         .groupBy("brand")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

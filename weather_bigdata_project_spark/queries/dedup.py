@@ -1692,11 +1692,14 @@ def dedup_graph_degree_profile(spark, sf_dir):
     pairs = (
         _verified_pairs(spark, sf_dir, cand)
         .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
-        .select("doc1", "doc2")
     )
+    # endpoints via ONE in-row explode (round 9): the old two-branch
+    # union consumed the un-pinned verified-pairs chain TWICE — the
+    # whole array_intersect verification ran once per branch
     deg = T.materialize(
-        pairs.select(F.col("doc1").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        pairs.select(
+            F.explode(F.expr("array(doc1, doc2)")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -1757,11 +1760,12 @@ def dedup_graph_degree_profile_sampled(spark, sf_dir):
     pairs = (
         _verified_pairs(spark, sf_dir, cand, sh=sh)
         .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
-        .select("doc1", "doc2")
     )
+    # one in-row endpoint explode — see dedup_graph_degree_profile
     deg = T.materialize(
-        pairs.select(F.col("doc1").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        pairs.select(
+            F.explode(F.expr("array(doc1, doc2)")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
