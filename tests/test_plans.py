@@ -299,17 +299,21 @@ def test_topk_uses_heap_not_global_sort(spark):
 
 def test_minhash_verify_arrays_are_candidate_only(spark):
     """Round-2 judge finding, fixed: verification shingle ARRAYS must
-    never ride a population-sized shuffle. The collect_list aggregate
-    that assembles them sits above a LEFT SEMI prune of the shingle
-    frame down to candidate doc_ids (_cand_arrays); before the refactor
-    these plans had no semi join at all — every doc carried its full
-    array through the verify joins. Applies to both the LSH and the
-    prefix-filter (PPJoin) verifiers."""
+    never ride a population-sized shuffle. The verify-side array frame
+    sits above a LEFT SEMI prune of the per-doc array frame down to
+    candidate doc_ids (_cand_arrays). Round 10 strengthened the shape:
+    the arrays are read straight off the pinned in-row gram-array
+    build, so the plan must have NO collect_list re-assembly aggregate
+    either (the old plan gathered candidate arrays with a groupBy —
+    one extra exchange of the semi-joined shingle rows). Applies to
+    both the LSH and the prefix-filter (PPJoin) verifiers."""
     spark.catalog.clearCache()
     for name in ("dedup_minhash_lsh", "dedup_prefix_filter_jaccard"):
         plan = C.formatted_plan(QUERIES[name](spark, SF_SMOKE))
         assert "LeftSemi" in plan, f"{name}: no candidate semi-prune"
-        assert "collect_list" in plan, f"{name}: arrays not aggregated"
+        assert "collect_list" not in plan, (
+            f"{name}: verify arrays re-assembled by an aggregate"
+        )
 
 
 # --- advanced.py operators (as-of / band / salted / sample) ---------------

@@ -541,3 +541,70 @@ def test_unigram_viterbi_fold_matches_naive_dp(spark, lens, rng):
     df = spark.createDataFrame(rows, "m int, cf map<int,bigint>")
     got = [r[0] for r in df.selectExpr(f"{_uv_dp_spark()} AS b").collect()]
     assert got == wants
+
+
+# --- emb_dim footer validation (round 10) ----------------------------------
+
+
+def test_emb_dim_multifragment_dir_and_ragged_fallback(spark):
+    """emb_dim must (a) resolve the dimensionality when embeddings.parquet
+    is a DIRECTORY of part files — the 100 TB layout (round-9 verdict:
+    the single-file read silently degraded the flat-column path to the
+    interpreted HOF on partitioned input) — and (b) return None when any
+    fragment's footer arithmetic says the lists are ragged, so flat
+    consumers fall back instead of mis-evaluating."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_bigdata_project_spark.queries.similarity import emb_dim
+
+    def write_frag(path, vecs, start):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(
+                    range(start, start + len(vecs)), pa.int64()
+                ),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "embeddings.parquet")
+        os.makedirs(d)
+        write_frag(
+            os.path.join(d, "part-0.parquet"),
+            [[1.0] * 8, [2.0] * 8],
+            0,
+        )
+        write_frag(
+            os.path.join(d, "part-1.parquet"),
+            [[3.0] * 8, [4.0] * 8, [5.0] * 8],
+            2,
+        )
+        assert emb_dim(tmp) == 8
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "embeddings.parquet")
+        os.makedirs(d)
+        write_frag(
+            os.path.join(d, "part-0.parquet"),
+            [[1.0] * 8, [2.0] * 8],
+            0,
+        )
+        write_frag(  # ragged fragment: widths 4 and 8
+            os.path.join(d, "part-1.parquet"),
+            [[3.0] * 4, [4.0] * 8],
+            2,
+        )
+        assert emb_dim(tmp) is None
+
+    # single file stays supported (the historical layout)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_frag(
+            os.path.join(tmp, "embeddings.parquet"),
+            [[1.5] * 16] * 3,
+            0,
+        )
+        assert emb_dim(tmp) == 16

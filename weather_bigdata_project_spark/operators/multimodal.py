@@ -441,8 +441,17 @@ def phash_neardup_pairs(
 
     At 100 TB: candidates are near-linear in dup density (never the
     O(n^2) pair space), the join keys are 12-byte ints, and the binary
-    payloads are read ONCE by the hash kernel and never shuffled."""
-    ph = phash_media(binary_df, kernel=kernel)
+    payloads are read ONCE by the hash kernel and never shuffled.
+
+    Round 10: the 16-byte/doc signature frame is PINNED before banding
+    — the band self-join consumes `bands` on both sides, and without
+    the pin each side re-derived the whole upstream chain, i.e. the
+    Python pHash kernel (the one Arrow boundary in this family) ran
+    TWICE over every payload (guide §2.4's double-consumption hazard,
+    same fix as the round-9 wave-2 dedup sites)."""
+    from .textops import materialize
+
+    ph = materialize(phash_media(binary_df, kernel=kernel))
     bands = ph.select(
         "doc_id",
         "phash",

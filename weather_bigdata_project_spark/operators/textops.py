@@ -118,32 +118,29 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_shingle_ids(
+def doc_gram_arrays(
     spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, n_sh, sh): DISTINCT 3-gram shingles per document as
-    60-bit content hashes, plus the document's distinct-shingle count —
-    the scale path for every shingle consumer.
+    """(doc_id, n_sh, shs): each document's DISTINCT 3-gram shingles as
+    one ARRAY of 60-bit content-hash ids, plus its size — the base form
+    of :func:`doc_shingle_ids`, built fully in-row (zero shuffles).
 
-    Fully narrow: shingling, hashing, the per-document dedup
-    (`array_distinct` on the transformed array), AND the per-doc size
-    all happen inside the row, so there is NO shuffle at all — versus
-    :func:`doc_shingles` + `.distinct()`, which shuffles the
-    ~5x-exploded shingle STRINGS just to deduplicate within each
-    document, plus a groupBy(doc_id) just to count them. Downstream
-    shuffles then carry 8-byte ints instead of shingle text, and
-    consumers that need Jaccard denominators read n_sh for free instead
-    of joining a sizes aggregate. Hash = the portable 60-bit md5 prefix
-    (`hashed_id_spark`), bit-equal to the oracle's `hashed_id_duck`
-    over the same strings; collision odds ~1e-8 at 1e5 distinct
-    shingles, and the oracles keep using raw strings — equal counts
-    either way.
+    Round 10: this array form is what the dedup family PINS. With the
+    per-doc array already in the row, the MinHash signature becomes a
+    narrow projection (no groupBy(doc_id) exchange of the exploded
+    frame) and candidate-verification arrays become a semi-join
+    projection (no collect_list re-assembly shuffle) — the exploded
+    (doc_id, n_sh, sh) row frame is derived from this one by a narrow
+    explode wherever rows are needed. Hash = the portable 60-bit md5
+    prefix (`hashed_id_spark`), bit-equal to the oracle's
+    `hashed_id_duck` over the same strings; collision odds ~1e-8 at
+    1e5 distinct shingles, and the oracles keep using raw strings —
+    equal counts either way.
 
     `frame` overrides the input (must carry doc_id + text) so callers
-    can shingle a pre-filtered slice — e.g. the contamination check
-    shingles benchmark and training partitions separately, keeping the
-    source filter pushed into each scan instead of joining the full
-    shingle frame back to documents."""
+    can shingle a pre-filtered slice with the source filter pushed
+    into the scan. NOTE: docs with fewer than 3 tokens appear here
+    with n_sh = 0 and an empty array (the exploded form drops them)."""
     d = spread_small_scan(
         docs(spark, sf_dir) if frame is None else frame,
         spark,
@@ -154,17 +151,39 @@ def doc_shingle_ids(
         "i -> " + hashed_id_spark("concat_ws(' ', slice(toks, i, 3))") + ")"
     )
     arr = f"CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct({grams}) END"
-    # Let-binding via a single-element transform: `a` holds the computed
-    # gram array, so the expensive md5 transform runs ONCE per document.
-    # (A plain two-step select collapses into one projection where both
-    # size() and explode() inline the full expression — measured 14x
-    # slower; higher-order exprs are interpreted, no codegen CSE.)
+    # Let-binding via a single-element transform + inline: `a` holds the
+    # computed gram array, so the expensive md5 transform runs ONCE per
+    # document. (A plain two-step select collapses into one projection
+    # where both size() and the array reference inline the full
+    # expression — measured 14x slower; higher-order exprs are
+    # interpreted, no codegen CSE.)
     wrapped = (
         f"transform(array({arr}), "
-        "a -> transform(a, x -> struct(size(a) AS n_sh, x AS sh)))[0]"
+        "a -> struct(size(a) AS n_sh, a AS shs))"
     )
     return d.select("doc_id", F.inline(F.expr(wrapped))).select(
-        "doc_id", "n_sh", "sh"
+        "doc_id", "n_sh", "shs"
+    )
+
+
+def doc_shingle_ids(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_sh, sh): DISTINCT 3-gram shingles per document as
+    60-bit content hashes, plus the document's distinct-shingle count —
+    the scale path for every shingle consumer that needs ROWS.
+
+    Fully narrow: the per-doc array build (:func:`doc_gram_arrays`)
+    plus one explode, so there is NO shuffle at all — versus
+    :func:`doc_shingles` + `.distinct()`, which shuffles the
+    ~5x-exploded shingle STRINGS just to deduplicate within each
+    document, plus a groupBy(doc_id) just to count them. Downstream
+    shuffles then carry 8-byte ints instead of shingle text, and
+    consumers that need Jaccard denominators read n_sh for free instead
+    of joining a sizes aggregate. The explode drops zero-shingle docs
+    (empty arrays), matching the historical row semantics."""
+    return doc_gram_arrays(spark, sf_dir, frame=frame).select(
+        "doc_id", "n_sh", F.explode("shs").alias("sh")
     )
 
 
@@ -279,25 +298,39 @@ def materialize(df: DataFrame, cut_lineage: bool = False) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-#: (applicationId, sf_dir) -> materialized default shingle frame. The
-#: Jaccard, MinHash, and corpus-pipeline queries all start from the
-#: same (doc_id, n_sh, sh) frame; within one session the checkpointed
-#: copy is shared so the md5 shingling of the corpus runs once per
-#: scale factor, not once per query. Keyed by applicationId so a new
-#: session never sees another session's (unreachable) checkpoint.
-_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+#: (applicationId, sf_dir) -> materialized default per-doc gram-ARRAY
+#: frame. The Jaccard, MinHash, and corpus-pipeline queries all start
+#: from the same shingle build; within one session the pinned copy is
+#: shared so the md5 shingling of the corpus runs once per scale
+#: factor, not once per query. Keyed by applicationId so a new session
+#: never sees another session's (unreachable) checkpoint. Round 10:
+#: the pin moved from the exploded row frame to the array frame (same
+#: bytes, document-cardinality rows) — signature and verification
+#: consumers read arrays with zero re-assembly shuffles, and the row
+#: form is a narrow explode over the same pin.
+_GRAM_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def doc_shingle_ids_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized, materialized :func:`doc_shingle_ids` (default
+def doc_gram_arrays_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, materialized :func:`doc_gram_arrays` (default
     corpus only — frame-override callers keep their own builds so their
     source filters stay pushed into the scan)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _SHINGLE_MEMO.get(key)
+    got = _GRAM_MEMO.get(key)
     if got is None:
-        got = materialize(doc_shingle_ids(spark, sf_dir))
-        _SHINGLE_MEMO[key] = got
+        got = materialize(doc_gram_arrays(spark, sf_dir))
+        _GRAM_MEMO[key] = got
     return got
+
+
+def doc_shingle_ids_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (doc_id, n_sh, sh) ROW frame: a narrow explode VIEW
+    over the pinned array frame (one pin serves both forms; the explode
+    re-runs per reference and is trivial next to the md5 build it reads
+    from cache)."""
+    return doc_gram_arrays_shared(spark, sf_dir).select(
+        "doc_id", "n_sh", F.explode("shs").alias("sh")
+    )
 
 
 def clear_shingle_memo() -> None:
@@ -306,7 +339,7 @@ def clear_shingle_memo() -> None:
     per-query isolation): an unpersisted localCheckpoint block cannot
     be recomputed, so a stale memo entry would throw
     CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use."""
-    _SHINGLE_MEMO.clear()
+    _GRAM_MEMO.clear()
 
 
 # --- DuckDB oracle CTE twins ---------------------------------------------

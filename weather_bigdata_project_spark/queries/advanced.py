@@ -756,9 +756,9 @@ def _brand_cooc_kept(spark, sf_dir):
     single-partition window as the rank (`COUNT(*) OVER ()` reuses the
     exchange) instead of a separate count() action — one job and one
     pass over the pair build instead of two, so the pair frame itself
-    no longer needs pinning. `pin=False` skips the kept persist for
-    single-consumer callers (the reach query's symmetric-edge explode
-    reads it exactly once)."""
+    no longer needs pinning (the pin knob lives on _brand_cooc_pairs;
+    multi-consumer callers use the _brand_cooc_kept_pinned wrapper —
+    the reach query reads this un-pinned form exactly once)."""
     from ..operators.textops import materialize
 
     pairs = _brand_cooc_pairs(spark, sf_dir, pin=False)

@@ -563,19 +563,45 @@ def events_user_features(spark, sf_dir):
     joins over dimension-sized frames; the corpus max-day is a 1-row
     broadcast. Exact integer doctrine throughout (cents, snapped log
     terms, integer day arithmetic)."""
-    ev = tables.load(spark, sf_dir, "events")
-    base = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
-        F.sum(F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)")).alias(
-            "v_c"
-        ),
-        F.max(F.to_date("ts")).alias("last_day"),
+    # Round 10: ONE projected scan + ONE user_id exchange feed every
+    # feature branch (was three independent events scans — base agg,
+    # sessionization window, type-count agg — each with its own
+    # exchange). HashPartitioning(user_id) satisfies the clustering of
+    # groupBy(user_id), groupBy(user_id, event_type) (subset rule), the
+    # session lag window, AND the assembly joins, so after the pinned
+    # repartition everything below is exchange-free (guide §2.4: two
+    # operations keyed the same way share one exchange). n_sessions no
+    # longer builds (user, sid) intervals — the per-user session COUNT
+    # is just SUM(new-session flags), one window pass + the shared agg
+    # (same lag/gap expressions as _session_intervals, same count).
+    ev = materialize(
+        tables.load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr(_EPOCH_US_SPARK).alias("tus"),
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(ROUND(value * 100.0e0) AS BIGINT)").alias("vc"),
+        )
+        .repartition("user_id")
     )
-    base = materialize(base)
+    base = materialize(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("day").alias("n_active_days"),
+            F.sum("vc").alias("v_c"),
+            F.max("day").alias("last_day"),
+        )
+    )
     g = base.agg(F.max("last_day").alias("gmax"))
-    sess = _session_intervals(spark, sf_dir).groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    ns = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("ns", ns)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
     )
     tc = materialize(
         ev.groupBy("user_id", "event_type").agg(

@@ -1715,11 +1715,11 @@ def corpus_cluster_split_sampled(spark, sf_dir):
     )
 
     smp = _sampled_docs(spark, sf_dir)
-    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir, frame=smp))
-    docsig = _minhash_docsig(spark, sf_dir, sh=sh)
+    garr = T.materialize(T.doc_gram_arrays(spark, sf_dir, frame=smp))
+    docsig = _minhash_docsig(spark, sf_dir, garr=garr)
     cand = T.materialize(_lsh_candidates(docsig))
     pairs = T.materialize(
-        _verified_pairs(spark, sf_dir, cand, sh=sh)
+        _verified_pairs(spark, sf_dir, cand, garr=garr)
         .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
         .select("doc1", "doc2")
     )

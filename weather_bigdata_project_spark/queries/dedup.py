@@ -235,57 +235,68 @@ _MINHASH_ORACLE = (
 )
 
 
-def _minhash_docsig(spark, sf_dir, sh=None):
-    """(doc_id, mh1..mh16, n_sh): all 16 minhashes in ONE hash-aggregate.
-    Map-side partial agg folds the 16 min() columns before the exchange,
-    so the shuffle carries a FIXED ~136 bytes per doc — signatures only.
-    The doc's shingle-id array is deliberately NOT carried here anymore
-    (round-2 judge finding): verification fetches arrays for the
-    candidate set only via _cand_arrays, so the O(corpus-shingles)
-    payload never rides a join. `sh` overrides the shingle frame for
-    sampled/sliced runs."""
-    if sh is None:
-        sh = T.doc_shingle_ids_shared(spark, sf_dir)
-    sh_id = F.col("sh")
+def _minhash_docsig(spark, sf_dir, garr=None):
+    """(doc_id, mh1..mh16, n_sh): all 16 minhashes computed IN-ROW from
+    the pinned per-doc shingle-id arrays — ZERO shuffles (round 10; was
+    one groupBy(doc_id) exchange of the whole exploded shingle frame).
+    One interpreted transform computes the 16 affine hashes per array
+    element (let-binding inline so it runs once, not once per output
+    column — higher-order exprs have no codegen CSE); 16 array_min's
+    reduce them. Same exact integer arithmetic, same values — verified
+    row-identical to the old aggregate; measured ~2x faster at sf0.1
+    AND removes the only population-sized exchange of the signature
+    build (at 100 TB the aggregate's shuffle carried ~136 bytes/doc;
+    now nothing moves). Docs with no shingles are filtered out (the old
+    aggregate never produced a row for them). `garr` overrides the
+    array frame for sampled/sliced runs."""
+    if garr is None:
+        garr = T.doc_gram_arrays_shared(spark, sf_dir)
+    hs = ", ".join(
+        f"({a} * x + {b}) % {_P} AS h{j}"
+        for j, (a, b) in enumerate(_HASH_PARAMS, 1)
+    )
+    mins = ", ".join(
+        f"array_min(hh.h{j}) AS mh{j}" for j in range(1, _K + 1)
+    )
+    wrapped = (
+        f"transform(array(transform(shs, x -> struct({hs}))), "
+        f"hh -> struct({mins}))"
+    )
     return T.materialize(
-        sh.groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(a) * sh_id + F.lit(b)) % _P).alias(f"mh{j}")
-                for j, (a, b) in enumerate(_HASH_PARAMS, 1)
-            ],
-            F.first("n_sh").alias("n_sh"),
+        garr.filter(F.col("n_sh") > 0).select(
+            "doc_id", F.inline(F.expr(wrapped)), "n_sh"
         )
     )
 
 
-def _cand_arrays(spark, sf_dir, cand, sh=None):
-    """(doc_id, n_sh, shs) for CANDIDATE docs only. The full-population
-    (doc_id, n_sh, sh) shingle frame is semi-joined down to the
-    candidate doc_ids BEFORE any array is assembled, so both the
-    collect_list aggregate and the verify join ship arrays for the
-    candidate set (near-linear in dup density), never for the corpus —
-    at 100 TB the old everything-carries-its-array plan was an
-    O(corpus-shingles) shuffle of array payloads. The id frame is
-    pair-derived and small; AQE turns the semi join into a broadcast."""
-    if sh is None:
-        sh = T.doc_shingle_ids_shared(spark, sf_dir)
+def _cand_arrays(spark, sf_dir, cand, garr=None):
+    """(doc_id, n_sh, shs) for CANDIDATE docs only: a semi-join
+    PROJECTION off the pinned per-doc array frame (round 10 — the
+    arrays already exist in-row, so the old collect_list re-assembly
+    groupBy and its shuffle are gone; the semi-join is the only
+    operation and its id side is pair-derived and small, so AQE makes
+    it a broadcast). Arrays still exist only for the candidate set
+    (near-linear in dup density), never for the corpus — at 100 TB an
+    everything-carries-its-array plan would be an O(corpus-shingles)
+    shuffle of array payloads."""
+    if garr is None:
+        garr = T.doc_gram_arrays_shared(spark, sf_dir)
     ids = (
         cand.select(F.col("doc1").alias("doc_id"))
         .unionByName(cand.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    return sh.join(ids, "doc_id", "left_semi").groupBy("doc_id").agg(
-        F.first("n_sh").alias("n_sh"),
-        F.collect_list("sh").alias("shs"),
+    return garr.join(ids, "doc_id", "left_semi").select(
+        "doc_id", "n_sh", "shs"
     )
 
 
-def _verified_pairs(spark, sf_dir, cand, sh=None):
+def _verified_pairs(spark, sf_dir, cand, garr=None):
     """(doc1, doc2, c, n1, n2): exact common-shingle count per candidate
     pair, computed from candidate-only arrays (one in-row
     array_intersect — the shingle frame itself is never re-joined at
     pair cardinality). Callers apply their own Jaccard threshold."""
-    arr = T.materialize(_cand_arrays(spark, sf_dir, cand, sh=sh))
+    arr = T.materialize(_cand_arrays(spark, sf_dir, cand, garr=garr))
     d1 = arr.select(
         F.col("doc_id").alias("doc1"),
         F.col("n_sh").alias("n1"),
@@ -1322,10 +1333,11 @@ _PF_ORACLE = (
 )
 
 
-def _prefix_filter_verified(spark, sf_dir, sh):
-    """PPJoin core over an arbitrary (doc_id, n_sh, sh) frame:
-    (doc1, doc2, c, n1, n2) for every pair surviving the lossless prefix
-    filter + size-ratio guard, exact-verified from candidate-only arrays.
+def _prefix_filter_verified(spark, sf_dir, garr):
+    """PPJoin core over an arbitrary (doc_id, n_sh, shs) ARRAY frame
+    (rows derived by a narrow explode): (doc1, doc2, c, n1, n2) for
+    every pair surviving the lossless prefix filter + size-ratio guard,
+    exact-verified from candidate-only arrays.
 
     Prefix order is ASCENDING DOCUMENT FREQUENCY (ties by shingle id) —
     the PPJoin-optimal order: each doc's prefix holds its RAREST
@@ -1351,6 +1363,7 @@ def _prefix_filter_verified(spark, sf_dir, sh):
     prefix frame, identical rows."""
     from pyspark.sql import Window
 
+    sh = garr.select("doc_id", "n_sh", F.explode("shs").alias("sh"))
     ranked = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
@@ -1409,7 +1422,7 @@ def _prefix_filter_verified(spark, sf_dir, sh):
         .filter(F.expr("3 * (o + least(n1 - pa, n2 - pb)) >= n1 + n2"))
         .select("doc1", "doc2")
     )
-    return _verified_pairs(spark, sf_dir, T.materialize(cand), sh=sh)
+    return _verified_pairs(spark, sf_dir, T.materialize(cand), garr=garr)
 
 
 @query("dedup_prefix_filter_jaccard", oracle=_PF_ORACLE)
@@ -1426,7 +1439,7 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     blocking is LOSSLESS: the oracle enumerates every qualifying pair
     over the raw shingle join and must match exactly."""
     ver = _prefix_filter_verified(
-        spark, sf_dir, T.doc_shingle_ids_shared(spark, sf_dir)
+        spark, sf_dir, T.doc_gram_arrays_shared(spark, sf_dir)
     )
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     return ver.filter(F.expr(f"{jac} >= {_PF_T}e0")).select(
@@ -1496,10 +1509,10 @@ def _tune_oracle() -> str:
     return "".join(parts) + " " + " UNION ALL ".join(rows)
 
 
-def _band_tuning_matrix(spark, sf_dir, sh):
-    """Tuning-matrix core over an arbitrary shingle frame: signatures
-    from ONE docsig aggregate; lossless truth set computed once and
-    probed by all three configs.
+def _band_tuning_matrix(spark, sf_dir, garr):
+    """Tuning-matrix core over an arbitrary per-doc gram-array frame:
+    signatures from ONE narrow docsig projection; lossless truth set
+    computed once and probed by all three configs.
 
     Round 9: the three per-config chains (band explode -> band-sig
     self-join -> distinct -> truth join -> aggregate, unioned) are
@@ -1512,10 +1525,10 @@ def _band_tuning_matrix(spark, sf_dir, sh):
     set, one 3-group aggregate. Output identical (configs with zero
     candidates keep their row via the literal config frame left
     join)."""
-    docsig = _minhash_docsig(spark, sf_dir, sh=sh)
+    docsig = _minhash_docsig(spark, sf_dir, garr=garr)
     jac = "CAST(c AS DOUBLE) / (n1 + n2 - c)"
     tru = T.materialize(
-        _prefix_filter_verified(spark, sf_dir, sh)
+        _prefix_filter_verified(spark, sf_dir, garr)
         .filter(F.expr(f"{jac} >= {_PF_T}e0"))
         .select("doc1", "doc2")
     )
@@ -1619,7 +1632,7 @@ def dedup_minhash_band_tuning(spark, sf_dir):
     dedup_band_tuning_sampled, the same matrix on a deterministic
     content-hash sample, and size the sample to the candidate budget."""
     return _band_tuning_matrix(
-        spark, sf_dir, T.doc_shingle_ids_shared(spark, sf_dir)
+        spark, sf_dir, T.doc_gram_arrays_shared(spark, sf_dir)
     )
 
 
@@ -1651,8 +1664,8 @@ def dedup_band_tuning_sampled(spark, sf_dir):
     smp = T.docs(spark, sf_dir).filter(
         F.expr(T.hashed_id_spark("text") + f" % {_SAMPLE_MOD} = 0")
     )
-    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir, frame=smp))
-    return _band_tuning_matrix(spark, sf_dir, sh)
+    garr = T.materialize(T.doc_gram_arrays(spark, sf_dir, frame=smp))
+    return _band_tuning_matrix(spark, sf_dir, garr)
 
 
 # --- near-dup graph degree profile ----------------------------------------
@@ -1754,11 +1767,11 @@ def dedup_graph_degree_profile_sampled(spark, sf_dir):
     shingle frame, banded candidates, candidate-only verification
     arrays — so this twin also re-verifies the scale path itself."""
     smp = _sampled_docs(spark, sf_dir)
-    sh = T.materialize(T.doc_shingle_ids(spark, sf_dir, frame=smp))
-    docsig = _minhash_docsig(spark, sf_dir, sh=sh)
+    garr = T.materialize(T.doc_gram_arrays(spark, sf_dir, frame=smp))
+    docsig = _minhash_docsig(spark, sf_dir, garr=garr)
     cand = T.materialize(_lsh_candidates(docsig))
     pairs = (
-        _verified_pairs(spark, sf_dir, cand, sh=sh)
+        _verified_pairs(spark, sf_dir, cand, garr=garr)
         .filter(F.expr("CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5e0"))
     )
     # one in-row endpoint explode — see dedup_graph_degree_profile

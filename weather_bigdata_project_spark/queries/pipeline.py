@@ -35,38 +35,23 @@ _SUB = {
 
 
 def _fused_quality_lang(spark, sf_dir):
-    """quality + language fused into ONE tokens aggregate, with
-    `source` carried through the per-doc grouping for free (doc_id is
-    unique, so grouping by (doc_id, source) is the same partition):
-    both blocks group the same exploded (doc_id, tok) frame, so running
-    them as registered queries joined on doc_id pays the explode +
-    hash-agg twice and adds a doc_id shuffle join. The fused frame
-    computes all the statistics in a single pass — same expressions,
-    same rounding as the registered blocks, verified identical by the
-    callers' nested oracles (which still compose the blocks' SQL).
-    Shared by corpus_filter_pipeline / corpus_training_assembly /
-    corpus_dedup_funnel so each pays ONE corpus scan for the whole
-    quality/language/token-count surface."""
-    from .text import _QUALITY_SQL
+    """quality + language fused into ONE pass, with `source` carried
+    along for free. Round 10: the pass is now fully IN-ROW (the shared
+    _TOK_STATS_INLINE struct over the split array) — the old fused
+    explode + groupBy(doc_id, source) with COUNT(DISTINCT tok) paid a
+    full corpus-token shuffle plus the distinct-agg Expand doubling;
+    now the whole quality/language/token-count surface is a narrow map
+    over the corpus scan, zero shuffles. Same expressions, same
+    rounding as the registered blocks (see the identity notes on
+    _TOK_STATS_INLINE), verified identical by the callers' nested
+    oracles. Shared by corpus_filter_pipeline /
+    corpus_training_assembly / corpus_dedup_funnel."""
+    from .text import _QUALITY_SQL, _TOK_STATS_INLINE
 
-    toks = T.docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.col("text"), " ")).alias("tok"),
-    )
-    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
     return (
-        toks.groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr(
-                rnd("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)", 4)
-            ).alias("distinct_ratio"),
-            F.expr(
-                rnd("CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*)", 4)
-            ).alias("avg_tok_len"),
-            F.sum(stop).cast("double").alias("_nstop"),
-        )
+        T.docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.inline(F.expr(_TOK_STATS_INLINE)))
         .select(
             "doc_id",
             "source",

@@ -45,6 +45,41 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# --- shared in-row token statistics (round 10) ----------------------------
+#
+# The quality/language blocks used to tokenize by EXPLODE + groupBy
+# (one full corpus-token shuffle each; COUNT(DISTINCT tok) additionally
+# plans an Expand that doubles the exploded rows). Every statistic they
+# need is computable INSIDE the row from the split array — zero
+# shuffles, and the narrow scan keeps column pruning/pushdown intact:
+#   n_tokens        = size(toks)                       (== COUNT(*))
+#   distinct count  = size(array_distinct(toks))       (== COUNT(DISTINCT tok))
+#   SUM(length(tok)) = length(text) - (size(toks) - 1) — exact: split
+#       on a single-space pattern consumes exactly one character per
+#       separator, so token chars = total chars - separators (empty
+#       tokens from runs of spaces contribute 0 either way)
+#   stopword count  = size(filter(toks, t -> t IN (...)))
+# The divisions see the same exactly-representable integers as the
+# aggregate spelling, so every rounded double is bit-identical (oracle
+# hash-verified at three scales). Let-binding via transform+inline so
+# the split array is computed once per document — and because inline
+# is a GENERATOR, the downstream quality projection cannot collapse
+# back into this one and re-inline the array expressions.
+
+_TOK_STATS_INLINE = (
+    "transform(array(split(text, ' ')), toks -> struct("
+    "CAST(size(toks) AS BIGINT) AS n_tokens, "
+    + rnd("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)", 4)
+    + " AS distinct_ratio, "
+    + rnd(
+        "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)", 4
+    )
+    + " AS avg_tok_len, "
+    + f"CAST(size(filter(toks, t -> t IN {T.STOPWORDS_SQL})) AS DOUBLE)"
+    + " AS _nstop))"
+)
+
+
 # --- language-ID heuristic ------------------------------------------------
 
 
@@ -66,21 +101,19 @@ def text_token_stats(spark, sf_dir):
 )
 def text_language_id(spark, sf_dir):
     """n-gram/stopword language heuristic: English stopword density over
-    whitespace tokens. One hash-agg on doc_id."""
-    toks = T.tokens(spark, sf_dir)
-    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
+    whitespace tokens. Round 10: computed fully IN-ROW from the split
+    array (see _TOK_STATS_INLINE) — the explode + hash-agg shuffle is
+    gone; the operator is a narrow map over the corpus scan."""
     return (
-        toks.groupBy("doc_id")
-        .agg(
-            F.sum(stop).cast("double").alias("_nstop"),
-            F.count(F.lit(1)).alias("_ntok"),
-        )
+        T.docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.inline(F.expr(_TOK_STATS_INLINE)))
         .select(
             "doc_id",
-            F.when(F.col("_nstop") / F.col("_ntok") >= 0.05, "en")
+            F.when(F.col("_nstop") / F.col("n_tokens") >= 0.05, "en")
             .otherwise("unknown")
             .alias("lang_pred"),
-            F.expr(rnd("_nstop / _ntok", 4)).alias("stop_ratio"),
+            F.expr(rnd("_nstop / n_tokens", 4)).alias("stop_ratio"),
         )
     )
 
@@ -111,16 +144,15 @@ _QUALITY_SQL = rnd(
 )
 def text_quality_score(spark, sf_dir):
     """Quality scoring: length, lexical diversity, avg token length folded
-    into one bounded score (the usual pretraining-filter shape)."""
-    toks = T.tokens(spark, sf_dir)
-    agg = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.expr(
-            rnd("CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)", 4)
-        ).alias("distinct_ratio"),
-        F.expr(rnd("CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*)", 4)).alias(
-            "avg_tok_len"
-        ),
+    into one bounded score (the usual pretraining-filter shape).
+    Round 10: all three statistics computed IN-ROW from the split array
+    (see _TOK_STATS_INLINE) — the explode + COUNT(DISTINCT) aggregate
+    (a full token shuffle plus its Expand doubling) is gone; the
+    operator is a narrow map over the corpus scan."""
+    agg = (
+        T.docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.inline(F.expr(_TOK_STATS_INLINE)))
     )
     return agg.select(
         "doc_id",
@@ -506,26 +538,33 @@ def text_langid_confusion(spark, sf_dir):
     |langs| x |preds| hash-agg on doc-cardinality rows with the
     agreement scalar broadcast back. Swap the heuristic for a real
     model (pandas UDF) and this evaluation query is unchanged — that
-    interface stability is the point."""
-    toks = T.tokens(spark, sf_dir)
-    stop = F.when(F.col("tok").isin(T.STOPWORDS), 1).otherwise(0)
-    p = (
-        toks.groupBy("doc_id")
-        .agg(
-            F.sum(stop).cast("double").alias("_ns"),
-            F.count(F.lit(1)).alias("_nt"),
-        )
+    interface stability is the point.
+
+    Round 10: the prediction is computed IN-ROW from the split array
+    (stopword count via a filter HOF, let-bound so the split runs once
+    per doc), and since `lang` lives in the SAME row as `text` the old
+    predict-then-join-back (token explode + groupBy shuffle + doc_id
+    join) collapses to one narrow map over the corpus scan — the only
+    exchanges left are the |langs| x |preds| matrix aggregates."""
+    from ..operators.textops import materialize
+
+    stats = (
+        "transform(array(split(text, ' ')), toks -> struct("
+        f"CAST(size(filter(toks, t -> t IN {T.STOPWORDS_SQL})) "
+        "AS DOUBLE) AS _ns, "
+        "size(toks) AS _nt))"
+    )
+    j = materialize(
+        T.docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("lang", F.inline(F.expr(stats)))
         .select(
-            "doc_id",
+            "lang",
             F.when(F.col("_ns") / F.col("_nt") >= 0.05, "en")
             .otherwise("unknown")
             .alias("lang_pred"),
         )
     )
-    d = T.docs(spark, sf_dir).select("doc_id", "lang")
-    from ..operators.textops import materialize
-
-    j = materialize(p.join(d, "doc_id").select("lang", "lang_pred"))
     t = j.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(
